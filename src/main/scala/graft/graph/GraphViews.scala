@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Td
+
+/** Deterministic twin-graph derivation from the driver's TPC-H-ish testdata
+  * (TESTDATA.md), so graph operators can be exercised — and oracle-checked
+  * in plain SQL — at any scale factor.
+  *
+  * Ontology (a "place" hierarchy that exercises DTDL inheritance exactly
+  * like the reference's CelestialBody→Planet→HabitablePlanet fixture,
+  * /root/reference/src/AgeDigitalTwins.Test/SampleData.cs:122-201):
+  *
+  *   dtmi:graft:Place;1          (base)
+  *     ▲ extends
+  *   dtmi:graft:Region;1         twins R<r_regionkey>
+  *     ▲ extends
+  *   dtmi:graft:Nation;1         twins N<n_nationkey>
+  *     ▲ extends
+  *   dtmi:graft:Customer;1       twins C<c_custkey>
+  *   dtmi:graft:Supplier;1       (extends Nation) twins S<s_suppkey>
+  *
+  * Edges: N→R `in_region`, C→N `located_in`, S→N `located_in`.
+  */
+object GraphViews {
+
+  val Place = "dtmi:graft:Place;1"
+  val Region = "dtmi:graft:Region;1"
+  val Nation = "dtmi:graft:Nation;1"
+  val Customer = "dtmi:graft:Customer;1"
+  val Supplier = "dtmi:graft:Supplier;1"
+
+  def models(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (Place, Seq.empty[String], Seq(Region, Nation, Customer, Supplier), "Place"),
+      (Region, Seq(Place), Seq(Nation, Customer, Supplier), "Region"),
+      (Nation, Seq(Region, Place), Seq(Customer, Supplier), "Nation"),
+      (Customer, Seq(Nation, Region, Place), Seq.empty[String], "Customer"),
+      (Supplier, Seq(Nation, Region, Place), Seq.empty[String], "Supplier")
+    ).toDF("id", "bases", "descendants", "display_name")
+      .withColumn("decommissioned", lit(false))
+      .withColumn("upload_time", lit("2026-01-01T00:00:00Z"))
+      .withColumn("dtdl", lit(null).cast("string"))
+  }
+
+  def twins(spark: SparkSession, dir: String): DataFrame = {
+    val r = Td.region(spark, dir).select(
+      concat(lit("R"), col("r_regionkey")).as("dt_id"),
+      lit(Region).as("model_id"),
+      col("r_name").as("name"),
+      lit(null).cast("double").as("acctbal"),
+      lit(null).cast("string").as("mktsegment"))
+    val n = Td.nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("dt_id"),
+      lit(Nation).as("model_id"),
+      col("n_name").as("name"),
+      lit(null).cast("double").as("acctbal"),
+      lit(null).cast("string").as("mktsegment"))
+    val c = Td.customer(spark, dir).select(
+      concat(lit("C"), col("c_custkey")).as("dt_id"),
+      lit(Customer).as("model_id"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val s = Td.supplier(spark, dir).select(
+      concat(lit("S"), col("s_suppkey")).as("dt_id"),
+      lit(Supplier).as("model_id"),
+      col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"),
+      lit(null).cast("string").as("mktsegment"))
+    r.unionByName(n).unionByName(c).unionByName(s)
+      .withColumn("etag", lit(null).cast("string"))
+      .withColumn("last_update_time", lit("2026-01-01T00:00:00Z"))
+      .withColumn("properties",
+        to_json(struct(col("dt_id").as("$dtId"), col("name"),
+          col("acctbal"), col("mktsegment"))))
+  }
+
+  def relationships(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Td.nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey"), lit("-R"), col("n_regionkey")).as("relationship_id"),
+      concat(lit("N"), col("n_nationkey")).as("source_id"),
+      concat(lit("R"), col("n_regionkey")).as("target_id"),
+      lit("in_region").as("relationship_name"))
+    val cn = Td.customer(spark, dir).select(
+      concat(lit("C"), col("c_custkey"), lit("-N"), col("c_nationkey")).as("relationship_id"),
+      concat(lit("C"), col("c_custkey")).as("source_id"),
+      concat(lit("N"), col("c_nationkey")).as("target_id"),
+      lit("located_in").as("relationship_name"))
+    val sn = Td.supplier(spark, dir).select(
+      concat(lit("S"), col("s_suppkey"), lit("-N"), col("s_nationkey")).as("relationship_id"),
+      concat(lit("S"), col("s_suppkey")).as("source_id"),
+      concat(lit("N"), col("s_nationkey")).as("target_id"),
+      lit("located_in").as("relationship_name"))
+    nr.unionByName(cn).unionByName(sn)
+      .withColumn("etag", lit(null).cast("string"))
+      .withColumn("properties", lit("{}"))
+  }
+
+  def graph(spark: SparkSession, dir: String): TwinGraph =
+    TwinGraph(twins(spark, dir), relationships(spark, dir), models(spark))
+}

@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The property-graph view the engine queries: twins (vertices),
+  * relationships (edges), models (DTDL metadata with precomputed
+  * inheritance closure).
+  *
+  * Operator mapping (SURVEY §2.A/§2.B of /root/repo/SURVEY.md, citing
+  * /root/reference):
+  *  - A1/A2 scans  — `MATCH (T:Twin)` / `MATCH (:Twin)-[R]->(:Twin)`
+  *    (AdtQueryHelpers.cs:160-187, 50-78) → plain DataFrame scans.
+  *  - A3-A6 point lookups — filters on promoted key columns.
+  *  - B4/B5 hop joins — (AdtQueryHelpers.cs:82-159) → equi-joins; the
+  *    twins side of each hop is joined on `dt_id`, edges on
+  *    `source_id`/`target_id`. At scale these are shuffle hash joins on
+  *    co-bucketed keys; model/dimension sides are broadcast.
+  *  - C1 IS_OF_MODEL — (GraphInitialization.cs:50-121) → broadcast
+  *    semi-join against the precomputed descendants closure.
+  */
+final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: DataFrame) {
+
+  import TwinGraph._
+
+  // -------- A3-A6: point lookups / adjacency --------
+
+  def twinById(dtId: String): DataFrame = twins.filter(col("dt_id") === dtId)
+
+  def relationshipById(sourceId: String, relId: String): DataFrame =
+    relationships.filter(col("source_id") === sourceId && col("relationship_id") === relId)
+
+  def outgoing(dtId: String, name: Option[String] = None): DataFrame = {
+    val base = relationships.filter(col("source_id") === dtId)
+    name.fold(base)(n => base.filter(col("relationship_name") === n))
+  }
+
+  def incoming(dtId: String): DataFrame = relationships.filter(col("target_id") === dtId)
+
+  // -------- B4-B6: hop joins --------
+
+  /** One directed hop: returns (source twin cols prefixed src_, edge cols
+    * rel_, target twin cols dst_). Edge-name disjunction (B6) is a plain
+    * IN filter because relationship_name is a column, not a label. */
+  def hop(relNames: Seq[String] = Nil): DataFrame = {
+    val rels0 = if (relNames.isEmpty) relationships
+      else relationships.filter(col("relationship_name").isin(relNames: _*))
+    val src = prefixed(twins, "src_")
+    val dst = prefixed(twins, "dst_")
+    val rels = prefixed(rels0, "rel_")
+    src.join(rels, col("src_dt_id") === col("rel_source_id"))
+      .join(dst, col("rel_target_id") === col("dst_dt_id"))
+  }
+
+  /** B17 neighborhood: 1-hop, both directions, bounded. */
+  def neighborhood(dtId: String, limit: Int = 50): DataFrame = {
+    val out = relationships.filter(col("source_id") === dtId)
+      .select(col("relationship_id"), col("relationship_name"),
+        col("target_id").as("neighbor_id"), lit("out").as("direction"))
+    val in = relationships.filter(col("target_id") === dtId)
+      .select(col("relationship_id"), col("relationship_name"),
+        col("source_id").as("neighbor_id"), lit("in").as("direction"))
+    out.unionByName(in).limit(limit)
+  }
+
+  // -------- C1: IS_OF_MODEL --------
+
+  /** Twins whose model equals `modelId` or (unless exact) inherits from it.
+    * Uses the write-time-precomputed `descendants` closure — the same
+    * optimization the reference materializes (Models.cs:263-324) — via a
+    * broadcast of one tiny row, so the twin scan stays a single pass with a
+    * pushable IN filter. */
+  def ofModel(modelId: String, exact: Boolean = false): DataFrame = {
+    if (exact) twins.filter(col("model_id") === modelId)
+    else {
+      val fam = modelFamily(modelId)
+      twins.filter(col("model_id").isin(fam: _*))
+    }
+  }
+
+  /** modelId + its descendants, collected driver-side (models table is tiny
+    * and cached; the reference's equivalent is `model_and_descendants`,
+    * GraphInitialization.cs:239-257). */
+  def modelFamily(modelId: String): Seq[String] = {
+    val rows = models.filter(col("id") === modelId)
+      .select(col("descendants")).collect()
+    val desc = rows.headOption.flatMap(r => Option(r.getSeq[String](0))).getOrElse(Nil)
+    modelId +: desc
+  }
+
+  /** B7: bounded variable-length expansion src -[name*1..max]-> reachable.
+    * Iterative self-join with per-level dedup; each level is a shuffle join
+    * on target/source ids. Returns (start_id, end_id, depth) with minimal
+    * depth per pair. Caller caps `max` (unbounded VLE goes through
+    * [[graft.graph.Vle]] with checkpointing). */
+  def expand(relName: Option[String], max: Int): DataFrame = {
+    val edges0 = relName.fold(relationships)(n =>
+      relationships.filter(col("relationship_name") === n))
+    val edges = edges0.select(col("source_id"), col("target_id"))
+    var frontier = edges.select(col("source_id").as("start_id"),
+      col("target_id").as("end_id"), lit(1).as("depth"))
+    var acc = frontier
+    var level = 1
+    while (level < max) {
+      frontier = frontier.join(edges, col("end_id") === col("source_id"))
+        .select(col("start_id"), col("target_id").as("end_id"), lit(level + 1).as("depth"))
+        .join(acc.select(col("start_id").as("s"), col("end_id").as("e")),
+          col("start_id") === col("s") && col("end_id") === col("e"), "left_anti")
+        .distinct()
+      acc = acc.unionByName(frontier)
+      level += 1
+    }
+    acc.groupBy(col("start_id"), col("end_id")).agg(min(col("depth")).as("depth"))
+  }
+}
+
+object TwinGraph {
+  def prefixed(df: DataFrame, p: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(p + c)): _*)
+
+  /** Property access inside the JSON doc: `T.a.b` → properties $.a.b.
+    * `$`-prefixed system keys are promoted columns when available. */
+  def prop(docCol: Column, path: Seq[String]): Column =
+    get_json_object(docCol, "$" + path.map(p => s"['$p']").mkString)
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphViews
+
+/** Graph operators (SURVEY §2.A scans/lookups, §2.B joins, §2.C C1) driven
+  * through the TwinGraph API over the derived place-graph (GraphViews).
+  * Each oracle reconstructs the same derivation in plain SQL over the raw
+  * parquet tables.
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 twin scan + B1 projection + B9 count-by-model.
+    "q_a1_twin_scan" -> ((s, d) => {
+      GraphViews.graph(s, d).twins
+        .groupBy(col("model_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("model_id"))
+    }),
+
+    // A2 relationship scan grouped by edge label.
+    "q_a2_rel_scan" -> ((s, d) => {
+      GraphViews.graph(s, d).relationships
+        .groupBy(col("relationship_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("relationship_name"))
+    }),
+
+    // A3/A5 point lookup + outgoing edges of one twin.
+    "q_a5_outgoing" -> ((s, d) => {
+      GraphViews.graph(s, d).outgoing("N0")
+        .select(col("relationship_id"), col("relationship_name"), col("target_id"))
+        .orderBy(col("relationship_id"))
+    }),
+
+    // A6 incoming edge count of one twin (all customers+suppliers of N3).
+    "q_a6_incoming" -> ((s, d) => {
+      GraphViews.graph(s, d).incoming("N3")
+        .groupBy(col("relationship_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("relationship_name"))
+    }),
+
+    // B4 single-hop MATCH (src)-[r:located_in]->(dst): members per nation.
+    "q_b4_single_hop" -> ((s, d) => {
+      GraphViews.graph(s, d).hop(Seq("located_in"))
+        .groupBy(col("dst_dt_id"), col("src_model_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dst_dt_id"), col("src_model_id"))
+    }),
+
+    // B6 multi-label edge disjunction -[r:in_region|located_in]-> : a plain
+    // IN filter on the relationship_name column.
+    "q_b6_multi_label" -> ((s, d) => {
+      GraphViews.graph(s, d).hop(Seq("in_region", "located_in"))
+        .groupBy(col("rel_relationship_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rel_relationship_name"))
+    }),
+
+    // B17 bounded neighborhood expansion (deterministic: sorted before limit).
+    "q_b17_neighborhood" -> ((s, d) => {
+      GraphViews.graph(s, d).neighborhood("N3", limit = Int.MaxValue)
+        .orderBy(col("relationship_id")).limit(50)
+    }),
+
+    // C1 IS_OF_MODEL with inheritance: Nation + its descendants
+    // (Customer, Supplier) — broadcast closure membership.
+    "q_c1_is_of_model" -> ((s, d) => {
+      GraphViews.graph(s, d).ofModel(GraphViews.Nation)
+        .groupBy(col("model_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("model_id"))
+    }),
+
+    // C1 exact variant.
+    "q_c1_is_of_model_exact" -> ((s, d) => {
+      GraphViews.graph(s, d).ofModel(GraphViews.Nation, exact = true)
+        .select(col("dt_id")).orderBy(col("dt_id"))
+    }),
+
+    // B7 bounded variable-length path: C -located_in-> N -in_region-> R at
+    // depth 2 = customers per region; depth histogram output.
+    "q_b7_vle" -> ((s, d) => {
+      GraphViews.graph(s, d).expand(None, max = 2)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+        .orderBy(col("depth"))
+    })
+  )
+
+  // Shared SQL fragments reconstructing the graph view.
+  private val twinsSql =
+    """(SELECT 'R' || r_regionkey AS dt_id, 'dtmi:graft:Region;1' AS model_id FROM region
+      | UNION ALL SELECT 'N' || n_nationkey, 'dtmi:graft:Nation;1' FROM nation
+      | UNION ALL SELECT 'C' || c_custkey, 'dtmi:graft:Customer;1' FROM customer
+      | UNION ALL SELECT 'S' || s_suppkey, 'dtmi:graft:Supplier;1' FROM supplier)""".stripMargin
+
+  private val relsSql =
+    """(SELECT 'N' || n_nationkey || '-R' || n_regionkey AS relationship_id,
+      |        'N' || n_nationkey AS source_id, 'R' || n_regionkey AS target_id,
+      |        'in_region' AS relationship_name FROM nation
+      | UNION ALL
+      | SELECT 'C' || c_custkey || '-N' || c_nationkey, 'C' || c_custkey,
+      |        'N' || c_nationkey, 'located_in' FROM customer
+      | UNION ALL
+      | SELECT 'S' || s_suppkey || '-N' || s_nationkey, 'S' || s_suppkey,
+      |        'N' || s_nationkey, 'located_in' FROM supplier)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_a1_twin_scan" ->
+      s"""SELECT model_id, count(*) AS n FROM $twinsSql t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a2_rel_scan" ->
+      s"""SELECT relationship_name, count(*) AS n FROM $relsSql r
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a5_outgoing" ->
+      s"""SELECT relationship_id, relationship_name, target_id FROM $relsSql r
+         |WHERE source_id = 'N0' ORDER BY 1""".stripMargin,
+    "q_a6_incoming" ->
+      s"""SELECT relationship_name, count(*) AS n FROM $relsSql r
+         |WHERE target_id = 'N3' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_b4_single_hop" ->
+      s"""SELECT r.target_id AS dst_dt_id, t.model_id AS src_model_id, count(*) AS n
+         |FROM $relsSql r JOIN $twinsSql t ON r.source_id = t.dt_id
+         |WHERE r.relationship_name = 'located_in'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_b6_multi_label" ->
+      s"""SELECT relationship_name AS rel_relationship_name, count(*) AS n
+         |FROM $relsSql r WHERE relationship_name IN ('in_region','located_in')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_b17_neighborhood" ->
+      s"""SELECT relationship_id, relationship_name,
+         |  CASE WHEN source_id = 'N3' THEN target_id ELSE source_id END AS neighbor_id,
+         |  CASE WHEN source_id = 'N3' THEN 'out' ELSE 'in' END AS direction
+         |FROM $relsSql r WHERE source_id = 'N3' OR target_id = 'N3'
+         |ORDER BY relationship_id LIMIT 50""".stripMargin,
+    "q_c1_is_of_model" ->
+      s"""SELECT model_id, count(*) AS n FROM $twinsSql t
+         |WHERE model_id IN ('dtmi:graft:Nation;1','dtmi:graft:Customer;1','dtmi:graft:Supplier;1')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_c1_is_of_model_exact" ->
+      s"""SELECT dt_id FROM $twinsSql t
+         |WHERE model_id = 'dtmi:graft:Nation;1' ORDER BY 1""".stripMargin,
+    "q_b7_vle" ->
+      s"""WITH e AS (SELECT source_id, target_id FROM $relsSql r),
+         |p1 AS (SELECT source_id AS start_id, target_id AS end_id, 1 AS depth FROM e),
+         |p2 AS (SELECT p1.start_id, e.target_id AS end_id, 2 AS depth
+         |       FROM p1 JOIN e ON p1.end_id = e.source_id
+         |       WHERE NOT EXISTS (SELECT 1 FROM p1 q
+         |         WHERE q.start_id = p1.start_id AND q.end_id = e.target_id)),
+         |allp AS (SELECT * FROM p1 UNION SELECT DISTINCT * FROM p2),
+         |minp AS (SELECT start_id, end_id, min(depth) AS depth FROM allp GROUP BY 1,2)
+         |SELECT depth, count(*) AS n FROM minp GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

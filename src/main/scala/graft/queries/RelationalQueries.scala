@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Td
+
+/** Relational operator inventory (SURVEY §2.B) demonstrated over the driver
+  * testdata, each with a DuckDB oracle.
+  *
+  * Hash-parity rules used throughout (the driver compares sorted-column
+  * value hashes against DuckDB):
+  *  - Sums over doubles are computed in fixed-point: `floor(x*100+0.5)` as
+  *    BIGINT cents on BOTH engines — integer addition is order-independent,
+  *    so partial aggregation cannot perturb the hash.
+  *  - Ratios are formed by one final integer division (IEEE-deterministic).
+  *  - Ordering-sensitive outputs always carry a unique key and an explicit
+  *    sort.
+  */
+object RelationalQueries {
+
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B9/B10 aggregates — TPC-H Q1 shape (pricing summary).
+    "q1_agg" -> ((s, d) => {
+      Td.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // B3 filter: AND / OR / IN / parens / != (rewritten NOT(=) like
+    // AdtQueryHelpers.cs:417-426 of the reference).
+    "q_b3_filter" -> ((s, d) => {
+      Td.orders(s, d)
+        .filter((col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+          col("o_totalprice") > 200000) && !(col("o_orderstatus") === "F"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // B5 chained JOIN RELATED — 5-way join, TPC-H Q5 shape. The two
+    // dimension joins (nation, region) are broadcast; the orders⋈lineitem
+    // join shuffles on the shared key.
+    "q_b5_multi_join" -> ((s, d) => {
+      val li = Td.lineitem(s, d); val o = Td.orders(s, d); val c = Td.customer(s, d)
+      val n = Td.nation(s, d); val r = Td.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // B8 TOP(n) — deterministic top-k with tiebreak key.
+    "q_b8_topk" -> ((s, d) => {
+      Td.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // B11 UNION (distinct).
+    "q_b11_union" -> ((s, d) => {
+      Td.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        .union(Td.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+
+    // B13 OPTIONAL MATCH — left outer join, zero-preserved.
+    "q_b13_optional" -> ((s, d) => {
+      val c = Td.customer(s, d); val o = Td.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B14 DETACH DELETE survivor-set semantics — anti join (customers
+    // with no urgent order survive the "delete").
+    "q_b14_anti" -> ((s, d) => {
+      Td.customer(s, d)
+        .join(Td.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B15 MERGE/upsert read-side semantics: latest row per key
+    // (row_number window = the dedup Delta MERGE would produce).
+    "q_b15_upsert_latest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Td.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          cents(col("o_totalprice")).as("latest_price_c"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // B18 pagination — SKIP/LIMIT over a stable sort (the reference pages
+    // with continuation tokens re-issuing SKIP n, Query.cs:90-120).
+    "q_b18_pagination" -> ((s, d) => {
+      Td.orders(s, d)
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .offset(200)
+        .limit(100)
+    }),
+
+    // B12 UNWIND — lateral explode of an array (token explode).
+    "q_b12_unwind" -> ((s, d) => {
+      Td.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_b3_filter" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders
+        |WHERE (o_orderpriority IN ('1-URGENT','2-HIGH') OR o_totalprice > 200000)
+        |  AND NOT (o_orderstatus = 'F')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_b5_multi_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_b8_topk" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS price_c
+        |FROM orders ORDER BY price_c DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_b11_union" ->
+      """SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |UNION SELECT DISTINCT CAST(s_nationkey AS INT) FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "q_b13_optional" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_b14_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY 1""".stripMargin,
+    "q_b15_upsert_latest" ->
+      """SELECT o_custkey, latest_orderkey, latest_price_c FROM (
+        |  SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |    CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS latest_price_c,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_b18_pagination" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin,
+    "q_b12_unwind" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+  )
+}
