@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("q_b5_multi_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ AdtLangQueries.oracles
 }

@@ -1,0 +1,56 @@
+package graft.adt
+
+/** AST for the ADT query language (the surface the reference translates to
+  * Cypher via regex in
+  * /root/reference/src/AgeDigitalTwins/AdtQueryHelpers.cs:11-250; we parse
+  * to a real AST and plan straight to DataFrames — no Cypher intermediary).
+  *
+  * Grammar covered (verified against the 41 golden cases in
+  * /root/reference/src/AgeDigitalTwins.Test/AdtQueryToCypherTests.cs):
+  *
+  *   SELECT [TOP(n)] items FROM (DIGITALTWINS|RELATIONSHIPS) [alias]
+  *     [MATCH (a)-[r:l1|l2]->(b)[-[r2:l]->(c)]... | chained <-[r]- reverse]
+  *     [JOIN tgt RELATED src.relName [relAlias]]...
+  *     [WHERE expr]
+  */
+sealed trait SelectItem
+case object SelectStar extends SelectItem
+case object SelectCount extends SelectItem
+final case class SelectEntity(alias: String) extends SelectItem
+final case class SelectProp(entity: Option[String], path: List[String],
+    as: Option[String]) extends SelectItem
+
+sealed trait FromSource
+final case class FromTwins(alias: Option[String]) extends FromSource
+final case class FromRelationships(alias: Option[String]) extends FromSource
+
+/** One edge in a MATCH pattern chain, always normalized to forward
+  * direction (src)-[rel]->(dst); `<-[r]-` inputs are flipped at parse. */
+final case class MatchEdge(src: String, relAlias: Option[String],
+    relNames: List[String], dst: String)
+
+/** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
+final case class JoinRelated(target: String, source: String, relName: String,
+    relAlias: Option[String])
+
+sealed trait Expr
+final case class And(l: Expr, r: Expr) extends Expr
+final case class Or(l: Expr, r: Expr) extends Expr
+final case class Not(e: Expr) extends Expr
+/** op ∈ = != < > <= >= */
+final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+final case class In(l: Expr, values: List[Lit]) extends Expr
+final case class PropRef(entity: Option[String], path: List[String]) extends Expr
+final case class FnCall(name: String, args: List[Expr]) extends Expr
+sealed trait Lit extends Expr
+final case class StrLit(v: String) extends Lit
+final case class NumLit(v: Double, isInt: Boolean) extends Lit
+final case class BoolLit(v: Boolean) extends Lit
+
+final case class AdtQuery(
+    top: Option[Int],
+    items: List[SelectItem],
+    from: FromSource,
+    matches: List[MatchEdge],
+    joins: List[JoinRelated],
+    where: Option[Expr])

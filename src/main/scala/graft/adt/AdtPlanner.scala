@@ -1,0 +1,306 @@
+package graft.adt
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.TwinGraph
+import graft.functions.JsonFunctions
+
+/** Plans a parsed [[AdtQuery]] straight onto DataFrames over a [[TwinGraph]]
+  * — the Spark-native replacement for the reference's ADT→Cypher→AGE
+  * pipeline (AdtQueryHelpers.cs + Postgres execution).
+  *
+  * Namespace scheme: every in-scope entity (twin alias or relationship
+  * alias) contributes its columns prefixed `<alias>__`. Twin entities carry
+  * (dt_id, model_id, etag, properties); relationship entities carry
+  * (relationship_id, source_id, target_id, relationship_name, etag,
+  * properties). Hops are equi-joins over these namespaces; Catalyst prunes
+  * unused columns down to the parquet scan, so a query touching only
+  * `$dtId` never deserializes the JSON doc.
+  */
+final class AdtPlanner(graph: TwinGraph) {
+
+  import AdtPlanner._
+
+  def run(query: String): DataFrame = plan(AdtParser.parse(query))
+
+  def plan(q: AdtQuery): DataFrame = {
+    // ---- resolve scope: which aliases exist, which are twins vs rels ----
+    val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
+
+    // ---- WHERE ----
+    val df1 = q.where match {
+      case Some(e) => df0.filter(compile(e, twinAliases, relAliases, defaultEntity))
+      case None => df0
+    }
+
+    // ---- SELECT ----
+    val isCount = q.items.contains(SelectCount)
+    val df2 =
+      if (isCount) df1.agg(count(lit(1)).as("COUNT"))
+      else {
+        val cols = q.items.flatMap {
+          case SelectStar =>
+            (twinAliases ++ relAliases).toSeq.sorted.flatMap(a => entityCols(df1, a))
+          case SelectEntity(a) if twinAliases(a) || relAliases(a) =>
+            entityCols(df1, a)
+          case SelectEntity(p) => // bare identifier that is a property name
+            Seq(propValue(None, List(p), twinAliases, relAliases, defaultEntity)
+              .as(p))
+          case SelectProp(ent, path, as) =>
+            val (entOpt, realPath) = resolvePropRef(ent, path, twinAliases, relAliases)
+            Seq(propValue(entOpt, realPath, twinAliases, relAliases, defaultEntity)
+              .as(as.getOrElse(realPath.last.stripPrefix("$"))))
+          case SelectCount => Nil
+        }
+        df1.select(cols: _*)
+      }
+
+    // ---- TOP(n) ----
+    q.top.fold(df2)(df2.limit)
+  }
+
+  /** Builds the joined scope DataFrame with `alias__col` namespaces. */
+  private def buildScope(q: AdtQuery)
+      : (DataFrame, Set[String], Set[String], String) = q.from match {
+
+    case FromRelationships(alias) =>
+      val a = alias.getOrElse("R")
+      (ns(graph.relationships, a), Set.empty[String], Set(a), a)
+
+    case FromTwins(alias) =>
+      val edges = q.matches ++ q.joins.map(j =>
+        MatchEdge(j.source, j.relAlias, List(j.relName), j.target))
+
+      if (edges.isEmpty) {
+        val a = alias.getOrElse("T")
+        (ns(graph.twins, a), Set(a), Set.empty[String], a)
+      } else {
+        // multi-hop: start from the first edge's source, chain equi-joins.
+        val twinAliases = collection.mutable.LinkedHashSet[String]()
+        val relAliases = collection.mutable.LinkedHashSet[String]()
+        var df: DataFrame = null
+        for ((e, i) <- edges.zipWithIndex) {
+          val relAlias = e.relAlias.getOrElse(s"__rel$i")
+          val rels0 =
+            if (e.relNames.isEmpty) graph.relationships
+            else graph.relationships.filter(col("relationship_name").isin(e.relNames: _*))
+          val relDf = ns(rels0, relAlias)
+          relAliases += relAlias
+          if (df == null) {
+            df = ns(graph.twins, e.src)
+            twinAliases += e.src
+          } else if (!twinAliases.contains(e.src)) {
+            df = df.join(ns(graph.twins, e.src), lit(true)) // disconnected pattern: cross
+            twinAliases += e.src
+          }
+          df = df.join(relDf, col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
+          if (!twinAliases.contains(e.dst)) {
+            df = df.join(ns(graph.twins, e.dst),
+              col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+            twinAliases += e.dst
+          } else {
+            df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+          }
+        }
+        val default = alias.getOrElse(twinAliases.head)
+        (df, twinAliases.toSet, relAliases.toSet, default)
+      }
+  }
+
+  // ---------------- expression compilation ----------------
+
+  private def compile(e: Expr, twins: Set[String], rels: Set[String],
+      default: String): Column = e match {
+    case And(l, r) => compile(l, twins, rels, default) && compile(r, twins, rels, default)
+    case Or(l, r) => compile(l, twins, rels, default) || compile(r, twins, rels, default)
+    case Not(x) => !compile(x, twins, rels, default)
+    case Cmp(op, l, r) => compileCmp(op, l, r, twins, rels, default)
+    case In(l, vals) =>
+      val c = typedProp(l, vals.headOption, twins, rels, default)
+      c.isin(vals.map(litValue): _*)
+    case f: FnCall => compileFn(f, twins, rels, default)
+    case p: PropRef => propFromRef(p, twins, rels, default).cast("boolean")
+    case l: Lit => lit(litValue(l))
+  }
+
+  private def compileCmp(op: String, l: Expr, r: Expr, twins: Set[String],
+      rels: Set[String], default: String): Column = {
+    val (lc, rc) = (l, r) match {
+      case (p: PropRef, v: Lit) =>
+        (typedProp(p, Some(v), twins, rels, default), lit(litValue(v)))
+      case (v: Lit, p: PropRef) =>
+        (lit(litValue(v)), typedProp(p, Some(v), twins, rels, default))
+      case _ =>
+        (compileOperand(l, twins, rels, default), compileOperand(r, twins, rels, default))
+    }
+    op match {
+      case "=" => lc === rc
+      case "!=" => !(lc === rc) // reference rewrites != as NOT(=), AdtQueryHelpers.cs:417-426
+      case "<" => lc < rc
+      case ">" => lc > rc
+      case "<=" => lc <= rc
+      case ">=" => lc >= rc
+    }
+  }
+
+  private def compileOperand(e: Expr, twins: Set[String], rels: Set[String],
+      default: String): Column = e match {
+    case p: PropRef => propFromRef(p, twins, rels, default)
+    case l: Lit => lit(litValue(l))
+    case other => compile(other, twins, rels, default)
+  }
+
+  private def compileFn(f: FnCall, twins: Set[String], rels: Set[String],
+      default: String): Column = {
+    def strArg(e: Expr): String = e match {
+      case StrLit(s) => s
+      case other => throw new AdtPlanException(s"expected string literal, got $other")
+    }
+    f.name match {
+      case "IS_OF_MODEL" =>
+        // IS_OF_MODEL([alias,] 'model' [, exact]) — closure membership via
+        // the precomputed descendants (SURVEY §2 C1).
+        val (entity, modelId, exact) = f.args match {
+          case List(StrLit(m)) => (default, m, false)
+          case List(StrLit(m), PropRef(None, List(e))) if e.equalsIgnoreCase("exact") =>
+            (default, m, true)
+          case List(PropRef(None, List(a)), StrLit(m)) => (a, m, false)
+          case List(PropRef(None, List(a)), StrLit(m), PropRef(None, List(e)))
+              if e.equalsIgnoreCase("exact") => (a, m, true)
+          case other => throw new AdtPlanException(s"bad IS_OF_MODEL args: $other")
+        }
+        val fam = if (exact) Seq(modelId) else graph.modelFamily(modelId)
+        col(s"${entity}__model_id").isin(fam: _*)
+
+      case "STARTSWITH" => strProp(f.args.head, twins, rels, default).startsWith(strArg(f.args(1)))
+      case "ENDSWITH" => strProp(f.args.head, twins, rels, default).endsWith(strArg(f.args(1)))
+      case "CONTAINS" => strProp(f.args.head, twins, rels, default).contains(strArg(f.args(1)))
+
+      case "ARRAY_CONTAINS" =>
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val raw = jsonProp(ent, path)
+        import org.apache.spark.sql.types._
+        f.args(1) match {
+          case StrLit(s) => array_contains(from_json(raw, ArrayType(StringType)), s)
+          case NumLit(v, _) => array_contains(from_json(raw, ArrayType(DoubleType)), v)
+          case BoolLit(b) => array_contains(from_json(raw, ArrayType(BooleanType)), b)
+          case other => throw new AdtPlanException(s"bad ARRAY_CONTAINS value: $other")
+        }
+
+      case "IS_NULL" => propFromRef(asRef(f.args.head), twins, rels, default).isNull
+      case "IS_DEFINED" => propFromRef(asRef(f.args.head), twins, rels, default).isNotNull
+
+      case "IS_BOOL" =>
+        // reference rewrites to (x = true OR x = false), AdtQueryHelpers.cs:387-395
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        JsonFunctions.is_bool_strict(docCol(ent), path.mkString("."))
+      case "IS_NUMBER" =>
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        JsonFunctions.is_number(docCol(ent), path.mkString("."))
+      case "IS_STRING" =>
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        JsonFunctions.is_string(docCol(ent), path.mkString("."))
+      case "IS_OBJECT" =>
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        JsonFunctions.is_object(docCol(ent), path.mkString("."))
+      case "IS_PRIMITIVE" =>
+        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        JsonFunctions.is_primitive(docCol(ent), path.mkString("."))
+
+      case other => throw new AdtPlanException(s"unknown function $other")
+    }
+  }
+
+  // ---------------- property resolution ----------------
+
+  /** Disambiguates `PropRef(Some(x), path)`: `x` may be an entity alias or
+    * the first segment of an unqualified path. */
+  private def resolvePropRef(ent: Option[String], path: List[String],
+      twins: Set[String], rels: Set[String]): (Option[String], List[String]) =
+    ent match {
+      case Some(a) if twins(a) || rels(a) => (Some(a), path)
+      case Some(first) => (None, first :: path)
+      case None => (None, path)
+    }
+
+  private def asRef(e: Expr): PropRef = e match {
+    case p: PropRef => p
+    case other => throw new AdtPlanException(s"expected property reference, got $other")
+  }
+
+  private def refOf(e: Expr, twins: Set[String], rels: Set[String],
+      default: String): (String, List[String]) = {
+    val p = asRef(e)
+    val (entOpt, path) = resolvePropRef(p.entity, p.path, twins, rels)
+    (entOpt.getOrElse(default), path)
+  }
+
+  private def propFromRef(p: PropRef, twins: Set[String], rels: Set[String],
+      default: String): Column = {
+    val (entOpt, path) = resolvePropRef(p.entity, p.path, twins, rels)
+    propValue(entOpt, path, twins, rels, default)
+  }
+
+  /** Comparison operand with type derived from the literal side (the
+    * reference relies on agtype's dynamic typing; we cast the JSON string
+    * extraction to the literal's type). */
+  private def typedProp(e: Expr, litHint: Option[Lit], twins: Set[String],
+      rels: Set[String], default: String): Column = {
+    val c = compileOperand(e, twins, rels, default)
+    e match {
+      case _: PropRef => litHint match {
+        case Some(NumLit(_, _)) => c.cast("double")
+        case Some(BoolLit(_)) => c.cast("boolean")
+        case _ => c
+      }
+      case _ => c
+    }
+  }
+
+  private def strProp(e: Expr, twins: Set[String], rels: Set[String],
+      default: String): Column = compileOperand(e, twins, rels, default)
+
+  /** System keys hit promoted columns; everything else is JSON access. */
+  private def propValue(ent: Option[String], path: List[String],
+      twins: Set[String], rels: Set[String], default: String): Column = {
+    val a = ent.getOrElse(default)
+    val isRel = rels(a)
+    path match {
+      case List("$dtId") if !isRel => col(s"${a}__dt_id")
+      case List("$etag") => col(s"${a}__etag")
+      case List("$metadata", "$model") if !isRel => col(s"${a}__model_id")
+      case List("$lastUpdateTime") if !isRel => col(s"${a}__last_update_time")
+      case List("$relationshipId") if isRel => col(s"${a}__relationship_id")
+      case List("$sourceId") if isRel => col(s"${a}__source_id")
+      case List("$targetId") if isRel => col(s"${a}__target_id")
+      case List("$relationshipName") if isRel => col(s"${a}__relationship_name")
+      case p => TwinGraph.prop(docCol(a), p)
+    }
+  }
+
+  private def jsonProp(entity: String, path: List[String]): Column =
+    TwinGraph.prop(docCol(entity), path)
+
+  private def docCol(alias: String): Column = col(s"${alias}__properties")
+}
+
+object AdtPlanner {
+  def litValue(l: Lit): Any = l match {
+    case StrLit(s) => s
+    case NumLit(v, _) => v
+    case BoolLit(b) => b
+  }
+
+  /** Prefix all columns of `df` with `alias__`. */
+  def ns(df: DataFrame, alias: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${alias}__$c")): _*)
+
+  /** Selected entity columns, unprefixed when the entity is unambiguous. */
+  def entityCols(df: DataFrame, alias: String): Seq[Column] = {
+    val prefix = s"${alias}__"
+    df.columns.filter(_.startsWith(prefix)).toSeq
+      .map(c => col(c).as(s"${alias}_${c.stripPrefix(prefix)}"))
+  }
+}
+
+final class AdtPlanException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.json.Json
+
+/** Type introspection over JSON documents — the engine-side equivalent of
+  * the reference's plpgsql helpers `is_number`/`is_string`/`is_object`/
+  * `is_primitive` (/root/reference/src/AgeDigitalTwins/
+  * GraphInitialization.cs:186-235), which sniff agtype values.
+  *
+  * `get_json_object` erases the distinction between `"1"` and `1`, so the
+  * type checks parse the doc with Jackson in a UDF. The UDF is only
+  * evaluated on rows surviving pushed-down columnar predicates; promote to a
+  * codegen `Expression` if it ever shows up hot.
+  */
+object JsonFunctions {
+
+  /** JSON type at a dotted path: object|array|string|number|boolean|null,
+    * or NULL (SQL) when the path is missing. */
+  val jsonTypeOf: (String, String) => String = (doc: String, path: String) => {
+    if (doc == null) null
+    else Json.tryParse(doc) match {
+      case None => null
+      case Some(root) =>
+        var cur = root
+        var ok = true
+        for (tok <- path.split("\\.") if ok && tok.nonEmpty) {
+          if (cur != null && cur.isObject && cur.has(tok)) cur = cur.get(tok)
+          else { ok = false; cur = null }
+        }
+        if (!ok || cur == null) null
+        else if (cur.isObject) "object"
+        else if (cur.isArray) "array"
+        else if (cur.isTextual) "string"
+        else if (cur.isNumber) "number"
+        else if (cur.isBoolean) "boolean"
+        else if (cur.isNull) "null"
+        else null
+    }
+  }
+
+  private lazy val jsonTypeOfUdf = udf(jsonTypeOf)
+
+  def json_type_of(doc: Column, path: String): Column =
+    jsonTypeOfUdf(doc, lit(path))
+
+  def is_number(doc: Column, path: String): Column =
+    json_type_of(doc, path) === "number"
+  def is_string(doc: Column, path: String): Column =
+    json_type_of(doc, path) === "string"
+  def is_object(doc: Column, path: String): Column =
+    json_type_of(doc, path) === "object"
+  def is_bool_strict(doc: Column, path: String): Column =
+    json_type_of(doc, path) === "boolean"
+  def is_primitive(doc: Column, path: String): Column =
+    json_type_of(doc, path).isin("string", "number", "boolean")
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.adt.AdtPlanner
+import graft.graph.GraphViews
+
+/** The ADT query language end-to-end: raw ADT query strings parsed by
+  * [[graft.adt.AdtParser]] and planned by [[graft.adt.AdtPlanner]] over the
+  * derived place-graph, oracle-checked in plain SQL. This is the primary
+  * read surface of the reference (SURVEY §3.1).
+  */
+object AdtLangQueries {
+
+  private def run(s: SparkSession, d: String, q: String): DataFrame =
+    new AdtPlanner(GraphViews.graph(s, d)).run(q)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B1/B3/C2 projection + filter + STARTSWITH through the ADT parser.
+    "q_adt_startswith" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id, T.name AS name FROM DIGITALTWINS T " +
+          "WHERE IS_OF_MODEL(T, 'dtmi:graft:Nation;1', exact) AND STARTSWITH(T.name, 'A')")
+        .orderBy(col("dt_id"))
+    }),
+
+    // B9 COUNT + C1 inheritance through the parser.
+    "q_adt_count_model" -> ((s, d) => {
+      run(s, d, "SELECT COUNT() FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:graft:Nation;1')")
+    }),
+
+    // B4 MATCH single hop with WHERE on both endpoints.
+    "q_adt_match_hop" -> ((s, d) => {
+      run(s, d,
+        "SELECT C.$dtId AS member_id, N.name AS nation_name FROM DIGITALTWINS " +
+          "MATCH (C)-[r:located_in]->(N) WHERE N.name = 'CHINA' " +
+          "AND IS_OF_MODEL(C, 'dtmi:graft:Customer;1', exact)")
+        .orderBy(col("member_id"))
+    }),
+
+    // B5 JOIN RELATED two-hop chain: customer -> nation -> region.
+    "q_adt_join_related" -> ((s, d) => {
+      run(s, d,
+        "SELECT C.$dtId AS member_id, R.name AS region_name FROM DIGITALTWINS C " +
+          "JOIN N RELATED C.located_in JOIN R RELATED N.in_region " +
+          "WHERE R.name = 'ASIA' AND IS_OF_MODEL(C, 'dtmi:graft:Supplier;1', exact)")
+        .orderBy(col("member_id"))
+    }),
+
+    // A2/B3 relationship scan with IN filter through the parser.
+    "q_adt_rel_filter" -> ((s, d) => {
+      run(s, d,
+        "SELECT $sourceId AS source_id, $targetId AS target_id FROM RELATIONSHIPS " +
+          "WHERE $relationshipName = 'in_region' AND $targetId IN ['R0', 'R2']")
+        .orderBy(col("source_id"))
+    }),
+
+    // B3 numeric comparison typing (JSON-extracted double vs literal).
+    "q_adt_numeric" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
+          "WHERE T.acctbal > 9900 AND IS_OF_MODEL(T, 'dtmi:graft:Customer;1')")
+        .orderBy(col("dt_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_adt_startswith" ->
+      """SELECT 'N' || n_nationkey AS dt_id, n_name AS name FROM nation
+        |WHERE n_name LIKE 'A%' ORDER BY 1""".stripMargin,
+    "q_adt_count_model" ->
+      """SELECT CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer)
+        |  + (SELECT count(*) FROM supplier) AS BIGINT) AS COUNT""".stripMargin,
+    "q_adt_match_hop" ->
+      """SELECT 'C' || c_custkey AS member_id, n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'CHINA' ORDER BY 1""".stripMargin,
+    "q_adt_join_related" ->
+      """SELECT 'S' || s_suppkey AS member_id, r_name AS region_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY 1""".stripMargin,
+    "q_adt_rel_filter" ->
+      """SELECT 'N' || n_nationkey AS source_id, 'R' || n_regionkey AS target_id
+        |FROM nation WHERE n_regionkey IN (0, 2) ORDER BY 1""".stripMargin,
+    "q_adt_numeric" ->
+      """SELECT 'C' || c_custkey AS dt_id FROM customer
+        |WHERE c_acctbal > 9900 ORDER BY 1""".stripMargin
+  )
+}
