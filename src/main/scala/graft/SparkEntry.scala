@@ -17,8 +17,10 @@ object SparkEntry {
     RelationalQueries.queries("q_b5_multi_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ AdtLangQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ AdtLangQueries.oracles ++
+      PipelineQueries.oracles
 }

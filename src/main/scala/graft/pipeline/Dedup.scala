@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * shuffle patterns that survive 100 TB:
+  *
+  *  - exact:       one hash-shuffle on md5(text).
+  *  - shingle-Jaccard: candidate pairs via an inverted-index self-join on
+  *    shingles (with a document-frequency cap to kill hub-shingle skew),
+  *    then exact verification on the candidate set only. No n² stage.
+  *  - MinHash+LSH: signatures via md5-derived 60-bit shingle ids (no global
+  *    dictionary, fully data-parallel) + banded join; candidates verified
+  *    with exact Jaccard.
+  *  - SimHash:     32-bit signatures; candidates via 4-chunk pigeonhole
+  *    banding (hamming ≤ 3 ⇒ at least one identical byte), so no n² join.
+  *
+  * Every stage is Column-expression-only (codegen'd); hash constants are
+  * modular-arithmetic-safe for 64-bit engines (a,b < P=2^31-1 ⇒ products
+  * < 2^62), so DuckDB/Postgres replicas produce bit-identical results.
+  * Bit shifts are expressed as floor-divisions by powers of two because
+  * shift amounts are data-dependent (Spark's shiftright takes only literal
+  * amounts) — exact for the < 2^31 values used here.
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** Deterministic LCG-style hash parameters, identical in oracle SQL. */
+  def hashParams(numHashes: Int): Seq[(Int, Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (2654435761L * (2 * i + 1)) % P
+      val b = (40503L * (i + 7) + 2038074743L * i) % P
+      (i, if (a == 0) 1L else a, b)
+    }
+
+  /** Exact duplicate groups: survivor = min id per md5(text). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-(doc, shingle_id) exploded distinct shingle ids. */
+  def shingleIds(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(TextAnalysis.shingleSet(col(textCol), n)).as("shingle"))
+      .select(col("doc"), (TextAnalysis.stableId(col("shingle")) % P).as("sid"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the full shingle-id sets; returns pairs with jaccard_4 ≥ threshold
+    * (fixed-point ×10000). */
+  private def verifyJaccard(candidates: DataFrame, ids: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(ids.select(col("doc").as("doc_a"), col("sid")), Seq("doc_a"))
+      .join(ids.select(col("doc").as("doc_b"), col("sid").as("sid_b")), Seq("doc_b"))
+      .filter(col("sid") === col("sid_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard_4",
+        floor(col("inter") * 10000.0 / (col("sz_a") + col("sz_b") - col("inter")) + 0.5)
+          .cast(LongType))
+      .filter(col("jaccard_4") >= math.round(threshold * 10000))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: inverted-index candidates (shingles
+    * with document frequency ≤ maxDf only — hub-shingle skew cap), exact
+    * verification on candidates. */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val ids = shingleIds(df, idCol, textCol, n)
+    val rare = ids.groupBy(col("sid")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf).select(col("sid"))
+    val idsF = ids.join(rare, Seq("sid"), "left_semi")
+    val candidates = idsF.select(col("doc").as("doc_a"), col("sid"))
+      .join(idsF.select(col("doc").as("doc_b"), col("sid")), Seq("sid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, ids, threshold)
+  }
+
+  /** MinHash signatures: numHashes minima of (a_i·sid + b_i) mod P. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = hashParams(numHashes).toDF("h", "a", "b")
+    shingleIds(df, idCol, textCol, n)
+      .crossJoin(broadcast(params))
+      .groupBy(col("doc"), col("h"))
+      .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band, banded signature), verify candidates
+    * with exact Jaccard. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(concat_ws("-",
+        transform(sort_array(collect_list(struct(col("h"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("sig"))
+    val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
+    val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
+    val candidates = l.join(r, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, shingleIds(df, idCol, textCol, n), threshold)
+  }
+
+  /** Floor-division "shift right by k bits" for non-negative values
+    * (exact while v < 2^52; our values are < 2^31). */
+  private def shr(v: Column, kBits: Column): Column =
+    floor(v / pow(lit(2.0), kBits)).cast(LongType)
+
+  /** 32-bit SimHash per document over shingle ids: bit k is the sign of
+    * Σ_shingles (2·bit_k(hash(sid)) − 1). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3)
+      : DataFrame = {
+    val (_, a0, b0) = hashParams(1).head
+    val ids = shingleIds(df, idCol, textCol, n)
+      .withColumn("hv", (lit(a0) * col("sid") + lit(b0)) % P)
+    val bits = ids.select(col("doc"), col("hv"),
+      explode(sequence(lit(0), lit(31))).as("k"))
+      .withColumn("w", when(shr(col("hv"), col("k")) % 2 === 1, 1).otherwise(-1))
+      .groupBy(col("doc"), col("k"))
+      .agg(sum(col("w")).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+    bits.groupBy(col("doc"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("k")).cast(LongType)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
+    * pigeonhole banding over 4 byte-chunks makes the candidate join linear
+    * in collisions rather than n². */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol, n)
+    val chunked = sh.select(col("doc"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("cv", shr(col("simhash"), col("chunk") * 8) % 256)
+    val l = chunked.select(col("doc").as("doc_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("cv"))
+    val r = chunked.select(col("doc").as("doc_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("cv"))
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Td
+import graft.pipeline._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) as driver-contract queries with DuckDB oracles.
+  *
+  * Oracle-parity techniques:
+  *  - shingle/token ids come from md5 hex (identical on both engines);
+  *  - modular hashes stay below 2^62 so BIGINT arithmetic never overflows;
+  *  - similarity outputs are ranks, not raw floats;
+  *  - ratios are fixed-point (×10000) with floor(x+0.5).
+  */
+object PipelineQueries {
+
+  private val P = Dedup.P
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("survivor_id"))
+    }),
+
+    "q_dedup_jaccard" -> ((s, d) => {
+      Dedup.shingleJaccardPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q_text_stats" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      TextAnalysis.qualityMetrics(docs, "text")
+        .withColumn("bpeish", TextAnalysis.bpeishCount(col("text")))
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len_4"),
+          col("stopword_ratio_4"), col("bpeish"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_langid" -> ((s, d) => {
+      TextAnalysis.languageId(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sim_topk" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        emb, centroids, "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "q_embed_nn" -> ((s, d) => {
+      Similarity.nearestNeighbor(Td.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("v_id"))
+    }),
+
+    "q_multimodal_decode" -> ((s, d) => {
+      Multimodal.decode(Multimodal.documentsAsMedia(Td.documents(s, d)))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // ---------------- oracle SQL ----------------
+
+  /** Shared fragments: 3-gram shingle ids per doc (md5-derived, mod P). */
+  private val shingleIdsSql =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+       |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+       |sh AS (SELECT DISTINCT a.doc_id doc, a.tok||' '||b.tok||' '||c.tok shingle
+       |       FROM pos a JOIN pos b ON a.doc_id=b.doc_id AND b.p=a.p+1
+       |                  JOIN pos c ON a.doc_id=c.doc_id AND c.p=a.p+2),
+       |ids AS (SELECT DISTINCT doc,
+       |        CAST(('0x'||substr(md5(shingle),1,15)) AS BIGINT) % $P AS sid FROM sh)""".stripMargin
+
+  private val jaccardVerifySql =
+    """sizes AS (SELECT doc, count(*) sz FROM ids GROUP BY doc),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) i
+      |          FROM cand c JOIN ids ia ON ia.doc = c.doc_a
+      |                      JOIN ids ib ON ib.doc = c.doc_b AND ib.sid = ia.sid
+      |          GROUP BY 1,2),
+      |jac AS (SELECT doc_a, doc_b,
+      |        CAST(floor(i*10000.0/(sa.sz+sb.sz-i)+0.5) AS BIGINT) jaccard_4
+      |        FROM inter JOIN sizes sa ON sa.doc = doc_a
+      |                   JOIN sizes sb ON sb.doc = doc_b)""".stripMargin
+
+  private val minhashParamsSql = Dedup.hashParams(64)
+    .map { case (h, a, b) => s"($h,$a,$b)" }.mkString(",")
+
+  val oracles: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleIdsSql,
+         |rare AS (SELECT sid FROM ids GROUP BY sid HAVING count(*) <= 100),
+         |idsf AS (SELECT * FROM ids WHERE sid IN (SELECT sid FROM rare)),
+         |cand AS (SELECT DISTINCT a.doc doc_a, b.doc doc_b
+         |         FROM idsf a JOIN idsf b ON a.sid = b.sid AND a.doc < b.doc),
+         |$jaccardVerifySql
+         |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shingleIdsSql,
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |$jaccardVerifySql
+         |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val (_, a0, b0) = Dedup.hashParams(1).head
+      s"""WITH $shingleIdsSql,
+         |hv AS (SELECT doc, ($a0*sid+$b0) % $P hv FROM ids),
+         |bits AS (SELECT doc, k,
+         |         CASE WHEN sum(CASE WHEN CAST(floor(hv/power(2,k)) AS BIGINT)%2=1
+         |           THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END bv
+         |         FROM hv CROSS JOIN range(0,32) t(k) GROUP BY 1,2),
+         |simh AS (SELECT doc, CAST(sum(bv*CAST(power(2,k) AS BIGINT)) AS BIGINT) simhash
+         |         FROM bits GROUP BY 1)
+         |SELECT a.doc doc_a, b.doc doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming
+         |FROM simh a JOIN simh b ON a.doc < b.doc
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) n_tokens,
+        |  CAST(floor(list_sum(list_transform(toks, x -> length(x)))*10000.0/len(toks)+0.5) AS BIGINT) avg_token_len_4,
+        |  CAST(floor(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','it','on'], x)))*10000.0/len(toks)+0.5) AS BIGINT) stopword_ratio_4,
+        |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) bpeish,
+        |  md5(array_to_string(list_sort(list_distinct(toks)),' ')) fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val dict = TextAnalysis.LangMarkers
+        .map { case (l, m) => s"('$l','$m')" }.mkString(",")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+         |dict(cand_lang, marker) AS (VALUES $dict),
+         |hits AS (SELECT doc_id, cand_lang, count(*) hits FROM toks
+         |         JOIN dict ON tok = marker GROUP BY 1,2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY hits DESC, cand_lang) rn FROM hits)
+         |SELECT d.doc_id, coalesce(b.cand_lang,'und') pred_lang,
+         |  CAST(coalesce(b.hits,0) AS BIGINT) hits
+         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_sim_topk" ->
+      """WITH p AS (SELECT a.vec_id q_id, b.vec_id n_id,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10),
+        |r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cs DESC, n_id) rank FROM p)
+        |SELECT q_id, CAST(rank AS INT) rank, n_id FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q_sim_ivf" ->
+      """WITH cells AS (SELECT vec_id cell_id, embedding cell_vec FROM embeddings
+        |  WHERE vec_id < 8),
+        |assign AS (SELECT v_id, cell_id FROM (
+        |  SELECT e.vec_id v_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]), c.cell_id) rn
+        |  FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+        |q AS (SELECT v_id q_id, cell_id FROM assign
+        |      WHERE v_id >= 10 AND v_id < 20),
+        |scored AS (SELECT q.q_id, a.v_id n_id,
+        |  list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) cs
+        |  FROM q JOIN assign a ON a.cell_id = q.cell_id AND a.v_id <> q.q_id
+        |  JOIN embeddings eq ON eq.vec_id = q.q_id
+        |  JOIN embeddings en ON en.vec_id = a.v_id),
+        |r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cs DESC, n_id) rank FROM scored)
+        |SELECT q_id, CAST(rank AS INT) rank, n_id FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q_embed_nn" ->
+      """WITH p AS (SELECT a.vec_id v_id, b.vec_id n_id,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT v_id, n_id, row_number() OVER (PARTITION BY v_id
+        |      ORDER BY cs DESC, n_id) rk FROM p)
+        |SELECT v_id, n_id nn_id FROM r WHERE rk = 1 ORDER BY v_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(320 + ascii(substr(text,1,1)) % 320 AS INT) width,
+        |  CAST(240 + ascii(substr(text,2,1)) % 240 AS INT) height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

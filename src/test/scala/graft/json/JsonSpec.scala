@@ -1,0 +1,61 @@
+package graft.json
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.ETag
+
+class JsonSpec extends AnyFunSuite {
+
+  test("pointer get/set/remove with $-keys and escapes") {
+    val doc = Json.parse("""{"$dtId":"t1","$metadata":{"$model":"m1"},"a":{"b":[1,2]}}""")
+    assert(Json.get(doc, "/$dtId").get.asText() == "t1")
+    assert(Json.get(doc, "/$metadata/$model").get.asText() == "m1")
+    assert(Json.get(doc, "/a/b/1").get.asInt() == 2)
+    assert(Json.get(doc, "/missing").isEmpty)
+    val doc2 = Json.set(doc, "/a/c", Json.text("x"))
+    assert(Json.get(doc2, "/a/c").get.asText() == "x")
+    assert(Json.get(doc, "/a/c").isEmpty, "set must not mutate the original")
+    val doc3 = Json.remove(doc2, "/a/b")
+    assert(Json.get(doc3, "/a/b").isEmpty)
+    // ~0 / ~1 escapes
+    val esc = Json.parse("""{"a/b":1,"c~d":2}""")
+    assert(Json.get(esc, "/a~1b").get.asInt() == 1)
+    assert(Json.get(esc, "/c~0d").get.asInt() == 2)
+  }
+
+  test("RFC-6902 apply: add/replace/remove/move/copy/test") {
+    val doc = Json.parse("""{"a":1,"b":{"c":2}}""")
+    val ops = JsonPatch.parseOps(
+      """[{"op":"replace","path":"/a","value":10},
+        |{"op":"add","path":"/b/d","value":[1,2]},
+        |{"op":"remove","path":"/b/c"},
+        |{"op":"copy","from":"/a","path":"/a2"},
+        |{"op":"move","from":"/b/d","path":"/d"},
+        |{"op":"test","path":"/a","value":10}]""".stripMargin)
+    val out = JsonPatch.apply(doc, ops)
+    assert(Json.render(Json.sortKeys(out)) == """{"a":10,"a2":10,"b":{},"d":[1,2]}""")
+    val bad = JsonPatch.parseOps("""[{"op":"test","path":"/a","value":99}]""")
+    assertThrows[IllegalArgumentException](JsonPatch.apply(doc, bad))
+  }
+
+  test("diff is deterministic and round-trips") {
+    val oldDoc = Json.parse("""{"a":1,"b":{"x":1,"y":2},"gone":true,"arr":[1,2]}""")
+    val newDoc = Json.parse("""{"a":2,"b":{"x":1,"z":3},"new":"v","arr":[1,3]}""")
+    val ops = JsonPatch.diff(oldDoc, newDoc)
+    // deterministic order: union keys sorted, depth-first
+    assert(ops.map(o => s"${o.op} ${o.path}") == Seq(
+      "replace /a", "replace /arr", "remove /b/y", "add /b/z",
+      "remove /gone", "add /new"))
+    assert(JsonPatch.apply(oldDoc, ops) == newDoc)
+    assert(JsonPatch.diff(newDoc, newDoc).isEmpty)
+  }
+
+  test("etag shape and matching (ETagGenerator.cs semantics)") {
+    val e1 = ETag.generate("twin1", "2026-01-01T00:00:00Z")
+    val e2 = ETag.generate("twin1", "2026-01-01T00:00:00Z")
+    val e3 = ETag.generate("twin1", "2026-01-01T00:00:01Z")
+    assert(e1 == e2, "same inputs → same etag")
+    assert(e1 != e3)
+    assert(e1.matches("""W/"[0-9a-f\-]{36}""""), s"unexpected shape: $e1")
+    assert(ETag.matches("*", e1) && ETag.matches(e1, e1) && !ETag.matches(e3, e1))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today"), // near dup of 0
+    (3L, "completely different words about spark and scala engines"),
+    (4L, "unrelated text mentioning neither animals nor engines at all")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 0L, "survivor is min id")
+  }
+
+  test("shingle jaccard finds near dups, not unrelated") {
+    val pairs = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near dup pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard here") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("simhash hamming 0 for exact dup, small for near dup") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 8)
+    assert(ham(sh(0L), sh(3L)) > 8)
+  }
+
+  test("brute-force topk is rank-correct on a known geometry") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy($"rank").as[(Long, Int, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("language id picks marker-heavy language with deterministic ties") {
+    val d = Seq(
+      (0L, "the fast table of the data"), // en markers
+      (1L, "el rapido de la tabla"),      // es markers
+      (2L, "xyz qqq zzz")                 // none → und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, Long)].collect()
+    assert(out(0)._2 == "en" && out(1)._2 == "es" && out(2)._2 == "und")
+  }
+
+  test("multimodal decode stub: schema + deterministic metadata") {
+    val media = Multimodal.documentsAsMedia(
+      docs.withColumn("n_chars", length($"text")))
+    val out = Multimodal.decode(media)
+    assert(out.schema == Multimodal.decodedSchema)
+    val r = out.filter($"media_id" === 0).collect()(0)
+    assert(r.getInt(1) == 320 + 't' % 320 && r.getInt(2) == 240 + 'h' % 240)
+    val feats = Multimodal.features(media)
+    assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
+  }
+}
