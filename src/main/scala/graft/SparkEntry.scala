@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ AdtLangQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ EventQueries.oracles
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Td
+
+/** Streaming-shaped operators (SURVEY §2.E) demonstrated as batch queries
+  * over the events table — the same column expressions run unchanged under
+  * `readStream` (Structured Streaming), which EventPipelineSpec exercises;
+  * here they get DuckDB oracles.
+  */
+object EventQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E2 event classification: map raw event types to lifecycle classes
+    // (when/otherwise decision table, AgeDigitalTwinsReplication.cs:342-363).
+    "q_e2_classify" -> ((s, d) => {
+      Td.events(s, d)
+        .withColumn("event_class",
+          when(col("event_type").isin("signup"), "Lifecycle.Create")
+            .when(col("event_type").isin("click", "view"), "Activity.Read")
+            .when(col("event_type") === "purchase", "Activity.Write")
+            .when(col("event_type") === "error", "Fault")
+            .otherwise("Unknown"))
+        .groupBy(col("event_class"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy(col("event_class"))
+    }),
+
+    // E3 fold: collapse consecutive events per entity to (first, last) —
+    // the WAL row-folding shape (first OldValue + last NewValue).
+    "q_e3_fold" -> ((s, d) => {
+      Td.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(cents(col("value")), col("event_id")).as("first_value_c"),
+          max_by(cents(col("value")), col("event_id")).as("last_value_c"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // E7 property flattening: one row per (event, property key) — the
+    // DataHistory explode shape over a JSON payload.
+    "q_e7_flatten" -> ((s, d) => {
+      val js = concat(lit("{\"n\": "), col("user_id"),
+        lit(", \"s\": \""), col("event_type"),
+        lit("\", \"k\": "), get_json_object(col("props"), "$['k']"), lit("}"))
+      Td.events(s, d)
+        .withColumn("doc", js)
+        .select(col("event_id"), explode(array(lit("n"), lit("s"), lit("k"))).as("key"),
+          col("doc"))
+        .withColumn("value", get_json_object(col("doc"), "$['key']"))
+        .withColumn("value",
+          when(col("key") === "n", get_json_object(col("doc"), "$['n']"))
+            .when(col("key") === "s", get_json_object(col("doc"), "$['s']"))
+            .otherwise(get_json_object(col("doc"), "$['k']")))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy(col("event_id"), col("key"))
+    }),
+
+    // E10 micro-batch/window shape: tumbling hourly aggregation (the same
+    // groupBy(window(...)) runs under readStream with a watermark).
+    "q_e10_window" -> ((s, d) => {
+      Td.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .filter(col("n") >= 2)
+        .orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_e2_classify" ->
+      """SELECT CASE
+        |  WHEN event_type IN ('signup') THEN 'Lifecycle.Create'
+        |  WHEN event_type IN ('click','view') THEN 'Activity.Read'
+        |  WHEN event_type = 'purchase' THEN 'Activity.Write'
+        |  WHEN event_type = 'error' THEN 'Fault'
+        |  ELSE 'Unknown' END AS event_class,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_e3_fold" ->
+      """SELECT user_id,
+        |  arg_min(CAST(floor(value*100+0.5) AS BIGINT), event_id) AS first_value_c,
+        |  arg_max(CAST(floor(value*100+0.5) AS BIGINT), event_id) AS last_value_c,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_e7_flatten" ->
+      """WITH docs AS (SELECT event_id,
+        |  '{"n": ' || user_id || ', "s": "' || event_type || '", "k": ' ||
+        |  json_extract_string(props, '$.k') || '}' AS doc FROM events)
+        |SELECT event_id, k AS key,
+        |  json_extract_string(doc, '$.' || k) AS value
+        |FROM docs, unnest(['n','s','k']) t(k)
+        |ORDER BY event_id, key""".stripMargin,
+    "q_e10_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1,2 HAVING count(*) >= 2
+        |ORDER BY 1,2""".stripMargin
+  )
+}

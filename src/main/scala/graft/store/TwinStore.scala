@@ -1,0 +1,317 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.core.{ETag, Tables}
+import graft.dtdl.{Dtdl, DtdlInterface, ModelRegistry}
+import graft.graph.TwinGraph
+import graft.json.{Json, JsonPatch, PatchOp}
+import scala.jdk.CollectionConverters._
+
+final case class StoreException(status: Int, msg: String)
+  extends RuntimeException(msg)
+
+final case class MutationEvent(seq: Long, ts: String, eventType: String,
+    oldJson: String, newJson: String)
+
+/** The write path (SURVEY §2.D): create/replace/patch/delete for twins,
+  * relationships and models, with DTDL validation, metadata stamping, ETag
+  * preconditions, and a one-row-per-logical-operation mutation log that
+  * feeds the streaming pipeline (making the reference's WAL row-folding
+  * operator E3 unnecessary by construction).
+  *
+  * CRUD is driver-side state (the reference's CRUD is row-at-a-time against
+  * Postgres — OLTP, not a Spark workload); `toGraph`/`saveTables` project
+  * the state into the columnar layout every query operator runs on. Bulk
+  * ingest (import jobs, batch upserts) goes through the same validation
+  * functions applied set-wise. At cluster scale the same merge semantics
+  * map 1:1 onto Delta MERGE INTO keyed on dt_id / (source_id,
+  * relationship_id) (SURVEY §2 B15).
+  */
+final class TwinStore(
+    val clock: () => String = () => java.time.Instant.now().toString) {
+
+  private val twins = collection.mutable.LinkedHashMap[String, ObjectNode]()
+  private val rels = collection.mutable.LinkedHashMap[(String, String), ObjectNode]()
+  private var registry = ModelRegistry(Map.empty)
+  private val mutationLog = collection.mutable.ArrayBuffer[MutationEvent]()
+  private var seq = 0L
+
+  def models: ModelRegistry = registry
+  def mutations: Seq[MutationEvent] = mutationLog.toSeq
+
+  private def log(eventType: String, oldDoc: JsonNode, newDoc: JsonNode): Unit = {
+    seq += 1
+    mutationLog += MutationEvent(seq, clock(),
+      eventType,
+      if (oldDoc == null) null else Json.render(oldDoc),
+      if (newDoc == null) null else Json.render(newDoc))
+  }
+
+  // ---------------- models (D9/D10) ----------------
+
+  /** Parse + insert a batch of DTDL models; all-or-nothing like the
+    * reference (Models.cs:248-540). Duplicates rejected. */
+  def createModels(dtdlJsons: Seq[String]): Seq[DtdlInterface] = {
+    val parsed = dtdlJsons.map(j => Dtdl.parseInterface(j) match {
+      case Right(m) => m
+      case Left(err) => throw StoreException(400, err)
+    })
+    val dupIn = parsed.groupBy(_.id).collect { case (id, ms) if ms.size > 1 => id }
+    if (dupIn.nonEmpty)
+      throw StoreException(400, s"duplicate model ids in request: ${dupIn.mkString(",")}")
+    val existing = parsed.filter(m => registry.models.contains(m.id))
+    if (existing.nonEmpty)
+      throw StoreException(409, s"models already exist: ${existing.map(_.id).mkString(",")}")
+    registry = ModelRegistry(registry.models ++ parsed.map(m => m.id -> m))
+    parsed
+  }
+
+  def getModel(id: String): DtdlInterface =
+    registry.models.getOrElse(id, throw StoreException(404, s"Model $id not found"))
+
+  /** Delete one model; fails while other models extend/reference it
+    * (Models.cs:566-599). */
+  def deleteModel(id: String): Unit = {
+    getModel(id)
+    val dependents = registry.models.values.filter(m =>
+      m.id != id && (m.extendsIds.contains(id) || m.components.valuesIterator.contains(id)))
+    if (dependents.nonEmpty)
+      throw StoreException(409,
+        s"model $id has dependents: ${dependents.map(_.id).mkString(",")}")
+    registry = ModelRegistry(registry.models - id)
+  }
+
+  def deleteAllModels(): Unit = { registry = ModelRegistry(Map.empty) }
+
+  // ---------------- twins (D1-D5) ----------------
+
+  /** Create or replace (D1): structural checks, DTDL validation, metadata
+    * stamping, ETag, MERGE, mutation log. Returns the stored doc. */
+  def createOrReplaceTwin(dtId: String, docJson: String,
+      ifNoneMatchStar: Boolean = false, lastUpdatedBy: Option[String] = None)
+      : JsonNode = {
+    val doc = Json.tryParse(docJson)
+      .getOrElse(throw StoreException(400, "invalid JSON"))
+      .asInstanceOf[ObjectNode]
+    Json.get(doc, "/$dtId").map(_.asText()).foreach { bodyId =>
+      if (bodyId != dtId)
+        throw StoreException(400, s"$$dtId '$bodyId' does not match id '$dtId'")
+    }
+    val old = twins.get(dtId).orNull
+    if (ifNoneMatchStar && old != null)
+      throw StoreException(412, s"twin $dtId already exists")
+    doc.put("$dtId", dtId)
+    registry.validateTwin(doc) match {
+      case Left(err) => throw StoreException(400, err)
+      case Right(()) =>
+    }
+    val stored = stampTwin(doc, old, lastUpdatedBy)
+    twins(dtId) = stored
+    log(if (old == null) "TwinCreate" else "TwinUpdate", old, stored)
+    stored
+  }
+
+  /** Per-property lastUpdateTime stamping + $lastUpdateTime + $etag —
+    * only properties whose value changed get a fresh timestamp
+    * (DigitalTwins.cs:300-463). */
+  private def stampTwin(doc: ObjectNode, old: JsonNode,
+      lastUpdatedBy: Option[String]): ObjectNode = {
+    val now = clock()
+    val out = doc.deepCopy[ObjectNode]()
+    val meta = out.get("$metadata").asInstanceOf[ObjectNode]
+    for (k <- out.properties().asScala.map(_.getKey).toSeq if !k.startsWith("$")) {
+      val changed = old == null || old.get(k) == null || old.get(k) != out.get(k)
+      val prevMeta = if (old != null) Json.get(old, s"/$$metadata/${k}").orNull else null
+      if (changed || prevMeta == null) {
+        val pm = Json.obj()
+        pm.put("lastUpdateTime", now)
+        lastUpdatedBy.foreach(u => pm.put("lastUpdatedBy", u))
+        meta.set[JsonNode](k, pm)
+      } else meta.set[JsonNode](k, prevMeta.deepCopy[JsonNode]())
+    }
+    meta.put("$lastUpdateTime", now)
+    out.put("$etag", ETag.generate(out.get("$dtId").asText(), now))
+    out
+  }
+
+  def getTwin(dtId: String): JsonNode =
+    twins.getOrElse(dtId, throw StoreException(404, s"Digital twin $dtId not found"))
+
+  /** JSON-Patch update (D3): apply, re-validate, stamp only patched
+    * top-level props, new etag (DigitalTwins.cs:558-758). */
+  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
+      lastUpdatedBy: Option[String] = None): JsonNode = {
+    val old = getTwin(dtId).asInstanceOf[ObjectNode]
+    ifMatch.foreach { m =>
+      val cur = Option(old.get("$etag")).map(_.asText()).getOrElse("")
+      if (!ETag.matches(m, cur)) throw StoreException(412, "etag mismatch")
+    }
+    val ops = JsonPatch.parseOps(patchJson)
+    if (ops.exists(o => o.path == "/$dtId" || o.path.startsWith("/$metadata/$model")
+        && o.op == "remove"))
+      throw StoreException(400, "cannot patch system properties")
+    val patched = JsonPatch.apply(old, ops).asInstanceOf[ObjectNode]
+    registry.validateTwin(patched) match {
+      case Left(err) => throw StoreException(400, err)
+      case Right(()) =>
+    }
+    // changed top-level props = first segment of each op path (DigitalTwins.cs:662-670)
+    val changed = ops.map(o => Json.splitPointer(o.path))
+      .collect { case first :: _ if !first.startsWith("$") => first }.toSet
+    val now = clock()
+    val meta = patched.get("$metadata").asInstanceOf[ObjectNode]
+    for (k <- changed if patched.has(k)) {
+      val pm = Json.obj()
+      pm.put("lastUpdateTime", now)
+      lastUpdatedBy.foreach(u => pm.put("lastUpdatedBy", u))
+      meta.set[JsonNode](k, pm)
+    }
+    for (k <- changed if !patched.has(k)) meta.remove(k)
+    meta.put("$lastUpdateTime", now)
+    patched.put("$etag", ETag.generate(dtId, now))
+    twins(dtId) = patched
+    log("TwinUpdate", old, patched)
+    patched
+  }
+
+  def deleteTwin(dtId: String, ifMatch: Option[String] = None): Unit = {
+    val old = getTwin(dtId)
+    ifMatch.foreach { m =>
+      val cur = Option(old.get("$etag")).map(_.asText()).getOrElse("")
+      if (!ETag.matches(m, cur)) throw StoreException(412, "etag mismatch")
+    }
+    if (rels.keysIterator.exists(_._1 == dtId) ||
+        rels.valuesIterator.exists(r => r.get("$targetId").asText() == dtId))
+      throw StoreException(400, s"twin $dtId still has relationships")
+    twins.remove(dtId)
+    log("TwinDelete", old, null)
+  }
+
+  /** Batch upsert (D5): ≤100 docs, per-item results. */
+  def createOrReplaceTwins(docs: Seq[String]): Seq[Either[String, JsonNode]] = {
+    if (docs.size > 100) throw StoreException(400, "batch limited to 100 twins")
+    docs.map { d =>
+      try {
+        val id = Json.tryParse(d).flatMap(n => Json.get(n, "/$dtId")).map(_.asText())
+          .getOrElse(throw StoreException(400, "$dtId required"))
+        Right(createOrReplaceTwin(id, d))
+      } catch { case e: StoreException => Left(e.msg) }
+    }
+  }
+
+  // ---------------- relationships (D6-D8) ----------------
+
+  def createOrReplaceRelationship(sourceId: String, relId: String,
+      docJson: String, ifNoneMatchStar: Boolean = false): JsonNode = {
+    val doc = Json.tryParse(docJson)
+      .getOrElse(throw StoreException(400, "invalid JSON")).asInstanceOf[ObjectNode]
+    val name = Option(doc.get("$relationshipName")).map(_.asText())
+      .getOrElse(throw StoreException(400, "$relationshipName is required"))
+    val targetId = Option(doc.get("$targetId")).map(_.asText())
+      .getOrElse(throw StoreException(400, "$targetId is required"))
+    Option(doc.get("$sourceId")).map(_.asText()).foreach { s =>
+      if (s != sourceId) throw StoreException(400, "$sourceId mismatch")
+    }
+    if (!twins.contains(sourceId))
+      throw StoreException(404, s"source twin $sourceId not found")
+    if (!twins.contains(targetId))
+      throw StoreException(404, s"target twin $targetId not found")
+    val srcModel = Json.get(twins(sourceId), "/$metadata/$model").get.asText()
+    if (registry.models.nonEmpty && !registry.hasRelationship(srcModel, name))
+      throw StoreException(400, s"Relationship '$name' is not defined in model $srcModel")
+    val old = rels.get((sourceId, relId)).orNull
+    if (ifNoneMatchStar && old != null)
+      throw StoreException(412, s"relationship $relId already exists")
+    val now = clock()
+    doc.put("$relationshipId", relId)
+    doc.put("$sourceId", sourceId)
+    doc.put("$etag", ETag.generate(s"$sourceId|$relId", now))
+    rels((sourceId, relId)) = doc
+    log(if (old == null) "RelationshipCreate" else "RelationshipUpdate", old, doc)
+    doc
+  }
+
+  def getRelationship(sourceId: String, relId: String): JsonNode =
+    rels.getOrElse((sourceId, relId),
+      throw StoreException(404, s"relationship $relId not found"))
+
+  def patchRelationship(sourceId: String, relId: String, patchJson: String)
+      : JsonNode = {
+    val old = getRelationship(sourceId, relId).asInstanceOf[ObjectNode]
+    val patched = JsonPatch.apply(old, JsonPatch.parseOps(patchJson))
+      .asInstanceOf[ObjectNode]
+    val now = clock()
+    patched.put("$etag", ETag.generate(s"$sourceId|$relId", now))
+    rels((sourceId, relId)) = patched
+    log("RelationshipUpdate", old, patched)
+    patched
+  }
+
+  def deleteRelationship(sourceId: String, relId: String): Unit = {
+    val old = getRelationship(sourceId, relId)
+    rels.remove((sourceId, relId))
+    log("RelationshipDelete", old, null)
+  }
+
+  // ---------------- telemetry (A10) ----------------
+
+  def publishTelemetry(dtId: String, payload: String,
+      componentName: Option[String] = None): Unit = {
+    val twin = getTwin(dtId)
+    val env = Json.obj()
+    env.put("digitalTwinId", dtId)
+    env.put("messageId", java.util.UUID.randomUUID().toString)
+    env.put("timestamp", clock())
+    env.put("eventType", "Telemetry")
+    env.set[JsonNode]("telemetry", Json.parse(payload))
+    env.put("modelId", Json.get(twin, "/$metadata/$model").get.asText())
+    componentName.foreach(c => env.put("componentName", c))
+    log("Telemetry", null, env)
+  }
+
+  // ---------------- projections to DataFrames ----------------
+
+  def toGraph(spark: SparkSession): TwinGraph = {
+    import org.apache.spark.sql.Row
+    val twinRows = twins.map { case (id, doc) =>
+      Row(id, Json.get(doc, "/$metadata/$model").map(_.asText()).orNull,
+        Option(doc.get("$etag")).map(_.asText()).orNull,
+        Json.get(doc, "/$metadata/$lastUpdateTime").map(_.asText()).orNull,
+        Json.render(doc))
+    }.toSeq
+    val relRows = rels.map { case ((src, rid), doc) =>
+      Row(rid, src, doc.get("$targetId").asText(),
+        doc.get("$relationshipName").asText(),
+        Option(doc.get("$etag")).map(_.asText()).orNull,
+        Json.render(doc))
+    }.toSeq
+    val modelRows = registry.models.values.map { m =>
+      Row(m.id, registry.bases(m.id), registry.descendants(m.id),
+        m.displayName.orNull, false, null, m.raw)
+    }.toSeq
+    TwinGraph(
+      spark.createDataFrame(twinRows.asJava, Tables.twinsSchema),
+      spark.createDataFrame(relRows.asJava, Tables.relationshipsSchema),
+      spark.createDataFrame(modelRows.asJava, Tables.modelsSchema))
+  }
+
+  def mutationsDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = mutationLog.map { m =>
+      val kind =
+        if (m.eventType.startsWith("Twin")) "Twin"
+        else if (m.eventType.startsWith("Relationship")) "Relationship"
+        else "Telemetry"
+      val entityId = Option(if (m.newJson != null) m.newJson else m.oldJson)
+        .flatMap(Json.tryParse).flatMap { n =>
+          Json.get(n, "/$dtId").orElse(Json.get(n, "/$relationshipId"))
+            .orElse(Json.get(n, "/digitalTwinId")).map(_.asText())
+        }.orNull
+      Row(m.seq, m.ts, kind, entityId, m.eventType, m.oldJson, m.newJson)
+    }.toSeq
+    spark.createDataFrame(rows.asJava, Tables.mutationsSchema)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Tables
+import graft.events.{CloudEvent, CloudEventFactory}
+import graft.store.MutationEvent
+
+/** The streaming events service (SURVEY §2.E / §3.3), Spark-native:
+  * Structured Streaming over the mutation log replaces the reference's
+  * Postgres logical-replication consumer
+  * (/root/reference/src/AgeDigitalTwins.Events/Core/Services/AgeDigitalTwinsReplication.cs).
+  *
+  * Because the store writes ONE row per logical operation, the reference's
+  * stateful WAL row-folding (E3, flatMapGroupsWithState territory) is
+  * unnecessary — classification (E2), validity filter (E4), patch
+  * derivation (E5) and formatting (E6/E7/E8) are per-row transforms that
+  * scale embarrassingly. Routes (E9) become one output stream per
+  * (format, sink); reliability (E11) is checkpointing + a DLQ capture per
+  * batch.
+  */
+object EventPipeline {
+
+  /** A route: which event format feeds which sink (E9). */
+  final case class Route(format: String, sinkName: String)
+
+  def mutationsToDataset(spark: SparkSession, df: DataFrame): Dataset[MutationEvent] = {
+    import spark.implicits._
+    df.select(col("seq"), col("ts"), col("event_type").as("eventType"),
+        col("old_json").as("oldJson"), col("new_json").as("newJson"))
+      .as[MutationEvent]
+  }
+
+  /** E4 validity filter: Create/Update need new, Update needs old, Delete
+    * needs old (AgeDigitalTwinsReplication.cs:645-672). */
+  def validMutations(ds: Dataset[MutationEvent]): Dataset[MutationEvent] =
+    ds.filter { m =>
+      m.eventType match {
+        case "TwinCreate" | "RelationshipCreate" | "Telemetry" => m.newJson != null
+        case "TwinUpdate" | "RelationshipUpdate" => m.newJson != null && m.oldJson != null
+        case "TwinDelete" | "RelationshipDelete" => m.oldJson != null
+        case _ => false
+      }
+    }
+
+  /** E6 EventNotification frame. */
+  def toEventNotifications(ds: Dataset[MutationEvent], source: String)
+      : Dataset[CloudEvent] = {
+    import ds.sparkSession.implicits._
+    validMutations(ds).flatMap(m => CloudEventFactory.eventNotification(m, source))
+  }
+
+  /** E7 DataHistory frame (all three record kinds in one stream; split per
+    * sink table with a filter on `type`). */
+  def toDataHistory(ds: Dataset[MutationEvent], source: String,
+      trackLastUpdatedBy: Boolean = false): Dataset[CloudEvent] = {
+    import ds.sparkSession.implicits._
+    validMutations(ds).flatMap(m =>
+      CloudEventFactory.dataHistory(m, source, trackLastUpdatedBy))
+  }
+
+  /** The three Kusto-shaped DataHistory tables
+    * (docs/how-to-guides/data-history-kusto.mdx:113-179). */
+  def propertyEvents(events: Dataset[CloudEvent]): DataFrame =
+    events.filter(col("type") === CloudEventFactory.PropertyEventType)
+      .select(
+        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
+        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
+        get_json_object(col("data"), "$['id']").as("Id"),
+        get_json_object(col("data"), "$['modelId']").as("ModelId"),
+        get_json_object(col("data"), "$['key']").as("Key"),
+        get_json_object(col("data"), "$['value']").as("Value"),
+        get_json_object(col("data"), "$['relationshipId']").as("RelationshipId"),
+        get_json_object(col("data"), "$['relationshipTarget']").as("RelationshipTarget"))
+
+  def twinLifeCycleEvents(events: Dataset[CloudEvent]): DataFrame =
+    events.filter(col("type") === CloudEventFactory.TwinLifecycleType)
+      .select(
+        get_json_object(col("data"), "$['twinId']").as("TwinId"),
+        get_json_object(col("data"), "$['action']").as("Action"),
+        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
+        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
+        get_json_object(col("data"), "$['modelId']").as("ModelId"))
+
+  def relationshipLifeCycleEvents(events: Dataset[CloudEvent]): DataFrame =
+    events.filter(col("type") === CloudEventFactory.RelationshipLifecycleType)
+      .select(
+        get_json_object(col("data"), "$['relationshipId']").as("RelationshipId"),
+        get_json_object(col("data"), "$['name']").as("Name"),
+        get_json_object(col("data"), "$['action']").as("Action"),
+        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
+        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
+        get_json_object(col("data"), "$['source']").as("Source"),
+        get_json_object(col("data"), "$['target']").as("Target"))
+
+  /** Open the mutation log directory as a stream (A9: the CDC source). */
+  def readMutationStream(spark: SparkSession, dir: String): Dataset[MutationEvent] =
+    mutationsToDataset(spark,
+      spark.readStream.schema(Tables.mutationsSchema).parquet(dir))
+
+  /** E9/E11: run one routed stream into a parquet "sink table" with
+    * checkpointing; failures in the sink function land in a DLQ directory
+    * instead of killing the stream (ResilientEventSinkWrapper + DLQService
+    * semantics). */
+  def runRoute(
+      events: Dataset[CloudEvent],
+      outDir: String,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      failFor: DataFrame => Boolean = _ => false): StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val df = batch.toDF()
+        try {
+          if (failFor(df)) throw new RuntimeException("sink failure (injected)")
+          df.write.mode("append").parquet(outDir)
+        } catch {
+          case e: Exception =>
+            dlqDir match {
+              case Some(d) =>
+                df.withColumn("dlq_error", lit(e.getMessage))
+                  .withColumn("dlq_batch", lit(batchId))
+                  .write.mode("append").parquet(d)
+              case None => throw e
+            }
+        }
+        ()
+      }
+      .start()
+  }
+}

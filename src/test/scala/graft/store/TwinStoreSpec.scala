@@ -1,0 +1,192 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.Json
+
+/** Ports the reference's write-path behaviors (DigitalTwinsTests /
+  * ModelsTests / RelationshipsTests assertions, SURVEY §2.D + FIXTURES.md). */
+class TwinStoreSpec extends AnyFunSuite {
+
+  val roomModel =
+    """{"@id":"dtmi:com:adt:dtsample:room;1","@type":"Interface",
+      |"@context":"dtmi:dtdl:context;3","displayName":"Room","contents":[
+      |{"@type":"Property","name":"name","schema":"string"},
+      |{"@type":"Property","name":"temperature","schema":"double"},
+      |{"@type":"Property","name":"dimensions","schema":{"@type":"Object","fields":[
+      |  {"name":"length","schema":"double"},{"name":"width","schema":"double"},
+      |  {"name":"height","schema":"double"}]}},
+      |{"@type":"Relationship","name":"rel_has_sensors"}]}""".stripMargin
+
+  val sensorModel =
+    """{"@id":"dtmi:com:adt:dtsample:tempsensor;1","@type":"Interface",
+      |"@context":"dtmi:dtdl:context;3","contents":[
+      |{"@type":"Property","name":"name","schema":"string"},
+      |{"@type":"Property","name":"temperature","schema":"double"}]}""".stripMargin
+
+  // FIXTURES.md §1.2 inheritance chain
+  val celestial =
+    """{"@id":"dtmi:com:contoso:CelestialBody;1","@type":"Interface","contents":[
+      |{"@type":"Property","name":"name","schema":"string"},
+      |{"@type":"Property","name":"mass","schema":"double"}]}""".stripMargin
+  val planet =
+    """{"@id":"dtmi:com:contoso:Planet;1","@type":"Interface",
+      |"extends":"dtmi:com:contoso:CelestialBody;1","contents":[
+      |{"@type":"Property","name":"hasLife","schema":"boolean"}]}""".stripMargin
+  val habitable =
+    """{"@id":"dtmi:com:contoso:HabitablePlanet;1","@type":"Interface",
+      |"extends":"dtmi:com:contoso:Planet;1"}""".stripMargin
+  val moon =
+    """{"@id":"dtmi:com:contoso:Moon;1","@type":"Interface",
+      |"extends":"dtmi:com:contoso:CelestialBody;1"}""".stripMargin
+
+  def freshStore(): TwinStore = {
+    var t = 0
+    val s = new TwinStore(() => { t += 1; f"2026-01-01T00:00:${t % 60}%02dZ" })
+    s.createModels(Seq(roomModel, sensorModel))
+    s
+  }
+
+  test("model closure: bases and descendants (FIXTURES §1.2 expectations)") {
+    val s = new TwinStore()
+    s.createModels(Seq(celestial, planet, habitable, moon))
+    val r = s.models
+    assert(r.bases("dtmi:com:contoso:Planet;1") == Seq("dtmi:com:contoso:CelestialBody;1"))
+    assert(r.bases("dtmi:com:contoso:HabitablePlanet;1") ==
+      Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"))
+    assert(r.descendants("dtmi:com:contoso:CelestialBody;1").sorted ==
+      Seq("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Moon;1",
+        "dtmi:com:contoso:Planet;1"))
+    assert(r.descendants("dtmi:com:contoso:Planet;1") ==
+      Seq("dtmi:com:contoso:HabitablePlanet;1"))
+  }
+
+  test("create twin: validation, stamping, etag") {
+    val s = freshStore()
+    val stored = s.createOrReplaceTwin("room1",
+      """{"$dtId":"room1","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},
+        |"name":"Room 1","temperature":22.5,
+        |"dimensions":{"length":5.0,"width":4.0,"height":3.0}}""".stripMargin)
+    assert(Json.get(stored, "/$etag").isDefined)
+    assert(Json.get(stored, "/$metadata/$lastUpdateTime").isDefined)
+    assert(Json.get(stored, "/$metadata/name/lastUpdateTime").isDefined)
+    assert(Json.get(stored, "/$metadata/temperature/lastUpdateTime").isDefined)
+  }
+
+  test("create twin rejects unknown property and wrong types") {
+    val s = freshStore()
+    val e1 = intercept[StoreException](s.createOrReplaceTwin("r",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"bogus":1}"""))
+    assert(e1.msg.contains("'bogus' is not defined in the model"))
+    val e2 = intercept[StoreException](s.createOrReplaceTwin("r",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"temperature":"hot"}"""))
+    assert(e2.msg.contains("temperature"))
+    val e3 = intercept[StoreException](s.createOrReplaceTwin("r",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},
+        |"dimensions":{"length":5.0,"depth":1.0}}""".stripMargin))
+    assert(e3.msg.contains("depth"))
+    val e4 = intercept[StoreException](s.createOrReplaceTwin("r",
+      """{"$metadata":{"$model":"dtmi:missing;1"},"name":"x"}"""))
+    assert(e4.msg.contains("does not exist"))
+  }
+
+  test("replace keeps unchanged-property metadata, restamps changed") {
+    val s = freshStore()
+    val v1 = s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A","temperature":20.0}""")
+    val t1name = Json.get(v1, "/$metadata/name/lastUpdateTime").get.asText()
+    val v2 = s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A","temperature":21.0}""")
+    assert(Json.get(v2, "/$metadata/name/lastUpdateTime").get.asText() == t1name,
+      "unchanged property keeps old timestamp")
+    assert(Json.get(v2, "/$metadata/temperature/lastUpdateTime").get.asText() != t1name)
+    assert(Json.get(v1, "/$etag") != Json.get(v2, "/$etag"))
+  }
+
+  test("ifNoneMatch * and etag preconditions") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    val e = intercept[StoreException](s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"B"}""",
+      ifNoneMatchStar = true))
+    assert(e.status == 412)
+    val etag = Json.get(s.getTwin("room1"), "/$etag").get.asText()
+    s.patchTwin("room1", """[{"op":"replace","path":"/name","value":"C"}]""",
+      ifMatch = Some(etag))
+    val stale = intercept[StoreException](s.patchTwin("room1",
+      """[{"op":"replace","path":"/name","value":"D"}]""", ifMatch = Some(etag)))
+    assert(stale.status == 412)
+  }
+
+  test("patch stamps only patched props; delete twin blocked by rels") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A","temperature":20.0}""")
+    val before = s.getTwin("room1")
+    val tName = Json.get(before, "/$metadata/name/lastUpdateTime").get.asText()
+    val after = s.patchTwin("room1",
+      """[{"op":"replace","path":"/temperature","value":25.5}]""")
+    assert(Json.get(after, "/temperature").get.asDouble() == 25.5)
+    assert(Json.get(after, "/$metadata/name/lastUpdateTime").get.asText() == tName)
+    assert(Json.get(after, "/$metadata/temperature/lastUpdateTime").get.asText() != tName)
+
+    s.createOrReplaceTwin("sensor1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:tempsensor;1"},"name":"S"}""")
+    s.createOrReplaceRelationship("room1", "rel1",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"sensor1"}""")
+    val blocked = intercept[StoreException](s.deleteTwin("room1"))
+    assert(blocked.msg.contains("relationships"))
+    s.deleteRelationship("room1", "rel1")
+    s.deleteTwin("room1")
+    assertThrows[StoreException](s.getTwin("room1"))
+  }
+
+  test("relationship validation: endpoints must exist, name must be defined") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    s.createOrReplaceTwin("sensor1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:tempsensor;1"},"name":"S"}""")
+    val e1 = intercept[StoreException](s.createOrReplaceRelationship("room1", "r",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"ghost"}"""))
+    assert(e1.status == 404)
+    val e2 = intercept[StoreException](s.createOrReplaceRelationship("sensor1", "r",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"room1"}"""))
+    assert(e2.msg.contains("not defined in model"))
+    val ok = s.createOrReplaceRelationship("room1", "rel1",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"sensor1"}""")
+    assert(Json.get(ok, "/$sourceId").get.asText() == "room1")
+  }
+
+  test("batch upsert caps at 100 and reports per-item results") {
+    val s = freshStore()
+    val results = s.createOrReplaceTwins(Seq(
+      """{"$dtId":"a","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""",
+      """{"$dtId":"b","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"bogus":1}""",
+      """{"no_id":true}"""))
+    assert(results(0).isRight && results(1).isLeft && results(2).isLeft)
+    assertThrows[StoreException](
+      s.createOrReplaceTwins(Seq.fill(101)("""{"$dtId":"x"}""")))
+  }
+
+  test("model delete blocked by dependents") {
+    val s = new TwinStore()
+    s.createModels(Seq(celestial, planet))
+    val e = intercept[StoreException](s.deleteModel("dtmi:com:contoso:CelestialBody;1"))
+    assert(e.status == 409)
+    s.deleteModel("dtmi:com:contoso:Planet;1")
+    s.deleteModel("dtmi:com:contoso:CelestialBody;1")
+    assert(s.models.models.isEmpty)
+  }
+
+  test("mutation log records one row per logical operation") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"B"}""")
+    s.deleteTwin("room1")
+    assert(s.mutations.map(_.eventType) == Seq("TwinCreate", "TwinUpdate", "TwinDelete"))
+    assert(s.mutations.forall(_.ts.nonEmpty))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.TwinStore
+
+/** End-to-end streaming: store mutations → parquet log → Structured
+  * Streaming → routed CloudEvent sinks + Kusto-shaped tables + DLQ.
+  * (Reference path: WAL → replication consumer → CloudEventFactory →
+  * sinks; SURVEY §3.3.) */
+class EventPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val model =
+    """{"@id":"dtmi:m;1","@type":"Interface","contents":[
+      |{"@type":"Property","name":"temperature","schema":"double"},
+      |{"@type":"Relationship","name":"feeds"}]}""".stripMargin
+
+  def populatedStore(): TwinStore = {
+    var t = 0
+    val s = new TwinStore(() => { t += 1; f"2026-01-01T00:${t / 60}%02d:${t % 60}%02dZ" })
+    s.createModels(Seq(model))
+    s.createOrReplaceTwin("t1", """{"$metadata":{"$model":"dtmi:m;1"},"temperature":20.0}""")
+    s.createOrReplaceTwin("t2", """{"$metadata":{"$model":"dtmi:m;1"},"temperature":21.0}""")
+    s.createOrReplaceTwin("t1", """{"$metadata":{"$model":"dtmi:m;1"},"temperature":25.0}""")
+    s.createOrReplaceRelationship("t1", "r1", """{"$relationshipName":"feeds","$targetId":"t2"}""")
+    s.deleteRelationship("t1", "r1")
+    s.deleteTwin("t2")
+    s.publishTelemetry("t1", """{"temperature":26.0}""")
+    s
+  }
+
+  test("mutation log streams into EventNotification and DataHistory sinks") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+
+    val stream = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val en = EventPipeline.toEventNotifications(stream, "https://inst")
+    val q1 = EventPipeline.runRoute(en, s"$dir/en", s"$dir/cp1")
+    q1.awaitTermination(60000)
+
+    val got = spark.read.parquet(s"$dir/en")
+    assert(got.count() == 7) // 2 creates + 1 update + rel create/delete + twin delete + telemetry
+    val types = got.select("type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set(
+      "Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Update",
+      "Konnektr.Graph.Twin.Delete", "Konnektr.Graph.Relationship.Create",
+      "Konnektr.Graph.Relationship.Delete", "Konnektr.IoT.Telemetry"))
+
+    // DataHistory route → three Kusto-shaped tables
+    val stream2 = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val dh = EventPipeline.toDataHistory(stream2, "https://inst")
+    val q2 = EventPipeline.runRoute(dh, s"$dir/dh", s"$dir/cp2")
+    q2.awaitTermination(60000)
+    import spark.implicits._
+    val events = spark.read.parquet(s"$dir/dh")
+      .as[graft.events.CloudEvent]
+    val props = EventPipeline.propertyEvents(events)
+    assert(props.columns.toSeq == Seq("TimeStamp", "ServiceId", "Id", "ModelId",
+      "Key", "Value", "RelationshipId", "RelationshipTarget"))
+    assert(props.filter($"Id" === "t1" && $"Key" === "temperature").count() >= 2)
+    val twinLc = EventPipeline.twinLifeCycleEvents(events)
+    assert(twinLc.filter($"Action" === "Create").count() == 2)
+    assert(twinLc.filter($"Action" === "Delete").count() == 1)
+    val relLc = EventPipeline.relationshipLifeCycleEvents(events)
+    assert(relLc.count() == 2)
+    assert(relLc.filter($"Name" === "feeds").count() == 2)
+  }
+
+  test("DLQ captures sink failures without killing the stream") {
+    val dir = Files.createTempDirectory("graft-dlq").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    val stream = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val en = EventPipeline.toEventNotifications(stream, "https://inst")
+    val q = EventPipeline.runRoute(en, s"$dir/out", s"$dir/cp",
+      dlqDir = Some(s"$dir/dlq"), failFor = _ => true)
+    q.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    assert(dlq.count() == 7)
+    assert(dlq.select("dlq_error").distinct().collect()
+      .map(_.getString(0)).head.contains("injected"))
+  }
+}
