@@ -1,0 +1,124 @@
+package graft.adt
+
+import java.util.Base64
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.graph.TwinGraph
+import graft.json.Json
+
+/** Paged query execution over the ADT language: continuation tokens, the
+  * query-charge cost model, and the read-only guard — the service layer the
+  * reference implements in AgeDigitalTwinsClient.Query.cs:40-266 +
+  * Models/ContinuationToken.cs.
+  *
+  * Determinism note (SURVEY §7 hard-part 6): the reference's SKIP-based
+  * paging assumes Postgres returns stable order; we impose an explicit sort
+  * over all output columns before applying skip/limit, so a token is valid
+  * across retries and executors.
+  */
+final case class QueryPage(
+    rows: Seq[String],           // one JSON object per row
+    continuationToken: Option[String],
+    charge: Double)
+
+final class QueryService(graph: TwinGraph) {
+
+  private val planner = new AdtPlanner(graph)
+
+  /** B19 read-only guard (Query.cs:68-88). */
+  private val forbidden = Seq("CREATE ", "DELETE ", "SET ", "MERGE ", "REMOVE ")
+
+  def query(q: String, maxItemsPerPage: Int = 2000,
+      continuationToken: Option[String] = None): QueryPage = {
+    val upper = q.toUpperCase
+    if (forbidden.exists(upper.contains))
+      throw new AdtPlanException("query endpoint is read-only")
+
+    val (effectiveQuery, skip) = continuationToken match {
+      case Some(tok) =>
+        val node = Json.parse(new String(Base64.getDecoder.decode(tok), "UTF-8"))
+        (node.get("query").asText(), node.get("rowNumber").asLong())
+      case None => (q, 0L)
+    }
+
+    val ast = AdtParser.parse(effectiveQuery)
+    val df = planner.plan(ast)
+    val sorted = df.orderBy(df.columns.map(col): _*)
+    val page = sorted.offset(skip.toInt).limit(maxItemsPerPage + 1).collect()
+    val hasMore = page.length > maxItemsPerPage
+    val rows = page.take(maxItemsPerPage).toSeq
+    val nextToken =
+      if (hasMore) {
+        val t = s"""{"rowNumber":${skip + maxItemsPerPage},"query":${quote(effectiveQuery)}}"""
+        Some(Base64.getEncoder.encodeToString(t.getBytes("UTF-8")))
+      } else None
+
+    QueryPage(rows.map(rowToJson(df.columns, _)), nextToken,
+      charge(ast, rows, df.columns.length))
+  }
+
+  /** Stream all pages (the reference's AsyncPageable). */
+  def queryAll(q: String, maxItemsPerPage: Int = 2000): Iterator[QueryPage] =
+    new Iterator[QueryPage] {
+      private var pending: Option[QueryPage] = Some(query(q, maxItemsPerPage))
+      def hasNext: Boolean = pending.isDefined
+      override def next(): QueryPage = {
+        val page = pending.get
+        pending = page.continuationToken.map(t => query(q, maxItemsPerPage, Some(t)))
+        page
+      }
+    }
+
+  /** B20 query charge (Query.cs:240-257): rows + properties returned +
+    * 10 if a variable-length edge + 5 if aggregate or IS_OF_MODEL. */
+  private def charge(ast: AdtQuery, rows: Seq[Row], nCols: Int): Double = {
+    var c = rows.length.toDouble
+    // properties returned: JSON doc columns count their fields, scalars 1
+    rows.foreach { r =>
+      (0 until nCols).foreach { i =>
+        val v = r.get(i)
+        c += (v match {
+          case s: String if s.startsWith("{") =>
+            Json.tryParse(s).map(_.size().toDouble).getOrElse(1.0)
+          case _ => 1.0
+        })
+      }
+    }
+    val hasAgg = ast.items.contains(SelectCount)
+    val hasIsOfModel = ast.where.exists(containsIsOfModel)
+    if (hasAgg || hasIsOfModel) c += 5
+    c
+  }
+
+  private def containsIsOfModel(e: Expr): Boolean = e match {
+    case FnCall("IS_OF_MODEL", _) => true
+    case And(l, r) => containsIsOfModel(l) || containsIsOfModel(r)
+    case Or(l, r) => containsIsOfModel(l) || containsIsOfModel(r)
+    case Not(x) => containsIsOfModel(x)
+    case Cmp(_, l, r) => containsIsOfModel(l) || containsIsOfModel(r)
+    case _ => false
+  }
+
+  private def quote(s: String): String = Json.render(Json.text(s))
+
+  private def rowToJson(cols: Array[String], r: Row): String = {
+    val o = Json.obj()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      r.get(i) match {
+        case null => o.putNull(c)
+        case s: String =>
+          Json.tryParse(s) match {
+            case Some(n) if s.startsWith("{") || s.startsWith("[") =>
+              o.set[com.fasterxml.jackson.databind.JsonNode](c, n)
+            case _ => o.put(c, s)
+          }
+        case l: java.lang.Long => o.put(c, l.longValue())
+        case i2: java.lang.Integer => o.put(c, i2.intValue())
+        case d: java.lang.Double => o.put(c, d.doubleValue())
+        case b: java.lang.Boolean => o.put(c, b.booleanValue())
+        case other => o.put(c, other.toString)
+      }
+    }
+    Json.render(o)
+  }
+}

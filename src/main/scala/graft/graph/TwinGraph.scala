@@ -88,6 +88,22 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
     modelId +: desc
   }
 
+  /** B16/C15: ordered vector top-k over a JSON embedding property —
+    * `ORDER BY l2_distance(t.emb, [..]) LIMIT k` (DigitalTwins.cs:1242-1248)
+    * as a TakeOrdered over an L2 Column kernel (no UDF). */
+  def vectorSearch(embeddingProp: String, queryVec: Seq[Double], k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = from_json(TwinGraph.prop(col("properties"), Seq(embeddingProp)),
+      ArrayType(DoubleType))
+    val qv = array(queryVec.map(lit): _*)
+    twins
+      .withColumn("l2sq", graft.pipeline.Similarity.l2sq(emb, qv))
+      .filter(col("l2sq").isNotNull)
+      .orderBy(col("l2sq").asc, col("dt_id").asc)
+      .limit(k)
+      .select(col("dt_id"), col("model_id"), col("l2sq"), col("properties"))
+  }
+
   /** B7: bounded variable-length expansion src -[name*1..max]-> reachable.
     * Iterative self-join with per-level dedup; each level is a shuffle join
     * on target/source ids. Returns (start_id, end_id, depth) with minimal

@@ -41,6 +41,8 @@ final class TwinStore(
 
   def models: ModelRegistry = registry
   def mutations: Seq[MutationEvent] = mutationLog.toSeq
+  def twinIds: Seq[String] = twins.keys.toSeq
+  def relationshipKeys: Seq[(String, String)] = rels.keys.toSeq
 
   private def log(eventType: String, oldDoc: JsonNode, newDoc: JsonNode): Unit = {
     seq += 1
@@ -200,6 +202,30 @@ final class TwinStore(
         Right(createOrReplaceTwin(id, d))
       } catch { case e: StoreException => Left(e.msg) }
     }
+  }
+
+  // ---------------- components (D12) ----------------
+
+  /** Component read: the sub-object of the twin doc for a component
+    * defined on its model (Components.cs:101-143). */
+  def getComponent(dtId: String, componentName: String): JsonNode = {
+    val twin = getTwin(dtId)
+    val modelId = Json.get(twin, "/$metadata/$model").get.asText()
+    if (registry.componentModel(modelId, componentName).isEmpty)
+      throw StoreException(404, s"component $componentName not defined on $modelId")
+    Json.get(twin, s"/$componentName")
+      .getOrElse(throw StoreException(404, s"component $componentName not set on $dtId"))
+  }
+
+  /** Component update = JSON-Patch against the component sub-path, then a
+    * whole-twin rewrite (Components.cs:345-349). */
+  def updateComponent(dtId: String, componentName: String, patchJson: String)
+      : JsonNode = {
+    getComponent(dtId, componentName) // existence + definition check
+    val prefixed = JsonPatch.parseOps(patchJson).map(op =>
+      op.copy(path = s"/$componentName${op.path}",
+        from = if (op.from == null) null else s"/$componentName${op.from}"))
+    patchTwin(dtId, JsonPatch.render(prefixed))
   }
 
   // ---------------- relationships (D6-D8) ----------------

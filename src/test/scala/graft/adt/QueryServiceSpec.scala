@@ -1,0 +1,105 @@
+package graft.adt
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{TwinGraph, Vle}
+import graft.json.Json
+import graft.store.TwinStore
+
+/** Pagination/continuation (B18), charge (B20), read-only guard (B19),
+  * component API (D12), vector search (B16), unbounded VLE (B7) — the
+  * reference's QueryTests.cs:957-1076 pagination scenarios et al. */
+class QueryServiceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val model =
+    """{"@id":"dtmi:p;1","@type":"Interface","contents":[
+      |{"@type":"Property","name":"name","schema":"string"},
+      |{"@type":"Property","name":"idx","schema":"integer"},
+      |{"@type":"Property","name":"emb","schema":{"@type":"Array","elementSchema":"double"}},
+      |{"@type":"Component","name":"engine","schema":"dtmi:comp;1"},
+      |{"@type":"Relationship","name":"next"}]}""".stripMargin
+  val compModel =
+    """{"@id":"dtmi:comp;1","@type":"Interface","contents":[
+      |{"@type":"Property","name":"power","schema":"double"}]}""".stripMargin
+
+  lazy val store: TwinStore = {
+    val s = new TwinStore(() => "2026-01-01T00:00:00Z")
+    s.createModels(Seq(model, compModel))
+    for (i <- 0 until 25)
+      s.createOrReplaceTwin(f"t$i%03d",
+        s"""{"$$metadata":{"$$model":"dtmi:p;1"},"name":"N$i","idx":$i,
+           |"emb":[${i * 1.0}, ${i * 2.0}],
+           |"engine":{"power":${i * 10.0}}}""".stripMargin)
+    for (i <- 0 until 24) // chain t000 -> t001 -> ... -> t024
+      s.createOrReplaceRelationship(f"t$i%03d", s"r$i",
+        f"""{"$$relationshipName":"next","$$targetId":"t${i + 1}%03d"}""")
+    s
+  }
+
+  lazy val graph: TwinGraph = store.toGraph(spark)
+  lazy val svc = new QueryService(graph)
+
+  test("pagination: stable pages, token round-trip, full coverage") {
+    val page1 = svc.query("SELECT T.$dtId AS id FROM DIGITALTWINS T", maxItemsPerPage = 10)
+    assert(page1.rows.size == 10)
+    assert(page1.continuationToken.isDefined)
+    val page2 = svc.query("ignored-when-token-present", 10, page1.continuationToken)
+    val page3 = svc.query("x", 10, page2.continuationToken)
+    assert(page3.rows.size == 5 && page3.continuationToken.isEmpty)
+    val all = (page1.rows ++ page2.rows ++ page3.rows)
+      .map(r => Json.get(Json.parse(r), "/id").get.asText())
+    assert(all == all.sorted && all.distinct.size == 25, "pages are disjoint + ordered")
+  }
+
+  test("queryAll streams every page") {
+    val pages = svc.queryAll("SELECT T.$dtId AS id FROM DIGITALTWINS T", 7).toSeq
+    assert(pages.map(_.rows.size).sum == 25)
+    assert(pages.size == 4)
+  }
+
+  test("charge: rows + properties, +5 for COUNT/IS_OF_MODEL") {
+    val p = svc.query("SELECT T.$dtId AS id, T.name AS n FROM DIGITALTWINS T", 5)
+    assert(p.charge == 5 + 5 * 2) // 5 rows + 2 scalar props each
+    val c = svc.query("SELECT COUNT() FROM DIGITALTWINS")
+    assert(c.charge == 1 + 1 + 5) // 1 row + 1 prop + 5 agg surcharge
+    val m = svc.query("SELECT COUNT() FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:p;1')")
+    assert(m.charge == 1 + 1 + 5)
+  }
+
+  test("read-only guard rejects mutating keywords (B19)") {
+    val e = intercept[AdtPlanException](
+      svc.query("SELECT T FROM DIGITALTWINS T WHERE name = 'x' CREATE (n:Twin)"))
+    assert(e.getMessage.contains("read-only"))
+  }
+
+  test("component get/update (D12)") {
+    val c = store.getComponent("t003", "engine")
+    assert(Json.get(c, "/power").get.asDouble() == 30.0)
+    store.updateComponent("t003", "engine",
+      """[{"op":"replace","path":"/power","value":99.5}]""")
+    assert(Json.get(store.getComponent("t003", "engine"), "/power").get.asDouble() == 99.5)
+    assertThrows[graft.store.StoreException](store.getComponent("t003", "noSuch"))
+  }
+
+  test("vector search (B16): nearest twins by L2 over a JSON embedding") {
+    val out = graph.vectorSearch("emb", Seq(10.0, 20.0), k = 3).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("t010", "t009", "t011"))
+    assert(out.head.getDouble(2) == 0.0)
+  }
+
+  test("unbounded VLE (B7): full chain reachability with minimal depths") {
+    val reach = Vle.reachability(graph.relationships, relName = Some("next"))
+    assert(reach.count() == 25 * 24 / 2) // all ordered pairs in a 25-chain
+    val fromStart = reach.filter(org.apache.spark.sql.functions.col("start_id") === "t000")
+    assert(fromStart.count() == 24)
+    val d = fromStart.filter(org.apache.spark.sql.functions.col("end_id") === "t024")
+      .collect()(0).getInt(2)
+    assert(d == 24)
+  }
+}
