@@ -10,10 +10,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: touch every table and exercise the join/agg/window
+    // codegen paths once, so per-query timings measure plans, not JIT
+    locally {
+      import org.apache.spark.sql.functions._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")
+      tables.foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+      try {
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        val n = spark.read.parquet(s"$sfDir/nation.parquet")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name")).count().count()
+      } catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist intermediates (shingle indexes etc.); drop them
+      // between queries so later queries aren't starved by dead caches
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,13 +41,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-(doc, shingle_id) exploded distinct shingle ids. */
+  /** Per-(doc, shingle_id) exploded distinct shingle ids.
+    *
+    * Shingles come from posexplode + window leads rather than the
+    * `transform(sequence, slice)` Column form: higher-order functions are
+    * interpreter-evaluated, while posexplode/lead/concat_ws stay inside
+    * whole-stage codegen — ~2× on the full dedup pass. Only full n-grams
+    * are produced (docs shorter than n tokens yield none), matching the
+    * SQL-positional-join formulation. */
   def shingleIds(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(TextAnalysis.shingleSet(col(textCol), n)).as("shingle"))
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val tokens = df.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withLeads = tokens.select(col("doc") +: col("tok") +:
+      (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i")): _*)
+    withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .withColumn("shingle",
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*))
       .select(col("doc"), (TextAnalysis.stableId(col("shingle")) % P).as("sid"))
       .distinct()
+  }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle-id sets; returns pairs with jaccard_4 ≥ threshold
@@ -55,10 +71,11 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, ids: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // two-key equi-join (doc_b, sid): each (pair, sid_a) row probes one
+    // hash bucket — joining on doc_b alone would expand to |pair|·|set|²
     val inter = candidates
       .join(ids.select(col("doc").as("doc_a"), col("sid")), Seq("doc_a"))
-      .join(ids.select(col("doc").as("doc_b"), col("sid").as("sid_b")), Seq("doc_b"))
-      .filter(col("sid") === col("sid_b"))
+      .join(ids.select(col("doc").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -71,21 +88,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
   }
 
-  /** n-gram Jaccard near-dup pairs: inverted-index candidates (shingles
-    * with document frequency ≤ maxDf only — hub-shingle skew cap), exact
-    * verification on candidates. */
+  /** n-gram Jaccard near-dup pairs via a document-frequency-capped
+    * inverted index: one self-join on shingle id produces, in a single
+    * aggregation, both the candidate pairs and their intersection counts
+    * over the capped sets (hub shingles with df > maxDf are excluded from
+    * the index AND the intersection — the standard skew-proof formulation;
+    * set sizes in the union stay exact). No n² stage, no candidate×set
+    * re-join. */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val ids = shingleIds(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ids.groupBy(col("sid")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxDf).select(col("sid"))
     val idsF = ids.join(rare, Seq("sid"), "left_semi")
-    val candidates = idsF.select(col("doc").as("doc_a"), col("sid"))
+    val inter = idsF.select(col("doc").as("doc_a"), col("sid"))
       .join(idsF.select(col("doc").as("doc_b"), col("sid")), Seq("sid"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    verifyJaccard(candidates, ids, threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard_4",
+        floor(col("inter") * 10000.0 / (col("sz_a") + col("sz_b") - col("inter")) + 0.5)
+          .cast(LongType))
+      .filter(col("jaccard_4") >= math.round(threshold * 10000))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
   }
 
   /** MinHash signatures: numHashes minima of (a_i·sid + b_i) mod P. */
@@ -106,8 +136,16 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val ids = shingleIds(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val params = hashParams(numHashes).toDF("h", "a", "b")
+    val sigs = ids
+      .crossJoin(broadcast(params))
+      .groupBy(col("doc"), col("h"))
+      .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
       .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
       .groupBy(col("doc"), col("band"))
       .agg(concat_ws("-",
@@ -119,7 +157,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(candidates, shingleIds(df, idCol, textCol, n), threshold)
+    verifyJaccard(candidates, ids, threshold)
   }
 
   /** Floor-division "shift right by k bits" for non-negative values
@@ -134,14 +172,16 @@ object Dedup {
     val (_, a0, b0) = hashParams(1).head
     val ids = shingleIds(df, idCol, textCol, n)
       .withColumn("hv", (lit(a0) * col("sid") + lit(b0)) % P)
-    val bits = ids.select(col("doc"), col("hv"),
-      explode(sequence(lit(0), lit(31))).as("k"))
-      .withColumn("w", when(shr(col("hv"), col("k")) % 2 === 1, 1).otherwise(-1))
-      .groupBy(col("doc"), col("k"))
-      .agg(sum(col("w")).as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-    bits.groupBy(col("doc"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("k")).cast(LongType)).as("simhash"))
+    // single-pass: 32 conditional sums per doc (one shuffle, no ×32
+    // explode). Bit k of hv via literal-shift (codegen'd shiftright).
+    val sums = (0 until 32).map(k =>
+      sum(when(shiftright(col("hv"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$k"))
+    val agged = ids.groupBy(col("doc")).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 32).map(k =>
+      when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
+      .reduce(_ + _)
+    agged.select(col("doc"), sim.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):

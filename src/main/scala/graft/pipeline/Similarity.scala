@@ -23,29 +23,31 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+  import graft.functions.VectorFunctions
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  def l2sq(a: Column, b: Column): Column = VectorFunctions.l2sq(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Output: (query id, rank 1..k, neighbor id). Rank output (not raw
-    * floats) keeps results hash-stable across engines. */
+    * floats) keeps results hash-stable across engines. Norms are computed
+    * once per vector (not per pair), so each pair costs a single
+    * codegen'd dot-product loop. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cs", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cs",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -73,31 +73,58 @@ object TextAnalysis {
     "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "schnell", "de" -> "tabelle",
     "zh" -> "biao", "zh" -> "kuai", "zh" -> "man", "zh" -> "lian", "zh" -> "shu")
 
-  /** Language ID: explode tokens, join the marker dictionary (broadcast),
-    * argmax hit-count per doc with deterministic tie-break (lang asc);
-    * docs with zero hits get 'und'. */
+  /** Language ID: argmax of per-language marker-token hit counts with a
+    * deterministic tie-break (lang asc); docs with zero hits get 'und'.
+    *
+    * Single-shuffle plan: explode tokens, one groupBy(doc) with one
+    * conditional SUM per language (map-side combined), then a 5-element
+    * in-row argmax — no dictionary join, no window, no re-join with the
+    * original table. At 100 TB this is one pass over the token stream. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val dict = LangMarkers.toDF("cand_lang", "marker")
-    val hits = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .join(broadcast(dict), col("tok") === col("marker"))
-      .groupBy(col(idCol), col("cand_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("hits").desc, col("cand_lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cand_lang").as("pred_lang"), col("hits"))
-    df.select(col(idCol))
-      .join(best, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val langs = LangMarkers.map(_._1).distinct.sorted
+    val markers = LangMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val hitCols = langs.map(l =>
+      sum(when(col("tok").isin(markers(l).map(lit): _*), 1L).otherwise(0L))
+        .as(s"h_$l"))
+    val agged = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(hitCols.head, hitCols.tail: _*)
+    // in-row argmax: sort (−hits, lang) ascending, take the head
+    val ranked = sort_array(array(langs.map(l =>
+      struct((-col(s"h_$l")).as("neg"), lit(l).as("lang"))): _*))
+    agged.select(col(idCol),
+      when(ranked.getItem(0).getField("neg") === 0, lit("und"))
+        .otherwise(ranked.getItem(0).getField("lang")).as("pred_lang"),
+      (-ranked.getItem(0).getField("neg")).as("hits"))
   }
 
   /** Canonical fingerprint (OpenRefine-style): md5 of the sorted distinct
     * token set — identical docs up to token order/multiplicity collide. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenSet(text)))
+
+  /** All per-document text statistics in ONE pass: explode tokens once,
+    * aggregate with conditional sums (map-side combined, single shuffle),
+    * then join the row-local fingerprint. Equivalent to qualityMetrics +
+    * bpeishCount + fingerprint, but without re-splitting the text per
+    * metric or folding through interpreted higher-order functions. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val agged = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(length(col("tok"))).as("sum_len"),
+        sum(when(col("tok").isin(StopWords.map(lit): _*), 1L).otherwise(0L)).as("n_stop"),
+        sum(ceil(length(col("tok")) / lit(4.0)).cast(LongType)).as("bpeish"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("sum_len") * 10000.0 / col("n_tokens") + 0.5).cast(LongType)
+          .as("avg_token_len_4"),
+        floor(col("n_stop") * 10000.0 / col("n_tokens") + 0.5).cast(LongType)
+          .as("stopword_ratio_4"),
+        col("bpeish"))
+    agged.join(
+      df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint")), Seq(idCol))
+  }
 }

@@ -44,10 +44,7 @@ object PipelineQueries {
     }),
 
     "q_text_stats" -> ((s, d) => {
-      val docs = Td.documents(s, d)
-      TextAnalysis.qualityMetrics(docs, "text")
-        .withColumn("bpeish", TextAnalysis.bpeishCount(col("text")))
-        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      TextAnalysis.textStats(Td.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len_4"),
           col("stopword_ratio_4"), col("bpeish"), col("fingerprint"))
         .orderBy(col("doc_id"))
@@ -123,9 +120,14 @@ object PipelineQueries {
       s"""WITH $shingleIdsSql,
          |rare AS (SELECT sid FROM ids GROUP BY sid HAVING count(*) <= 100),
          |idsf AS (SELECT * FROM ids WHERE sid IN (SELECT sid FROM rare)),
-         |cand AS (SELECT DISTINCT a.doc doc_a, b.doc doc_b
-         |         FROM idsf a JOIN idsf b ON a.sid = b.sid AND a.doc < b.doc),
-         |$jaccardVerifySql
+         |inter AS (SELECT a.doc doc_a, b.doc doc_b, count(*) i
+         |          FROM idsf a JOIN idsf b ON a.sid = b.sid AND a.doc < b.doc
+         |          GROUP BY 1,2),
+         |sizes AS (SELECT doc, count(*) sz FROM ids GROUP BY doc),
+         |jac AS (SELECT doc_a, doc_b,
+         |        CAST(floor(i*10000.0/(sa.sz+sb.sz-i)+0.5) AS BIGINT) jaccard_4
+         |        FROM inter JOIN sizes sa ON sa.doc = doc_a
+         |                   JOIN sizes sb ON sb.doc = doc_b)
          |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
 
