@@ -75,7 +75,9 @@ object GraphViews {
       .withColumn("last_update_time", lit("2026-01-01T00:00:00Z"))
       .withColumn("properties",
         to_json(struct(col("dt_id").as("$dtId"), col("name"),
-          col("acctbal"), col("mktsegment"))))
+          col("acctbal"), col("mktsegment"),
+          when(col("mktsegment").isNotNull, array(col("mktsegment")))
+            .as("tags"))))
   }
 
   def relationships(spark: SparkSession, dir: String): DataFrame = {

@@ -62,6 +62,50 @@ object AdtLangQueries {
         "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
           "WHERE T.acctbal > 9900 AND IS_OF_MODEL(T, 'dtmi:graft:Customer;1')")
         .orderBy(col("dt_id"))
+    }),
+
+    // C3 ENDSWITH.
+    "q_adt_endswith" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id, T.name AS name FROM DIGITALTWINS T " +
+          "WHERE ENDSWITH(T.name, 'A') AND IS_OF_MODEL(T, 'dtmi:graft:Region;1', exact)")
+        .orderBy(col("dt_id"))
+    }),
+
+    // C4 CONTAINS (substring).
+    "q_adt_contains" -> ((s, d) => {
+      run(s, d,
+        "SELECT COUNT() FROM DIGITALTWINS WHERE CONTAINS(mktsegment, 'MACH')")
+    }),
+
+    // C5 ARRAY_CONTAINS over a JSON array property.
+    "q_adt_array_contains" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
+          "WHERE ARRAY_CONTAINS(T.tags, 'BUILDING')")
+        .orderBy(col("dt_id"))
+    }),
+
+    // C6/C7 IS_NULL / IS_DEFINED over schemaless docs.
+    "q_adt_is_defined" -> ((s, d) => {
+      run(s, d, "SELECT COUNT() FROM DIGITALTWINS WHERE IS_DEFINED(mktsegment)")
+    }),
+    "q_adt_is_null" -> ((s, d) => {
+      run(s, d,
+        "SELECT COUNT() FROM DIGITALTWINS " +
+          "WHERE IS_NULL(acctbal) AND IS_OF_MODEL('dtmi:graft:Nation;1', exact)")
+    }),
+
+    // B2 $-metadata access + B3 IN list.
+    "q_adt_metadata_model" -> ((s, d) => {
+      run(s, d,
+        "SELECT COUNT() FROM DIGITALTWINS WHERE $metadata.$model = 'dtmi:graft:Supplier;1'")
+    }),
+    "q_adt_in_list" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
+          "WHERE T.$dtId IN ['R0', 'R2', 'N5', 'C10']")
+        .orderBy(col("dt_id"))
     })
   )
 
@@ -86,6 +130,27 @@ object AdtLangQueries {
         |FROM nation WHERE n_regionkey IN (0, 2) ORDER BY 1""".stripMargin,
     "q_adt_numeric" ->
       """SELECT 'C' || c_custkey AS dt_id FROM customer
-        |WHERE c_acctbal > 9900 ORDER BY 1""".stripMargin
+        |WHERE c_acctbal > 9900 ORDER BY 1""".stripMargin,
+    "q_adt_endswith" ->
+      """SELECT 'R' || r_regionkey AS dt_id, r_name AS name FROM region
+        |WHERE r_name LIKE '%A' ORDER BY 1""".stripMargin,
+    "q_adt_contains" ->
+      """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM customer
+        |WHERE c_mktsegment LIKE '%MACH%'""".stripMargin,
+    "q_adt_array_contains" ->
+      """SELECT 'C' || c_custkey AS dt_id FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY 1""".stripMargin,
+    "q_adt_is_defined" ->
+      """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM customer""".stripMargin,
+    "q_adt_is_null" ->
+      """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM nation""".stripMargin,
+    "q_adt_metadata_model" ->
+      """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM supplier""".stripMargin,
+    "q_adt_in_list" ->
+      """SELECT dt_id FROM (
+        |  SELECT 'R' || r_regionkey AS dt_id FROM region WHERE r_regionkey IN (0,2)
+        |  UNION ALL SELECT 'N' || n_nationkey FROM nation WHERE n_nationkey = 5
+        |  UNION ALL SELECT 'C' || c_custkey FROM customer WHERE c_custkey = 10)
+        |ORDER BY 1""".stripMargin
   )
 }
