@@ -25,9 +25,10 @@ final case class FromTwins(alias: Option[String]) extends FromSource
 final case class FromRelationships(alias: Option[String]) extends FromSource
 
 /** One edge in a MATCH pattern chain, always normalized to forward
-  * direction (src)-[rel]->(dst); `<-[r]-` inputs are flipped at parse. */
+  * direction (src)-[rel]->(dst); `<-[r]-` inputs are flipped at parse.
+  * `vle` carries variable-length bounds for `[*min..max]` edges. */
 final case class MatchEdge(src: String, relAlias: Option[String],
-    relNames: List[String], dst: String)
+    relNames: List[String], dst: String, vle: Option[(Int, Int)] = None)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

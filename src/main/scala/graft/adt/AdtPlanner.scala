@@ -81,10 +81,20 @@ final class AdtPlanner(graph: TwinGraph) {
         var df: DataFrame = null
         for ((e, i) <- edges.zipWithIndex) {
           val relAlias = e.relAlias.getOrElse(s"__rel$i")
-          val rels0 =
-            if (e.relNames.isEmpty) graph.relationships
-            else graph.relationships.filter(col("relationship_name").isin(e.relNames: _*))
-          val relDf = ns(rels0, relAlias)
+          // a VLE edge joins through the BFS reachability pair set
+          // (source_id, target_id, depth) instead of a single edge row
+          val relDf = e.vle match {
+            case Some((lo, hi)) =>
+              ns(graft.graph.Vle.range(graph.relationships, lo, hi,
+                  e.relNames.headOption)
+                .select(col("start_id").as("source_id"),
+                  col("end_id").as("target_id"), col("depth")), relAlias)
+            case None =>
+              val rels0 =
+                if (e.relNames.isEmpty) graph.relationships
+                else graph.relationships.filter(col("relationship_name").isin(e.relNames: _*))
+              ns(rels0, relAlias)
+          }
           relAliases += relAlias
           if (df == null) {
             df = ns(graph.twins, e.src)
@@ -274,6 +284,7 @@ final class AdtPlanner(graph: TwinGraph) {
       case List("$sourceId") if isRel => col(s"${a}__source_id")
       case List("$targetId") if isRel => col(s"${a}__target_id")
       case List("$relationshipName") if isRel => col(s"${a}__relationship_name")
+      case List("depth") if isRel => col(s"${a}__depth") // VLE pair-set column
       case p => TwinGraph.prop(docCol(a), p)
     }
   }

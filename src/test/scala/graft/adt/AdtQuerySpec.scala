@@ -164,6 +164,18 @@ class AdtQuerySpec extends AnyFunSuite {
     assert(count("SELECT B, R FROM DIGITALTWINS MATCH (T)-[R:orbits|satellites]->(B) WHERE T.$dtId = 'earth'") == 2)
   }
 
+  test("variable-length edges in MATCH (B7 through the query language)") {
+    // moon1 -orbits-> earth -orbits-> sun; earth -satellites-> moon1
+    assert(count("SELECT T FROM DIGITALTWINS MATCH (S)-[r:orbits*1..2]->(T) WHERE S.$dtId = 'moon1'") == 2)
+    assert(count("SELECT T FROM DIGITALTWINS MATCH (S)-[*1..2]->(T) WHERE S.$dtId = 'moon1'") == 3)
+    assert(count("SELECT T FROM DIGITALTWINS MATCH (S)-[r:orbits*2..2]->(T) WHERE S.$dtId = 'moon1'") == 1)
+    assert(count("SELECT T FROM DIGITALTWINS MATCH (S)-[*]->(T) WHERE S.$dtId = 'moon1'") == 3)
+    // depth column exposed under the rel alias
+    val df = planner.run(
+      "SELECT r.depth AS depth FROM DIGITALTWINS MATCH (S)-[r:orbits*1..3]->(T) WHERE S.$dtId = 'moon1' AND T.$dtId = 'sun'")
+    assert(df.collect().map(_.get(0).toString).toSeq == Seq("2"))
+  }
+
   test("projection, TOP, COUNT") {
     val df = planner.run("SELECT T.name AS n, T.mass FROM DIGITALTWINS T WHERE T.$dtId = 'earth'")
     assert(df.columns.toSeq == Seq("n", "mass"))
