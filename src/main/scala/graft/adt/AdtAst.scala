@@ -54,4 +54,7 @@ final case class AdtQuery(
     from: FromSource,
     matches: List[MatchEdge],
     joins: List[JoinRelated],
-    where: Option[Expr])
+    where: Option[Expr],
+    skip: Option[Int] = None,               // Cypher SKIP (paging rewrite target)
+    orderBy: List[(PropRef, Boolean)] = Nil, // (ref, ascending)
+    distinct: Boolean = false)

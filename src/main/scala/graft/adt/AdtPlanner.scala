@@ -21,7 +21,9 @@ final class AdtPlanner(graph: TwinGraph) {
 
   import AdtPlanner._
 
-  def run(query: String): DataFrame = plan(AdtParser.parse(query))
+  /** Parse + plan with language detection (ADT vs raw Cypher), like the
+    * reference endpoint (Query.cs:44-55). */
+  def run(query: String): DataFrame = plan(QueryLanguage.parse(query))
 
   def plan(q: AdtQuery): DataFrame = {
     // ---- resolve scope: which aliases exist, which are twins vs rels ----
@@ -52,11 +54,30 @@ final class AdtPlanner(graph: TwinGraph) {
               .as(as.getOrElse(realPath.last.stripPrefix("$"))))
           case SelectCount => Nil
         }
-        df1.select(cols: _*)
+        if (q.orderBy.nonEmpty) {
+          // ORDER BY refs resolve against the pre-projection scope: carry
+          // them as hidden columns through the projection, sort, drop.
+          val sortCols = q.orderBy.zipWithIndex.map { case ((ref, _), i) =>
+            propFromRef(ref, twinAliases, relAliases, defaultEntity).as(s"__sort$i")
+          }
+          val sortOrder = q.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+            if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc
+          }
+          val base = df1.select(cols ++ sortCols: _*)
+          val deduped = if (q.distinct)
+            base.dropDuplicates(base.columns.dropRight(sortCols.size).toSeq)
+          else base
+          deduped.orderBy(sortOrder: _*)
+            .drop(q.orderBy.indices.map(i => s"__sort$i"): _*)
+        } else {
+          val projected = df1.select(cols: _*)
+          if (q.distinct) projected.distinct() else projected
+        }
       }
 
-    // ---- TOP(n) ----
-    q.top.fold(df2)(df2.limit)
+    // ---- SKIP / TOP/LIMIT ----
+    val df3 = q.skip.fold(df2)(df2.offset)
+    q.top.fold(df3)(df3.limit)
   }
 
   /** Builds the joined scope DataFrame with `alias__col` namespaces. */

@@ -1,0 +1,330 @@
+package graft.adt
+
+/** Cypher-subset front end — the second query language the reference's
+  * endpoint accepts (language detection at AgeDigitalTwinsClient.Query.cs:
+  * 44-55 of /root/reference: contains SELECT and no RETURN ⇒ ADT, else raw
+  * Cypher executed by AGE). We parse the subset the reference's tests and
+  * internal queries exercise straight into the same [[AdtQuery]] AST:
+  *
+  *   MATCH (a:Twin {`$dtId`: 'x'})-[r:name|other*2..6]->(b:Twin)[, ...]
+  *   [WHERE expr]   =, <>, <, >, <=, >=, IN, AND/OR/NOT, STARTS WITH,
+  *                  ENDS WITH, CONTAINS, IS [NOT] NULL, label(r),
+  *                  a.prop / a.`$key` / a['$key'] access
+  *   RETURN [DISTINCT] items | COUNT(*)
+  *   [ORDER BY item [ASC|DESC], ...] [SKIP n] [LIMIT n]
+  */
+object CypherParser {
+
+  import AdtParser.{Tok, Ident, Str, Num, Sym, EOF}
+
+  /** Lex with backtick-quoted identifiers folded into plain Idents. */
+  def lex(q: String): Vector[Tok] = {
+    // replace backtick-quoted spans with placeholder idents the base lexer
+    // accepts, then restore
+    val restored = collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      if (q(i) == '`') {
+        val end = q.indexOf('`', i + 1)
+        if (end < 0) throw new AdtParseException("unterminated backtick identifier")
+        restored += q.substring(i + 1, end)
+        sb.append(s" __bq${restored.size - 1} ")
+        i = end + 1
+      } else { sb.append(q(i)); i += 1 }
+    }
+    AdtParser.lex(sb.toString).map {
+      case Ident(s) if s.startsWith("__bq") => Ident(restored(s.drop(4).toInt))
+      case t => t
+    }
+  }
+
+  def parse(q: String): AdtQuery = new P(lex(q)).query()
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def cur: Tok = toks(pos)
+    private def nxt: Tok = toks(math.min(pos + 1, toks.length - 1))
+    private def advance(): Tok = { val t = cur; pos += 1; t }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case Ident(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    private def expectKw(kw: String): Unit =
+      if (isKw(cur, kw)) pos += 1
+      else throw new AdtParseException(s"expected $kw, found $cur")
+    private def expectSym(s: String): Unit = cur match {
+      case Sym(`s`) => pos += 1
+      case t => throw new AdtParseException(s"expected '$s', found $t")
+    }
+    private def ident(): String = advance() match {
+      case Ident(s) => s
+      case t => throw new AdtParseException(s"expected identifier, found $t")
+    }
+
+    private var anon = 0
+    private def freshAnon(): String = { anon += 1; s"__cnode$anon" }
+    private val propFilters = collection.mutable.ListBuffer[Expr]()
+
+    def query(): AdtQuery = {
+      expectKw("MATCH")
+      val edges = collection.mutable.ListBuffer[MatchEdge]()
+      val loneNodes = collection.mutable.ListBuffer[String]()
+      parsePatterns(edges, loneNodes)
+      val where = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+      expectKw("RETURN")
+      val distinct = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
+      val items = parseReturnItems()
+      val orderBy = collection.mutable.ListBuffer[(PropRef, Boolean)]()
+      if (isKw(cur, "ORDER")) {
+        pos += 1; expectKw("BY")
+        var more = true
+        while (more) {
+          val ref = propRef()
+          val asc =
+            if (isKw(cur, "DESC")) { pos += 1; false }
+            else { if (isKw(cur, "ASC")) pos += 1; true }
+          orderBy += ((ref, asc))
+          if (cur == Sym(",")) pos += 1 else more = false
+        }
+      }
+      val skip = if (isKw(cur, "SKIP")) { pos += 1; Some(num()) } else None
+      val limit = if (isKw(cur, "LIMIT")) { pos += 1; Some(num()) } else None
+      cur match {
+        case EOF =>
+        case t => throw new AdtParseException(s"unexpected trailing token $t")
+      }
+      val allWhere = (propFilters.toList ++ where.toList) match {
+        case Nil => None
+        case one :: Nil => Some(one)
+        case many => Some(many.reduce(And))
+      }
+      val from =
+        if (edges.isEmpty) FromTwins(loneNodes.headOption)
+        else FromTwins(None)
+      AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
+        skip, orderBy.toList, distinct)
+    }
+
+    private def num(): Int = advance() match {
+      case Num(s) => s.toInt
+      case t => throw new AdtParseException(s"expected number, found $t")
+    }
+
+    private def parsePatterns(edges: collection.mutable.ListBuffer[MatchEdge],
+        loneNodes: collection.mutable.ListBuffer[String]): Unit = {
+      var more = true
+      while (more) {
+        var left = parseNode()
+        var hadEdge = false
+        var chaining = true
+        while (chaining) {
+          cur match {
+            case Sym("-") =>
+              pos += 1
+              val (relAlias, relNames, vle) = parseRelBody()
+              expectSym("->")
+              val right = parseNode()
+              edges += MatchEdge(left, relAlias, relNames, right, vle)
+              left = right; hadEdge = true
+            case Sym("<-") =>
+              pos += 1
+              val (relAlias, relNames, vle) = parseRelBody()
+              expectSym("-")
+              val right = parseNode()
+              edges += MatchEdge(right, relAlias, relNames, left, vle)
+              left = right; hadEdge = true
+            case _ => chaining = false
+          }
+        }
+        if (!hadEdge) loneNodes += left
+        if (cur == Sym(",")) pos += 1 else more = false
+      }
+    }
+
+    /** `(alias[:Label][{k: v, ...}])` — label ignored (everything is Twin);
+      * the property map becomes WHERE equality conjuncts. */
+    private def parseNode(): String = {
+      expectSym("(")
+      val alias = cur match {
+        case Ident(s) => pos += 1; s
+        case _ => freshAnon()
+      }
+      if (cur == Sym(":")) { pos += 1; ident() } // swallow label
+      if (cur == Sym("{")) {
+        pos += 1
+        var more = cur != Sym("}")
+        while (more) {
+          val key = ident()
+          expectSym(":")
+          val v = literal()
+          propFilters += Cmp("=", PropRef(Some(alias), List(key)), v)
+          if (cur == Sym(",")) pos += 1 else more = false
+        }
+        expectSym("}")
+      }
+      expectSym(")")
+      alias
+    }
+
+    private def parseRelBody(): (Option[String], List[String], Option[(Int, Int)]) = {
+      expectSym("[")
+      val alias = cur match {
+        case Ident(s) => pos += 1; Some(s)
+        case _ => None
+      }
+      val names = collection.mutable.ListBuffer[String]()
+      if (cur == Sym(":")) {
+        pos += 1
+        names += ident()
+        while (cur == Sym("|")) { pos += 1; names += ident() }
+      }
+      val vle: Option[(Int, Int)] = cur match {
+        case Sym("*") =>
+          pos += 1
+          val lo = cur match { case Num(s) => pos += 1; s.toInt; case _ => 1 }
+          val hi = cur match {
+            case Sym(".") if toks(pos + 1) == Sym(".") =>
+              pos += 2
+              cur match {
+                case Num(s) => pos += 1; s.toInt
+                case _ => AdtParser.DefaultVleMax
+              }
+            case _ if !cur.isInstanceOf[Num] && lo == 1 => AdtParser.DefaultVleMax
+            case _ => lo
+          }
+          Some((lo, hi))
+        case _ => None
+      }
+      expectSym("]")
+      (alias, names.toList, vle)
+    }
+
+    private def parseReturnItems(): List[SelectItem] = {
+      if (isKw(cur, "COUNT") && nxt == Sym("(")) {
+        pos += 2
+        if (cur == Sym("*")) pos += 1
+        expectSym(")")
+        return List(SelectCount)
+      }
+      val items = collection.mutable.ListBuffer[SelectItem]()
+      var more = true
+      while (more) {
+        val ref = propRef()
+        val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
+        items += (ref match {
+          case PropRef(None, List(a)) if as.isEmpty => SelectEntity(a)
+          case PropRef(ent, path) => SelectProp(ent, path, as)
+        })
+        if (cur == Sym(",")) pos += 1 else more = false
+      }
+      items.toList
+    }
+
+    /** alias, alias.prop, alias.`$x`.`$y`, alias['$x']['$y'] chains. */
+    private def propRef(): PropRef = {
+      val first = ident()
+      val path = collection.mutable.ListBuffer[String]()
+      var more = true
+      while (more) {
+        cur match {
+          case Sym(".") => pos += 1; path += ident()
+          case Sym("[") if nxt.isInstanceOf[Str] =>
+            pos += 1
+            path += (advance() match { case Str(s) => s; case _ => "" })
+            expectSym("]")
+          case _ => more = false
+        }
+      }
+      if (path.isEmpty) PropRef(None, List(first)) else PropRef(Some(first), path.toList)
+    }
+
+    // ---- WHERE grammar: OR < AND < NOT < predicates ----
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (isKw(cur, "OR")) { pos += 1; l = Or(l, andExpr()) }
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (isKw(cur, "AND")) { pos += 1; l = And(l, notExpr()) }
+      l
+    }
+    private def notExpr(): Expr =
+      if (isKw(cur, "NOT")) { pos += 1; Not(notExpr()) } else predicate()
+
+    private def predicate(): Expr = {
+      if (cur == Sym("(")) {
+        pos += 1
+        val e = orExpr()
+        expectSym(")")
+        return e
+      }
+      // label(r) = 'name'
+      if (isKw(cur, "label") && nxt == Sym("(")) {
+        pos += 2
+        val relAlias = ident()
+        expectSym(")")
+        expectSym("=")
+        val v = literal()
+        return Cmp("=", PropRef(Some(relAlias), List("$relationshipName")), v)
+      }
+      val l = propRef()
+      cur match {
+        case Sym("=") => pos += 1; Cmp("=", l, operandRhs())
+        case Sym("<") if nxt == Sym(">") => pos += 2; Cmp("!=", l, operandRhs())
+        case Sym(op @ ("!=" | "<" | ">" | "<=" | ">=")) =>
+          pos += 1; Cmp(op, l, operandRhs())
+        case Ident(s) if s.equalsIgnoreCase("IN") =>
+          pos += 1
+          expectSym("[")
+          val vals = collection.mutable.ListBuffer[Lit]()
+          var more = cur != Sym("]")
+          while (more) {
+            vals += literal()
+            if (cur == Sym(",")) pos += 1 else more = false
+          }
+          expectSym("]")
+          In(l, vals.toList)
+        case Ident(s) if s.equalsIgnoreCase("STARTS") =>
+          pos += 1; expectKw("WITH"); FnCall("STARTSWITH", List(l, literal()))
+        case Ident(s) if s.equalsIgnoreCase("ENDS") =>
+          pos += 1; expectKw("WITH"); FnCall("ENDSWITH", List(l, literal()))
+        case Ident(s) if s.equalsIgnoreCase("CONTAINS") =>
+          pos += 1; FnCall("CONTAINS", List(l, literal()))
+        case Ident(s) if s.equalsIgnoreCase("IS") =>
+          pos += 1
+          if (isKw(cur, "NOT")) { pos += 1; expectKw("NULL"); FnCall("IS_DEFINED", List(l)) }
+          else { expectKw("NULL"); FnCall("IS_NULL", List(l)) }
+        case _ => l
+      }
+    }
+
+    private def operandRhs(): Expr = cur match {
+      case Str(_) | Num(_) => literal()
+      case Ident(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
+      case _ => propRef()
+    }
+
+    private def literal(): Lit = advance() match {
+      case Str(s) => StrLit(s)
+      case Num(s) => NumLit(s.toDouble, !s.contains('.'))
+      case Ident(s) if s.equalsIgnoreCase("true") => BoolLit(true)
+      case Ident(s) if s.equalsIgnoreCase("false") => BoolLit(false)
+      case t => throw new AdtParseException(s"expected literal, found $t")
+    }
+  }
+}
+
+/** Language detection — AgeDigitalTwinsClient.Query.cs:44-55: contains
+  * SELECT and no RETURN ⇒ ADT; otherwise raw Cypher. */
+object QueryLanguage {
+  def detect(q: String): String = {
+    val u = q.toUpperCase
+    if (u.contains("SELECT") && !u.contains("RETURN")) "adt" else "cypher"
+  }
+
+  def parse(q: String): AdtQuery =
+    if (detect(q) == "adt") AdtParser.parse(q) else CypherParser.parse(q)
+}

@@ -41,7 +41,7 @@ final class QueryService(graph: TwinGraph) {
       case None => (q, 0L)
     }
 
-    val ast = AdtParser.parse(effectiveQuery)
+    val ast = QueryLanguage.parse(effectiveQuery)
     val df = planner.plan(ast)
     val sorted = df.orderBy(df.columns.map(col): _*)
     val page = sorted.offset(skip.toInt).limit(maxItemsPerPage + 1).collect()

@@ -1,0 +1,71 @@
+package graft.adt
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cypher-subset semantics over the same fixture graph as AdtQuerySpec —
+  * ports the raw-Cypher cases the reference's tests run through the query
+  * endpoint (QueryTests.cs:50, :98, :995; VariableLengthEdgeTests.cs). */
+class CypherSpec extends AnyFunSuite {
+
+  // reuse the shared fixture graph/planner
+  private val host = new AdtQuerySpec
+  private def planner = host.planner
+
+  private def count(q: String): Long = planner.run(q).count()
+
+  test("language detection routes SELECT→ADT, MATCH/RETURN→Cypher") {
+    assert(QueryLanguage.detect("SELECT T FROM DIGITALTWINS T") == "adt")
+    assert(QueryLanguage.detect("MATCH (t:Twin) RETURN t") == "cypher")
+    assert(QueryLanguage.detect("MATCH (t) WHERE t.x = 1 RETURN count(*)") == "cypher")
+  }
+
+  test("MATCH with inline property map and edge label (QueryTests.cs:50)") {
+    val df = planner.run(
+      "MATCH (r:Twin { `$dtId`: 'earth' })-[rel:satellites]->(s:Twin) RETURN r, rel, s")
+    val row = df.collect()(0)
+    val cols = df.columns
+    assert(row.getString(cols.indexOf("r_dt_id")) == "earth")
+    assert(row.getString(cols.indexOf("rel_relationship_id")) == "r4")
+    assert(row.getString(cols.indexOf("s_dt_id")) == "moon1")
+  }
+
+  test("WHERE with bracket access on relationship (QueryTests.cs:98)") {
+    val df = planner.run(
+      "MATCH (r:Twin)-[rel:orbits]->(s:Twin) WHERE rel['$relationshipId'] = 'r2' RETURN rel")
+    val row = df.collect()
+    assert(row.length == 1)
+    assert(row(0).getString(df.columns.indexOf("rel_source_id")) == "earth")
+  }
+
+  test("backtick metadata access + SKIP/LIMIT (QueryTests.cs:995)") {
+    assert(count("MATCH (t:Twin) RETURN t") == 4)
+    val page = planner.run(
+      "MATCH (t:Twin) WHERE t.`$metadata`.`$model` <> 'nope' RETURN t.`$dtId` AS id ORDER BY t.`$dtId` SKIP 1 LIMIT 2")
+    assert(page.collect().map(_.getString(0)).toSeq == Seq("kepler", "moon1"))
+  }
+
+  test("COUNT(*), DISTINCT, comparison operators") {
+    val c = planner.run("MATCH (t:Twin) WHERE t.mass > 1e24 RETURN count(*)")
+    assert(c.columns.toSeq == Seq("COUNT") && c.collect()(0).getLong(0) == 3)
+    assert(count("MATCH (a:Twin)-[r:orbits]->(b:Twin) RETURN DISTINCT b.`$dtId`") == 2)
+    assert(count("MATCH (t:Twin) WHERE t.name STARTS WITH 'Ke' RETURN t") == 1)
+    assert(count("MATCH (t:Twin) WHERE t.name CONTAINS 'oo' RETURN t") == 1)
+    assert(count("MATCH (t:Twin) WHERE t.hasLife IS NOT NULL RETURN t") == 1)
+    assert(count("MATCH (t:Twin) WHERE t.hasLife IS NULL RETURN t") == 3)
+    assert(count("MATCH (t:Twin) WHERE t.`$dtId` IN ['sun','earth'] RETURN t") == 2)
+  }
+
+  test("variable-length Cypher edge -[*2..6]-> (VariableLengthEdgeTests.cs)") {
+    assert(count(
+      "MATCH (s:Twin { `$dtId`: 'moon1' })-[r*2..6]->(t:Twin) RETURN t") == 2)
+    assert(count(
+      "MATCH (s:Twin { `$dtId`: 'moon1' })-[r:orbits*1..2]->(t:Twin) RETURN t") == 2)
+  }
+
+  test("label() predicate and reverse arrows") {
+    assert(count(
+      "MATCH (a:Twin)-[r]->(b:Twin) WHERE label(r) = 'satellites' RETURN r") == 1)
+    assert(count(
+      "MATCH (s:Twin)<-[r:orbits]-(t:Twin) WHERE s.`$dtId` = 'sun' RETURN t") == 2)
+  }
+}
