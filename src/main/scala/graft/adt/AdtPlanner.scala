@@ -37,8 +37,46 @@ final class AdtPlanner(graph: TwinGraph) {
 
     // ---- SELECT ----
     val isCount = q.items.contains(SelectCount)
+    val aggItems = q.items.collect { case a: SelectAgg => a }
     val df2 =
       if (isCount) df1.agg(count(lit(1)).as("COUNT"))
+      else if (aggItems.nonEmpty) {
+        // Cypher grouped aggregation: non-aggregate return items are the
+        // grouping keys (B10) — partial aggregation + one shuffle.
+        val keyCols = q.items.collect {
+          case SelectProp(ent, path, as) =>
+            val (entOpt, realPath) = resolvePropRef(ent, path, twinAliases, relAliases)
+            propValue(entOpt, realPath, twinAliases, relAliases, defaultEntity)
+              .as(as.getOrElse(realPath.last.stripPrefix("$")))
+          case SelectEntity(p) if !twinAliases(p) && !relAliases(p) =>
+            propValue(None, List(p), twinAliases, relAliases, defaultEntity).as(p)
+        }
+        val aggCols = aggItems.map { a =>
+          val arg = a.arg.map(r =>
+            propFromRef(r, twinAliases, relAliases, defaultEntity).cast("double"))
+          val c = a.fn match {
+            case "COUNT" => arg.fold(count(lit(1)))(count)
+            case "SUM" => sum(arg.get)
+            case "AVG" => avg(arg.get)
+            case "MIN" => min(arg.get)
+            case "MAX" => max(arg.get)
+          }
+          c.as(a.as.getOrElse(a.fn))
+        }
+        val grouped =
+          if (keyCols.isEmpty) df1.agg(aggCols.head, aggCols.tail: _*)
+          else df1.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (q.orderBy.nonEmpty) {
+          val order = q.orderBy.map { case (ref, asc) =>
+            val name = ref.path.last.stripPrefix("$")
+            val c = grouped.columns.find(n => n == name || ref.path == List(n))
+              .map(col).getOrElse(throw new AdtPlanException(
+                s"ORDER BY ${ref.path.mkString(".")} must name a returned column"))
+            if (asc) c.asc else c.desc
+          }
+          grouped.orderBy(order: _*)
+        } else grouped
+      }
       else {
         val cols = q.items.flatMap {
           case SelectStar =>

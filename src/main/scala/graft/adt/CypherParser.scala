@@ -200,22 +200,31 @@ object CypherParser {
       (alias, names.toList, vle)
     }
 
+    private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+
     private def parseReturnItems(): List[SelectItem] = {
-      if (isKw(cur, "COUNT") && nxt == Sym("(")) {
-        pos += 2
-        if (cur == Sym("*")) pos += 1
-        expectSym(")")
-        return List(SelectCount)
-      }
       val items = collection.mutable.ListBuffer[SelectItem]()
       var more = true
       while (more) {
-        val ref = propRef()
-        val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-        items += (ref match {
-          case PropRef(None, List(a)) if as.isEmpty => SelectEntity(a)
-          case PropRef(ent, path) => SelectProp(ent, path, as)
-        })
+        cur match {
+          case Ident(f) if aggFns(f.toUpperCase) && nxt == Sym("(") =>
+            val fn = f.toUpperCase
+            pos += 2
+            val arg = cur match {
+              case Sym("*") => pos += 1; None
+              case _ => Some(propRef())
+            }
+            expectSym(")")
+            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
+            items += SelectAgg(fn, arg, as)
+          case _ =>
+            val ref = propRef()
+            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
+            items += (ref match {
+              case PropRef(None, List(a)) if as.isEmpty => SelectEntity(a)
+              case PropRef(ent, path) => SelectProp(ent, path, as)
+            })
+        }
         if (cur == Sym(",")) pos += 1 else more = false
       }
       items.toList

@@ -21,7 +21,10 @@ final case class QueryPage(
     continuationToken: Option[String],
     charge: Double)
 
-final class QueryService(graph: TwinGraph) {
+final class QueryThrottledException(msg: String) extends RuntimeException(msg)
+
+final class QueryService(graph: TwinGraph,
+    limiter: Option[RateLimiter] = None) {
 
   private val planner = new AdtPlanner(graph)
 
@@ -53,8 +56,13 @@ final class QueryService(graph: TwinGraph) {
         Some(Base64.getEncoder.encodeToString(t.getBytes("UTF-8")))
       } else None
 
-    QueryPage(rows.map(rowToJson(df.columns, _)), nextToken,
-      charge(ast, rows, df.columns.length))
+    val c = charge(ast, rows, df.columns.length)
+    limiter.foreach { l =>
+      if (!l.tryAcquire(c))
+        throw new QueryThrottledException(
+          s"query charge $c exceeds remaining window budget ${l.remaining}")
+    }
+    QueryPage(rows.map(rowToJson(df.columns, _)), nextToken, c)
   }
 
   /** Stream all pages (the reference's AsyncPageable). */

@@ -78,6 +78,7 @@ object GraphViews {
           col("acctbal"), col("mktsegment"),
           when(col("mktsegment").isNotNull, array(col("mktsegment")))
             .as("tags"))))
+      .select("dt_id", "model_id", "etag", "last_update_time", "properties")
   }
 
   def relationships(spark: SparkSession, dir: String): DataFrame = {

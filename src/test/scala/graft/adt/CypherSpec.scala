@@ -62,6 +62,25 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (s:Twin { `$dtId`: 'moon1' })-[r:orbits*1..2]->(t:Twin) RETURN t") == 2)
   }
 
+  test("grouped aggregates in RETURN (B10 through Cypher)") {
+    // count of orbit targets per source kind
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN b.`$dtId` AS target, count(*) AS n ORDER BY target")
+    assert(df.columns.toSeq == Seq("target", "n"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("earth", 1L), ("sun", 2L)))
+    // global aggregates over a property
+    val agg = planner.run(
+      "MATCH (t:Twin) RETURN count(*) AS n, min(t.mass) AS lo, max(t.mass) AS hi")
+    val row = agg.collect()(0)
+    assert(row.getLong(0) == 4 && row.getDouble(1) == 7.34e22 && row.getDouble(2) == 1.989e30)
+    // sum/avg
+    val s = planner.run(
+      "MATCH (t:Twin) WHERE t.mass < 1e26 RETURN sum(t.mass) AS total")
+    assert(math.abs(s.collect()(0).getDouble(0) - (7.34e22 + 5.97e24 + 1.34e25)) < 1e20)
+  }
+
   test("label() predicate and reverse arrows") {
     assert(count(
       "MATCH (a:Twin)-[r]->(b:Twin) WHERE label(r) = 'satellites' RETURN r") == 1)

@@ -78,6 +78,21 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("charge-weighted rate limiting (B20 policy)") {
+    var now = 0L
+    val limiter = new RateLimiter(budgetPerWindow = 100, windowMillis = 1000,
+      clock = () => now)
+    val limited = new QueryService(graph, Some(limiter))
+    // each page: 25 rows × (1 + 1 prop) = 50 charge
+    limited.query("SELECT T.$dtId AS id FROM DIGITALTWINS T")
+    limited.query("SELECT T.$dtId AS id FROM DIGITALTWINS T")
+    val e = intercept[QueryThrottledException](
+      limited.query("SELECT T.$dtId AS id FROM DIGITALTWINS T"))
+    assert(e.getMessage.contains("budget"))
+    now = 1500 // window rolls
+    limited.query("SELECT T.$dtId AS id FROM DIGITALTWINS T")
+  }
+
   test("component get/update (D12)") {
     val c = store.getComponent("t003", "engine")
     assert(Json.get(c, "/power").get.asDouble() == 30.0)

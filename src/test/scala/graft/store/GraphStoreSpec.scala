@@ -1,0 +1,76 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraphViews
+
+/** Storage layout: partition pruning on model_id, point-lookup pushdown on
+  * dt_id, merge/delete semantics, bucketed traversal join without a
+  * shuffle on the probe side. */
+class GraphStoreSpec extends AnyFunSuite {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val dir: String = Files.createTempDirectory("graft-store").toString
+  lazy val graph = GraphViews.graph(spark, "/root/testdata/sf0.001")
+
+  test("write/read round-trip preserves the graph") {
+    GraphStore.write(graph, dir)
+    val back = GraphStore.read(spark, dir)
+    assert(back.twins.count() == graph.twins.count())
+    assert(back.relationships.count() == graph.relationships.count())
+    assert(back.twins.columns.toSeq ==
+      Seq("dt_id", "model_id", "etag", "last_update_time", "properties"))
+  }
+
+  test("model filter prunes partitions; dt_id lookup pushes filters") {
+    GraphStore.write(graph, dir)
+    val back = GraphStore.read(spark, dir)
+    val byModel = back.twins.filter(col("model_id") === GraphViews.Nation)
+    val planText = byModel.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters") &&
+      planText.contains("model_id"), s"no partition pruning in:\n$planText")
+    val point = back.twins.filter(col("dt_id") === "N3")
+    val pointPlan = point.queryExecution.executedPlan.toString
+    assert(pointPlan.contains("PushedFilters") && pointPlan.contains("dt_id"))
+    assert(point.count() == 1)
+  }
+
+  test("mergeTwins upserts; deleteTwins removes") {
+    import spark.implicits._
+    val upsert = Seq(
+      ("N3", GraphViews.Nation, null: String, "2026-02-02T00:00:00Z", """{"name":"UPDATED"}"""),
+      ("NEW1", GraphViews.Nation, null: String, "2026-02-02T00:00:00Z", """{"name":"New"}"""))
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val merged = GraphStore.mergeTwins(graph.twins, upsert)
+    assert(merged.count() == graph.twins.count() + 1)
+    assert(merged.filter($"dt_id" === "N3").select("properties")
+      .collect()(0).getString(0).contains("UPDATED"))
+    val afterDelete = GraphStore.deleteTwins(merged, Seq("N3", "NEW1").toDF("dt_id"))
+    assert(afterDelete.count() == graph.twins.count() - 1)
+  }
+
+  test("bucketed tables join without shuffling either side") {
+    GraphStore.writeBucketedTables(graph, "graftdb", buckets = 4)
+    // force the sort-merge path (at real scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("graftdb.twins")
+      val r = spark.table("graftdb.relationships")
+      val joined = r.join(t, r("source_id") === t("dt_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides bucketed on the join key by the same count → no Exchange
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == graph.relationships.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
