@@ -102,6 +102,19 @@ object GraphViews {
       .withColumn("properties", lit("{}"))
   }
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TwinGraph]()
+
+  /** Memoized per (session, dir) with persisted tables — the derivation is
+    * deterministic, and consecutive queries in one session (Verify/Bench)
+    * shouldn't re-scan four parquet files each. `spark.catalog.clearCache`
+    * drops the persisted data; the memoized plan then lazily re-caches. */
   def graph(spark: SparkSession, dir: String): TwinGraph =
-    TwinGraph(twins(spark, dir), relationships(spark, dir), models(spark))
+    memo.computeIfAbsent((spark, dir), { _ =>
+      import org.apache.spark.storage.StorageLevel
+      TwinGraph(
+        twins(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
+        relationships(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
+        models(spark))
+    })
 }

@@ -89,9 +89,23 @@ object Similarity {
   }
 
   /** Embedding near-dup: each vector's single nearest neighbor (cosine) —
-    * the argmax formulation avoids float-threshold boundary effects. */
+    * the argmax formulation avoids float-threshold boundary effects.
+    * k=1 uses max_by aggregation (map-side combinable — no global sort
+    * window over the n² score table); ties break to the smaller id,
+    * matching the row_number ORDER BY cs DESC, n_id form. */
   def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String)
-      : DataFrame =
-    bruteForceTopK(corpus, corpus, idCol, vecCol, 1)
-      .select(col("q_id").as("v_id"), col("n_id").as("nn_id"))
+      : DataFrame = {
+    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cs",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .groupBy(col("q_id"))
+      .agg(max_by(col("n_id"),
+        struct(col("cs"), (-col("n_id")).cast("double"))).as("nn_id"))
+      .select(col("q_id").as("v_id"), col("nn_id"))
+  }
 }
