@@ -60,6 +60,11 @@ class GraphStoreSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without shuffling either side") {
+    // the suite may share a session whose warehouse conf differs — pin the
+    // database (and so its managed tables) to a fresh temp location
+    val dbLoc = Files.createTempDirectory("graft-db").toString
+    spark.sql("DROP DATABASE IF EXISTS graftdb CASCADE")
+    spark.sql(s"CREATE DATABASE graftdb LOCATION '$dbLoc'")
     GraphStore.writeBucketedTables(graph, "graftdb", buckets = 4)
     // force the sort-merge path (at real scale neither side broadcasts)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
