@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql` users get them alongside the DataFrame API:
+  *
+  *   spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  *   spark.sql("... WHERE graft_json_type(properties, 'dims') = 'object'")
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two numeric arrays (double)"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "squared L2 distance of two numeric arrays"),
+      (args: Seq[Expression]) => L2DistanceSq(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(DotProduct(args(0), args(1)),
+          Multiply(Sqrt(DotProduct(args(0), args(0))),
+            Sqrt(DotProduct(args(1), args(1)))))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_json_type"),
+      info("graft_json_type", "JSON type at a dotted path"),
+      (args: Seq[Expression]) => JsonTypeOf(args(0), args(1))))
+  }
+}

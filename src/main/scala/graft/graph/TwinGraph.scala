@@ -88,6 +88,16 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
     modelId +: desc
   }
 
+  /** Lexical model search (Models.cs:911-931 of /root/reference:
+    * `toLower(id|displayName) CONTAINS q`), C14 toLower/toString. */
+  def searchModels(q: String, limit: Int = 10): DataFrame = {
+    val needle = q.toLowerCase
+    models.filter(lower(col("id")).contains(needle) ||
+        lower(coalesce(col("display_name"), lit(""))).contains(needle))
+      .orderBy(col("id"))
+      .limit(limit)
+  }
+
   /** B16/C15: ordered vector top-k over a JSON embedding property —
     * `ORDER BY l2_distance(t.emb, [..]) LIMIT k` (DigitalTwins.cs:1242-1248)
     * as a TakeOrdered over an L2 Column kernel (no UDF). */

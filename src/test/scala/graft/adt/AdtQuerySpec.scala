@@ -42,13 +42,16 @@ class AdtQuerySpec extends AnyFunSuite {
 
     val models = Seq(
       ("dtmi:com:contoso:CelestialBody;1", Seq.empty[String],
-        Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Moon;1")),
+        Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Moon;1"),
+        "Celestial Body"),
       ("dtmi:com:contoso:Planet;1", Seq("dtmi:com:contoso:CelestialBody;1"),
-        Seq("dtmi:com:contoso:HabitablePlanet;1")),
+        Seq("dtmi:com:contoso:HabitablePlanet;1"), "Planet"),
       ("dtmi:com:contoso:HabitablePlanet;1",
-        Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"), Seq.empty[String]),
-      ("dtmi:com:contoso:Moon;1", Seq("dtmi:com:contoso:CelestialBody;1"), Seq.empty[String])
-    ).toDF("id", "bases", "descendants")
+        Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"),
+        Seq.empty[String], "Habitable Planet"),
+      ("dtmi:com:contoso:Moon;1", Seq("dtmi:com:contoso:CelestialBody;1"),
+        Seq.empty[String], "Moon")
+    ).toDF("id", "bases", "descendants", "display_name")
 
     TwinGraph(twins, rels, models)
   }
@@ -174,6 +177,14 @@ class AdtQuerySpec extends AnyFunSuite {
     val df = planner.run(
       "SELECT r.depth AS depth FROM DIGITALTWINS MATCH (S)-[r:orbits*1..3]->(T) WHERE S.$dtId = 'moon1' AND T.$dtId = 'sun'")
     assert(df.collect().map(_.get(0).toString).toSeq == Seq("2"))
+  }
+
+  test("lexical model search (C14 / Models.cs:911-931)") {
+    val hits = graph.searchModels("planet").collect()
+    assert(hits.map(_.getString(0)).toSeq ==
+      Seq("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Planet;1"))
+    assert(graph.searchModels("moon").count() == 1)
+    assert(graph.searchModels("zzz").count() == 0)
   }
 
   test("projection, TOP, COUNT") {
