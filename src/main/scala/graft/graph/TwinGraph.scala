@@ -78,14 +78,26 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
     }
   }
 
-  /** modelId + its descendants, collected driver-side (models table is tiny
+  /** modelId + its descendants, collected driver-side at PLAN time (a
+    * catalog-metadata lookup, like resolving a table — models are bounded
     * and cached; the reference's equivalent is `model_and_descendants`,
-    * GraphInitialization.cs:239-257). */
+    * GraphInitialization.cs:239-257). The literal family list lets Catalyst
+    * constant-fold the membership test per partition/union branch. */
   def modelFamily(modelId: String): Seq[String] = {
     val rows = models.filter(col("id") === modelId)
       .select(col("descendants")).collect()
     val desc = rows.headOption.flatMap(r => Option(r.getSeq[String](0))).getOrElse(Nil)
     modelId +: desc
+  }
+
+  /** Fully-distributed IS_OF_MODEL: broadcast semi-join against the
+    * exploded closure — no driver collect; use when the model set is not
+    * driver-resident (e.g. models maintained as a stream). */
+  def ofModelDistributed(modelId: String): DataFrame = {
+    val family = models.filter(col("id") === modelId)
+      .select(explode(concat(array(col("id")), coalesce(col("descendants"),
+        array()))).as("fam_id"))
+    twins.join(broadcast(family), col("model_id") === col("fam_id"), "left_semi")
   }
 
   /** Lexical model search (Models.cs:911-931 of /root/reference:

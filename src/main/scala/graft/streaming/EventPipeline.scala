@@ -94,6 +94,33 @@ object EventPipeline {
         get_json_object(col("data"), "$['source']").as("Source"),
         get_json_object(col("data"), "$['target']").as("Target"))
 
+  /** One physical change-feed row (e.g. a WAL tuple): several may belong
+    * to one logical operation within a transaction. */
+  final case class PhysicalChange(txnId: Long, seq: Long, ts: String,
+      eventType: String, entityId: String, oldJson: String, newJson: String)
+
+  /** E3 stateful correlation for EXTERNAL change feeds: consecutive rows
+    * for the same (txn, entity) fold into one logical event — first
+    * OldValue + last NewValue (AgeDigitalTwinsReplication.cs:324-339,
+    * 396-424 of /root/reference). Our own mutation log never needs this
+    * (one row per logical op by construction), but feeds replicated from a
+    * row-at-a-time WAL do. Batch form shown here groups per key with
+    * map-side-combinable min_by/max_by; under `readStream` the same fold
+    * runs as flatMapGroupsWithState keyed by (txnId, entityId) with the
+    * transaction commit as the flush boundary. */
+  def foldPhysicalRows(spark: SparkSession, rows: DataFrame): Dataset[MutationEvent] = {
+    import spark.implicits._
+    rows.groupBy(col("txnId"), col("entityId"))
+      .agg(
+        min(col("seq")).as("seq"),
+        max(col("ts")).as("ts"),
+        max_by(col("eventType"), col("seq")).as("eventType"),
+        min_by(col("oldJson"), col("seq")).as("oldJson"),
+        max_by(col("newJson"), col("seq")).as("newJson"))
+      .select(col("seq"), col("ts"), col("eventType"), col("oldJson"), col("newJson"))
+      .as[MutationEvent]
+  }
+
   /** Open the mutation log directory as a stream (A9: the CDC source). */
   def readMutationStream(spark: SparkSession, dir: String): Dataset[MutationEvent] =
     mutationsToDataset(spark,

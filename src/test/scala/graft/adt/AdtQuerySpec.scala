@@ -179,6 +179,13 @@ class AdtQuerySpec extends AnyFunSuite {
     assert(df.collect().map(_.get(0).toString).toSeq == Seq("2"))
   }
 
+  test("ofModelDistributed matches the plan-time closure path") {
+    val m = "dtmi:com:contoso:Planet;1"
+    val viaCollect = graph.ofModel(m).select("dt_id").collect().map(_.getString(0)).toSet
+    val viaJoin = graph.ofModelDistributed(m).select("dt_id").collect().map(_.getString(0)).toSet
+    assert(viaCollect == viaJoin && viaJoin == Set("earth", "kepler"))
+  }
+
   test("lexical model search (C14 / Models.cs:911-931)") {
     val hits = graph.searchModels("planet").collect()
     assert(hits.map(_.getString(0)).toSeq ==

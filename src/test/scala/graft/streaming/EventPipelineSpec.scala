@@ -75,6 +75,25 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(relLc.filter($"Name" === "feeds").count() == 2)
   }
 
+  test("E3 fold: multiple physical WAL rows collapse to one logical event") {
+    import spark.implicits._
+    // txn 1 updates twin t1 three times: fold = first old + last new
+    val rows = Seq(
+      (1L, 1L, "t1", "TwinUpdate", "t1", """{"v":0}""", """{"v":1}"""),
+      (1L, 2L, "t2", "TwinUpdate", "t1", """{"v":1}""", """{"v":2}"""),
+      (1L, 3L, "t3", "TwinUpdate", "t1", """{"v":2}""", """{"v":3}"""),
+      (1L, 4L, "t3", "TwinCreate", "t9", null, """{"v":9}"""),
+      (2L, 5L, "t4", "TwinUpdate", "t1", """{"v":3}""", """{"v":4}""")
+    ).toDF("txnId", "seq", "ts", "eventType", "entityId", "oldJson", "newJson")
+    val folded = EventPipeline.foldPhysicalRows(spark, rows)
+      .collect().sortBy(_.seq)
+    assert(folded.length == 3)
+    val t1txn1 = folded(0)
+    assert(t1txn1.oldJson == """{"v":0}""" && t1txn1.newJson == """{"v":3}""")
+    assert(folded(1).eventType == "TwinCreate")
+    assert(folded(2).oldJson == """{"v":3}""" && folded(2).newJson == """{"v":4}""")
+  }
+
   test("DLQ captures sink failures without killing the stream") {
     val dir = Files.createTempDirectory("graft-dlq").toString
     val store = populatedStore()
