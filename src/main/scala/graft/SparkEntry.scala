@@ -12,9 +12,17 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q_b5_multi_join")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * an ADT-language query through the full parser → planner → Catalyst
+    * path — two JOIN RELATED hops + inheritance-closure membership. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.adt.AdtPlanner
+    import graft.graph.GraphViews
+    new AdtPlanner(GraphViews.graph(spark, "/root/testdata/sf0.001")).run(
+      "SELECT C.$dtId AS member_id, R.name AS region_name FROM DIGITALTWINS C " +
+        "JOIN N RELATED C.located_in JOIN R RELATED N.in_region " +
+        "WHERE R.name = 'ASIA' AND IS_OF_MODEL(C, 'dtmi:graft:Customer;1', exact)")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries ++

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the properties that make these operators
+  * survive a 100× scale-up are asserted on the physical plans, so a future
+  * refactor can't silently reintroduce a pathological plan. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_b5_multi_join: dims broadcast, filters + pruning reach the scans") {
+    val p = plan("q_b5_multi_join")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("PushedFilters"), "join-key null filters must push down")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must prune to 3 columns:\n$p")
+  }
+
+  test("q1_agg: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    // two HashAggregates around one Exchange = map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange".r.findAllIn(p).size <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("q_sim_topk: native dot-product kernel, no interpreted folds") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"),
+      s"expected the native kernel in:\n$p")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold crept back in")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast")
+  }
+
+  test("q_dedup_minhash: no cartesian products anywhere") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay index-joined:\n$p")
+  }
+
+  test("twin point lookup pushes dt_id to the scan") {
+    val g = graft.graph.GraphViews.graph(spark, sf)
+    val p = g.twinById("N3").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("dt_id"),
+      s"dt_id filter not pushed:\n$p")
+  }
+}

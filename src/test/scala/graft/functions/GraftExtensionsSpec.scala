@@ -6,17 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** SQL-surface registration of the native expressions (SparkSessionExtensions). */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  // a dedicated session: extensions apply at session construction
+  // extensions apply at session build; under a shared-suite JVM an
+  // existing session may be returned, so also exercise the direct
+  // registration path
   lazy val spark: SparkSession = {
-    val existing = SparkSession.getActiveSession
-    existing.foreach(_ => SparkSession.clearActiveSession())
-    SparkSession.builder()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    GraftExtensions.register(s) // idempotent; covers pre-existing sessions
+    s
   }
 
   test("graft_dot / graft_l2sq / graft_cosine usable from SQL") {
