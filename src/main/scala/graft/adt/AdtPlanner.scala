@@ -145,7 +145,7 @@ final class AdtPlanner(graph: TwinGraph) {
           val relDf = e.vle match {
             case Some((lo, hi)) =>
               ns(graft.graph.Vle.range(graph.relationships, lo, hi,
-                  e.relNames.headOption)
+                  e.relNames)
                 .select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth")), relAlias)
             case None =>

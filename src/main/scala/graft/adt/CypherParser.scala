@@ -182,7 +182,9 @@ object CypherParser {
       val vle: Option[(Int, Int)] = cur match {
         case Sym("*") =>
           pos += 1
-          val lo = cur match { case Num(s) => pos += 1; s.toInt; case _ => 1 }
+          // Option distinguishes bare '*' from exact-depth '*1' (see AdtParser)
+          val loOpt = cur match { case Num(s) => pos += 1; Some(s.toInt); case _ => None }
+          val lo = loOpt.getOrElse(1)
           val hi = cur match {
             case Sym(".") if toks(pos + 1) == Sym(".") =>
               pos += 2
@@ -190,8 +192,7 @@ object CypherParser {
                 case Num(s) => pos += 1; s.toInt
                 case _ => AdtParser.DefaultVleMax
               }
-            case _ if !cur.isInstanceOf[Num] && lo == 1 => AdtParser.DefaultVleMax
-            case _ => lo
+            case _ => if (loOpt.isEmpty) AdtParser.DefaultVleMax else lo
           }
           Some((lo, hi))
         case _ => None

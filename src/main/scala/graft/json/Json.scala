@@ -106,6 +106,52 @@ object Json {
     copy
   }
 
+  /** RFC-6902 `add` semantics: like [[set]] except an existing array index
+    * means *insert before* (shifting elements right), not replace. The
+    * reference relies on a conformant Json.Patch implementation in
+    * patchTwin/updateComponent (DigitalTwins.cs:592-609), so `add` and
+    * `replace` must diverge on arrays. */
+  def insert(root: JsonNode, ptr: String, value: JsonNode): JsonNode = {
+    val toks = splitPointer(ptr)
+    if (toks.isEmpty) return value
+    val parentPtr =
+      if (toks.init.isEmpty) ""
+      else toks.init.map(escapeToken).mkString("/", "/", "")
+    get(root, parentPtr) match {
+      case Some(_: ArrayNode) =>
+        val copy = root.deepCopy[JsonNode]()
+        var cur = copy
+        for (tok <- toks.init) cur = cur match {
+          case o: ObjectNode => o.get(tok)
+          case arr: ArrayNode => arr.get(tok.toInt)
+          case _ => throw new IllegalArgumentException(s"cannot traverse $ptr at $tok")
+        }
+        val arr = cur.asInstanceOf[ArrayNode]
+        val last = toks.last
+        if (last == "-") arr.add(value)
+        else {
+          val i = try last.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad array index '$last' in $ptr")
+          }
+          if (i < 0 || i > arr.size)
+            throw new IllegalArgumentException(
+              s"array index $i out of bounds (size ${arr.size}) at $ptr")
+          if (i == arr.size) arr.add(value) else arr.insert(i, value)
+        }
+        copy
+      case _ => set(root, ptr, value) // object member (or intermediates to create)
+    }
+  }
+
+  /** RFC-6902 `replace` semantics: like [[set]] but the target must already
+    * exist (objects and array indices alike). */
+  def replace(root: JsonNode, ptr: String, value: JsonNode): JsonNode = {
+    if (splitPointer(ptr).nonEmpty && get(root, ptr).isEmpty)
+      throw new IllegalArgumentException(s"replace target $ptr not found")
+    set(root, ptr, value)
+  }
+
   def remove(root: JsonNode, ptr: String): JsonNode = {
     val copy = root.deepCopy[JsonNode]()
     val toks = splitPointer(ptr)
@@ -161,17 +207,18 @@ object JsonPatch {
   def apply(doc: JsonNode, ops: Seq[PatchOp]): JsonNode = {
     var cur = doc
     for (op <- ops) op.op match {
-      case "add" | "replace" => cur = Json.set(cur, op.path, op.value.deepCopy[JsonNode]())
+      case "add" => cur = Json.insert(cur, op.path, op.value.deepCopy[JsonNode]())
+      case "replace" => cur = Json.replace(cur, op.path, op.value.deepCopy[JsonNode]())
       case "remove" => cur = Json.remove(cur, op.path)
       case "copy" =>
         val v = Json.get(cur, op.from).getOrElse(
           throw new IllegalArgumentException(s"from ${op.from} not found"))
-        cur = Json.set(cur, op.path, v.deepCopy[JsonNode]())
+        cur = Json.insert(cur, op.path, v.deepCopy[JsonNode]())
       case "move" =>
         val v = Json.get(cur, op.from).getOrElse(
           throw new IllegalArgumentException(s"from ${op.from} not found"))
         cur = Json.remove(cur, op.from)
-        cur = Json.set(cur, op.path, v.deepCopy[JsonNode]())
+        cur = Json.insert(cur, op.path, v.deepCopy[JsonNode]())
       case "test" =>
         val v = Json.get(cur, op.path).orNull
         if (v == null || v != op.value)

@@ -118,39 +118,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
   }
 
-  /** MinHash signatures: numHashes minima of (a_i·sid + b_i) mod P. */
+  /** MinHash signatures, wide form (doc, mh0..mh{numHashes-1}): the i-th
+    * column is min over shingles of (a_i·sid + b_i) mod P.
+    *
+    * One `groupBy(doc)` with numHashes aggregate expressions — NOT a
+    * crossJoin with the hash-param table. The crossJoin form multiplies the
+    * (doc, shingle) rows ×numHashes through a shuffle (64× the bytes at 64
+    * perms); the wide form shuffles the base rows once and computes all
+    * minima map-side (partial aggregation), fully inside whole-stage
+    * codegen — the same trick [[simhash]] uses for its 32 bit-sums. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val params = hashParams(numHashes).toDF("h", "a", "b")
-    shingleIds(df, idCol, textCol, n)
-      .crossJoin(broadcast(params))
-      .groupBy(col("doc"), col("h"))
-      .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    minhashSignaturesFrom(shingleIds(df, idCol, textCol, n), numHashes)
+
+  private def minhashSignaturesFrom(ids: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = hashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$i")
+    }
+    ids.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, banded signature), verify candidates
-    * with exact Jaccard. */
+    * with exact Jaccard. Band signatures concatenate minima in hash-index
+    * order, so they are bit-identical to the former long-form (sort by h)
+    * implementation and to the generated oracle SQL. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val rowsPerBand = numHashes / bands
     val ids = shingleIds(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val params = hashParams(numHashes).toDF("h", "a", "b")
-    val sigs = ids
-      .crossJoin(broadcast(params))
-      .groupBy(col("doc"), col("h"))
-      .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
-      .withColumn("band", floor(col("h") / rowsPerBand).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(concat_ws("-",
-        transform(sort_array(collect_list(struct(col("h"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("sig"))
+    val wide = minhashSignaturesFrom(ids, numHashes)
+    // (band, sig) rows via a narrow explode of precomputed structs — no
+    // second aggregation; sig = "-"-joined minima of the band's hashes.
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("-", (0 until rowsPerBand).map(r =>
+          col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*).as("sig"))
+    }
+    val sigs = wide
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
     val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
     val candidates = l.join(r, Seq("band", "sig"))

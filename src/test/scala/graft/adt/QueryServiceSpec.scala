@@ -109,7 +109,7 @@ class QueryServiceSpec extends AnyFunSuite {
   }
 
   test("unbounded VLE (B7): full chain reachability with minimal depths") {
-    val reach = Vle.reachability(graph.relationships, relName = Some("next"))
+    val reach = Vle.reachability(graph.relationships, relNames = Seq("next"))
     assert(reach.count() == 25 * 24 / 2) // all ordered pairs in a 25-chain
     val fromStart = reach.filter(org.apache.spark.sql.functions.col("start_id") === "t000")
     assert(fromStart.count() == 24)

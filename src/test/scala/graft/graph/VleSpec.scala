@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.adt.{AdtParser, CypherParser}
+
+/** Regression tests for VLE range semantics (ADVICE round 1).
+  *
+  * Cypher/AGE `-[*min..max]->` has *exists-a-path* semantics
+  * (opencypher M23 §9.2; the reference delegates to AGE's VLE executor,
+  * Query.cs:122-129): a pair qualifies when SOME path of in-range length
+  * connects it, even when a shorter out-of-range path also exists. */
+class VleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edges(rows: (String, String, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("source_id", "target_id", "relationship_name")
+  }
+
+  test("range(2,3): target also reachable at depth 1 is NOT excluded") {
+    // a->b direct, plus a->c->d->b: (a,b) has paths of length 1 and 3.
+    val e = edges(("a", "b", "x"), ("a", "c", "x"), ("c", "d", "x"), ("d", "b", "x"))
+    val out = Vle.range(e, 2, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out.contains(("a", "b", 3)), s"(a,b) reachable at depth 3 missing: $out")
+    assert(out.contains(("a", "d", 2)) && out.contains(("c", "b", 2)))
+    assert(!out.exists(_._3 < 2), "no out-of-range depths")
+  }
+
+  test("range(2,2) on a cycle: pair at depths 1 AND 2 appears with depth 2") {
+    // a<->b two-cycle: a to b at depths 1,3,...; a to a at depths 2,4...
+    val e = edges(("a", "b", "x"), ("b", "a", "x"))
+    val out = Vle.range(e, 2, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("a", "a", 2), ("b", "b", 2)))
+  }
+
+  test("range min<=1 keeps minimal-depth fast path") {
+    val e = edges(("a", "b", "x"), ("b", "c", "x"))
+    val out = Vle.range(e, 1, 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("a", "b", 1), ("b", "c", 1), ("a", "c", 2)))
+  }
+
+  test("range(2,4) empty when graph shallower than minDepth") {
+    val e = edges(("a", "b", "x"))
+    assert(Vle.range(e, 2, 4).isEmpty)
+  }
+
+  test("range enforces relationship uniqueness (trail, not walk, semantics)") {
+    // moon1->earth (orbits), earth->sun (orbits), earth->moon1 (satellites):
+    // the length-3 walk moon1->earth->moon1->earth reuses the moon1->earth
+    // edge, so 'earth' is NOT a *2..6 target of moon1 (AGE rejects edge
+    // re-use; VariableLengthEdgeTests.cs expects exactly {sun, moon1}).
+    val e = edges(("moon1", "earth", "orbits"), ("earth", "sun", "orbits"),
+      ("earth", "moon1", "satellites"))
+    val out = Vle.range(e, 2, 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.filter(_._1 == "moon1") == Set(("moon1", "sun"), ("moon1", "moon1")),
+      s"edge re-use must be rejected: $out")
+  }
+
+  test("parallel edges are distinct traversals for uniqueness") {
+    // two parallel a->b edges (different names) + b->a: a->b->a->b is a
+    // valid trail of length 3 (three distinct edges).
+    val e = edges(("a", "b", "x"), ("a", "b", "y"), ("b", "a", "z"))
+    val out = Vle.range(e, 3, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out.contains(("a", "b", 3)), s"parallel-edge trail missing: $out")
+  }
+
+  test("multi-label VLE traverses ALL listed relationship names") {
+    // a -A-> b -B-> c: reachable only if both labels expand.
+    val e = edges(("a", "b", "A"), ("b", "c", "B"), ("a", "z", "C"))
+    val out = Vle.range(e, 1, 2, Seq("A", "B")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("a", "b", 1), ("b", "c", 1), ("a", "c", 2)),
+      s"'C' edge must be excluded, both A and B traversed: $out")
+  }
+
+  test("ADT parser: '*1' is exact depth 1, bare '*' is 1..DefaultVleMax") {
+    def vleOf(rel: String) = AdtParser.parse(
+      s"SELECT T FROM DIGITALTWINS MATCH (S)-[$rel]->(T)").matches.head.vle
+    assert(vleOf("r*1") == Some((1, 1)))
+    assert(vleOf("r*2") == Some((2, 2)))
+    assert(vleOf("r*") == Some((1, AdtParser.DefaultVleMax)))
+    assert(vleOf("r*2..") == Some((2, AdtParser.DefaultVleMax)))
+    assert(vleOf("r*2..3") == Some((2, 3)))
+  }
+
+  test("Cypher parser: '*1' is exact depth 1, bare '*' is 1..DefaultVleMax") {
+    def vleOf(rel: String) = CypherParser.parse(
+      s"MATCH (s)-[$rel]->(t) RETURN t").matches.head.vle
+    assert(vleOf("r*1") == Some((1, 1)))
+    assert(vleOf("r*") == Some((1, AdtParser.DefaultVleMax)))
+    assert(vleOf("r*3..4") == Some((3, 4)))
+  }
+}

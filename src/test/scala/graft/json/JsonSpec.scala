@@ -37,6 +37,31 @@ class JsonSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](JsonPatch.apply(doc, bad))
   }
 
+  test("RFC-6902 array semantics: add inserts, replace overwrites, bounds checked") {
+    val doc = Json.parse("""{"arr":[1,2,3]}""")
+    // add at existing index → INSERT before it (RFC 6902 §4.1), not overwrite
+    val added = JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"add","path":"/arr/1","value":9}]"""))
+    assert(Json.render(added) == """{"arr":[1,9,2,3]}""")
+    // add at index == size appends; '-' appends
+    val appended = JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"add","path":"/arr/3","value":9},
+                           |{"op":"add","path":"/arr/-","value":10}]""".stripMargin))
+    assert(Json.render(appended) == """{"arr":[1,2,3,9,10]}""")
+    // replace overwrites in place and requires the index to exist
+    val replaced = JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"replace","path":"/arr/1","value":9}]"""))
+    assert(Json.render(replaced) == """{"arr":[1,9,3]}""")
+    assertThrows[IllegalArgumentException](JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"replace","path":"/arr/3","value":9}]""")))
+    assertThrows[IllegalArgumentException](JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"add","path":"/arr/4","value":9}]""")))
+    // move into an array index inserts (add semantics at destination)
+    val moved = JsonPatch.apply(Json.parse("""{"arr":[1,2],"v":7}"""),
+      JsonPatch.parseOps("""[{"op":"move","from":"/v","path":"/arr/0"}]"""))
+    assert(Json.render(moved) == """{"arr":[7,1,2]}""")
+  }
+
   test("diff is deterministic and round-trips") {
     val oldDoc = Json.parse("""{"a":1,"b":{"x":1,"y":2},"gone":true,"arr":[1,2]}""")
     val newDoc = Json.parse("""{"a":2,"b":{"x":1,"z":3},"new":"v","arr":[1,3]}""")
