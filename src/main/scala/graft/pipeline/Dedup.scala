@@ -43,27 +43,21 @@ object Dedup {
 
   /** Per-(doc, shingle_id) exploded distinct shingle ids.
     *
-    * Shingles come from posexplode + window leads rather than the
-    * `transform(sequence, slice)` Column form: higher-order functions are
-    * interpreter-evaluated, while posexplode/lead/concat_ws stay inside
-    * whole-stage codegen — ~2× on the full dedup pass. Only full n-grams
-    * are produced (docs shorter than n tokens yield none), matching the
-    * SQL-positional-join formulation. */
+    * Shingles come from the native [[graft.functions.WordNGrams]] codegen
+    * kernel — built row-locally at scan speed, no shuffle. The previous
+    * posexplode + window-lead form repartitioned and sorted the whole token
+    * stream just to pair adjacent tokens; the `transform(sequence, slice)`
+    * Column form is interpreter-evaluated. Only full n-grams are produced
+    * (docs shorter than n tokens yield none), matching the
+    * SQL-positional-join formulation; the only shuffle in this operator is
+    * the distinct the algorithm requires. */
   def shingleIds(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val tokens = df.select(col(idCol).as("doc"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val withLeads = tokens.select(col("doc") +: col("tok") +:
-      (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i")): _*)
-    withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .withColumn("shingle",
-        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*))
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(graft.functions.WordNGrams.ngrams(
+          TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
       .select(col("doc"), (TextAnalysis.stableId(col("shingle")) % P).as("sid"))
       .distinct()
-  }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle-id sets; returns pairs with jaccard_4 ≥ threshold

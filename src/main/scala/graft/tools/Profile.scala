@@ -31,19 +31,20 @@ object Profile {
     val ids = Dedup.shingleIds(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("ids persisted count")(ids.count())
-    time("minhash sigs 64")(
-      {
-        import spark.implicits._
-        val params = Dedup.hashParams(64).toDF("h", "a", "b")
-        ids.crossJoin(broadcast(params))
-          .groupBy(col("doc"), col("h"))
-          .agg(min((col("a") * col("sid") + col("b")) % Dedup.P).as("mh")).count()
-      })
+    time("minhash sigs 64 (wide)")(
+      Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64).count())
     time("simhash")(
       Dedup.simhash(docs, "doc_id", "text", 3).count())
     time("jaccard pairs e2e")(
       Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.5, 100).count())
     time("minhash pairs e2e")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
+    ids.unpersist(blocking = true)
+    spark.catalog.clearCache()
+    time("minhash pairs COLD")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
+    spark.catalog.clearCache()
+    time("minhash pairs COLD 2nd")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
     spark.stop()
   }
