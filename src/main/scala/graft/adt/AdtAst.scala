@@ -27,6 +27,9 @@ final case class SelectAgg(fn: String, arg: Option[PropRef],
 sealed trait FromSource
 final case class FromTwins(alias: Option[String]) extends FromSource
 final case class FromRelationships(alias: Option[String]) extends FromSource
+/** Pipeline-only Cypher query (`UNWIND [...] AS x RETURN x`): the scope
+  * starts as a single empty row, not a table scan. */
+case object FromUnit extends FromSource
 
 /** One edge in a MATCH pattern chain, always normalized to forward
   * direction (src)-[rel]->(dst); `<-[r]-` inputs are flipped at parse.
@@ -47,10 +50,23 @@ final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
 final case class In(l: Expr, values: List[Lit]) extends Expr
 final case class PropRef(entity: Option[String], path: List[String]) extends Expr
 final case class FnCall(name: String, args: List[Expr]) extends Expr
+/** Cypher list literal `[1, 2, 3]` — the UNWIND source form. */
+final case class ListLit(values: List[Lit]) extends Expr
 sealed trait Lit extends Expr
 final case class StrLit(v: String) extends Lit
 final case class NumLit(v: Double, isInt: Boolean) extends Lit
 final case class BoolLit(v: Boolean) extends Lit
+
+/** Cypher pipeline clauses between MATCH and RETURN, applied in order. */
+sealed trait PipeClause
+/** `WITH [DISTINCT] items [WHERE expr]` — projection/aggregation stage;
+  * retained entity aliases keep their bindings, other items become flat
+  * named columns (the Cypher horizon). */
+final case class WithClause(items: List[SelectItem], where: Option[Expr],
+    distinct: Boolean = false) extends PipeClause
+/** `UNWIND src AS alias` — src is a [[ListLit]] or a [[PropRef]] to a JSON
+  * array property / flat list column. */
+final case class UnwindClause(src: Expr, alias: String) extends PipeClause
 
 final case class AdtQuery(
     top: Option[Int],
@@ -61,4 +77,5 @@ final case class AdtQuery(
     where: Option[Expr],
     skip: Option[Int] = None,               // Cypher SKIP (paging rewrite target)
     orderBy: List[(PropRef, Boolean)] = Nil, // (ref, ascending)
-    distinct: Boolean = false)
+    distinct: Boolean = false,
+    pipeline: List[PipeClause] = Nil)        // Cypher WITH / UNWIND stages

@@ -16,10 +16,23 @@ import graft.functions.JsonFunctions
   * properties). Hops are equi-joins over these namespaces; Catalyst prunes
   * unused columns down to the parquet scan, so a query touching only
   * `$dtId` never deserializes the JSON doc.
+  *
+  * Cypher pipeline clauses (`WITH` / `UNWIND`, Query.cs routes raw Cypher
+  * to AGE which supports the full language) fold left-to-right over the
+  * scope: `WITH` projects/aggregates into *flat* named columns (retained
+  * node/relationship bindings keep their namespaces), `UNWIND` explodes a
+  * list into a new flat column. Flat columns live beside the namespaced
+  * ones in the same DataFrame, so Catalyst still sees one linear plan.
   */
 final class AdtPlanner(graph: TwinGraph) {
 
   import AdtPlanner._
+
+  /** Resolution context: which aliases are twins vs relationships, the
+    * default entity for unqualified properties, and flat columns introduced
+    * by WITH/UNWIND stages. */
+  private case class Scope(twins: Set[String], rels: Set[String],
+      default: String, flat: Set[String] = Set.empty)
 
   /** Parse + plan with language detection (ADT vs raw Cypher), like the
     * reference endpoint (Query.cs:44-55). */
@@ -28,11 +41,20 @@ final class AdtPlanner(graph: TwinGraph) {
   def plan(q: AdtQuery): DataFrame = {
     // ---- resolve scope: which aliases exist, which are twins vs rels ----
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
+    var scope = Scope(twinAliases, relAliases, defaultEntity)
 
     // ---- WHERE ----
-    val df1 = q.where match {
-      case Some(e) => df0.filter(compile(e, twinAliases, relAliases, defaultEntity))
+    var df1 = q.where match {
+      case Some(e) => df0.filter(compile(e, scope))
       case None => df0
+    }
+
+    // ---- WITH / UNWIND pipeline (Cypher) ----
+    for (pc <- q.pipeline) pc match {
+      case u: UnwindClause =>
+        val (d, s) = planUnwind(df1, scope, u); df1 = d; scope = s
+      case w: WithClause =>
+        val (d, s) = planWith(df1, scope, w); df1 = d; scope = s
     }
 
     // ---- SELECT ----
@@ -45,15 +67,14 @@ final class AdtPlanner(graph: TwinGraph) {
         // grouping keys (B10) — partial aggregation + one shuffle.
         val keyCols = q.items.collect {
           case SelectProp(ent, path, as) =>
-            val (entOpt, realPath) = resolvePropRef(ent, path, twinAliases, relAliases)
-            propValue(entOpt, realPath, twinAliases, relAliases, defaultEntity)
+            val (entOpt, realPath) = resolvePropRef(ent, path, scope)
+            propValue(entOpt, realPath, scope)
               .as(as.getOrElse(realPath.last.stripPrefix("$")))
-          case SelectEntity(p) if !twinAliases(p) && !relAliases(p) =>
-            propValue(None, List(p), twinAliases, relAliases, defaultEntity).as(p)
+          case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) =>
+            propValue(None, List(p), scope).as(p)
         }
         val aggCols = aggItems.map { a =>
-          val arg = a.arg.map(r =>
-            propFromRef(r, twinAliases, relAliases, defaultEntity).cast("double"))
+          val arg = a.arg.map(r => propFromRef(r, scope).cast("double"))
           val c = a.fn match {
             case "COUNT" => arg.fold(count(lit(1)))(count)
             case "SUM" => sum(arg.get)
@@ -80,23 +101,24 @@ final class AdtPlanner(graph: TwinGraph) {
       else {
         val cols = q.items.flatMap {
           case SelectStar =>
-            (twinAliases ++ relAliases).toSeq.sorted.flatMap(a => entityCols(df1, a))
-          case SelectEntity(a) if twinAliases(a) || relAliases(a) =>
+            (scope.twins ++ scope.rels).toSeq.sorted.flatMap(a => entityCols(df1, a)) ++
+              scope.flat.toSeq.sorted.map(col)
+          case SelectEntity(a) if scope.twins(a) || scope.rels(a) =>
             entityCols(df1, a)
-          case SelectEntity(p) => // bare identifier that is a property name
-            Seq(propValue(None, List(p), twinAliases, relAliases, defaultEntity)
-              .as(p))
+          case SelectEntity(p) => // bare identifier: flat column or property
+            Seq(propValue(None, List(p), scope).as(p))
           case SelectProp(ent, path, as) =>
-            val (entOpt, realPath) = resolvePropRef(ent, path, twinAliases, relAliases)
-            Seq(propValue(entOpt, realPath, twinAliases, relAliases, defaultEntity)
+            val (entOpt, realPath) = resolvePropRef(ent, path, scope)
+            Seq(propValue(entOpt, realPath, scope)
               .as(as.getOrElse(realPath.last.stripPrefix("$"))))
           case SelectCount => Nil
+          case _: SelectAgg => Nil // unreachable: aggItems branch handles them
         }
         if (q.orderBy.nonEmpty) {
           // ORDER BY refs resolve against the pre-projection scope: carry
           // them as hidden columns through the projection, sort, drop.
           val sortCols = q.orderBy.zipWithIndex.map { case ((ref, _), i) =>
-            propFromRef(ref, twinAliases, relAliases, defaultEntity).as(s"__sort$i")
+            propFromRef(ref, scope).as(s"__sort$i")
           }
           val sortOrder = q.orderBy.zipWithIndex.map { case ((_, asc), i) =>
             if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc
@@ -118,9 +140,103 @@ final class AdtPlanner(graph: TwinGraph) {
     q.top.fold(df3)(df3.limit)
   }
 
+  // ---------------- pipeline stages (Cypher WITH / UNWIND) ----------------
+
+  /** `UNWIND list AS alias`: one exploded flat column appended to the
+    * scope. List literals explode an in-row array; property references
+    * parse the JSON array (element type string — agtype lists surface as
+    * text through the reference's JSON serialization). */
+  private def planUnwind(df: DataFrame, scope: Scope, u: UnwindClause)
+      : (DataFrame, Scope) = {
+    val listCol = u.src match {
+      case ListLit(vs) =>
+        val allInt = vs.forall { case NumLit(_, i) => i; case _ => false }
+        val lits =
+          if (allInt) vs.map { case NumLit(v, _) => lit(v.toLong); case v => lit(litValue(v)) }
+          else vs.map(v => lit(litValue(v)))
+        array(lits: _*)
+      case p: PropRef =>
+        import org.apache.spark.sql.types._
+        val (entOpt, path) = resolvePropRef(p.entity, p.path, scope)
+        path match {
+          case List(name) if entOpt.isEmpty && scope.flat(name) => col(name)
+          case _ =>
+            from_json(jsonProp(entOpt.getOrElse(scope.default), path),
+              ArrayType(StringType))
+        }
+      case other => throw new AdtPlanException(s"cannot UNWIND $other")
+    }
+    (df.withColumn(u.alias, explode(listCol)),
+      scope.copy(flat = scope.flat + u.alias))
+  }
+
+  /** `WITH [DISTINCT] items [WHERE expr]`: project/aggregate the scope.
+    * Retained entity bindings keep their full `alias__*` namespaces (and
+    * act as grouping keys when the stage aggregates); property/aggregate
+    * items become flat named columns referenced by later clauses. */
+  private def planWith(df: DataFrame, scope: Scope, w: WithClause)
+      : (DataFrame, Scope) = {
+    val entityAliases = w.items.collect {
+      case SelectEntity(a) if scope.twins(a) || scope.rels(a) => a
+    }
+    val entCols = entityAliases.flatMap { a =>
+      val prefix = s"${a}__"
+      df.columns.filter(_.startsWith(prefix)).toSeq.map(col)
+    }
+    val propCols = w.items.collect {
+      case SelectProp(ent, path, as) =>
+        val (entOpt, realPath) = resolvePropRef(ent, path, scope)
+        val name = as.getOrElse(realPath.last.stripPrefix("$"))
+        (name, propValue(entOpt, realPath, scope).as(name))
+      case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) =>
+        (p, propValue(None, List(p), scope).as(p))
+    }
+    val aggItems = w.items.collect { case a: SelectAgg => a }
+
+    val (out, flatNames) =
+      if (aggItems.nonEmpty) {
+        val aggCols = aggItems.map { a =>
+          val arg = a.arg.map(r => propFromRef(r, scope).cast("double"))
+          val c = a.fn match {
+            case "COUNT" => arg.fold(count(lit(1)))(count)
+            case "SUM" => sum(arg.get)
+            case "AVG" => avg(arg.get)
+            case "MIN" => min(arg.get)
+            case "MAX" => max(arg.get)
+          }
+          c.as(a.as.getOrElse(a.fn))
+        }
+        val keys = entCols ++ propCols.map(_._2)
+        val grouped =
+          if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+        (grouped, propCols.map(_._1) ++ aggItems.map(a => a.as.getOrElse(a.fn)))
+      } else {
+        val projected = df.select(entCols ++ propCols.map(_._2): _*)
+        (if (w.distinct) projected.distinct() else projected,
+          propCols.map(_._1))
+      }
+
+    val newScope = Scope(
+      twins = scope.twins.intersect(entityAliases.toSet),
+      rels = scope.rels.intersect(entityAliases.toSet),
+      default = entityAliases.headOption.getOrElse(""),
+      flat = flatNames.toSet)
+    val filtered = w.where match {
+      case Some(e) => out.filter(compile(e, newScope))
+      case None => out
+    }
+    (filtered, newScope)
+  }
+
   /** Builds the joined scope DataFrame with `alias__col` namespaces. */
   private def buildScope(q: AdtQuery)
       : (DataFrame, Set[String], Set[String], String) = q.from match {
+
+    case FromUnit =>
+      // pipeline-only query (`UNWIND [...] AS x RETURN x`): one empty row.
+      (graph.twins.sparkSession.range(1).select(),
+        Set.empty[String], Set.empty[String], "")
 
     case FromRelationships(alias) =>
       val a = alias.getOrElse("R")
@@ -178,29 +294,28 @@ final class AdtPlanner(graph: TwinGraph) {
 
   // ---------------- expression compilation ----------------
 
-  private def compile(e: Expr, twins: Set[String], rels: Set[String],
-      default: String): Column = e match {
-    case And(l, r) => compile(l, twins, rels, default) && compile(r, twins, rels, default)
-    case Or(l, r) => compile(l, twins, rels, default) || compile(r, twins, rels, default)
-    case Not(x) => !compile(x, twins, rels, default)
-    case Cmp(op, l, r) => compileCmp(op, l, r, twins, rels, default)
+  private def compile(e: Expr, scope: Scope): Column = e match {
+    case And(l, r) => compile(l, scope) && compile(r, scope)
+    case Or(l, r) => compile(l, scope) || compile(r, scope)
+    case Not(x) => !compile(x, scope)
+    case Cmp(op, l, r) => compileCmp(op, l, r, scope)
     case In(l, vals) =>
-      val c = typedProp(l, vals.headOption, twins, rels, default)
+      val c = typedProp(l, vals.headOption, scope)
       c.isin(vals.map(litValue): _*)
-    case f: FnCall => compileFn(f, twins, rels, default)
-    case p: PropRef => propFromRef(p, twins, rels, default).cast("boolean")
+    case f: FnCall => compileFn(f, scope)
+    case p: PropRef => propFromRef(p, scope).cast("boolean")
     case l: Lit => lit(litValue(l))
+    case l: ListLit => throw new AdtPlanException(s"list literal $l only valid in UNWIND/IN")
   }
 
-  private def compileCmp(op: String, l: Expr, r: Expr, twins: Set[String],
-      rels: Set[String], default: String): Column = {
+  private def compileCmp(op: String, l: Expr, r: Expr, scope: Scope): Column = {
     val (lc, rc) = (l, r) match {
       case (p: PropRef, v: Lit) =>
-        (typedProp(p, Some(v), twins, rels, default), lit(litValue(v)))
+        (typedProp(p, Some(v), scope), lit(litValue(v)))
       case (v: Lit, p: PropRef) =>
-        (lit(litValue(v)), typedProp(p, Some(v), twins, rels, default))
+        (lit(litValue(v)), typedProp(p, Some(v), scope))
       case _ =>
-        (compileOperand(l, twins, rels, default), compileOperand(r, twins, rels, default))
+        (compileOperand(l, scope), compileOperand(r, scope))
     }
     op match {
       case "=" => lc === rc
@@ -212,15 +327,13 @@ final class AdtPlanner(graph: TwinGraph) {
     }
   }
 
-  private def compileOperand(e: Expr, twins: Set[String], rels: Set[String],
-      default: String): Column = e match {
-    case p: PropRef => propFromRef(p, twins, rels, default)
+  private def compileOperand(e: Expr, scope: Scope): Column = e match {
+    case p: PropRef => propFromRef(p, scope)
     case l: Lit => lit(litValue(l))
-    case other => compile(other, twins, rels, default)
+    case other => compile(other, scope)
   }
 
-  private def compileFn(f: FnCall, twins: Set[String], rels: Set[String],
-      default: String): Column = {
+  private def compileFn(f: FnCall, scope: Scope): Column = {
     def strArg(e: Expr): String = e match {
       case StrLit(s) => s
       case other => throw new AdtPlanException(s"expected string literal, got $other")
@@ -230,9 +343,9 @@ final class AdtPlanner(graph: TwinGraph) {
         // IS_OF_MODEL([alias,] 'model' [, exact]) — closure membership via
         // the precomputed descendants (SURVEY §2 C1).
         val (entity, modelId, exact) = f.args match {
-          case List(StrLit(m)) => (default, m, false)
+          case List(StrLit(m)) => (scope.default, m, false)
           case List(StrLit(m), PropRef(None, List(e))) if e.equalsIgnoreCase("exact") =>
-            (default, m, true)
+            (scope.default, m, true)
           case List(PropRef(None, List(a)), StrLit(m)) => (a, m, false)
           case List(PropRef(None, List(a)), StrLit(m), PropRef(None, List(e)))
               if e.equalsIgnoreCase("exact") => (a, m, true)
@@ -241,12 +354,12 @@ final class AdtPlanner(graph: TwinGraph) {
         val fam = if (exact) Seq(modelId) else graph.modelFamily(modelId)
         col(s"${entity}__model_id").isin(fam: _*)
 
-      case "STARTSWITH" => strProp(f.args.head, twins, rels, default).startsWith(strArg(f.args(1)))
-      case "ENDSWITH" => strProp(f.args.head, twins, rels, default).endsWith(strArg(f.args(1)))
-      case "CONTAINS" => strProp(f.args.head, twins, rels, default).contains(strArg(f.args(1)))
+      case "STARTSWITH" => strProp(f.args.head, scope).startsWith(strArg(f.args(1)))
+      case "ENDSWITH" => strProp(f.args.head, scope).endsWith(strArg(f.args(1)))
+      case "CONTAINS" => strProp(f.args.head, scope).contains(strArg(f.args(1)))
 
       case "ARRAY_CONTAINS" =>
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         val raw = jsonProp(ent, path)
         import org.apache.spark.sql.types._
         f.args(1) match {
@@ -256,24 +369,24 @@ final class AdtPlanner(graph: TwinGraph) {
           case other => throw new AdtPlanException(s"bad ARRAY_CONTAINS value: $other")
         }
 
-      case "IS_NULL" => propFromRef(asRef(f.args.head), twins, rels, default).isNull
-      case "IS_DEFINED" => propFromRef(asRef(f.args.head), twins, rels, default).isNotNull
+      case "IS_NULL" => propFromRef(asRef(f.args.head), scope).isNull
+      case "IS_DEFINED" => propFromRef(asRef(f.args.head), scope).isNotNull
 
       case "IS_BOOL" =>
         // reference rewrites to (x = true OR x = false), AdtQueryHelpers.cs:387-395
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         JsonFunctions.is_bool_strict(docCol(ent), path.mkString("."))
       case "IS_NUMBER" =>
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         JsonFunctions.is_number(docCol(ent), path.mkString("."))
       case "IS_STRING" =>
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         JsonFunctions.is_string(docCol(ent), path.mkString("."))
       case "IS_OBJECT" =>
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         JsonFunctions.is_object(docCol(ent), path.mkString("."))
       case "IS_PRIMITIVE" =>
-        val (ent, path) = refOf(f.args.head, twins, rels, default)
+        val (ent, path) = refOf(f.args.head, scope)
         JsonFunctions.is_primitive(docCol(ent), path.mkString("."))
 
       case other => throw new AdtPlanException(s"unknown function $other")
@@ -285,9 +398,9 @@ final class AdtPlanner(graph: TwinGraph) {
   /** Disambiguates `PropRef(Some(x), path)`: `x` may be an entity alias or
     * the first segment of an unqualified path. */
   private def resolvePropRef(ent: Option[String], path: List[String],
-      twins: Set[String], rels: Set[String]): (Option[String], List[String]) =
+      scope: Scope): (Option[String], List[String]) =
     ent match {
-      case Some(a) if twins(a) || rels(a) => (Some(a), path)
+      case Some(a) if scope.twins(a) || scope.rels(a) => (Some(a), path)
       case Some(first) => (None, first :: path)
       case None => (None, path)
     }
@@ -297,27 +410,26 @@ final class AdtPlanner(graph: TwinGraph) {
     case other => throw new AdtPlanException(s"expected property reference, got $other")
   }
 
-  private def refOf(e: Expr, twins: Set[String], rels: Set[String],
-      default: String): (String, List[String]) = {
+  private def refOf(e: Expr, scope: Scope): (String, List[String]) = {
     val p = asRef(e)
-    val (entOpt, path) = resolvePropRef(p.entity, p.path, twins, rels)
-    (entOpt.getOrElse(default), path)
+    val (entOpt, path) = resolvePropRef(p.entity, p.path, scope)
+    (entOpt.getOrElse(scope.default), path)
   }
 
-  private def propFromRef(p: PropRef, twins: Set[String], rels: Set[String],
-      default: String): Column = {
-    val (entOpt, path) = resolvePropRef(p.entity, p.path, twins, rels)
-    propValue(entOpt, path, twins, rels, default)
+  private def propFromRef(p: PropRef, scope: Scope): Column = {
+    val (entOpt, path) = resolvePropRef(p.entity, p.path, scope)
+    propValue(entOpt, path, scope)
   }
 
   /** Comparison operand with type derived from the literal side (the
     * reference relies on agtype's dynamic typing; we cast the JSON string
     * extraction to the literal's type). */
-  private def typedProp(e: Expr, litHint: Option[Lit], twins: Set[String],
-      rels: Set[String], default: String): Column = {
-    val c = compileOperand(e, twins, rels, default)
+  private def typedProp(e: Expr, litHint: Option[Lit], scope: Scope): Column = {
+    val c = compileOperand(e, scope)
     e match {
-      case _: PropRef => litHint match {
+      case p: PropRef => litHint match {
+        // flat columns (WITH/UNWIND outputs) already carry their real type
+        case _ if isFlatRef(p, scope) => c
         case Some(NumLit(_, _)) => c.cast("double")
         case Some(BoolLit(_)) => c.cast("boolean")
         case _ => c
@@ -326,14 +438,24 @@ final class AdtPlanner(graph: TwinGraph) {
     }
   }
 
-  private def strProp(e: Expr, twins: Set[String], rels: Set[String],
-      default: String): Column = compileOperand(e, twins, rels, default)
+  private def isFlatRef(p: PropRef, scope: Scope): Boolean =
+    resolvePropRef(p.entity, p.path, scope) match {
+      case (None, List(name)) => scope.flat(name)
+      case _ => false
+    }
 
-  /** System keys hit promoted columns; everything else is JSON access. */
+  private def strProp(e: Expr, scope: Scope): Column = compileOperand(e, scope)
+
+  /** System keys hit promoted columns; flat columns resolve as-is;
+    * everything else is JSON access. */
   private def propValue(ent: Option[String], path: List[String],
-      twins: Set[String], rels: Set[String], default: String): Column = {
-    val a = ent.getOrElse(default)
-    val isRel = rels(a)
+      scope: Scope): Column = {
+    path match {
+      case List(name) if ent.isEmpty && scope.flat(name) => return col(name)
+      case _ =>
+    }
+    val a = ent.getOrElse(scope.default)
+    val isRel = scope.rels(a)
     path match {
       case List("$dtId") if !isRel => col(s"${a}__dt_id")
       case List("$etag") => col(s"${a}__etag")

@@ -67,11 +67,34 @@ object CypherParser {
     private val propFilters = collection.mutable.ListBuffer[Expr]()
 
     def query(): AdtQuery = {
-      expectKw("MATCH")
       val edges = collection.mutable.ListBuffer[MatchEdge]()
       val loneNodes = collection.mutable.ListBuffer[String]()
-      parsePatterns(edges, loneNodes)
-      val where = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+      val pipeline = collection.mutable.ListBuffer[PipeClause]()
+      var where: Option[Expr] = None
+      var hadMatch = false
+      if (isKw(cur, "MATCH")) {
+        pos += 1; hadMatch = true
+        parsePatterns(edges, loneNodes)
+        if (isKw(cur, "WHERE")) { pos += 1; where = Some(orExpr()) }
+      } else if (!isKw(cur, "UNWIND"))
+        throw new AdtParseException(s"expected MATCH or UNWIND, found $cur")
+      // pipeline clauses: WITH projection/aggregation horizons and UNWIND
+      // list expansion, in source order (MATCH-after-WITH not supported)
+      var inPipeline = true
+      while (inPipeline) {
+        if (isKw(cur, "UNWIND")) {
+          pos += 1
+          val src: Expr = if (cur == Sym("[")) parseListLit() else propRef()
+          expectKw("AS")
+          pipeline += UnwindClause(src, ident())
+        } else if (isKw(cur, "WITH")) {
+          pos += 1
+          val d = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
+          val items = parseReturnItems()
+          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+          pipeline += WithClause(items, w, d)
+        } else inPipeline = false
+      }
       expectKw("RETURN")
       val distinct = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
       val items = parseReturnItems()
@@ -100,10 +123,23 @@ object CypherParser {
         case many => Some(many.reduce(And))
       }
       val from =
-        if (edges.isEmpty) FromTwins(loneNodes.headOption)
+        if (!hadMatch) FromUnit
+        else if (edges.isEmpty) FromTwins(loneNodes.headOption)
         else FromTwins(None)
       AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
-        skip, orderBy.toList, distinct)
+        skip, orderBy.toList, distinct, pipeline.toList)
+    }
+
+    private def parseListLit(): ListLit = {
+      expectSym("[")
+      val vals = collection.mutable.ListBuffer[Lit]()
+      var more = cur != Sym("]")
+      while (more) {
+        vals += literal()
+        if (cur == Sym(",")) pos += 1 else more = false
+      }
+      expectSym("]")
+      ListLit(vals.toList)
     }
 
     private def num(): Int = advance() match {

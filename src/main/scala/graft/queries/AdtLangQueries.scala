@@ -106,6 +106,23 @@ object AdtLangQueries {
         "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
           "WHERE T.$dtId IN ['R0', 'R2', 'N5', 'C10']")
         .orderBy(col("dt_id"))
+    }),
+
+    // Cypher WITH horizon: aggregate per nation, filter on the aggregate,
+    // return (the Cypher-side HAVING; raw Cypher is the reference's second
+    // query language, Query.cs:44-55).
+    "q_cypher_with_agg" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:located_in]->(n:Twin) " +
+          "WITH n.name AS nation, count(*) AS n_members WHERE n_members > 65 " +
+          "RETURN nation, n_members ORDER BY nation")
+    }),
+
+    // Cypher UNWIND of a JSON array property + grouped count.
+    "q_cypher_unwind" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) UNWIND t.tags AS tag " +
+          "RETURN tag, count(*) AS n ORDER BY tag")
     })
   )
 
@@ -151,6 +168,16 @@ object AdtLangQueries {
         |  SELECT 'R' || r_regionkey AS dt_id FROM region WHERE r_regionkey IN (0,2)
         |  UNION ALL SELECT 'N' || n_nationkey FROM nation WHERE n_nationkey = 5
         |  UNION ALL SELECT 'C' || c_custkey FROM customer WHERE c_custkey = 10)
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q_cypher_with_agg" ->
+      """SELECT nation, n_members FROM (
+        |  SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM (SELECT c_nationkey AS k FROM customer
+        |        UNION ALL SELECT s_nationkey FROM supplier) m
+        |  JOIN nation ON k = n_nationkey GROUP BY 1)
+        |WHERE n_members > 65 ORDER BY nation""".stripMargin,
+    "q_cypher_unwind" ->
+      """SELECT c_mktsegment AS tag, CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

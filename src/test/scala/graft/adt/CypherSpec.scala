@@ -62,6 +62,50 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (s:Twin { `$dtId`: 'moon1' })-[r:orbits*1..2]->(t:Twin) RETURN t") == 2)
   }
 
+  test("UNWIND list literal, standalone and after MATCH") {
+    // standalone: no table scan, three rows from the literal
+    val rows = planner.run("UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L))
+    // after MATCH: cross of 4 twins x 2 values
+    assert(count("MATCH (t:Twin) UNWIND ['a','b'] AS tag RETURN t, tag") == 8)
+    // chained UNWINDs multiply
+    assert(count("UNWIND [1,2] AS x UNWIND [10,20,30] AS y RETURN x, y") == 6)
+  }
+
+  test("WITH horizon: aggregate then filter then return") {
+    // targets with >1 inbound orbit: only sun (earth+kepler orbit it)
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH b.`$dtId` AS target, count(*) AS n WHERE n > 1 " +
+        "RETURN target, n ORDER BY target")
+    val out = df.collect()
+    assert(df.columns.toSeq == Seq("target", "n"))
+    assert(out.length == 1 && out(0).getString(0) == "sun" && out(0).getLong(1) == 2)
+  }
+
+  test("WITH retains entity bindings and later clauses use them") {
+    // keep the node binding through the horizon, then project from it
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b, count(*) AS n WHERE n > 1 " +
+        "RETURN b.`$dtId` AS id, n")
+    val out = df.collect()
+    assert(out.length == 1 && out(0).getString(0) == "sun" && out(0).getLong(1) == 2)
+  }
+
+  test("UNWIND a JSON array property") {
+    val rows = planner.run(
+      "MATCH (t:Twin) WHERE t.`$dtId` = 'earth' UNWIND t.tags AS tag " +
+        "RETURN tag ORDER BY tag")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("rocky", "wet"))
+  }
+
+  test("WITH DISTINCT projection stage") {
+    assert(count(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b.`$dtId` AS t RETURN t") == 2)
+  }
+
   test("grouped aggregates in RETURN (B10 through Cypher)") {
     // count of orbit targets per source kind
     val df = planner.run(
