@@ -33,9 +33,12 @@ case object FromUnit extends FromSource
 
 /** One edge in a MATCH pattern chain, always normalized to forward
   * direction (src)-[rel]->(dst); `<-[r]-` inputs are flipped at parse.
-  * `vle` carries variable-length bounds for `[*min..max]` edges. */
+  * `vle` carries variable-length bounds for `[*min..max]` edges.
+  * `optional` marks OPTIONAL MATCH edges (planned as left-outer joins —
+  * unmatched sources keep a row with null rel/target columns). */
 final case class MatchEdge(src: String, relAlias: Option[String],
-    relNames: List[String], dst: String, vle: Option[(Int, Int)] = None)
+    relNames: List[String], dst: String, vle: Option[(Int, Int)] = None,
+    optional: Boolean = false)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

@@ -115,20 +115,33 @@ final class AdtPlanner(graph: TwinGraph) {
           case _: SelectAgg => Nil // unreachable: aggItems branch handles them
         }
         if (q.orderBy.nonEmpty) {
-          // ORDER BY refs resolve against the pre-projection scope: carry
-          // them as hidden columns through the projection, sort, drop.
-          val sortCols = q.orderBy.zipWithIndex.map { case ((ref, _), i) =>
-            propFromRef(ref, scope).as(s"__sort$i")
+          // ORDER BY may name a projected alias (`RETURN t.x AS id ORDER BY
+          // id`) — sort on the output column directly; anything else
+          // resolves against the pre-projection scope and is carried as a
+          // hidden column through the projection, sorted, dropped.
+          val outNames: Seq[String] = q.items.flatMap {
+            case SelectProp(ent, path, as) =>
+              val (_, realPath) = resolvePropRef(ent, path, scope)
+              Seq(as.getOrElse(realPath.last.stripPrefix("$")))
+            case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) => Seq(p)
+            case _ => Nil
           }
-          val sortOrder = q.orderBy.zipWithIndex.map { case ((_, asc), i) =>
-            if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc
+          val sortSpecs = q.orderBy.zipWithIndex.map { case ((ref, asc), i) =>
+            val bareAlias = ref.entity.isEmpty && ref.path.sizeIs == 1 &&
+              outNames.contains(ref.path.head)
+            if (bareAlias) (None, if (asc) col(ref.path.head).asc else col(ref.path.head).desc)
+            else (Some(propFromRef(ref, scope).as(s"__sort$i")),
+              if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc)
+          }
+          val sortCols = sortSpecs.flatMap(_._1)
+          val hiddenNames = sortSpecs.zipWithIndex.collect {
+            case ((Some(_), _), i) => s"__sort$i"
           }
           val base = df1.select(cols ++ sortCols: _*)
           val deduped = if (q.distinct)
             base.dropDuplicates(base.columns.dropRight(sortCols.size).toSeq)
           else base
-          deduped.orderBy(sortOrder: _*)
-            .drop(q.orderBy.indices.map(i => s"__sort$i"): _*)
+          deduped.orderBy(sortSpecs.map(_._2): _*).drop(hiddenNames: _*)
         } else {
           val projected = df1.select(cols: _*)
           if (q.distinct) projected.distinct() else projected
@@ -272,19 +285,36 @@ final class AdtPlanner(graph: TwinGraph) {
           }
           relAliases += relAlias
           if (df == null) {
+            if (e.optional && !alias.contains(e.src)) throw new AdtPlanException(
+              "OPTIONAL MATCH requires a preceding MATCH binding its source")
             df = ns(graph.twins, e.src)
             twinAliases += e.src
           } else if (!twinAliases.contains(e.src)) {
+            if (e.optional) throw new AdtPlanException(
+              s"OPTIONAL MATCH source ${e.src} must already be bound")
             df = df.join(ns(graph.twins, e.src), lit(true)) // disconnected pattern: cross
             twinAliases += e.src
           }
-          df = df.join(relDf, col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
-          if (!twinAliases.contains(e.dst)) {
-            df = df.join(ns(graph.twins, e.dst),
+          if (e.optional) {
+            // B13: left-outer in one join — pre-join edge+target so an
+            // unmatched source gets a single all-null row, not one per phase
+            if (twinAliases.contains(e.dst)) throw new AdtPlanException(
+              s"OPTIONAL MATCH target ${e.dst} is already bound")
+            val relAndDst = relDf.join(ns(graph.twins, e.dst),
               col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+            df = df.join(relAndDst,
+              col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"),
+              "left_outer")
             twinAliases += e.dst
           } else {
-            df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+            df = df.join(relDf, col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
+            if (!twinAliases.contains(e.dst)) {
+              df = df.join(ns(graph.twins, e.dst),
+                col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+              twinAliases += e.dst
+            } else {
+              df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+            }
           }
         }
         val default = alias.getOrElse(twinAliases.head)

@@ -76,6 +76,15 @@ object CypherParser {
         pos += 1; hadMatch = true
         parsePatterns(edges, loneNodes)
         if (isKw(cur, "WHERE")) { pos += 1; where = Some(orExpr()) }
+        // OPTIONAL MATCH clauses: left-outer pattern extensions. A WHERE
+        // here would scope to the optional pattern (keeping nulls), which a
+        // global filter cannot express — reject rather than mis-plan.
+        while (isKw(cur, "OPTIONAL")) {
+          pos += 1; expectKw("MATCH")
+          parsePatterns(edges, loneNodes, optional = true)
+          if (isKw(cur, "WHERE")) throw new AdtParseException(
+            "WHERE scoped to OPTIONAL MATCH is not supported; filter in a later WITH")
+        }
       } else if (!isKw(cur, "UNWIND"))
         throw new AdtParseException(s"expected MATCH or UNWIND, found $cur")
       // pipeline clauses: WITH projection/aggregation horizons and UNWIND
@@ -122,10 +131,11 @@ object CypherParser {
         case one :: Nil => Some(one)
         case many => Some(many.reduce(And))
       }
+      // lone-node alias carries through even when edges exist: a bare
+      // `MATCH (t)` binding may be the seed OPTIONAL MATCH hangs off
       val from =
         if (!hadMatch) FromUnit
-        else if (edges.isEmpty) FromTwins(loneNodes.headOption)
-        else FromTwins(None)
+        else FromTwins(loneNodes.headOption)
       AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
         skip, orderBy.toList, distinct, pipeline.toList)
     }
@@ -148,7 +158,8 @@ object CypherParser {
     }
 
     private def parsePatterns(edges: collection.mutable.ListBuffer[MatchEdge],
-        loneNodes: collection.mutable.ListBuffer[String]): Unit = {
+        loneNodes: collection.mutable.ListBuffer[String],
+        optional: Boolean = false): Unit = {
       var more = true
       while (more) {
         var left = parseNode()
@@ -161,14 +172,14 @@ object CypherParser {
               val (relAlias, relNames, vle) = parseRelBody()
               expectSym("->")
               val right = parseNode()
-              edges += MatchEdge(left, relAlias, relNames, right, vle)
+              edges += MatchEdge(left, relAlias, relNames, right, vle, optional)
               left = right; hadEdge = true
             case Sym("<-") =>
               pos += 1
               val (relAlias, relNames, vle) = parseRelBody()
               expectSym("-")
               val right = parseNode()
-              edges += MatchEdge(right, relAlias, relNames, left, vle)
+              edges += MatchEdge(right, relAlias, relNames, left, vle, optional)
               left = right; hadEdge = true
             case _ => chaining = false
           }

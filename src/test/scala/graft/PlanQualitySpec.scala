@@ -55,4 +55,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("dt_id"),
       s"dt_id filter not pushed:\n$p")
   }
+
+  test("IS_OF_MODEL prunes model_id partitions on the GraphStore layout") {
+    // The $model btree of the reference (GraphInitialization.cs:13-39)
+    // becomes partition pruning here: an IS_OF_MODEL family filter over a
+    // model_id-partitioned store must reach the scan as a PartitionFilter
+    // (directories never read), not a post-scan Filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val g = graft.graph.GraphViews.graph(spark, sf)
+    graft.store.GraphStore.write(g, dir)
+    val stored = graft.store.GraphStore.read(spark, dir)
+
+    // direct API path
+    val p1 = stored.ofModel(graft.graph.GraphViews.Nation, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("model_id"),
+      s"exact ofModel must prune partitions:\n$p1")
+
+    // through the ADT query language (IS_OF_MODEL closure → isin literal)
+    val p2 = new graft.adt.AdtPlanner(stored)
+      .run("SELECT COUNT() FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:graft:Nation;1')")
+      .queryExecution.executedPlan.toString
+    val pf = p2.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("model_id") && pf.contains("dtmi:graft:Nation;1"),
+      s"IS_OF_MODEL family filter must become a partition filter:\n$p2")
+  }
 }

@@ -93,6 +93,21 @@ class CypherSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(0) == "sun" && out(0).getLong(1) == 2)
   }
 
+  test("OPTIONAL MATCH keeps unmatched sources with null targets") {
+    // every twin + its orbit target if any: sun and kepler... sun has no
+    // outgoing orbits; kepler orbits sun. 4 twins → 4 rows (no fan-out).
+    val df = planner.run(
+      "MATCH (t:Twin) OPTIONAL MATCH (t)-[r:orbits]->(o:Twin) " +
+        "RETURN t.`$dtId` AS id, o.`$dtId` AS target ORDER BY id")
+    val out = df.collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(out == Seq(
+      ("earth", Some("sun")), ("kepler", Some("sun")),
+      ("moon1", Some("earth")), ("sun", None)))
+    // WHERE scoped to OPTIONAL MATCH is rejected, not silently mis-planned
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (t:Twin) OPTIONAL MATCH (t)-[r]->(o) WHERE o.x = 1 RETURN t"))
+  }
+
   test("UNWIND a JSON array property") {
     val rows = planner.run(
       "MATCH (t:Twin) WHERE t.`$dtId` = 'earth' UNWIND t.tags AS tag " +
