@@ -65,9 +65,13 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, ids: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    // two-key equi-join (doc_b, sid): each (pair, sid_a) row probes one
-    // hash bucket — joining on doc_b alone would expand to |pair|·|set|²
-    val inter = candidates
+    // Candidates are the LSH survivors — orders of magnitude smaller than
+    // the shingle table. Broadcasting them keeps `ids` un-shuffled (two
+    // map-side hash joins over the cached table instead of two full
+    // exchanges); the only shuffle left is the pair-count aggregation.
+    // Two-key equi-join (doc_b, sid): each (pair, sid_a) row probes one
+    // hash bucket — joining on doc_b alone would expand to |pair|·|set|².
+    val inter = broadcast(candidates)
       .join(ids.select(col("doc").as("doc_a"), col("sid")), Seq("doc_a"))
       .join(ids.select(col("doc").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
       .groupBy(col("doc_a"), col("doc_b"))
