@@ -94,6 +94,75 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(folded(2).oldJson == """{"v":3}""" && folded(2).newJson == """{"v":4}""")
   }
 
+  test("E3 streaming fold: state flushes on the transaction commit marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventPipeline.PhysicalChange]
+    val q = EventPipeline.foldPhysicalRowsStream(input.toDS())
+      .writeStream.format("memory").queryName("folded").outputMode("append").start()
+    try {
+      // batch 1: two WAL rows of txn 1, no commit → state held, no output
+      input.addData(
+        EventPipeline.PhysicalChange(1, 1, "t1", "TwinUpdate", "t1", """{"v":0}""", """{"v":1}"""),
+        EventPipeline.PhysicalChange(1, 2, "t2", "TwinUpdate", "t1", """{"v":1}""", """{"v":2}"""))
+      q.processAllAvailable()
+      assert(spark.table("folded").count() == 0, "uncommitted txn must not emit")
+      // batch 2: the commit marker arrives → one folded logical event
+      input.addData(EventPipeline.PhysicalChange(1, 3, "t3", "Commit", "", null, null))
+      q.processAllAvailable()
+      val out = spark.table("folded").as[graft.store.MutationEvent].collect()
+      assert(out.length == 1)
+      assert(out(0).oldJson == """{"v":0}""" && out(0).newJson == """{"v":2}""")
+      assert(out(0).seq == 1 && out(0).ts == "t2")
+    } finally q.stop()
+  }
+
+  test("watermarked telemetry rollup closes windows in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tele(seq: Long, ts: String, id: String) = graft.store.MutationEvent(
+      seq, ts, "Telemetry", null, s"""{"digitalTwinId":"$id"}""")
+    val input = MemoryStream[graft.store.MutationEvent]
+    val q = EventPipeline.telemetryRollup(input.toDS(), "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("rollup").outputMode("append").start()
+    try {
+      input.addData(
+        tele(1, "2026-01-01T00:00:10Z", "t1"),
+        tele(2, "2026-01-01T00:00:20Z", "t1"),
+        tele(3, "2026-01-01T00:00:30Z", "t2"))
+      q.processAllAvailable()
+      assert(spark.table("rollup").count() == 0,
+        "window must stay open until the watermark passes its end")
+      // events far past the window advance the watermark; the closed
+      // [00:00, 00:01) windows emit on the following trigger
+      input.addData(tele(4, "2026-01-01T00:10:00Z", "t1"))
+      q.processAllAvailable()
+      input.addData(tele(5, "2026-01-01T00:10:01Z", "t1"))
+      q.processAllAvailable()
+      val rows = spark.table("rollup")
+        .select(col("twin_id"), col("n_messages")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("t1", 2L), ("t2", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("telemetry rollup runs identically in batch mode") {
+    import spark.implicits._
+    val ds = Seq(
+      graft.store.MutationEvent(1, "2026-01-01T00:00:10Z", "Telemetry", null,
+        """{"digitalTwinId":"t1"}"""),
+      graft.store.MutationEvent(2, "2026-01-01T00:00:50Z", "Telemetry", null,
+        """{"digitalTwinId":"t1"}"""),
+      graft.store.MutationEvent(3, "2026-01-01T00:02:10Z", "Telemetry", null,
+        """{"digitalTwinId":"t1"}"""),
+      graft.store.MutationEvent(4, "2026-01-01T00:00:30Z", "TwinCreate", null, "{}")
+    ).toDS()
+    val out = EventPipeline.telemetryRollup(ds).collect()
+    assert(out.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L)) // [00:00)=2, [00:02)=1
+  }
+
   test("DLQ captures sink failures without killing the stream") {
     val dir = Files.createTempDirectory("graft-dlq").toString
     val store = populatedStore()
