@@ -106,11 +106,14 @@ object Json {
     copy
   }
 
-  /** RFC-6902 `add` semantics: like [[set]] except an existing array index
-    * means *insert before* (shifting elements right), not replace. The
-    * reference relies on a conformant Json.Patch implementation in
+  /** RFC-6902 `add` semantics: like [[set]] except (a) an existing array
+    * index means *insert before* (shifting elements right), not replace,
+    * and (b) the PARENT container must already exist — RFC 6902 §4.1
+    * forbids conjuring intermediate objects (that looser behavior is
+    * [[set]]'s, kept for agtype_set-style engine writes). The reference
+    * relies on a conformant Json.Patch implementation in
     * patchTwin/updateComponent (DigitalTwins.cs:592-609), so `add` and
-    * `replace` must diverge on arrays. */
+    * `replace` must diverge on arrays and missing parents must error. */
   def insert(root: JsonNode, ptr: String, value: JsonNode): JsonNode = {
     val toks = splitPointer(ptr)
     if (toks.isEmpty) return value
@@ -140,7 +143,11 @@ object Json {
           if (i == arr.size) arr.add(value) else arr.insert(i, value)
         }
         copy
-      case _ => set(root, ptr, value) // object member (or intermediates to create)
+      case Some(_: ObjectNode) => set(root, ptr, value) // add/overwrite member
+      case Some(other) => throw new IllegalArgumentException(
+        s"add target parent at $parentPtr is a ${other.getNodeType}, not a container")
+      case None => throw new IllegalArgumentException(
+        s"add target parent $parentPtr does not exist")
     }
   }
 
@@ -202,6 +209,14 @@ object JsonPatch {
     }.toSeq
   }
 
+  /** RFC 6902 §4.6 value equality: numbers compare by value (1 == 1.0),
+    * not by JSON node type; everything else uses structural equality. */
+  private def jsonEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a == b) true
+    else if (a != null && b != null && a.isNumber && b.isNumber)
+      a.decimalValue().compareTo(b.decimalValue()) == 0
+    else false
+
   /** Apply RFC 6902 ops; throws on test failure / missing paths like the
     * reference's Json.Patch (DigitalTwins.cs:592-609 surfaces those errors). */
   def apply(doc: JsonNode, ops: Seq[PatchOp]): JsonNode = {
@@ -221,7 +236,7 @@ object JsonPatch {
         cur = Json.insert(cur, op.path, v.deepCopy[JsonNode]())
       case "test" =>
         val v = Json.get(cur, op.path).orNull
-        if (v == null || v != op.value)
+        if (v == null || !jsonEq(v, op.value))
           throw new IllegalArgumentException(s"test failed at ${op.path}")
       case other => throw new IllegalArgumentException(s"unknown op $other")
     }

@@ -130,6 +130,10 @@ final class TwinStore(
       if (changed || prevMeta == null) {
         val pm = Json.obj()
         pm.put("lastUpdateTime", now)
+        // an explicitly-declared sourceTime in the incoming doc's metadata
+        // survives stamping (DigitalTwins.cs SourceTime semantics)
+        Json.get(doc, s"/$$metadata/${Json.escapeToken(k)}/sourceTime")
+          .foreach(st => pm.set[JsonNode]("sourceTime", st.deepCopy[JsonNode]()))
         lastUpdatedBy.foreach(u => pm.put("lastUpdatedBy", u))
         meta.set[JsonNode](k, pm)
       } else meta.set[JsonNode](k, prevMeta.deepCopy[JsonNode]())
@@ -168,6 +172,11 @@ final class TwinStore(
     for (k <- changed if patched.has(k)) {
       val pm = Json.obj()
       pm.put("lastUpdateTime", now)
+      // a sourceTime set by this patch (or carried in the doc) survives the
+      // restamp — DigitalTwinsTests.cs:357-398 patches /$metadata/x/sourceTime
+      // alongside the value and reads it back
+      Json.get(patched, s"/$$metadata/${Json.escapeToken(k)}/sourceTime")
+        .foreach(st => pm.set[JsonNode]("sourceTime", st.deepCopy[JsonNode]()))
       lastUpdatedBy.foreach(u => pm.put("lastUpdatedBy", u))
       meta.set[JsonNode](k, pm)
     }

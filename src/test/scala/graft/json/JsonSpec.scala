@@ -60,6 +60,12 @@ class JsonSpec extends AnyFunSuite {
     val moved = JsonPatch.apply(Json.parse("""{"arr":[1,2],"v":7}"""),
       JsonPatch.parseOps("""[{"op":"move","from":"/v","path":"/arr/0"}]"""))
     assert(Json.render(moved) == """{"arr":[7,1,2]}""")
+    // add with a missing parent errors (RFC 6902 §4.1 — no conjured objects)
+    assertThrows[IllegalArgumentException](JsonPatch.apply(doc,
+      JsonPatch.parseOps("""[{"op":"add","path":"/nope/deep","value":1}]""")))
+    // test compares numbers by value, not node type (RFC 6902 §4.6)
+    JsonPatch.apply(Json.parse("""{"n":1}"""),
+      JsonPatch.parseOps("""[{"op":"test","path":"/n","value":1.0}]"""))
   }
 
   test("diff is deterministic and round-trips") {

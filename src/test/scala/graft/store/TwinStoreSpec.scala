@@ -141,6 +141,25 @@ class TwinStoreSpec extends AnyFunSuite {
     assertThrows[StoreException](s.getTwin("room1"))
   }
 
+  test("patched sourceTime survives metadata restamping (DigitalTwinsTests.cs:357)") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    val after = s.patchTwin("room1",
+      """[{"op":"add","path":"/name","value":"Earth 3"},
+        |{"op":"add","path":"/$metadata/name/sourceTime","value":"2026-02-03T04:05:06Z"}]""".stripMargin)
+    assert(Json.get(after, "/name").get.asText() == "Earth 3")
+    assert(Json.get(after, "/$metadata/name/sourceTime").get.asText()
+      == "2026-02-03T04:05:06Z")
+    assert(Json.get(after, "/$metadata/name/lastUpdateTime").isDefined)
+    // and an explicit sourceTime in a created doc's metadata also sticks
+    s.createOrReplaceTwin("room2",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1",
+        |"temperature":{"sourceTime":"2026-01-02T00:00:00Z"}},"temperature":21.5}""".stripMargin)
+    assert(Json.get(s.getTwin("room2"), "/$metadata/temperature/sourceTime")
+      .get.asText() == "2026-01-02T00:00:00Z")
+  }
+
   test("relationship validation: endpoints must exist, name must be defined") {
     val s = freshStore()
     s.createOrReplaceTwin("room1",
