@@ -67,12 +67,36 @@ final class TwinStore(
     val existing = parsed.filter(m => registry.models.contains(m.id))
     if (existing.nonEmpty)
       throw StoreException(409, s"models already exist: ${existing.map(_.id).mkString(",")}")
+    // every extends/component reference must resolve within request ∪ store
+    // (ModelsTests.cs:146 CreateModels_MissingDependency_ThrowsFailedToResolve)
+    val known = registry.models.keySet ++ parsed.map(_.id)
+    val unresolved = parsed.flatMap(m =>
+      (m.extendsIds ++ m.components.values).filterNot(known).map(d => s"${m.id} -> $d"))
+    if (unresolved.nonEmpty)
+      throw StoreException(400,
+        s"failed to resolve model dependencies: ${unresolved.mkString(",")}")
     registry = ModelRegistry(registry.models ++ parsed.map(m => m.id -> m))
     parsed
   }
 
   def getModel(id: String): DtdlInterface =
     registry.models.getOrElse(id, throw StoreException(404, s"Model $id not found"))
+
+  /** Model with the full inherited surface merged in — properties,
+    * relationships, components and telemetry from every base interface
+    * (nearest definition wins), like GetModelAsync with
+    * includeModelDefinition/base contents (ModelsTests.cs:581-650). */
+  def getModelWithBaseContents(id: String): DtdlInterface = {
+    getModel(id)
+    val chain = registry.chain(id) // self first, then bases in order
+    chain.reduceRight { (nearer, base) =>
+      nearer.copy(
+        properties = base.properties ++ nearer.properties,
+        relationships = base.relationships ++ nearer.relationships,
+        components = base.components ++ nearer.components,
+        telemetry = base.telemetry ++ nearer.telemetry)
+    }
+  }
 
   /** Delete one model; fails while other models extend/reference it
     * (Models.cs:566-599). */

@@ -188,6 +188,30 @@ class TwinStoreSpec extends AnyFunSuite {
       s.createOrReplaceTwins(Seq.fill(101)("""{"$dtId":"x"}""")))
   }
 
+  test("createModels resolves dependencies within request + store, else 400") {
+    // derived-before-base within ONE request resolves (ModelsTests.cs:34)
+    val s = new TwinStore()
+    s.createModels(Seq(planet, celestial))
+    assert(s.models.bases("dtmi:com:contoso:Planet;1")
+      == Seq("dtmi:com:contoso:CelestialBody;1"))
+    // resolving against already-stored models works (ModelsTests.cs:126)
+    s.createModels(Seq(habitable))
+    // a dangling extends fails the whole batch (ModelsTests.cs:146)
+    val s2 = new TwinStore()
+    val ex = intercept[StoreException](s2.createModels(Seq(planet)))
+    assert(ex.status == 400 && ex.msg.contains("resolve"))
+  }
+
+  test("getModelWithBaseContents merges the inherited surface (ModelsTests.cs:581)") {
+    val s = new TwinStore()
+    s.createModels(Seq(celestial, planet, habitable))
+    val merged = s.getModelWithBaseContents("dtmi:com:contoso:HabitablePlanet;1")
+    assert(merged.id == "dtmi:com:contoso:HabitablePlanet;1")
+    assert(merged.properties.keySet == Set("name", "mass", "hasLife"))
+    // the un-merged lookup still returns only the local contents
+    assert(s.getModel("dtmi:com:contoso:HabitablePlanet;1").properties.isEmpty)
+  }
+
   test("model delete blocked by dependents") {
     val s = new TwinStore()
     s.createModels(Seq(celestial, planet))
