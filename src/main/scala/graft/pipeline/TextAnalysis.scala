@@ -105,26 +105,24 @@ object TextAnalysis {
     md5(concat_ws(" ", tokenSet(text)))
 
   /** All per-document text statistics in ONE pass: explode tokens once,
-    * aggregate with conditional sums (map-side combined, single shuffle),
-    * then join the row-local fingerprint. Equivalent to qualityMetrics +
-    * bpeishCount + fingerprint, but without re-splitting the text per
-    * metric or folding through interpreted higher-order functions. */
-  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val agged = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    * aggregate with conditional sums (map-side combined, single shuffle).
+    * The fingerprint folds into the same aggregation as
+    * md5(sorted collect_set) — identical bytes to the row-local
+    * md5(sorted distinct tokens) — so there is no second scan of the
+    * table and no re-join; one scan, one shuffle, 5 outputs. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_tokens"),
         sum(length(col("tok"))).as("sum_len"),
         sum(when(col("tok").isin(StopWords.map(lit): _*), 1L).otherwise(0L)).as("n_stop"),
-        sum(ceil(length(col("tok")) / lit(4.0)).cast(LongType)).as("bpeish"))
+        sum(ceil(length(col("tok")) / lit(4.0)).cast(LongType)).as("bpeish"),
+        md5(concat_ws(" ", array_sort(collect_set(col("tok"))))).as("fingerprint"))
       .select(col(idCol), col("n_tokens"),
         floor(col("sum_len") * 10000.0 / col("n_tokens") + 0.5).cast(LongType)
           .as("avg_token_len_4"),
         floor(col("n_stop") * 10000.0 / col("n_tokens") + 0.5).cast(LongType)
           .as("stopword_ratio_4"),
-        col("bpeish"))
-    agged.join(
-      df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint")), Seq(idCol))
-  }
+        col("bpeish"), col("fingerprint"))
 }
