@@ -327,6 +327,37 @@ object CypherParser {
         val v = literal()
         return Cmp("=", PropRef(Some(relAlias), List("$relationshipName")), v)
       }
+      // [graphname.]is_of_model(alias, 'model' | graphname.model_and_descendants('m'))
+      // — the AGE function surface (docs/concepts/querying.mdx:33,
+      // QueryTests.cs:1342,1601; is_of_model_old is the legacy alias)
+      val isOfModelAt =
+        if (isKw(cur, "is_of_model") || isKw(cur, "is_of_model_old")) Some(0)
+        else (cur, nxt) match {
+          case (Ident(_), Sym(".")) if isKw(toks(pos + 2), "is_of_model") ||
+            isKw(toks(pos + 2), "is_of_model_old") => Some(2)
+          case _ => None
+        }
+      isOfModelAt match {
+        case Some(off) if toks(pos + off + 1) == Sym("(") =>
+          pos += off + 2
+          val alias = ident()
+          expectSym(",")
+          val modelId = cur match {
+            case Str(s) => pos += 1; s
+            case Ident(_) =>
+              // graphname.model_and_descendants('m') — closure arg form
+              ident(); expectSym("."); expectKw("model_and_descendants")
+              expectSym("("); val m = advance() match {
+                case Str(s) => s
+                case t => throw new AdtParseException(s"expected model id string, found $t")
+              }; expectSym(")")
+              m
+            case t => throw new AdtParseException(s"bad is_of_model argument $t")
+          }
+          expectSym(")")
+          return FnCall("IS_OF_MODEL", List(PropRef(None, List(alias)), StrLit(modelId)))
+        case _ =>
+      }
       val l = propRef()
       cur match {
         case Sym("=") => pos += 1; Cmp("=", l, operandRhs())

@@ -140,6 +140,20 @@ class CypherSpec extends AnyFunSuite {
     assert(math.abs(s.collect()(0).getDouble(0) - (7.34e22 + 5.97e24 + 1.34e25)) < 1e20)
   }
 
+  test("digitaltwins.is_of_model() predicate forms (querying.mdx:33)") {
+    // fixture: sun=CelestialBody, earth=Planet, kepler=HabitablePlanet,
+    // moon1=Moon — the CelestialBody family covers all four
+    assert(count(
+      "MATCH (t:Twin) WHERE digitaltwins.is_of_model(t, 'dtmi:com:contoso:CelestialBody;1') RETURN t") == 4)
+    // bare + legacy-alias + closure-arg forms
+    assert(count(
+      "MATCH (t:Twin) WHERE is_of_model(t, 'dtmi:com:contoso:Planet;1') RETURN t") == 2)
+    assert(count(
+      "MATCH (t:Twin) WHERE g.is_of_model_old(t, 'dtmi:com:contoso:HabitablePlanet;1') RETURN t") == 1)
+    assert(count(
+      "MATCH (t:Twin) WHERE g.is_of_model(t, g.model_and_descendants('dtmi:com:contoso:Planet;1')) RETURN t") == 2)
+  }
+
   test("label() predicate and reverse arrows") {
     assert(count(
       "MATCH (a:Twin)-[r]->(b:Twin) WHERE label(r) = 'satellites' RETURN r") == 1)
