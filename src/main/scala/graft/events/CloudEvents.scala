@@ -95,7 +95,15 @@ object CloudEventFactory {
           case Some(c) => s"${textAt(newDoc, "/digitalTwinId")}/components/$c"
           case None => textAt(newDoc, "/digitalTwinId")
         }
-        Seq(envelope(EventNotificationTypes("Telemetry"), subject, newDoc))
+        // payload is the telemetry property itself (whole envelope only as
+        // fallback) and the id is the producer's messageId when present —
+        // CloudEventFactory.cs:763-797 (CreateTelemetryEvents)
+        val payload = Json.get(newDoc, "/telemetry").getOrElse(newDoc)
+        val tpe = EventNotificationTypes("Telemetry")
+        val id = Option(textAt(newDoc, "/messageId"))
+          .getOrElse(detId(ev.seq.toString, tpe, subject))
+        Seq(CloudEvent(id, source, tpe, subject, ev.ts, "application/json",
+          Json.render(payload)))
       case other => throw new IllegalArgumentException(s"unknown eventType $other")
     }
   }

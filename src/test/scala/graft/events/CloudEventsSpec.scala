@@ -141,6 +141,12 @@ class CloudEventsSpec extends AnyFunSuite {
     val e2 = CloudEventFactory.eventNotification(
       MutationEvent(11, "ts", "Telemetry", null, t2), src).head
     assert(e2.subject == "twin1/components/comp")
+    // payload is the telemetry node itself; id honors messageId
+    // (CloudEventFactory.cs:763-797)
+    val t3 = """{"digitalTwinId":"twin1","messageId":"m-42","telemetry":{"temp":26.0}}"""
+    val e3 = CloudEventFactory.eventNotification(
+      MutationEvent(12, "ts", "Telemetry", null, t3), src).head
+    assert(e3.id == "m-42" && e3.data == """{"temp":26.0}""")
   }
 
   test("event ids are deterministic (idempotent retries)") {
