@@ -57,6 +57,60 @@ object Multimodal {
     spark.createDataFrame(rows, decodedSchema)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType)))
+
+  /** STUB resize — deterministically truncates/cycles the payload to
+    * w*h/64 bytes so output size tracks the requested resolution. A real
+    * image scaler replaces this one function. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) Array.emptyByteArray
+    else Array.tabulate(math.max(w * h / 64, 1))(i => bytes(i % bytes.length))
+  }
+
+  /** Batch resize: binary → binary with target dimensions carried as typed
+    * metadata; same per-partition batch shape as [[decode]]. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), w, h), w, h)
+      })
+    spark.createDataFrame(rows, resizedSchema)
+  }
+
+  /** Frame sampling: one output row per kept frame (every `everyN`-th of
+    * the container's frames, frame count from the decode step). The fan-out
+    * happens inside the partition iterator — no driver involvement, no
+    * shuffle; a 100 TB video corpus becomes a frame corpus at scan speed. */
+  def frameSample(media: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (_, _, nFrames) = decodeStub(bytes)
+        // STUB frame extraction: a deterministic byte slice per frame
+        (0 until nFrames by everyN).iterator.map { f =>
+          val start = if (bytes == null || bytes.isEmpty) 0 else f % bytes.length
+          val frame =
+            if (bytes == null || bytes.isEmpty) Array.emptyByteArray
+            else bytes.slice(start, math.min(start + 16, bytes.length))
+          Row(id, f, frame)
+        }
+      })
+    spark.createDataFrame(rows, frameSchema)
+  }
+
   /** Documents-as-media view: utf-8 text bytes standing in for image
     * payloads (TESTDATA ships no binary columns). */
   def documentsAsMedia(documents: DataFrame): DataFrame =

@@ -86,4 +86,27 @@ class PipelineSpec extends AnyFunSuite {
     val feats = Multimodal.features(media)
     assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
   }
+
+  test("multimodal resize and frame-sample: batch plumbing with typed schemas") {
+    val media = Multimodal.documentsAsMedia(docs)
+    val resized = Multimodal.resize(media, 64, 64)
+    assert(resized.schema == Multimodal.resizedSchema)
+    val rr = resized.filter($"media_id" === 0).collect()(0)
+    assert(rr.getInt(2) == 64 && rr.getInt(3) == 64)
+    assert(rr.getAs[Array[Byte]](1).length == 64 * 64 / 64)
+
+    val frames = Multimodal.frameSample(media, everyN = 2)
+    assert(frames.schema == Multimodal.frameSchema)
+    // frame count tracks the decode stub: ceil(n_frames / 2) rows per doc
+    val counts = frames.groupBy($"media_id").count()
+    val decoded = Multimodal.decode(media).select($"media_id", $"n_frames")
+    val joined = counts.join(decoded, "media_id")
+      .select($"count", ceil($"n_frames" / 2.0).cast("long").as("expect"))
+      .collect()
+    assert(joined.forall(r => r.getLong(0) == r.getLong(1)))
+    // frame indices are the kept every-2nd positions
+    val idxs = frames.filter($"media_id" === 0).select($"frame_idx")
+      .as[Int].collect().sorted
+    assert(idxs.headOption.contains(0) && idxs.forall(_ % 2 == 0))
+  }
 }
