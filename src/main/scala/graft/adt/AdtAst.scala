@@ -55,6 +55,10 @@ final case class PropRef(entity: Option[String], path: List[String]) extends Exp
 final case class FnCall(name: String, args: List[Expr]) extends Expr
 /** Cypher list literal `[1, 2, 3]` — the UNWIND source form. */
 final case class ListLit(values: List[Lit]) extends Expr
+/** Cypher `EXISTS((a)-[:r]->(b))` pattern predicate — planned as a
+  * semi-join (anti-join under NOT) against the relationship table, so it
+  * never fans out rows. Must appear as a top-level WHERE conjunct. */
+final case class ExistsPattern(edge: MatchEdge) extends Expr
 sealed trait Lit extends Expr
 final case class StrLit(v: String) extends Lit
 final case class NumLit(v: Double, isInt: Boolean) extends Lit

@@ -44,9 +44,34 @@ final class AdtPlanner(graph: TwinGraph) {
     var scope = Scope(twinAliases, relAliases, defaultEntity)
 
     // ---- WHERE ----
-    var df1 = q.where match {
-      case Some(e) => df0.filter(compile(e, scope))
-      case None => df0
+    // EXISTS pattern predicates peel off the top-level conjunction and plan
+    // as semi/anti joins (they cannot be a Column); the rest is a filter.
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => List(x)
+    }
+    def hasNestedExists(e: Expr): Boolean = e match {
+      case _: ExistsPattern => true
+      case And(l, r) => hasNestedExists(l) || hasNestedExists(r)
+      case Or(l, r) => hasNestedExists(l) || hasNestedExists(r)
+      case Not(x) => hasNestedExists(x)
+      case _ => false
+    }
+    var df1 = df0
+    q.where.foreach { e =>
+      val (patternPreds, plain) = conjuncts(e).partition {
+        case _: ExistsPattern | Not(_: ExistsPattern) => true
+        case _ => false
+      }
+      plain.find(hasNestedExists).foreach(bad => throw new AdtPlanException(
+        s"EXISTS pattern must be a top-level AND-conjunct of WHERE: $bad"))
+      if (plain.nonEmpty)
+        df1 = df1.filter(compile(plain.reduce(And), scope))
+      patternPreds.foreach {
+        case ExistsPattern(edge) => df1 = planExists(df1, scope, edge, negated = false)
+        case Not(ExistsPattern(edge)) => df1 = planExists(df1, scope, edge, negated = true)
+        case _ => // unreachable by partition
+      }
     }
 
     // ---- WITH / UNWIND pipeline (Cypher) ----
@@ -151,6 +176,29 @@ final class AdtPlanner(graph: TwinGraph) {
     // ---- SKIP / TOP/LIMIT ----
     val df3 = q.skip.fold(df2)(df2.offset)
     q.top.fold(df3)(df3.limit)
+  }
+
+  /** `EXISTS((src)-[:names]->(dst))` as a semi-join, `NOT EXISTS` as an
+    * anti-join — row multiplicity never changes, and at scale both compile
+    * to a single hash join against the (pruned) relationship scan. A bound
+    * dst alias correlates both endpoints; an anonymous/unbound dst is
+    * purely existential. */
+  private def planExists(df: DataFrame, scope: Scope, edge: MatchEdge,
+      negated: Boolean): DataFrame = {
+    val srcBound = scope.twins(edge.src)
+    val dstBound = scope.twins(edge.dst)
+    if (!srcBound && !dstBound) throw new AdtPlanException(
+      s"EXISTS pattern must reference at least one bound node: " +
+        s"(${edge.src})-->(${edge.dst})")
+    val rels0 =
+      if (edge.relNames.isEmpty) graph.relationships
+      else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    val probe = rels0.select(col("source_id").as("__ex_src"),
+      col("target_id").as("__ex_dst"))
+    val conds =
+      (if (srcBound) Seq(col(s"${edge.src}__dt_id") === col("__ex_src")) else Nil) ++
+      (if (dstBound) Seq(col(s"${edge.dst}__dt_id") === col("__ex_dst")) else Nil)
+    df.join(probe, conds.reduce(_ && _), if (negated) "left_anti" else "left_semi")
   }
 
   // ---------------- pipeline stages (Cypher WITH / UNWIND) ----------------

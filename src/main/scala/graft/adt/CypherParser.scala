@@ -327,6 +327,33 @@ object CypherParser {
         val v = literal()
         return Cmp("=", PropRef(Some(relAlias), List("$relationshipName")), v)
       }
+      // EXISTS((a)-[:r]->(b)) pattern predicate (negation via NOT in front)
+      if (isKw(cur, "EXISTS") && nxt == Sym("(")) {
+        pos += 2
+        val before = propFilters.size
+        var left = parseNode()
+        val edge = cur match {
+          case Sym("-") =>
+            pos += 1
+            val (relAlias, relNames, vle) = parseRelBody()
+            expectSym("->")
+            val right = parseNode()
+            MatchEdge(left, relAlias, relNames, right, vle)
+          case Sym("<-") =>
+            pos += 1
+            val (relAlias, relNames, vle) = parseRelBody()
+            expectSym("-")
+            val right = parseNode()
+            MatchEdge(right, relAlias, relNames, left, vle)
+          case t => throw new AdtParseException(s"expected edge pattern in EXISTS, found $t")
+        }
+        expectSym(")")
+        if (propFilters.size != before) throw new AdtParseException(
+          "property maps inside EXISTS patterns are not supported")
+        if (edge.vle.isDefined) throw new AdtParseException(
+          "variable-length edges inside EXISTS patterns are not supported")
+        return ExistsPattern(edge)
+      }
       // [graphname.]is_of_model(alias, 'model' | graphname.model_and_descendants('m'))
       // — the AGE function surface (docs/concepts/querying.mdx:33,
       // QueryTests.cs:1342,1601; is_of_model_old is the legacy alias)

@@ -154,6 +154,31 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (t:Twin) WHERE g.is_of_model(t, g.model_and_descendants('dtmi:com:contoso:Planet;1')) RETURN t") == 2)
   }
 
+  test("EXISTS / NOT EXISTS pattern predicates plan as semi/anti joins") {
+    // outgoing orbits exist for moon1, earth, kepler; not for sun
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:orbits]->(x)) RETURN t") == 3)
+    assert(count(
+      "MATCH (t:Twin) WHERE NOT EXISTS((t)-[:orbits]->(x)) RETURN t") == 1)
+    // bound-destination form correlates both endpoints: pairs whose target
+    // itself orbits something — only moon1->earth (earth orbits sun)
+    assert(count(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WHERE EXISTS((b)-[:orbits]->(c)) RETURN a") == 1)
+    // reverse-arrow form: twins nothing orbits = moon1 and kepler... via
+    // <-: EXISTS((t)<-[:orbits]-(y)) holds for earth and sun only
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)<-[:orbits]-(y)) RETURN t") == 2)
+    // combines with plain predicates in the same WHERE
+    assert(count(
+      "MATCH (t:Twin) WHERE t.`$dtId` <> 'earth' AND EXISTS((t)-[:orbits]->(x)) RETURN t") == 2)
+    // no row fan-out from multiple matching edges: sun has two inbound
+    // orbits but appears once
+    val ids = planner.run(
+      "MATCH (t:Twin) WHERE EXISTS((t)<-[:orbits]-(y)) RETURN t.`$dtId` AS id ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("earth", "sun"))
+  }
+
   test("label() predicate and reverse arrows") {
     assert(count(
       "MATCH (a:Twin)-[r]->(b:Twin) WHERE label(r) = 'satellites' RETURN r") == 1)
