@@ -123,6 +123,24 @@ object AdtLangQueries {
       run(s, d,
         "MATCH (t:Twin) UNWIND t.tags AS tag " +
           "RETURN tag, count(*) AS n ORDER BY tag")
+    }),
+
+    // Cypher OPTIONAL MATCH: every nation-or-region twin with its region
+    // if any (regions have no outgoing in_region edge → null).
+    "q_cypher_optional" -> ((s, d) => {
+      run(s, d,
+        "MATCH (n:Twin) " +
+          "WHERE n.`$metadata`.`$model` IN ['dtmi:graft:Region;1', 'dtmi:graft:Nation;1'] " +
+          "OPTIONAL MATCH (n)-[r:in_region]->(g:Twin) " +
+          "RETURN n.`$dtId` AS id, g.`$dtId` AS region_id ORDER BY id")
+    }),
+
+    // Cypher NOT EXISTS anti-join: twins that are nobody's located_in
+    // target (= everything except nations).
+    "q_cypher_not_exists" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE NOT EXISTS((t)<-[:located_in]-(x)) " +
+          "RETURN t.`$dtId` AS id ORDER BY id")
     })
   )
 
@@ -178,6 +196,17 @@ object AdtLangQueries {
         |WHERE n_members > 65 ORDER BY nation""".stripMargin,
     "q_cypher_unwind" ->
       """SELECT c_mktsegment AS tag, CAST(count(*) AS BIGINT) AS n
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cypher_optional" ->
+      """SELECT id, region_id FROM (
+        |  SELECT 'R' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS region_id FROM region
+        |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation)
+        |ORDER BY id""".stripMargin,
+    "q_cypher_not_exists" ->
+      """SELECT id FROM (
+        |  SELECT 'R' || r_regionkey AS id FROM region
+        |  UNION ALL SELECT 'C' || c_custkey FROM customer
+        |  UNION ALL SELECT 'S' || s_suppkey FROM supplier)
+        |ORDER BY id""".stripMargin
   )
 }
