@@ -56,6 +56,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dt_id filter not pushed:\n$p")
   }
 
+  test("NOT EXISTS plans as an anti join (no fan-out, single pass)") {
+    val p = plan("q_cypher_not_exists")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("WITH aggregation keeps map-side partial aggregation") {
+    val p = plan("q_cypher_with_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
   test("IS_OF_MODEL prunes model_id partitions on the GraphStore layout") {
     // The $model btree of the reference (GraphInitialization.cs:13-39)
     // becomes partition pruning here: an IS_OF_MODEL family filter over a
