@@ -20,9 +20,10 @@ final case class SelectEntity(alias: String) extends SelectItem
 final case class SelectProp(entity: Option[String], path: List[String],
     as: Option[String]) extends SelectItem
 /** Aggregate return item (Cypher `RETURN k, count(*) / sum(x) / avg(x) /
-  * min(x) / max(x)`): non-aggregate items become grouping keys. */
+  * min(x) / max(x)`, optionally `count(DISTINCT x)`): non-aggregate items
+  * become grouping keys. */
 final case class SelectAgg(fn: String, arg: Option[PropRef],
-    as: Option[String]) extends SelectItem
+    as: Option[String], distinct: Boolean = false) extends SelectItem
 
 sealed trait FromSource
 final case class FromTwins(alias: Option[String]) extends FromSource

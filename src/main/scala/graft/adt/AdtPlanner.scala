@@ -98,17 +98,7 @@ final class AdtPlanner(graph: TwinGraph) {
           case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) =>
             propValue(None, List(p), scope).as(p)
         }
-        val aggCols = aggItems.map { a =>
-          val arg = a.arg.map(r => propFromRef(r, scope).cast("double"))
-          val c = a.fn match {
-            case "COUNT" => arg.fold(count(lit(1)))(count)
-            case "SUM" => sum(arg.get)
-            case "AVG" => avg(arg.get)
-            case "MIN" => min(arg.get)
-            case "MAX" => max(arg.get)
-          }
-          c.as(a.as.getOrElse(a.fn))
-        }
+        val aggCols = aggItems.map(aggColumn(_, scope))
         val grouped =
           if (keyCols.isEmpty) df1.agg(aggCols.head, aggCols.tail: _*)
           else df1.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -176,6 +166,26 @@ final class AdtPlanner(graph: TwinGraph) {
     // ---- SKIP / TOP/LIMIT ----
     val df3 = q.skip.fold(df2)(df2.offset)
     q.top.fold(df3)(df3.limit)
+  }
+
+  /** One aggregate output column. COUNT counts the raw value (no cast —
+    * a string property must not be nulled by a numeric cast); SUM/AVG/
+    * MIN/MAX operate numerically like the agtype aggregates the reference
+    * reaches through AGE. `DISTINCT` is supported for COUNT and SUM. */
+  private def aggColumn(a: SelectAgg, scope: Scope): Column = {
+    val raw = a.arg.map(r => propFromRef(r, scope))
+    val num = raw.map(_.cast("double"))
+    val c = (a.fn, a.distinct) match {
+      case ("COUNT", false) => raw.fold(count(lit(1)))(count)
+      case ("COUNT", true) => count_distinct(raw.get)
+      case ("SUM", false) => sum(num.get)
+      case ("SUM", true) => sum_distinct(num.get)
+      case ("AVG", false) => avg(num.get)
+      case ("MIN", false) => min(num.get)
+      case ("MAX", false) => max(num.get)
+      case (fn, true) => throw new AdtPlanException(s"$fn(DISTINCT ...) is not supported")
+    }
+    c.as(a.as.getOrElse(a.fn))
   }
 
   /** `EXISTS((src)-[:names]->(dst))` as a semi-join, `NOT EXISTS` as an
@@ -256,17 +266,7 @@ final class AdtPlanner(graph: TwinGraph) {
 
     val (out, flatNames) =
       if (aggItems.nonEmpty) {
-        val aggCols = aggItems.map { a =>
-          val arg = a.arg.map(r => propFromRef(r, scope).cast("double"))
-          val c = a.fn match {
-            case "COUNT" => arg.fold(count(lit(1)))(count)
-            case "SUM" => sum(arg.get)
-            case "AVG" => avg(arg.get)
-            case "MIN" => min(arg.get)
-            case "MAX" => max(arg.get)
-          }
-          c.as(a.as.getOrElse(a.fn))
-        }
+        val aggCols = aggItems.map(aggColumn(_, scope))
         val keys = entCols ++ propCols.map(_._2)
         val grouped =
           if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)

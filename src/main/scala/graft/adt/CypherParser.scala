@@ -258,13 +258,16 @@ object CypherParser {
           case Ident(f) if aggFns(f.toUpperCase) && nxt == Sym("(") =>
             val fn = f.toUpperCase
             pos += 2
+            val distinct = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
             val arg = cur match {
               case Sym("*") => pos += 1; None
               case _ => Some(propRef())
             }
+            if (distinct && arg.isEmpty)
+              throw new AdtParseException(s"$fn(DISTINCT *) is not valid")
             expectSym(")")
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-            items += SelectAgg(fn, arg, as)
+            items += SelectAgg(fn, arg, as, distinct)
           case _ =>
             val ref = propRef()
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None

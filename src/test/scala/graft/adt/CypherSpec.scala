@@ -121,6 +121,18 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b.`$dtId` AS t RETURN t") == 2)
   }
 
+  test("count(DISTINCT x) and count over a string property") {
+    // two distinct orbit targets (earth, sun) across three edges
+    val d = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) RETURN count(DISTINCT b.`$dtId`) AS n")
+      .collect()(0).getLong(0)
+    assert(d == 2)
+    // count over a string property counts non-null values, not numeric casts
+    val c = planner.run("MATCH (t:Twin) RETURN count(t.name) AS n")
+      .collect()(0).getLong(0)
+    assert(c == 4)
+  }
+
   test("grouped aggregates in RETURN (B10 through Cypher)") {
     // count of orbit targets per source kind
     val df = planner.run(
