@@ -92,7 +92,13 @@ final class QueryService(graph: TwinGraph,
         })
       }
     }
-    val hasAgg = ast.items.contains(SelectCount)
+    // surcharges per AgeDigitalTwinsClient.Query.cs:240-257: +10 when the
+    // query traverses variable-length edges, +5 for aggregates/is_of_model
+    if (ast.matches.exists(_.vle.isDefined)) c += 10
+    val hasAgg = ast.items.exists {
+      case SelectCount | _: SelectAgg => true
+      case _ => false
+    }
     val hasIsOfModel = ast.where.exists(containsIsOfModel)
     if (hasAgg || hasIsOfModel) c += 5
     c

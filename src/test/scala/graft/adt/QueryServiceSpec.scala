@@ -70,6 +70,11 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(c.charge == 1 + 1 + 5) // 1 row + 1 prop + 5 agg surcharge
     val m = svc.query("SELECT COUNT() FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:p;1')")
     assert(m.charge == 1 + 1 + 5)
+    // +10 variable-length-edge surcharge (Query.cs:240-257)
+    val v = svc.query(
+      "SELECT T.$dtId AS id FROM DIGITALTWINS MATCH (S)-[r:next*1..2]->(T) " +
+        "WHERE S.$dtId = 't000'")
+    assert(v.charge == 2 + 2 + 10) // t001,t002 rows + 1 prop each + VLE
   }
 
   test("read-only guard rejects mutating keywords (B19)") {
