@@ -167,6 +167,48 @@ object Dedup {
     verifyJaccard(candidates, ids, threshold)
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each doc repeatedly takes the min label in its
+    * neighborhood) — the scalable union-find. Converges in O(component
+    * diameter) rounds; near-dup clusters are shallow, so typically 2-3.
+    * Per-round `localCheckpoint` truncates the iterative-join lineage,
+    * same discipline as [[graft.graph.Vle]]. Returns (doc, component)
+    * where component = min doc id reachable, including isolated docs'
+    * self-labels only if they appear in `pairs`. */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(eager = true)
+    var changed = true
+    while (changed) {
+      val neighborMin = sym
+        .join(labels.select(col("doc").as("b"), col("label").as("bl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("bl")).as("nmin"))
+        .select(col("a").as("doc"), col("nmin"))
+      val merged = labels.join(neighborMin, Seq("doc"), "left_outer")
+        .select(col("doc"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .localCheckpoint(eager = true)
+      changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
+      labels = merged.select(col("doc"), col("next_label").as("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("doc"), col("label").as("component"))
+  }
+
+  /** Survivor election per component: keep the min doc id; returns
+    * (component, survivor_id, n_members). The standard post-pairing dedup
+    * step — everything else in the component is dropped from the corpus. */
+  def survivors(comps: DataFrame): DataFrame =
+    comps.groupBy(col("component"))
+      .agg(min(col("doc")).as("survivor_id"), count(lit(1)).as("n_members"))
+
   /** Floor-division "shift right by k bits" for non-negative values
     * (exact while v < 2^52; our values are < 2^31). */
   private def shr(v: Column, kBits: Column): Column =

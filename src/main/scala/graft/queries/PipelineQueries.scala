@@ -43,6 +43,15 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Near-dup clustering: MinHash pairs → connected components (iterative
+    // min-label propagation = distributed union-find) → one row per doc
+    // with its component id. The survivor-election step of a dedup pass.
+    "q_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.components(pairs).orderBy(col("doc"))
+    }),
+
     "q_text_stats" -> ((s, d) => {
       TextAnalysis.textStats(Td.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len_4"),
@@ -145,6 +154,28 @@ object PipelineQueries {
          |$jaccardVerifySql
          |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $shingleIdsSql,
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |$jaccardVerifySql,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_4 >= 5000),
+         |sym AS (SELECT doc_a a, doc_b b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc, min(b) AS component FROM reach
+         |GROUP BY a ORDER BY doc""".stripMargin,
 
     "q_dedup_simhash" -> {
       val (_, a0, b0) = Dedup.hashParams(1).head

@@ -87,6 +87,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
   }
 
+  test("connected components + survivors over near-dup pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // chain 1-2-3-5 collapses to label 1; 10-11 to 10
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val surv = Dedup.survivors(Dedup.components(pairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(surv == Set((1L, 1L, 4L), (10L, 10L, 2L)))
+  }
+
   test("multimodal resize and frame-sample: batch plumbing with typed schemas") {
     val media = Multimodal.documentsAsMedia(docs)
     val resized = Multimodal.resize(media, 64, 64)
