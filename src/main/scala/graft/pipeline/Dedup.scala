@@ -209,6 +209,15 @@ object Dedup {
     comps.groupBy(col("component"))
       .agg(min(col("doc")).as("survivor_id"), count(lit(1)).as("n_members"))
 
+  /** The deduplicated corpus: drops every clustered doc except its
+    * component's survivor. One anti-join against the (small) set of
+    * non-survivors — docs in no component pass through untouched. */
+  def dedupedCorpus(df: DataFrame, idCol: String, comps: DataFrame): DataFrame = {
+    val losers = comps.filter(col("doc") =!= col("component"))
+      .select(col("doc").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Floor-division "shift right by k bits" for non-negative values
     * (exact while v < 2^52; our values are < 2^31). */
   private def shr(v: Column, kBits: Column): Column =

@@ -98,6 +98,11 @@ class PipelineSpec extends AnyFunSuite {
     val surv = Dedup.survivors(Dedup.components(pairs)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(surv == Set((1L, 1L, 4L), (10L, 10L, 2L)))
+    // deduped corpus keeps survivors + unclustered docs
+    val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupedCorpus(corpus, "doc_id", Dedup.components(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
   }
 
   test("multimodal resize and frame-sample: batch plumbing with typed schemas") {
