@@ -191,13 +191,14 @@ object Dedup {
         .join(labels.select(col("doc").as("b"), col("label").as("bl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("bl")).as("nmin"))
         .select(col("a").as("doc"), col("nmin"))
+      // ONE eager checkpoint per round; the convergence probe and next
+      // round's labels both read the checkpointed frame (cheap projections)
       val merged = labels.join(neighborMin, Seq("doc"), "left_outer")
         .select(col("doc"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
         .localCheckpoint(eager = true)
       changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
       labels = merged.select(col("doc"), col("next_label").as("label"))
-        .localCheckpoint(eager = true)
     }
     labels.select(col("doc"), col("label").as("component"))
   }
