@@ -99,7 +99,13 @@ object ImportJob {
                 throw StoreException(400, "Header section is required first")
               if (lineNo > skipUntil) {
                 section match {
-                  case "Header" => // metadata line: fileVersion etc. — recorded, not validated
+                  case "Header" =>
+                    // the header data line must declare a supported
+                    // fileVersion (ImportJob.cs:444-458)
+                    val fv = Json.get(node, "/fileVersion").map(_.asText())
+                    if (!fv.contains("1.0.0"))
+                      throw StoreException(400,
+                        s"Unsupported file version: ${fv.getOrElse("missing")}")
                   case "Models" => modelBuf += line
                   case "Twins" =>
                     try {

@@ -33,6 +33,13 @@ class JobsSpec extends AnyFunSuite {
     assert(store.getRelationship("twin1", "rel1") != null)
   }
 
+  test("import: unsupported fileVersion rejected (ImportJob.cs:444-458)") {
+    val bad = ndjson.updated(1, """{"fileVersion": "2.0.0", "author": "u"}""")
+    val ex = intercept[StoreException](
+      ImportJob.run(new TwinStore(), bad.iterator))
+    assert(ex.msg.contains("Unsupported file version"))
+  }
+
   test("import: header required first") {
     val store = new TwinStore()
     val noHeader = ndjson.drop(2)
