@@ -191,11 +191,20 @@ object Dedup {
         .join(labels.select(col("doc").as("b"), col("label").as("bl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("bl")).as("nmin"))
         .select(col("a").as("doc"), col("nmin"))
+      val stepped = labels.join(neighborMin, Seq("doc"), "left_outer")
+        .select(col("doc"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid_label"))
+      // pointer doubling: also adopt the label of my current label — turns
+      // O(diameter) convergence into O(log diameter), which matters for
+      // chain-shaped near-dup clusters (doc, doc', doc'' ...)
+      val asMap = stepped.select(col("doc").as("m_doc"), col("mid_label").as("m_label"))
       // ONE eager checkpoint per round; the convergence probe and next
       // round's labels both read the checkpointed frame (cheap projections)
-      val merged = labels.join(neighborMin, Seq("doc"), "left_outer")
+      val merged = stepped
+        .join(asMap, col("mid_label") === col("m_doc"), "left_outer")
         .select(col("doc"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+          least(col("mid_label"), coalesce(col("m_label"), col("mid_label")))
+            .as("next_label"))
         .localCheckpoint(eager = true)
       changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
       labels = merged.select(col("doc"), col("next_label").as("label"))
