@@ -365,7 +365,10 @@ final class AdtPlanner(graph: TwinGraph) {
             }
           }
         }
-        val default = alias.getOrElse(twinAliases.head)
+        // the FROM/lone-node alias is only the default entity if the joins
+        // actually bound it; otherwise fall back to the first bound alias
+        val default = alias.filter(twinAliases.contains)
+          .getOrElse(twinAliases.head)
         (df, twinAliases.toSet, relAliases.toSet, default)
       }
   }
@@ -384,6 +387,8 @@ final class AdtPlanner(graph: TwinGraph) {
     case p: PropRef => propFromRef(p, scope).cast("boolean")
     case l: Lit => lit(litValue(l))
     case l: ListLit => throw new AdtPlanException(s"list literal $l only valid in UNWIND/IN")
+    case _: ExistsPattern => throw new AdtPlanException(
+      "EXISTS patterns are only supported in the top-level WHERE (not in WITH stages)")
   }
 
   private def compileCmp(op: String, l: Expr, r: Expr, scope: Scope): Column = {

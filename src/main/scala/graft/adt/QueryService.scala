@@ -95,8 +95,12 @@ final class QueryService(graph: TwinGraph,
     // surcharges per AgeDigitalTwinsClient.Query.cs:240-257: +10 when the
     // query traverses variable-length edges, +5 for aggregates/is_of_model
     if (ast.matches.exists(_.vle.isDefined)) c += 10
-    val hasAgg = ast.items.exists {
+    def aggIn(items: Seq[SelectItem]): Boolean = items.exists {
       case SelectCount | _: SelectAgg => true
+      case _ => false
+    }
+    val hasAgg = aggIn(ast.items) || ast.pipeline.exists {
+      case w: WithClause => aggIn(w.items)
       case _ => false
     }
     val hasIsOfModel = ast.where.exists(containsIsOfModel)

@@ -16,6 +16,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Vle {
 
+  /** Depth ceiling for the trail-enumeration regime (min>1): beyond this,
+    * edge-subset frontiers grow combinatorially on cyclic graphs. Ranges
+    * whose maxDepth exceeds the cap are under-approximated ONLY for pairs
+    * whose sole in-range trail is longer than the cap AND which also have a
+    * shorter out-of-range trail — a corner the cheap BFS regime already
+    * covers for every other pair. */
+  val TrailEnumDepthCap = 8
+
   private def filtered(edges: DataFrame, relNames: Seq[String]): DataFrame = {
     val e0 =
       if (relNames.isEmpty) edges
@@ -60,7 +68,10 @@ object Vle {
         depth += 1
       }
     }
-    visited
+    // sever lineage so the edge cache can be released per-invocation
+    val out = visited.localCheckpoint(eager = true)
+    e.unpersist(false)
+    out
   }
 
   /** Bounded range form `-[*min..max]->` with Cypher/AGE *exists-a-trail*
@@ -69,21 +80,20 @@ object Vle {
     * length d ∈ [min,max] connects it, even if a shorter out-of-range trail
     * also exists. `depth` is the minimal in-range trail length per pair.
     *
-    * Two regimes:
+    * Regimes:
     *  - min <= 1: every reachable pair's minimal depth is in range, and a
     *    shortest walk never repeats a vertex (hence never an edge), so
     *    exists-trail ≡ exists-walk and the linear minimal-depth BFS applies.
-    *  - min > 1: a pair reached by a short out-of-range trail may or may not
-    *    be reachable by a longer in-range one, and edge re-use must be
-    *    excluded (moon1→earth→moon1→earth reuses the same edge — AGE rejects
-    *    it). The frontier therefore carries the *set of traversed edge ids*,
-    *    like AGE's own VLE executor enumerating paths. Rows are deduped on
-    *    (start, end, sorted edge-set) — trails differing only in edge order
-    *    are interchangeable for any future expansion — which keeps the
-    *    enumeration bounded by edge-subsets rather than edge-sequences.
-    *    Worst-case cost is inherent to trail semantics; iterations are
-    *    bounded by `max` (typical queries use 2..6).
-    */
+    *  - min > 1: hybrid. The BFS still answers for every pair whose minimal
+    *    depth d0 lands in [min,max] (the shortest walk is simple, hence a
+    *    valid trail). Only pairs with d0 < min need edge-set trail
+    *    enumeration — moon1→earth→moon1→earth reuses an edge, so a longer
+    *    in-range trail may or may not exist for them. That enumeration runs
+    *    ONLY from the affected start nodes, carries the set of traversed
+    *    edge ids (deduped on (start, end, sorted edge-set)), and is capped
+    *    at [[TrailEnumDepthCap]] — exact for every reference-shaped range
+    *    (*2..2 … *3..6), under-approximating only ultra-deep redemption
+    *    trails on open-ended ranges like `*2..`. */
   def range(edges: DataFrame, minDepth: Int, maxDepth: Int,
       relNames: Seq[String] = Nil): DataFrame = {
     require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
@@ -91,58 +101,97 @@ object Vle {
       reachability(edges, relNames, maxIter = maxDepth)
         .filter(col("depth") <= maxDepth)
     else {
-      val named =
-        if (relNames.isEmpty) edges
-        else edges.filter(col("relationship_name").isin(relNames: _*))
-      // Relationship uniqueness is per edge *identity*: parallel edges are
-      // distinct traversals. Use the real id when the graph has one; else a
-      // (source, target, name) composite is the closest stable identity.
-      val withId =
-        if (named.columns.contains("relationship_id"))
-          named.withColumn("__eid", col("relationship_id"))
-        else if (named.columns.contains("relationship_name"))
-          named.withColumn("__eid", concat_ws("\u0001",
-            col("source_id"), col("target_id"), col("relationship_name")))
-        else named.withColumn("__eid",
-          concat_ws("\u0001", col("source_id"), col("target_id")))
-      val e = withId.select(col("source_id"), col("target_id"), col("__eid"))
-        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-
-      var frontier = e.select(col("source_id").as("start_id"),
-        col("target_id").as("end_id"), array(col("__eid")).as("eset"))
-        .localCheckpoint(eager = true)
-      var result: DataFrame = null
-      var depth = 1
-      var emptied = frontier.isEmpty
-      while (!emptied && depth < maxDepth) {
-        val next = frontier.join(e, col("end_id") === col("source_id"))
-          .filter(!array_contains(col("eset"), col("__eid")))
-          .select(col("start_id"), col("target_id").as("end_id"),
-            array_sort(concat(col("eset"), array(col("__eid")))).as("eset"))
-          .distinct()
-          .localCheckpoint(eager = true)
-        depth += 1
-        if (next.isEmpty) emptied = true
+      val bfs = reachability(edges, relNames, maxIter = maxDepth)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val inRange = bfs.filter(col("depth") >= minDepth && col("depth") <= maxDepth)
+      val shortPairs = bfs.filter(col("depth") < minDepth)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val out =
+        if (shortPairs.isEmpty) inRange.localCheckpoint(eager = true)
         else {
-          frontier = next
-          if (depth >= minDepth) {
-            val pairs = frontier.select(col("start_id"), col("end_id"))
-              .distinct().withColumn("depth", lit(depth))
-            // anti-join so each pair keeps its first (minimal) in-range depth
-            result =
-              (if (result == null) pairs
-               else result.unionByName(pairs.join(
-                 result.select(col("start_id").as("rs"), col("end_id").as("re")),
-                 col("start_id") === col("rs") && col("end_id") === col("re"),
-                 "left_anti")))
-                .localCheckpoint(eager = true)
-          }
+          val redeemed = trailEnumerate(edges, relNames, minDepth, maxDepth,
+            shortPairs)
+          // keep only redeemed pairs NOT already found in range by BFS (the
+          // BFS depth is the true minimal in-range depth when present)
+          val extra = redeemed.join(
+            inRange.select(col("start_id").as("rs"), col("end_id").as("re")),
+            col("start_id") === col("rs") && col("end_id") === col("re"),
+            "left_anti")
+          inRange.unionByName(extra).localCheckpoint(eager = true)
+        }
+      bfs.unpersist(false)
+      shortPairs.unpersist(false)
+      out
+    }
+  }
+
+  /** Edge-set trail enumeration restricted to start nodes that have some
+    * pair below minDepth (`shortPairs`); returns (start_id, end_id, depth)
+    * for pairs in `shortPairs` reached by a trail of in-range length. */
+  private def trailEnumerate(edges: DataFrame, relNames: Seq[String],
+      minDepth: Int, maxDepth: Int, shortPairs: DataFrame): DataFrame = {
+    val named =
+      if (relNames.isEmpty) edges
+      else edges.filter(col("relationship_name").isin(relNames: _*))
+    // Relationship uniqueness is per edge *identity*: parallel edges are
+    // distinct traversals. Use the real id when the graph has one; else a
+    // (source, target, name) composite is the closest stable identity.
+    val withId =
+      if (named.columns.contains("relationship_id"))
+        named.withColumn("__eid", col("relationship_id"))
+      else if (named.columns.contains("relationship_name"))
+        named.withColumn("__eid", concat_ws("",
+          col("source_id"), col("target_id"), col("relationship_name")))
+      else named.withColumn("__eid",
+        concat_ws("", col("source_id"), col("target_id")))
+    val e = withId.select(col("source_id"), col("target_id"), col("__eid"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val starts = shortPairs.select(col("start_id")).distinct()
+    val cap = math.min(maxDepth, math.max(minDepth, TrailEnumDepthCap))
+
+    var frontier = e
+      .join(starts.select(col("start_id").as("source_id")), Seq("source_id"),
+        "left_semi")
+      .select(col("source_id").as("start_id"), col("target_id").as("end_id"),
+        array(col("__eid")).as("eset"))
+      .localCheckpoint(eager = true)
+    var result: DataFrame = null
+    var depth = 1
+    var emptied = frontier.isEmpty
+    while (!emptied && depth < cap) {
+      val next = frontier.join(e, col("end_id") === col("source_id"))
+        .filter(!array_contains(col("eset"), col("__eid")))
+        .select(col("start_id"), col("target_id").as("end_id"),
+          array_sort(concat(col("eset"), array(col("__eid")))).as("eset"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      depth += 1
+      if (next.isEmpty) emptied = true
+      else {
+        frontier = next
+        if (depth >= minDepth) {
+          val pairs = frontier.select(col("start_id"), col("end_id"))
+            .distinct().withColumn("depth", lit(depth))
+          // anti-join so each pair keeps its first (minimal) in-range depth
+          result =
+            (if (result == null) pairs
+             else result.unionByName(pairs.join(
+               result.select(col("start_id").as("rs"), col("end_id").as("re")),
+               col("start_id") === col("rs") && col("end_id") === col("re"),
+               "left_anti")))
+              .localCheckpoint(eager = true)
         }
       }
-      if (result == null)
-        e.select(col("source_id").as("start_id"),
-          col("target_id").as("end_id"), lit(0).as("depth")).limit(0)
-      else result
     }
+    e.unpersist(false)
+    if (result == null)
+      shortPairs.select(col("start_id"), col("end_id"), lit(0).as("depth"))
+        .limit(0)
+    else
+      // only pairs that actually needed redemption (d0 < min)
+      result.join(shortPairs.select(col("start_id").as("ss"),
+          col("end_id").as("se")),
+        col("start_id") === col("ss") && col("end_id") === col("se"),
+        "left_semi")
   }
 }

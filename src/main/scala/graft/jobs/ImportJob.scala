@@ -53,6 +53,7 @@ object ImportJob {
     var lineNo = 0L
     val skipUntil = resumeFrom.map(_.lineNo).getOrElse(-1L)
     var headerSeen = false
+    var headerDataSeen = false
     var sinceCheckpoint = 0
     val modelBuf = collection.mutable.ArrayBuffer[String]()
 
@@ -100,12 +101,16 @@ object ImportJob {
               if (lineNo > skipUntil) {
                 section match {
                   case "Header" =>
-                    // the header data line must declare a supported
-                    // fileVersion (ImportJob.cs:444-458)
-                    val fv = Json.get(node, "/fileVersion").map(_.asText())
-                    if (!fv.contains("1.0.0"))
-                      throw StoreException(400,
-                        s"Unsupported file version: ${fv.getOrElse("missing")}")
+                    // only the FIRST header data line carries fileVersion
+                    // (ImportJob.cs:444-458 reads exactly one); further
+                    // metadata lines (author, organization) pass through
+                    if (!headerDataSeen) {
+                      headerDataSeen = true
+                      val fv = Json.get(node, "/fileVersion").map(_.asText())
+                      if (!fv.contains("1.0.0"))
+                        throw StoreException(400,
+                          s"Unsupported file version: ${fv.getOrElse("missing")}")
+                    }
                   case "Models" => modelBuf += line
                   case "Twins" =>
                     try {

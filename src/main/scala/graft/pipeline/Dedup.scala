@@ -65,13 +65,15 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, ids: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    // Candidates are the LSH survivors — orders of magnitude smaller than
-    // the shingle table. Broadcasting them keeps `ids` un-shuffled (two
-    // map-side hash joins over the cached table instead of two full
-    // exchanges); the only shuffle left is the pair-count aggregation.
+    // Candidates are usually tiny vs the shingle table, but NOT bounded —
+    // a k-duplicated boilerplate doc yields O(k²) pairs, so a mandatory
+    // broadcast hint would hard-fail exactly the workload dedup targets.
+    // AQE converts these joins to broadcast at runtime when the candidate
+    // side measures small, which keeps `ids` un-shuffled in the common
+    // case without the failure mode.
     // Two-key equi-join (doc_b, sid): each (pair, sid_a) row probes one
     // hash bucket — joining on doc_b alone would expand to |pair|·|set|².
-    val inter = broadcast(candidates)
+    val inter = candidates
       .join(ids.select(col("doc").as("doc_a"), col("sid")), Seq("doc_a"))
       .join(ids.select(col("doc").as("doc_b"), col("sid")), Seq("doc_b", "sid"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -144,6 +146,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+        "a remainder would silently drop hash functions from the banding")
     val rowsPerBand = numHashes / bands
     val ids = shingleIds(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -209,6 +214,7 @@ object Dedup {
       changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
       labels = merged.select(col("doc"), col("next_label").as("label"))
     }
+    sym.unpersist(false) // labels derive from checkpoints, not sym's lineage
     labels.select(col("doc"), col("label").as("component"))
   }
 

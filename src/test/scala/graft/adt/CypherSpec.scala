@@ -191,6 +191,17 @@ class CypherSpec extends AnyFunSuite {
     assert(ids == Seq("earth", "sun"))
   }
 
+  test("EXISTS in a WITH stage is a clean plan error; unused lone node is harmless") {
+    // EXISTS outside the top-level WHERE → AdtPlanException, not MatchError
+    val ex = intercept[AdtPlanException](planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH a, count(*) AS n " +
+        "WHERE EXISTS((a)-[:orbits]->(x)) RETURN n"))
+    assert(ex.getMessage.contains("EXISTS"))
+    // a lone node alongside edge patterns doesn't hijack the default entity
+    assert(count(
+      "MATCH (c), (a:Twin)-[r:orbits]->(b:Twin) WHERE name = 'Earth' RETURN a") == 1)
+  }
+
   test("label() predicate and reverse arrows") {
     assert(count(
       "MATCH (a:Twin)-[r]->(b:Twin) WHERE label(r) = 'satellites' RETURN r") == 1)

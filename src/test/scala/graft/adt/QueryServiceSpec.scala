@@ -75,6 +75,10 @@ class QueryServiceSpec extends AnyFunSuite {
       "SELECT T.$dtId AS id FROM DIGITALTWINS MATCH (S)-[r:next*1..2]->(T) " +
         "WHERE S.$dtId = 't000'")
     assert(v.charge == 2 + 2 + 10) // t001,t002 rows + 1 prop each + VLE
+    // aggregates inside a WITH stage also trigger the +5 surcharge
+    val w = svc.query(
+      "MATCH (a:Twin)-[r:next]->(b:Twin) WITH count(*) AS n RETURN n")
+    assert(w.charge == 1 + 1 + 5)
   }
 
   test("read-only guard rejects mutating keywords (B19)") {

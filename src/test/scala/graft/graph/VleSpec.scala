@@ -75,6 +75,19 @@ class VleSpec extends AnyFunSuite {
     assert(out.contains(("a", "b", 3)), s"parallel-edge trail missing: $out")
   }
 
+  test("open-ended range min>1 terminates fast on cyclic graphs (hybrid BFS)") {
+    // 3-cycle: '*2..30' must not enumerate 30-deep edge subsets — the BFS
+    // answers for pairs whose minimal depth is in range; trail enumeration
+    // only runs for sub-minDepth pairs and is depth-capped.
+    val e = edges(("a", "b", "x"), ("b", "c", "x"), ("c", "a", "x"))
+    val out = Vle.range(e, 2, 30).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("a", "c", 2), ("b", "a", 2), ("c", "b", 2),
+      ("a", "a", 3), ("b", "b", 3), ("c", "c", 3)), s"got $out")
+    // depth-1 pairs have no redemption trail here (single cycle, edge reuse)
+    assert(!out.exists(_._3 < 2))
+  }
+
   test("multi-label VLE traverses ALL listed relationship names") {
     // a -A-> b -B-> c: reachable only if both labels expand.
     val e = edges(("a", "b", "A"), ("b", "c", "B"), ("a", "z", "C"))

@@ -38,6 +38,12 @@ class JobsSpec extends AnyFunSuite {
     val ex = intercept[StoreException](
       ImportJob.run(new TwinStore(), bad.iterator))
     assert(ex.msg.contains("Unsupported file version"))
+    // only the FIRST header data line is version-checked; extra metadata
+    // lines (author, organization) must not abort the import
+    val multiHeader = ndjson.patch(2, Seq("""{"author": "contoso"}""",
+      """{"organization": "org2"}"""), 0)
+    val ok = ImportJob.run(new TwinStore(), multiHeader.iterator)
+    assert(ok.status == "Succeeded" && ok.stats.twinsCreated == 2)
   }
 
   test("import: header required first") {

@@ -87,6 +87,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
   }
 
+  test("minhash banding rejects a numHashes/bands remainder") {
+    val ex = intercept[IllegalArgumentException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 12, 0.5))
+    assert(ex.getMessage.contains("divide"))
+  }
+
   test("connected components + survivors over near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L))
       .toDF("doc_a", "doc_b")
