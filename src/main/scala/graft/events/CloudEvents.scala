@@ -6,7 +6,9 @@ import graft.json.{Json, JsonPatch, PatchOp}
 import graft.store.MutationEvent
 import scala.jdk.CollectionConverters._
 
-/** One CloudEvents-1.0 envelope (flattened to columns for Spark frames). */
+/** One CloudEvents-1.0 envelope (flattened to columns for Spark frames).
+  * `dataschema` is null except for telemetry, where the reference sets it
+  * to the telemetry's model id URI (CloudEventFactory.cs CreateTelemetryEvents). */
 final case class CloudEvent(
     id: String,
     source: String,
@@ -14,7 +16,8 @@ final case class CloudEvent(
     subject: String,
     time: String,
     datacontenttype: String,
-    data: String)
+    data: String,
+    dataschema: String = null)
 
 /** Derives CloudEvents from mutation events — the Spark-side equivalent of
   * the reference's CloudEventFactory
@@ -103,7 +106,8 @@ object CloudEventFactory {
         val id = Option(textAt(newDoc, "/messageId"))
           .getOrElse(detId(ev.seq.toString, tpe, subject))
         Seq(CloudEvent(id, source, tpe, subject, ev.ts, "application/json",
-          Json.render(payload)))
+          Json.render(payload),
+          dataschema = textAt(newDoc, "/modelId")))
       case other => throw new IllegalArgumentException(s"unknown eventType $other")
     }
   }

@@ -127,29 +127,13 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
   }
 
   /** B7: bounded variable-length expansion src -[name*1..max]-> reachable.
-    * Iterative self-join with per-level dedup; each level is a shuffle join
-    * on target/source ids. Returns (start_id, end_id, depth) with minimal
-    * depth per pair. Caller caps `max` (unbounded VLE goes through
-    * [[graft.graph.Vle]] with checkpointing). */
-  def expand(relName: Option[String], max: Int): DataFrame = {
-    val edges0 = relName.fold(relationships)(n =>
-      relationships.filter(col("relationship_name") === n))
-    val edges = edges0.select(col("source_id"), col("target_id"))
-    var frontier = edges.select(col("source_id").as("start_id"),
-      col("target_id").as("end_id"), lit(1).as("depth"))
-    var acc = frontier
-    var level = 1
-    while (level < max) {
-      frontier = frontier.join(edges, col("end_id") === col("source_id"))
-        .select(col("start_id"), col("target_id").as("end_id"), lit(level + 1).as("depth"))
-        .join(acc.select(col("start_id").as("s"), col("end_id").as("e")),
-          col("start_id") === col("s") && col("end_id") === col("e"), "left_anti")
-        .distinct()
-      acc = acc.unionByName(frontier)
-      level += 1
-    }
-    acc.groupBy(col("start_id"), col("end_id")).agg(min(col("depth")).as("depth"))
-  }
+    * Returns (start_id, end_id, depth) with minimal depth per pair.
+    * Delegates to [[graft.graph.Vle.range]] so bounded expansion shares the
+    * same early-exit (stop when the frontier empties) and per-iteration
+    * lineage-checkpoint discipline as unbounded VLE — the previous
+    * hand-rolled loop built a `max`-deep plan even on an empty frontier. */
+  def expand(relName: Option[String], max: Int): DataFrame =
+    Vle.range(relationships, 1, max, relName.toSeq)
 }
 
 object TwinGraph {

@@ -16,13 +16,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Vle {
 
-  /** Depth ceiling for the trail-enumeration regime (min>1): beyond this,
-    * edge-subset frontiers grow combinatorially on cyclic graphs. Ranges
-    * whose maxDepth exceeds the cap are under-approximated ONLY for pairs
-    * whose sole in-range trail is longer than the cap AND which also have a
-    * shorter out-of-range trail — a corner the cheap BFS regime already
-    * covers for every other pair. */
+  /** Static depth floor for the trail-enumeration regime (min>1): up to
+    * this depth enumeration always runs. Beyond it, enumeration CONTINUES
+    * to maxDepth as long as the edge-subset frontier stays under
+    * [[TrailEnumRowBudget]] rows — so open-ended ranges ('*2..' parses to
+    * 2..30) are exact on all but adversarially cyclic graphs, where the
+    * frontier explodes combinatorially and the run is truncated with a
+    * driver-log warning instead of silently. Both knobs are configurable:
+    * `spark.graft.vle.trailEnumDepthCap` / `spark.graft.vle.trailEnumRowBudget`. */
   val TrailEnumDepthCap = 8
+
+  /** Frontier-row ceiling for trail enumeration beyond the static cap. */
+  val TrailEnumRowBudget = 2000000L
 
   private def filtered(edges: DataFrame, relNames: Seq[String]): DataFrame = {
     val e0 =
@@ -47,6 +52,11 @@ object Vle {
     var frontier = visited
     var depth = 1
     var done = false
+    // Intermediate persists awaiting release: a checkpoint truncates the
+    // lineage that referenced them, at which point they can be unpersisted —
+    // leaving them registered in the CacheManager would accumulate across a
+    // long multi-query session.
+    var pending: List[DataFrame] = Nil
     while (!done && depth < maxIter) {
       // localCheckpoint every iteration: lineage of an iterative join grows
       // multiplicatively and both planning time and driver memory blow up
@@ -62,14 +72,22 @@ object Vle {
       else {
         val grown = visited.unionByName(next)
         visited =
-          if (depth % checkpointEvery == 0) grown.localCheckpoint(eager = true)
-          else grown.persist(StorageLevel.MEMORY_AND_DISK)
+          if (depth % checkpointEvery == 0) {
+            val cp = grown.localCheckpoint(eager = true)
+            pending.foreach(_.unpersist(false)); pending = Nil
+            cp
+          } else {
+            val p = grown.persist(StorageLevel.MEMORY_AND_DISK)
+            pending = p :: pending
+            p
+          }
         frontier = next
         depth += 1
       }
     }
     // sever lineage so the edge cache can be released per-invocation
     val out = visited.localCheckpoint(eager = true)
+    pending.foreach(_.unpersist(false))
     e.unpersist(false)
     out
   }
@@ -95,9 +113,26 @@ object Vle {
     *    (*2..2 … *3..6), under-approximating only ultra-deep redemption
     *    trails on open-ended ranges like `*2..`. */
   def range(edges: DataFrame, minDepth: Int, maxDepth: Int,
-      relNames: Seq[String] = Nil): DataFrame = {
+      relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None): DataFrame = {
     require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
-    if (minDepth <= 1)
+    require(minDepth >= 0, s"VLE range lower bound must be >= 0, got $minDepth")
+    if (minDepth == 0) {
+      // openCypher `*0..n` includes the zero-length path: every bound start
+      // node pairs with itself at depth 0. The node universe comes from the
+      // caller (the planner's bound twin set) when available; otherwise the
+      // endpoints of the filtered edge set — the only nodes a caller joining
+      // on this edge-derived frame could observe anyway.
+      val universe = nodes.map(_.select(col(nodes.get.columns.head).as("n")))
+        .getOrElse(filtered(edges, relNames)
+          .select(explode(array(col("source_id"), col("target_id"))).as("n")))
+        .distinct()
+      val self = universe.select(col("n").as("start_id"), col("n").as("end_id"),
+        lit(0).as("depth"))
+      if (maxDepth == 0) self
+      else self.unionByName(
+        range(edges, 1, maxDepth, relNames)
+          .filter(col("start_id") =!= col("end_id")))
+    } else if (minDepth <= 1)
       reachability(edges, relNames, maxIter = maxDepth)
         .filter(col("depth") <= maxDepth)
     else {
@@ -147,7 +182,11 @@ object Vle {
     val e = withId.select(col("source_id"), col("target_id"), col("__eid"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val starts = shortPairs.select(col("start_id")).distinct()
-    val cap = math.min(maxDepth, math.max(minDepth, TrailEnumDepthCap))
+    val conf = edges.sparkSession.conf
+    val staticCap = math.max(minDepth, conf
+      .get("spark.graft.vle.trailEnumDepthCap", TrailEnumDepthCap.toString).toInt)
+    val rowBudget = conf
+      .get("spark.graft.vle.trailEnumRowBudget", TrailEnumRowBudget.toString).toLong
 
     var frontier = e
       .join(starts.select(col("start_id").as("source_id")), Seq("source_id"),
@@ -158,7 +197,20 @@ object Vle {
     var result: DataFrame = null
     var depth = 1
     var emptied = frontier.isEmpty
-    while (!emptied && depth < cap) {
+    // Beyond the static cap, keep enumerating only while the edge-subset
+    // frontier stays within budget — exact for open-ended ranges ('*2..'
+    // = 2..30) on normal graphs; combinatorially cyclic graphs truncate
+    // with a logged warning instead of silently.
+    def overBudget(): Boolean = depth >= staticCap && {
+      val over = frontier.count() > rowBudget
+      if (over) org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"VLE trail enumeration truncated at depth $depth/$maxDepth: " +
+          s"frontier exceeds $rowBudget rows " +
+          "(spark.graft.vle.trailEnumRowBudget); pairs whose only in-range " +
+          "trail is deeper are under-approximated")
+      over
+    }
+    while (!emptied && depth < maxDepth && !overBudget()) {
       val next = frontier.join(e, col("end_id") === col("source_id"))
         .filter(!array_contains(col("eset"), col("__eid")))
         .select(col("start_id"), col("target_id").as("end_id"),

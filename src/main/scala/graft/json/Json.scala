@@ -210,12 +210,21 @@ object JsonPatch {
   }
 
   /** RFC 6902 §4.6 value equality: numbers compare by value (1 == 1.0),
-    * not by JSON node type; everything else uses structural equality. */
+    * not by JSON node type, at EVERY nesting level — a `test` against
+    * {"a":1} must succeed for {"a":1.0}, so objects and arrays recurse
+    * rather than falling back to Jackson structural equality. */
   private def jsonEq(a: JsonNode, b: JsonNode): Boolean =
-    if (a == b) true
-    else if (a != null && b != null && a.isNumber && b.isNumber)
+    if (a eq b) true
+    else if (a == null || b == null) false
+    else if (a.isNumber && b.isNumber)
       a.decimalValue().compareTo(b.decimalValue()) == 0
-    else false
+    else if (a.isObject && b.isObject)
+      a.size() == b.size() && a.fieldNames().asScala.forall(f =>
+        b.has(f) && jsonEq(a.get(f), b.get(f)))
+    else if (a.isArray && b.isArray)
+      a.size() == b.size() && (0 until a.size()).forall(i =>
+        jsonEq(a.get(i), b.get(i)))
+    else a == b
 
   /** Apply RFC 6902 ops; throws on test failure / missing paths like the
     * reference's Json.Patch (DigitalTwins.cs:592-609 surfaces those errors). */

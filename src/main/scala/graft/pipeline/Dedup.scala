@@ -41,6 +41,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Materialize `out` exactly once while `cache` is persisted, truncate
+    * its lineage, then drop the cache before returning.
+    *
+    * Why both steps: `Dataset.persist` registers the plan in Spark's
+    * CacheManager, which holds it until an explicit `unpersist` — over a
+    * long multi-query session (the driver's 50+-query bench) leaked caches
+    * accumulate and thrash the executor heap. `localCheckpoint(eager=true)`
+    * evaluates the expensive subplan ONCE and replaces the result's lineage
+    * with the stored blocks, so downstream consumers that read the result
+    * twice (e.g. [[components]] building edges ∪ edges.swap) never re-run
+    * the generator pipeline; its blocks are ContextCleaner-managed and free
+    * themselves when the frame is garbage-collected. */
+  private def materializedWithout(cache: DataFrame)(out: DataFrame): DataFrame =
+    try out.localCheckpoint(eager = true)
+    finally cache.unpersist(false)
+
   /** Per-(doc, shingle_id) exploded distinct shingle ids.
     *
     * Shingles come from the native [[graft.functions.WordNGrams]] codegen
@@ -108,14 +124,16 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard_4",
-        floor(col("inter") * 10000.0 / (col("sz_a") + col("sz_b") - col("inter")) + 0.5)
-          .cast(LongType))
-      .filter(col("jaccard_4") >= math.round(threshold * 10000))
-      .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
+    materializedWithout(ids) {
+      inter
+        .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .withColumn("jaccard_4",
+          floor(col("inter") * 10000.0 / (col("sz_a") + col("sz_b") - col("inter")) + 0.5)
+            .cast(LongType))
+        .filter(col("jaccard_4") >= math.round(threshold * 10000))
+        .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
+    }
   }
 
   /** MinHash signatures, wide form (doc, mh0..mh{numHashes-1}): the i-th
@@ -169,7 +187,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(candidates, ids, threshold)
+    materializedWithout(ids)(verifyJaccard(candidates, ids, threshold))
   }
 
   /** Connected components over near-dup pairs: iterative min-label
@@ -182,7 +200,13 @@ object Dedup {
     * self-labels only if they appear in `pairs`. */
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
+    // Materialize the incoming pair plan ONCE before fanning it out into
+    // sym = edges ∪ edges.swap — without this, an expensive unpersisted
+    // generator subplan (e.g. the full LSH+verify pipeline) is evaluated
+    // twice inside sym's first materialization. localCheckpoint (not
+    // persist) so nothing is left registered in the CacheManager.
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(eager = true)
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
