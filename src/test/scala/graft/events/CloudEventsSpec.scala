@@ -147,6 +147,13 @@ class CloudEventsSpec extends AnyFunSuite {
     val e3 = CloudEventFactory.eventNotification(
       MutationEvent(12, "ts", "Telemetry", null, t3), src).head
     assert(e3.id == "m-42" && e3.data == """{"temp":26.0}""")
+    // dataschema = the telemetry's model id when present
+    // (CloudEventFactory.cs:765,794), null otherwise
+    assert(e1.dataschema == null)
+    val t4 = """{"digitalTwinId":"twin1","modelId":"dtmi:com:example:Thermostat;1","telemetry":{"temp":26.0}}"""
+    val e4 = CloudEventFactory.eventNotification(
+      MutationEvent(13, "ts", "Telemetry", null, t4), src).head
+    assert(e4.dataschema == "dtmi:com:example:Thermostat;1")
   }
 
   test("event ids are deterministic (idempotent retries)") {

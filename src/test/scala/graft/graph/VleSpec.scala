@@ -97,6 +97,30 @@ class VleSpec extends AnyFunSuite {
       s"'C' edge must be excluded, both A and B traversed: $out")
   }
 
+  test("range(0,n) includes depth-0 self-pairs for the node universe") {
+    val e = edges(("a", "b", "x"), ("b", "c", "x"))
+    val out = Vle.range(e, 0, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("a", "a", 0), ("b", "b", 0), ("c", "c", 0),
+      ("a", "b", 1), ("b", "c", 1), ("a", "c", 2)), s"got $out")
+    // explicit node universe (a planner-bound twin set) wins over endpoints
+    val s = spark; import s.implicits._
+    val nodes = Seq("a", "b", "c", "isolated").toDF("dt_id")
+    val out2 = Vle.range(e, 0, 1, nodes = Some(nodes)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out2.contains(("isolated", "isolated", 0)), s"got $out2")
+  }
+
+  test("range(2,30): deep redemption trail beyond static cap is found") {
+    // (a,b) has depth-1 edge plus a single 10-hop redemption trail — longer
+    // than TrailEnumDepthCap(8); the row-budget extension must find it.
+    val chain = (1 to 9).map(i => (s"n$i", s"n${i + 1}", "x"))
+    val e = edges(Seq(("a", "b", "x"), ("a", "n1", "x"), ("n10", "b", "x")) ++ chain: _*)
+    val out = Vle.range(e, 2, 30).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out.contains(("a", "b", 11)), s"11-hop redemption trail missing: $out")
+  }
+
   test("ADT parser: '*1' is exact depth 1, bare '*' is 1..DefaultVleMax") {
     def vleOf(rel: String) = AdtParser.parse(
       s"SELECT T FROM DIGITALTWINS MATCH (S)-[$rel]->(T)").matches.head.vle

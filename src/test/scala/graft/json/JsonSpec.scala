@@ -37,6 +37,19 @@ class JsonSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](JsonPatch.apply(doc, bad))
   }
 
+  test("RFC-6902 test: numeric value-equality recurses into containers") {
+    // {"a":1} must test-equal {"a":1.0} (RFC 6902 §4.6: numbers compare by
+    // value at every level, not by node type)
+    val doc = Json.parse("""{"o":{"a":1,"b":[2,3.0]},"n":1.50}""")
+    val ok = JsonPatch.parseOps(
+      """[{"op":"test","path":"/o","value":{"a":1.0,"b":[2.0,3]}},
+        |{"op":"test","path":"/n","value":1.5}]""".stripMargin)
+    JsonPatch.apply(doc, ok) // must not throw
+    val bad = JsonPatch.parseOps(
+      """[{"op":"test","path":"/o","value":{"a":1.0,"b":[2.0,4]}}]""")
+    assertThrows[IllegalArgumentException](JsonPatch.apply(doc, bad))
+  }
+
   test("RFC-6902 array semantics: add inserts, replace overwrites, bounds checked") {
     val doc = Json.parse("""{"arr":[1,2,3]}""")
     // add at existing index → INSERT before it (RFC 6902 §4.1), not overwrite
