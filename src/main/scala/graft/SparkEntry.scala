@@ -26,9 +26,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ AdtLangQueries.queries ++
-      PipelineQueries.queries ++ EventQueries.queries
+      PipelineQueries.queries ++ EventQueries.queries ++ StoreQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ AdtLangQueries.oracles ++
-      PipelineQueries.oracles ++ EventQueries.oracles
+      PipelineQueries.oracles ++ EventQueries.oracles ++ StoreQueries.oracles
 }

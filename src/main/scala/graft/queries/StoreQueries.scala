@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.TableTwinStore
+
+/** The durable write path (SURVEY §2 B15/D1-D5/D13 at rest) as a
+  * driver-contract gate: a [[TableTwinStore]] is populated with CRUD calls
+  * derived deterministically from the `nation` table (batch create → JSON
+  * patches → deletes), checkpointed to its columnar snapshot, then REOPENED
+  * — a real restart: models, snapshot and journal all re-read from disk —
+  * and queried. The oracle reconstructs the surviving state in plain SQL,
+  * so the whole journal→merge→snapshot→restore cycle is value-checked, not
+  * just shape-checked.
+  *
+  * Reference: MERGE-upsert semantics of
+  * /root/reference/src/AgeDigitalTwins/AgeDigitalTwinsClient.DigitalTwins.cs:470-474
+  * and Relationships.cs:384-389, re-expressed as set-wise anti-join+union
+  * folds over a parquet journal (graft.store.GraphStore/TableTwinStore).
+  */
+object StoreQueries {
+
+  private val NationModel = "dtmi:graft:Nation;1"
+
+  /** Deterministic store build: same inputs → same directory contents.
+    * Rebuilt from scratch on every call so repeated Verify/Bench runs are
+    * idempotent. */
+  private def buildRoundtripStore(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_store_rt_" + java.lang.Integer.toHexString(d.hashCode))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(root)
+    val dir = root.getAbsolutePath
+    val clock = () => "2026-01-01T00:00:00Z"
+    val st = TableTwinStore.open(s, dir, clock)
+    st.createModels(Seq(
+      s"""{"@id":"$NationModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin))
+    val nations = graft.core.Td.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // D5 batch create (one journal append for the whole batch)
+    st.createOrReplaceTwins(nations.toSeq.map { case (k, name) =>
+      s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"$name"}"""
+    })
+    // D3 JSON-patch a deterministic subset
+    nations.filter(_._1 % 5 == 0).foreach { case (k, name) =>
+      st.patchTwin(s"N$k",
+        s"""[{"op":"replace","path":"/name","value":"$name-patched"}]""")
+    }
+    // D4 delete a deterministic subset
+    nations.filter(_._1 % 7 == 3).foreach { case (k, _) => st.deleteTwin(s"N$k") }
+    st.checkpoint()
+    dir
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_store_roundtrip" -> ((s, d) => {
+      val dir = buildRoundtripStore(s, d)
+      // restart: a fresh store instance re-reads meta/models/snapshot/journal
+      TableTwinStore.open(s, dir, () => "2026-01-01T00:00:01Z").graph.twins
+        .select(col("dt_id"), col("model_id"),
+          get_json_object(col("properties"), "$.name").as("name"))
+        .orderBy(col("dt_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_store_roundtrip" ->
+      s"""SELECT 'N' || n_nationkey AS dt_id, '$NationModel' AS model_id,
+         |  CASE WHEN n_nationkey % 5 = 0 THEN n_name || '-patched'
+         |       ELSE n_name END AS name
+         |FROM nation WHERE n_nationkey % 7 <> 3
+         |ORDER BY dt_id""".stripMargin
+  )
+}

@@ -74,4 +74,9 @@ object GraphStore {
   /** DELETE WHERE dt_id IN ids (returns the surviving table). */
   def deleteTwins(existing: DataFrame, ids: DataFrame): DataFrame =
     existing.join(ids.select(col("dt_id")), Seq("dt_id"), "left_anti")
+
+  /** DELETE WHERE (source_id, relationship_id) IN keys. */
+  def deleteRelationships(existing: DataFrame, keys: DataFrame): DataFrame =
+    existing.join(keys.select(col("source_id"), col("relationship_id")),
+      Seq("source_id", "relationship_id"), "left_anti")
 }

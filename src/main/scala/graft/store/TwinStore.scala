@@ -43,6 +43,19 @@ final class TwinStore(
   def mutations: Seq[MutationEvent] = mutationLog.toSeq
   def twinIds: Seq[String] = twins.keys.toSeq
   def relationshipKeys: Seq[(String, String)] = rels.keys.toSeq
+  def currentSeq: Long = seq
+
+  // ---- restore hooks (table-backed mode): rebuild state from a snapshot
+  // without validation, stamping or mutation-logging — the docs were
+  // validated when first written.
+  private[store] def restoreTwin(doc: ObjectNode): Unit =
+    twins(doc.get("$dtId").asText()) = doc
+  private[store] def restoreRelationship(doc: ObjectNode): Unit =
+    rels((doc.get("$sourceId").asText(), doc.get("$relationshipId").asText())) = doc
+  private[store] def restoreSeq(n: Long): Unit = { seq = n }
+  private[store] def deleteTwinUnlogged(id: String): Unit = twins.remove(id)
+  private[store] def deleteRelationshipUnlogged(src: String, rid: String): Unit =
+    rels.remove((src, rid))
 
   private def log(eventType: String, oldDoc: JsonNode, newDoc: JsonNode): Unit = {
     seq += 1
@@ -347,19 +360,32 @@ final class TwinStore(
         Option(doc.get("$etag")).map(_.asText()).orNull,
         Json.render(doc))
     }.toSeq
-    val modelRows = registry.models.values.map { m =>
-      Row(m.id, registry.bases(m.id), registry.descendants(m.id),
-        m.displayName.orNull, false, null, m.raw)
-    }.toSeq
     TwinGraph(
       spark.createDataFrame(twinRows.asJava, Tables.twinsSchema),
       spark.createDataFrame(relRows.asJava, Tables.relationshipsSchema),
-      spark.createDataFrame(modelRows.asJava, Tables.modelsSchema))
+      TwinStore.modelsDf(spark, registry))
   }
 
-  def mutationsDf(spark: SparkSession): DataFrame = {
+  def mutationsDf(spark: SparkSession): DataFrame =
+    TwinStore.mutationsDf(spark, mutationLog.toSeq)
+}
+
+object TwinStore {
+
+  /** Registry → `models` table rows (Tables.modelsSchema). */
+  def modelsDf(spark: SparkSession, registry: ModelRegistry): DataFrame = {
     import org.apache.spark.sql.Row
-    val rows = mutationLog.map { m =>
+    val rows = registry.models.values.map { m =>
+      Row(m.id, registry.bases(m.id), registry.descendants(m.id),
+        m.displayName.orNull, false, null, m.raw)
+    }.toSeq
+    spark.createDataFrame(rows.asJava, Tables.modelsSchema)
+  }
+
+  /** Mutation events → `mutations` table rows (Tables.mutationsSchema). */
+  def mutationsDf(spark: SparkSession, events: Seq[MutationEvent]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = events.map { m =>
       val kind =
         if (m.eventType.startsWith("Twin")) "Twin"
         else if (m.eventType.startsWith("Relationship")) "Relationship"

@@ -1,0 +1,142 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.Json
+
+/** The durable table-backed store: CRUD journals to parquet, checkpoints
+  * fold the journal set-wise into a versioned columnar snapshot, and a
+  * reopened store sees everything — including operations performed after
+  * the last checkpoint (journal replay). */
+class TableStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val roomModel =
+    """{"@id":"dtmi:com:adt:dtsample:room;1","@type":"Interface",
+      |"@context":"dtmi:dtdl:context;3","displayName":"Room","contents":[
+      |{"@type":"Property","name":"name","schema":"string"},
+      |{"@type":"Property","name":"temperature","schema":"double"},
+      |{"@type":"Relationship","name":"rel_has_sensors"}]}""".stripMargin
+
+  private def tempDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-tablestore").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def fixedClock(): () => String = {
+    var t = 0
+    () => { t += 1; f"2026-01-01T00:00:${t % 60}%02dZ" }
+  }
+
+  private def roomDoc(id: String, temp: Double) =
+    s"""{"$$dtId":"$id","$$metadata":{"$$model":"dtmi:com:adt:dtsample:room;1"},
+       |"name":"Room $id","temperature":$temp}""".stripMargin
+
+  test("create/patch/delete/batch survive checkpoint + reopen") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s1.createOrReplaceTwin("r2", roomDoc("r2", 21.0))
+    s1.createOrReplaceTwins((3 to 5).map(i => roomDoc(s"r$i", 20.0 + i)))
+    s1.patchTwin("r2", """[{"op":"replace","path":"/temperature","value":25.5}]""")
+    s1.createOrReplaceRelationship("r1", "rel1",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"r2"}""")
+    s1.deleteTwin("r5")
+    s1.checkpoint()
+
+    // restart: everything from the snapshot
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    assert(Json.get(s2.getTwin("r2"), "/temperature").get.asDouble() == 25.5)
+    assert(Json.get(s2.getTwin("r3"), "/name").get.asText() == "Room r3")
+    assert(Json.get(s2.getRelationship("r1", "rel1"), "/$targetId").get.asText() == "r2")
+    intercept[StoreException](s2.getTwin("r5"))
+    assert(s2.getModel("dtmi:com:adt:dtsample:room;1").displayName.contains("Room"))
+    // DTDL validation still enforced after restore
+    val e = intercept[StoreException](s2.createOrReplaceTwin("bad",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"bogus":1}"""))
+    assert(e.msg.contains("not defined in the model"))
+  }
+
+  test("journal tail replays on reopen without a checkpoint") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s1.checkpoint()
+    // post-checkpoint operations live only in the journal
+    s1.patchTwin("r1", """[{"op":"replace","path":"/temperature","value":99.0}]""")
+    s1.createOrReplaceTwin("r9", roomDoc("r9", 18.0))
+    s1.deleteTwin("r9")
+
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    assert(Json.get(s2.getTwin("r1"), "/temperature").get.asDouble() == 99.0)
+    intercept[StoreException](s2.getTwin("r9"))
+    // seq continues past the replayed tail (no id reuse in the log)
+    s2.createOrReplaceTwin("r10", roomDoc("r10", 17.0))
+    val seqs = s2.mutationsDf.select("seq").collect().map(_.getLong(0))
+    assert(seqs.distinct.length == seqs.length, s"duplicate seq in journal: ${seqs.sorted.mkString(",")}")
+  }
+
+  test("graph reads fold the journal tail without a checkpoint") {
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    s.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s.checkpoint()
+    s.createOrReplaceTwin("r2", roomDoc("r2", 30.0))
+    s.patchTwin("r1", """[{"op":"replace","path":"/temperature","value":21.0}]""")
+    val g = s.graph
+    val rows = g.twins.select(col("dt_id"),
+        get_json_object(col("properties"), "$.temperature").cast("double").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("r1" -> 21.0, "r2" -> 30.0))
+    // models table carries the registry
+    assert(g.models.filter(col("id") === "dtmi:com:adt:dtsample:room;1").count() == 1)
+  }
+
+  test("checkpoint folds N ops into one set-wise merge and prunes old versions") {
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    (1 to 4).foreach(i => s.createOrReplaceTwin(s"r$i", roomDoc(s"r$i", i)))
+    s.checkpoint()
+    s.deleteTwin("r4")
+    s.checkpoint()
+    val root = new java.io.File(dir)
+    val versions = root.listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    assert(versions.toSeq == Seq("v2"), s"old snapshot versions not pruned: ${versions.mkString(",")}")
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    assert(s2.twinIds.size == 3)
+  }
+
+  test("bulk importGraph merges set-wise and is visible after reopen") {
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(
+      """{"@id":"dtmi:bulk:Thing;1","@type":"Interface","contents":[
+        |{"@type":"Property","name":"name","schema":"string"},
+        |{"@type":"Property","name":"n","schema":"double"}]}""".stripMargin))
+    s.createOrReplaceTwin("crud1",
+      """{"$dtId":"crud1","$metadata":{"$model":"dtmi:bulk:Thing;1"},"name":"crud"}""")
+    import spark.implicits._
+    val bulkTwins = (1 to 50).map(i =>
+        (s"bulk$i", "dtmi:bulk:Thing;1", null: String, "2026-01-01T00:00:00Z",
+          s"""{"$$dtId":"bulk$i","$$metadata":{"$$model":"dtmi:bulk:Thing;1"},"n":$i}"""))
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val bulkRels = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("relationship_id", "source_id", "target_id", "relationship_name",
+        "etag", "properties")
+    s.importGraph(bulkTwins, bulkRels)
+    val g = TableTwinStore.open(spark, dir, fixedClock()).graph
+    assert(g.twins.count() == 51)
+    assert(g.twins.filter(col("dt_id") === "crud1").count() == 1)
+  }
+}
