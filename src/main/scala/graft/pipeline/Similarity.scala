@@ -54,28 +54,61 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
-  /** Coarse quantization: assign every vector to its nearest centroid
-    * (L2). Centroids are a small broadcast table (cell_id, cell_vec). */
-  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
+  /** The `nprobe` nearest centroids (L2) per vector. Centroids are a small
+    * broadcast table (cell_id, cell_vec); ties break to the smaller cell. */
+  def assignProbes(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    val c = vectors.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"))
     val cells = centroids.select(col("cell_id"), col("cell_vec"))
     val w = Window.partitionBy(col("v_id")).orderBy(col("d2").asc, col("cell_id").asc)
     c.crossJoin(broadcast(cells))
       .withColumn("d2", l2sq(col("v_vec"), col("cell_vec")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("v_id"), col("v_vec"), col("cell_id"))
   }
 
-  /** IVF top-k: search only the corpus vectors in the query's own cell.
-    * nprobe=1 variant — the scale path where each cell is a bucketed
-    * partition. */
+  /** Coarse quantization: assign every vector to its single nearest
+    * centroid — the cell that becomes its bucket/partition key at rest. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    assignProbes(corpus, centroids, idCol, vecCol, nprobe = 1)
+
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * centroid bootstrap so IVF doesn't assume externally-given centroids.
+    * Init = the k smallest-id vectors (reproducible, no RNG); each round is
+    * one assign (broadcast nested-loop over the k centroids) + one
+    * element-wise mean (posexplode → per-(cell,pos) avg → re-assembled
+    * array): two shuffles per round, all map-side-combinable. Cells that
+    * lose every member drop out (k may shrink on degenerate data). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    var cents = corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cell_vec"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          expr("transform(pm, e -> cast(e.m as float))").as("cell_vec"))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
+
+  /** IVF top-k: each query searches only the corpus vectors in its
+    * `nprobe` nearest cells. Corpus vectors live in exactly one cell (so
+    * no pair is scored twice); at rest the corpus is written bucketed by
+    * cell_id and a probe becomes partition pruning. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = assignCells(corpus, centroids, idCol, vecCol)
-    val q = assigned.join(
-      queries.select(col(idCol).as("v_id")), Seq("v_id"), "left_semi")
+    val q = assignProbes(queries, centroids, idCol, vecCol, nprobe)
       .select(col("v_id").as("q_id"), col("v_vec").as("q_vec"), col("cell_id"))
     val scored = assigned
       .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"), col("cell_id"))
@@ -88,18 +121,33 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
-  /** Embedding near-dup: each vector's single nearest neighbor (cosine) —
-    * the argmax formulation avoids float-threshold boundary effects.
-    * k=1 uses max_by aggregation (map-side combinable — no global sort
-    * window over the n² score table); ties break to the smaller id,
-    * matching the row_number ORDER BY cs DESC, n_id form. */
-  def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String)
-      : DataFrame = {
-    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+  /** Embedding near-dup: each vector's nearest neighbor (cosine) WITHIN its
+    * coarse IVF cell — the argmax formulation avoids float-threshold
+    * boundary effects, and the cell bucketing is what makes it a 100 TB
+    * plan: the former full-corpus `crossJoin(broadcast(corpus))` was
+    * all-pairs O(n²) behind an unbounded broadcast (OOM before the n² even
+    * starts). Now the only broadcast is the `numCells`-row centroid table;
+    * candidates meet through an equi-join on `cell_id` (shuffle hash /
+    * sort-merge — at rest the corpus can be written bucketed by cell so
+    * even that shuffle disappears), and k=1 uses map-side-combinable
+    * max_by with ties broken to the smaller id.
+    *
+    * Centroids default to the `numCells` smallest-id vectors — a
+    * deterministic, training-free rule any replica (incl. the SQL oracle)
+    * reproduces; pass a k-means table via `centroids` for real recall. */
+  def nearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 8, centroids: Option[DataFrame] = None): DataFrame = {
+    val cells = centroids.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(numCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
+    val assigned = assignCells(corpus, cells, idCol, vecCol)
+    val l = assigned.select(col("cell_id"), col("v_id").as("q_id"),
+        col("v_vec").as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val r = assigned.select(col("cell_id"), col("v_id").as("n_id"),
+        col("v_vec").as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
-    c.crossJoin(broadcast(q))
+    l.join(r, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cs",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))

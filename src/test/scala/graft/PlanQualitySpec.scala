@@ -49,6 +49,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate generation must stay index-joined:\n$p")
   }
 
+  test("q_embed_nn: no cartesian product, no full-corpus broadcast") {
+    val p = plan("q_embed_nn")
+    assert(!p.contains("CartesianProduct"),
+      s"near-dup must be cell-bucketed, not all-pairs:\n$p")
+    // the only nested-loop broadcasts allowed are the limit-8 centroid
+    // table inside assignCells (one per side of the self-join); candidates
+    // must meet through a cell_id equi-join, never an unbounded broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val boundedBuilds = "TakeOrderedAndProject\\(limit=8".r.findAllIn(p).size
+    assert(bnlj <= boundedBuilds,
+      s"a broadcast with an unbounded build side crept into the plan:\n$p")
+    assert(p.contains("SortMergeJoin [cell_id") || p.contains("ShuffledHashJoin [cell_id")
+        || p.contains("BroadcastHashJoin [cell_id"),
+      s"expected the cell_id equi-join:\n$p")
+  }
+
   test("twin point lookup pushes dt_id to the scan") {
     val g = graft.graph.GraphViews.graph(spark, sf)
     val p = g.twinById("N3").queryExecution.executedPlan.toString

@@ -65,6 +65,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("IVF with k-means bootstrap: recall vs brute force, nprobe widens it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 3)
+    assert(cents.count() >= 2, "k-means must keep multiple cells")
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(queries, emb, cents, "vec_id", "embedding",
+        5, nprobe).as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"more probes must not lose recall: $r1 -> $r4")
+    assert(r4 >= 0.5, s"nprobe=4 recall too low: $r4")
+  }
+
   test("language id picks marker-heavy language with deterministic ties") {
     val d = Seq(
       (0L, "the fast table of the data"), // en markers
