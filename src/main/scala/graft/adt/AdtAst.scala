@@ -20,8 +20,10 @@ final case class SelectEntity(alias: String) extends SelectItem
 final case class SelectProp(entity: Option[String], path: List[String],
     as: Option[String]) extends SelectItem
 /** Aggregate return item (Cypher `RETURN k, count(*) / sum(x) / avg(x) /
-  * min(x) / max(x)`, optionally `count(DISTINCT x)`): non-aggregate items
-  * become grouping keys. */
+  * min(x) / max(x) / collect(x)`, optionally `fn(DISTINCT x)`):
+  * non-aggregate items become grouping keys. `collect` gathers the grouped
+  * values into a list (sorted — openCypher leaves the order unspecified,
+  * we pick the deterministic one). */
 final case class SelectAgg(fn: String, arg: Option[PropRef],
     as: Option[String], distinct: Boolean = false) extends SelectItem
 
@@ -39,7 +41,7 @@ case object FromUnit extends FromSource
   * unmatched sources keep a row with null rel/target columns). */
 final case class MatchEdge(src: String, relAlias: Option[String],
     relNames: List[String], dst: String, vle: Option[(Int, Int)] = None,
-    optional: Boolean = false)
+    optional: Boolean = false, pathAlias: Option[String] = None)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

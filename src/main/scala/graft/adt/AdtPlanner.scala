@@ -29,10 +29,12 @@ final class AdtPlanner(graph: TwinGraph) {
   import AdtPlanner._
 
   /** Resolution context: which aliases are twins vs relationships, the
-    * default entity for unqualified properties, and flat columns introduced
-    * by WITH/UNWIND stages. */
+    * default entity for unqualified properties, flat columns introduced
+    * by WITH/UNWIND stages, and path bindings (`p = shortestPath(...)`) —
+    * path alias → (rel alias carrying its columns, whether VLE). */
   private case class Scope(twins: Set[String], rels: Set[String],
-      default: String, flat: Set[String] = Set.empty)
+      default: String, flat: Set[String] = Set.empty,
+      paths: Map[String, (String, Boolean)] = Map.empty)
 
   /** Parse + plan with language detection (ADT vs raw Cypher), like the
     * reference endpoint (Query.cs:44-55). */
@@ -41,7 +43,12 @@ final class AdtPlanner(graph: TwinGraph) {
   def plan(q: AdtQuery): DataFrame = {
     // ---- resolve scope: which aliases exist, which are twins vs rels ----
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
-    var scope = Scope(twinAliases, relAliases, defaultEntity)
+    val pathBindings = q.matches.zipWithIndex.collect {
+      case (e, i) if e.pathAlias.isDefined =>
+        e.pathAlias.get -> (e.relAlias.getOrElse(s"__rel$i"), e.vle.isDefined)
+    }.toMap
+    var scope = Scope(twinAliases, relAliases, defaultEntity,
+      paths = pathBindings)
 
     // ---- WHERE ----
     // EXISTS pattern predicates peel off the top-level conjunction and plan
@@ -183,7 +190,13 @@ final class AdtPlanner(graph: TwinGraph) {
       case ("AVG", false) => avg(num.get)
       case ("MIN", false) => min(num.get)
       case ("MAX", false) => max(num.get)
+      // Cypher collect(): list aggregation. openCypher leaves element order
+      // unspecified; we sort for cross-run/cross-partition determinism.
+      // Nulls are skipped by collect_list/set, matching Cypher.
+      case ("COLLECT", false) => sort_array(collect_list(raw.get))
+      case ("COLLECT", true) => sort_array(collect_set(raw.get))
       case (fn, true) => throw new AdtPlanException(s"$fn(DISTINCT ...) is not supported")
+      case (fn, false) => throw new AdtPlanException(s"unknown aggregate $fn")
     }
     c.as(a.as.getOrElse(a.fn))
   }
@@ -483,7 +496,8 @@ final class AdtPlanner(graph: TwinGraph) {
   private def resolvePropRef(ent: Option[String], path: List[String],
       scope: Scope): (Option[String], List[String]) =
     ent match {
-      case Some(a) if scope.twins(a) || scope.rels(a) => (Some(a), path)
+      case Some(a) if scope.twins(a) || scope.rels(a) || scope.paths.contains(a) =>
+        (Some(a), path)
       case Some(first) => (None, first :: path)
       case None => (None, path)
     }
@@ -535,6 +549,11 @@ final class AdtPlanner(graph: TwinGraph) {
       scope: Scope): Column = {
     path match {
       case List(name) if ent.isEmpty && scope.flat(name) => return col(name)
+      // length(p): hop count of a bound path — the VLE pair set's minimal
+      // depth, or 1 for a single-hop path
+      case List("__length") if ent.exists(scope.paths.contains) =>
+        val (relAlias, isVle) = scope.paths(ent.get)
+        return if (isVle) col(s"${relAlias}__depth").cast("long") else lit(1L)
       case _ =>
     }
     val a = ent.getOrElse(scope.default)

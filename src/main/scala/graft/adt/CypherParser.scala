@@ -162,6 +162,19 @@ object CypherParser {
         optional: Boolean = false): Unit = {
       var more = true
       while (more) {
+        // path variable binding: `p = (a)-[r]->(b)` or
+        // `p = shortestPath((a)-[*..n]->(b))`. The shortestPath form maps
+        // exactly onto the VLE pair set's minimal depth; a bare path over a
+        // VLE edge would need per-path enumeration, which we reject.
+        var pathAlias: Option[String] = None
+        var shortest = false
+        (cur, nxt) match {
+          case (Ident(p), Sym("=")) =>
+            pathAlias = Some(p); pos += 2
+            if (isKw(cur, "shortestPath")) { shortest = true; pos += 1; expectSym("(") }
+          case _ =>
+        }
+        val edgesBefore = edges.size
         var left = parseNode()
         var hadEdge = false
         var chaining = true
@@ -183,6 +196,16 @@ object CypherParser {
               left = right; hadEdge = true
             case _ => chaining = false
           }
+        }
+        if (shortest) expectSym(")")
+        pathAlias.foreach { _ =>
+          if (edges.size - edgesBefore != 1) throw new AdtParseException(
+            "a path variable must bind a single-edge pattern")
+          val e = edges.last
+          if (e.vle.isDefined && !shortest) throw new AdtParseException(
+            "per-path enumeration over a variable-length edge is not " +
+              "supported: wrap the pattern in shortestPath(...)")
+          edges(edges.size - 1) = e.copy(pathAlias = pathAlias)
         }
         if (!hadEdge) loneNodes += left
         if (cur == Sym(",")) pos += 1 else more = false
@@ -248,13 +271,20 @@ object CypherParser {
       (alias, names.toList, vle)
     }
 
-    private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX")
+    private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
 
     private def parseReturnItems(): List[SelectItem] = {
       val items = collection.mutable.ListBuffer[SelectItem]()
       var more = true
       while (more) {
         cur match {
+          // length(p): the bound path's hop count (VLE depth)
+          case Ident(f) if f.equalsIgnoreCase("length") && nxt == Sym("(") =>
+            pos += 2
+            val p = ident()
+            expectSym(")")
+            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
+            items += SelectProp(Some(p), List("__length"), as.orElse(Some("length")))
           case Ident(f) if aggFns(f.toUpperCase) && nxt == Sym("(") =>
             val fn = f.toUpperCase
             pos += 2
@@ -265,6 +295,8 @@ object CypherParser {
             }
             if (distinct && arg.isEmpty)
               throw new AdtParseException(s"$fn(DISTINCT *) is not valid")
+            if (fn == "COLLECT" && arg.isEmpty)
+              throw new AdtParseException("collect(*) is not valid")
             expectSym(")")
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
             items += SelectAgg(fn, arg, as, distinct)

@@ -141,6 +141,26 @@ object AdtLangQueries {
       run(s, d,
         "MATCH (t:Twin) WHERE NOT EXISTS((t)<-[:located_in]-(x)) " +
           "RETURN t.`$dtId` AS id ORDER BY id")
+    }),
+
+    // Cypher collect() list aggregation: nations per region as a sorted
+    // list (joined to a string for cross-engine hash parity — the list
+    // itself is the operator under test).
+    "q_cypher_collect" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:in_region]->(g:Twin) " +
+          "RETURN g.`$dtId` AS region_id, collect(m.`$dtId`) AS nations " +
+          "ORDER BY region_id")
+        .select(col("region_id"), concat_ws(",", col("nations")).as("nations"))
+    }),
+
+    // Cypher shortestPath + length(p): minimal in-range hop count per
+    // source reaching region R1 — the VLE pair set's depth column.
+    "q_cypher_shortest" -> ((s, d) => {
+      run(s, d,
+        "MATCH p = shortestPath((m:Twin)-[*1..3]->(g:Twin)) " +
+          "WHERE g.`$dtId` = 'R1' " +
+          "RETURN m.`$dtId` AS src, length(p) AS hops ORDER BY src")
     })
   )
 
@@ -207,6 +227,23 @@ object AdtLangQueries {
         |  SELECT 'R' || r_regionkey AS id FROM region
         |  UNION ALL SELECT 'C' || c_custkey FROM customer
         |  UNION ALL SELECT 'S' || s_suppkey FROM supplier)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "q_cypher_collect" ->
+      """SELECT 'R' || n_regionkey AS region_id,
+        |  string_agg('N' || n_nationkey, ',' ORDER BY 'N' || n_nationkey) AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cypher_shortest" ->
+      """SELECT src, hops FROM (
+        |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops
+        |  FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT 'C' || c_custkey, CAST(2 AS BIGINT)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT 'S' || s_suppkey, CAST(2 AS BIGINT)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1)
+        |ORDER BY src""".stripMargin
   )
 }

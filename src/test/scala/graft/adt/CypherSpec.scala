@@ -55,6 +55,45 @@ class CypherSpec extends AnyFunSuite {
     assert(count("MATCH (t:Twin) WHERE t.`$dtId` IN ['sun','earth'] RETURN t") == 2)
   }
 
+  test("collect() list aggregation: grouped, ungrouped, DISTINCT") {
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN b.`$dtId` AS center, collect(a.`$dtId`) AS orbiters ORDER BY center")
+    val rows = df.collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSeq
+    assert(rows == Seq(("earth", List("moon1")), ("sun", List("earth", "kepler"))))
+    val all = planner.run("MATCH (t:Twin) RETURN collect(t.`$dtId`) AS ids")
+      .collect()(0).getSeq[String](0).toList
+    assert(all == List("earth", "kepler", "moon1", "sun"))
+    val d = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) RETURN collect(DISTINCT b.`$dtId`) AS centers")
+      .collect()(0).getSeq[String](0).toList
+    assert(d == List("earth", "sun"))
+    // collect() in a WITH horizon feeds later clauses
+    val w = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH b.`$dtId` AS center, collect(a.`$dtId`) AS orbiters " +
+        "RETURN center, orbiters ORDER BY center")
+    assert(w.collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSeq ==
+      Seq(("earth", List("moon1")), ("sun", List("earth", "kepler"))))
+  }
+
+  test("shortestPath + length(p); bare VLE path is rejected") {
+    val df = planner.run(
+      "MATCH p = shortestPath((s:Twin)-[*1..4]->(t:Twin)) " +
+        "WHERE t.`$dtId` = 'sun' RETURN s.`$dtId` AS src, length(p) AS hops ORDER BY src")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("earth", 1L), ("kepler", 1L), ("moon1", 2L)))
+    // single-hop bound path: length is 1
+    val one = planner.run(
+      "MATCH p = (a:Twin)-[r:satellites]->(b:Twin) " +
+        "RETURN a.`$dtId` AS src, length(p) AS hops")
+    assert(one.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("earth", 1L)))
+    val ex = intercept[AdtParseException](planner.run(
+      "MATCH p = (a:Twin)-[*1..2]->(b:Twin) RETURN length(p)"))
+    assert(ex.getMessage.contains("shortestPath"))
+  }
+
   test("variable-length Cypher edge -[*2..6]-> (VariableLengthEdgeTests.cs)") {
     assert(count(
       "MATCH (s:Twin { `$dtId`: 'moon1' })-[r*2..6]->(t:Twin) RETURN t") == 2)
