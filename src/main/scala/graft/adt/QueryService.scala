@@ -13,8 +13,17 @@ import graft.json.Json
   *
   * Determinism note (SURVEY §7 hard-part 6): the reference's SKIP-based
   * paging assumes Postgres returns stable order; we impose an explicit sort
-  * over all output columns before applying skip/limit, so a token is valid
-  * across retries and executors.
+  * over all output columns, so a token is valid across retries and
+  * executors.
+  *
+  * Scale note: the reference re-executes the query with SKIP n for every
+  * page (Query.cs:90-120) — O(pages × full execution). We instead sort
+  * ONCE per query text, pin the sorted result with an eager
+  * `localCheckpoint` (spill-able blocks, lineage severed), and serve every
+  * subsequent page as offset+limit over the pinned snapshot — no re-plan,
+  * no re-sort, and pages are mutually consistent even if the underlying
+  * store changes mid-pagination. Snapshots live in a small LRU; evicted
+  * entries are freed by the ContextCleaner when unreferenced.
   */
 final case class QueryPage(
     rows: Seq[String],           // one JSON object per row
@@ -31,6 +40,25 @@ final class QueryService(graph: TwinGraph,
   /** B19 read-only guard (Query.cs:68-88). */
   private val forbidden = Seq("CREATE ", "DELETE ", "SET ", "MERGE ", "REMOVE ")
 
+  /** Per-query-text sorted snapshots (access-ordered LRU). */
+  private val snapshots =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 32
+    }
+
+  /** Plan + sort + pin: executed once per distinct query text; every page
+    * after the first reads the checkpointed blocks. */
+  private[graft] def sortedSnapshot(query: String): DataFrame = synchronized {
+    Option(snapshots.get(query)).getOrElse {
+      val df = planner.plan(QueryLanguage.parse(query))
+      val snap = df.orderBy(df.columns.map(col): _*)
+        .localCheckpoint(eager = true)
+      snapshots.put(query, snap)
+      snap
+    }
+  }
+
   def query(q: String, maxItemsPerPage: Int = 2000,
       continuationToken: Option[String] = None): QueryPage = {
     val upper = q.toUpperCase
@@ -45,8 +73,8 @@ final class QueryService(graph: TwinGraph,
     }
 
     val ast = QueryLanguage.parse(effectiveQuery)
-    val df = planner.plan(ast)
-    val sorted = df.orderBy(df.columns.map(col): _*)
+    val sorted = sortedSnapshot(effectiveQuery)
+    val df = sorted
     val page = sorted.offset(skip.toInt).limit(maxItemsPerPage + 1).collect()
     val hasMore = page.length > maxItemsPerPage
     val rows = page.take(maxItemsPerPage).toSeq

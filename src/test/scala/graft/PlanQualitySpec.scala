@@ -65,6 +65,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the cell_id equi-join:\n$p")
   }
 
+  test("paging N pages runs ONE sort: pages serve from the pinned snapshot") {
+    val g = graft.graph.GraphViews.graph(spark, sf)
+    val svc = new graft.adt.QueryService(g)
+    val q = "SELECT T.$dtId AS id FROM DIGITALTWINS T"
+    val p1 = svc.query(q, maxItemsPerPage = 10)
+    assert(p1.continuationToken.isDefined)
+    // identical snapshot object reused across pages (the sort ran once)...
+    val snap = svc.sortedSnapshot(q)
+    assert(svc.sortedSnapshot(q) eq snap)
+    // ...and a follow-up page's plan is offset+limit over the checkpointed
+    // blocks: no Sort, no Exchange, no re-scan of the source parquet
+    val pagePlan = snap.offset(10).limit(11).queryExecution.executedPlan.toString
+    assert(!pagePlan.contains("Sort"), s"page re-sorts:\n$pagePlan")
+    assert(!pagePlan.contains("FileScan"), s"page re-scans the source:\n$pagePlan")
+    val p2 = svc.query(q, maxItemsPerPage = 10, p1.continuationToken)
+    assert(p2.rows.size == 10 && p2.rows.toSet.intersect(p1.rows.toSet).isEmpty)
+  }
+
   test("twin point lookup pushes dt_id to the scan") {
     val g = graft.graph.GraphViews.graph(spark, sf)
     val p = g.twinById("N3").queryExecution.executedPlan.toString
