@@ -164,6 +164,38 @@ object Dtdl {
   }
 }
 
+/** TTL-cached view over a model source (the reference's model cache:
+  * AgeDigitalTwinsClient.cs:21-23,162 — model JSON cached 10 s, so a model
+  * uploaded by ANOTHER writer becomes visible to validation within the TTL
+  * without rebuilding anything). `loader` re-reads the authoritative model
+  * set (e.g. the models table of a shared [[graft.store.GraphStore]]
+  * layout); a long-lived session pays one reload per TTL window, not one
+  * per validation. */
+final class CachedModelRegistry(loader: () => ModelRegistry,
+    ttlMillis: Long = 10000L, nowMs: () => Long = () => System.currentTimeMillis()) {
+  @volatile private var cached: ModelRegistry = _
+  @volatile private var loadedAt: Long = Long.MinValue
+  @volatile private var loads: Long = 0L
+
+  /** The registry snapshot, reloading when stale. */
+  def current: ModelRegistry = {
+    val now = nowMs()
+    if (cached == null || now - loadedAt >= ttlMillis) synchronized {
+      if (cached == null || nowMs() - loadedAt >= ttlMillis) {
+        cached = loader(); loadedAt = nowMs(); loads += 1
+      }
+    }
+    cached
+  }
+
+  /** Drop the snapshot so the next access reloads (the reference's
+    * cache-invalidate-on-own-write path). */
+  def invalidate(): Unit = synchronized { cached = null }
+
+  def loadCount: Long = loads
+  def validateTwin(doc: JsonNode): Either[String, Unit] = current.validateTwin(doc)
+}
+
 /** A resolved model set with closures — the engine-side analogue of the
   * reference's models vertex table + cache. */
 final case class ModelRegistry(models: Map[String, DtdlInterface]) {

@@ -2,14 +2,24 @@ package graft.jobs
 
 import graft.store.{StoreException, TwinStore}
 import graft.json.Json
-import scala.jdk.CollectionConverters._
 
 /** Job metadata + lifecycle (SURVEY §2 D15) and the delete-everything job
-  * (D14). The reference keeps a `{graph}_jobs.jobs` SQL table with lease
-  * locks and heartbeats (Jobs/JobService.cs:517-735); in a single-driver
-  * Spark deployment the lock degenerates to a local mutex but the schema
-  * and status lifecycle (Running → Succeeded | PartiallySucceeded | Failed
-  * | Cancelled) are kept for API parity.
+  * (D14), with the reference's distributed-lock semantics
+  * (Jobs/JobService.cs:593-735):
+  *
+  *  - a lock is a LEASE: `acquiredAt + leaseDuration` bounds it; an
+  *    expired lease is taken over by the next acquirer (orphan recovery,
+  *    JobService.cs:604-622 acquire-if-expired UPDATE);
+  *  - running jobs RENEW a heartbeat (`RenewJobLockHeartbeatAsync`) which
+  *    succeeds only while the lease is live and the caller still owns it;
+  *  - `jobsToResume` surfaces Running jobs whose lock is absent/expired —
+  *    the startup resume discovery (JobService.cs:919-947);
+  *  - the delete job runs in BATCHES with periodic checkpoints
+  *    (DeleteJob.cs:197-428): phase order relationships → twins → models,
+  *    each phase batched, checkpoint persisted on the job record so a
+  *    crashed run resumes mid-phase with its counts intact.
+  *
+  * Time is injected (`nowMs`) so lease expiry is testable.
   */
 final case class JobRecord(
     id: String,
@@ -18,36 +28,104 @@ final case class JobRecord(
     createdAt: String,
     finishedAt: Option[String],
     lockedBy: Option[String],
-    checkpoint: Option[String], // serialized ImportCheckpoint
+    checkpoint: Option[String], // serialized Import/Delete checkpoint
     resultJson: Option[String])
 
-final class JobService(clock: () => String = () => java.time.Instant.now().toString) {
+/** Lease-based job lock (JobService.cs lock_* columns). */
+final case class JobLock(owner: String, acquiredAt: Long, leaseMillis: Long,
+    heartbeatAt: Long) {
+  def expiresAt: Long = acquiredAt + leaseMillis
+  def isExpired(now: Long): Boolean = now > expiresAt
+}
+
+/** Delete-job checkpoint (DeleteJob.cs DeleteJobCheckpoint). */
+final case class DeleteCheckpoint(section: String, relationshipsDeleted: Long,
+    twinsDeleted: Long, modelsDeleted: Long) {
+  def render: String =
+    s"""{"section":"$section","relationshipsDeleted":$relationshipsDeleted,""" +
+      s""""twinsDeleted":$twinsDeleted,"modelsDeleted":$modelsDeleted}"""
+}
+
+object DeleteCheckpoint {
+  val Start = DeleteCheckpoint("Relationships", 0, 0, 0)
+  def parse(s: String): DeleteCheckpoint = {
+    val n = Json.parse(s)
+    DeleteCheckpoint(n.get("section").asText(),
+      n.get("relationshipsDeleted").asLong(), n.get("twinsDeleted").asLong(),
+      n.get("modelsDeleted").asLong())
+  }
+}
+
+/** Thrown by the injected crash point in tests; any other exception behaves
+  * identically (checkpoint survives, lock leases out, job resumes). */
+final class JobCrashException(msg: String) extends RuntimeException(msg)
+
+final class JobService(clock: () => String = () => java.time.Instant.now().toString,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  val DefaultLeaseMillis: Long = 5 * 60 * 1000L // reference default 5 min
 
   private val jobs = collection.mutable.LinkedHashMap[String, JobRecord]()
-  private val locks = collection.mutable.Map[String, String]()
+  private val locks = collection.mutable.Map[String, JobLock]()
 
   def list: Seq[JobRecord] = jobs.values.toSeq
   def get(id: String): JobRecord =
     jobs.getOrElse(id, throw StoreException(404, s"job $id not found"))
+  def lockInfo(jobId: String): Option[JobLock] = synchronized(locks.get(jobId))
 
-  def acquireLock(jobId: String, owner: String): Boolean = synchronized {
+  /** Acquire-or-take-over: succeeds when the job is unlocked OR the
+    * current lease has expired (orphaned instance). */
+  def tryAcquireLock(jobId: String, owner: String,
+      leaseMillis: Long = DefaultLeaseMillis): Boolean = synchronized {
+    val now = nowMs()
     locks.get(jobId) match {
-      case Some(o) if o != owner => false
-      case _ => locks(jobId) = owner; true
+      case Some(l) if l.owner != owner && !l.isExpired(now) => false
+      case _ =>
+        locks(jobId) = JobLock(owner, now, leaseMillis, now)
+        true
+    }
+  }
+
+  /** Heartbeat renewal: only the live owner can renew; an expired lease
+    * cannot be resurrected (the instance must re-acquire). */
+  def renewHeartbeat(jobId: String, owner: String): Boolean = synchronized {
+    val now = nowMs()
+    locks.get(jobId) match {
+      case Some(l) if l.owner == owner && !l.isExpired(now) =>
+        locks(jobId) = l.copy(heartbeatAt = now)
+        true
+      case _ => false
     }
   }
 
   def releaseLock(jobId: String, owner: String): Unit = synchronized {
-    if (locks.get(jobId).contains(owner)) locks.remove(jobId)
+    if (locks.get(jobId).exists(_.owner == owner)) locks.remove(jobId): Unit
   }
 
-  /** Run an import job under a lock with status lifecycle + checkpoints. */
+  /** Drop every expired lock; returns how many (JobService.cs:878-911). */
+  def cleanupExpiredLocks(): Int = synchronized {
+    val now = nowMs()
+    val victims = locks.collect { case (id, l) if l.isExpired(now) => id }.toSeq
+    victims.foreach(locks.remove)
+    victims.size
+  }
+
+  /** Startup resume discovery: Running jobs not held by a live lease
+    * (JobService.cs:919-947). */
+  def jobsToResume: Seq[JobRecord] = synchronized {
+    val now = nowMs()
+    jobs.values.filter(j => j.status == "Running" &&
+      locks.get(j.id).forall(_.isExpired(now))).toSeq
+  }
+
+  /** Run an import job under a lease with status lifecycle + checkpoints. */
   def runImport(id: String, store: TwinStore, lines: Iterator[String],
       owner: String = "driver", batchSize: Int = 50,
       checkpointInterval: Int = 50): JobRecord = {
-    if (jobs.contains(id) && jobs(id).status == "Running")
+    if (jobs.contains(id) && jobs(id).status == "Running" &&
+        lockInfo(id).exists(l => !l.isExpired(nowMs())))
       throw StoreException(409, s"job $id already running")
-    if (!acquireLock(id, owner)) throw StoreException(409, s"job $id locked")
+    if (!tryAcquireLock(id, owner)) throw StoreException(409, s"job $id locked")
     jobs(id) = JobRecord(id, "import", "Running", clock(), None, Some(owner), None, None)
     try {
       val result = ImportJob.run(store, lines, batchSize, checkpointInterval)
@@ -73,25 +151,84 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     } finally releaseLock(id, owner)
   }
 
-  /** D14 delete job: relationships → twins → models, counted and
-    * checkpoint-ordered exactly like DeleteJob.cs:197-428. */
-  def runDelete(id: String, store: TwinStore, owner: String = "driver"): JobRecord = {
-    if (!acquireLock(id, owner)) throw StoreException(409, s"job $id locked")
-    jobs(id) = JobRecord(id, "delete", "Running", clock(), None, Some(owner), None, None)
+  /** D14 delete job: relationships → twins → models in batches with
+    * periodic checkpoints, mirroring DeleteJob.cs:197-428. A crash leaves
+    * the record Running with its checkpoint and a leased lock — once the
+    * lease expires another instance takes over via [[tryAcquireLock]] and
+    * the rerun resumes from the checkpoint (skipping completed phases,
+    * keeping counts). `crashAfterBatches` injects the crash for tests. */
+  def runDelete(id: String, store: TwinStore, owner: String = "driver",
+      batchSize: Int = 50, checkpointEveryBatches: Int = 2,
+      crashAfterBatches: Int = Int.MaxValue,
+      leaseMillis: Long = DefaultLeaseMillis): JobRecord = {
+    if (!tryAcquireLock(id, owner, leaseMillis))
+      throw StoreException(409, s"job $id locked")
+    var cp = jobs.get(id).flatMap(_.checkpoint)
+      .filter(_ => jobs(id).jobType == "delete")
+      .map(DeleteCheckpoint.parse).getOrElse(DeleteCheckpoint.Start)
+    jobs(id) = JobRecord(id, "delete", "Running",
+      jobs.get(id).map(_.createdAt).getOrElse(clock()), None, Some(owner),
+      Some(cp.render), None)
+    var batches = 0
+    def saveCp(): Unit = jobs(id) = jobs(id).copy(checkpoint = Some(cp.render))
+    def tick(): Unit = {
+      batches += 1
+      renewHeartbeat(id, owner): Unit
+      if (batches % checkpointEveryBatches == 0) saveCp()
+      if (batches >= crashAfterBatches)
+        throw new JobCrashException(s"injected crash after $batches batches")
+    }
     try {
-      var rels = 0L; var twins = 0L
-      // relationships first (FK-like ordering)
-      for ((src, rid) <- store.relationshipKeys) { store.deleteRelationship(src, rid); rels += 1 }
-      for (tid <- store.twinIds) { store.deleteTwin(tid); twins += 1 }
-      val nModels = store.models.models.size
-      store.deleteAllModels()
+      if (cp.section == "Relationships") {
+        var keys = store.relationshipKeys
+        while (keys.nonEmpty) {
+          val batch = keys.take(batchSize)
+          batch.foreach { case (s, r) => store.deleteRelationship(s, r) }
+          cp = cp.copy(relationshipsDeleted = cp.relationshipsDeleted + batch.size)
+          tick()
+          keys = store.relationshipKeys
+        }
+        cp = cp.copy(section = "Twins"); saveCp()
+      }
+      if (cp.section == "Twins") {
+        var ids = store.twinIds
+        while (ids.nonEmpty) {
+          val batch = ids.take(batchSize)
+          batch.foreach(store.deleteTwin(_))
+          cp = cp.copy(twinsDeleted = cp.twinsDeleted + batch.size)
+          tick()
+          ids = store.twinIds
+        }
+        cp = cp.copy(section = "Models"); saveCp()
+      }
+      if (cp.section == "Models") {
+        val n = store.models.models.size
+        store.deleteAllModels()
+        cp = cp.copy(section = "Completed", modelsDeleted = cp.modelsDeleted + n)
+        saveCp()
+      }
       val rec = jobs(id).copy(status = "Succeeded", finishedAt = Some(clock()),
-        lockedBy = None,
+        lockedBy = None, checkpoint = Some(cp.render),
         resultJson = Some(
-          s"""{"relationshipsDeleted":$rels,"twinsDeleted":$twins,"modelsDeleted":$nModels}"""))
+          s"""{"relationshipsDeleted":${cp.relationshipsDeleted},""" +
+            s""""twinsDeleted":${cp.twinsDeleted},"modelsDeleted":${cp.modelsDeleted}}"""))
       jobs(id) = rec
+      releaseLock(id, owner)
       rec
-    } finally releaseLock(id, owner)
+    } catch {
+      case _: JobCrashException =>
+        // simulated instance death: checkpoint stays, status stays Running,
+        // the lock leases out — do NOT release (a dead instance can't)
+        saveCp()
+        jobs(id)
+      case e: Exception =>
+        saveCp()
+        val rec = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
+          lockedBy = None, resultJson = Some(s"""{"error":"${e.getMessage}"}"""))
+        jobs(id) = rec
+        releaseLock(id, owner)
+        rec
+    }
   }
 
   def cancel(id: String): JobRecord = {

@@ -187,6 +187,58 @@ object EventPipeline {
     mutationsToDataset(spark,
       spark.readStream.schema(Tables.mutationsSchema).parquet(dir))
 
+  /** A11 Kafka sink configuration, mirroring the reference's
+    * Events/Sinks/Kafka/KafkaEventSink.cs:32-166 (SASL PLAIN and
+    * OAUTHBEARER over SASL_SSL; plaintext for local brokers). */
+  final case class KafkaSinkConfig(
+      bootstrapServers: String,
+      topic: String,
+      securityProtocol: Option[String] = None, // e.g. SASL_SSL
+      saslMechanism: Option[String] = None,    // PLAIN | OAUTHBEARER
+      saslJaasConfig: Option[String] = None)
+
+  /** CloudEvents → Kafka records: key = subject (so all events of one
+    * entity land in one partition, preserving per-entity order — the same
+    * affinity the reference gets from the CloudEvents partition key),
+    * value = the JSON envelope (structured content mode). */
+  def kafkaFrame(events: Dataset[CloudEvent]): DataFrame = {
+    // attributes via to_json; `data` is already JSON text, so it is spliced
+    // in verbatim (structured content mode embeds data as JSON, not as a
+    // quoted string)
+    val attrs = to_json(struct(col("id"), col("source"), col("type"),
+      col("subject"), col("time"), col("datacontenttype"), col("dataschema")))
+    events.toDF()
+      .withColumn("__attrs", attrs)
+      .select(
+        col("subject").as("key"),
+        concat(expr("substring(__attrs, 1, length(__attrs) - 1)"),
+          lit(",\"data\":"), coalesce(col("data"), lit("null")), lit("}"))
+          .as("value"))
+  }
+
+  /** The `writeStream.format("kafka")` option map for a config. */
+  def kafkaOptions(c: KafkaSinkConfig): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> c.bootstrapServers, "topic" -> c.topic) ++
+      c.securityProtocol.map("kafka.security.protocol" -> _) ++
+      c.saslMechanism.map("kafka.sasl.mechanism" -> _) ++
+      c.saslJaasConfig.map("kafka.sasl.jaas.config" -> _)
+
+  /** A11: the real Kafka sink plan — `writeStream.format("kafka")` over
+    * the keyed/serialized frame, fully configured and ready to `.start()`
+    * on a deployment with the kafka connector on the classpath (this
+    * zero-egress environment has neither broker nor connector, so the
+    * default route keeps the parquet stand-in; the spec asserts this plan's
+    * construction instead). */
+  def kafkaWriter(events: Dataset[CloudEvent], config: KafkaSinkConfig,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    kafkaFrame(events).writeStream
+      .format("kafka")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .options(kafkaOptions(config))
+  }
+
   /** E9/E11: run one routed stream into a parquet "sink table" with
     * checkpointing; failures in the sink function land in a DLQ directory
     * instead of killing the stream (ResilientEventSinkWrapper + DLQService

@@ -99,4 +99,60 @@ class JobsSpec extends AnyFunSuite {
     assert(svc.purgeFinishedBefore("9999-01-01T00:00:00Z") == 2)
     assertThrows[StoreException](svc.get("job1"))
   }
+
+  /** A JobService with a controllable clock for lease-expiry tests. */
+  private def timedService(): (JobService, () => Unit) = {
+    var t = 0L
+    val svc = new JobService(nowMs = () => t)
+    (svc, () => t += 6 * 60 * 1000L) // advance past the 5-min default lease
+  }
+
+  test("lease locks: live lease blocks, expired lease is taken over") {
+    val (svc, advance) = timedService()
+    assert(svc.tryAcquireLock("j", "instanceA"))
+    assert(!svc.tryAcquireLock("j", "instanceB"), "live lease must block")
+    assert(svc.renewHeartbeat("j", "instanceA"))
+    assert(!svc.renewHeartbeat("j", "instanceB"), "only the owner heartbeats")
+    advance() // lease expires
+    assert(!svc.renewHeartbeat("j", "instanceA"),
+      "an expired lease cannot be resurrected by heartbeat")
+    assert(svc.tryAcquireLock("j", "instanceB"), "expired lease is orphaned: takeover")
+    assert(svc.lockInfo("j").get.owner == "instanceB")
+    assert(svc.cleanupExpiredLocks() == 0) // B's lease is live
+    advance()
+    assert(svc.cleanupExpiredLocks() == 1)
+  }
+
+  test("delete job: crash mid-phase, lease out, resume from checkpoint") {
+    val (svc, advance) = timedService()
+    val store = new TwinStore()
+    store.createModels(Seq(model))
+    (1 to 10).foreach(i => store.createOrReplaceTwin(s"t$i",
+      s"""{"$$metadata":{"$$model":"dtmi:ex:m;1"},"name":"T$i"}"""))
+    (1 to 9).foreach(i => store.createOrReplaceRelationship(s"t$i", s"r$i",
+      s"""{"$$relationshipName":"has","$$targetId":"t${i + 1}"}"""))
+
+    // instance A crashes after 3 batches of 2 (rels phase: 9 rels = 5 batches)
+    val crashed = svc.runDelete("del", store, owner = "instanceA",
+      batchSize = 2, checkpointEveryBatches = 1, crashAfterBatches = 3)
+    assert(crashed.status == "Running", "crashed job stays Running")
+    val cp = DeleteCheckpoint.parse(crashed.checkpoint.get)
+    assert(cp.section == "Relationships" && cp.relationshipsDeleted == 6)
+    assert(store.relationshipKeys.size == 3, "6 of 9 rels deleted before crash")
+    // the dead instance still holds the lock: immediate takeover fails
+    assertThrows[StoreException](
+      svc.runDelete("del", store, owner = "instanceB", batchSize = 2))
+    assert(svc.jobsToResume.isEmpty, "job not resumable while lease is live")
+
+    advance() // lease expires → orphan
+    assert(svc.jobsToResume.map(_.id) == Seq("del"))
+    val resumed = svc.runDelete("del", store, owner = "instanceB", batchSize = 2)
+    assert(resumed.status == "Succeeded")
+    // counts carried across the crash: all 9 rels, 10 twins, 1 model
+    assert(resumed.resultJson.get.contains("\"relationshipsDeleted\":9"))
+    assert(resumed.resultJson.get.contains("\"twinsDeleted\":10"))
+    assert(resumed.resultJson.get.contains("\"modelsDeleted\":1"))
+    assert(store.twinIds.isEmpty && store.relationshipKeys.isEmpty)
+    assert(svc.jobsToResume.isEmpty)
+  }
 }

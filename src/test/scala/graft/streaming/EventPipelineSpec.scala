@@ -75,6 +75,42 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(relLc.filter($"Name" === "feeds").count() == 2)
   }
 
+  test("Kafka sink: keyed/serialized frame + fully-configured writer plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // frame shape: key = subject (per-entity partition affinity), value =
+    // the JSON CloudEvents envelope
+    val ev = graft.events.CloudEvent("id1", "https://inst",
+      "Konnektr.Graph.Twin.Update", "twin1", "2026-01-01T00:00:00Z",
+      "application/json", """{"modelId":"dtmi:m;1","patch":[]}""")
+    val frame = EventPipeline.kafkaFrame(Seq(ev).toDS())
+    assert(frame.columns.toSeq == Seq("key", "value"))
+    val row = frame.collect()(0)
+    assert(row.getString(0) == "twin1")
+    val env = graft.json.Json.parse(row.getString(1))
+    assert(env.get("type").asText() == "Konnektr.Graph.Twin.Update")
+    assert(env.get("data").isObject, "data must embed as JSON, not a quoted string")
+
+    // writer plan: format kafka + broker/topic/SASL options, built over a
+    // real streaming Dataset (no broker/connector in this environment, so
+    // construction — not start() — is the contract under test)
+    val cfg = EventPipeline.KafkaSinkConfig(
+      "broker1:9093", "twin-events",
+      securityProtocol = Some("SASL_SSL"), saslMechanism = Some("PLAIN"),
+      saslJaasConfig = Some("org.apache.kafka.common.security.plain.PlainLoginModule required;"))
+    val opts = EventPipeline.kafkaOptions(cfg)
+    assert(opts("kafka.bootstrap.servers") == "broker1:9093")
+    assert(opts("topic") == "twin-events")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.events.CloudEvent]
+    input.addData(ev)
+    val dir = Files.createTempDirectory("graft-kafka").toString
+    val writer = EventPipeline.kafkaWriter(input.toDS(), cfg, s"$dir/cp")
+    assert(writer != null) // plan constructed: projection + format + options
+  }
+
   test("E3 fold: multiple physical WAL rows collapse to one logical event") {
     import spark.implicits._
     // txn 1 updates twin t1 three times: fold = first old + last new
