@@ -26,6 +26,10 @@ final case class SelectProp(entity: Option[String], path: List[String],
   * we pick the deterministic one). */
 final case class SelectAgg(fn: String, arg: Option[PropRef],
     as: Option[String], distinct: Boolean = false) extends SelectItem
+/** Scalar-expression return item (Cypher `RETURN toUpper(n.name) AS x`,
+  * size()/coalesce()/toString()/toLower() over bindings) — compiled as a
+  * plain Column, grouped-by when the RETURN also aggregates. */
+final case class SelectExpr(e: Expr, as: Option[String]) extends SelectItem
 
 sealed trait FromSource
 final case class FromTwins(alias: Option[String]) extends FromSource
@@ -88,4 +92,5 @@ final case class AdtQuery(
     skip: Option[Int] = None,               // Cypher SKIP (paging rewrite target)
     orderBy: List[(PropRef, Boolean)] = Nil, // (ref, ascending)
     distinct: Boolean = false,
-    pipeline: List[PipeClause] = Nil)        // Cypher WITH / UNWIND stages
+    pipeline: List[PipeClause] = Nil,        // Cypher WITH / UNWIND stages
+    loneNodes: List[String] = Nil)           // Cypher `MATCH (a), (b)` bare bindings

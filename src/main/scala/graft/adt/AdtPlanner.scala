@@ -104,6 +104,8 @@ final class AdtPlanner(graph: TwinGraph) {
               .as(as.getOrElse(realPath.last.stripPrefix("$")))
           case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) =>
             propValue(None, List(p), scope).as(p)
+          case SelectExpr(e, as) =>
+            compile(e, scope).as(as.getOrElse("expr"))
         }
         val aggCols = aggItems.map(aggColumn(_, scope))
         val grouped =
@@ -133,6 +135,8 @@ final class AdtPlanner(graph: TwinGraph) {
             val (entOpt, realPath) = resolvePropRef(ent, path, scope)
             Seq(propValue(entOpt, realPath, scope)
               .as(as.getOrElse(realPath.last.stripPrefix("$"))))
+          case SelectExpr(e, as) =>
+            Seq(compile(e, scope).as(as.getOrElse("expr")))
           case SelectCount => Nil
           case _: SelectAgg => Nil // unreachable: aggItems branch handles them
         }
@@ -146,6 +150,7 @@ final class AdtPlanner(graph: TwinGraph) {
               val (_, realPath) = resolvePropRef(ent, path, scope)
               Seq(as.getOrElse(realPath.last.stripPrefix("$")))
             case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) => Seq(p)
+            case SelectExpr(_, as) => as.toSeq
             case _ => Nil
           }
           val sortSpecs = q.orderBy.zipWithIndex.map { case ((ref, asc), i) =>
@@ -188,8 +193,10 @@ final class AdtPlanner(graph: TwinGraph) {
       case ("SUM", false) => sum(num.get)
       case ("SUM", true) => sum_distinct(num.get)
       case ("AVG", false) => avg(num.get)
-      case ("MIN", false) => min(num.get)
-      case ("MAX", false) => max(num.get)
+      // avg over the distinct value set; min/max are distinct-insensitive
+      case ("AVG", true) => sum_distinct(num.get) / count_distinct(num.get)
+      case ("MIN", _) => min(num.get)
+      case ("MAX", _) => max(num.get)
       // Cypher collect(): list aggregation. openCypher leaves element order
       // unspecified; we sort for cross-run/cross-partition determinism.
       // Nulls are skipped by collect_list/set, matching Cypher.
@@ -274,6 +281,9 @@ final class AdtPlanner(graph: TwinGraph) {
         (name, propValue(entOpt, realPath, scope).as(name))
       case SelectEntity(p) if !scope.twins(p) && !scope.rels(p) =>
         (p, propValue(None, List(p), scope).as(p))
+      case SelectExpr(e, as) =>
+        val name = as.getOrElse("expr")
+        (name, compile(e, scope).as(name))
     }
     val aggItems = w.items.collect { case a: SelectAgg => a }
 
@@ -321,8 +331,16 @@ final class AdtPlanner(graph: TwinGraph) {
         MatchEdge(j.source, j.relAlias, List(j.relName), j.target))
 
       if (edges.isEmpty) {
+        // one or more bare node bindings: `MATCH (a), (b)` is a cross
+        // product of independent twin scans (openCypher cartesian pattern)
         val a = alias.getOrElse("T")
-        (ns(graph.twins, a), Set(a), Set.empty[String], a)
+        var df = ns(graph.twins, a)
+        val twinAliases = collection.mutable.LinkedHashSet(a)
+        for (n <- q.loneNodes if !twinAliases.contains(n)) {
+          df = df.crossJoin(ns(graph.twins, n))
+          twinAliases += n
+        }
+        (df, twinAliases.toSet, Set.empty[String], a)
       } else {
         // multi-hop: start from the first edge's source, chain equi-joins.
         val twinAliases = collection.mutable.LinkedHashSet[String]()
@@ -379,9 +397,18 @@ final class AdtPlanner(graph: TwinGraph) {
           }
         }
         // the FROM/lone-node alias is only the default entity if the joins
-        // actually bound it; otherwise fall back to the first bound alias
-        val default = alias.filter(twinAliases.contains)
+        // actually bound it; otherwise fall back to the first EDGE-bound
+        // alias — a bare `(c), (a)-[r]->(b)` binding joins the scope (next
+        // step) but must not hijack unqualified property resolution
+        val edgeBound = twinAliases.toSet
+        val default = alias.filter(edgeBound.contains)
           .getOrElse(twinAliases.head)
+        // bare bindings alongside edge patterns: openCypher cartesian
+        // product (each lone node multiplies the scope by the twin set)
+        for (n <- q.loneNodes if !twinAliases.contains(n)) {
+          df = df.crossJoin(ns(graph.twins, n))
+          twinAliases += n
+        }
         (df, twinAliases.toSet, relAliases.toSet, default)
       }
   }
@@ -467,6 +494,23 @@ final class AdtPlanner(graph: TwinGraph) {
 
       case "IS_NULL" => propFromRef(asRef(f.args.head), scope).isNull
       case "IS_DEFINED" => propFromRef(asRef(f.args.head), scope).isNotNull
+
+      // Cypher scalar functions (RETURN/WITH expression surface)
+      case "TOUPPER" => upper(compileOperand(f.args.head, scope))
+      case "TOLOWER" => lower(compileOperand(f.args.head, scope))
+      case "TOSTRING" => compileOperand(f.args.head, scope).cast("string")
+      case "COALESCE" => coalesce(f.args.map(a => compileOperand(a, scope)): _*)
+      case "SIZE" =>
+        // size() of a list: a flat array column (e.g. a collect() output)
+        // is sized directly; a JSON array property is parsed first
+        f.args.head match {
+          case p: PropRef if isFlatRef(p, scope) => size(propFromRef(p, scope))
+          case p: PropRef =>
+            val (ent, path) = refOf(p, scope)
+            import org.apache.spark.sql.types._
+            size(from_json(jsonProp(ent, path), ArrayType(StringType)))
+          case other => size(compileOperand(other, scope))
+        }
 
       case "IS_BOOL" =>
         // reference rewrites to (x = true OR x = false), AdtQueryHelpers.cs:387-395

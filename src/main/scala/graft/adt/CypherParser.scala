@@ -137,7 +137,7 @@ object CypherParser {
         if (!hadMatch) FromUnit
         else FromTwins(loneNodes.headOption)
       AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
-        skip, orderBy.toList, distinct, pipeline.toList)
+        skip, orderBy.toList, distinct, pipeline.toList, loneNodes.toList)
     }
 
     private def parseListLit(): ListLit = {
@@ -272,6 +272,33 @@ object CypherParser {
     }
 
     private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
+    private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER", "TOSTRING")
+
+    /** fn(arg [, arg]*) where args are literals, property refs or nested
+      * scalar calls. */
+    private def scalarCall(): FnCall = {
+      val fn = ident().toUpperCase
+      expectSym("(")
+      val args = collection.mutable.ListBuffer[Expr]()
+      if (cur != Sym(")")) {
+        var more = true
+        while (more) {
+          args += scalarOperand()
+          if (cur == Sym(",")) pos += 1 else more = false
+        }
+      }
+      expectSym(")")
+      if (args.isEmpty) throw new AdtParseException(s"$fn() needs arguments")
+      FnCall(fn, args.toList)
+    }
+
+    private def scalarOperand(): Expr = cur match {
+      case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") => scalarCall()
+      case Str(_) | Num(_) => literal()
+      case Ident(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+        literal()
+      case _ => propRef()
+    }
 
     private def parseReturnItems(): List[SelectItem] = {
       val items = collection.mutable.ListBuffer[SelectItem]()
@@ -285,6 +312,10 @@ object CypherParser {
             expectSym(")")
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
             items += SelectProp(Some(p), List("__length"), as.orElse(Some("length")))
+          case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") =>
+            val call = scalarCall()
+            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
+            items += SelectExpr(call, as.orElse(Some(f.toLowerCase)))
           case Ident(f) if aggFns(f.toUpperCase) && nxt == Sym("(") =>
             val fn = f.toUpperCase
             pos += 2

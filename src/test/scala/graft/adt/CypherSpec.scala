@@ -77,6 +77,34 @@ class CypherSpec extends AnyFunSuite {
       Seq(("earth", List("moon1")), ("sun", List("earth", "kepler"))))
   }
 
+  test("scalar functions in RETURN/WITH: toUpper/toLower, coalesce, size, toString") {
+    val df = planner.run(
+      "MATCH (t:Twin) RETURN t.`$dtId` AS id, toUpper(t.name) AS un, " +
+        "coalesce(t.hasLife, false) AS hl, toString(t.mass) AS ms ORDER BY id")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(rows == Seq(("earth", "EARTH", true), ("kepler", "KEPLER442B", false),
+      ("moon1", "MOON", false), ("sun", "SUN", false)))
+    // size() over a JSON array property
+    val sz = planner.run(
+      "MATCH (t:Twin) WHERE t.`$dtId` = 'earth' RETURN size(t.tags) AS n_tags")
+      .collect()(0).getInt(0)
+    assert(sz == 2)
+    // size() over a collect() output (flat array column) through WITH
+    val wsz = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH b.`$dtId` AS center, collect(a.`$dtId`) AS orbiters " +
+        "RETURN center, size(orbiters) AS n ORDER BY center")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(wsz == Seq(("earth", 1), ("sun", 2)))
+    // scalar expression as a grouping key beside an aggregate
+    val grouped = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN toUpper(b.name) AS center, count(*) AS n ORDER BY center")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(grouped == Seq(("EARTH", 1L), ("SUN", 2L)))
+  }
+
   test("shortestPath + length(p); bare VLE path is rejected") {
     val df = planner.run(
       "MATCH p = shortestPath((s:Twin)-[*1..4]->(t:Twin)) " +
@@ -236,9 +264,38 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH a, count(*) AS n " +
         "WHERE EXISTS((a)-[:orbits]->(x)) RETURN n"))
     assert(ex.getMessage.contains("EXISTS"))
-    // a lone node alongside edge patterns doesn't hijack the default entity
+    // a lone node alongside edge patterns binds as a cartesian factor
+    // (openCypher) but doesn't hijack unqualified property resolution:
+    // `name` still resolves to the first edge-bound alias (a), and the
+    // 4-twin `(c)` binding multiplies the single a-match by 4
     assert(count(
-      "MATCH (c), (a:Twin)-[r:orbits]->(b:Twin) WHERE name = 'Earth' RETURN a") == 1)
+      "MATCH (c), (a:Twin)-[r:orbits]->(b:Twin) WHERE name = 'Earth' RETURN a") == 4)
+  }
+
+  test("AVG/MIN/MAX accept DISTINCT (avg over the distinct value set)") {
+    // masses are all distinct here, so distinct-avg == avg; the duplicate
+    // case is exercised through the orbits fan-out: sun appears twice as a
+    // target, so b.mass repeats and avg(DISTINCT) differs from avg
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN avg(b.mass) AS m_avg, avg(DISTINCT b.mass) AS m_davg, " +
+        "min(DISTINCT b.mass) AS m_min, max(DISTINCT b.mass) AS m_max")
+    val r = df.collect()(0)
+    val earth = 5.97e24; val sun = 1.989e30
+    assert(math.abs(r.getDouble(0) - (earth + sun + sun) / 3) < 1e15)
+    assert(math.abs(r.getDouble(1) - (earth + sun) / 2) < 1e15)
+    assert(r.getDouble(2) == earth && r.getDouble(3) == sun)
+  }
+
+  test("multiple bare MATCH bindings form a cartesian product") {
+    assert(count("MATCH (a), (b) RETURN a, b") == 16) // 4 twins x 4 twins
+    // correlated filter across the two bindings
+    val pairs = planner.run(
+      "MATCH (a), (b) WHERE a.mass > b.mass " +
+        "RETURN a.`$dtId` AS heavier, b.`$dtId` AS lighter ORDER BY heavier, lighter")
+    assert(pairs.count() == 6) // strict ordering over 4 distinct masses
+    // lone node + edge pattern: every (a)-[orbits]->(b) pair times 4 c's
+    assert(count("MATCH (c), (a:Twin)-[r:orbits]->(b:Twin) RETURN c") == 12)
   }
 
   test("label() predicate and reverse arrows") {

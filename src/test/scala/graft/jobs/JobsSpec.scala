@@ -100,6 +100,19 @@ class JobsSpec extends AnyFunSuite {
     assertThrows[StoreException](svc.get("job1"))
   }
 
+  test("import from a Hadoop-FS URI (blob-storage job stream, A8)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-import")
+    val f = dir.resolve("job.ndjson")
+    java.nio.file.Files.write(f, ndjson.mkString("\n").getBytes("UTF-8"))
+    val store = new TwinStore()
+    val result = ImportJob.runFromPath(spark, store, "file://" + f.toString)
+    assert(result.status == "Succeeded")
+    assert(result.stats.twinsCreated == 2 && result.stats.relationshipsCreated == 1)
+    assert(store.getRelationship("twin1", "rel1") != null)
+  }
+
   /** A JobService with a controllable clock for lease-expiry tests. */
   private def timedService(): (JobService, () => Unit) = {
     var t = 0L
