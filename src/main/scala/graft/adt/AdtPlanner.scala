@@ -305,7 +305,11 @@ final class AdtPlanner(graph: TwinGraph) {
       twins = scope.twins.intersect(entityAliases.toSet),
       rels = scope.rels.intersect(entityAliases.toSet),
       default = entityAliases.headOption.getOrElse(""),
-      flat = flatNames.toSet)
+      flat = flatNames.toSet,
+      // a path binding survives the horizon only while the rel alias that
+      // carries its columns was retained
+      paths = scope.paths.filter { case (_, (relAlias, _)) =>
+        entityAliases.contains(relAlias) })
     val filtered = w.where match {
       case Some(e) => out.filter(compile(e, newScope))
       case None => out
@@ -352,8 +356,14 @@ final class AdtPlanner(graph: TwinGraph) {
           // (source_id, target_id, depth) instead of a single edge row
           val relDf = e.vle match {
             case Some((lo, hi)) =>
+              // *0..n: the depth-0 universe is EVERY twin (openCypher
+              // zero-length paths match nodes regardless of edges), not
+              // just edge endpoints — pass the bound node set explicitly
+              val nodes =
+                if (lo == 0) Some(graph.twins.select(col("dt_id")))
+                else None
               ns(graft.graph.Vle.range(graph.relationships, lo, hi,
-                  e.relNames)
+                  e.relNames, nodes)
                 .select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth")), relAlias)
             case None =>
@@ -598,6 +608,13 @@ final class AdtPlanner(graph: TwinGraph) {
       case List("__length") if ent.exists(scope.paths.contains) =>
         val (relAlias, isVle) = scope.paths(ent.get)
         return if (isVle) col(s"${relAlias}__depth").cast("long") else lit(1L)
+      case List("__length") =>
+        // length() only applies to a bound path — never fall through to a
+        // (null-yielding) JSON property lookup
+        throw new AdtPlanException(
+          s"path ${ent.getOrElse("?")} is not in scope here " +
+            "(a WITH horizon keeps a path only while its relationship " +
+            "binding is retained)")
       case _ =>
     }
     val a = ent.getOrElse(scope.default)

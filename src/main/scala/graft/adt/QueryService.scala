@@ -17,13 +17,16 @@ import graft.json.Json
   * executors.
   *
   * Scale note: the reference re-executes the query with SKIP n for every
-  * page (Query.cs:90-120) — O(pages × full execution). We instead sort
-  * ONCE per query text, pin the sorted result with an eager
-  * `localCheckpoint` (spill-able blocks, lineage severed), and serve every
-  * subsequent page as offset+limit over the pinned snapshot — no re-plan,
-  * no re-sort, and pages are mutually consistent even if the underlying
-  * store changes mid-pagination. Snapshots live in a small LRU; evicted
-  * entries are freed by the ContextCleaner when unreferenced.
+  * page (Query.cs:90-120) — O(pages × full execution). Here a fresh query
+  * (no continuation token) runs the cheap limited-sort path against
+  * CURRENT data; only when a continuation is actually issued is the sorted
+  * result pinned with an eager `localCheckpoint` (spill-able blocks,
+  * lineage severed), and every token-bearing page is offset+limit over
+  * the pinned snapshot — no re-plan, no re-sort, and pages 2..N are
+  * mutually consistent even if the underlying store changes
+  * mid-pagination. A single-page query never materializes the full
+  * result, and a repeated query text never serves a stale pin. Snapshots
+  * live in a small LRU; evicted entries are freed by the ContextCleaner.
   */
 final case class QueryPage(
     rows: Seq[String],           // one JSON object per row
@@ -47,16 +50,18 @@ final class QueryService(graph: TwinGraph,
           e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 32
     }
 
-  /** Plan + sort + pin: executed once per distinct query text; every page
-    * after the first reads the checkpointed blocks. */
-  private[graft] def sortedSnapshot(query: String): DataFrame = synchronized {
-    Option(snapshots.get(query)).getOrElse {
-      val df = planner.plan(QueryLanguage.parse(query))
-      val snap = df.orderBy(df.columns.map(col): _*)
-        .localCheckpoint(eager = true)
-      snapshots.put(query, snap)
-      snap
-    }
+  /** Get-or-build the pinned sorted snapshot for a query text. */
+  private[graft] def sortedSnapshot(query: String): DataFrame = {
+    synchronized(Option(snapshots.get(query))).getOrElse(buildSnapshot(query))
+  }
+
+  /** Build (outside the lock — materialization can be slow) and pin. */
+  private def buildSnapshot(query: String): DataFrame = {
+    val df = planner.plan(QueryLanguage.parse(query))
+    val snap = df.orderBy(df.columns.map(col): _*)
+      .localCheckpoint(eager = true)
+    synchronized(snapshots.put(query, snap))
+    snap
   }
 
   def query(q: String, maxItemsPerPage: Int = 2000,
@@ -73,9 +78,22 @@ final class QueryService(graph: TwinGraph,
     }
 
     val ast = QueryLanguage.parse(effectiveQuery)
-    val sorted = sortedSnapshot(effectiveQuery)
-    val df = sorted
-    val page = sorted.offset(skip.toInt).limit(maxItemsPerPage + 1).collect()
+    val (df, page) = continuationToken match {
+      case None =>
+        // fresh query: limited sort over CURRENT data (TakeOrdered-style —
+        // no full-result materialization for single-page results), and any
+        // previous pin for this text is dropped so it can't serve stale
+        synchronized(snapshots.remove(effectiveQuery): Unit)
+        val planned = planner.plan(QueryLanguage.parse(effectiveQuery))
+        val sorted = planned.orderBy(planned.columns.map(col): _*)
+        val p = sorted.limit(maxItemsPerPage + 1).collect()
+        // pagination starts: pin the sorted result for pages 2..N
+        if (p.length > maxItemsPerPage) buildSnapshot(effectiveQuery): Unit
+        (planned, p)
+      case Some(_) =>
+        val snap = sortedSnapshot(effectiveQuery)
+        (snap, snap.offset(skip.toInt).limit(maxItemsPerPage + 1).collect())
+    }
     val hasMore = page.length > maxItemsPerPage
     val rows = page.take(maxItemsPerPage).toSeq
     val nextToken =

@@ -40,42 +40,49 @@ object ImportJob {
   val SectionKey = "Section"
   val Sections = Set("Header", "Models", "Twins", "Relationships")
 
-  /** Open an ND-JSON job stream from any Hadoop-FS URI (file:, s3a:,
-    * abfs:, gs: — whatever the session's Hadoop conf can reach), the
-    * counterpart of the reference's blob-storage job streams
-    * (ApiService/Services/{Azure,AwsS3,Gcs}BlobStorageService.cs). The
-    * returned iterator streams lines — a multi-GB blob never materializes
-    * driver-side — and closes the stream when drained. */
-  def openLines(spark: org.apache.spark.sql.SparkSession, uri: String)
-      : Iterator[String] = {
+  /** Stream ND-JSON lines from any Hadoop-FS URI (file:, s3a:, abfs:,
+    * gs: — whatever the session's Hadoop conf can reach), the counterpart
+    * of the reference's blob-storage job streams
+    * (ApiService/Services/{Azure,AwsS3,Gcs}BlobStorageService.cs). Lines
+    * stream — a multi-GB blob never materializes driver-side — and the
+    * stream is CLOSED in all cases (mid-import failure, empty blob), not
+    * only when fully drained. */
+  def withLines[T](spark: org.apache.spark.sql.SparkSession, uri: String)(
+      f: Iterator[String] => T): T = {
     val path = new org.apache.hadoop.fs.Path(uri)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(path), "UTF-8"))
-    new Iterator[String] {
-      private var nextLine = reader.readLine()
-      def hasNext: Boolean = nextLine != null
-      def next(): String = {
-        val l = nextLine
-        nextLine = reader.readLine()
-        if (nextLine == null) reader.close()
-        l
+    try {
+      val it = new Iterator[String] {
+        private var nextLine = reader.readLine()
+        def hasNext: Boolean = nextLine != null
+        def next(): String = {
+          val l = nextLine
+          nextLine = reader.readLine()
+          l
+        }
       }
-    }
+      f(it)
+    } finally reader.close()
   }
 
   /** Run an import straight from a blob/object-store URI. */
   def runFromPath(spark: org.apache.spark.sql.SparkSession, store: TwinStore,
       uri: String, batchSize: Int = 50, checkpointInterval: Int = 50,
-      resumeFrom: Option[ImportCheckpoint] = None): ImportResult =
-    run(store, openLines(spark, uri), batchSize, checkpointInterval, resumeFrom)
+      resumeFrom: Option[ImportCheckpoint] = None,
+      heartbeat: () => Unit = () => ()): ImportResult =
+    withLines(spark, uri)(lines =>
+      run(store, lines, batchSize, checkpointInterval, resumeFrom,
+        heartbeat = heartbeat))
 
   /** Run an import over ND-JSON lines. `checkpointInterval` mirrors the
     * reference default of 50; `resumeFrom` skips up to a checkpoint. */
   def run(store: TwinStore, lines: Iterator[String],
       batchSize: Int = 50, checkpointInterval: Int = 50,
       resumeFrom: Option[ImportCheckpoint] = None,
-      continueOnFailure: Boolean = true): ImportResult = {
+      continueOnFailure: Boolean = true,
+      heartbeat: () => Unit = () => ()): ImportResult = {
 
     val checkpoints = collection.mutable.ArrayBuffer[ImportCheckpoint]()
     var stats = resumeFrom.map(_.stats).getOrElse(ImportStats())
@@ -103,6 +110,9 @@ object ImportJob {
     def checkpoint(): Unit = {
       checkpoints += ImportCheckpoint(section, lineNo, stats)
       sinceCheckpoint = 0
+      // lock-lease renewal rides the checkpoint cadence (the reference
+      // renews on a timer during the import, ImportJob.cs:111-153)
+      heartbeat()
     }
 
     for (raw <- lines) {

@@ -31,10 +31,14 @@ final case class JobRecord(
     checkpoint: Option[String], // serialized Import/Delete checkpoint
     resultJson: Option[String])
 
-/** Lease-based job lock (JobService.cs lock_* columns). */
+/** Lease-based job lock (JobService.cs lock_* columns). A successful
+  * heartbeat EXTENDS the lease (expiry measured from the last heartbeat),
+  * so a long-running job that keeps renewing never loses its lock, while a
+  * dead instance's lease runs out one lease-duration after its final
+  * heartbeat. */
 final case class JobLock(owner: String, acquiredAt: Long, leaseMillis: Long,
     heartbeatAt: Long) {
-  def expiresAt: Long = acquiredAt + leaseMillis
+  def expiresAt: Long = math.max(acquiredAt, heartbeatAt) + leaseMillis
   def isExpired(now: Long): Boolean = now > expiresAt
 }
 
@@ -128,7 +132,10 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     if (!tryAcquireLock(id, owner)) throw StoreException(409, s"job $id locked")
     jobs(id) = JobRecord(id, "import", "Running", clock(), None, Some(owner), None, None)
     try {
-      val result = ImportJob.run(store, lines, batchSize, checkpointInterval)
+      val result = ImportJob.run(store, lines, batchSize, checkpointInterval,
+        heartbeat = () =>
+          if (!renewHeartbeat(id, owner))
+            throw StoreException(409, s"job $id lease lost by $owner"))
       val rec = jobs(id).copy(
         status = result.status,
         finishedAt = Some(clock()),
@@ -145,11 +152,15 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     } catch {
       case e: Exception =>
         val rec = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
-          lockedBy = None, resultJson = Some(s"""{"error":"${e.getMessage}"}"""))
+          lockedBy = None, resultJson = Some(errorJson(e)))
         jobs(id) = rec
         rec
     } finally releaseLock(id, owner)
   }
+
+  /** Exception → valid JSON (messages may contain quotes/newlines). */
+  private def errorJson(e: Exception): String =
+    s"""{"error":${Json.render(Json.text(String.valueOf(e.getMessage)))}}"""
 
   /** D14 delete job: relationships → twins → models in batches with
     * periodic checkpoints, mirroring DeleteJob.cs:197-428. A crash leaves
@@ -163,8 +174,11 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
       leaseMillis: Long = DefaultLeaseMillis): JobRecord = {
     if (!tryAcquireLock(id, owner, leaseMillis))
       throw StoreException(409, s"job $id locked")
-    var cp = jobs.get(id).flatMap(_.checkpoint)
-      .filter(_ => jobs(id).jobType == "delete")
+    // resume only an INTERRUPTED delete: a finished job's checkpoint
+    // (section Completed) must not turn a re-run into a stale-count no-op
+    var cp = jobs.get(id)
+      .filter(j => j.jobType == "delete" && j.status == "Running")
+      .flatMap(_.checkpoint)
       .map(DeleteCheckpoint.parse).getOrElse(DeleteCheckpoint.Start)
     jobs(id) = JobRecord(id, "delete", "Running",
       jobs.get(id).map(_.createdAt).getOrElse(clock()), None, Some(owner),
@@ -173,7 +187,9 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     def saveCp(): Unit = jobs(id) = jobs(id).copy(checkpoint = Some(cp.render))
     def tick(): Unit = {
       batches += 1
-      renewHeartbeat(id, owner): Unit
+      if (!renewHeartbeat(id, owner))
+        throw StoreException(409,
+          s"job $id lease lost by $owner — another instance may have taken over")
       if (batches % checkpointEveryBatches == 0) saveCp()
       if (batches >= crashAfterBatches)
         throw new JobCrashException(s"injected crash after $batches batches")
@@ -224,7 +240,7 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
       case e: Exception =>
         saveCp()
         val rec = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
-          lockedBy = None, resultJson = Some(s"""{"error":"${e.getMessage}"}"""))
+          lockedBy = None, resultJson = Some(errorJson(e)))
         jobs(id) = rec
         releaseLock(id, owner)
         rec

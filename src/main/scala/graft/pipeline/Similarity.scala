@@ -147,7 +147,7 @@ object Similarity {
     val r = assigned.select(col("cell_id"), col("v_id").as("n_id"),
         col("v_vec").as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
-    l.join(r, Seq("cell_id"))
+    val best = l.join(r, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cs",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
@@ -155,5 +155,10 @@ object Similarity {
       .agg(max_by(col("n_id"),
         struct(col("cs"), (-col("n_id")).cast("double"))).as("nn_id"))
       .select(col("q_id").as("v_id"), col("nn_id"))
+    // one row per corpus vector, always: a vector alone in its cell has no
+    // in-cell candidate and surfaces with a null nn_id rather than
+    // silently vanishing from the output
+    corpus.select(col(idCol).as("v_id"))
+      .join(best, Seq("v_id"), "left_outer")
   }
 }

@@ -269,7 +269,9 @@ object PipelineQueries {
         |  JOIN embeddings eb ON eb.vec_id = b.v_id),
         |r AS (SELECT v_id, n_id, row_number() OVER (PARTITION BY v_id
         |      ORDER BY cs DESC, n_id) rk FROM p)
-        |SELECT v_id, n_id nn_id FROM r WHERE rk = 1 ORDER BY v_id""".stripMargin,
+        |SELECT e.vec_id AS v_id, r.n_id AS nn_id
+        |FROM embeddings e LEFT JOIN r ON r.v_id = e.vec_id AND r.rk = 1
+        |ORDER BY v_id""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,

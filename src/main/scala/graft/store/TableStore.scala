@@ -217,10 +217,19 @@ final class TableTwinStore private (
 
   /** Fold the journal tail into a new snapshot version and flip `meta.json`
     * to it. One twin merge + one relationship merge regardless of how many
-    * operations are pending. */
+    * operations are pending. Folded journal files are PRUNED once the meta
+    * flip makes them dead for recovery (`seq <= appliedSeq` is filtered
+    * everywhere) — like a WAL truncated past the confirmed LSN — so the
+    * journal directory stays bounded no matter how long the store serves
+    * CRUD. Streaming consumers keep their own checkpoints, exactly as a
+    * replication slot does. */
   def checkpoint(): Unit = {
     flushJournal()
     val curSeq = mem.currentSeq
+    val mutPath = new Path(mutationsPath)
+    val journalFiles: Seq[Path] =
+      if (fs.exists(mutPath)) fs.listStatus(mutPath).toSeq.map(_.getPath)
+      else Nil
     val (t0, r0) = snapshotFrames
     val pend = mutationsDf.filter(col("seq") > appliedSeq)
     val newVersion = version + 1
@@ -233,6 +242,7 @@ final class TableTwinStore private (
     appliedSeq = curSeq
     writeMeta()
     saveModels()
+    journalFiles.foreach(p => fs.delete(p, true))
     if (oldVersion > 0) fs.delete(new Path(snapshotPath(oldVersion)), true)
   }
 

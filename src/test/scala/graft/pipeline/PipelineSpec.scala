@@ -65,6 +65,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("cell-bucketed NN keeps one row per vector (singleton cell → null nn)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), // alone in its cell (centroids = v0, v1)
+      (2L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.nearestNeighbor(vecs, "vec_id", "embedding", numCells = 2)
+      .orderBy($"v_id").collect()
+    assert(out.length == 3, "every corpus vector gets a row")
+    assert(out(0).getLong(1) == 2L)
+    assert(out(1).isNullAt(1), "singleton-cell vector surfaces with null nn")
+    assert(out(2).getLong(1) == 0L)
+  }
+
   test("IVF with k-means bootstrap: recall vs brute force, nprobe widens it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20)
