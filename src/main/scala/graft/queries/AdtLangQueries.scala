@@ -161,6 +161,17 @@ object AdtLangQueries {
         "MATCH p = shortestPath((m:Twin)-[*1..3]->(g:Twin)) " +
           "WHERE g.`$dtId` = 'R1' " +
           "RETURN m.`$dtId` AS src, length(p) AS hops ORDER BY src")
+    }),
+
+    // Cypher scalar functions in RETURN: toUpper / coalesce / size over
+    // JSON docs (suppliers carry no mktsegment or tags → NONE / null).
+    "q_cypher_scalar" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` IN " +
+          "['dtmi:graft:Customer;1', 'dtmi:graft:Supplier;1'] " +
+          "RETURN t.`$dtId` AS id, toUpper(t.name) AS uname, " +
+          "coalesce(t.mktsegment, 'NONE') AS seg, size(t.tags) AS n_tags " +
+          "ORDER BY id")
     })
   )
 
@@ -232,6 +243,14 @@ object AdtLangQueries {
       """SELECT 'R' || n_regionkey AS region_id,
         |  string_agg('N' || n_nationkey, ',' ORDER BY 'N' || n_nationkey) AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cypher_scalar" ->
+      """SELECT id, uname, seg, n_tags FROM (
+        |  SELECT 'C' || c_custkey AS id, upper(c_name) AS uname,
+        |    c_mktsegment AS seg, CAST(1 AS INT) AS n_tags FROM customer
+        |  UNION ALL
+        |  SELECT 'S' || s_suppkey, upper(s_name), 'NONE', CAST(NULL AS INT)
+        |  FROM supplier)
+        |ORDER BY id""".stripMargin,
     "q_cypher_shortest" ->
       """SELECT src, hops FROM (
         |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops

@@ -239,6 +239,77 @@ object EventPipeline {
       .options(kafkaOptions(config))
   }
 
+  /** A14 webhook sink auth modes, mirroring the reference's
+    * Events/Sinks/Webhook/WebhookEventSink.cs (Basic, Bearer, ApiKey and
+    * OAuth client-credentials — the OAuth token is acquired out-of-band and
+    * carried as a bearer here, like the reference's refreshed token). */
+  sealed trait WebhookAuth
+  object WebhookAuth {
+    case object NoAuth extends WebhookAuth
+    final case class Basic(username: String, password: String) extends WebhookAuth
+    final case class Bearer(token: String) extends WebhookAuth
+    final case class ApiKey(headerName: String, key: String) extends WebhookAuth
+    final case class OAuth(accessToken: String) extends WebhookAuth
+  }
+
+  /** Request headers for a webhook auth mode (+ the CloudEvents structured
+    * content type). */
+  def webhookHeaders(auth: WebhookAuth): Map[String, String] = {
+    val base = Map("Content-Type" -> "application/cloudevents+json")
+    auth match {
+      case WebhookAuth.NoAuth => base
+      case WebhookAuth.Basic(u, p) =>
+        base + ("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$u:$p".getBytes("UTF-8"))))
+      case WebhookAuth.Bearer(t) => base + ("Authorization" -> s"Bearer $t")
+      case WebhookAuth.ApiKey(h, k) => base + (h -> k)
+      case WebhookAuth.OAuth(t) => base + ("Authorization" -> s"Bearer $t")
+    }
+  }
+
+  /** A14: webhook route — each micro-batch's events POST one-by-one (the
+    * reference posts per event, WebhookEventSink.cs SendEventsAsync)
+    * through the injected `post` function; a non-2xx status or exception
+    * sends the batch to the DLQ, like [[runRoute]]. `post` is injectable
+    * because this environment has zero egress — a deployment passes a real
+    * HTTP client; specs pass a recorder. */
+  def runWebhookRoute(
+      events: Dataset[CloudEvent],
+      url: String,
+      auth: WebhookAuth,
+      post: (String, Map[String, String], String) => Int,
+      checkpointDir: String,
+      dlqDir: Option[String] = None): StreamingQuery = {
+    val headers = webhookHeaders(auth)
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val df = kafkaFrame(batch).select(col("value")) // structured JSON envelope
+        try {
+          // event batches are small (≤100, SharedEventConsumer.cs:31) and
+          // dispatch is driver-side single-consumer, like the reference
+          df.collect().foreach { r =>
+            val status = post(url, headers, r.getString(0))
+            if (status < 200 || status >= 300)
+              throw new RuntimeException(s"webhook returned $status")
+          }
+        } catch {
+          case e: Exception =>
+            dlqDir match {
+              case Some(d) =>
+                batch.toDF()
+                  .withColumn("dlq_error", lit(e.getMessage))
+                  .withColumn("dlq_batch", lit(batchId))
+                  .write.mode("append").parquet(d)
+              case None => throw e
+            }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** E9/E11: run one routed stream into a parquet "sink table" with
     * checkpointing; failures in the sink function land in a DLQ directory
     * instead of killing the stream (ResilientEventSinkWrapper + DLQService

@@ -111,6 +111,48 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(writer != null) // plan constructed: projection + format + options
   }
 
+  test("webhook sink: four auth modes, per-event POST, DLQ on failure") {
+    import EventPipeline.{WebhookAuth => WA}
+    // header construction per auth mode (WebhookEventSink.cs parity)
+    assert(EventPipeline.webhookHeaders(WA.Basic("u", "p"))("Authorization") ==
+      "Basic " + java.util.Base64.getEncoder.encodeToString("u:p".getBytes("UTF-8")))
+    assert(EventPipeline.webhookHeaders(WA.Bearer("tok"))("Authorization") == "Bearer tok")
+    assert(EventPipeline.webhookHeaders(WA.ApiKey("X-Api-Key", "k"))("X-Api-Key") == "k")
+    assert(EventPipeline.webhookHeaders(WA.OAuth("at"))("Authorization") == "Bearer at")
+    assert(EventPipeline.webhookHeaders(WA.NoAuth)("Content-Type") ==
+      "application/cloudevents+json")
+
+    // end-to-end over the mutation stream with a recording post function
+    val dir = Files.createTempDirectory("graft-webhook").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    val stream = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val en = EventPipeline.toEventNotifications(stream, "https://inst")
+    val posted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = EventPipeline.runWebhookRoute(en, "https://hook.example/events",
+      WA.Bearer("tok"),
+      (url, headers, body) => {
+        assert(headers("Authorization") == "Bearer tok")
+        posted.add(url -> body); 200
+      },
+      s"$dir/cp", Some(s"$dir/dlq"))
+    q.awaitTermination(60000)
+    assert(posted.size == 7, s"one POST per event, got ${posted.size}")
+    assert(posted.peek()._1 == "https://hook.example/events")
+    assert(graft.json.Json.parse(posted.peek()._2).has("type"))
+
+    // failing endpoint → events land in the DLQ, stream survives
+    val stream2 = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val q2 = EventPipeline.runWebhookRoute(
+      EventPipeline.toEventNotifications(stream2, "https://inst"),
+      "https://hook.example/events", WA.NoAuth,
+      (_, _, _) => 503, s"$dir/cp2", Some(s"$dir/dlq2"))
+    q2.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq2")
+    assert(dlq.count() == 7)
+    assert(dlq.select("dlq_error").collect()(0).getString(0).contains("503"))
+  }
+
   test("E3 fold: multiple physical WAL rows collapse to one logical event") {
     import spark.implicits._
     // txn 1 updates twin t1 three times: fold = first old + last new
