@@ -70,14 +70,21 @@ final class AdtPlanner(graph: TwinGraph) {
         case _: ExistsPattern | Not(_: ExistsPattern) => true
         case _ => false
       }
-      plain.find(hasNestedExists).foreach(bad => throw new AdtPlanException(
-        s"EXISTS pattern must be a top-level AND-conjunct of WHERE: $bad"))
-      if (plain.nonEmpty)
-        df1 = df1.filter(compile(plain.reduce(And), scope))
+      // conjuncts with EXISTS nested under OR/NOT can't be semi/anti
+      // joins; they get boolean marker columns instead (below)
+      val (withNested, pure) = plain.partition(hasNestedExists)
+      if (pure.nonEmpty)
+        df1 = df1.filter(compile(pure.reduce(And), scope))
       patternPreds.foreach {
         case ExistsPattern(edge) => df1 = planExists(df1, scope, edge, negated = false)
         case Not(ExistsPattern(edge)) => df1 = planExists(df1, scope, edge, negated = true)
         case _ => // unreachable by partition
+      }
+      withNested.foreach { pred =>
+        val (df2, rewritten, markers) = planExistsMarkers(df1, scope, pred)
+        df1 = df2
+          .filter(compile(rewritten, scope.copy(flat = scope.flat ++ markers)))
+          .drop(markers: _*)
       }
     }
 
@@ -206,6 +213,56 @@ final class AdtPlanner(graph: TwinGraph) {
       case (fn, false) => throw new AdtPlanException(s"unknown aggregate $fn")
     }
     c.as(a.as.getOrElse(a.fn))
+  }
+
+  /** EXISTS patterns nested under OR/NOT (e.g. `WHERE EXISTS(...) OR x`)
+    * become boolean marker columns: a left-outer join against the
+    * DE-DUPLICATED bound keys of the matching relationships (no fan-out —
+    * one row per key on the probe side), `true` where matched, `false`
+    * otherwise, referenced by the rewritten predicate and dropped after
+    * the filter. Costs one hash join per distinct pattern, same as the
+    * semi-join fast path. */
+  private var markerSeq = 0
+  private def planExistsMarkers(df: DataFrame, scope: Scope, pred: Expr)
+      : (DataFrame, Expr, Seq[String]) = {
+    var cur = df
+    val markers = collection.mutable.ListBuffer[String]()
+    def walk(x: Expr): Expr = x match {
+      case ExistsPattern(edge) =>
+        markerSeq += 1
+        val m = s"__exists$markerSeq"
+        cur = attachExistsMarker(cur, scope, edge, m)
+        markers += m
+        PropRef(None, List(m))
+      case And(l, r) => And(walk(l), walk(r))
+      case Or(l, r) => Or(walk(l), walk(r))
+      case Not(i) => Not(walk(i))
+      case other => other
+    }
+    val rewritten = walk(pred)
+    (cur, rewritten, markers.toSeq)
+  }
+
+  private def attachExistsMarker(df: DataFrame, scope: Scope, edge: MatchEdge,
+      name: String): DataFrame = {
+    val srcBound = scope.twins(edge.src)
+    val dstBound = scope.twins(edge.dst)
+    if (!srcBound && !dstBound) throw new AdtPlanException(
+      s"EXISTS pattern must reference at least one bound node: " +
+        s"(${edge.src})-->(${edge.dst})")
+    val rels0 =
+      if (edge.relNames.isEmpty) graph.relationships
+      else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    val keyCols =
+      (if (srcBound) Seq(col("source_id").as(s"${name}_src")) else Nil) ++
+        (if (dstBound) Seq(col("target_id").as(s"${name}_dst")) else Nil)
+    val probe = rels0.select(keyCols: _*).distinct().withColumn(name, lit(true))
+    val conds =
+      (if (srcBound) Seq(col(s"${edge.src}__dt_id") === col(s"${name}_src")) else Nil) ++
+        (if (dstBound) Seq(col(s"${edge.dst}__dt_id") === col(s"${name}_dst")) else Nil)
+    df.join(probe, conds.reduce(_ && _), "left_outer")
+      .withColumn(name, coalesce(col(name), lit(false)))
+      .drop(s"${name}_src", s"${name}_dst")
   }
 
   /** `EXISTS((src)-[:names]->(dst))` as a semi-join, `NOT EXISTS` as an

@@ -239,6 +239,14 @@ object EventPipeline {
       .options(kafkaOptions(config))
   }
 
+  /** A13 MQTT sink record frame: the reference publishes every CloudEvent
+    * to ONE configured topic (Events/Sinks/Mqtt/MqttEventSink.cs:17-128);
+    * payload = the structured JSON envelope. On a deployment the frame
+    * feeds a foreachBatch MQTT client exactly like [[runWebhookRoute]]'s
+    * injected post function. */
+  def mqttFrame(events: Dataset[CloudEvent], topic: String): DataFrame =
+    kafkaFrame(events).select(lit(topic).as("topic"), col("value").as("payload"))
+
   /** A14 webhook sink auth modes, mirroring the reference's
     * Events/Sinks/Webhook/WebhookEventSink.cs (Basic, Bearer, ApiKey and
     * OAuth client-credentials — the OAuth token is acquired out-of-band and

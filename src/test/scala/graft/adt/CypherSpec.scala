@@ -258,6 +258,22 @@ class CypherSpec extends AnyFunSuite {
     assert(ids == Seq("earth", "sun"))
   }
 
+  test("EXISTS under OR/NOT plans as a no-fan-out marker join") {
+    // orbits sources = {moon1, earth, kepler}; OR adds sun → all 4
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:orbits]->(x)) OR t.`$dtId` = 'sun' RETURN t") == 4)
+    // De Morgan round-trip: NOT(EXISTS or sun) = nothing
+    assert(count(
+      "MATCH (t:Twin) WHERE NOT (EXISTS((t)-[:orbits]->(x)) OR t.`$dtId` = 'sun') RETURN t") == 0)
+    // OR of two patterns: orbits-source ∪ satellites-source = {moon1, earth, kepler}
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:orbits]->(x)) OR EXISTS((t)-[:satellites]->(y)) RETURN t") == 3)
+    // no fan-out: sun has TWO inbound orbits edges but the marker join
+    // keeps one row per twin
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)<-[:orbits]-(y)) OR t.mass > 1e99 RETURN t") == 2)
+  }
+
   test("EXISTS in a WITH stage is a clean plan error; unused lone node is harmless") {
     // EXISTS outside the top-level WHERE → AdtPlanException, not MatchError
     val ex = intercept[AdtPlanException](planner.run(
