@@ -391,6 +391,25 @@ final class AdtPlanner(graph: TwinGraph) {
       val edges = q.matches ++ q.joins.map(j =>
         MatchEdge(j.source, j.relAlias, List(j.relName), j.target))
 
+      // $dtId point/IN bindings from top-level WHERE conjuncts (incl. the
+      // inline property maps the parser lowered into WHERE) — used to SEED
+      // variable-length expansions so a bound endpoint prunes the BFS to
+      // its cone instead of expanding the whole graph. Purely an
+      // optimization: the same predicates still filter the joined frame.
+      def conj(e: Expr): List[Expr] = e match {
+        case And(l, r) => conj(l) ++ conj(r)
+        case x => List(x)
+      }
+      def pointIds(a: String): Option[Seq[String]] = {
+        val ids = q.where.toList.flatMap(conj).collect {
+          case Cmp("=", PropRef(Some(`a`), List("$dtId")), StrLit(v)) => Seq(v)
+          case Cmp("=", StrLit(v), PropRef(Some(`a`), List("$dtId"))) => Seq(v)
+          case In(PropRef(Some(`a`), List("$dtId")), vals) =>
+            vals.collect { case StrLit(v) => v }
+        }.flatten
+        if (ids.nonEmpty) Some(ids) else None
+      }
+
       if (edges.isEmpty) {
         // one or more bare node bindings: `MATCH (a), (b)` is a cross
         // product of independent twin scans (openCypher cartesian pattern)
@@ -420,7 +439,8 @@ final class AdtPlanner(graph: TwinGraph) {
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
               ns(graft.graph.Vle.range(graph.relationships, lo, hi,
-                  e.relNames, nodes)
+                  e.relNames, nodes,
+                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
                 .select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth")), relAlias)
             case None =>

@@ -43,10 +43,15 @@ object Vle {
     * Minimal-depth pruning (the visited anti-join) is sound here because a
     * pair is "reachable" iff it is reachable at its minimal depth. */
   def reachability(edges: DataFrame, relNames: Seq[String] = Nil,
-      maxIter: Int = 100, checkpointEvery: Int = 3): DataFrame = {
+      maxIter: Int = 100, checkpointEvery: Int = 3,
+      sourceIds: Option[Seq[String]] = None): DataFrame = {
     val e = filtered(edges, relNames).persist(StorageLevel.MEMORY_AND_DISK)
 
-    var visited = e.select(col("source_id").as("start_id"),
+    // A bound start set prunes the whole expansion to the reachable cone —
+    // at scale, the difference between scanning a 100 TB edge set once per
+    // hop and touching only the frontier's neighborhoods.
+    val seed = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    var visited = seed.select(col("source_id").as("start_id"),
       col("target_id").as("end_id"), lit(1).as("depth"))
       .localCheckpoint(eager = true)
     var frontier = visited
@@ -113,9 +118,24 @@ object Vle {
     *    (*2..2 … *3..6), under-approximating only ultra-deep redemption
     *    trails on open-ended ranges like `*2..`. */
   def range(edges: DataFrame, minDepth: Int, maxDepth: Int,
-      relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None): DataFrame = {
+      relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
+      sourceIds: Option[Seq[String]] = None,
+      targetIds: Option[Seq[String]] = None): DataFrame = {
     require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
     require(minDepth >= 0, s"VLE range lower bound must be >= 0, got $minDepth")
+    if (sourceIds.isEmpty && targetIds.isDefined) {
+      // bound TARGET, unbound source: expand backward from the targets over
+      // the reversed edge set (same trail semantics — reversing preserves
+      // edge identity), then swap endpoints back
+      val rev = edges
+        .withColumnRenamed("source_id", "__vle_tmp")
+        .withColumnRenamed("target_id", "source_id")
+        .withColumnRenamed("__vle_tmp", "target_id")
+      return range(rev, minDepth, maxDepth, relNames, nodes,
+          sourceIds = targetIds)
+        .select(col("end_id").as("start_id"), col("start_id").as("end_id"),
+          col("depth"))
+    }
     if (minDepth == 0) {
       // openCypher `*0..n` includes the zero-length path: every bound start
       // node pairs with itself at depth 0. The node universe comes from the
@@ -130,13 +150,14 @@ object Vle {
         lit(0).as("depth"))
       if (maxDepth == 0) self
       else self.unionByName(
-        range(edges, 1, maxDepth, relNames)
+        range(edges, 1, maxDepth, relNames, sourceIds = sourceIds)
           .filter(col("start_id") =!= col("end_id")))
     } else if (minDepth <= 1)
-      reachability(edges, relNames, maxIter = maxDepth)
+      reachability(edges, relNames, maxIter = maxDepth, sourceIds = sourceIds)
         .filter(col("depth") <= maxDepth)
     else {
-      val bfs = reachability(edges, relNames, maxIter = maxDepth)
+      val bfs = reachability(edges, relNames, maxIter = maxDepth,
+          sourceIds = sourceIds)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val inRange = bfs.filter(col("depth") >= minDepth && col("depth") <= maxDepth)
       val shortPairs = bfs.filter(col("depth") < minDepth)

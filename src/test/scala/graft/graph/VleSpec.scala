@@ -121,6 +121,23 @@ class VleSpec extends AnyFunSuite {
     assert(out.contains(("a", "b", 11)), s"11-hop redemption trail missing: $out")
   }
 
+  test("endpoint-seeded range equals the unseeded result, restricted") {
+    val e = edges(("a", "b", "x"), ("b", "c", "x"), ("z", "a", "x"),
+      ("q", "r", "x"), ("c", "c2", "x"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val full = rows(Vle.range(e, 1, 3))
+    // bound source: only a's cone explored, identical pairs for a
+    val fromA = rows(Vle.range(e, 1, 3, sourceIds = Some(Seq("a"))))
+    assert(fromA == full.filter(_._1 == "a"), s"$fromA vs $full")
+    // bound target: backward expansion over reversed edges, swapped back
+    val toC = rows(Vle.range(e, 1, 3, targetIds = Some(Seq("c"))))
+    assert(toC == full.filter(_._2 == "c"), s"$toC vs $full")
+    // min>1 trail regime with a bound source
+    val deep = rows(Vle.range(e, 2, 3, sourceIds = Some(Seq("z"))))
+    assert(deep == full.filter(t => t._1 == "z" && t._3 >= 2))
+  }
+
   test("ADT parser: '*1' is exact depth 1, bare '*' is 1..DefaultVleMax") {
     def vleOf(rel: String) = AdtParser.parse(
       s"SELECT T FROM DIGITALTWINS MATCH (S)-[$rel]->(T)").matches.head.vle
