@@ -81,6 +81,12 @@ final case class WithClause(items: List[SelectItem], where: Option[Expr],
 /** `UNWIND src AS alias` — src is a [[ListLit]] or a [[PropRef]] to a JSON
   * array property / flat list column. */
 final case class UnwindClause(src: Expr, alias: String) extends PipeClause
+/** `MATCH pattern [WHERE expr]` AFTER a WITH horizon: extends the scope
+  * with new hops/bindings (sources already in scope join on their dt_id;
+  * fresh bindings enter as cartesian factors, the openCypher semantics).
+  * `where` includes any inline property-map equalities of this stage. */
+final case class MatchClause(edges: List[MatchEdge], loneNodes: List[String],
+    where: Option[Expr]) extends PipeClause
 
 final case class AdtQuery(
     top: Option[Int],

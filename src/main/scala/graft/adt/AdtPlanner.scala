@@ -88,12 +88,14 @@ final class AdtPlanner(graph: TwinGraph) {
       }
     }
 
-    // ---- WITH / UNWIND pipeline (Cypher) ----
+    // ---- WITH / UNWIND / MATCH pipeline (Cypher) ----
     for (pc <- q.pipeline) pc match {
       case u: UnwindClause =>
         val (d, s) = planUnwind(df1, scope, u); df1 = d; scope = s
       case w: WithClause =>
         val (d, s) = planWith(df1, scope, w); df1 = d; scope = s
+      case m: MatchClause =>
+        val (d, s) = planMatchStage(df1, scope, m); df1 = d; scope = s
     }
 
     // ---- SELECT ----
@@ -316,6 +318,61 @@ final class AdtPlanner(graph: TwinGraph) {
     }
     (df.withColumn(u.alias, explode(listCol)),
       scope.copy(flat = scope.flat + u.alias))
+  }
+
+  /** `MATCH pattern [WHERE expr]` after a WITH horizon: each edge joins
+    * onto the live scope — a source already in scope hops from its bound
+    * dt_id, a fresh binding enters as a cartesian factor and is then
+    * constrained by the hop (the openCypher composition). Bare bindings
+    * multiply the scope by the twin set. */
+  private var stageSeq = 0
+  private def planMatchStage(df0: DataFrame, scope: Scope, m: MatchClause)
+      : (DataFrame, Scope) = {
+    var df = df0
+    var twins = scope.twins
+    var rels = scope.rels
+    stageSeq += 1
+    for ((e, i) <- m.edges.zipWithIndex) {
+      val relAlias = e.relAlias.getOrElse(s"__srel${stageSeq}_$i")
+      val relDf = e.vle match {
+        case Some((lo, hi)) =>
+          val nodes =
+            if (lo == 0) Some(graph.twins.select(col("dt_id"))) else None
+          ns(graft.graph.Vle.range(graph.relationships, lo, hi, e.relNames,
+              nodes)
+            .select(col("start_id").as("source_id"),
+              col("end_id").as("target_id"), col("depth")), relAlias)
+        case None =>
+          val rels0 =
+            if (e.relNames.isEmpty) graph.relationships
+            else graph.relationships.filter(
+              col("relationship_name").isin(e.relNames: _*))
+          ns(rels0, relAlias)
+      }
+      if (!twins(e.src)) {
+        df = df.crossJoin(ns(graph.twins, e.src))
+        twins += e.src
+      }
+      df = df.join(relDf,
+        col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
+      rels += relAlias
+      if (!twins(e.dst)) {
+        df = df.join(ns(graph.twins, e.dst),
+          col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+        twins += e.dst
+      } else {
+        df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+      }
+    }
+    for (n <- m.loneNodes if !twins(n)) {
+      df = df.crossJoin(ns(graph.twins, n))
+      twins += n
+    }
+    val newScope = scope.copy(twins = twins, rels = rels,
+      default = if (scope.default.nonEmpty) scope.default
+        else twins.headOption.getOrElse(""))
+    val out = m.where.fold(df)(w => df.filter(compile(w, newScope)))
+    (out, newScope)
   }
 
   /** `WITH [DISTINCT] items [WHERE expr]`: project/aggregate the scope.

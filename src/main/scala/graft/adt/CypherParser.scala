@@ -87,9 +87,10 @@ object CypherParser {
         }
       } else if (!isKw(cur, "UNWIND"))
         throw new AdtParseException(s"expected MATCH or UNWIND, found $cur")
-      // pipeline clauses: WITH projection/aggregation horizons and UNWIND
-      // list expansion, in source order (MATCH-after-WITH not supported)
+      // pipeline clauses: WITH projection/aggregation horizons, UNWIND
+      // list expansion, and MATCH stages after a horizon, in source order
       var inPipeline = true
+      var sawWith = false
       while (inPipeline) {
         if (isKw(cur, "UNWIND")) {
           pos += 1
@@ -97,11 +98,31 @@ object CypherParser {
           expectKw("AS")
           pipeline += UnwindClause(src, ident())
         } else if (isKw(cur, "WITH")) {
-          pos += 1
+          pos += 1; sawWith = true
           val d = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
           val items = parseReturnItems()
           val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
           pipeline += WithClause(items, w, d)
+        } else if (sawWith && isKw(cur, "MATCH")) {
+          pos += 1
+          val stageEdges = collection.mutable.ListBuffer[MatchEdge]()
+          val stageLone = collection.mutable.ListBuffer[String]()
+          // inline property maps of THIS stage scope to this stage's WHERE,
+          // not the pre-pipeline one
+          val filtersBefore = propFilters.size
+          parsePatterns(stageEdges, stageLone)
+          val mapFilters = propFilters.drop(filtersBefore).toList
+          propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
+          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+          val allW = (mapFilters ++ w.toList) match {
+            case Nil => None
+            case one :: Nil => Some(one)
+            case many => Some(many.reduce(And))
+          }
+          pipeline += MatchClause(stageEdges.toList, stageLone.toList, allW)
+        } else if (sawWith && isKw(cur, "OPTIONAL")) {
+          throw new AdtParseException(
+            "OPTIONAL MATCH after a WITH horizon is not supported")
         } else inPipeline = false
       }
       expectKw("RETURN")

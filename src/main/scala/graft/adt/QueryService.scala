@@ -140,7 +140,12 @@ final class QueryService(graph: TwinGraph,
     }
     // surcharges per AgeDigitalTwinsClient.Query.cs:240-257: +10 when the
     // query traverses variable-length edges, +5 for aggregates/is_of_model
-    if (ast.matches.exists(_.vle.isDefined)) c += 10
+    val vleAnywhere = ast.matches.exists(_.vle.isDefined) ||
+      ast.pipeline.exists {
+        case m: MatchClause => m.edges.exists(_.vle.isDefined)
+        case _ => false
+      }
+    if (vleAnywhere) c += 10
     def aggIn(items: Seq[SelectItem]): Boolean = items.exists {
       case SelectCount | _: SelectAgg => true
       case _ => false

@@ -163,6 +163,17 @@ object AdtLangQueries {
           "RETURN m.`$dtId` AS src, length(p) AS hops ORDER BY src")
     }),
 
+    // Cypher MATCH after a WITH horizon: aggregate members per nation,
+    // filter on the aggregate, then hop the surviving nations to regions.
+    "q_cypher_pipeline_match" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:located_in]->(n:Twin) " +
+          "WITH n, count(*) AS members WHERE members > 65 " +
+          "MATCH (n)-[r2:in_region]->(g:Twin) " +
+          "RETURN n.`$dtId` AS nation, members, g.`$dtId` AS region " +
+          "ORDER BY nation")
+    }),
+
     // Cypher scalar functions in RETURN: toUpper / coalesce / size over
     // JSON docs (suppliers carry no mktsegment or tags → NONE / null).
     "q_cypher_scalar" -> ((s, d) => {
@@ -243,6 +254,15 @@ object AdtLangQueries {
       """SELECT 'R' || n_regionkey AS region_id,
         |  string_agg('N' || n_nationkey, ',' ORDER BY 'N' || n_nationkey) AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cypher_pipeline_match" ->
+      """SELECT 'N' || n_nationkey AS nation, CAST(cnt AS BIGINT) AS members,
+        |  'R' || n_regionkey AS region
+        |FROM (SELECT k, count(*) AS cnt
+        |      FROM (SELECT c_nationkey AS k FROM customer
+        |            UNION ALL SELECT s_nationkey FROM supplier)
+        |      GROUP BY 1) m
+        |JOIN nation ON k = n_nationkey
+        |WHERE cnt > 65 ORDER BY nation""".stripMargin,
     "q_cypher_scalar" ->
       """SELECT id, uname, seg, n_tags FROM (
         |  SELECT 'C' || c_custkey AS id, upper(c_name) AS uname,

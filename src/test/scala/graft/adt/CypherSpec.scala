@@ -288,6 +288,27 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (c), (a:Twin)-[r:orbits]->(b:Twin) WHERE name = 'Earth' RETURN a") == 4)
   }
 
+  test("MATCH after WITH extends the horizon") {
+    // aggregate horizon, then hop from the retained binding
+    val out = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b, count(*) AS n WHERE n >= 1 " +
+        "MATCH (b)-[r2:orbits]->(c:Twin) RETURN b.`$dtId` AS hub, c.`$dtId` AS nxt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("earth", "sun"))) // sun orbits nothing → dropped
+    // a fresh binding in the second MATCH enters as a cartesian factor
+    assert(count(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b " +
+        "MATCH (x:Twin)-[s:satellites]->(y:Twin) RETURN b, x, y") == 2)
+    // an inline property map in a pipeline MATCH scopes to that stage
+    assert(count(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b " +
+        "MATCH (b)-[r2:orbits]->(c:Twin { `$dtId`: 'sun' }) RETURN c") == 1)
+    // OPTIONAL after a horizon stays a clean error
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b " +
+        "OPTIONAL MATCH (b)-[r2:orbits]->(c:Twin) RETURN c"))
+  }
+
   test("AVG/MIN/MAX accept DISTINCT (avg over the distinct value set)") {
     // masses are all distinct here, so distinct-avg == avg; the duplicate
     // case is exercised through the orbits fan-out: sun appears twice as a
