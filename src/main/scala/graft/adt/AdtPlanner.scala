@@ -40,6 +40,12 @@ final class AdtPlanner(graph: TwinGraph) {
     * reference endpoint (Query.cs:44-55). */
   def run(query: String): DataFrame = plan(QueryLanguage.parse(query))
 
+  /** Flatten an AND-conjunction into its conjuncts. */
+  private def conjuncts(e: Expr): List[Expr] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => List(x)
+  }
+
   def plan(q: AdtQuery): DataFrame = {
     // ---- resolve scope: which aliases exist, which are twins vs rels ----
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
@@ -53,10 +59,6 @@ final class AdtPlanner(graph: TwinGraph) {
     // ---- WHERE ----
     // EXISTS pattern predicates peel off the top-level conjunction and plan
     // as semi/anti joins (they cannot be a Column); the rest is a filter.
-    def conjuncts(e: Expr): List[Expr] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => List(x)
-    }
     def hasNestedExists(e: Expr): Boolean = e match {
       case _: ExistsPattern => true
       case And(l, r) => hasNestedExists(l) || hasNestedExists(r)
@@ -245,8 +247,11 @@ final class AdtPlanner(graph: TwinGraph) {
     (cur, rewritten, markers.toSeq)
   }
 
-  private def attachExistsMarker(df: DataFrame, scope: Scope, edge: MatchEdge,
-      name: String): DataFrame = {
+  /** Shared EXISTS preamble: which endpoints are bound + the pruned
+    * relationship scan (used by both the semi/anti fast path and the
+    * marker-join path, so their semantics can't drift). */
+  private def existsProbe(scope: Scope, edge: MatchEdge)
+      : (Boolean, Boolean, DataFrame) = {
     val srcBound = scope.twins(edge.src)
     val dstBound = scope.twins(edge.dst)
     if (!srcBound && !dstBound) throw new AdtPlanException(
@@ -255,6 +260,12 @@ final class AdtPlanner(graph: TwinGraph) {
     val rels0 =
       if (edge.relNames.isEmpty) graph.relationships
       else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    (srcBound, dstBound, rels0)
+  }
+
+  private def attachExistsMarker(df: DataFrame, scope: Scope, edge: MatchEdge,
+      name: String): DataFrame = {
+    val (srcBound, dstBound, rels0) = existsProbe(scope, edge)
     val keyCols =
       (if (srcBound) Seq(col("source_id").as(s"${name}_src")) else Nil) ++
         (if (dstBound) Seq(col("target_id").as(s"${name}_dst")) else Nil)
@@ -274,14 +285,7 @@ final class AdtPlanner(graph: TwinGraph) {
     * purely existential. */
   private def planExists(df: DataFrame, scope: Scope, edge: MatchEdge,
       negated: Boolean): DataFrame = {
-    val srcBound = scope.twins(edge.src)
-    val dstBound = scope.twins(edge.dst)
-    if (!srcBound && !dstBound) throw new AdtPlanException(
-      s"EXISTS pattern must reference at least one bound node: " +
-        s"(${edge.src})-->(${edge.dst})")
-    val rels0 =
-      if (edge.relNames.isEmpty) graph.relationships
-      else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    val (srcBound, dstBound, rels0) = existsProbe(scope, edge)
     val probe = rels0.select(col("source_id").as("__ex_src"),
       col("target_id").as("__ex_dst"))
     val conds =
@@ -332,8 +336,19 @@ final class AdtPlanner(graph: TwinGraph) {
     var twins = scope.twins
     var rels = scope.rels
     stageSeq += 1
+    // a WITH-projected scalar is a value, not a node/relationship — openCypher
+    // rejects reusing it as a pattern binding, and silently cross-joining a
+    // twin scan under the same name would produce garbage rows
+    def checkNodeName(n: String): Unit =
+      if (scope.flat(n)) throw new AdtPlanException(
+        s"'$n' is a projected value in this horizon and cannot be re-bound " +
+          "as a node in a later MATCH")
     for ((e, i) <- m.edges.zipWithIndex) {
+      checkNodeName(e.src); checkNodeName(e.dst)
       val relAlias = e.relAlias.getOrElse(s"__srel${stageSeq}_$i")
+      if (rels(relAlias) || twins(relAlias) || scope.flat(relAlias))
+        throw new AdtPlanException(
+          s"relationship alias '$relAlias' is already bound in this scope")
       val relDf = e.vle match {
         case Some((lo, hi)) =>
           val nodes =
@@ -365,6 +380,7 @@ final class AdtPlanner(graph: TwinGraph) {
       }
     }
     for (n <- m.loneNodes if !twins(n)) {
+      checkNodeName(n)
       df = df.crossJoin(ns(graph.twins, n))
       twins += n
     }
@@ -453,15 +469,15 @@ final class AdtPlanner(graph: TwinGraph) {
       // variable-length expansions so a bound endpoint prunes the BFS to
       // its cone instead of expanding the whole graph. Purely an
       // optimization: the same predicates still filter the joined frame.
-      def conj(e: Expr): List[Expr] = e match {
-        case And(l, r) => conj(l) ++ conj(r)
-        case x => List(x)
-      }
       def pointIds(a: String): Option[Seq[String]] = {
-        val ids = q.where.toList.flatMap(conj).collect {
+        val ids = q.where.toList.flatMap(conjuncts).collect {
           case Cmp("=", PropRef(Some(`a`), List("$dtId")), StrLit(v)) => Seq(v)
           case Cmp("=", StrLit(v), PropRef(Some(`a`), List("$dtId"))) => Seq(v)
-          case In(PropRef(Some(`a`), List("$dtId")), vals) =>
+          // only when EVERY element is a string literal — a mixed-type IN
+          // could coerce-match rows a string-only seed set would miss, and
+          // seeding must stay a pure optimization
+          case In(PropRef(Some(`a`), List("$dtId")), vals)
+              if vals.forall(_.isInstanceOf[StrLit]) =>
             vals.collect { case StrLit(v) => v }
         }.flatten
         if (ids.nonEmpty) Some(ids) else None

@@ -90,7 +90,6 @@ object CypherParser {
       // pipeline clauses: WITH projection/aggregation horizons, UNWIND
       // list expansion, and MATCH stages after a horizon, in source order
       var inPipeline = true
-      var sawWith = false
       while (inPipeline) {
         if (isKw(cur, "UNWIND")) {
           pos += 1
@@ -98,12 +97,12 @@ object CypherParser {
           expectKw("AS")
           pipeline += UnwindClause(src, ident())
         } else if (isKw(cur, "WITH")) {
-          pos += 1; sawWith = true
+          pos += 1
           val d = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
           val items = parseReturnItems()
           val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
           pipeline += WithClause(items, w, d)
-        } else if (sawWith && isKw(cur, "MATCH")) {
+        } else if (pipeline.nonEmpty && isKw(cur, "MATCH")) {
           pos += 1
           val stageEdges = collection.mutable.ListBuffer[MatchEdge]()
           val stageLone = collection.mutable.ListBuffer[String]()
@@ -111,6 +110,10 @@ object CypherParser {
           // not the pre-pipeline one
           val filtersBefore = propFilters.size
           parsePatterns(stageEdges, stageLone)
+          if (stageEdges.exists(_.pathAlias.isDefined))
+            throw new AdtParseException(
+              "path variables in a MATCH after a WITH/UNWIND stage are " +
+                "not supported")
           val mapFilters = propFilters.drop(filtersBefore).toList
           propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
           val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
@@ -120,9 +123,9 @@ object CypherParser {
             case many => Some(many.reduce(And))
           }
           pipeline += MatchClause(stageEdges.toList, stageLone.toList, allW)
-        } else if (sawWith && isKw(cur, "OPTIONAL")) {
+        } else if (pipeline.nonEmpty && isKw(cur, "OPTIONAL")) {
           throw new AdtParseException(
-            "OPTIONAL MATCH after a WITH horizon is not supported")
+            "OPTIONAL MATCH after a WITH/UNWIND stage is not supported")
         } else inPipeline = false
       }
       expectKw("RETURN")

@@ -84,7 +84,7 @@ final class QueryService(graph: TwinGraph,
         // no full-result materialization for single-page results), and any
         // previous pin for this text is dropped so it can't serve stale
         synchronized(snapshots.remove(effectiveQuery): Unit)
-        val planned = planner.plan(QueryLanguage.parse(effectiveQuery))
+        val planned = planner.plan(ast)
         val sorted = planned.orderBy(planned.columns.map(col): _*)
         val p = sorted.limit(maxItemsPerPage + 1).collect()
         // pagination starts: pin the sorted result for pages 2..N
@@ -154,7 +154,12 @@ final class QueryService(graph: TwinGraph,
       case w: WithClause => aggIn(w.items)
       case _ => false
     }
-    val hasIsOfModel = ast.where.exists(containsIsOfModel)
+    val hasIsOfModel = ast.where.exists(containsIsOfModel) ||
+      ast.pipeline.exists {
+        case m: MatchClause => m.where.exists(containsIsOfModel)
+        case w: WithClause => w.where.exists(containsIsOfModel)
+        case _ => false
+      }
     if (hasAgg || hasIsOfModel) c += 5
     c
   }

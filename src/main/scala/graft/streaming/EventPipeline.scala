@@ -201,20 +201,23 @@ object EventPipeline {
     * entity land in one partition, preserving per-entity order — the same
     * affinity the reference gets from the CloudEvents partition key),
     * value = the JSON envelope (structured content mode). */
-  def kafkaFrame(events: Dataset[CloudEvent]): DataFrame = {
-    // attributes via to_json; `data` is already JSON text, so it is spliced
-    // in verbatim (structured content mode embeds data as JSON, not as a
-    // quoted string)
+  /** The structured-mode JSON envelope as a Column over a CloudEvent
+    * frame: attributes via to_json; `data` is already JSON text, so it is
+    * spliced in verbatim (structured content mode embeds data as JSON, not
+    * as a quoted string). */
+  private def withEnvelope(df: DataFrame): DataFrame = {
     val attrs = to_json(struct(col("id"), col("source"), col("type"),
       col("subject"), col("time"), col("datacontenttype"), col("dataschema")))
-    events.toDF()
-      .withColumn("__attrs", attrs)
-      .select(
-        col("subject").as("key"),
+    df.withColumn("__attrs", attrs)
+      .withColumn("__envelope",
         concat(expr("substring(__attrs, 1, length(__attrs) - 1)"),
-          lit(",\"data\":"), coalesce(col("data"), lit("null")), lit("}"))
-          .as("value"))
+          lit(",\"data\":"), coalesce(col("data"), lit("null")), lit("}")))
+      .drop("__attrs")
   }
+
+  def kafkaFrame(events: Dataset[CloudEvent]): DataFrame =
+    withEnvelope(events.toDF())
+      .select(col("subject").as("key"), col("__envelope").as("value"))
 
   /** The `writeStream.format("kafka")` option map for a config. */
   def kafkaOptions(c: KafkaSinkConfig): Map[String, String] =
@@ -293,25 +296,35 @@ object EventPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
-        val df = kafkaFrame(batch).select(col("value")) // structured JSON envelope
-        try {
-          // event batches are small (≤100, SharedEventConsumer.cs:31) and
-          // dispatch is driver-side single-consumer, like the reference
-          df.collect().foreach { r =>
-            val status = post(url, headers, r.getString(0))
-            if (status < 200 || status >= 300)
-              throw new RuntimeException(s"webhook returned $status")
-          }
-        } catch {
-          case e: Exception =>
-            dlqDir match {
-              case Some(d) =>
-                batch.toDF()
-                  .withColumn("dlq_error", lit(e.getMessage))
-                  .withColumn("dlq_batch", lit(batchId))
-                  .write.mode("append").parquet(d)
-              case None => throw e
-            }
+        // event batches are small (≤100, SharedEventConsumer.cs:31) and
+        // dispatch is driver-side single-consumer, like the reference.
+        // Delivery is per-event, so the DLQ records ONLY the events that
+        // actually failed — already-delivered events are never replayed.
+        val rows = withEnvelope(batch.toDF()).collect()
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val failed = rows.flatMap { r =>
+          val body = r.getAs[String]("__envelope")
+          val err =
+            try {
+              val status = post(url, headers, body)
+              if (status < 200 || status >= 300) Some(s"webhook returned $status")
+              else None
+            } catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+          err.map(msg => CloudEvent(
+            r.getAs[String]("id"), r.getAs[String]("source"),
+            r.getAs[String]("type"), r.getAs[String]("subject"),
+            r.getAs[String]("time"), r.getAs[String]("datacontenttype"),
+            r.getAs[String]("data"), r.getAs[String]("dataschema")) -> msg)
+        }
+        if (failed.nonEmpty) dlqDir match {
+          case Some(d) =>
+            failed.toSeq.toDF("event", "dlq_error")
+              .select(col("event.*"), col("dlq_error"))
+              .withColumn("dlq_batch", lit(batchId))
+              .write.mode("append").parquet(d)
+          case None => throw new RuntimeException(
+            s"${failed.length} webhook deliveries failed: ${failed.head._2}")
         }
         ()
       }

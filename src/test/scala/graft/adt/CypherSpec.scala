@@ -307,6 +307,22 @@ class CypherSpec extends AnyFunSuite {
     assertThrows[AdtParseException](planner.run(
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b " +
         "OPTIONAL MATCH (b)-[r2:orbits]->(c:Twin) RETURN c"))
+    // a projected scalar cannot be re-bound as a node
+    assertThrows[AdtPlanException](planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b.`$dtId` AS n " +
+        "MATCH (n)-[r2:orbits]->(c:Twin) RETURN c"))
+    // reusing a retained relationship alias is a clean error
+    assertThrows[AdtPlanException](planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH a, r " +
+        "MATCH (a)-[r:orbits]->(c:Twin) RETURN c"))
+    // path variables in pipeline MATCH stages are a clean parse error
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b " +
+        "MATCH p = shortestPath((b)-[*1..2]->(c:Twin)) RETURN length(p)"))
+    // MATCH after UNWIND (no WITH) also extends the horizon
+    assert(count(
+      "MATCH (a:Twin) UNWIND a.tags AS tag " +
+        "MATCH (x:Twin)-[s:satellites]->(y:Twin) RETURN tag, x") == 2)
   }
 
   test("AVG/MIN/MAX accept DISTINCT (avg over the distinct value set)") {

@@ -151,6 +151,24 @@ class EventPipelineSpec extends AnyFunSuite {
     val dlq = spark.read.parquet(s"$dir/dlq2")
     assert(dlq.count() == 7)
     assert(dlq.select("dlq_error").collect()(0).getString(0).contains("503"))
+
+    // PARTIAL failure: only the rejected events reach the DLQ — delivered
+    // ones are never replayed
+    val stream3 = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val ok = new java.util.concurrent.atomic.AtomicInteger()
+    val q3 = EventPipeline.runWebhookRoute(
+      EventPipeline.toEventNotifications(stream3, "https://inst"),
+      "https://hook.example/events", WA.NoAuth,
+      (_, _, body) =>
+        if (graft.json.Json.parse(body).get("type").asText()
+            == "Konnektr.IoT.Telemetry") 500
+        else { ok.incrementAndGet(); 200 },
+      s"$dir/cp3", Some(s"$dir/dlq3"))
+    q3.awaitTermination(60000)
+    val dlq3 = spark.read.parquet(s"$dir/dlq3")
+    assert(dlq3.count() == 1, "only the failed event is dead-lettered")
+    assert(dlq3.select("type").collect()(0).getString(0) == "Konnektr.IoT.Telemetry")
+    assert(ok.get() == 6, "the six accepted events were delivered once")
   }
 
   test("E3 fold: multiple physical WAL rows collapse to one logical event") {
