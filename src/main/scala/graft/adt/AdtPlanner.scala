@@ -364,19 +364,35 @@ final class AdtPlanner(graph: TwinGraph) {
               col("relationship_name").isin(e.relNames: _*))
           ns(rels0, relAlias)
       }
-      if (!twins(e.src)) {
-        df = df.crossJoin(ns(graph.twins, e.src))
-        twins += e.src
-      }
-      df = df.join(relDf,
-        col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
-      rels += relAlias
-      if (!twins(e.dst)) {
-        df = df.join(ns(graph.twins, e.dst),
+      if (e.optional) {
+        // OPTIONAL MATCH after a horizon: same left-outer shape as B13 —
+        // pre-join edge+target so an unmatched source keeps ONE all-null row
+        if (!twins(e.src)) throw new AdtPlanException(
+          s"OPTIONAL MATCH source ${e.src} must already be bound")
+        if (twins(e.dst)) throw new AdtPlanException(
+          s"OPTIONAL MATCH target ${e.dst} is already bound")
+        val relAndDst = relDf.join(ns(graph.twins, e.dst),
           col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+        df = df.join(relAndDst,
+          col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"),
+          "left_outer")
+        rels += relAlias
         twins += e.dst
       } else {
-        df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+        if (!twins(e.src)) {
+          df = df.crossJoin(ns(graph.twins, e.src))
+          twins += e.src
+        }
+        df = df.join(relDf,
+          col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
+        rels += relAlias
+        if (!twins(e.dst)) {
+          df = df.join(ns(graph.twins, e.dst),
+            col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+          twins += e.dst
+        } else {
+          df = df.filter(col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
+        }
       }
     }
     for (n <- m.loneNodes if !twins(n)) {

@@ -124,8 +124,18 @@ object CypherParser {
           }
           pipeline += MatchClause(stageEdges.toList, stageLone.toList, allW)
         } else if (pipeline.nonEmpty && isKw(cur, "OPTIONAL")) {
-          throw new AdtParseException(
-            "OPTIONAL MATCH after a WITH/UNWIND stage is not supported")
+          pos += 1; expectKw("MATCH")
+          val stageEdges = collection.mutable.ListBuffer[MatchEdge]()
+          val stageLone = collection.mutable.ListBuffer[String]()
+          val filtersBefore = propFilters.size
+          parsePatterns(stageEdges, stageLone, optional = true)
+          if (propFilters.size != filtersBefore || stageLone.nonEmpty ||
+              stageEdges.exists(_.pathAlias.isDefined))
+            throw new AdtParseException(
+              "OPTIONAL MATCH after a stage supports plain edge patterns only")
+          if (isKw(cur, "WHERE")) throw new AdtParseException(
+            "WHERE scoped to OPTIONAL MATCH is not supported; filter in a later WITH")
+          pipeline += MatchClause(stageEdges.toList, Nil, None)
         } else inPipeline = false
       }
       expectKw("RETURN")

@@ -65,6 +65,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the cell_id equi-join:\n$p")
   }
 
+  test("pipeline MATCH joins on bound ids — no cartesian, partial aggregation kept") {
+    val p = plan("q_cypher_pipeline_match")
+    assert(!p.contains("CartesianProduct"),
+      s"the post-horizon hop must equi-join on the bound dt_id:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the WITH aggregate must keep its map-side partial:\n$p")
+  }
+
   test("paging N pages runs ONE sort: pages serve from the pinned snapshot") {
     val g = graft.graph.GraphViews.graph(spark, sf)
     val svc = new graft.adt.QueryService(g)

@@ -303,10 +303,13 @@ class CypherSpec extends AnyFunSuite {
     assert(count(
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b " +
         "MATCH (b)-[r2:orbits]->(c:Twin { `$dtId`: 'sun' }) RETURN c") == 1)
-    // OPTIONAL after a horizon stays a clean error
-    assertThrows[AdtParseException](planner.run(
-      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b " +
-        "OPTIONAL MATCH (b)-[r2:orbits]->(c:Twin) RETURN c"))
+    // OPTIONAL MATCH after a horizon: left-outer from the retained binding
+    val opt = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH DISTINCT b " +
+        "OPTIONAL MATCH (b)-[r2:orbits]->(c:Twin) " +
+        "RETURN b.`$dtId` AS hub, c.`$dtId` AS nxt ORDER BY hub")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(opt == Seq(("earth", Some("sun")), ("sun", None)))
     // a projected scalar cannot be re-bound as a node
     assertThrows[AdtPlanException](planner.run(
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH b.`$dtId` AS n " +
