@@ -47,13 +47,17 @@ object StoreQueries {
     st.createOrReplaceTwins(nations.toSeq.map { case (k, name) =>
       s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"$name"}"""
     })
-    // D3 JSON-patch a deterministic subset
-    nations.filter(_._1 % 5 == 0).foreach { case (k, name) =>
-      st.patchTwin(s"N$k",
-        s"""[{"op":"replace","path":"/name","value":"$name-patched"}]""")
+    // D3 JSON-patch a deterministic subset; D4 delete another — grouped
+    // into one journal append each (the batch primitive)
+    st.batch {
+      nations.filter(_._1 % 5 == 0).foreach { case (k, name) =>
+        st.patchTwin(s"N$k",
+          s"""[{"op":"replace","path":"/name","value":"$name-patched"}]""")
+      }
     }
-    // D4 delete a deterministic subset
-    nations.filter(_._1 % 7 == 3).foreach { case (k, _) => st.deleteTwin(s"N$k") }
+    st.batch {
+      nations.filter(_._1 % 7 == 3).foreach { case (k, _) => st.deleteTwin(s"N$k") }
+    }
     st.checkpoint()
     dir
   }

@@ -52,7 +52,21 @@ final class TableTwinStore private (
 
   // ---------------- delegated CRUD (journaled write-through) ----------------
 
-  private def journaled[T](f: => T): T = { val r = f; flushJournal(); r }
+  private var deferFlush = false
+  private def journaled[T](f: => T): T = {
+    val r = f
+    if (!deferFlush) flushJournal()
+    r
+  }
+
+  /** Group several CRUD calls into ONE journal append (the autocommit-off
+    * analogue): per-op durability is traded for one parquet write per
+    * group. Ops applied before an exception are still flushed on the way
+    * out, so nothing applied is ever lost. */
+  def batch[T](f: => T): T = {
+    deferFlush = true
+    try f finally { deferFlush = false; flushJournal() }
+  }
   private def modelOp[T](f: => T): T = { val r = f; saveModels(); r }
 
   def models: ModelRegistry = mem.models

@@ -117,6 +117,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(s2.twinIds.size == 3)
   }
 
+  test("batch {} groups ops into one journal append; applied ops survive a failure") {
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    s.batch((1 to 5).foreach(i => s.createOrReplaceTwin(s"r$i", roomDoc(s"r$i", i))))
+    // one parquet file for the whole group (plus _SUCCESS)
+    val files = new java.io.File(dir, "mutations").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected one journal file for the batch, got $files")
+    // an exception mid-batch still flushes the ops that were applied
+    intercept[StoreException](s.batch {
+      s.createOrReplaceTwin("r6", roomDoc("r6", 6))
+      s.createOrReplaceTwin("bad",
+        """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"bogus":1}""")
+    })
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    assert(s2.twinIds.toSet == (1 to 6).map(i => s"r$i").toSet)
+  }
+
   test("bulk importGraph merges set-wise and is visible after reopen") {
     val dir = tempDir()
     val s = TableTwinStore.open(spark, dir, fixedClock())
