@@ -25,8 +25,9 @@ import graft.json.Json
   * the pinned snapshot — no re-plan, no re-sort, and pages 2..N are
   * mutually consistent even if the underlying store changes
   * mid-pagination. A single-page query never materializes the full
-  * result, and a repeated query text never serves a stale pin. Snapshots
-  * live in a small LRU; evicted entries are freed by the ContextCleaner.
+  * result; pins are keyed by an opaque id in the token (never shared
+  * across clients, never stale-served to a fresh query). Snapshots live in
+  * a small LRU whose evictions free their blocks eagerly.
   */
 final case class QueryPage(
     rows: Seq[String],           // one JSON object per row
@@ -43,24 +44,36 @@ final class QueryService(graph: TwinGraph,
   /** B19 read-only guard (Query.cs:68-88). */
   private val forbidden = Seq("CREATE ", "DELETE ", "SET ", "MERGE ", "REMOVE ")
 
-  /** Per-query-text sorted snapshots (access-ordered LRU). */
+  /** Pinned sorted snapshots keyed by an opaque pagination id carried in
+    * the continuation token (access-ordered LRU). Keying by id — not query
+    * text — means a fresh arrival of the same query text can never yank a
+    * pin out from under another client's in-flight pagination. Evicted
+    * pins free their checkpoint blocks immediately instead of waiting for
+    * a driver GC + ContextCleaner pass. */
   private val snapshots =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 32
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > 32
+        if (evict) graft.core.Blocks.free(e.getValue)
+        evict
+      }
     }
 
-  /** Get-or-build the pinned sorted snapshot for a query text. */
-  private[graft] def sortedSnapshot(query: String): DataFrame = {
-    synchronized(Option(snapshots.get(query))).getOrElse(buildSnapshot(query))
-  }
+  /** Get-or-build the pinned sorted snapshot for a pagination id; a miss
+    * (evicted pin or restarted service) rebuilds from the query text — the
+    * continuation stays valid, merely losing snapshot isolation from that
+    * point on, same as the reference's re-execute-with-SKIP behavior. */
+  private[graft] def sortedSnapshot(pinId: String, query: String): DataFrame =
+    synchronized(Option(snapshots.get(pinId)))
+      .getOrElse(buildSnapshot(pinId, query))
 
   /** Build (outside the lock — materialization can be slow) and pin. */
-  private def buildSnapshot(query: String): DataFrame = {
+  private def buildSnapshot(pinId: String, query: String): DataFrame = {
     val df = planner.plan(QueryLanguage.parse(query))
     val snap = df.orderBy(df.columns.map(col): _*)
       .localCheckpoint(eager = true)
-    synchronized(snapshots.put(query, snap))
+    synchronized(snapshots.put(pinId, snap): Unit)
     snap
   }
 
@@ -70,35 +83,40 @@ final class QueryService(graph: TwinGraph,
     if (forbidden.exists(upper.contains))
       throw new AdtPlanException("query endpoint is read-only")
 
-    val (effectiveQuery, skip) = continuationToken match {
+    val (effectiveQuery, skip, pinId) = continuationToken match {
       case Some(tok) =>
         val node = Json.parse(new String(Base64.getDecoder.decode(tok), "UTF-8"))
-        (node.get("query").asText(), node.get("rowNumber").asLong())
-      case None => (q, 0L)
+        val query = node.get("query").asText()
+        val pin = Option(node.get("pin")).map(_.asText()).getOrElse(query)
+        (query, node.get("rowNumber").asLong(), pin)
+      case None => (q, 0L, java.util.UUID.randomUUID().toString)
     }
 
     val ast = QueryLanguage.parse(effectiveQuery)
     val (df, page) = continuationToken match {
       case None =>
         // fresh query: limited sort over CURRENT data (TakeOrdered-style —
-        // no full-result materialization for single-page results), and any
-        // previous pin for this text is dropped so it can't serve stale
-        synchronized(snapshots.remove(effectiveQuery): Unit)
+        // no full-result materialization for single-page results)
         val planned = planner.plan(ast)
         val sorted = planned.orderBy(planned.columns.map(col): _*)
-        val p = sorted.limit(maxItemsPerPage + 1).collect()
-        // pagination starts: pin the sorted result for pages 2..N
-        if (p.length > maxItemsPerPage) buildSnapshot(effectiveQuery): Unit
-        (planned, p)
+        val probe = sorted.limit(maxItemsPerPage + 1).collect()
+        if (probe.length > maxItemsPerPage) {
+          // pagination starts: pin FIRST, then slice page 1 from the pinned
+          // snapshot, so page 1 and pages 2..N reflect the same store state
+          // even if a mutation lands between the probe and the pin
+          val snap = buildSnapshot(pinId, effectiveQuery)
+          (snap, snap.limit(maxItemsPerPage + 1).collect())
+        } else (planned, probe)
       case Some(_) =>
-        val snap = sortedSnapshot(effectiveQuery)
+        val snap = sortedSnapshot(pinId, effectiveQuery)
         (snap, snap.offset(skip.toInt).limit(maxItemsPerPage + 1).collect())
     }
     val hasMore = page.length > maxItemsPerPage
     val rows = page.take(maxItemsPerPage).toSeq
     val nextToken =
       if (hasMore) {
-        val t = s"""{"rowNumber":${skip + maxItemsPerPage},"query":${quote(effectiveQuery)}}"""
+        val t = s"""{"rowNumber":${skip + maxItemsPerPage},""" +
+          s""""query":${quote(effectiveQuery)},"pin":${quote(pinId)}}"""
         Some(Base64.getEncoder.encodeToString(t.getBytes("UTF-8")))
       } else None
 

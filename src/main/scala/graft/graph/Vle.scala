@@ -41,10 +41,25 @@ object Vle {
   /** Transitive reachability (start_id, end_id, depth = minimal hops).
     * `maxIter` bounds pathological cycles; Int.MaxValue = run to fixpoint.
     * Minimal-depth pruning (the visited anti-join) is sound here because a
-    * pair is "reachable" iff it is reachable at its minimal depth. */
+    * pair is "reachable" iff it is reachable at its minimal depth.
+    *
+    * Two regimes. For small static bounds (maxIter ≤
+    * `spark.graft.vle.joinChainMaxDepth`, default 3) the expansion is a
+    * plain chain of joins — no persist, no per-iteration checkpoint, no
+    * isEmpty probes: Catalyst plans the whole thing as one job, which is
+    * both the fastest local plan and the one you'd want on a cluster (the
+    * checkpoint machinery exists to cut iterative lineage, and a ≤3-join
+    * plan has none worth cutting). Deep or unbounded expansion keeps the
+    * frontier-BFS with per-iteration lineage truncation, and explicitly
+    * frees each superseded checkpoint instead of waiting for a driver GC. */
   def reachability(edges: DataFrame, relNames: Seq[String] = Nil,
       maxIter: Int = 100, checkpointEvery: Int = 3,
       sourceIds: Option[Seq[String]] = None): DataFrame = {
+    val chainCap = edges.sparkSession.conf
+      .get("spark.graft.vle.joinChainMaxDepth", "3").toInt
+    if (maxIter <= chainCap) return joinChain(edges, relNames, maxIter, sourceIds)
+
+    import graft.core.Blocks
     val e = filtered(edges, relNames).persist(StorageLevel.MEMORY_AND_DISK)
 
     // A bound start set prunes the whole expansion to the reachable cone —
@@ -54,14 +69,16 @@ object Vle {
     var visited = seed.select(col("source_id").as("start_id"),
       col("target_id").as("end_id"), lit(1).as("depth"))
       .localCheckpoint(eager = true)
+    var visitedCp = visited // last checkpoint holding the visited base rows
     var frontier = visited
     var depth = 1
     var done = false
-    // Intermediate persists awaiting release: a checkpoint truncates the
-    // lineage that referenced them, at which point they can be unpersisted —
-    // leaving them registered in the CacheManager would accumulate across a
-    // long multi-query session.
+    // Intermediate frames awaiting release: a checkpoint truncates the
+    // lineage that referenced them, at which point persists can be
+    // unpersisted and superseded checkpoint blocks freed — leaving either
+    // around accumulates across a long multi-query session.
     var pending: List[DataFrame] = Nil
+    var oldFrontiers: List[DataFrame] = Nil
     while (!done && depth < maxIter) {
       // localCheckpoint every iteration: lineage of an iterative join grows
       // multiplicatively and both planning time and driver memory blow up
@@ -73,13 +90,20 @@ object Vle {
         .join(visited.select(col("start_id").as("vs"), col("end_id").as("ve")),
           col("start_id") === col("vs") && col("end_id") === col("ve"), "left_anti")
         .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+      if (next.isEmpty) { done = true; Blocks.free(next) }
       else {
+        oldFrontiers = frontier :: oldFrontiers
         val grown = visited.unionByName(next)
         visited =
           if (depth % checkpointEvery == 0) {
             val cp = grown.localCheckpoint(eager = true)
             pending.foreach(_.unpersist(false)); pending = Nil
+            // cp holds every row; the previous checkpoint and the frontier
+            // checkpoints folded into it are no longer reachable from any
+            // live plan
+            Blocks.free(visitedCp)
+            oldFrontiers.foreach(Blocks.free); oldFrontiers = Nil
+            visitedCp = cp
             cp
           } else {
             val p = grown.persist(StorageLevel.MEMORY_AND_DISK)
@@ -90,11 +114,42 @@ object Vle {
         depth += 1
       }
     }
-    // sever lineage so the edge cache can be released per-invocation
-    val out = visited.localCheckpoint(eager = true)
-    pending.foreach(_.unpersist(false))
+    // sever lineage so the edge cache can be released per-invocation; when
+    // the loop ended exactly on a checkpoint the result IS that checkpoint
+    val out =
+      if (visited eq visitedCp) visited
+      else {
+        val cp = visited.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(false))
+        Blocks.free(visitedCp)
+        cp
+      }
+    oldFrontiers.foreach(Blocks.free)
+    if (!(frontier eq out)) Blocks.free(frontier)
     e.unpersist(false)
     out
+  }
+
+  /** Small-bound regime: minimal-depth reachability as one declarative
+    * plan — d chained joins, per-level distinct, and a final min(depth)
+    * aggregation. Reads the edge frame up to `maxDepth` times, which for
+    * maxDepth ≤ 3 is cheaper than materializing it, locally and at scale. */
+  private def joinChain(edges: DataFrame, relNames: Seq[String],
+      maxDepth: Int, sourceIds: Option[Seq[String]]): DataFrame = {
+    val e = filtered(edges, relNames)
+    val seed = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    var level = seed.select(col("source_id").as("start_id"),
+      col("target_id").as("end_id")).distinct()
+    var acc = level.withColumn("depth", lit(1))
+    for (d <- 2 to maxDepth) {
+      level = level
+        .join(e.select(col("source_id"), col("target_id")),
+          col("end_id") === col("source_id"))
+        .select(col("start_id"), col("target_id").as("end_id"))
+        .distinct()
+      acc = acc.unionByName(level.withColumn("depth", lit(d)))
+    }
+    acc.groupBy(col("start_id"), col("end_id")).agg(min(col("depth")).as("depth"))
   }
 
   /** Bounded range form `-[*min..max]->` with Cypher/AGE *exists-a-trail*
@@ -231,6 +286,7 @@ object Vle {
           "trail is deeper are under-approximated")
       over
     }
+    import graft.core.Blocks
     while (!emptied && depth < maxDepth && !overBudget()) {
       val next = frontier.join(e, col("end_id") === col("source_id"))
         .filter(!array_contains(col("eset"), col("__eid")))
@@ -239,23 +295,27 @@ object Vle {
         .distinct()
         .localCheckpoint(eager = true)
       depth += 1
-      if (next.isEmpty) emptied = true
+      if (next.isEmpty) { emptied = true; Blocks.free(next) }
       else {
+        Blocks.free(frontier) // superseded: next's checkpoint holds the rows
         frontier = next
         if (depth >= minDepth) {
           val pairs = frontier.select(col("start_id"), col("end_id"))
             .distinct().withColumn("depth", lit(depth))
           // anti-join so each pair keeps its first (minimal) in-range depth
-          result =
+          val grown =
             (if (result == null) pairs
              else result.unionByName(pairs.join(
                result.select(col("start_id").as("rs"), col("end_id").as("re")),
                col("start_id") === col("rs") && col("end_id") === col("re"),
                "left_anti")))
               .localCheckpoint(eager = true)
+          if (result != null) Blocks.free(result)
+          result = grown
         }
       }
     }
+    Blocks.free(frontier)
     e.unpersist(false)
     if (result == null)
       shortPairs.select(col("start_id"), col("end_id"), lit(0).as("depth"))

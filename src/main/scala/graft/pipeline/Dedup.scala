@@ -117,14 +117,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ids.groupBy(col("sid")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxDf).select(col("sid"))
+    // materialized once: the capped index feeds BOTH sides of the self-join
+    // below — left lazy, the df-count aggregation would run twice
     val idsF = ids.join(rare, Seq("sid"), "left_semi")
+      .localCheckpoint(eager = true)
     val inter = idsF.select(col("doc").as("doc_a"), col("sid"))
       .join(idsF.select(col("doc").as("doc_b"), col("sid")), Seq("sid"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    materializedWithout(ids) {
+    val out = materializedWithout(ids) {
       inter
         .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
         .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
@@ -134,6 +137,8 @@ object Dedup {
         .filter(col("jaccard_4") >= math.round(threshold * 10000))
         .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
     }
+    graft.core.Blocks.free(idsF)
+    out
   }
 
   /** MinHash signatures, wide form (doc, mh0..mh{numHashes-1}): the i-th
@@ -178,16 +183,21 @@ object Dedup {
         concat_ws("-", (0 until rowsPerBand).map(r =>
           col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*).as("sig"))
     }
+    // materialized once: sigs feeds BOTH sides of the bucket self-join —
+    // left lazy, the 64-min signature aggregation would run twice
     val sigs = wide
       .select(col("doc"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(eager = true)
     val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
     val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
     val candidates = l.join(r, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    materializedWithout(ids)(verifyJaccard(candidates, ids, threshold))
+    val out = materializedWithout(ids)(verifyJaccard(candidates, ids, threshold))
+    graft.core.Blocks.free(sigs)
+    out
   }
 
   /** Connected components over near-dup pairs: iterative min-label
@@ -203,10 +213,13 @@ object Dedup {
     // Materialize the incoming pair plan ONCE before fanning it out into
     // sym = edges ∪ edges.swap — without this, an expensive unpersisted
     // generator subplan (e.g. the full LSH+verify pipeline) is evaluated
-    // twice inside sym's first materialization. localCheckpoint (not
-    // persist) so nothing is left registered in the CacheManager.
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(eager = true)
+    // twice inside sym's first materialization. Skipped when the input is
+    // already a checkpoint (or a cheap projection over one): generators
+    // like [[minhashLshPairs]] checkpoint their own output, and a second
+    // copy of the same rows would just double the pinned blocks.
+    val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val ownsEdges = !isRematerializable(proj)
+    val edges = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -214,6 +227,9 @@ object Dedup {
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint(eager = true)
+    // sym is now materialized (the eager checkpoint above scanned it), so
+    // the one-shot edge copy is dead weight from here on
+    if (ownsEdges) graft.core.Blocks.free(edges)
     var changed = true
     while (changed) {
       val neighborMin = sym
@@ -235,11 +251,27 @@ object Dedup {
           least(col("mid_label"), coalesce(col("m_label"), col("mid_label")))
             .as("next_label"))
         .localCheckpoint(eager = true)
+      // the new checkpoint subsumes the previous round's — free it now
+      // rather than waiting for a driver GC + ContextCleaner pass
+      graft.core.Blocks.free(labels)
       changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
       labels = merged.select(col("doc"), col("next_label").as("label"))
     }
     sym.unpersist(false) // labels derive from checkpoints, not sym's lineage
     labels.select(col("doc"), col("label").as("component"))
+  }
+
+  /** True when re-evaluating `df` costs no more than re-reading stored
+    * rows: every node in the optimized plan is a narrow projection/filter
+    * over checkpoint blocks or a local relation. Such inputs don't need a
+    * defensive checkpoint before being read twice. */
+  private def isRematerializable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, Project}
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[LogicalRDD] && !p.isInstanceOf[LocalRelation] => p
+    }.isEmpty
   }
 
   /** Survivor election per component: keep the min doc id; returns
@@ -288,19 +320,26 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(df, idCol, textCol, n)
+    // materialized once: chunked feeds BOTH sides of the pigeonhole
+    // self-join — left lazy, the 32-sum signature aggregation (and the
+    // whole shingle pipeline below it) would run twice
     val chunked = sh.select(col("doc"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("cv", shr(col("simhash"), col("chunk") * 8) % 256)
+      .localCheckpoint(eager = true)
     val l = chunked.select(col("doc").as("doc_a"), col("simhash").as("sh_a"),
       col("chunk"), col("cv"))
     val r = chunked.select(col("doc").as("doc_b"), col("simhash").as("sh_b"),
       col("chunk"), col("cv"))
-    l.join(r, Seq("chunk", "cv"))
+    val out = l.join(r, Seq("chunk", "cv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .localCheckpoint(eager = true)
+    graft.core.Blocks.free(chunked)
+    out
   }
 }

@@ -83,11 +83,16 @@ object Similarity {
     * lose every member drop out (k may shrink on degenerate data). */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
+    // cell_id = rank of the seed vector in id order, NOT a cast of the raw
+    // id: for non-numeric ids (e.g. "doc1") every cast-to-long yields null,
+    // silently collapsing all k seeds into one degenerate cell
     var cents = corpus.orderBy(col(idCol).asc).limit(k)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cell_vec"))
+      .select(row_number().over(Window.orderBy(col(idCol).asc)).cast("long")
+        .as("cell_id"), col(vecCol).as("cell_vec"))
       .localCheckpoint(eager = true)
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, cents, idCol, vecCol)
+      val prev = cents
       cents = assigned
         .select(col("cell_id"), posexplode(col("v_vec")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
@@ -97,6 +102,7 @@ object Similarity {
         .select(col("cell_id"),
           expr("transform(pm, e -> cast(e.m as float))").as("cell_vec"))
         .localCheckpoint(eager = true)
+      graft.core.Blocks.free(prev) // superseded round, don't wait for GC
     }
     cents
   }

@@ -134,9 +134,29 @@ final class TableTwinStore private (
     writeText(s"$dir/models.json", Json.render(arr))
   }
 
+  /** Crash-atomic small-file replace: the payload lands at `path + ".tmp"`
+    * first and is renamed over the target (rename is atomic on file: and
+    * HDFS-like stores), so a crash mid-write can never leave a torn
+    * meta.json/models.json. The delete+rename pair leaves at worst a
+    * missing target with a COMPLETE `.tmp` beside it, which
+    * [[readJsonResilient]] falls back to on open. */
   private def writeText(path: String, text: String): Unit = {
-    val out = fs.create(new Path(path), true)
+    val target = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"atomic rename failed: $tmp -> $target")
+  }
+
+  /** Read+parse a file written by [[writeText]]; a missing or torn target
+    * (crash between its delete and rename) falls back to the `.tmp`
+    * sibling, which is complete whenever the target is absent. */
+  private def readJsonResilient(path: String): Option[JsonNode] = {
+    def attempt(p: String) =
+      readText(p).flatMap(t => scala.util.Try(Json.parse(t)).toOption)
+    attempt(path).orElse(attempt(path + ".tmp"))
   }
 
   private def readText(path: String): Option[String] = {
@@ -167,10 +187,16 @@ final class TableTwinStore private (
       java.util.List.of[org.apache.spark.sql.Row](), Tables.mutationsSchema)
 
   /** Current columnar snapshot + journal tail folded in — reads are always
-    * consistent with the last CRUD call without requiring a checkpoint. */
+    * consistent with the last CRUD call without requiring a checkpoint.
+    * Inside a [[batch]] block applied ops are deferred off disk, so the
+    * in-memory mutation tail beyond `journaledCount` is folded in too. */
   def graph: TwinGraph = {
     val (t0, r0) = snapshotFrames
-    val pend = mutationsDf.filter(col("seq") > appliedSeq)
+    val memTail = mem.mutations.drop(journaledCount)
+    val journal =
+      if (memTail.isEmpty) mutationsDf
+      else mutationsDf.unionByName(TwinStore.mutationsDf(spark, memTail))
+    val pend = journal.filter(col("seq") > appliedSeq)
     TwinGraph(
       foldTwinMutations(t0, pend),
       foldRelMutations(r0, pend),

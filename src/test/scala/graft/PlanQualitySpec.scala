@@ -80,8 +80,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val p1 = svc.query(q, maxItemsPerPage = 10)
     assert(p1.continuationToken.isDefined)
     // identical snapshot object reused across pages (the sort ran once)...
-    val snap = svc.sortedSnapshot(q)
-    assert(svc.sortedSnapshot(q) eq snap)
+    val tok = new String(
+      java.util.Base64.getDecoder.decode(p1.continuationToken.get), "UTF-8")
+    val pin = graft.json.Json.parse(tok).get("pin").asText()
+    val snap = svc.sortedSnapshot(pin, q)
+    assert(svc.sortedSnapshot(pin, q) eq snap)
     // ...and a follow-up page's plan is offset+limit over the checkpointed
     // blocks: no Sort, no Exchange, no re-scan of the source parquet
     val pagePlan = snap.offset(10).limit(11).queryExecution.executedPlan.toString

@@ -75,6 +75,18 @@ class VleSpec extends AnyFunSuite {
     assert(out.contains(("a", "b", 3)), s"parallel-edge trail missing: $out")
   }
 
+  test("composite edge ids that concat to the same string stay distinct") {
+    // (ab->abab) and (abab->ab) concatenate WITHOUT a separator to the same
+    // "abababx" — a separator-less identity would treat them as one edge and
+    // reject the only depth-4 trail s->ab->abab->ab->t (VERDICT r3 #6).
+    val e = edges(("s", "ab", "x"), ("ab", "t", "x"),
+      ("ab", "abab", "x"), ("abab", "ab", "x"))
+    val out = Vle.range(e, 4, 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out.contains(("s", "t", 4)),
+      s"colliding composite edge ids conflated — trail wrongly rejected: $out")
+  }
+
   test("open-ended range min>1 terminates fast on cyclic graphs (hybrid BFS)") {
     // 3-cycle: '*2..30' must not enumerate 30-deep edge subsets — the BFS
     // answers for pairs whose minimal depth is in range; trail enumeration
