@@ -27,7 +27,9 @@ import graft.json.Json
   * mid-pagination. A single-page query never materializes the full
   * result; pins are keyed by an opaque id in the token (never shared
   * across clients, never stale-served to a fresh query). Snapshots live in
-  * a small LRU whose evictions free their blocks eagerly.
+  * a small LRU whose evictions free their blocks after a short grace
+  * period (so a reader that grabbed the frame just before eviction can
+  * finish its collect).
   */
 final case class QueryPage(
     rows: Seq[String],           // one JSON object per row
@@ -37,7 +39,8 @@ final case class QueryPage(
 final class QueryThrottledException(msg: String) extends RuntimeException(msg)
 
 final class QueryService(graph: TwinGraph,
-    limiter: Option[RateLimiter] = None) {
+    limiter: Option[RateLimiter] = None,
+    snapshotFreeGraceMs: Long = 120000L) {
 
   private val planner = new AdtPlanner(graph)
 
@@ -55,10 +58,28 @@ final class QueryService(graph: TwinGraph,
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean = {
         val evict = size() > 32
-        if (evict) graft.core.Blocks.free(e.getValue)
+        if (evict) deferFree(e.getValue)
         evict
       }
     }
+
+  /** Evicted (or replaced) snapshots whose blocks are freed only after a
+    * grace period: a concurrent request may have fetched the frame under
+    * the lock and still be mid-collect outside it, and a localCheckpoint
+    * has no lineage — freeing its blocks under that reader would fail the
+    * collect unrecoverably. The grace comfortably exceeds a page collect;
+    * tests pass 0 to assert the free itself. */
+  private val pendingFree =
+    scala.collection.mutable.Queue.empty[(DataFrame, Long)]
+
+  private def deferFree(df: DataFrame): Unit =
+    synchronized(pendingFree.enqueue((df, System.nanoTime())))
+
+  private def sweepPendingFree(): Unit = synchronized {
+    val cutoff = System.nanoTime() - snapshotFreeGraceMs * 1000000L
+    while (pendingFree.nonEmpty && pendingFree.head._2 <= cutoff)
+      graft.core.Blocks.free(pendingFree.dequeue()._1)
+  }
 
   /** Get-or-build the pinned sorted snapshot for a pagination id; a miss
     * (evicted pin or restarted service) rebuilds from the query text — the
@@ -73,12 +94,14 @@ final class QueryService(graph: TwinGraph,
     val df = planner.plan(QueryLanguage.parse(query))
     val snap = df.orderBy(df.columns.map(col): _*)
       .localCheckpoint(eager = true)
-    synchronized(snapshots.put(pinId, snap): Unit)
+    // a racing double-build for the same pin must not leak the loser's blocks
+    synchronized(Option(snapshots.put(pinId, snap)).foreach(deferFree))
     snap
   }
 
   def query(q: String, maxItemsPerPage: Int = 2000,
       continuationToken: Option[String] = None): QueryPage = {
+    sweepPendingFree()
     val upper = q.toUpperCase
     if (forbidden.exists(upper.contains))
       throw new AdtPlanException("query endpoint is read-only")

@@ -49,7 +49,12 @@ object Vle {
     * isEmpty probes: Catalyst plans the whole thing as one job, which is
     * both the fastest local plan and the one you'd want on a cluster (the
     * checkpoint machinery exists to cut iterative lineage, and a ≤3-join
-    * plan has none worth cutting). Deep or unbounded expansion keeps the
+    * plan has none worth cutting). NOTE the perf contract: the chain
+    * regime returns a LAZY plan — a caller that triggers multiple actions
+    * over it re-executes the chain each time (persist/checkpoint it
+    * yourself if you re-read; `range`'s minDepth>1 branch already does).
+    * The BFS regime returns an eager localCheckpoint, read-many for free.
+    * Deep or unbounded expansion keeps the
     * frontier-BFS with per-iteration lineage truncation, and explicitly
     * frees each superseded checkpoint instead of waiting for a driver GC. */
   def reachability(edges: DataFrame, relNames: Seq[String] = Nil,

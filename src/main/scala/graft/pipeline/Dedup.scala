@@ -220,16 +220,18 @@ object Dedup {
     val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val ownsEdges = !isRematerializable(proj)
     val edges = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
+    // sym is CHECKPOINTED (not merely persisted): every loop iteration
+    // joins against it, and its lineage would otherwise reach back through
+    // the freed one-shot edge copy — a lost partition would then be
+    // unrecomputable. Severing the lineage makes freeing edges safe.
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
+    if (ownsEdges) graft.core.Blocks.free(edges)
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint(eager = true)
-    // sym is now materialized (the eager checkpoint above scanned it), so
-    // the one-shot edge copy is dead weight from here on
-    if (ownsEdges) graft.core.Blocks.free(edges)
     var changed = true
     while (changed) {
       val neighborMin = sym
@@ -257,7 +259,7 @@ object Dedup {
       changed = !merged.filter(col("next_label") =!= col("label")).isEmpty
       labels = merged.select(col("doc"), col("next_label").as("label"))
     }
-    sym.unpersist(false) // labels derive from checkpoints, not sym's lineage
+    graft.core.Blocks.free(sym) // labels are checkpoints; sym is dead now
     labels.select(col("doc"), col("label").as("component"))
   }
 

@@ -152,11 +152,18 @@ final class TableTwinStore private (
 
   /** Read+parse a file written by [[writeText]]; a missing or torn target
     * (crash between its delete and rename) falls back to the `.tmp`
-    * sibling, which is complete whenever the target is absent. */
+    * sibling, which is complete whenever the target is absent. When the
+    * fallback is taken the rename is replayed, healing the directory so
+    * the next open reads the target directly. */
   private def readJsonResilient(path: String): Option[JsonNode] = {
     def attempt(p: String) =
       readText(p).flatMap(t => scala.util.Try(Json.parse(t)).toOption)
-    attempt(path).orElse(attempt(path + ".tmp"))
+    attempt(path).orElse {
+      val recovered = attempt(path + ".tmp")
+      if (recovered.isDefined && !fs.exists(new Path(path)))
+        fs.rename(new Path(path + ".tmp"), new Path(path))
+      recovered
+    }
   }
 
   private def readText(path: String): Option[String] = {
@@ -310,13 +317,11 @@ final class TableTwinStore private (
   // ---------------- restart ----------------
 
   private def load(): Unit = {
-    readText(s"$dir/meta.json").foreach { metaJson =>
-      val meta = Json.parse(metaJson)
+    readJsonResilient(s"$dir/meta.json").foreach { meta =>
       version = meta.get("version").asInt()
       appliedSeq = meta.get("appliedSeq").asLong()
     }
-    readText(s"$dir/models.json").foreach { modelsJson =>
-      val arr = Json.parse(modelsJson)
+    readJsonResilient(s"$dir/models.json").foreach { arr =>
       val raws = arr.elements().asScala.map(Json.render).toSeq
       if (raws.nonEmpty) mem.createModels(raws)
     }

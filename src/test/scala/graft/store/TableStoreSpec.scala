@@ -158,4 +158,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(g.twins.count() == 51)
     assert(g.twins.filter(col("dt_id") === "crud1").count() == 1)
   }
+
+  test("open recovers meta/models from .tmp after a crash between delete and rename") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s1.checkpoint()
+
+    // simulate the torn writeText window: target deleted, complete .tmp
+    // beside it (writeText deletes the target then renames the tmp over it)
+    def tear(name: String): Unit = {
+      val f = new java.io.File(dir, name)
+      val tmp = new java.io.File(dir, name + ".tmp")
+      java.nio.file.Files.copy(f.toPath, tmp.toPath)
+      assert(f.delete())
+    }
+    tear("meta.json")
+    tear("models.json")
+
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    // without the resilient read, open() starts at version=0 with the
+    // journal already pruned — r1 and the model silently vanish
+    assert(Json.get(s2.getTwin("r1"), "/temperature").get.asDouble() == 20.0)
+    assert(s2.getModel("dtmi:com:adt:dtsample:room;1").displayName.contains("Room"))
+    // and the fallback heals the directory: target restored from the .tmp
+    assert(new java.io.File(dir, "meta.json").exists())
+    assert(new java.io.File(dir, "models.json").exists())
+  }
 }
