@@ -66,6 +66,15 @@ final case class ListLit(values: List[Lit]) extends Expr
   * semi-join (anti-join under NOT) against the relationship table, so it
   * never fans out rows. Must appear as a top-level WHERE conjunct. */
 final case class ExistsPattern(edge: MatchEdge) extends Expr
+/** Arithmetic over property refs / literals / nested expressions;
+  * op ∈ + - * / %. Numeric semantics: JSON-extracted operands are cast to
+  * double (agtype arithmetic in the reference promotes the same way). */
+final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+/** Generic-form CASE: ordered (condition, result) branches + optional
+  * ELSE. The simple form `CASE x WHEN v THEN ...` is desugared at parse
+  * into equality conditions, so the planner sees only this shape. */
+final case class CaseExpr(branches: List[(Expr, Expr)],
+    elseExpr: Option[Expr]) extends Expr
 sealed trait Lit extends Expr
 final case class StrLit(v: String) extends Lit
 final case class NumLit(v: Double, isInt: Boolean) extends Lit

@@ -64,7 +64,7 @@ object AdtParser {
         case '>' if peek(1) == '=' => out += Sym(">="); i += 2
         case '<' if peek(1) == '-' => out += Sym("<-"); i += 2
         case '-' if peek(1) == '>' => out += Sym("->"); i += 2
-        case '(' | ')' | '[' | ']' | '{' | '}' | ',' | '.' | '=' | '<' | '>' | '-' | ':' | '|' | '*' =>
+        case '(' | ')' | '[' | ']' | '{' | '}' | ',' | '.' | '=' | '<' | '>' | '-' | ':' | '|' | '*' | '+' | '/' | '%' =>
           out += Sym(c.toString); i += 1
         case other => throw new AdtParseException(s"unexpected character '$other' at $i")
       }

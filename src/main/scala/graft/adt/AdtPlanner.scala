@@ -28,13 +28,18 @@ final class AdtPlanner(graph: TwinGraph) {
 
   import AdtPlanner._
 
+  /** A bound path (`p = (a)-[r]->(b)` or `p = shortestPath(...)`): the rel
+    * alias carrying its columns, whether it spans a VLE, and its endpoint
+    * aliases (for the nodes()/relationships() accessors). */
+  private case class PathBinding(rel: String, isVle: Boolean,
+      src: String, dst: String)
+
   /** Resolution context: which aliases are twins vs relationships, the
     * default entity for unqualified properties, flat columns introduced
-    * by WITH/UNWIND stages, and path bindings (`p = shortestPath(...)`) —
-    * path alias → (rel alias carrying its columns, whether VLE). */
+    * by WITH/UNWIND stages, and path bindings by path alias. */
   private case class Scope(twins: Set[String], rels: Set[String],
       default: String, flat: Set[String] = Set.empty,
-      paths: Map[String, (String, Boolean)] = Map.empty)
+      paths: Map[String, PathBinding] = Map.empty)
 
   /** Parse + plan with language detection (ADT vs raw Cypher), like the
     * reference endpoint (Query.cs:44-55). */
@@ -51,7 +56,8 @@ final class AdtPlanner(graph: TwinGraph) {
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
     val pathBindings = q.matches.zipWithIndex.collect {
       case (e, i) if e.pathAlias.isDefined =>
-        e.pathAlias.get -> (e.relAlias.getOrElse(s"__rel$i"), e.vle.isDefined)
+        e.pathAlias.get -> PathBinding(e.relAlias.getOrElse(s"__rel$i"),
+          e.vle.isDefined, e.src, e.dst)
     }.toMap
     var scope = Scope(twinAliases, relAliases, defaultEntity,
       paths = pathBindings)
@@ -454,8 +460,8 @@ final class AdtPlanner(graph: TwinGraph) {
       flat = flatNames.toSet,
       // a path binding survives the horizon only while the rel alias that
       // carries its columns was retained
-      paths = scope.paths.filter { case (_, (relAlias, _)) =>
-        entityAliases.contains(relAlias) })
+      paths = scope.paths.filter { case (_, pb) =>
+        entityAliases.contains(pb.rel) })
     val filtered = w.where match {
       case Some(e) => out.filter(compile(e, newScope))
       case None => out
@@ -600,6 +606,14 @@ final class AdtPlanner(graph: TwinGraph) {
       val c = typedProp(l, vals.headOption, scope)
       c.isin(vals.map(litValue): _*)
     case f: FnCall => compileFn(f, scope)
+    case a: Arith => compileArith(a, scope)
+    case c: CaseExpr =>
+      val first :: rest = c.branches
+      val whenChain = rest.foldLeft(
+        when(compile(first._1, scope), compileOperand(first._2, scope))) {
+        case (acc, (cond, v)) => acc.when(compile(cond, scope), compileOperand(v, scope))
+      }
+      c.elseExpr.fold(whenChain)(e => whenChain.otherwise(compileOperand(e, scope)))
     case p: PropRef => propFromRef(p, scope).cast("boolean")
     case l: Lit => lit(litValue(l))
     case l: ListLit => throw new AdtPlanException(s"list literal $l only valid in UNWIND/IN")
@@ -630,6 +644,25 @@ final class AdtPlanner(graph: TwinGraph) {
     case p: PropRef => propFromRef(p, scope)
     case l: Lit => lit(litValue(l))
     case other => compile(other, scope)
+  }
+
+  /** Arithmetic promotes JSON-extracted (string) operands to double — the
+    * same dynamic promotion agtype applies in the reference. Flat columns
+    * (WITH/UNWIND outputs, e.g. a length()) already carry a numeric type
+    * and participate as-is; Spark inserts the cast where types differ. */
+  private def compileArith(a: Arith, scope: Scope): Column = {
+    def operand(e: Expr): Column = e match {
+      case p: PropRef if !isFlatRef(p, scope) => propFromRef(p, scope).cast("double")
+      case other => compileOperand(other, scope)
+    }
+    val (lc, rc) = (operand(a.l), operand(a.r))
+    a.op match {
+      case "+" => lc + rc
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" => lc / rc
+      case "%" => lc % rc
+    }
   }
 
   private def compileFn(f: FnCall, scope: Scope): Column = {
@@ -670,6 +703,49 @@ final class AdtPlanner(graph: TwinGraph) {
 
       case "IS_NULL" => propFromRef(asRef(f.args.head), scope).isNull
       case "IS_DEFINED" => propFromRef(asRef(f.args.head), scope).isNotNull
+
+      // keys(x): sorted property names of a node/relationship (or of a
+      // nested object property) — openCypher leaves the order unspecified;
+      // we pick the deterministic one, like collect().
+      case "KEYS" =>
+        val doc = f.args.head match {
+          case PropRef(None, List(a)) if scope.twins(a) || scope.rels(a) =>
+            docCol(a)
+          case p: PropRef =>
+            val (ent, path) = refOf(p, scope)
+            jsonProp(ent, path)
+          case other =>
+            throw new AdtPlanException(s"keys() needs an entity or property, got $other")
+        }
+        array_sort(json_object_keys(doc))
+
+      // properties(x): the full property document of a node/relationship
+      // (the JSON doc column, exactly as stored).
+      case "PROPERTIES" =>
+        f.args.head match {
+          case PropRef(None, List(a)) if scope.twins(a) || scope.rels(a) =>
+            docCol(a)
+          case other => throw new AdtPlanException(
+            s"properties() needs a node or relationship alias, got $other")
+        }
+
+      // nodes(p) / relationships(p): path accessors over a bound
+      // single-edge path. A shortestPath over a VLE knows only endpoints
+      // and depth (per-path enumeration is rejected by design), so the
+      // interior is unavailable — reject rather than return a wrong list.
+      case "NODES" | "RELATIONSHIPS" =>
+        val pb = f.args.head match {
+          case PropRef(None, List(p)) if scope.paths.contains(p) => scope.paths(p)
+          case other => throw new AdtPlanException(
+            s"${f.name.toLowerCase}() needs a bound path variable, got $other")
+        }
+        if (pb.isVle) throw new AdtPlanException(
+          s"${f.name.toLowerCase}() over a shortestPath/VLE path is not " +
+            "supported: interior nodes are not enumerated (use length(p) " +
+            "and the endpoint bindings)")
+        if (f.name == "NODES")
+          array(col(s"${pb.src}__dt_id"), col(s"${pb.dst}__dt_id"))
+        else array(col(s"${pb.rel}__relationship_id"))
 
       // Cypher scalar functions (RETURN/WITH expression surface)
       case "TOUPPER" => upper(compileOperand(f.args.head, scope))
@@ -772,8 +848,8 @@ final class AdtPlanner(graph: TwinGraph) {
       // length(p): hop count of a bound path — the VLE pair set's minimal
       // depth, or 1 for a single-hop path
       case List("__length") if ent.exists(scope.paths.contains) =>
-        val (relAlias, isVle) = scope.paths(ent.get)
-        return if (isVle) col(s"${relAlias}__depth").cast("long") else lit(1L)
+        val pb = scope.paths(ent.get)
+        return if (pb.isVle) col(s"${pb.rel}__depth").cast("long") else lit(1L)
       case List("__length") =>
         // length() only applies to a bound path — never fall through to a
         // (null-yielding) JSON property lookup

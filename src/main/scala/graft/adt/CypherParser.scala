@@ -306,10 +306,10 @@ object CypherParser {
     }
 
     private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
-    private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER", "TOSTRING")
+    private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER",
+      "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS")
 
-    /** fn(arg [, arg]*) where args are literals, property refs or nested
-      * scalar calls. */
+    /** fn(arg [, arg]*) where args are full value expressions. */
     private def scalarCall(): FnCall = {
       val fn = ident().toUpperCase
       expectSym("(")
@@ -317,7 +317,7 @@ object CypherParser {
       if (cur != Sym(")")) {
         var more = true
         while (more) {
-          args += scalarOperand()
+          args += valueExpr()
           if (cur == Sym(",")) pos += 1 else more = false
         }
       }
@@ -326,12 +326,72 @@ object CypherParser {
       FnCall(fn, args.toList)
     }
 
-    private def scalarOperand(): Expr = cur match {
-      case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") => scalarCall()
+    // ---- value expressions: additive < multiplicative < unary < atom ----
+
+    private def valueExpr(): Expr = addExpr()
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var more = true
+      while (more) cur match {
+        case Sym(op @ ("+" | "-")) => pos += 1; l = Arith(op, l, mulExpr())
+        case _ => more = false
+      }
+      l
+    }
+
+    private def mulExpr(): Expr = {
+      var l = unaryExpr()
+      var more = true
+      while (more) cur match {
+        case Sym(op @ ("*" | "/" | "%")) => pos += 1; l = Arith(op, l, unaryExpr())
+        case _ => more = false
+      }
+      l
+    }
+
+    private def unaryExpr(): Expr = cur match {
+      case Sym("-") => pos += 1; Arith("-", NumLit(0, isInt = true), unaryExpr())
+      case _ => atomExpr()
+    }
+
+    private def atomExpr(): Expr = cur match {
+      case Sym("(") => pos += 1; val e = valueExpr(); expectSym(")"); e
       case Str(_) | Num(_) => literal()
-      case Ident(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
-        literal()
+      case Ident(s) if s.equalsIgnoreCase("CASE") => parseCase()
+      // length(p) composes in expressions (`length(p) + 1`); the __length
+      // pseudo-property resolves against the path binding at plan time
+      case Ident(f) if f.equalsIgnoreCase("length") && nxt == Sym("(") =>
+        pos += 2
+        val p = ident()
+        expectSym(")")
+        PropRef(Some(p), List("__length"))
+      case Ident(s) if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")) &&
+        nxt != Sym("(") => literal()
+      case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") => scalarCall()
       case _ => propRef()
+    }
+
+    /** CASE [x] WHEN cond-or-value THEN e ... [ELSE e] END. The simple form
+      * (scrutinee present) desugars each WHEN value into an equality. */
+    private def parseCase(): Expr = {
+      pos += 1 // CASE
+      val scrutinee = if (isKw(cur, "WHEN")) None else Some(valueExpr())
+      val branches = collection.mutable.ListBuffer[(Expr, Expr)]()
+      while (isKw(cur, "WHEN")) {
+        pos += 1
+        val cond = scrutinee match {
+          case Some(s) => Cmp("=", s, valueExpr())
+          case None => orExpr()
+        }
+        expectKw("THEN")
+        branches += ((cond, valueExpr()))
+      }
+      if (branches.isEmpty)
+        throw new AdtParseException("CASE needs at least one WHEN branch")
+      val els = if (isKw(cur, "ELSE")) { pos += 1; Some(valueExpr()) } else None
+      expectKw("END")
+      CaseExpr(branches.toList, els)
     }
 
     private def parseReturnItems(): List[SelectItem] = {
@@ -339,17 +399,6 @@ object CypherParser {
       var more = true
       while (more) {
         cur match {
-          // length(p): the bound path's hop count (VLE depth)
-          case Ident(f) if f.equalsIgnoreCase("length") && nxt == Sym("(") =>
-            pos += 2
-            val p = ident()
-            expectSym(")")
-            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-            items += SelectProp(Some(p), List("__length"), as.orElse(Some("length")))
-          case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") =>
-            val call = scalarCall()
-            val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-            items += SelectExpr(call, as.orElse(Some(f.toLowerCase)))
           case Ident(f) if aggFns(f.toUpperCase) && nxt == Sym("(") =>
             val fn = f.toUpperCase
             pos += 2
@@ -366,11 +415,17 @@ object CypherParser {
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
             items += SelectAgg(fn, arg, as, distinct)
           case _ =>
-            val ref = propRef()
+            val e = valueExpr()
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-            items += (ref match {
+            items += (e match {
               case PropRef(None, List(a)) if as.isEmpty => SelectEntity(a)
+              // length(p): default output name "length", not the
+              // __length pseudo-property
+              case PropRef(ent, List("__length")) =>
+                SelectProp(ent, List("__length"), as.orElse(Some("length")))
               case PropRef(ent, path) => SelectProp(ent, path, as)
+              case f: FnCall => SelectExpr(f, as.orElse(Some(f.name.toLowerCase)))
+              case other => SelectExpr(other, as.orElse(Some("expr")))
             })
         }
         if (cur == Sym(",")) pos += 1 else more = false
@@ -413,10 +468,17 @@ object CypherParser {
 
     private def predicate(): Expr = {
       if (cur == Sym("(")) {
+        // grouped boolean (`(a OR b) AND c`) or a parenthesized value
+        // expression heading a comparison (`(t.x + 1) * 2 > 3`): parse the
+        // group, then continue into a comparison suffix if one follows
         pos += 1
         val e = orExpr()
         expectSym(")")
-        return e
+        return cmpSuffix(cur match {
+          case Sym("*" | "/" | "%" | "+") => arithTail(e)
+          case Sym("-") => arithTail(e)
+          case _ => e
+        })
       }
       // label(r) = 'name'
       if (isKw(cur, "label") && nxt == Sym("(")) {
@@ -485,41 +547,51 @@ object CypherParser {
           return FnCall("IS_OF_MODEL", List(PropRef(None, List(alias)), StrLit(modelId)))
         case _ =>
       }
-      val l = propRef()
-      cur match {
-        case Sym("=") => pos += 1; Cmp("=", l, operandRhs())
-        case Sym("<") if nxt == Sym(">") => pos += 2; Cmp("!=", l, operandRhs())
-        case Sym(op @ ("!=" | "<" | ">" | "<=" | ">=")) =>
-          pos += 1; Cmp(op, l, operandRhs())
-        case Ident(s) if s.equalsIgnoreCase("IN") =>
-          pos += 1
-          expectSym("[")
-          val vals = collection.mutable.ListBuffer[Lit]()
-          var more = cur != Sym("]")
-          while (more) {
-            vals += literal()
-            if (cur == Sym(",")) pos += 1 else more = false
-          }
-          expectSym("]")
-          In(l, vals.toList)
-        case Ident(s) if s.equalsIgnoreCase("STARTS") =>
-          pos += 1; expectKw("WITH"); FnCall("STARTSWITH", List(l, literal()))
-        case Ident(s) if s.equalsIgnoreCase("ENDS") =>
-          pos += 1; expectKw("WITH"); FnCall("ENDSWITH", List(l, literal()))
-        case Ident(s) if s.equalsIgnoreCase("CONTAINS") =>
-          pos += 1; FnCall("CONTAINS", List(l, literal()))
-        case Ident(s) if s.equalsIgnoreCase("IS") =>
-          pos += 1
-          if (isKw(cur, "NOT")) { pos += 1; expectKw("NULL"); FnCall("IS_DEFINED", List(l)) }
-          else { expectKw("NULL"); FnCall("IS_NULL", List(l)) }
-        case _ => l
-      }
+      cmpSuffix(valueExpr())
     }
 
-    private def operandRhs(): Expr = cur match {
-      case Str(_) | Num(_) => literal()
-      case Ident(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") => literal()
-      case _ => propRef()
+    /** Continue arithmetic after an already-parsed left operand (used when
+      * a parenthesized group turns out to head a value expression). */
+    private def arithTail(l0: Expr): Expr = {
+      var l = l0
+      var more = true
+      while (more) cur match {
+        case Sym(op @ ("*" | "/" | "%")) => pos += 1; l = Arith(op, l, unaryExpr())
+        case Sym(op @ ("+" | "-")) => pos += 1; l = Arith(op, l, mulExpr())
+        case _ => more = false
+      }
+      l
+    }
+
+    /** The comparison/predicate operators that may follow a value
+      * expression; absent any, the expression itself is the predicate. */
+    private def cmpSuffix(l: Expr): Expr = cur match {
+      case Sym("=") => pos += 1; Cmp("=", l, valueExpr())
+      case Sym("<") if nxt == Sym(">") => pos += 2; Cmp("!=", l, valueExpr())
+      case Sym(op @ ("!=" | "<" | ">" | "<=" | ">=")) =>
+        pos += 1; Cmp(op, l, valueExpr())
+      case Ident(s) if s.equalsIgnoreCase("IN") =>
+        pos += 1
+        expectSym("[")
+        val vals = collection.mutable.ListBuffer[Lit]()
+        var more = cur != Sym("]")
+        while (more) {
+          vals += literal()
+          if (cur == Sym(",")) pos += 1 else more = false
+        }
+        expectSym("]")
+        In(l, vals.toList)
+      case Ident(s) if s.equalsIgnoreCase("STARTS") =>
+        pos += 1; expectKw("WITH"); FnCall("STARTSWITH", List(l, literal()))
+      case Ident(s) if s.equalsIgnoreCase("ENDS") =>
+        pos += 1; expectKw("WITH"); FnCall("ENDSWITH", List(l, literal()))
+      case Ident(s) if s.equalsIgnoreCase("CONTAINS") =>
+        pos += 1; FnCall("CONTAINS", List(l, literal()))
+      case Ident(s) if s.equalsIgnoreCase("IS") =>
+        pos += 1
+        if (isKw(cur, "NOT")) { pos += 1; expectKw("NULL"); FnCall("IS_DEFINED", List(l)) }
+        else { expectKw("NULL"); FnCall("IS_NULL", List(l)) }
+      case _ => l
     }
 
     private def literal(): Lit = advance() match {

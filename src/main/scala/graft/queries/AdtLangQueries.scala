@@ -183,6 +183,43 @@ object AdtLangQueries {
           "RETURN t.`$dtId` AS id, toUpper(t.name) AS uname, " +
           "coalesce(t.mktsegment, 'NONE') AS seg, size(t.tags) AS n_tags " +
           "ORDER BY id")
+    }),
+
+    // Cypher arithmetic in WHERE + RETURN (precedence, parens): per-row
+    // IEEE double ops are bit-deterministic on both engines, so the raw
+    // doubles hash-match without fixed-point tricks.
+    "q_cypher_arith" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "AND t.acctbal >= 0 " +
+          "RETURN t.`$dtId` AS id, (t.acctbal * 2 + 100) / 4 AS v ORDER BY id")
+    }),
+
+    // Cypher CASE (generic form) banding a numeric property.
+    "q_cypher_case" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "RETURN t.`$dtId` AS id, CASE WHEN t.acctbal >= 5000 THEN 'high' " +
+          "WHEN t.acctbal >= 0 THEN 'mid' ELSE 'neg' END AS band ORDER BY id")
+    }),
+
+    // Cypher keys(): sorted property names of each twin doc (joined to a
+    // string for cross-engine parity; per-model constants in the oracle
+    // because to_json drops null struct fields).
+    "q_cypher_keys" -> ((s, d) => {
+      run(s, d, "MATCH (t:Twin) RETURN t.`$dtId` AS id, keys(t) AS ks ORDER BY id")
+        .select(col("id"), concat_ws(",", col("ks")).as("ks"))
+    }),
+
+    // Cypher path accessors nodes(p)/relationships(p) over a bound
+    // single-edge path.
+    "q_cypher_nodes" -> ((s, d) => {
+      run(s, d,
+        "MATCH p = (n:Twin)-[r:in_region]->(g:Twin) " +
+          "RETURN n.`$dtId` AS src, nodes(p) AS pnodes, relationships(p) AS prels " +
+          "ORDER BY src")
+        .select(col("src"), concat_ws(",", col("pnodes")).as("pnodes"),
+          concat_ws(",", col("prels")).as("prels"))
     })
   )
 
@@ -271,6 +308,27 @@ object AdtLangQueries {
         |  SELECT 'S' || s_suppkey, upper(s_name), 'NONE', CAST(NULL AS INT)
         |  FROM supplier)
         |ORDER BY id""".stripMargin,
+    "q_cypher_arith" ->
+      """SELECT 'C' || c_custkey AS id, (c_acctbal * 2 + 100) / 4 AS v
+        |FROM customer WHERE c_acctbal >= 0 ORDER BY 1""".stripMargin,
+    "q_cypher_case" ->
+      """SELECT 'C' || c_custkey AS id,
+        |  CASE WHEN c_acctbal >= 5000 THEN 'high'
+        |       WHEN c_acctbal >= 0 THEN 'mid' ELSE 'neg' END AS band
+        |FROM customer ORDER BY 1""".stripMargin,
+    "q_cypher_keys" ->
+      """SELECT id, ks FROM (
+        |  SELECT 'R' || r_regionkey AS id, '$dtId,name' AS ks FROM region
+        |  UNION ALL SELECT 'N' || n_nationkey, '$dtId,name' FROM nation
+        |  UNION ALL SELECT 'C' || c_custkey, '$dtId,acctbal,mktsegment,name,tags'
+        |    FROM customer
+        |  UNION ALL SELECT 'S' || s_suppkey, '$dtId,acctbal,name' FROM supplier)
+        |ORDER BY id""".stripMargin,
+    "q_cypher_nodes" ->
+      """SELECT 'N' || n_nationkey AS src,
+        |  'N' || n_nationkey || ',R' || n_regionkey AS pnodes,
+        |  'N' || n_nationkey || '-R' || n_regionkey AS prels
+        |FROM nation ORDER BY 1""".stripMargin,
     "q_cypher_shortest" ->
       """SELECT src, hops FROM (
         |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops

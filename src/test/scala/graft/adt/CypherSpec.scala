@@ -360,4 +360,92 @@ class CypherSpec extends AnyFunSuite {
     assert(count(
       "MATCH (s:Twin)<-[r:orbits]-(t:Twin) WHERE s.`$dtId` = 'sun' RETURN t") == 2)
   }
+
+  test("arithmetic in RETURN and WHERE: precedence, parens, unary minus") {
+    // kepler Capacity=5: 5*2+1 = 11 > 10; (5+1)*2 = 12
+    val df = planner.run(
+      "MATCH (t:Twin) WHERE t.Capacity * 2 + 1 > 10 " +
+        "RETURN t.`$dtId` AS id, (t.Capacity + 1) * 2 AS v, -t.Capacity AS neg")
+    val r = df.collect()
+    assert(r.length == 1 && r(0).getString(0) == "kepler")
+    assert(r(0).getDouble(1) == 12.0 && r(0).getDouble(2) == -5.0)
+    val m = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'kepler'}) " +
+        "RETURN t.Capacity % 2 AS m, t.Capacity / 2 AS d").collect()(0)
+    assert(m.getDouble(0) == 1.0 && m.getDouble(1) == 2.5)
+    // parenthesized value expression heading a WHERE comparison
+    assert(count("MATCH (t:Twin) WHERE (t.Capacity + 1) * 2 = 12 RETURN t") == 1)
+    // arithmetic between two properties
+    assert(count(
+      "MATCH (a:Twin), (b:Twin) WHERE a.mass - b.mass > 1e29 RETURN a") == 3)
+  }
+
+  test("CASE expressions: generic and simple forms, CASE in WHERE") {
+    val df = planner.run(
+      "MATCH (t:Twin) RETURN t.`$dtId` AS id, " +
+        "CASE WHEN t.mass > 1e26 THEN 'star' WHEN t.mass > 1e24 THEN 'planet' " +
+        "ELSE 'rock' END AS kind ORDER BY id")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("earth", "planet"), ("kepler", "planet"), ("moon1", "rock"), ("sun", "star")))
+    // simple form desugars to equality on the scrutinee
+    val s = planner.run(
+      "MATCH (t:Twin) RETURN t.`$dtId` AS id, " +
+        "CASE t.name WHEN 'Sun' THEN 1 WHEN 'Moon' THEN 2 ELSE 0 END AS n ORDER BY id")
+    assert(s.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("earth", 0.0), ("kepler", 0.0), ("moon1", 2.0), ("sun", 1.0)))
+    // no ELSE → null; CASE result feeds arithmetic
+    val n = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'sun'}) " +
+        "RETURN CASE WHEN t.mass > 1e26 THEN 10 END + 5 AS v").collect()(0)
+    assert(n.getDouble(0) == 15.0)
+    assert(count(
+      "MATCH (t:Twin) WHERE CASE WHEN t.hasLife = true THEN true ELSE false END " +
+        "RETURN t") == 1)
+  }
+
+  test("keys() and properties() accessors") {
+    val k = planner.run("MATCH (t:Twin {`$dtId`: 'earth'}) RETURN keys(t) AS ks")
+      .collect()(0).getSeq[String](0).toList
+    assert(k == List("$dtId", "dims", "hasLife", "mass", "name", "tags"))
+    // keys() of a nested object property
+    val kd = planner.run("MATCH (t:Twin {`$dtId`: 'earth'}) RETURN keys(t.dims) AS ks")
+      .collect()(0).getSeq[String](0).toList
+    assert(kd == List("r"))
+    // properties() of a relationship is its doc, exactly as stored
+    val p = planner.run(
+      "MATCH (a:Twin)-[r:satellites]->(b:Twin) RETURN properties(r) AS props")
+      .collect()(0).getString(0)
+    assert(p == """{"Distance":384400.0}""")
+    // size(keys(t)) composes
+    val n = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN size(keys(t)) AS n").collect()(0)
+    assert(n.getInt(0) == 6)
+  }
+
+  test("nodes() and relationships() path accessors") {
+    val df = planner.run(
+      "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN a.`$dtId` AS src, nodes(p) AS ns, relationships(p) AS rs ORDER BY src")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getSeq[String](1).toList, r.getSeq[String](2).toList)).toSeq
+    assert(rows == Seq(
+      ("earth", List("earth", "sun"), List("r2")),
+      ("kepler", List("kepler", "sun"), List("r3")),
+      ("moon1", List("moon1", "earth"), List("r1"))))
+    // interior of a shortestPath is not enumerated — clean plan error
+    intercept[AdtPlanException](planner.run(
+      "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) RETURN nodes(p) AS ns"))
+    // length(p) composes in arithmetic
+    val l = planner.run(
+      "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) WHERE b.`$dtId` = 'sun' " +
+        "RETURN a.`$dtId` AS src, length(p) * 10 AS d ORDER BY src")
+    assert(l.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("earth", 10.0), ("kepler", 10.0), ("moon1", 20.0)))
+  }
+
+  test("scalar calls compose in WHERE predicates") {
+    assert(count("MATCH (t:Twin) WHERE toLower(t.name) = 'sun' RETURN t") == 1)
+    // earth has 6 keys, kepler 4 ($dtId, name, mass, Capacity)
+    assert(count("MATCH (t:Twin) WHERE size(keys(t)) > 3 RETURN t") == 2)
+  }
 }
