@@ -250,6 +250,50 @@ object EventPipeline {
   def mqttFrame(events: Dataset[CloudEvent], topic: String): DataFrame =
     kafkaFrame(events).select(lit(topic).as("topic"), col("value").as("payload"))
 
+  /** A13: MQTT route — per-event publish of the structured envelope to the
+    * configured topic through an injected publish function (no MQTT client
+    * library in this zero-egress environment; a deployment passes e.g. a
+    * Paho client's publish, specs pass a recorder — the same treatment as
+    * [[runWebhookRoute]]). A publish that throws dead-letters ONLY that
+    * event; delivered events are never replayed
+    * (Events/Sinks/Mqtt/MqttEventSink.cs publishes per event too). */
+  def runMqttRoute(
+      events: Dataset[CloudEvent],
+      topic: String,
+      publish: (String, String) => Unit, // (topic, payload); throws on failure
+      checkpointDir: String,
+      dlqDir: Option[String] = None): StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val rows = withEnvelope(batch.toDF()).collect()
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val failed = rows.flatMap { r =>
+          val err =
+            try { publish(topic, r.getAs[String]("__envelope")); None }
+            catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+          err.map(msg => CloudEvent(
+            r.getAs[String]("id"), r.getAs[String]("source"),
+            r.getAs[String]("type"), r.getAs[String]("subject"),
+            r.getAs[String]("time"), r.getAs[String]("datacontenttype"),
+            r.getAs[String]("data"), r.getAs[String]("dataschema")) -> msg)
+        }
+        if (failed.nonEmpty) dlqDir match {
+          case Some(d) =>
+            failed.toSeq.toDF("event", "dlq_error")
+              .select(col("event.*"), col("dlq_error"))
+              .withColumn("dlq_batch", lit(batchId))
+              .write.mode("append").parquet(d)
+          case None => throw new RuntimeException(
+            s"${failed.length} MQTT publishes failed: ${failed.head._2}")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** A14 webhook sink auth modes, mirroring the reference's
     * Events/Sinks/Webhook/WebhookEventSink.cs (Basic, Bearer, ApiKey and
     * OAuth client-credentials — the OAuth token is acquired out-of-band and
@@ -261,6 +305,38 @@ object EventPipeline {
     final case class Bearer(token: String) extends WebhookAuth
     final case class ApiKey(headerName: String, key: String) extends WebhookAuth
     final case class OAuth(accessToken: String) extends WebhookAuth
+    /** OAuth client-credentials with automatic refresh: the token is
+      * re-read from the provider on every request, so expiry mid-stream
+      * re-acquires transparently (WebhookEventSink.cs token acquisition +
+      * refresh-on-expiry). */
+    final case class OAuthRefreshed(provider: OAuthTokenProvider) extends WebhookAuth
+  }
+
+  /** Client-credentials token cache: `fetch` performs the out-of-band
+    * token-endpoint POST (injectable — zero egress here; a deployment
+    * closes over its HTTP client and credentials) returning (accessToken,
+    * expiresInSeconds). Tokens are served from cache until `refreshSkewMs`
+    * before expiry, then re-fetched; a 401 from the sink calls
+    * [[invalidate]] to force re-acquisition on the retry. */
+  final class OAuthTokenProvider(
+      fetch: () => (String, Long),
+      clock: () => Long = () => System.currentTimeMillis(),
+      refreshSkewMs: Long = 60000L) {
+    private var cached: Option[(String, Long)] = None // (token, expiresAtMs)
+    private[streaming] var fetchCount = 0
+
+    def token(): String = synchronized {
+      cached match {
+        case Some((t, expiresAt)) if clock() < expiresAt - refreshSkewMs => t
+        case _ =>
+          val (t, ttlSeconds) = fetch()
+          fetchCount += 1
+          cached = Some((t, clock() + ttlSeconds * 1000))
+          t
+      }
+    }
+
+    def invalidate(): Unit = synchronized { cached = None }
   }
 
   /** Request headers for a webhook auth mode (+ the CloudEvents structured
@@ -275,6 +351,8 @@ object EventPipeline {
       case WebhookAuth.Bearer(t) => base + ("Authorization" -> s"Bearer $t")
       case WebhookAuth.ApiKey(h, k) => base + (h -> k)
       case WebhookAuth.OAuth(t) => base + ("Authorization" -> s"Bearer $t")
+      case WebhookAuth.OAuthRefreshed(p) =>
+        base + ("Authorization" -> s"Bearer ${p.token()}")
     }
   }
 
@@ -291,7 +369,9 @@ object EventPipeline {
       post: (String, Map[String, String], String) => Int,
       checkpointDir: String,
       dlqDir: Option[String] = None): StreamingQuery = {
-    val headers = webhookHeaders(auth)
+    // headers re-evaluate per request: a refreshed OAuth token must be the
+    // CURRENT one, not the one cached at stream construction
+    def headers() = webhookHeaders(auth)
     events.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -307,7 +387,16 @@ object EventPipeline {
           val body = r.getAs[String]("__envelope")
           val err =
             try {
-              val status = post(url, headers, body)
+              var status = post(url, headers(), body)
+              if (status == 401) auth match {
+                // expired-token race: invalidate the cache and retry once
+                // with a freshly acquired token (WebhookEventSink.cs
+                // refresh-on-401)
+                case WebhookAuth.OAuthRefreshed(p) =>
+                  p.invalidate()
+                  status = post(url, headers(), body)
+                case _ =>
+              }
               if (status < 200 || status >= 300) Some(s"webhook returned $status")
               else None
             } catch { case e: Exception => Some(String.valueOf(e.getMessage)) }

@@ -273,4 +273,82 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(dlq.select("dlq_error").distinct().collect()
       .map(_.getString(0)).head.contains("injected"))
   }
+
+  test("MQTT route: per-event publish to one topic, partial failure → DLQ") {
+    val dir = Files.createTempDirectory("graft-mqtt").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = EventPipeline.runMqttRoute(
+      EventPipeline.toEventNotifications(
+        EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst"),
+      "twins/events",
+      (topic, payload) => { published.add(topic -> payload); () },
+      s"$dir/cp", Some(s"$dir/dlq"))
+    q.awaitTermination(60000)
+    assert(published.size == 7, s"one publish per event, got ${published.size}")
+    assert(published.peek()._1 == "twins/events")
+    assert(graft.json.Json.parse(published.peek()._2).has("type"))
+
+    // a publish that throws dead-letters ONLY that event
+    val ok = new java.util.concurrent.atomic.AtomicInteger()
+    val q2 = EventPipeline.runMqttRoute(
+      EventPipeline.toEventNotifications(
+        EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst"),
+      "twins/events",
+      (_, payload) =>
+        if (graft.json.Json.parse(payload).get("type").asText()
+            == "Konnektr.IoT.Telemetry") throw new RuntimeException("broker gone")
+        else { ok.incrementAndGet(); () },
+      s"$dir/cp2", Some(s"$dir/dlq2"))
+    q2.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq2")
+    assert(dlq.count() == 1 && ok.get() == 6)
+    assert(dlq.select("dlq_error").collect()(0).getString(0).contains("broker gone"))
+  }
+
+  test("OAuth client-credentials: cached until expiry, refreshed after, 401 retry") {
+    import EventPipeline.{OAuthTokenProvider, WebhookAuth => WA}
+    var now = 0L
+    var issued = 0
+    val provider = new OAuthTokenProvider(
+      fetch = () => { issued += 1; (s"tok$issued", 300L) }, // 300 s TTL
+      clock = () => now,
+      refreshSkewMs = 60000L)
+    // cached within TTL
+    assert(provider.token() == "tok1")
+    now = 100000L // 100 s in — still > 60 s before expiry
+    assert(provider.token() == "tok1" && issued == 1)
+    // inside the refresh skew window → re-fetch
+    now = 250000L // 250 s in, 50 s to expiry < 60 s skew
+    assert(provider.token() == "tok2" && issued == 2)
+    // invalidate forces re-acquisition regardless of expiry
+    provider.invalidate()
+    assert(provider.token() == "tok3")
+    // headers always carry the CURRENT token
+    assert(EventPipeline.webhookHeaders(WA.OAuthRefreshed(provider))("Authorization")
+      == "Bearer tok3")
+
+    // end-to-end: first POST of each event gets 401 once (expired token on
+    // the server side), the retry with a fresh token succeeds → no DLQ
+    val dir = Files.createTempDirectory("graft-oauth").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    val rejected = new java.util.concurrent.atomic.AtomicInteger()
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = EventPipeline.runWebhookRoute(
+      EventPipeline.toEventNotifications(
+        EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst"),
+      "https://hook.example/events", WA.OAuthRefreshed(provider),
+      (_, headers, body) => {
+        // reject the token it was built with; accept any newer one
+        if (headers("Authorization") == "Bearer tok3") { rejected.incrementAndGet(); 401 }
+        else { delivered.add(headers("Authorization")); 200 }
+      },
+      s"$dir/cp", Some(s"$dir/dlq"))
+    q.awaitTermination(60000)
+    assert(rejected.get() == 1, "401 happens once; the refreshed token then sticks")
+    assert(delivered.size == 7)
+    assert(!new java.io.File(s"$dir/dlq").exists, "retry succeeded — nothing dead-lettered")
+  }
 }
