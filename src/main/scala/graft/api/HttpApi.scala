@@ -1,0 +1,279 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.adt.{AdtParseException, AdtPlanException, QueryService, QueryThrottledException, RateLimiter}
+import graft.jobs.{ImportJob, JobRecord, JobService}
+import graft.json.Json
+import graft.store.{StoreException, TwinStore}
+
+/** The HTTP binding — the reference's primary consumption path
+  * (ApiService/Extensions/DigitalTwinsEndpoints.cs:39-66,
+  * QueryEndpoints.cs:21-72, ModelsEndpoints.cs, ImportJobEndpoints.cs),
+  * re-expressed over this repo's service layer with the JDK's built-in
+  * `HttpServer` — no client/server library exists in this zero-egress
+  * build, and none is needed for route-surface parity.
+  *
+  * Route surface (Azure Digital Twins data-plane shapes, the ones the
+  * reference's AzureDigitalTwinsSdkIntegrationTests exercise):
+  *
+  *   GET/PUT/PATCH/DELETE /digitaltwins/{id}
+  *   GET                  /digitaltwins/{id}/relationships[?relationshipName=]
+  *   GET/PUT/PATCH/DELETE /digitaltwins/{id}/relationships/{rid}
+  *   GET                  /digitaltwins/{id}/incomingrelationships
+  *   POST                 /digitaltwins/{id}/telemetry
+  *   GET/PATCH            /digitaltwins/{id}/components/{name}
+  *   POST                 /query        {"query": ..., "continuationToken"?}
+  *   GET/POST             /models       GET/DELETE /models/{id}
+  *   PUT/GET              /jobs/imports/{id}    PUT/GET /jobs/deletions/{id}
+  *
+  * Semantics carried over: `If-None-Match: *` on PUT (412 when the entity
+  * exists), `If-Match` preconditions on PATCH/DELETE (412 on ETag
+  * mismatch), `ETag` response headers, the Azure error envelope
+  * `{"error":{"code":...,"message":...}}`, 429 + Retry-After when the
+  * query rate limiter rejects, and the query response page shape
+  * `{"value":[...], "continuationToken":...}`. */
+final class HttpApi(
+    store: TwinStore,
+    sparkSession: () => SparkSession,
+    limiter: Option[RateLimiter] = None,
+    jobService: JobService = new JobService()) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def port: Int = server.getAddress.getPort
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  /** QueryService memoized per store mutation seq: CRUD invalidates, and
+    * consecutive queries against an unchanged store reuse one planner
+    * (and its pinned pagination snapshots). */
+  private var cachedQs: Option[(Long, QueryService)] = None
+  private def queryService(): QueryService = synchronized {
+    val seq = store.currentSeq
+    cachedQs match {
+      case Some((s, qs)) if s == seq => qs
+      case _ =>
+        val qs = new QueryService(store.toGraph(sparkSession()), limiter)
+        cachedQs = Some((seq, qs))
+        qs
+    }
+  }
+
+  // ---------------- dispatch ----------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    // drop the api-version query param the Azure SDK appends
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    try {
+      (method, segs) match {
+        case ("GET", List("digitaltwins", id)) =>
+          val doc = store.getTwin(id)
+          respondJson(ex, 200, Json.render(doc), etagOf(doc))
+        case ("PUT", List("digitaltwins", id)) =>
+          val doc = store.createOrReplaceTwin(id, body(ex),
+            ifNoneMatchStar = hasIfNoneMatchStar(ex))
+          respondJson(ex, 200, Json.render(doc), etagOf(doc))
+        case ("PATCH", List("digitaltwins", id)) =>
+          val doc = store.patchTwin(id, body(ex), ifMatch = ifMatch(ex))
+          respond(ex, 204, "", etagOf(doc))
+        case ("DELETE", List("digitaltwins", id)) =>
+          store.deleteTwin(id, ifMatch = ifMatch(ex))
+          respond(ex, 204, "")
+
+        case ("GET", List("digitaltwins", id, "relationships")) =>
+          val name = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split("&").collectFirst {
+              case kv if kv.startsWith("relationshipName=") =>
+                java.net.URLDecoder.decode(kv.drop(17), "UTF-8")
+            })
+          page(ex, store.listRelationships(id, name).map(Json.render))
+        case ("GET", List("digitaltwins", id, "incomingrelationships")) =>
+          // the Azure incoming shape: identity fields + relationshipLink
+          page(ex, store.listIncomingRelationships(id).map { d =>
+            val src = d.get("$sourceId").asText()
+            val rid = d.get("$relationshipId").asText()
+            val o = Json.obj()
+            o.put("$relationshipId", rid)
+            o.put("$sourceId", src)
+            o.put("$relationshipName", d.get("$relationshipName").asText())
+            o.put("$relationshipLink", s"/digitaltwins/$src/relationships/$rid")
+            Json.render(o)
+          })
+        case ("GET", List("digitaltwins", id, "relationships", rid)) =>
+          val doc = store.getRelationship(id, rid)
+          respondJson(ex, 200, Json.render(doc), etagOf(doc))
+        case ("PUT", List("digitaltwins", id, "relationships", rid)) =>
+          val doc = store.createOrReplaceRelationship(id, rid, body(ex),
+            ifNoneMatchStar = hasIfNoneMatchStar(ex))
+          respondJson(ex, 200, Json.render(doc), etagOf(doc))
+        case ("PATCH", List("digitaltwins", id, "relationships", rid)) =>
+          requireEtagMatch(ex, store.getRelationship(id, rid))
+          val doc = store.patchRelationship(id, rid, body(ex))
+          respond(ex, 204, "", etagOf(doc))
+        case ("DELETE", List("digitaltwins", id, "relationships", rid)) =>
+          requireEtagMatch(ex, store.getRelationship(id, rid))
+          store.deleteRelationship(id, rid)
+          respond(ex, 204, "")
+
+        case ("POST", List("digitaltwins", id, "telemetry")) =>
+          store.publishTelemetry(id, body(ex))
+          respond(ex, 204, "")
+        case ("POST", List("digitaltwins", id, "components", comp, "telemetry")) =>
+          store.publishTelemetry(id, body(ex), componentName = Some(comp))
+          respond(ex, 204, "")
+        case ("GET", List("digitaltwins", id, "components", comp)) =>
+          respondJson(ex, 200, Json.render(store.getComponent(id, comp)))
+        case ("PATCH", List("digitaltwins", id, "components", comp)) =>
+          store.updateComponent(id, comp, body(ex))
+          respond(ex, 204, "")
+
+        case ("POST", List("query")) =>
+          val req = Json.parse(body(ex))
+          val q = Option(req.get("query")).map(_.asText())
+            .getOrElse(throw StoreException(400, "query is required"))
+          val maxPer = Option(req.get("maxItemsPerPage")).map(_.asInt()).getOrElse(2000)
+          val tok = Option(req.get("continuationToken")).filter(!_.isNull).map(_.asText())
+          val p = queryService().query(q, maxPer, tok)
+          val cont = p.continuationToken
+            .map(t => s""","continuationToken":${Json.render(Json.text(t))}""")
+            .getOrElse("")
+          respondJson(ex, 200,
+            s"""{"value":[${p.rows.mkString(",")}]$cont}""")
+
+        case ("GET", List("models")) =>
+          page(ex, store.models.models.values.toSeq.sortBy(_.id).map(modelJson))
+        case ("POST", List("models")) =>
+          val arr = Json.parse(body(ex))
+          if (!arr.isArray) throw StoreException(400, "expected a JSON array of models")
+          import scala.jdk.CollectionConverters._
+          val created = store.createModels(arr.elements().asScala.map(Json.render).toSeq)
+          respondJson(ex, 201, created.map(modelJson).mkString("[", ",", "]"))
+        case ("GET", List("models", id)) =>
+          respondJson(ex, 200, modelJson(store.getModel(id)))
+        case ("DELETE", List("models", id)) =>
+          store.deleteModel(id)
+          respond(ex, 204, "")
+
+        case ("PUT", List("jobs", "imports", id)) =>
+          val req = Json.parse(body(ex))
+          val uri = Option(req.get("inputBlobUri")).map(_.asText())
+            .getOrElse(throw StoreException(400, "inputBlobUri is required"))
+          val rec = ImportJob.withLines(sparkSession(), uri) { lines =>
+            jobService.runImport(id, store, lines)
+          }
+          respondJson(ex, 201, jobJson(rec))
+        case ("GET", List("jobs", "imports", id)) =>
+          respondJson(ex, 200, jobJson(jobService.get(id)))
+        case ("PUT", List("jobs", "deletions", id)) =>
+          respondJson(ex, 201, jobJson(jobService.runDelete(id, store)))
+        case ("GET", List("jobs", "deletions", id)) =>
+          respondJson(ex, 200, jobJson(jobService.get(id)))
+
+        case _ => error(ex, 404, "NotFound", s"no route for $method ${segs.mkString("/")}")
+      }
+    } catch {
+      case StoreException(status, msg) => error(ex, status, codeFor(status), msg)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        error(ex, 400, "BadRequest", s"invalid JSON: ${e.getMessage}")
+      case e: IllegalArgumentException => error(ex, 400, "BadRequest",
+        String.valueOf(e.getMessage))
+      case e: AdtParseException => error(ex, 400, "BadRequest", e.getMessage)
+      case e: AdtPlanException => error(ex, 400, "BadRequest", e.getMessage)
+      case e: QueryThrottledException =>
+        ex.getResponseHeaders.set("Retry-After", "1")
+        error(ex, 429, "TooManyRequests", e.getMessage)
+      case e: Exception => error(ex, 500, "InternalServerError",
+        String.valueOf(e.getMessage))
+    } finally ex.close()
+  }
+
+  // ---------------- helpers ----------------
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+  private def hasIfNoneMatchStar(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("If-None-Match")).exists(_.trim == "*")
+
+  private def ifMatch(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("If-Match")).filter(_.trim != "*")
+
+  /** 412 unless the If-Match header (when present) equals the current
+    * ETag — the API-layer precondition for entities whose store call has
+    * no ifMatch parameter. */
+  private def requireEtagMatch(ex: HttpExchange,
+      current: com.fasterxml.jackson.databind.JsonNode): Unit =
+    ifMatch(ex).foreach { expected =>
+      val actual = Option(current.get("$etag")).map(_.asText()).getOrElse("")
+      if (expected != actual)
+        throw StoreException(412, s"ETag mismatch: expected $expected, is $actual")
+    }
+
+  private def etagOf(doc: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+    Option(doc.get("$etag")).map(_.asText())
+
+  private def modelJson(m: graft.dtdl.DtdlInterface): String = {
+    val o = Json.obj()
+    o.put("id", m.id)
+    m.displayName.foreach(d => o.put("displayName", d))
+    o.put("decommissioned", false)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("model", Json.parse(m.raw))
+    Json.render(o)
+  }
+
+  private def jobJson(r: JobRecord): String = {
+    val o = Json.obj()
+    o.put("id", r.id)
+    o.put("jobType", r.jobType)
+    o.put("status", r.status)
+    o.put("createdDateTime", r.createdAt)
+    r.finishedAt.foreach(f => o.put("finishedDateTime", f))
+    r.resultJson.foreach(res =>
+      o.set[com.fasterxml.jackson.databind.JsonNode]("result", Json.parse(res)): Unit)
+    Json.render(o)
+  }
+
+  /** Single-page list envelope (the Azure `{"value":[...]}` shape). */
+  private def page(ex: HttpExchange, items: Seq[String]): Unit =
+    respondJson(ex, 200, items.mkString("{\"value\":[", ",", "]}"))
+
+  private def codeFor(status: Int): String = status match {
+    case 400 => "BadRequest"
+    case 404 => "NotFound"
+    case 409 => "Conflict"
+    case 412 => "PreconditionFailed"
+    case 429 => "TooManyRequests"
+    case _ => "Error"
+  }
+
+  private def error(ex: HttpExchange, status: Int, code: String, msg: String): Unit = {
+    val o = Json.obj()
+    val e = Json.obj()
+    e.put("code", code)
+    e.put("message", msg)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("error", e)
+    respondJson(ex, status, Json.render(o))
+  }
+
+  private def respondJson(ex: HttpExchange, status: Int, bodyText: String,
+      etag: Option[String] = None): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, status, bodyText, etag)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, bodyText: String,
+      etag: Option[String] = None): Unit = {
+    etag.foreach(t => ex.getResponseHeaders.set("ETag", t))
+    val bytes = bodyText.getBytes("UTF-8")
+    // 204 must not carry a body; -1 signals no content
+    if (status == 204 || bytes.isEmpty) ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
+  }
+}

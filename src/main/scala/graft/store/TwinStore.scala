@@ -310,6 +310,27 @@ final class TwinStore(
     rels.getOrElse((sourceId, relId),
       throw StoreException(404, s"relationship $relId not found"))
 
+  /** A5: outgoing relationships of a twin, optionally filtered by name,
+    * sorted by id for stable pagination (DigitalTwins.cs relationship
+    * listing). 404s when the twin itself is absent, like the reference. */
+  def listRelationships(sourceId: String,
+      relationshipName: Option[String] = None): Seq[JsonNode] = {
+    getTwin(sourceId)
+    rels.collect {
+      case ((s, _), doc) if s == sourceId &&
+        relationshipName.forall(_ == doc.get("$relationshipName").asText()) => doc
+    }.toSeq.sortBy(_.get("$relationshipId").asText())
+  }
+
+  /** A6: incoming relationships of a twin (the Azure shape carries only
+    * the identity fields + a link, not the full doc). */
+  def listIncomingRelationships(targetId: String): Seq[JsonNode] = {
+    getTwin(targetId)
+    rels.values.filter(d =>
+        Option(d.get("$targetId")).exists(_.asText() == targetId))
+      .toSeq.sortBy(d => (d.get("$sourceId").asText(), d.get("$relationshipId").asText()))
+  }
+
   def patchRelationship(sourceId: String, relId: String, patchJson: String)
       : JsonNode = {
     val old = getRelationship(sourceId, relId).asInstanceOf[ObjectNode]

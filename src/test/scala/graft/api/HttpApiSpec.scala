@@ -1,0 +1,279 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.adt.RateLimiter
+import graft.json.Json
+import graft.store.TwinStore
+
+/** The HTTP binding end-to-end over a real socket: Azure-SDK route
+  * shapes, preconditions, the error envelope, query paging and rate
+  * limiting (reference surface:
+  * ApiService.Test/AzureDigitalTwinsSdkIntegrationTests.cs). */
+class HttpApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(base: String, path: String): HttpRequest.Builder =
+    HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+
+  private def send(r: HttpRequest): HttpResponse[String] =
+    client.send(r, HttpResponse.BodyHandlers.ofString())
+
+  private val model =
+    """{"@id":"dtmi:api:Room;1","@type":"Interface","@context":"dtmi:dtdl:context;3",
+      |"displayName":"Room","contents":[
+      |{"@type":"Property","name":"temperature","schema":"double"},
+      |{"@type":"Relationship","name":"adjacent_to"}]}""".stripMargin
+
+  private def withApi[T](limiter: Option[RateLimiter] = None)(f: String => T): T = {
+    val api = new HttpApi(new TwinStore(), () => spark, limiter)
+    api.start()
+    try f(s"http://127.0.0.1:${api.port}")
+    finally api.stop()
+  }
+
+  test("twin CRUD lifecycle: PUT/GET/PATCH/DELETE, ETags, preconditions") {
+    withApi() { base =>
+      // models first (DTDL validation is live behind the API)
+      val mc = send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+      assert(mc.statusCode() == 201)
+      assert(Json.parse(mc.body()).get(0).get("id").asText() == "dtmi:api:Room;1")
+
+      // PUT a twin; response carries the stamped doc + ETag header
+      val put = send(req(base, "/digitaltwins/room1").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Room;1"},"temperature":21.5}""")).build())
+      assert(put.statusCode() == 200)
+      val etag = put.headers().firstValue("ETag").orElseThrow()
+      assert(Json.parse(put.body()).get("$etag").asText() == etag)
+
+      // If-None-Match: * on an existing twin → 412 with the Azure envelope
+      val conflict = send(req(base, "/digitaltwins/room1")
+        .header("If-None-Match", "*")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Room;1"}}""")).build())
+      assert(conflict.statusCode() == 412)
+      assert(Json.parse(conflict.body()).get("error").get("code").asText()
+        == "PreconditionFailed")
+
+      // GET returns the doc
+      val got = send(req(base, "/digitaltwins/room1").GET().build())
+      assert(got.statusCode() == 200)
+      assert(Json.parse(got.body()).get("temperature").asDouble() == 21.5)
+
+      // PATCH with a stale ETag → 412; with the current one → 204 + new ETag
+      val stale = send(req(base, "/digitaltwins/room1")
+        .header("If-Match", "W/\"nope\"")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(
+          """[{"op":"replace","path":"/temperature","value":25.0}]""")).build())
+      assert(stale.statusCode() == 412)
+      val patch = send(req(base, "/digitaltwins/room1")
+        .header("If-Match", etag)
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(
+          """[{"op":"replace","path":"/temperature","value":25.0}]""")).build())
+      assert(patch.statusCode() == 204)
+      val etag2 = patch.headers().firstValue("ETag").orElseThrow()
+      assert(etag2 != etag)
+      assert(Json.parse(send(req(base, "/digitaltwins/room1").GET().build()).body())
+        .get("temperature").asDouble() == 25.0)
+
+      // invalid patch → 400 BadRequest envelope
+      val bad = send(req(base, "/digitaltwins/room1")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString("not json")).build())
+      assert(bad.statusCode() == 400)
+
+      // DELETE then GET → 404 DigitalTwinNotFound-style envelope
+      assert(send(req(base, "/digitaltwins/room1").DELETE().build()).statusCode() == 204)
+      val gone = send(req(base, "/digitaltwins/room1").GET().build())
+      assert(gone.statusCode() == 404)
+      assert(Json.parse(gone.body()).get("error").get("code").asText() == "NotFound")
+    }
+  }
+
+  test("relationships: PUT/GET/list/incoming/PATCH/DELETE") {
+    withApi() { base =>
+      send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+      for (id <- Seq("a", "b", "c"))
+        assert(send(req(base, s"/digitaltwins/$id").PUT(
+          HttpRequest.BodyPublishers.ofString(
+            """{"$metadata":{"$model":"dtmi:api:Room;1"}}""")).build()).statusCode() == 200)
+
+      val put = send(req(base, "/digitaltwins/a/relationships/r1").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$relationshipName":"adjacent_to","$targetId":"b"}""")).build())
+      assert(put.statusCode() == 200)
+      send(req(base, "/digitaltwins/a/relationships/r2").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$relationshipName":"adjacent_to","$targetId":"c"}""")).build())
+
+      // outgoing list + name filter
+      val list = Json.parse(send(
+        req(base, "/digitaltwins/a/relationships").GET().build()).body())
+      assert(list.get("value").size() == 2)
+      val filtered = Json.parse(send(req(base,
+        "/digitaltwins/a/relationships?relationshipName=adjacent_to")
+        .GET().build()).body())
+      assert(filtered.get("value").size() == 2)
+      val none = Json.parse(send(req(base,
+        "/digitaltwins/a/relationships?relationshipName=nope").GET().build()).body())
+      assert(none.get("value").size() == 0)
+
+      // incoming: identity fields + relationshipLink, not the full doc
+      val in = Json.parse(send(
+        req(base, "/digitaltwins/b/incomingrelationships").GET().build()).body())
+      assert(in.get("value").size() == 1)
+      val inc = in.get("value").get(0)
+      assert(inc.get("$sourceId").asText() == "a")
+      assert(inc.get("$relationshipLink").asText() == "/digitaltwins/a/relationships/r1")
+
+      // PATCH precondition + apply
+      val cur = Json.parse(send(
+        req(base, "/digitaltwins/a/relationships/r1").GET().build()).body())
+      val stale = send(req(base, "/digitaltwins/a/relationships/r1")
+        .header("If-Match", "W/\"stale\"")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(
+          """[{"op":"add","path":"/weight","value":2}]""")).build())
+      assert(stale.statusCode() == 412)
+      val patch = send(req(base, "/digitaltwins/a/relationships/r1")
+        .header("If-Match", cur.get("$etag").asText())
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(
+          """[{"op":"add","path":"/weight","value":2}]""")).build())
+      assert(patch.statusCode() == 204)
+
+      assert(send(req(base, "/digitaltwins/a/relationships/r2").DELETE().build())
+        .statusCode() == 204)
+      assert(Json.parse(send(req(base, "/digitaltwins/a/relationships").GET().build())
+        .body()).get("value").size() == 1)
+
+      // relationship to a missing target → 404 envelope
+      val badTarget = send(req(base, "/digitaltwins/a/relationships/r9").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$relationshipName":"adjacent_to","$targetId":"zzz"}""")).build())
+      assert(badTarget.statusCode() == 404)
+    }
+  }
+
+  test("query endpoint: page shape, continuation token, 400 on bad query, 429") {
+    withApi() { base =>
+      send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+      for (i <- 1 to 5)
+        send(req(base, s"/digitaltwins/q$i").PUT(
+          HttpRequest.BodyPublishers.ofString(
+            s"""{"$$metadata":{"$$model":"dtmi:api:Room;1"},"temperature":$i}""")).build())
+
+      val all = send(req(base, "/query").POST(HttpRequest.BodyPublishers.ofString(
+        """{"query":"SELECT T.$dtId AS id FROM DIGITALTWINS T"}""")).build())
+      assert(all.statusCode() == 200)
+      val page1 = Json.parse(all.body())
+      assert(page1.get("value").size() == 5)
+      assert(page1.get("continuationToken") == null)
+
+      // paging: 2 per page → token chains through all 5
+      var tok: String = null
+      var seen = List.empty[String]
+      var pages = 0
+      do {
+        val bodyJson =
+          if (tok == null) """{"query":"SELECT T.$dtId AS id FROM DIGITALTWINS T","maxItemsPerPage":2}"""
+          else s"""{"query":"SELECT T.$$dtId AS id FROM DIGITALTWINS T","maxItemsPerPage":2,"continuationToken":${Json.render(Json.text(tok))}}"""
+        val r = Json.parse(send(req(base, "/query").POST(
+          HttpRequest.BodyPublishers.ofString(bodyJson)).build()).body())
+        val vs = r.get("value")
+        (0 until vs.size()).foreach(i => seen :+= vs.get(i).get("id").asText())
+        tok = Option(r.get("continuationToken")).map(_.asText()).orNull
+        pages += 1
+      } while (tok != null)
+      assert(pages == 3 && seen.sorted == List("q1", "q2", "q3", "q4", "q5"))
+
+      // malformed query → 400 envelope, not a 500
+      val bad = send(req(base, "/query").POST(HttpRequest.BodyPublishers.ofString(
+        """{"query":"SELECT FROM WHERE"}""")).build())
+      assert(bad.statusCode() == 400)
+
+      // write verbs through the read-only endpoint → 400
+      val ro = send(req(base, "/query").POST(HttpRequest.BodyPublishers.ofString(
+        """{"query":"SELECT T FROM DIGITALTWINS T WHERE DELETE "}""")).build())
+      assert(ro.statusCode() == 400)
+    }
+
+    // a zero-budget limiter rejects with 429 + Retry-After
+    withApi(Some(new RateLimiter(budgetPerWindow = 1, windowMillis = 3600000))) { base =>
+      send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+      send(req(base, "/digitaltwins/t1").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Room;1"}}""")).build())
+      val r = send(req(base, "/query").POST(HttpRequest.BodyPublishers.ofString(
+        """{"query":"SELECT T FROM DIGITALTWINS T"}""")).build())
+      assert(r.statusCode() == 429)
+      assert(r.headers().firstValue("Retry-After").isPresent)
+      assert(Json.parse(r.body()).get("error").get("code").asText() == "TooManyRequests")
+    }
+  }
+
+  test("models, components, telemetry and jobs routes") {
+    withApi() { base =>
+      // models list/get/delete
+      send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+      val list = Json.parse(send(req(base, "/models").GET().build()).body())
+      assert(list.get("value").size() == 1)
+      val one = Json.parse(send(req(base, "/models/dtmi:api:Room;1").GET().build()).body())
+      assert(one.get("displayName").asText() == "Room")
+      assert(one.get("model").get("@id").asText() == "dtmi:api:Room;1")
+
+      // telemetry POST → 204 and a Telemetry mutation in the log
+      send(req(base, "/digitaltwins/t1").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Room;1"}}""")).build())
+      val tel = send(req(base, "/digitaltwins/t1/telemetry").POST(
+        HttpRequest.BodyPublishers.ofString("""{"temperature":22.0}""")).build())
+      assert(tel.statusCode() == 204)
+
+      // import job over a file: URI, then job status via GET
+      val nd = Files.createTempFile("graft-api-import", ".ndjson")
+      Files.writeString(nd,
+        """{"Section": "Header"}
+          |{"fileVersion": "1.0.0", "author": "api", "organization": "graft"}
+          |{"Section": "Models"}
+          |{"@id":"dtmi:api:Floor;1","@type":"Interface","@context":"dtmi:dtdl:context;3","contents":[]}
+          |{"Section": "Twins"}
+          |{"$dtId":"f1","$metadata":{"$model":"dtmi:api:Floor;1"}}
+          |{"$dtId":"f2","$metadata":{"$model":"dtmi:api:Floor;1"}}
+          |""".stripMargin)
+      val job = send(req(base, "/jobs/imports/job1").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          s"""{"inputBlobUri":"file://${nd.toAbsolutePath}"}""")).build())
+      assert(job.statusCode() == 201)
+      assert(Json.parse(job.body()).get("status").asText() == "Succeeded")
+      assert(send(req(base, "/digitaltwins/f1").GET().build()).statusCode() == 200)
+      val jobGet = Json.parse(send(req(base, "/jobs/imports/job1").GET().build()).body())
+      assert(jobGet.get("jobType").asText() == "import")
+
+      // deletion job wipes everything (rels → twins → models)
+      val del = send(req(base, "/jobs/deletions/wipe1").PUT(
+        HttpRequest.BodyPublishers.ofString("{}")).build())
+      assert(del.statusCode() == 201)
+      assert(send(req(base, "/digitaltwins/f1").GET().build()).statusCode() == 404)
+      assert(Json.parse(send(req(base, "/models").GET().build()).body())
+        .get("value").size() == 0)
+
+      // unknown route → 404 envelope
+      assert(send(req(base, "/nope").GET().build()).statusCode() == 404)
+    }
+  }
+}
