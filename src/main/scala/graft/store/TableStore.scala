@@ -43,17 +43,27 @@ import scala.jdk.CollectionConverters._
   * touching driver state (the WAL-bypassing bulk-load path).
   */
 final class TableTwinStore private (
-    val spark: SparkSession, val dir: String, clock: () => String) {
+    val spark: SparkSession, val dir: String, clock: () => String,
+    queryOnly: Boolean = false) {
 
   private val mem = new TwinStore(clock)
   private var version = 0
   private var appliedSeq = 0L
   private var journaledCount = 0 // prefix of mem.mutations already on disk
 
+  /** Query-only opens skip the O(corpus) driver restore, so interactive
+    * point reads/writes have no working set to serve them — [[graph]] is
+    * the read surface. A full [[TableTwinStore.open]] lifts the limit. */
+  private def requireFullOpen(op: String): Unit =
+    if (queryOnly) throw StoreException(400,
+      s"$op requires a full open: this store was opened query-only " +
+        "(graph-path reads only); reopen with TableTwinStore.open")
+
   // ---------------- delegated CRUD (journaled write-through) ----------------
 
   private var deferFlush = false
   private def journaled[T](f: => T): T = {
+    requireFullOpen("CRUD")
     val r = f
     if (!deferFlush) flushJournal()
     r
@@ -64,10 +74,14 @@ final class TableTwinStore private (
     * group. Ops applied before an exception are still flushed on the way
     * out, so nothing applied is ever lost. */
   def batch[T](f: => T): T = {
+    requireFullOpen("batch")
     deferFlush = true
     try f finally { deferFlush = false; flushJournal() }
   }
-  private def modelOp[T](f: => T): T = { val r = f; saveModels(); r }
+  private def modelOp[T](f: => T): T = {
+    requireFullOpen("model write")
+    val r = f; saveModels(); r
+  }
 
   def models: ModelRegistry = mem.models
   def twinIds: Seq[String] = mem.twinIds
@@ -81,7 +95,10 @@ final class TableTwinStore private (
   def createOrReplaceTwin(dtId: String, docJson: String,
       ifNoneMatchStar: Boolean = false, lastUpdatedBy: Option[String] = None): JsonNode =
     journaled(mem.createOrReplaceTwin(dtId, docJson, ifNoneMatchStar, lastUpdatedBy))
-  def getTwin(dtId: String): JsonNode = mem.getTwin(dtId)
+  def getTwin(dtId: String): JsonNode = {
+    requireFullOpen("point read")
+    mem.getTwin(dtId)
+  }
   def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
       lastUpdatedBy: Option[String] = None): JsonNode =
     journaled(mem.patchTwin(dtId, patchJson, ifMatch, lastUpdatedBy))
@@ -90,16 +107,20 @@ final class TableTwinStore private (
   def createOrReplaceTwins(docs: Seq[String]): Seq[Either[String, JsonNode]] =
     journaled(mem.createOrReplaceTwins(docs))
 
-  def getComponent(dtId: String, componentName: String): JsonNode =
+  def getComponent(dtId: String, componentName: String): JsonNode = {
+    requireFullOpen("point read")
     mem.getComponent(dtId, componentName)
+  }
   def updateComponent(dtId: String, componentName: String, patchJson: String): JsonNode =
     journaled(mem.updateComponent(dtId, componentName, patchJson))
 
   def createOrReplaceRelationship(sourceId: String, relId: String, docJson: String,
       ifNoneMatchStar: Boolean = false): JsonNode =
     journaled(mem.createOrReplaceRelationship(sourceId, relId, docJson, ifNoneMatchStar))
-  def getRelationship(sourceId: String, relId: String): JsonNode =
+  def getRelationship(sourceId: String, relId: String): JsonNode = {
+    requireFullOpen("point read")
     mem.getRelationship(sourceId, relId)
+  }
   def patchRelationship(sourceId: String, relId: String, patchJson: String): JsonNode =
     journaled(mem.patchRelationship(sourceId, relId, patchJson))
   def deleteRelationship(sourceId: String, relId: String): Unit =
@@ -272,7 +293,9 @@ final class TableTwinStore private (
     * replication slot does. */
   def checkpoint(): Unit = {
     flushJournal()
-    val curSeq = mem.currentSeq
+    // max() keeps appliedSeq monotone on a query-only open, where the
+    // in-memory seq counter never advanced past 0
+    val curSeq = math.max(mem.currentSeq, appliedSeq)
     val mutPath = new Path(mutationsPath)
     val journalFiles: Seq[Path] =
       if (fs.exists(mutPath)) fs.listStatus(mutPath).toSeq.map(_.getPath)
@@ -325,6 +348,10 @@ final class TableTwinStore private (
       val raws = arr.elements().asScala.map(Json.render).toSeq
       if (raws.nonEmpty) mem.createModels(raws)
     }
+    // Query-only open: [[graph]] folds the snapshot + on-disk journal tail
+    // as DataFrames — no working set to restore, no journal replay. Reopen
+    // cost is O(meta + models), not O(corpus) through the driver.
+    if (queryOnly) return
     // snapshot into the driver-resident CRUD working set
     if (version > 0) {
       val g = GraphStore.read(spark, snapshotPath(version))
@@ -375,6 +402,22 @@ object TableTwinStore {
   def open(spark: SparkSession, dir: String,
       clock: () => String = () => java.time.Instant.now().toString): TableTwinStore = {
     val st = new TableTwinStore(spark, dir, clock)
+    st.load()
+    st
+  }
+
+  /** Open for graph-path analytics (and the set-wise bulk ops) only:
+    * restores meta + models — O(small files) — and skips the O(corpus)
+    * driver-resident working-set restore and journal replay. Interactive
+    * CRUD and point reads throw a clear 400 directing to [[open]];
+    * [[TableTwinStore.graph]], [[TableTwinStore.checkpoint]] (journal
+    * compaction) and [[TableTwinStore.importGraph]] (bulk ingest) remain
+    * available because they never touch driver state. This keeps restart
+    * cost of a read-mostly deployment proportional to the journal tail,
+    * not the corpus. */
+  def openQueryOnly(spark: SparkSession, dir: String,
+      clock: () => String = () => java.time.Instant.now().toString): TableTwinStore = {
+    val st = new TableTwinStore(spark, dir, clock, queryOnly = true)
     st.load()
     st
   }

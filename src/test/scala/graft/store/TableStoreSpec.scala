@@ -159,6 +159,37 @@ class TableStoreSpec extends AnyFunSuite {
     assert(g.twins.filter(col("dt_id") === "crud1").count() == 1)
   }
 
+  test("query-only open: graph reads work, CRUD/point reads guarded, checkpoint compacts") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwins((1 to 5).map(i => roomDoc(s"r$i", 20.0 + i)))
+    s1.checkpoint()
+    s1.createOrReplaceTwin("r6", roomDoc("r6", 30.0)) // journal tail
+    s1.deleteTwin("r1")
+
+    val q = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+    // graph folds snapshot + journal tail without any driver restore
+    assert(q.graph.twins.count() == 5) // r2..r6
+    assert(q.graph.twins.filter(col("dt_id") === "r6").count() == 1)
+    assert(q.getModel("dtmi:com:adt:dtsample:room;1").displayName.contains("Room"))
+    // interactive surface is guarded with a clear error
+    assert(intercept[StoreException](q.getTwin("r2")).msg.contains("query-only"))
+    assert(intercept[StoreException](
+      q.createOrReplaceTwin("x", roomDoc("x", 1.0))).msg.contains("query-only"))
+    assert(intercept[StoreException](q.batch {}).msg.contains("query-only"))
+    // journal compaction works from a query-only open (set-wise, no
+    // driver state) and a later full open sees everything
+    q.checkpoint()
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    assert(Json.get(s2.getTwin("r6"), "/temperature").get.asDouble() == 30.0)
+    intercept[StoreException](s2.getTwin("r1"))
+    // and CRUD continues cleanly after the compaction
+    s2.createOrReplaceTwin("r7", roomDoc("r7", 31.0))
+    assert(TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+      .graph.twins.count() == 6)
+  }
+
   test("open recovers meta/models from .tmp after a crash between delete and rename") {
     val dir = tempDir()
     val s1 = TableTwinStore.open(spark, dir, fixedClock())
