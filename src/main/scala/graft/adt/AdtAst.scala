@@ -45,7 +45,11 @@ case object FromUnit extends FromSource
   * unmatched sources keep a row with null rel/target columns). */
 final case class MatchEdge(src: String, relAlias: Option[String],
     relNames: List[String], dst: String, vle: Option[(Int, Int)] = None,
-    optional: Boolean = false, pathAlias: Option[String] = None)
+    optional: Boolean = false, pathAlias: Option[String] = None,
+    // false when the source pattern used a reverse arrow (`<-[r]-`): src/dst
+    // are normalized to edge direction, so path-order accessors (nodes(p))
+    // must flip them back
+    pathForward: Boolean = true)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

@@ -30,7 +30,8 @@ final class AdtPlanner(graph: TwinGraph) {
 
   /** A bound path (`p = (a)-[r]->(b)` or `p = shortestPath(...)`): the rel
     * alias carrying its columns, whether it spans a VLE, and its endpoint
-    * aliases (for the nodes()/relationships() accessors). */
+    * aliases in PATH order — for a reverse-arrow pattern the lexical start
+    * is the edge's dst, and nodes(p) must honor the written order. */
   private case class PathBinding(rel: String, isVle: Boolean,
       src: String, dst: String)
 
@@ -56,8 +57,9 @@ final class AdtPlanner(graph: TwinGraph) {
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
     val pathBindings = q.matches.zipWithIndex.collect {
       case (e, i) if e.pathAlias.isDefined =>
+        val (pSrc, pDst) = if (e.pathForward) (e.src, e.dst) else (e.dst, e.src)
         e.pathAlias.get -> PathBinding(e.relAlias.getOrElse(s"__rel$i"),
-          e.vle.isDefined, e.src, e.dst)
+          e.vle.isDefined, pSrc, pDst)
     }.toMap
     var scope = Scope(twinAliases, relAliases, defaultEntity,
       paths = pathBindings)

@@ -226,7 +226,8 @@ object CypherParser {
               val (relAlias, relNames, vle) = parseRelBody()
               expectSym("-")
               val right = parseNode()
-              edges += MatchEdge(right, relAlias, relNames, left, vle, optional)
+              edges += MatchEdge(right, relAlias, relNames, left, vle, optional,
+                pathForward = false)
               left = right; hadEdge = true
             case _ => chaining = false
           }
@@ -396,6 +397,16 @@ object CypherParser {
 
     private def parseReturnItems(): List[SelectItem] = {
       val items = collection.mutable.ListBuffer[SelectItem]()
+      // default names must be unique per item list, or two unaliased
+      // expressions collide on "expr" (duplicate output columns,
+      // ambiguous ORDER BY)
+      val defaultsUsed = collection.mutable.Set[String]()
+      def freshDefault(base: String): String = {
+        val name = if (!defaultsUsed(base)) base
+        else Iterator.from(1).map(i => s"$base$i").find(!defaultsUsed(_)).get
+        defaultsUsed += name
+        name
+      }
       var more = true
       while (more) {
         cur match {
@@ -424,8 +435,9 @@ object CypherParser {
               case PropRef(ent, List("__length")) =>
                 SelectProp(ent, List("__length"), as.orElse(Some("length")))
               case PropRef(ent, path) => SelectProp(ent, path, as)
-              case f: FnCall => SelectExpr(f, as.orElse(Some(f.name.toLowerCase)))
-              case other => SelectExpr(other, as.orElse(Some("expr")))
+              case f: FnCall =>
+                SelectExpr(f, as.orElse(Some(freshDefault(f.name.toLowerCase))))
+              case other => SelectExpr(other, as.orElse(Some(freshDefault("expr"))))
             })
         }
         if (cur == Sym(",")) pos += 1 else more = false

@@ -81,6 +81,17 @@ final class QueryService(graph: TwinGraph,
       graft.core.Blocks.free(pendingFree.dequeue()._1)
   }
 
+  /** Free every pinned snapshot and queued deferred free — for a service
+    * being retired (e.g. its graph went stale). Callers must ensure no
+    * request is still in flight against this instance, or defer the call
+    * by the same grace the LRU eviction gets. */
+  def freeAllSnapshots(): Unit = synchronized {
+    snapshots.values().forEach(graft.core.Blocks.free(_))
+    snapshots.clear()
+    pendingFree.foreach { case (df, _) => graft.core.Blocks.free(df) }
+    pendingFree.clear()
+  }
+
   /** Get-or-build the pinned sorted snapshot for a pagination id; a miss
     * (evicted pin or restarted service) rebuilds from the query text — the
     * continuation stays valid, merely losing snapshot isolation from that

@@ -47,17 +47,27 @@ final class HttpApi(
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 
-  /** QueryService memoized per store mutation seq: CRUD invalidates, and
-    * consecutive queries against an unchanged store reuse one planner
-    * (and its pinned pagination snapshots). */
-  private var cachedQs: Option[(Long, QueryService)] = None
+  /** QueryService memoized per store state: twin/relationship mutations
+    * bump `currentSeq`, model create/delete changes the registry (which
+    * never advances seq), so the key is both. Retired services keep their
+    * pinned pagination snapshots for a grace period (an in-flight request
+    * may still be collecting against them), then free the blocks. */
+  private var cachedQs: Option[((Long, graft.dtdl.ModelRegistry), QueryService)] = None
+  private val retiredQs =
+    scala.collection.mutable.Queue.empty[(QueryService, Long)]
+  private val retireGraceMs = 120000L
+
   private def queryService(): QueryService = synchronized {
-    val seq = store.currentSeq
+    val key = (store.currentSeq, store.models)
+    val cutoff = System.nanoTime() - retireGraceMs * 1000000L
+    while (retiredQs.nonEmpty && retiredQs.head._2 <= cutoff)
+      retiredQs.dequeue()._1.freeAllSnapshots()
     cachedQs match {
-      case Some((s, qs)) if s == seq => qs
+      case Some((k, qs)) if k == key => qs
       case _ =>
+        cachedQs.foreach { case (_, old) => retiredQs.enqueue((old, System.nanoTime())) }
         val qs = new QueryService(store.toGraph(sparkSession()), limiter)
-        cachedQs = Some((seq, qs))
+        cachedQs = Some((key, qs))
         qs
     }
   }
@@ -85,7 +95,9 @@ final class HttpApi(
           respond(ex, 204, "")
 
         case ("GET", List("digitaltwins", id, "relationships")) =>
-          val name = Option(ex.getRequestURI.getQuery)
+          // raw query, decoded exactly once (getQuery pre-decodes, which
+          // would corrupt names containing '+' or '%')
+          val name = Option(ex.getRequestURI.getRawQuery)
             .flatMap(_.split("&").collectFirst {
               case kv if kv.startsWith("relationshipName=") =>
                 java.net.URLDecoder.decode(kv.drop(17), "UTF-8")

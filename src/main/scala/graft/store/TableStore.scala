@@ -183,6 +183,13 @@ final class TableTwinStore private (
       val recovered = attempt(path + ".tmp")
       if (recovered.isDefined && !fs.exists(new Path(path)))
         fs.rename(new Path(path + ".tmp"), new Path(path))
+      // A PRESENT but unparseable target with no valid .tmp is corruption,
+      // not a fresh store: opening as version=0 over a pruned journal and
+      // then checkpointing would silently commit total data loss. Fail.
+      if (recovered.isEmpty && fs.exists(new Path(path)))
+        throw new java.io.IOException(
+          s"$path exists but is unparseable and no valid ${path}.tmp sibling " +
+            "was found — refusing to open as an empty store")
       recovered
     }
   }
@@ -293,9 +300,14 @@ final class TableTwinStore private (
     * replication slot does. */
   def checkpoint(): Unit = {
     flushJournal()
-    // max() keeps appliedSeq monotone on a query-only open, where the
-    // in-memory seq counter never advanced past 0
-    val curSeq = math.max(mem.currentSeq, appliedSeq)
+    // The fold horizon must advance past EVERY journal row being folded —
+    // on a query-only open the in-memory counter never advanced, and an
+    // appliedSeq that lags the folded tail would let the next full open
+    // restart seq numbering inside the folded range, re-issuing seqs that
+    // downstream CloudEvent ids were already minted from.
+    val tailMaxSeq = Option(mutationsDf.agg(max(col("seq"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val curSeq = Seq(mem.currentSeq, appliedSeq, tailMaxSeq).max
     val mutPath = new Path(mutationsPath)
     val journalFiles: Seq[Path] =
       if (fs.exists(mutPath)) fs.listStatus(mutPath).toSeq.map(_.getPath)

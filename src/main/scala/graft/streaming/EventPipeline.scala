@@ -262,7 +262,24 @@ object EventPipeline {
       topic: String,
       publish: (String, String) => Unit, // (topic, payload); throws on failure
       checkpointDir: String,
-      dlqDir: Option[String] = None): StreamingQuery = {
+      dlqDir: Option[String] = None): StreamingQuery =
+    runPerEventRoute(events, checkpointDir, dlqDir, "MQTT publishes") { envelope =>
+      try { publish(topic, envelope); None }
+      catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+    }
+
+  /** Shared per-event delivery scaffold for the injected-client sinks
+    * (webhook, MQTT): collect each micro-batch with its structured
+    * envelope — event batches are small (≤100, SharedEventConsumer.cs:31)
+    * and dispatch is driver-side single-consumer, like the reference —
+    * attempt each event through `deliver` (None = delivered,
+    * Some(error) = failed), and dead-letter ONLY the failures:
+    * already-delivered events are never replayed. */
+  private def runPerEventRoute(
+      events: Dataset[CloudEvent],
+      checkpointDir: String,
+      dlqDir: Option[String],
+      what: String)(deliver: String => Option[String]): StreamingQuery = {
     events.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -271,10 +288,7 @@ object EventPipeline {
         val spark = batch.sparkSession
         import spark.implicits._
         val failed = rows.flatMap { r =>
-          val err =
-            try { publish(topic, r.getAs[String]("__envelope")); None }
-            catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
-          err.map(msg => CloudEvent(
+          deliver(r.getAs[String]("__envelope")).map(msg => CloudEvent(
             r.getAs[String]("id"), r.getAs[String]("source"),
             r.getAs[String]("type"), r.getAs[String]("subject"),
             r.getAs[String]("time"), r.getAs[String]("datacontenttype"),
@@ -287,7 +301,7 @@ object EventPipeline {
               .withColumn("dlq_batch", lit(batchId))
               .write.mode("append").parquet(d)
           case None => throw new RuntimeException(
-            s"${failed.length} MQTT publishes failed: ${failed.head._2}")
+            s"${failed.length} $what failed: ${failed.head._2}")
         }
         ()
       }
@@ -372,52 +386,21 @@ object EventPipeline {
     // headers re-evaluate per request: a refreshed OAuth token must be the
     // CURRENT one, not the one cached at stream construction
     def headers() = webhookHeaders(auth)
-    events.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
-        // event batches are small (≤100, SharedEventConsumer.cs:31) and
-        // dispatch is driver-side single-consumer, like the reference.
-        // Delivery is per-event, so the DLQ records ONLY the events that
-        // actually failed — already-delivered events are never replayed.
-        val rows = withEnvelope(batch.toDF()).collect()
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val failed = rows.flatMap { r =>
-          val body = r.getAs[String]("__envelope")
-          val err =
-            try {
-              var status = post(url, headers(), body)
-              if (status == 401) auth match {
-                // expired-token race: invalidate the cache and retry once
-                // with a freshly acquired token (WebhookEventSink.cs
-                // refresh-on-401)
-                case WebhookAuth.OAuthRefreshed(p) =>
-                  p.invalidate()
-                  status = post(url, headers(), body)
-                case _ =>
-              }
-              if (status < 200 || status >= 300) Some(s"webhook returned $status")
-              else None
-            } catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
-          err.map(msg => CloudEvent(
-            r.getAs[String]("id"), r.getAs[String]("source"),
-            r.getAs[String]("type"), r.getAs[String]("subject"),
-            r.getAs[String]("time"), r.getAs[String]("datacontenttype"),
-            r.getAs[String]("data"), r.getAs[String]("dataschema")) -> msg)
+    runPerEventRoute(events, checkpointDir, dlqDir, "webhook deliveries") { body =>
+      try {
+        var status = post(url, headers(), body)
+        if (status == 401) auth match {
+          // expired-token race: invalidate the cache and retry once with a
+          // freshly acquired token (WebhookEventSink.cs refresh-on-401)
+          case WebhookAuth.OAuthRefreshed(p) =>
+            p.invalidate()
+            status = post(url, headers(), body)
+          case _ =>
         }
-        if (failed.nonEmpty) dlqDir match {
-          case Some(d) =>
-            failed.toSeq.toDF("event", "dlq_error")
-              .select(col("event.*"), col("dlq_error"))
-              .withColumn("dlq_batch", lit(batchId))
-              .write.mode("append").parquet(d)
-          case None => throw new RuntimeException(
-            s"${failed.length} webhook deliveries failed: ${failed.head._2}")
-        }
-        ()
-      }
-      .start()
+        if (status < 200 || status >= 300) Some(s"webhook returned $status")
+        else None
+      } catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+    }
   }
 
   /** E9/E11: run one routed stream into a parquet "sink table" with

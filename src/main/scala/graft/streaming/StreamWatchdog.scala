@@ -61,15 +61,27 @@ final class StreamWatchdog(
     val silent = !dead && clock() - progressWatermark() > silenceTimeoutMs
     if (!dead && !silent) return false
     if (restartCount >= maxRestarts) { givenUp = true; return false }
-    if (silent) {
-      // a hung query may also hang stop(); the reference caps the
-      // dispose with a timeout too (AgeDigitalTwinsReplication.cs:259)
-      try query.stop() catch { case _: Exception => }
-    }
+    if (silent) stopWithTimeout(query)
     restartCount += 1
-    query = startQuery()
-    lastProgressAt = clock()
+    // a throwing factory still counts the attempt: the next probe retries
+    // (or exhausts maxRestarts), instead of the failure killing the caller
+    try { query = startQuery(); lastProgressAt = clock() }
+    catch { case _: Exception => }
     true
+  }
+
+  /** stop() a possibly-hung query without letting it hang US: a query
+    * stuck in its source can block stop() indefinitely (the exact
+    * scenario this watchdog exists for), so the call runs on a scratch
+    * thread with a bounded join — the reference likewise caps its dispose
+    * (AgeDigitalTwinsReplication.cs:259). An abandoned stop thread is
+    * daemon and cannot keep the JVM alive. */
+  private def stopWithTimeout(q: StreamingQuery, waitMs: Long = 10000L): Unit = {
+    val t = new Thread(() => { try q.stop() catch { case _: Exception => } },
+      "graft-watchdog-stop")
+    t.setDaemon(true)
+    t.start()
+    t.join(waitMs)
   }
 
   /** Deployment mode: poll `check()` on a daemon thread. */
@@ -80,7 +92,9 @@ final class StreamWatchdog(
       while (!givenUp && !Thread.currentThread().isInterrupted) {
         try Thread.sleep(pollIntervalMs)
         catch { case _: InterruptedException => return }
-        check()
+        // a probe failure must not kill the supervisor — the next tick
+        // retries; check() itself already absorbs factory failures
+        try check() catch { case _: Exception => }
       }
     }, "graft-stream-watchdog")
     t.setDaemon(true)
@@ -91,7 +105,7 @@ final class StreamWatchdog(
   def shutdown(): Unit = synchronized {
     poller.foreach(_.interrupt())
     poller = None
-    if (query != null) { try query.stop() catch { case _: Exception => } }
+    if (query != null) stopWithTimeout(query)
   }
 }
 

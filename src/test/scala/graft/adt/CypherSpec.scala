@@ -432,6 +432,13 @@ class CypherSpec extends AnyFunSuite {
       ("earth", List("earth", "sun"), List("r2")),
       ("kepler", List("kepler", "sun"), List("r3")),
       ("moon1", List("moon1", "earth"), List("r1"))))
+    // reversed arrow: nodes(p) honors the WRITTEN order (a first), not the
+    // normalized edge direction
+    val rev = planner.run(
+      "MATCH p = (a:Twin)<-[r:orbits]-(b:Twin) WHERE a.`$dtId` = 'sun' " +
+        "RETURN nodes(p) AS ns ORDER BY b.`$dtId`")
+    assert(rev.collect().map(_.getSeq[String](0).toList).toSeq ==
+      Seq(List("sun", "earth"), List("sun", "kepler")))
     // interior of a shortestPath is not enumerated — clean plan error
     intercept[AdtPlanException](planner.run(
       "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) RETURN nodes(p) AS ns"))
@@ -441,6 +448,14 @@ class CypherSpec extends AnyFunSuite {
         "RETURN a.`$dtId` AS src, length(p) * 10 AS d ORDER BY src")
     assert(l.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("earth", 10.0), ("kepler", 10.0), ("moon1", 20.0)))
+  }
+
+  test("unaliased expressions get unique default output names") {
+    val df = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'kepler'}) RETURN t.Capacity + 1, t.Capacity * 2")
+    assert(df.columns.toSeq == Seq("expr", "expr1"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 10.0)
   }
 
   test("scalar calls compose in WHERE predicates") {

@@ -190,6 +190,38 @@ class TableStoreSpec extends AnyFunSuite {
       .graph.twins.count() == 6)
   }
 
+  test("query-only checkpoint advances the seq horizon past the folded tail") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    (1 to 4).foreach(i => s1.createOrReplaceTwin(s"r$i", roomDoc(s"r$i", 20.0))) // seq 1..4
+    // compact from a query-only open: the folded tail's max seq must become
+    // the new horizon, or a later full open re-issues seqs 1..4 and mints
+    // duplicate CloudEvent ids downstream
+    TableTwinStore.openQueryOnly(spark, dir, fixedClock()).checkpoint()
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    s2.createOrReplaceTwin("r5", roomDoc("r5", 25.0))
+    val maxSeq = spark.read.parquet(s"$dir/mutations")
+      .agg(max(col("seq"))).collect()(0).getLong(0)
+    assert(maxSeq == 5, s"new mutation must get seq 5, journal has max $maxSeq")
+  }
+
+  test("a present-but-corrupt meta.json refuses to open instead of starting empty") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s1.checkpoint()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "meta.json").toPath, "{corrupt")
+    // drop the local-FS checksum sidecar so the torn payload is actually
+    // read (on a real object store there is no .crc; parse is the guard)
+    new java.io.File(dir, ".meta.json.crc").delete()
+    val e = intercept[java.io.IOException](
+      TableTwinStore.open(spark, dir, fixedClock()))
+    assert(e.getMessage.contains("unparseable"))
+  }
+
   test("open recovers meta/models from .tmp after a crash between delete and rename") {
     val dir = tempDir()
     val s1 = TableTwinStore.open(spark, dir, fixedClock())

@@ -88,6 +88,29 @@ class StreamWatchdogSpec extends AnyFunSuite {
     assert(!dog.check(), "a given-up watchdog stays down")
   }
 
+  test("a throwing restart factory is absorbed and retried, not fatal") {
+    var now = 0L
+    var calls = 0
+    val good = new FakeQuery
+    val dog = new StreamWatchdog(
+      () => {
+        calls += 1
+        if (calls == 2) throw new RuntimeException("checkpoint dir unreachable")
+        else if (calls == 1) { good.active = false; good } // born dead
+        else new FakeQuery
+      },
+      silenceTimeoutMs = 10000L, clock = () => now, maxRestarts = 5,
+      progressAt = q => q.asInstanceOf[FakeQuery].progressMs)
+    dog.launch()
+    // first probe: restart attempt, factory throws — absorbed, counted
+    assert(dog.check() && dog.restarts == 1 && !dog.gaveUp)
+    assert(dog.current eq good, "failed factory keeps the old handle")
+    // next probe retries and succeeds
+    assert(dog.check() && dog.restarts == 2)
+    assert(dog.current.isActive)
+    assert(!dog.check(), "healthy replacement needs no further restart")
+  }
+
   test("supervises a real query: AvailableNow termination triggers restart") {
     lazy val spark: SparkSession = SparkSession.builder()
       .master("local[2]")
