@@ -754,6 +754,48 @@ final class AdtPlanner(graph: TwinGraph) {
       case "TOLOWER" => lower(compileOperand(f.args.head, scope))
       case "TOSTRING" => compileOperand(f.args.head, scope).cast("string")
       case "COALESCE" => coalesce(f.args.map(a => compileOperand(a, scope)): _*)
+
+      // numeric conversions/functions — Cypher truncates toInteger toward
+      // zero (double→long cast semantics); ceil/floor return FLOAT in
+      // Cypher, so the long results are widened back
+      case "TOINTEGER" => numArg(f, scope).cast("long")
+      case "TOFLOAT" => numArg(f, scope)
+      case "ABS" => abs(numArg(f, scope))
+      case "ROUND" => round(numArg(f, scope))
+      case "CEIL" => ceil(numArg(f, scope)).cast("double")
+      case "FLOOR" => floor(numArg(f, scope)).cast("double")
+
+      // string functions; substring is 0-based in Cypher, 1-based in Spark
+      case "SUBSTRING" =>
+        val s = strProp(f.args.head, scope)
+        def intLit(e: Expr, what: String): Int = e match {
+          case NumLit(v, _) => v.toInt
+          case other => throw new AdtPlanException(
+            s"substring $what must be a literal integer, got $other")
+        }
+        val start = intLit(f.args(1), "start")
+        f.args.drop(2).headOption match {
+          case Some(lenE) => substring(s, start + 1, intLit(lenE, "length"))
+          case None => substring(s, start + 1, Int.MaxValue)
+        }
+      case "REPLACE" =>
+        (f.args(1), f.args(2)) match {
+          case (StrLit(find), StrLit(repl)) =>
+            regexp_replace(strProp(f.args.head, scope),
+              java.util.regex.Pattern.quote(find),
+              java.util.regex.Matcher.quoteReplacement(repl))
+          case other => throw new AdtPlanException(
+            s"replace() needs literal search/replacement strings, got $other")
+        }
+      case "TRIM" => trim(strProp(f.args.head, scope))
+      case "REVERSE" => reverse(strProp(f.args.head, scope))
+      case "SPLIT" =>
+        f.args(1) match {
+          case StrLit(delim) => split(strProp(f.args.head, scope),
+            java.util.regex.Pattern.quote(delim))
+          case other => throw new AdtPlanException(
+            s"split() needs a literal delimiter, got $other")
+        }
       case "SIZE" =>
         // size() of a list: a flat array column (e.g. a collect() output)
         // is sized directly; a JSON array property is parsed first
@@ -785,6 +827,13 @@ final class AdtPlanner(graph: TwinGraph) {
 
       case other => throw new AdtPlanException(s"unknown function $other")
     }
+  }
+
+  /** Numeric function operand: JSON-extracted strings promote to double
+    * (same promotion as [[compileArith]]); flat columns keep their type. */
+  private def numArg(f: FnCall, scope: Scope): Column = f.args.head match {
+    case p: PropRef if !isFlatRef(p, scope) => propFromRef(p, scope).cast("double")
+    case other => compileOperand(other, scope)
   }
 
   // ---------------- property resolution ----------------

@@ -308,7 +308,9 @@ object CypherParser {
 
     private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
     private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER",
-      "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS")
+      "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS",
+      "TOINTEGER", "TOFLOAT", "ABS", "ROUND", "CEIL", "FLOOR",
+      "SUBSTRING", "REPLACE", "TRIM", "SPLIT", "REVERSE")
 
     /** fn(arg [, arg]*) where args are full value expressions. */
     private def scalarCall(): FnCall = {

@@ -211,6 +211,18 @@ object AdtLangQueries {
         .select(col("id"), concat_ws(",", col("ks")).as("ks"))
     }),
 
+    // Cypher numeric/string scalar functions: toInteger (truncate toward
+    // zero), abs, round, 0-based substring, literal replace, split.
+    "q_cypher_strfns" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "RETURN t.`$dtId` AS id, toInteger(t.acctbal) AS bal_int, " +
+          "abs(t.acctbal) AS bal_abs, round(t.acctbal) AS bal_round, " +
+          "substring(t.name, 0, 9) AS name9, " +
+          "replace(t.mktsegment, 'URE', '*') AS seg2, " +
+          "size(split(t.name, '#')) AS parts ORDER BY id")
+    }),
+
     // Cypher path accessors nodes(p)/relationships(p) over a bound
     // single-edge path.
     "q_cypher_nodes" -> ((s, d) => {
@@ -324,6 +336,14 @@ object AdtLangQueries {
         |    FROM customer
         |  UNION ALL SELECT 'S' || s_suppkey, '$dtId,acctbal,name' FROM supplier)
         |ORDER BY id""".stripMargin,
+    "q_cypher_strfns" ->
+      """SELECT 'C' || c_custkey AS id,
+        |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
+        |  abs(c_acctbal) AS bal_abs, round(c_acctbal, 0) AS bal_round,
+        |  substr(c_name, 1, 9) AS name9,
+        |  replace(c_mktsegment, 'URE', '*') AS seg2,
+        |  CAST(len(string_split(c_name, '#')) AS INT) AS parts
+        |FROM customer ORDER BY 1""".stripMargin,
     "q_cypher_nodes" ->
       """SELECT 'N' || n_nationkey AS src,
         |  'N' || n_nationkey || ',R' || n_regionkey AS pnodes,

@@ -94,6 +94,61 @@ object EventPipeline {
         get_json_object(col("data"), "$['source']").as("Source"),
         get_json_object(col("data"), "$['target']").as("Target"))
 
+  /** A12: Kusto route — each micro-batch splits into the three DataHistory
+    * tables and queued-ingests each table's JSON rows through an injected
+    * ingest function (the reference's IKustoQueuedIngestClient with
+    * per-table JSON ingestion mappings, KustoEventSink.cs:31-70; no Kusto
+    * client library in this zero-egress build — a deployment closes over
+    * the real queued-ingest client, specs pass a recorder). Queued
+    * ingestion is batch-granular, so a failed table batch dead-letters
+    * that TABLE's rows; the other tables' ingestions stand. Default table
+    * names per data-history-kusto.mdx:100-102. */
+  def runKustoRoute(
+      events: Dataset[CloudEvent],
+      ingest: (String, Seq[String]) => Unit, // (table, JSON rows); throws on failure
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      propertyTable: String = "AdtPropertyEvents",
+      twinLifecycleTable: String = "AdtTwinLifeCycleEvents",
+      relLifecycleTable: String = "AdtRelationshipLifeCycleEvents"): StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val cached = batch.persist()
+        try {
+          val tables = Seq(
+            propertyTable -> propertyEvents(cached),
+            twinLifecycleTable -> twinLifeCycleEvents(cached),
+            relLifecycleTable -> relationshipLifeCycleEvents(cached))
+          val failed = tables.flatMap { case (table, df) =>
+            val rows = df.toJSON.collect().toSeq
+            if (rows.isEmpty) None
+            else {
+              try { ingest(table, rows); None }
+              catch { case e: Exception =>
+                Some((table, rows, String.valueOf(e.getMessage)))
+              }
+            }
+          }
+          if (failed.nonEmpty) dlqDir match {
+            case Some(d) =>
+              failed.flatMap { case (table, rows, msg) =>
+                rows.map(r => (table, r, msg))
+              }.toDF("kusto_table", "row_json", "dlq_error")
+                .withColumn("dlq_batch", lit(batchId))
+                .write.mode("append").parquet(d)
+            case None => throw new RuntimeException(
+              s"${failed.length} Kusto table ingestions failed: ${failed.head._3}")
+          }
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** One physical change-feed row (e.g. a WAL tuple): several may belong
     * to one logical operation within a transaction. */
   final case class PhysicalChange(txnId: Long, seq: Long, ts: String,

@@ -458,6 +458,35 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 10.0)
   }
 
+  test("numeric and string scalar functions") {
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'kepler'}) RETURN " +
+        "toInteger(t.mass / 1e24) AS m, toFloat(t.Capacity) AS cf, " +
+        "abs(0 - t.Capacity) AS a, round(t.Capacity / 2) AS rd, " +
+        "ceil(t.Capacity / 2) AS ce, floor(t.Capacity / 2) AS fl").collect()(0)
+    assert(r.getLong(0) == 13L)     // 13.4 truncates toward zero
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) == 3.0)   // 2.5 rounds half-up
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 2.0)
+    val s = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'kepler'}) RETURN " +
+        "substring(t.name, 0, 6) AS pre, substring(t.name, 6) AS rest, " +
+        "replace(t.name, '442b', 'X') AS rep, reverse(t.name) AS rev, " +
+        "trim(t.name) AS tr, size(split(t.name, '42')) AS parts").collect()(0)
+    assert(s.getString(0) == "Kepler")        // 0-based substring
+    assert(s.getString(1) == "442b")
+    assert(s.getString(2) == "KeplerX")
+    assert(s.getString(3) == "b244relpeK")
+    assert(s.getString(4) == "Kepler442b")
+    assert(s.getInt(5) == 2)                  // "Kepler4" "b"
+    // dotted delimiter must be literal, not a regex wildcard
+    val d = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'sun'}) RETURN size(split(t.name, '.')) AS n")
+      .collect()(0)
+    assert(d.getInt(0) == 1)
+  }
+
   test("scalar calls compose in WHERE predicates") {
     assert(count("MATCH (t:Twin) WHERE toLower(t.name) = 'sun' RETURN t") == 1)
     // earth has 6 keys, kepler 4 ($dtId, name, mass, Capacity)

@@ -307,6 +307,43 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(dlq.select("dlq_error").collect()(0).getString(0).contains("broker gone"))
   }
 
+  test("Kusto route: per-table queued ingestion, failed table batch → DLQ") {
+    val dir = Files.createTempDirectory("graft-kusto").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    val ingested = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val q = EventPipeline.runKustoRoute(
+      EventPipeline.toDataHistory(
+        EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst"),
+      (table, rows) => { ingested.put(table, rows); () },
+      s"$dir/cp", Some(s"$dir/dlq"))
+    q.awaitTermination(60000)
+    // the populated store's feed lands rows in all three tables
+    assert(ingested.containsKey("AdtPropertyEvents"))
+    assert(ingested.containsKey("AdtTwinLifeCycleEvents"))
+    assert(ingested.containsKey("AdtRelationshipLifeCycleEvents"))
+    val prop = graft.json.Json.parse(ingested.get("AdtPropertyEvents").head)
+    assert(prop.has("TimeStamp") && prop.has("Id") && prop.has("Key"))
+    assert(graft.json.Json.parse(ingested.get("AdtTwinLifeCycleEvents").head)
+      .has("TwinId"))
+
+    // one table's ingestion fails → only ITS rows dead-letter; others stand
+    val ok = new java.util.concurrent.atomic.AtomicInteger()
+    val q2 = EventPipeline.runKustoRoute(
+      EventPipeline.toDataHistory(
+        EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst"),
+      (table, rows) =>
+        if (table == "AdtPropertyEvents") throw new RuntimeException("ingest queue down")
+        else { ok.addAndGet(rows.size); () },
+      s"$dir/cp2", Some(s"$dir/dlq2"))
+    q2.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq2")
+    assert(dlq.select("kusto_table").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("AdtPropertyEvents"))
+    assert(dlq.count() > 0 && ok.get() > 0)
+    assert(dlq.select("dlq_error").collect()(0).getString(0).contains("ingest queue down"))
+  }
+
   test("OAuth client-credentials: cached until expiry, refreshed after, 401 retry") {
     import EventPipeline.{OAuthTokenProvider, WebhookAuth => WA}
     var now = 0L
