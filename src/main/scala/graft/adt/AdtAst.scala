@@ -49,7 +49,12 @@ final case class MatchEdge(src: String, relAlias: Option[String],
     // false when the source pattern used a reverse arrow (`<-[r]-`): src/dst
     // are normalized to edge direction, so path-order accessors (nodes(p))
     // must flip them back
-    pathForward: Boolean = true)
+    pathForward: Boolean = true,
+    // `OPTIONAL MATCH ... WHERE expr` (and inline property maps of the
+    // optional pattern): scoped to the pattern, planned INTO the left-outer
+    // join condition — a failing predicate null-extends instead of
+    // dropping the outer row
+    optWhere: Option[Expr] = None)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

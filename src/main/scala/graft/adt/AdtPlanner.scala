@@ -565,9 +565,18 @@ final class AdtPlanner(graph: TwinGraph) {
               s"OPTIONAL MATCH target ${e.dst} is already bound")
             val relAndDst = relDf.join(ns(graph.twins, e.dst),
               col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
-            df = df.join(relAndDst,
-              col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"),
-              "left_outer")
+            // a scoped WHERE joins the match condition — it may reference
+            // both the outer row and the optional pattern's bindings
+            val joinCond = e.optWhere match {
+              case Some(w) =>
+                val optScope = Scope(twinAliases.toSet + e.dst,
+                  relAliases.toSet, e.src)
+                col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id") &&
+                  compile(w, optScope)
+              case None =>
+                col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id")
+            }
+            df = df.join(relAndDst, joinCond, "left_outer")
             twinAliases += e.dst
           } else {
             df = df.join(relDf, col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
@@ -624,21 +633,32 @@ final class AdtPlanner(graph: TwinGraph) {
   }
 
   private def compileCmp(op: String, l: Expr, r: Expr, scope: Scope): Column = {
-    val (lc, rc) = (l, r) match {
-      case (p: PropRef, v: Lit) =>
-        (typedProp(p, Some(v), scope), lit(litValue(v)))
-      case (v: Lit, p: PropRef) =>
-        (lit(litValue(v)), typedProp(p, Some(v), scope))
-      case _ =>
-        (compileOperand(l, scope), compileOperand(r, scope))
-    }
-    op match {
+    def apply(lc: Column, rc: Column): Column = op match {
       case "=" => lc === rc
       case "!=" => !(lc === rc) // reference rewrites != as NOT(=), AdtQueryHelpers.cs:417-426
       case "<" => lc < rc
       case ">" => lc > rc
       case "<=" => lc <= rc
       case ">=" => lc >= rc
+    }
+    // JSON-extracted props are strings; agtype compares dynamically. With a
+    // literal on one side the literal's type drives the cast (typedProp).
+    // Prop-vs-prop has no static hint — compare numerically when BOTH
+    // sides parse as numbers, else as strings ("1.989e30" must not beat
+    // "5.97e24" lexicographically).
+    def isJsonRef(e: Expr): Boolean = e match {
+      case p: PropRef => !isFlatRef(p, scope)
+      case _ => false
+    }
+    (l, r) match {
+      case (p: PropRef, v: Lit) => apply(typedProp(p, Some(v), scope), lit(litValue(v)))
+      case (v: Lit, p: PropRef) => apply(lit(litValue(v)), typedProp(p, Some(v), scope))
+      case _ if isJsonRef(l) || isJsonRef(r) =>
+        val (lc, rc) = (compileOperand(l, scope), compileOperand(r, scope))
+        val (ld, rd) = (lc.cast("double"), rc.cast("double"))
+        when(ld.isNotNull && rd.isNotNull, apply(ld, rd)).otherwise(apply(lc, rc))
+      case _ =>
+        apply(compileOperand(l, scope), compileOperand(r, scope))
     }
   }
 

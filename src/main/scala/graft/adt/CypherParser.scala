@@ -77,13 +77,23 @@ object CypherParser {
         parsePatterns(edges, loneNodes)
         if (isKw(cur, "WHERE")) { pos += 1; where = Some(orExpr()) }
         // OPTIONAL MATCH clauses: left-outer pattern extensions. A WHERE
-        // here would scope to the optional pattern (keeping nulls), which a
-        // global filter cannot express — reject rather than mis-plan.
+        // (and any inline property map) scopes to the optional pattern —
+        // it lands in the left-outer join condition, so a failing
+        // predicate null-extends rather than dropping the outer row.
         while (isKw(cur, "OPTIONAL")) {
           pos += 1; expectKw("MATCH")
+          val filtersBefore = propFilters.size
+          val edgesBefore = edges.size
           parsePatterns(edges, loneNodes, optional = true)
-          if (isKw(cur, "WHERE")) throw new AdtParseException(
-            "WHERE scoped to OPTIONAL MATCH is not supported; filter in a later WITH")
+          val mapFilters = propFilters.drop(filtersBefore).toList
+          propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
+          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+          (mapFilters ++ w.toList).reduceOption(And).foreach { expr =>
+            if (edges.size - edgesBefore != 1) throw new AdtParseException(
+              "WHERE/property maps on OPTIONAL MATCH are supported for " +
+                "single-edge patterns only")
+            edges(edges.size - 1) = edges.last.copy(optWhere = Some(expr))
+          }
         }
       } else if (!isKw(cur, "UNWIND"))
         throw new AdtParseException(s"expected MATCH or UNWIND, found $cur")

@@ -211,6 +211,16 @@ object AdtLangQueries {
         .select(col("id"), concat_ws(",", col("ks")).as("ks"))
     }),
 
+    // OPTIONAL MATCH with a scoped WHERE: the predicate joins the
+    // left-outer condition, so non-ASIA nations keep their row with a
+    // null region instead of being dropped.
+    "q_cypher_opt_where" -> ((s, d) => {
+      run(s, d,
+        "MATCH (n:Twin) WHERE n.`$metadata`.`$model` = 'dtmi:graft:Nation;1' " +
+          "OPTIONAL MATCH (n)-[r:in_region]->(g:Twin) WHERE g.name = 'ASIA' " +
+          "RETURN n.`$dtId` AS id, g.`$dtId` AS region_id ORDER BY id")
+    }),
+
     // Cypher numeric/string scalar functions: toInteger (truncate toward
     // zero), abs, round, 0-based substring, literal replace, split.
     "q_cypher_strfns" -> ((s, d) => {
@@ -336,6 +346,11 @@ object AdtLangQueries {
         |    FROM customer
         |  UNION ALL SELECT 'S' || s_suppkey, '$dtId,acctbal,name' FROM supplier)
         |ORDER BY id""".stripMargin,
+    "q_cypher_opt_where" ->
+      """SELECT 'N' || n_nationkey AS id, 'R' || r_regionkey AS region_id
+        |FROM nation LEFT JOIN region
+        |  ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |ORDER BY 1""".stripMargin,
     "q_cypher_strfns" ->
       """SELECT 'C' || c_custkey AS id,
         |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,

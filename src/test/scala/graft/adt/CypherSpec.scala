@@ -170,9 +170,10 @@ class CypherSpec extends AnyFunSuite {
     assert(out == Seq(
       ("earth", Some("sun")), ("kepler", Some("sun")),
       ("moon1", Some("earth")), ("sun", None)))
-    // WHERE scoped to OPTIONAL MATCH is rejected, not silently mis-planned
-    assertThrows[AdtParseException](planner.run(
-      "MATCH (t:Twin) OPTIONAL MATCH (t)-[r]->(o) WHERE o.x = 1 RETURN t"))
+    // a scoped WHERE no row satisfies null-extends everything (no drops)
+    assert(planner.run(
+      "MATCH (t:Twin) OPTIONAL MATCH (t)-[r]->(o) WHERE o.x = 1 RETURN t")
+      .count() == 4)
   }
 
   test("UNWIND a JSON array property") {
@@ -448,6 +449,29 @@ class CypherSpec extends AnyFunSuite {
         "RETURN a.`$dtId` AS src, length(p) * 10 AS d ORDER BY src")
     assert(l.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("earth", 10.0), ("kepler", 10.0), ("moon1", 20.0)))
+  }
+
+  test("OPTIONAL MATCH with scoped WHERE / property map null-extends, never drops") {
+    // moon1 orbits earth (not sun) → null-extended, NOT dropped
+    val expected = Seq(("earth", "sun"), ("kepler", "sun"),
+      ("moon1", null), ("sun", null))
+    val w = planner.run(
+      "MATCH (a:Twin) OPTIONAL MATCH (a)-[r:orbits]->(b:Twin) " +
+        "WHERE b.`$dtId` = 'sun' " +
+        "RETURN a.`$dtId` AS id, b.`$dtId` AS center ORDER BY id")
+    assert(w.collect().map(r => (r.getString(0), r.getString(1))).toSeq == expected)
+    // an inline property map on the optional pattern scopes identically
+    val pm = planner.run(
+      "MATCH (a:Twin) OPTIONAL MATCH (a)-[r:orbits]->(b:Twin {`$dtId`: 'sun'}) " +
+        "RETURN a.`$dtId` AS id, b.`$dtId` AS center ORDER BY id")
+    assert(pm.collect().map(r => (r.getString(0), r.getString(1))).toSeq == expected)
+    // the scoped predicate may correlate optional and outer bindings
+    val cross = planner.run(
+      "MATCH (a:Twin) OPTIONAL MATCH (a)-[r2:orbits]->(c:Twin) " +
+        "WHERE c.mass > a.mass " +
+        "RETURN a.`$dtId` AS id, c.`$dtId` AS heavier ORDER BY id")
+    assert(cross.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("earth", "sun"), ("kepler", "sun"), ("moon1", "earth"), ("sun", null)))
   }
 
   test("unaliased expressions get unique default output names") {
