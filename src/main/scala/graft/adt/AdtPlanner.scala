@@ -741,6 +741,18 @@ final class AdtPlanner(graph: TwinGraph) {
         }
         array_sort(json_object_keys(doc))
 
+      // labels(n): AGE vertices carry one label; here it is the twin's
+      // model id (relationships answer with their relationship name).
+      case "LABELS" =>
+        f.args.head match {
+          case PropRef(None, List(a)) if scope.twins(a) =>
+            array(col(s"${a}__model_id"))
+          case PropRef(None, List(a)) if scope.rels(a) =>
+            array(col(s"${a}__relationship_name"))
+          case other => throw new AdtPlanException(
+            s"labels() needs a node or relationship alias, got $other")
+        }
+
       // properties(x): the full property document of a node/relationship
       // (the JSON doc column, exactly as stored).
       case "PROPERTIES" =>

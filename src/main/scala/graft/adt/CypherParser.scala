@@ -320,7 +320,7 @@ object CypherParser {
     private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER",
       "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS",
       "TOINTEGER", "TOFLOAT", "ABS", "ROUND", "CEIL", "FLOOR",
-      "SUBSTRING", "REPLACE", "TRIM", "SPLIT", "REVERSE")
+      "SUBSTRING", "REPLACE", "TRIM", "SPLIT", "REVERSE", "LABELS")
 
     /** fn(arg [, arg]*) where args are full value expressions. */
     private def scalarCall(): FnCall = {
@@ -513,9 +513,15 @@ object CypherParser {
         val v = literal()
         return Cmp("=", PropRef(Some(relAlias), List("$relationshipName")), v)
       }
-      // EXISTS((a)-[:r]->(b)) pattern predicate (negation via NOT in front)
+      // EXISTS((a)-[:r]->(b)) pattern predicate (negation via NOT in front),
+      // or the legacy property form exists(n.prop) = IS NOT NULL
       if (isKw(cur, "EXISTS") && nxt == Sym("(")) {
         pos += 2
+        if (cur != Sym("(")) {
+          val ref = propRef()
+          expectSym(")")
+          return FnCall("IS_DEFINED", List(ref))
+        }
         val before = propFilters.size
         var left = parseNode()
         val edge = cur match {

@@ -516,4 +516,14 @@ class CypherSpec extends AnyFunSuite {
     // earth has 6 keys, kepler 4 ($dtId, name, mass, Capacity)
     assert(count("MATCH (t:Twin) WHERE size(keys(t)) > 3 RETURN t") == 2)
   }
+
+  test("exists(n.prop) legacy form and labels()") {
+    assert(count("MATCH (t:Twin) WHERE exists(t.hasLife) RETURN t") == 1)
+    assert(count("MATCH (t:Twin) WHERE NOT exists(t.hasLife) RETURN t") == 3)
+    val l = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'})-[r:orbits]->(b:Twin) " +
+        "RETURN labels(t) AS tl, labels(r) AS rl").collect()(0)
+    assert(l.getSeq[String](0).toList == List("dtmi:com:contoso:Planet;1"))
+    assert(l.getSeq[String](1).toList == List("orbits"))
+  }
 }
