@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs over its raw crawl: language ID, quality gating and
+  * exact-dedup survivor election in ONE DataFrame plan, with a per-doc
+  * verdict instead of a silently shrunken corpus (rejected docs carry
+  * their first failing check, so a curation run is auditable).
+  *
+  * Scale shape (the part that matters at 100 TB): the quality stats are
+  * per-row expressions (zero shuffle), language ID is one
+  * explode→broadcast-dict-join→groupBy (one shuffle keyed by doc),
+  * survivor election is one hash-groupBy on md5(text) (one shuffle keyed
+  * by content), and the final assembly joins on the doc id. Nothing is
+  * ever collected to the driver and no stage is quadratic; the reject
+  * policy is a column expression, so Catalyst folds it into the same
+  * stage as the joins.
+  */
+object Curation {
+
+  /** Verdict per document: (id, pred_lang, n_tokens, stopword_ratio_4,
+    * is_survivor, reject_reason, keep). `reject_reason` is the FIRST
+    * failing check in policy order — duplicate, language, too_short,
+    * low_quality — or null for kept docs. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      keepLang: String = "en", minTokens: Int = 5,
+      maxStopwordRatio4: Long = 5000L): DataFrame = {
+    val stats = TextAnalysis.textStats(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("stopword_ratio_4"))
+    val lang = TextAnalysis.languageId(docs, idCol, textCol)
+      .select(col(idCol), col("pred_lang"))
+    val survivors = Dedup.exact(docs, idCol, textCol)
+      .select(col("survivor_id"), lit(true).as("__is_surv"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol))
+      .join(lang, Seq(idCol))
+      .join(survivors, col(idCol) === col("survivor_id"), "left_outer")
+      .select(col(idCol), col("pred_lang"), col("n_tokens"),
+        col("stopword_ratio_4"),
+        coalesce(col("__is_surv"), lit(false)).as("is_survivor"))
+      .withColumn("reject_reason",
+        when(!col("is_survivor"), "duplicate")
+          .when(col("pred_lang") =!= keepLang, "language")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(col("stopword_ratio_4") > maxStopwordRatio4, "low_quality"))
+      .withColumn("keep", col("reject_reason").isNull)
+  }
+
+  /** The curated corpus itself: kept docs with their text, ready to feed
+    * the next pipeline stage (near-dup, embedding, tokenization). */
+  def curatedCorpus(docs: DataFrame, idCol: String, textCol: String,
+      keepLang: String = "en", minTokens: Int = 5,
+      maxStopwordRatio4: Long = 5000L): DataFrame =
+    docs.join(
+      curate(docs, idCol, textCol, keepLang, minTokens, maxStopwordRatio4)
+        .filter(col("keep")).select(col(idCol)),
+      Seq(idCol))
+}

@@ -89,6 +89,13 @@ object PipelineQueries {
     "q_multimodal_decode" -> ((s, d) => {
       Multimodal.decode(Multimodal.documentsAsMedia(Td.documents(s, d)))
         .orderBy(col("media_id"))
+    }),
+
+    // End-to-end curation verdict: language + quality + exact-dedup
+    // survivor election composed in one plan, per-doc reject reason.
+    "q_pipeline_curate" -> ((s, d) => {
+      Curation.curate(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -272,6 +279,38 @@ object PipelineQueries {
         |SELECT e.vec_id AS v_id, r.n_id AS nn_id
         |FROM embeddings e LEFT JOIN r ON r.v_id = e.vec_id AND r.rk = 1
         |ORDER BY v_id""".stripMargin,
+
+    "q_pipeline_curate" -> {
+      val dict = TextAnalysis.LangMarkers
+        .map { case (l, m) => s"('$l','$m')" }.mkString(",")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+         |stats AS (SELECT doc_id, CAST(len(toks) AS INT) n_tokens,
+         |  CAST(floor(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','it','on'], x)))*10000.0/len(toks)+0.5) AS BIGINT) stopword_ratio_4
+         |  FROM t),
+         |tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+         |dict(cand_lang, marker) AS (VALUES $dict),
+         |hits AS (SELECT doc_id, cand_lang, count(*) hits FROM tok2
+         |         JOIN dict ON tok = marker GROUP BY 1,2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY hits DESC, cand_lang) rn FROM hits),
+         |lang AS (SELECT d.doc_id, coalesce(b.cand_lang,'und') pred_lang
+         |         FROM documents d LEFT JOIN best b
+         |           ON b.doc_id = d.doc_id AND b.rn = 1),
+         |surv AS (SELECT min(doc_id) survivor_id FROM documents GROUP BY md5(text)),
+         |base AS (SELECT d.doc_id, l.pred_lang, s.n_tokens, s.stopword_ratio_4,
+         |  d.doc_id IN (SELECT survivor_id FROM surv) is_survivor
+         |  FROM documents d JOIN stats s USING(doc_id) JOIN lang l USING(doc_id)),
+         |verdict AS (SELECT *,
+         |  CASE WHEN NOT is_survivor THEN 'duplicate'
+         |       WHEN pred_lang <> 'en' THEN 'language'
+         |       WHEN n_tokens < 5 THEN 'too_short'
+         |       WHEN stopword_ratio_4 > 5000 THEN 'low_quality' END reject_reason
+         |  FROM base)
+         |SELECT doc_id, pred_lang, n_tokens, stopword_ratio_4, is_survivor,
+         |  reject_reason, reject_reason IS NULL AS keep
+         |FROM verdict ORDER BY doc_id""".stripMargin
+    },
 
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,

@@ -165,4 +165,27 @@ class PipelineSpec extends AnyFunSuite {
       .as[Int].collect().sorted
     assert(idxs.headOption.contains(0) && idxs.forall(_ % 2 == 0))
   }
+
+  test("curation verdicts: policy order, survivor election, curated corpus") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // duplicate of 0
+      (2L, "short the text"),                                    // too short (3 toks)
+      (3L, "le chat est sur la table et le chien aussi oui"),    // not English
+      (4L, "the a an of to and in is it on the a an of")         // all stopwords
+    ).toDF("doc_id", "text")
+    val v = Curation.curate(corpus, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    def reason(i: Int) = Option(v(i).getAs[String]("reject_reason"))
+    assert(v(0).getAs[Boolean]("keep") && reason(0).isEmpty)
+    // duplicate outranks every later check (policy order)
+    assert(reason(1).contains("duplicate") && v(1).getAs[Boolean]("is_survivor") == false)
+    assert(reason(2).contains("too_short"))
+    assert(reason(3).contains("language"))
+    assert(reason(4).contains("low_quality"))
+    // curated corpus keeps exactly the kept docs, with their text
+    val kept = Curation.curatedCorpus(corpus, "doc_id", "text")
+    assert(kept.select($"doc_id").as[Long].collect().toSeq == Seq(0L))
+    assert(kept.columns.contains("text"))
+  }
 }
