@@ -137,4 +137,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pf.contains("model_id") && pf.contains("dtmi:graft:Nation;1"),
       s"IS_OF_MODEL family filter must become a partition filter:\n$p2")
   }
+
+  test("OPTIONAL MATCH scoped WHERE stays ONE left-outer join, no post-filter fan-out") {
+    val p = plan("q_cypher_opt_where")
+    // the scoped predicate must live in the join condition: exactly one
+    // outer join, no Filter above it that would drop null-extended rows
+    assert("LeftOuter".r.findAllIn(p).size == 1,
+      s"expected exactly one left-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("curation composes in one plan: no cartesian, aggregations stay partial") {
+    val p = plan("q_pipeline_curate")
+    assert(!p.contains("CartesianProduct"), s"curation must stay keyed:\n$p")
+    // survivor election + langid argmax both keep map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregate pairs:\n$p")
+    // the language dictionary is tiny and must broadcast, never shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"marker dictionary join must broadcast:\n$p")
+  }
+
+  test("Cypher arithmetic filter stays inside one scan stage (no extra exchange)") {
+    val p = plan("q_cypher_arith")
+    // filter + projection over one table: zero joins, shuffles only for
+    // the output sort
+    assert(!p.contains("Join"), s"single-table arithmetic grew a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"arithmetic filter must not add shuffles:\n$p")
+  }
 }
