@@ -742,13 +742,16 @@ final class AdtPlanner(graph: TwinGraph) {
         array_sort(json_object_keys(doc))
 
       // labels(n): AGE vertices carry one label; here it is the twin's
-      // model id (relationships answer with their relationship name).
+      // model id (relationships answer with their relationship name). A
+      // null-extended OPTIONAL MATCH binding answers null, not [null].
       case "LABELS" =>
+        arity(f, 1, 1)
+        def labelArray(c: Column): Column = when(c.isNotNull, array(c))
         f.args.head match {
           case PropRef(None, List(a)) if scope.twins(a) =>
-            array(col(s"${a}__model_id"))
+            labelArray(col(s"${a}__model_id"))
           case PropRef(None, List(a)) if scope.rels(a) =>
-            array(col(s"${a}__relationship_name"))
+            labelArray(col(s"${a}__relationship_name"))
           case other => throw new AdtPlanException(
             s"labels() needs a node or relationship alias, got $other")
         }
@@ -790,15 +793,23 @@ final class AdtPlanner(graph: TwinGraph) {
       // numeric conversions/functions — Cypher truncates toInteger toward
       // zero (double→long cast semantics); ceil/floor return FLOAT in
       // Cypher, so the long results are widened back
-      case "TOINTEGER" => numArg(f, scope).cast("long")
-      case "TOFLOAT" => numArg(f, scope)
-      case "ABS" => abs(numArg(f, scope))
-      case "ROUND" => round(numArg(f, scope))
-      case "CEIL" => ceil(numArg(f, scope)).cast("double")
-      case "FLOOR" => floor(numArg(f, scope)).cast("double")
+      case "TOINTEGER" => arity(f, 1, 1); numArg(f, scope).cast("long")
+      case "TOFLOAT" => arity(f, 1, 1); numArg(f, scope)
+      case "ABS" => arity(f, 1, 1); abs(numArg(f, scope))
+      case "ROUND" =>
+        arity(f, 1, 2)
+        f.args.drop(1).headOption match {
+          case None => round(numArg(f, scope))
+          case Some(NumLit(p, _)) => round(numArg(f, scope), p.toInt)
+          case Some(other) => throw new AdtPlanException(
+            s"round() precision must be a literal integer, got $other")
+        }
+      case "CEIL" => arity(f, 1, 1); ceil(numArg(f, scope)).cast("double")
+      case "FLOOR" => arity(f, 1, 1); floor(numArg(f, scope)).cast("double")
 
       // string functions; substring is 0-based in Cypher, 1-based in Spark
       case "SUBSTRING" =>
+        arity(f, 2, 3)
         val s = strProp(f.args.head, scope)
         def intLit(e: Expr, what: String): Int = e match {
           case NumLit(v, _) => v.toInt
@@ -811,6 +822,7 @@ final class AdtPlanner(graph: TwinGraph) {
           case None => substring(s, start + 1, Int.MaxValue)
         }
       case "REPLACE" =>
+        arity(f, 3, 3)
         (f.args(1), f.args(2)) match {
           case (StrLit(find), StrLit(repl)) =>
             regexp_replace(strProp(f.args.head, scope),
@@ -819,9 +831,10 @@ final class AdtPlanner(graph: TwinGraph) {
           case other => throw new AdtPlanException(
             s"replace() needs literal search/replacement strings, got $other")
         }
-      case "TRIM" => trim(strProp(f.args.head, scope))
-      case "REVERSE" => reverse(strProp(f.args.head, scope))
+      case "TRIM" => arity(f, 1, 1); trim(strProp(f.args.head, scope))
+      case "REVERSE" => arity(f, 1, 1); reverse(strProp(f.args.head, scope))
       case "SPLIT" =>
+        arity(f, 2, 2)
         f.args(1) match {
           case StrLit(delim) => split(strProp(f.args.head, scope),
             java.util.regex.Pattern.quote(delim))
@@ -861,12 +874,21 @@ final class AdtPlanner(graph: TwinGraph) {
     }
   }
 
-  /** Numeric function operand: JSON-extracted strings promote to double
-    * (same promotion as [[compileArith]]); flat columns keep their type. */
-  private def numArg(f: FnCall, scope: Scope): Column = f.args.head match {
-    case p: PropRef if !isFlatRef(p, scope) => propFromRef(p, scope).cast("double")
-    case other => compileOperand(other, scope)
-  }
+  /** Numeric function operand: ALWAYS promoted to double — JSON props are
+    * strings, but so are UNWIND/WITH flat columns of string lists and
+    * string literals, and `toFloat("10.5")` sorting lexicographically is
+    * silently wrong. The cast is a no-op for already-numeric columns. */
+  private def numArg(f: FnCall, scope: Scope): Column =
+    compileOperand(f.args.head, scope).cast("double")
+
+  /** Clean plan error for wrong argument counts — a raw
+    * IndexOutOfBoundsException is an internal crash, not a diagnosis. */
+  private def arity(f: FnCall, min: Int, max: Int): Unit =
+    if (f.args.size < min || f.args.size > max)
+      throw new AdtPlanException(
+        s"${f.name.toLowerCase}() expects " +
+          (if (min == max) s"$min" else s"$min to $max") +
+          s" arguments, got ${f.args.size}")
 
   // ---------------- property resolution ----------------
 

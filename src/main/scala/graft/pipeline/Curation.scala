@@ -22,29 +22,37 @@ object Curation {
 
   /** Verdict per document: (id, pred_lang, n_tokens, stopword_ratio_4,
     * is_survivor, reject_reason, keep). `reject_reason` is the FIRST
-    * failing check in policy order — duplicate, language, too_short,
-    * low_quality — or null for kept docs. */
+    * failing check in policy order — empty, duplicate, language,
+    * too_short, low_quality — or null for kept docs. EVERY input row gets
+    * a verdict: null/blank text is rejected as 'empty', never silently
+    * dropped by a token explode. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       keepLang: String = "en", minTokens: Int = 5,
       maxStopwordRatio4: Long = 5000L): DataFrame = {
-    val stats = TextAnalysis.textStats(docs, idCol, textCol)
-      .select(col(idCol), col("n_tokens"), col("stopword_ratio_4"))
+    // quality metrics are pure per-row column expressions — no token
+    // shuffle, no discarded fingerprint work, and null text survives
+    val stats = TextAnalysis.qualityMetrics(
+        docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col(textCol), col("n_tokens"), col("stopword_ratio_4"))
     val lang = TextAnalysis.languageId(docs, idCol, textCol)
       .select(col(idCol), col("pred_lang"))
     val survivors = Dedup.exact(docs, idCol, textCol)
       .select(col("survivor_id"), lit(true).as("__is_surv"))
-    docs.select(col(idCol))
-      .join(stats, Seq(idCol))
-      .join(lang, Seq(idCol))
+    stats
+      .join(lang, Seq(idCol), "left_outer")
       .join(survivors, col(idCol) === col("survivor_id"), "left_outer")
-      .select(col(idCol), col("pred_lang"), col("n_tokens"),
-        col("stopword_ratio_4"),
-        coalesce(col("__is_surv"), lit(false)).as("is_survivor"))
+      .select(col(idCol),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        col("n_tokens"), col("stopword_ratio_4"),
+        coalesce(col("__is_surv"), lit(false)).as("is_survivor"),
+        (col(textCol).isNull || trim(col(textCol)) === "").as("__empty"))
       .withColumn("reject_reason",
-        when(!col("is_survivor"), "duplicate")
+        when(col("__empty"), "empty")
+          .when(!col("is_survivor"), "duplicate")
           .when(col("pred_lang") =!= keepLang, "language")
           .when(col("n_tokens") < minTokens, "too_short")
           .when(col("stopword_ratio_4") > maxStopwordRatio4, "low_quality"))
+      .drop("__empty")
       .withColumn("keep", col("reject_reason").isNull)
   }
 

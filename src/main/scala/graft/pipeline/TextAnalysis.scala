@@ -93,10 +93,17 @@ object TextAnalysis {
     // in-row argmax: sort (−hits, lang) ascending, take the head
     val ranked = sort_array(array(langs.map(l =>
       struct((-col(s"h_$l")).as("neg"), lit(l).as("lang"))): _*))
-    agged.select(col(idCol),
+    val scored = agged.select(col(idCol),
       when(ranked.getItem(0).getField("neg") === 0, lit("und"))
         .otherwise(ranked.getItem(0).getField("lang")).as("pred_lang"),
       (-ranked.getItem(0).getField("neg")).as("hits"))
+    // explode drops docs with null/empty text — re-anchor on the full doc
+    // set so every input row gets a verdict ('und', 0 hits), same as the
+    // oracle's LEFT JOIN
+    df.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
   /** Canonical fingerprint (OpenRefine-style): md5 of the sorted distinct

@@ -298,11 +298,12 @@ object PipelineQueries {
          |         FROM documents d LEFT JOIN best b
          |           ON b.doc_id = d.doc_id AND b.rn = 1),
          |surv AS (SELECT min(doc_id) survivor_id FROM documents GROUP BY md5(text)),
-         |base AS (SELECT d.doc_id, l.pred_lang, s.n_tokens, s.stopword_ratio_4,
+         |base AS (SELECT d.doc_id, d.text, l.pred_lang, s.n_tokens, s.stopword_ratio_4,
          |  d.doc_id IN (SELECT survivor_id FROM surv) is_survivor
          |  FROM documents d JOIN stats s USING(doc_id) JOIN lang l USING(doc_id)),
          |verdict AS (SELECT *,
-         |  CASE WHEN NOT is_survivor THEN 'duplicate'
+         |  CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+         |       WHEN NOT is_survivor THEN 'duplicate'
          |       WHEN pred_lang <> 'en' THEN 'language'
          |       WHEN n_tokens < 5 THEN 'too_short'
          |       WHEN stopword_ratio_4 > 5000 THEN 'low_quality' END reject_reason

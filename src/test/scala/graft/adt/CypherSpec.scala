@@ -509,6 +509,20 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (t:Twin {`$dtId`: 'sun'}) RETURN size(split(t.name, '.')) AS n")
       .collect()(0)
     assert(d.getInt(0) == 1)
+    // flat string columns (UNWIND outputs) promote numerically too:
+    // "10.5" must sort after "9.1", not lexicographically before it
+    val u = planner.run(
+      "UNWIND ['10.5', '9.1'] AS x RETURN toFloat(x) AS f ORDER BY f")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(u == Seq(9.1, 10.5))
+    // wrong arity is a clean plan error, not an index crash
+    intercept[AdtPlanException](planner.run(
+      "MATCH (t:Twin) RETURN substring(t.name) AS x"))
+    // round() takes an optional literal precision
+    val rp = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'kepler'}) RETURN round(t.mass / 1e25, 2) AS m")
+      .collect()(0)
+    assert(rp.getDouble(0) == 1.34)
   }
 
   test("scalar calls compose in WHERE predicates") {

@@ -172,10 +172,14 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "the quick brown fox jumps over the lazy dog today"), // duplicate of 0
       (2L, "short the text"),                                    // too short (3 toks)
       (3L, "le chat est sur la table et le chien aussi oui"),    // not English
-      (4L, "the a an of to and in is it on the a an of")         // all stopwords
+      (4L, "the a an of to and in is it on the a an of"),        // all stopwords
+      (5L, null.asInstanceOf[String]),                           // null text
+      (6L, "   ")                                                // blank text
     ).toDF("doc_id", "text")
     val v = Curation.curate(corpus, "doc_id", "text")
       .orderBy($"doc_id").collect()
+    // EVERY input doc gets a verdict — null/blank text must not vanish
+    assert(v.length == 7)
     def reason(i: Int) = Option(v(i).getAs[String]("reject_reason"))
     assert(v(0).getAs[Boolean]("keep") && reason(0).isEmpty)
     // duplicate outranks every later check (policy order)
@@ -183,6 +187,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(reason(2).contains("too_short"))
     assert(reason(3).contains("language"))
     assert(reason(4).contains("low_quality"))
+    assert(reason(5).contains("empty") && reason(6).contains("empty"))
     // curated corpus keeps exactly the kept docs, with their text
     val kept = Curation.curatedCorpus(corpus, "doc_id", "text")
     assert(kept.select($"doc_id").as[Long].collect().toSeq == Seq(0L))
