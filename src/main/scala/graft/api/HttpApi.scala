@@ -47,6 +47,10 @@ final class HttpApi(
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 
+  /** Source URI per import job, so resume can re-stream the blob. */
+  private val jobSources =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** QueryService memoized per store state: twin/relationship mutations
     * bump `currentSeq`, model create/delete changes the registry (which
     * never advances seq), so the key is both. Retired services keep their
@@ -174,16 +178,46 @@ final class HttpApi(
           val req = Json.parse(body(ex))
           val uri = Option(req.get("inputBlobUri")).map(_.asText())
             .getOrElse(throw StoreException(400, "inputBlobUri is required"))
+          jobSources.put(id, uri)
           val rec = ImportJob.withLines(sparkSession(), uri) { lines =>
             jobService.runImport(id, store, lines)
           }
           respondJson(ex, 201, jobJson(rec))
+        case ("GET", List("jobs", "imports")) =>
+          page(ex, jobService.list.filter(_.jobType == "import")
+            .sortBy(_.id).map(jobJson))
         case ("GET", List("jobs", "imports", id)) =>
           respondJson(ex, 200, jobJson(jobService.get(id)))
+        case ("POST", List("jobs", "imports", id, "cancel")) =>
+          respondJson(ex, 200, jobJson(jobService.cancel(id)))
+        case ("POST", List("jobs", "imports", id, "resume")) =>
+          // the source URI recorded at job creation re-streams the blob;
+          // a body {"inputBlobUri"} may override (e.g. after a restart)
+          val uri = Json.tryParse(body(ex))
+            .flatMap(n => Option(n.get("inputBlobUri")).map(_.asText()))
+            .orElse(Option(jobSources.get(id)))
+            .getOrElse(throw StoreException(400,
+              s"no recorded source for job $id; pass inputBlobUri"))
+          val rec = ImportJob.withLines(sparkSession(), uri) { lines =>
+            jobService.resumeImport(id, store, lines)
+          }
+          respondJson(ex, 200, jobJson(rec))
+        case ("DELETE", List("jobs", "imports", id)) =>
+          jobService.delete(id)
+          jobSources.remove(id)
+          respond(ex, 204, "")
         case ("PUT", List("jobs", "deletions", id)) =>
           respondJson(ex, 201, jobJson(jobService.runDelete(id, store)))
         case ("GET", List("jobs", "deletions", id)) =>
           respondJson(ex, 200, jobJson(jobService.get(id)))
+
+        // dev/test graph lifecycle (GraphEndpoints.cs:11-33): create is a
+        // no-op on an already-materialized store; delete wipes everything
+        case ("PUT", List("graph", "create")) => respond(ex, 204, "")
+        case ("DELETE", List("graph", "delete")) =>
+          jobService.runDelete(
+            s"graph-drop-${java.util.UUID.randomUUID().toString.take(8)}", store)
+          respond(ex, 204, "")
 
         case _ => error(ex, 404, "NotFound", s"no route for $method ${segs.mkString("/")}")
       }

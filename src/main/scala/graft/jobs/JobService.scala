@@ -125,7 +125,8 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
   /** Run an import job under a lease with status lifecycle + checkpoints. */
   def runImport(id: String, store: TwinStore, lines: Iterator[String],
       owner: String = "driver", batchSize: Int = 50,
-      checkpointInterval: Int = 50): JobRecord = {
+      checkpointInterval: Int = 50,
+      resumeFrom: Option[ImportCheckpoint] = None): JobRecord = {
     if (jobs.contains(id) && jobs(id).status == "Running" &&
         lockInfo(id).exists(l => !l.isExpired(nowMs())))
       throw StoreException(409, s"job $id already running")
@@ -133,6 +134,7 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     jobs(id) = JobRecord(id, "import", "Running", clock(), None, Some(owner), None, None)
     try {
       val result = ImportJob.run(store, lines, batchSize, checkpointInterval,
+        resumeFrom = resumeFrom,
         heartbeat = () =>
           if (!renewHeartbeat(id, owner))
             throw StoreException(409, s"job $id lease lost by $owner"))
@@ -245,6 +247,40 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
         releaseLock(id, owner)
         rec
     }
+  }
+
+  /** Resume an interrupted import from its recorded checkpoint (the
+    * POST /jobs/imports/{id}/resume semantics): the job must exist, not
+    * hold a live lease, and not have already succeeded; the stored
+    * checkpoint seeds the rerun so applied lines are skipped (idempotent
+    * upserts make the at-least-once overlap safe). */
+  def resumeImport(id: String, store: TwinStore, lines: Iterator[String],
+      owner: String = "driver", batchSize: Int = 50,
+      checkpointInterval: Int = 50): JobRecord = {
+    val rec = get(id)
+    if (rec.jobType != "import")
+      throw StoreException(400, s"job $id is a ${rec.jobType} job")
+    if (rec.status == "Succeeded")
+      throw StoreException(409, s"job $id already succeeded")
+    val cp = rec.checkpoint.map { c =>
+      val n = Json.parse(c)
+      ImportCheckpoint(n.get("section").asText(), n.get("lineNo").asLong(),
+        ImportStats())
+    }
+    runImport(id, store, lines, owner, batchSize, checkpointInterval,
+      resumeFrom = cp)
+  }
+
+  /** Remove a job record (the non-standard DELETE cleanup endpoint). A
+    * running job with a live lease cannot be deleted out from under its
+    * owner. */
+  def delete(id: String): Unit = {
+    val rec = get(id)
+    if (rec.status == "Running" && lockInfo(id).exists(l => !l.isExpired(nowMs())))
+      throw StoreException(409, s"job $id is running")
+    jobs.remove(id)
+    locks.remove(id)
+    ()
   }
 
   def cancel(id: String): JobRecord = {

@@ -264,6 +264,18 @@ class HttpApiSpec extends AnyFunSuite {
       val jobGet = Json.parse(send(req(base, "/jobs/imports/job1").GET().build()).body())
       assert(jobGet.get("jobType").asText() == "import")
 
+      // job lifecycle: list / resume / cancel / delete
+      val jl = Json.parse(send(req(base, "/jobs/imports").GET().build()).body())
+      assert(jl.get("value").size() == 1)
+      assert(send(req(base, "/jobs/imports/job1/resume").POST(
+        HttpRequest.BodyPublishers.ofString("{}")).build()).statusCode() == 409,
+        "resuming a succeeded job must 409")
+      assert(send(req(base, "/jobs/imports/job1/cancel").POST(
+        HttpRequest.BodyPublishers.ofString("")).build()).statusCode() == 400,
+        "cancelling a finished job must 400")
+      assert(send(req(base, "/jobs/imports/job1").DELETE().build()).statusCode() == 204)
+      assert(send(req(base, "/jobs/imports/job1").GET().build()).statusCode() == 404)
+
       // deletion job wipes everything (rels → twins → models)
       val del = send(req(base, "/jobs/deletions/wipe1").PUT(
         HttpRequest.BodyPublishers.ofString("{}")).build())
@@ -271,6 +283,11 @@ class HttpApiSpec extends AnyFunSuite {
       assert(send(req(base, "/digitaltwins/f1").GET().build()).statusCode() == 404)
       assert(Json.parse(send(req(base, "/models").GET().build()).body())
         .get("value").size() == 0)
+
+      // dev/test graph lifecycle endpoints
+      assert(send(req(base, "/graph/create").PUT(
+        HttpRequest.BodyPublishers.ofString("")).build()).statusCode() == 204)
+      assert(send(req(base, "/graph/delete").DELETE().build()).statusCode() == 204)
 
       // unknown route → 404 envelope
       assert(send(req(base, "/nope").GET().build()).statusCode() == 404)
