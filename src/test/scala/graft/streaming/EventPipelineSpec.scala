@@ -344,6 +344,49 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(dlq.select("dlq_error").collect()(0).getString(0).contains("ingest queue down"))
   }
 
+  test("table-store journal IS the CDC stream: CRUD → journal → CloudEvents") {
+    // the reference's flow is WAL → replication slot → CloudEventFactory;
+    // here the durable store's parquet journal plays the slot — the same
+    // files the store folds into snapshots feed Structured Streaming with
+    // no extra export step
+    val dir = Files.createTempDirectory("graft-store-cdc").toString
+    val store = graft.store.TableTwinStore.open(spark, s"$dir/store")
+    store.createModels(Seq(model))
+    store.createOrReplaceTwin("t1",
+      """{"$metadata":{"$model":"dtmi:m;1"},"temperature":20.0}""")
+    store.patchTwin("t1",
+      """[{"op":"replace","path":"/temperature","value":21.0}]""")
+    store.createOrReplaceTwin("t2",
+      """{"$metadata":{"$model":"dtmi:m;1"},"temperature":22.0}""")
+    store.deleteTwin("t2")
+
+    val stream = EventPipeline.readMutationStream(spark, s"$dir/store/mutations")
+    val en = EventPipeline.toEventNotifications(stream, "https://inst")
+    val q = EventPipeline.runRoute(en, s"$dir/out", s"$dir/cp")
+    q.awaitTermination(60000)
+    val events = spark.read.parquet(s"$dir/out")
+    assert(events.count() == 4)
+    val types = events.select("type").collect().map(_.getString(0)).sorted.toSeq
+    assert(types.count(_.endsWith("Twin.Create")) == 2)
+    assert(types.count(_.endsWith("Twin.Update")) == 1)
+    assert(types.count(_.endsWith("Twin.Delete")) == 1)
+    // a checkpoint folds + PRUNES the journal; the streaming consumer's
+    // own checkpoint means it never re-reads pruned files, exactly like a
+    // replication slot past the confirmed LSN
+    store.checkpoint()
+    store.createOrReplaceTwin("t3",
+      """{"$metadata":{"$model":"dtmi:m;1"},"temperature":23.0}""")
+    val q2 = EventPipeline.runRoute(
+      EventPipeline.toEventNotifications(
+        EventPipeline.readMutationStream(spark, s"$dir/store/mutations"),
+        "https://inst"),
+      s"$dir/out", s"$dir/cp")
+    q2.awaitTermination(60000)
+    val after = spark.read.parquet(s"$dir/out")
+    assert(after.count() == 5, "exactly the new mutation arrives, no replays")
+    assert(after.filter(col("subject") === "t3").count() == 1)
+  }
+
   test("OAuth client-credentials: cached until expiry, refreshed after, 401 retry") {
     import EventPipeline.{OAuthTokenProvider, WebhookAuth => WA}
     var now = 0L
