@@ -91,11 +91,16 @@ final case class BoolLit(v: Boolean) extends Lit
 
 /** Cypher pipeline clauses between MATCH and RETURN, applied in order. */
 sealed trait PipeClause
-/** `WITH [DISTINCT] items [WHERE expr]` — projection/aggregation stage;
-  * retained entity aliases keep their bindings, other items become flat
-  * named columns (the Cypher horizon). */
+/** `WITH [DISTINCT] items [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE expr]`
+  * — projection/aggregation stage; retained entity aliases keep their
+  * bindings, other items become flat named columns (the Cypher horizon).
+  * Per openCypher, ORDER BY → SKIP → LIMIT apply to the horizon first and
+  * WHERE filters the surviving rows. A sorted+limited horizon plans as
+  * top-k (TakeOrdered), not a full sort. */
 final case class WithClause(items: List[SelectItem], where: Option[Expr],
-    distinct: Boolean = false) extends PipeClause
+    distinct: Boolean = false,
+    orderBy: List[(PropRef, Boolean)] = Nil,
+    skip: Option[Int] = None, limit: Option[Int] = None) extends PipeClause
 /** `UNWIND src AS alias` — src is a [[ListLit]] or a [[PropRef]] to a JSON
   * array property / flat list column. */
 final case class UnwindClause(src: Expr, alias: String) extends PipeClause

@@ -176,7 +176,7 @@ final class AdtPlanner(graph: TwinGraph) {
             val bareAlias = ref.entity.isEmpty && ref.path.sizeIs == 1 &&
               outNames.contains(ref.path.head)
             if (bareAlias) (None, if (asc) col(ref.path.head).asc else col(ref.path.head).desc)
-            else (Some(propFromRef(ref, scope).as(s"__sort$i")),
+            else (Some(sortKey(ref, scope).as(s"__sort$i")),
               if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc)
           }
           val sortCols = sortSpecs.flatMap(_._1)
@@ -464,9 +464,23 @@ final class AdtPlanner(graph: TwinGraph) {
       // carries its columns was retained
       paths = scope.paths.filter { case (_, pb) =>
         entityAliases.contains(pb.rel) })
+    // openCypher horizon order: ORDER BY → SKIP → LIMIT shape the
+    // horizon, then WHERE filters the survivors. A sort followed by a
+    // limit plans as TakeOrdered (top-k), so a `WITH ... ORDER BY x
+    // LIMIT k` never materializes a full global sort at scale.
+    var staged = out
+    if (w.orderBy.nonEmpty) {
+      val sortCols = w.orderBy.map { case (ref, asc) =>
+        val c = sortKey(ref, newScope)
+        if (asc) c.asc else c.desc
+      }
+      staged = staged.orderBy(sortCols: _*)
+    }
+    w.skip.foreach(n => staged = staged.offset(n))
+    w.limit.foreach(n => staged = staged.limit(n))
     val filtered = w.where match {
-      case Some(e) => out.filter(compile(e, newScope))
-      case None => out
+      case Some(e) => staged.filter(compile(e, newScope))
+      case None => staged
     }
     (filtered, newScope)
   }
@@ -655,7 +669,7 @@ final class AdtPlanner(graph: TwinGraph) {
       case (v: Lit, p: PropRef) => apply(lit(litValue(v)), typedProp(p, Some(v), scope))
       case _ if isJsonRef(l) || isJsonRef(r) =>
         val (lc, rc) = (compileOperand(l, scope), compileOperand(r, scope))
-        val (ld, rd) = (lc.cast("double"), rc.cast("double"))
+        val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
         when(ld.isNotNull && rd.isNotNull, apply(ld, rd)).otherwise(apply(lc, rc))
       case _ =>
         apply(compileOperand(l, scope), compileOperand(r, scope))
@@ -674,7 +688,8 @@ final class AdtPlanner(graph: TwinGraph) {
     * and participate as-is; Spark inserts the cast where types differ. */
   private def compileArith(a: Arith, scope: Scope): Column = {
     def operand(e: Expr): Column = e match {
-      case p: PropRef if !isFlatRef(p, scope) => propFromRef(p, scope).cast("double")
+      case p: PropRef if !isFlatRef(p, scope) =>
+        propFromRef(p, scope).try_cast("double")
       case other => compileOperand(other, scope)
     }
     val (lc, rc) = (operand(a.l), operand(a.r))
@@ -723,8 +738,10 @@ final class AdtPlanner(graph: TwinGraph) {
           case other => throw new AdtPlanException(s"bad ARRAY_CONTAINS value: $other")
         }
 
-      case "IS_NULL" => propFromRef(asRef(f.args.head), scope).isNull
-      case "IS_DEFINED" => propFromRef(asRef(f.args.head), scope).isNotNull
+      // operand may be any expression (`toInteger(t.x) IS NULL`), not
+      // just a property reference
+      case "IS_NULL" => compileOperand(f.args.head, scope).isNull
+      case "IS_DEFINED" => compileOperand(f.args.head, scope).isNotNull
 
       // keys(x): sorted property names of a node/relationship (or of a
       // nested object property) — openCypher leaves the order unspecified;
@@ -874,12 +891,27 @@ final class AdtPlanner(graph: TwinGraph) {
     }
   }
 
+  /** ORDER BY key for a possibly-JSON-extracted property: numeric values
+    * sort numerically and before strings (agtype's type-then-value
+    * ordering), strings lexically. Flat columns already carry their type
+    * and sort as-is. The key never reaches the output, so result VALUES
+    * are unaffected — only row order. */
+  private def sortKey(ref: PropRef, scope: Scope): Column = {
+    val c = propFromRef(ref, scope)
+    if (isFlatRef(ref, scope)) c
+    else {
+      val d = c.try_cast("double")
+      struct(when(d.isNotNull, 0).otherwise(1).as("t"),
+        coalesce(d, lit(0.0)).as("n"), c.as("s"))
+    }
+  }
+
   /** Numeric function operand: ALWAYS promoted to double — JSON props are
     * strings, but so are UNWIND/WITH flat columns of string lists and
     * string literals, and `toFloat("10.5")` sorting lexicographically is
     * silently wrong. The cast is a no-op for already-numeric columns. */
   private def numArg(f: FnCall, scope: Scope): Column =
-    compileOperand(f.args.head, scope).cast("double")
+    compileOperand(f.args.head, scope).try_cast("double")
 
   /** Clean plan error for wrong argument counts — a raw
     * IndexOutOfBoundsException is an internal crash, not a diagnosis. */

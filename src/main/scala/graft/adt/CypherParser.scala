@@ -110,8 +110,11 @@ object CypherParser {
           pos += 1
           val d = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
           val items = parseReturnItems()
+          val ob = parseOrderBy()
+          val sk = if (isKw(cur, "SKIP")) { pos += 1; Some(num()) } else None
+          val lim = if (isKw(cur, "LIMIT")) { pos += 1; Some(num()) } else None
           val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
-          pipeline += WithClause(items, w, d)
+          pipeline += WithClause(items, w, d, ob, sk, lim)
         } else if (pipeline.nonEmpty && isKw(cur, "MATCH")) {
           pos += 1
           val stageEdges = collection.mutable.ListBuffer[MatchEdge]()
@@ -151,19 +154,7 @@ object CypherParser {
       expectKw("RETURN")
       val distinct = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
       val items = parseReturnItems()
-      val orderBy = collection.mutable.ListBuffer[(PropRef, Boolean)]()
-      if (isKw(cur, "ORDER")) {
-        pos += 1; expectKw("BY")
-        var more = true
-        while (more) {
-          val ref = propRef()
-          val asc =
-            if (isKw(cur, "DESC")) { pos += 1; false }
-            else { if (isKw(cur, "ASC")) pos += 1; true }
-          orderBy += ((ref, asc))
-          if (cur == Sym(",")) pos += 1 else more = false
-        }
-      }
+      val orderBy = parseOrderBy()
       val skip = if (isKw(cur, "SKIP")) { pos += 1; Some(num()) } else None
       val limit = if (isKw(cur, "LIMIT")) { pos += 1; Some(num()) } else None
       cur match {
@@ -181,7 +172,24 @@ object CypherParser {
         if (!hadMatch) FromUnit
         else FromTwins(loneNodes.headOption)
       AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
-        skip, orderBy.toList, distinct, pipeline.toList, loneNodes.toList)
+        skip, orderBy, distinct, pipeline.toList, loneNodes.toList)
+    }
+
+    /** `[ORDER BY ref [ASC|DESC], ...]` — shared by RETURN and WITH. */
+    private def parseOrderBy(): List[(PropRef, Boolean)] = {
+      if (!isKw(cur, "ORDER")) return Nil
+      pos += 1; expectKw("BY")
+      val out = collection.mutable.ListBuffer[(PropRef, Boolean)]()
+      var more = true
+      while (more) {
+        val ref = propRef()
+        val asc =
+          if (isKw(cur, "DESC")) { pos += 1; false }
+          else { if (isKw(cur, "ASC")) pos += 1; true }
+        out += ((ref, asc))
+        if (cur == Sym(",")) pos += 1 else more = false
+      }
+      out.toList
     }
 
     private def parseListLit(): ListLit = {

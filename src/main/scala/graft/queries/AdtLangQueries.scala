@@ -211,6 +211,15 @@ object AdtLangQueries {
         .select(col("id"), concat_ws(",", col("ks")).as("ks"))
     }),
 
+    // WITH ... ORDER BY ... LIMIT horizon: per-stage top-k (plans as
+    // TakeOrdered, not a global sort) feeding the final projection.
+    "q_cypher_with_topk" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:located_in]->(n:Twin) " +
+          "WITH n, count(*) AS members ORDER BY members DESC, n.`$dtId` LIMIT 5 " +
+          "RETURN n.`$dtId` AS nation, members ORDER BY nation")
+    }),
+
     // OPTIONAL MATCH with a scoped WHERE: the predicate joins the
     // left-outer condition, so non-ASIA nations keep their row with a
     // null region instead of being dropped.
@@ -346,6 +355,15 @@ object AdtLangQueries {
         |    FROM customer
         |  UNION ALL SELECT 'S' || s_suppkey, '$dtId,acctbal,name' FROM supplier)
         |ORDER BY id""".stripMargin,
+    "q_cypher_with_topk" ->
+      """SELECT nation, members FROM (
+        |  SELECT 'N' || k AS nation, CAST(cnt AS BIGINT) AS members,
+        |    row_number() OVER (ORDER BY cnt DESC, 'N' || k) rn
+        |  FROM (SELECT k, count(*) cnt
+        |        FROM (SELECT c_nationkey AS k FROM customer
+        |              UNION ALL SELECT s_nationkey FROM supplier)
+        |        GROUP BY 1))
+        |WHERE rn <= 5 ORDER BY nation""".stripMargin,
     "q_cypher_opt_where" ->
       """SELECT 'N' || n_nationkey AS id, 'R' || r_regionkey AS region_id
         |FROM nation LEFT JOIN region

@@ -379,6 +379,10 @@ class CypherSpec extends AnyFunSuite {
     // arithmetic between two properties
     assert(count(
       "MATCH (a:Twin), (b:Twin) WHERE a.mass - b.mass > 1e29 RETURN a") == 3)
+    // ANSI-safe dynamic typing: non-numeric operands yield null / string
+    // comparison, never a CAST_INVALID_INPUT crash
+    assert(count("MATCH (t:Twin) WHERE t.name = t.name RETURN t") == 4)
+    assert(count("MATCH (t:Twin) WHERE toInteger(t.name) IS NULL RETURN t") == 4)
   }
 
   test("CASE expressions: generic and simple forms, CASE in WHERE") {
@@ -529,6 +533,33 @@ class CypherSpec extends AnyFunSuite {
     assert(count("MATCH (t:Twin) WHERE toLower(t.name) = 'sun' RETURN t") == 1)
     // earth has 6 keys, kepler 4 ($dtId, name, mass, Capacity)
     assert(count("MATCH (t:Twin) WHERE size(keys(t)) > 3 RETURN t") == 2)
+  }
+
+  test("WITH ... ORDER BY / SKIP / LIMIT horizons") {
+    // top-1 orbit center by in-degree (sun: 2, earth: 1)
+    val top = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH b.`$dtId` AS center, count(*) AS n ORDER BY n DESC, center LIMIT 1 " +
+        "RETURN center, n")
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("sun", 2L)))
+    // SKIP/LIMIT window over a sorted horizon
+    val page = planner.run(
+      "MATCH (t:Twin) WITH t.`$dtId` AS id ORDER BY id SKIP 1 LIMIT 2 " +
+        "RETURN id ORDER BY id")
+    assert(page.collect().map(_.getString(0)).toSeq == Seq("kepler", "moon1"))
+    // WHERE filters AFTER the horizon's LIMIT (openCypher order): the
+    // limit-2 window is {earth, kepler}; the filter then drops earth —
+    // moon1 must NOT slide in to refill the window
+    val after = planner.run(
+      "MATCH (t:Twin) WITH t.`$dtId` AS id ORDER BY id LIMIT 2 " +
+        "WHERE id <> 'earth' RETURN id")
+    assert(after.collect().map(_.getString(0)).toSeq == Seq("kepler"))
+    // ORDER BY may reference a retained alias's property
+    val retained = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH a ORDER BY a.mass DESC LIMIT 1 RETURN a.`$dtId` AS id")
+    assert(retained.collect().map(_.getString(0)).toSeq == Seq("kepler"))
   }
 
   test("exists(n.prop) legacy form and labels()") {
