@@ -205,7 +205,9 @@ final class AdtPlanner(graph: TwinGraph) {
     * reaches through AGE. `DISTINCT` is supported for COUNT and SUM. */
   private def aggColumn(a: SelectAgg, scope: Scope): Column = {
     val raw = a.arg.map(r => propFromRef(r, scope))
-    val num = raw.map(_.cast("double"))
+    // try_cast: ANSI mode must not crash an aggregate over a mixed/string
+    // property — non-numeric values aggregate as null, agtype-style
+    val num = raw.map(_.try_cast("double"))
     val c = (a.fn, a.distinct) match {
       case ("COUNT", false) => raw.fold(count(lit(1)))(count)
       case ("COUNT", true) => count_distinct(raw.get)
@@ -639,7 +641,7 @@ final class AdtPlanner(graph: TwinGraph) {
         case (acc, (cond, v)) => acc.when(compile(cond, scope), compileOperand(v, scope))
       }
       c.elseExpr.fold(whenChain)(e => whenChain.otherwise(compileOperand(e, scope)))
-    case p: PropRef => propFromRef(p, scope).cast("boolean")
+    case p: PropRef => propFromRef(p, scope).try_cast("boolean")
     case l: Lit => lit(litValue(l))
     case l: ListLit => throw new AdtPlanException(s"list literal $l only valid in UNWIND/IN")
     case _: ExistsPattern => throw new AdtPlanException(
@@ -960,8 +962,10 @@ final class AdtPlanner(graph: TwinGraph) {
       case p: PropRef => litHint match {
         // flat columns (WITH/UNWIND outputs) already carry their real type
         case _ if isFlatRef(p, scope) => c
-        case Some(NumLit(_, _)) => c.cast("double")
-        case Some(BoolLit(_)) => c.cast("boolean")
+        // try_cast: a non-numeric value compared to a number is no-match
+        // (agtype), not an ANSI CAST_INVALID_INPUT crash
+        case Some(NumLit(_, _)) => c.try_cast("double")
+        case Some(BoolLit(_)) => c.try_cast("boolean")
         case _ => c
       }
       case _ => c

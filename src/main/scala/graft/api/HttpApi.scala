@@ -178,10 +178,13 @@ final class HttpApi(
           val req = Json.parse(body(ex))
           val uri = Option(req.get("inputBlobUri")).map(_.asText())
             .getOrElse(throw StoreException(400, "inputBlobUri is required"))
-          jobSources.put(id, uri)
           val rec = ImportJob.withLines(sparkSession(), uri) { lines =>
             jobService.runImport(id, store, lines)
           }
+          // recorded only once the job actually ran under this URI — a
+          // rejected re-PUT (409 on a running job) must not redirect a
+          // later no-body resume to the wrong blob
+          jobSources.put(id, uri)
           respondJson(ex, 201, jobJson(rec))
         case ("GET", List("jobs", "imports")) =>
           page(ex, jobService.list.filter(_.jobType == "import")
@@ -191,6 +194,7 @@ final class HttpApi(
         case ("POST", List("jobs", "imports", id, "cancel")) =>
           respondJson(ex, 200, jobJson(jobService.cancel(id)))
         case ("POST", List("jobs", "imports", id, "resume")) =>
+          jobService.get(id) // 404 before touching any blob
           // the source URI recorded at job creation re-streams the blob;
           // a body {"inputBlobUri"} may override (e.g. after a restart)
           val uri = Json.tryParse(body(ex))
@@ -215,8 +219,15 @@ final class HttpApi(
         // no-op on an already-materialized store; delete wipes everything
         case ("PUT", List("graph", "create")) => respond(ex, 204, "")
         case ("DELETE", List("graph", "delete")) =>
-          jobService.runDelete(
-            s"graph-drop-${java.util.UUID.randomUUID().toString.take(8)}", store)
+          val dropId = s"graph-drop-${java.util.UUID.randomUUID().toString.take(8)}"
+          val rec = jobService.runDelete(dropId, store)
+          // runDelete reports failure in the record, not by throwing — a
+          // half-wiped graph must not answer 204
+          val failed = rec.status != "Succeeded"
+          val detail = rec.resultJson.getOrElse("")
+          jobService.delete(dropId) // scratch record, not client-visible
+          if (failed)
+            throw StoreException(500, s"graph delete ${rec.status}: $detail")
           respond(ex, 204, "")
 
         case _ => error(ex, 404, "NotFound", s"no route for $method ${segs.mkString("/")}")

@@ -21,7 +21,26 @@ import scala.jdk.CollectionConverters._
   * once with idempotent upserts — are identical).
   */
 final case class ImportCheckpoint(section: String, lineNo: Long,
-    stats: ImportStats)
+    stats: ImportStats) {
+  /** Durable form — counts INCLUDED, so a resume reports cumulative
+    * totals, not just the resumed tail's. */
+  def render: String =
+    s"""{"section":"$section","lineNo":$lineNo,"models":${stats.modelsCreated},""" +
+      s""""twins":${stats.twinsCreated},"rels":${stats.relationshipsCreated},""" +
+      s""""errors":${stats.errors}}"""
+}
+
+object ImportCheckpoint {
+  def parse(s: String): ImportCheckpoint = {
+    val n = graft.json.Json.parse(s)
+    ImportCheckpoint(n.get("section").asText(), n.get("lineNo").asLong(),
+      ImportStats(
+        modelsCreated = Option(n.get("models")).map(_.asLong()).getOrElse(0L),
+        twinsCreated = Option(n.get("twins")).map(_.asLong()).getOrElse(0L),
+        relationshipsCreated = Option(n.get("rels")).map(_.asLong()).getOrElse(0L),
+        errors = Option(n.get("errors")).map(_.asLong()).getOrElse(0L)))
+  }
+}
 
 final case class ImportStats(
     modelsCreated: Long = 0, twinsCreated: Long = 0, relationshipsCreated: Long = 0,
@@ -82,7 +101,8 @@ object ImportJob {
       batchSize: Int = 50, checkpointInterval: Int = 50,
       resumeFrom: Option[ImportCheckpoint] = None,
       continueOnFailure: Boolean = true,
-      heartbeat: () => Unit = () => ()): ImportResult = {
+      heartbeat: () => Unit = () => (),
+      onCheckpoint: ImportCheckpoint => Unit = _ => ()): ImportResult = {
 
     val checkpoints = collection.mutable.ArrayBuffer[ImportCheckpoint]()
     var stats = resumeFrom.map(_.stats).getOrElse(ImportStats())
@@ -108,8 +128,12 @@ object ImportJob {
     }
 
     def checkpoint(): Unit = {
-      checkpoints += ImportCheckpoint(section, lineNo, stats)
+      val cp = ImportCheckpoint(section, lineNo, stats)
+      checkpoints += cp
       sinceCheckpoint = 0
+      // durable-record hook: the caller persists this checkpoint so a
+      // crash mid-import resumes from here, not from line 0
+      onCheckpoint(cp)
       // lock-lease renewal rides the checkpoint cadence (the reference
       // renews on a timer during the import, ImportJob.cs:111-153)
       heartbeat()

@@ -131,32 +131,43 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
         lockInfo(id).exists(l => !l.isExpired(nowMs())))
       throw StoreException(409, s"job $id already running")
     if (!tryAcquireLock(id, owner)) throw StoreException(409, s"job $id locked")
-    jobs(id) = JobRecord(id, "import", "Running", clock(), None, Some(owner), None, None)
+    // a resumed/retried job keeps its original creation time
+    val createdAt = jobs.get(id).map(_.createdAt).getOrElse(clock())
+    jobs(id) = JobRecord(id, "import", "Running", createdAt, None, Some(owner),
+      resumeFrom.map(_.render), None)
+    // an acknowledged cancellation must never be overwritten by the
+    // worker's own completion/failure record
+    def unlessCancelled(rec: => JobRecord): JobRecord =
+      if (jobs.get(id).exists(_.status == "Cancelled")) jobs(id) else {
+        val r = rec
+        jobs(id) = r
+        r
+      }
     try {
       val result = ImportJob.run(store, lines, batchSize, checkpointInterval,
         resumeFrom = resumeFrom,
         heartbeat = () =>
           if (!renewHeartbeat(id, owner))
-            throw StoreException(409, s"job $id lease lost by $owner"))
-      val rec = jobs(id).copy(
+            throw StoreException(409, s"job $id lease lost by $owner"),
+        // persist every checkpoint into the record AS THE RUN PROGRESSES —
+        // a crash resumes from the last one, not from line 0
+        onCheckpoint = cp => jobs.get(id).foreach(r =>
+          jobs(id) = r.copy(checkpoint = Some(cp.render))))
+      unlessCancelled(jobs(id).copy(
         status = result.status,
         finishedAt = Some(clock()),
         lockedBy = None,
-        checkpoint = result.checkpoints.lastOption.map(c =>
-          s"""{"section":"${c.section}","lineNo":${c.lineNo}}"""),
+        checkpoint = result.checkpoints.lastOption.map(_.render),
         resultJson = Some(
           s"""{"modelsCreated":${result.stats.modelsCreated},
              |"twinsCreated":${result.stats.twinsCreated},
              |"relationshipsCreated":${result.stats.relationshipsCreated},
-             |"errors":${result.stats.errors}}""".stripMargin.replace("\n", "")))
-      jobs(id) = rec
-      rec
+             |"errors":${result.stats.errors}}""".stripMargin.replace("\n", ""))))
     } catch {
       case e: Exception =>
-        val rec = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
-          lockedBy = None, resultJson = Some(errorJson(e)))
-        jobs(id) = rec
-        rec
+        unlessCancelled(jobs(id).copy(status = "Failed",
+          finishedAt = Some(clock()), lockedBy = None,
+          resultJson = Some(errorJson(e))))
     } finally releaseLock(id, owner)
   }
 
@@ -225,12 +236,17 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
         cp = cp.copy(section = "Completed", modelsDeleted = cp.modelsDeleted + n)
         saveCp()
       }
-      val rec = jobs(id).copy(status = "Succeeded", finishedAt = Some(clock()),
-        lockedBy = None, checkpoint = Some(cp.render),
-        resultJson = Some(
-          s"""{"relationshipsDeleted":${cp.relationshipsDeleted},""" +
-            s""""twinsDeleted":${cp.twinsDeleted},"modelsDeleted":${cp.modelsDeleted}}"""))
-      jobs(id) = rec
+      val rec =
+        if (jobs.get(id).exists(_.status == "Cancelled")) jobs(id)
+        else {
+          val r = jobs(id).copy(status = "Succeeded", finishedAt = Some(clock()),
+            lockedBy = None, checkpoint = Some(cp.render),
+            resultJson = Some(
+              s"""{"relationshipsDeleted":${cp.relationshipsDeleted},""" +
+                s""""twinsDeleted":${cp.twinsDeleted},"modelsDeleted":${cp.modelsDeleted}}"""))
+          jobs(id) = r
+          r
+        }
       releaseLock(id, owner)
       rec
     } catch {
@@ -241,18 +257,27 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
         jobs(id)
       case e: Exception =>
         saveCp()
-        val rec = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
-          lockedBy = None, resultJson = Some(errorJson(e)))
-        jobs(id) = rec
+        val rec =
+          if (jobs.get(id).exists(_.status == "Cancelled")) jobs(id)
+          else {
+            val r = jobs(id).copy(status = "Failed", finishedAt = Some(clock()),
+              lockedBy = None, resultJson = Some(errorJson(e)))
+            jobs(id) = r
+            r
+          }
         releaseLock(id, owner)
         rec
     }
   }
 
   /** Resume an interrupted import from its recorded checkpoint (the
-    * POST /jobs/imports/{id}/resume semantics): the job must exist, not
-    * hold a live lease, and not have already succeeded; the stored
-    * checkpoint seeds the rerun so applied lines are skipped (idempotent
+    * POST /jobs/imports/{id}/resume semantics): only a RESUMABLE job —
+    * Running with an expired lease (a dead instance) or Failed — may
+    * resume, matching the reference's contract. Completed jobs
+    * (Succeeded/PartiallySucceeded/Cancelled) refuse: their final
+    * checkpoint is the end of the file, so a "resume" would no-op and
+    * overwrite the real counts. The checkpoint carries cumulative stats,
+    * so the resumed record reports totals across both runs (idempotent
     * upserts make the at-least-once overlap safe). */
   def resumeImport(id: String, store: TwinStore, lines: Iterator[String],
       owner: String = "driver", batchSize: Int = 50,
@@ -260,35 +285,39 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     val rec = get(id)
     if (rec.jobType != "import")
       throw StoreException(400, s"job $id is a ${rec.jobType} job")
-    if (rec.status == "Succeeded")
-      throw StoreException(409, s"job $id already succeeded")
-    val cp = rec.checkpoint.map { c =>
-      val n = Json.parse(c)
-      ImportCheckpoint(n.get("section").asText(), n.get("lineNo").asLong(),
-        ImportStats())
-    }
+    val staleLease = !lockInfo(id).exists(l => !l.isExpired(nowMs()))
+    val resumable = rec.status == "Failed" || (rec.status == "Running" && staleLease)
+    if (!resumable)
+      throw StoreException(409,
+        s"job $id is ${rec.status} and not resumable (resume needs a " +
+          "Failed job or a Running one whose lease expired)")
     runImport(id, store, lines, owner, batchSize, checkpointInterval,
-      resumeFrom = cp)
+      resumeFrom = rec.checkpoint.map(ImportCheckpoint.parse))
   }
 
   /** Remove a job record (the non-standard DELETE cleanup endpoint). A
     * running job with a live lease cannot be deleted out from under its
     * owner. */
-  def delete(id: String): Unit = {
+  def delete(id: String): Unit = synchronized {
     val rec = get(id)
-    if (rec.status == "Running" && lockInfo(id).exists(l => !l.isExpired(nowMs())))
+    if (rec.status == "Running" && locks.get(id).exists(l => !l.isExpired(nowMs())))
       throw StoreException(409, s"job $id is running")
     jobs.remove(id)
     locks.remove(id)
     ()
   }
 
+  /** Cancel: marks the record AND revokes the worker's lease, so its next
+    * heartbeat fails and the import aborts instead of running to
+    * completion behind the API's back; the completion path never
+    * overwrites an acknowledged Cancelled record. */
   def cancel(id: String): JobRecord = {
     val rec = get(id)
     if (rec.status != "Running" && rec.status != "NotStarted")
       throw StoreException(400, s"job $id is ${rec.status}")
     val out = rec.copy(status = "Cancelled", finishedAt = Some(clock()))
     jobs(id) = out
+    synchronized(locks.remove(id))
     out
   }
 

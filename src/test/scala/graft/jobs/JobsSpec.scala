@@ -168,4 +168,61 @@ class JobsSpec extends AnyFunSuite {
     assert(store.twinIds.isEmpty && store.relationshipKeys.isEmpty)
     assert(svc.jobsToResume.isEmpty)
   }
+
+  test("import crash persists mid-run checkpoints; resume continues, completed jobs refuse") {
+    val svc = new JobService()
+    val store = new TwinStore()
+    val manyTwins = (1 to 8).map(i =>
+      s"""{"$$dtId":"t$i","$$metadata":{"$$model":"dtmi:ex:m;1"},"name":"T$i"}""")
+    val lines = ndjson.take(5) ++ manyTwins // header + models + Twins section
+    var emitted = 0
+    val crashing = lines.iterator.map { l =>
+      emitted += 1
+      if (emitted == 10) throw new RuntimeException("instance death")
+      l
+    }
+    val rec = svc.runImport("imp", store, crashing,
+      batchSize = 1, checkpointInterval = 2)
+    assert(rec.status == "Failed")
+    // the checkpoint was persisted DURING the run, not only at completion
+    assert(rec.checkpoint.isDefined, "crash must leave a resumable checkpoint")
+    val cp = ImportCheckpoint.parse(rec.checkpoint.get)
+    assert(cp.lineNo > 0 && cp.lineNo < lines.size)
+
+    val resumed = svc.resumeImport("imp", store, lines.iterator,
+      batchSize = 1, checkpointInterval = 2)
+    assert(resumed.status == "Succeeded")
+    // every twin made it in, and the record's creation time survived
+    (1 to 8).foreach(i => store.getTwin(s"t$i"))
+    assert(resumed.createdAt == rec.createdAt)
+    // cumulative counts: at least the full set, at-least-once overlap may
+    // recount the replayed tail
+    assert(resumed.resultJson.get.contains("\"modelsCreated\":1"))
+    // a completed job is NOT resumable (its checkpoint is end-of-file; a
+    // "resume" would no-op and overwrite the real counts)
+    val e = intercept[StoreException](
+      svc.resumeImport("imp", store, lines.iterator))
+    assert(e.status == 409 && e.msg.contains("not resumable"))
+  }
+
+  test("cancel revokes the lease so a running import aborts; Cancelled is never overwritten") {
+    val svc = new JobService()
+    val store = new TwinStore()
+    val manyTwins = (1 to 8).map(i =>
+      s"""{"$$dtId":"c$i","$$metadata":{"$$model":"dtmi:ex:m;1"},"name":"C$i"}""")
+    val lines = ndjson.take(5) ++ manyTwins
+    // cancel arrives mid-import (from "another instance"): the next
+    // heartbeat must fail and the record must STAY Cancelled
+    var sent = 0
+    val cancelling = lines.iterator.map { l =>
+      sent += 1
+      if (sent == 9) svc.cancel("job-c")
+      l
+    }
+    val rec = svc.runImport("job-c", store, cancelling,
+      batchSize = 1, checkpointInterval = 2)
+    assert(rec.status == "Cancelled",
+      s"completion must not overwrite an acknowledged cancel, got ${rec.status}")
+    assert(svc.get("job-c").status == "Cancelled")
+  }
 }
