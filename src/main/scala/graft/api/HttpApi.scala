@@ -135,6 +135,22 @@ final class HttpApi(
           store.deleteRelationship(id, rid)
           respond(ex, 204, "")
 
+        // batch create/replace (RelationshipsEndpoints.cs:198-220): one
+        // result entry per input, item failures don't abort the batch
+        case ("POST", List("relationships")) =>
+          val arr = Json.parse(body(ex))
+          if (!arr.isArray)
+            throw StoreException(400, "expected a JSON array of relationships")
+          import scala.jdk.CollectionConverters._
+          val results = store.createOrReplaceRelationships(
+            arr.elements().asScala.map(Json.render).toSeq)
+          val items = results.map {
+            case Right(doc) => s"""{"success":true,"relationship":${Json.render(doc)}}"""
+            case Left(msg) =>
+              s"""{"success":false,"error":${Json.render(Json.text(msg))}}"""
+          }
+          respondJson(ex, 200, items.mkString("{\"results\":[", ",", "]}"))
+
         case ("POST", List("digitaltwins", id, "telemetry")) =>
           store.publishTelemetry(id, body(ex))
           respond(ex, 204, "")

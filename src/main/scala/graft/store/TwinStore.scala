@@ -250,6 +250,23 @@ final class TwinStore(
     }
   }
 
+  /** Batch relationship upsert (the POST /relationships batch endpoint,
+    * RelationshipsEndpoints.cs:198-220): per-item outcome, one failure
+    * never aborts the batch. */
+  def createOrReplaceRelationships(docs: Seq[String]): Seq[Either[String, JsonNode]] = {
+    if (docs.size > 100) throw StoreException(400, "batch limited to 100 relationships")
+    docs.map { d =>
+      try {
+        val n = Json.tryParse(d).getOrElse(throw StoreException(400, "invalid JSON"))
+        val src = Json.get(n, "/$sourceId").map(_.asText())
+          .getOrElse(throw StoreException(400, "$sourceId required"))
+        val rid = Json.get(n, "/$relationshipId").map(_.asText())
+          .getOrElse(throw StoreException(400, "$relationshipId required"))
+        Right(createOrReplaceRelationship(src, rid, d))
+      } catch { case e: StoreException => Left(e.msg) }
+    }
+  }
+
   // ---------------- components (D12) ----------------
 
   /** Component read: the sub-object of the twin doc for a component

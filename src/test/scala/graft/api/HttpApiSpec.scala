@@ -163,6 +163,20 @@ class HttpApiSpec extends AnyFunSuite {
         HttpRequest.BodyPublishers.ofString(
           """{"$relationshipName":"adjacent_to","$targetId":"zzz"}""")).build())
       assert(badTarget.statusCode() == 404)
+
+      // batch POST /relationships: per-item outcomes, failures don't abort
+      val batch = send(req(base, "/relationships").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """[{"$sourceId":"b","$relationshipId":"rb1","$relationshipName":"adjacent_to","$targetId":"c"},
+            |{"$sourceId":"b","$relationshipId":"rb2","$relationshipName":"adjacent_to","$targetId":"nope"}]""".stripMargin)).build())
+      assert(batch.statusCode() == 200)
+      val results = Json.parse(batch.body()).get("results")
+      assert(results.size() == 2)
+      assert(results.get(0).get("success").asBoolean())
+      assert(!results.get(1).get("success").asBoolean())
+      assert(results.get(1).get("error").asText().contains("nope"))
+      assert(send(req(base, "/digitaltwins/b/relationships/rb1").GET().build())
+        .statusCode() == 200)
     }
   }
 
