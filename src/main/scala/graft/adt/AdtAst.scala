@@ -99,7 +99,7 @@ sealed trait PipeClause
   * top-k (TakeOrdered), not a full sort. */
 final case class WithClause(items: List[SelectItem], where: Option[Expr],
     distinct: Boolean = false,
-    orderBy: List[(PropRef, Boolean)] = Nil,
+    orderBy: List[(Expr, Boolean)] = Nil,
     skip: Option[Int] = None, limit: Option[Int] = None) extends PipeClause
 /** `UNWIND src AS alias` — src is a [[ListLit]] or a [[PropRef]] to a JSON
   * array property / flat list column. */
@@ -119,7 +119,7 @@ final case class AdtQuery(
     joins: List[JoinRelated],
     where: Option[Expr],
     skip: Option[Int] = None,               // Cypher SKIP (paging rewrite target)
-    orderBy: List[(PropRef, Boolean)] = Nil, // (ref, ascending)
+    orderBy: List[(Expr, Boolean)] = Nil, // (expr, ascending)
     distinct: Boolean = false,
     pipeline: List[PipeClause] = Nil,        // Cypher WITH / UNWIND stages
     loneNodes: List[String] = Nil)           // Cypher `MATCH (a), (b)` bare bindings

@@ -131,12 +131,16 @@ final class AdtPlanner(graph: TwinGraph) {
           if (keyCols.isEmpty) df1.agg(aggCols.head, aggCols.tail: _*)
           else df1.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         if (q.orderBy.nonEmpty) {
-          val order = q.orderBy.map { case (ref, asc) =>
-            val name = ref.path.last.stripPrefix("$")
-            val c = grouped.columns.find(n => n == name || ref.path == List(n))
-              .map(col).getOrElse(throw new AdtPlanException(
-                s"ORDER BY ${ref.path.mkString(".")} must name a returned column"))
-            if (asc) c.asc else c.desc
+          val order = q.orderBy.map {
+            case (ref: PropRef, asc) =>
+              val name = ref.path.last.stripPrefix("$")
+              val c = grouped.columns.find(n => n == name || ref.path == List(n))
+                .map(col).getOrElse(throw new AdtPlanException(
+                  s"ORDER BY ${ref.path.mkString(".")} must name a returned column"))
+              if (asc) c.asc else c.desc
+            case (other, _) => throw new AdtPlanException(
+              s"ORDER BY over an aggregated RETURN must name a returned " +
+                s"column (alias the expression), got $other")
           }
           grouped.orderBy(order: _*)
         } else grouped
@@ -172,12 +176,18 @@ final class AdtPlanner(graph: TwinGraph) {
             case SelectExpr(_, as) => as.toSeq
             case _ => Nil
           }
-          val sortSpecs = q.orderBy.zipWithIndex.map { case ((ref, asc), i) =>
-            val bareAlias = ref.entity.isEmpty && ref.path.sizeIs == 1 &&
-              outNames.contains(ref.path.head)
-            if (bareAlias) (None, if (asc) col(ref.path.head).asc else col(ref.path.head).desc)
-            else (Some(sortKey(ref, scope).as(s"__sort$i")),
-              if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc)
+          val sortSpecs = q.orderBy.zipWithIndex.map { case ((e, asc), i) =>
+            def hidden(c: org.apache.spark.sql.Column) =
+              (Some(c.as(s"__sort$i")),
+                if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc)
+            e match {
+              case PropRef(None, List(n)) if outNames.contains(n) =>
+                (None, if (asc) col(n).asc else col(n).desc)
+              case ref: PropRef => hidden(sortKey(ref, scope))
+              // arbitrary expression (arithmetic, scalar call, CASE):
+              // compiled result already carries its type
+              case other => hidden(compile(other, scope))
+            }
           }
           val sortCols = sortSpecs.flatMap(_._1)
           val hiddenNames = sortSpecs.zipWithIndex.collect {
@@ -472,8 +482,11 @@ final class AdtPlanner(graph: TwinGraph) {
     // LIMIT k` never materializes a full global sort at scale.
     var staged = out
     if (w.orderBy.nonEmpty) {
-      val sortCols = w.orderBy.map { case (ref, asc) =>
-        val c = sortKey(ref, newScope)
+      val sortCols = w.orderBy.map { case (e, asc) =>
+        val c = e match {
+          case ref: PropRef => sortKey(ref, newScope)
+          case other => compile(other, newScope)
+        }
         if (asc) c.asc else c.desc
       }
       staged = staged.orderBy(sortCols: _*)

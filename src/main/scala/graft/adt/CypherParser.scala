@@ -175,18 +175,20 @@ object CypherParser {
         skip, orderBy, distinct, pipeline.toList, loneNodes.toList)
     }
 
-    /** `[ORDER BY ref [ASC|DESC], ...]` — shared by RETURN and WITH. */
-    private def parseOrderBy(): List[(PropRef, Boolean)] = {
+    /** `[ORDER BY expr [ASC|DESC], ...]` — shared by RETURN and WITH;
+      * full value expressions (arithmetic, scalar calls, CASE), not just
+      * property references. */
+    private def parseOrderBy(): List[(Expr, Boolean)] = {
       if (!isKw(cur, "ORDER")) return Nil
       pos += 1; expectKw("BY")
-      val out = collection.mutable.ListBuffer[(PropRef, Boolean)]()
+      val out = collection.mutable.ListBuffer[(Expr, Boolean)]()
       var more = true
       while (more) {
-        val ref = propRef()
+        val e = valueExpr()
         val asc =
           if (isKw(cur, "DESC")) { pos += 1; false }
           else { if (isKw(cur, "ASC")) pos += 1; true }
-        out += ((ref, asc))
+        out += ((e, asc))
         if (cur == Sym(",")) pos += 1 else more = false
       }
       out.toList

@@ -562,6 +562,33 @@ class CypherSpec extends AnyFunSuite {
     assert(retained.collect().map(_.getString(0)).toSeq == Seq("kepler"))
   }
 
+  test("ORDER BY arbitrary expressions") {
+    // arithmetic sort key: heaviest first via negation
+    val neg = planner.run(
+      "MATCH (t:Twin) RETURN t.`$dtId` AS id ORDER BY t.mass * -1")
+    assert(neg.collect().map(_.getString(0)).toSeq ==
+      Seq("sun", "kepler", "earth", "moon1"))
+    // scalar-call sort key
+    val lower = planner.run(
+      "MATCH (t:Twin) RETURN t.name AS n ORDER BY toLower(t.name) DESC")
+    assert(lower.collect().map(_.getString(0)).toSeq ==
+      Seq("Sun", "Moon", "Kepler442b", "Earth"))
+    // CASE sort key: life-bearing twins first, then by id
+    val cased = planner.run(
+      "MATCH (t:Twin) RETURN t.`$dtId` AS id " +
+        "ORDER BY CASE WHEN t.hasLife = true THEN 0 ELSE 1 END, id")
+    assert(cased.collect().map(_.getString(0)).toSeq ==
+      Seq("earth", "kepler", "moon1", "sun"))
+    // in a WITH horizon too
+    val horizon = planner.run(
+      "MATCH (t:Twin) WITH t ORDER BY t.mass * -1 LIMIT 2 " +
+        "RETURN t.`$dtId` AS id ORDER BY id")
+    assert(horizon.collect().map(_.getString(0)).toSeq == Seq("kepler", "sun"))
+    // aggregated RETURN still requires naming an output column
+    intercept[AdtPlanException](planner.run(
+      "MATCH (t:Twin) RETURN t.name AS n, count(*) AS c ORDER BY c * 2"))
+  }
+
   test("exists(n.prop) legacy form and labels()") {
     assert(count("MATCH (t:Twin) WHERE exists(t.hasLife) RETURN t") == 1)
     assert(count("MATCH (t:Twin) WHERE NOT exists(t.hasLife) RETURN t") == 3)
