@@ -393,9 +393,18 @@ final class AdtPlanner(graph: TwinGraph) {
           s"OPTIONAL MATCH target ${e.dst} is already bound")
         val relAndDst = relDf.join(ns(graph.twins, e.dst),
           col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
-        df = df.join(relAndDst,
-          col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"),
-          "left_outer")
+        // scoped WHERE/property map joins the match condition, exactly as
+        // in the top-level OPTIONAL MATCH: failing predicate null-extends
+        val joinCond = e.optWhere match {
+          case Some(w) =>
+            val optScope = scope.copy(twins = twins + e.dst,
+              rels = rels + relAlias, default = e.src)
+            col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id") &&
+              compile(w, optScope)
+          case None =>
+            col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id")
+        }
+        df = df.join(relAndDst, joinCond, "left_outer")
         rels += relAlias
         twins += e.dst
       } else {

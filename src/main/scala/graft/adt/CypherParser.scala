@@ -142,12 +142,20 @@ object CypherParser {
           val stageLone = collection.mutable.ListBuffer[String]()
           val filtersBefore = propFilters.size
           parsePatterns(stageEdges, stageLone, optional = true)
-          if (propFilters.size != filtersBefore || stageLone.nonEmpty ||
-              stageEdges.exists(_.pathAlias.isDefined))
+          if (stageLone.nonEmpty || stageEdges.exists(_.pathAlias.isDefined))
             throw new AdtParseException(
               "OPTIONAL MATCH after a stage supports plain edge patterns only")
-          if (isKw(cur, "WHERE")) throw new AdtParseException(
-            "WHERE scoped to OPTIONAL MATCH is not supported; filter in a later WITH")
+          // scoped WHERE / property maps attach to the (single) edge's
+          // left-outer join condition, same as the top-level form
+          val mapFilters = propFilters.drop(filtersBefore).toList
+          propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
+          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+          (mapFilters ++ w.toList).reduceOption(And).foreach { expr =>
+            if (stageEdges.size != 1) throw new AdtParseException(
+              "WHERE/property maps on OPTIONAL MATCH are supported for " +
+                "single-edge patterns only")
+            stageEdges(0) = stageEdges.head.copy(optWhere = Some(expr))
+          }
           pipeline += MatchClause(stageEdges.toList, Nil, None)
         } else inPipeline = false
       }

@@ -478,6 +478,21 @@ class CypherSpec extends AnyFunSuite {
       Seq(("earth", "sun"), ("kepler", "sun"), ("moon1", "earth"), ("sun", null)))
   }
 
+  test("pipeline-stage OPTIONAL MATCH honors a scoped WHERE") {
+    // aggregate per center, then optionally hop each center to a
+    // satellite ONLY when the rel is 'satellites' with the right target
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "WITH b, count(*) AS n " +
+        "OPTIONAL MATCH (b)-[r2]->(c:Twin) WHERE label(r2) = 'satellites' " +
+        "RETURN b.`$dtId` AS center, n, c.`$dtId` AS sat ORDER BY center")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // earth has a satellites edge to moon1; sun has outgoing nothing —
+    // but its orbits rows must NOT leak through the label filter
+    assert(rows == Seq(("earth", 1L, "moon1"), ("sun", 2L, null)))
+  }
+
   test("unaliased expressions get unique default output names") {
     val df = planner.run(
       "MATCH (t:Twin {`$dtId`: 'kepler'}) RETURN t.Capacity + 1, t.Capacity * 2")
