@@ -176,6 +176,17 @@ final class AdtPlanner(graph: TwinGraph) {
             case SelectExpr(_, as) => as.toSeq
             case _ => Nil
           }
+          // output aliases referenced INSIDE an ORDER BY expression must
+          // mean the projected value, not a (null) JSON property of the
+          // default entity — substitute each alias with its source expr
+          // before compiling against the pre-projection scope
+          val aliasMap: Map[String, Expr] = q.items.collect {
+            case SelectProp(ent, path, as) =>
+              val (entOpt, realPath) = resolvePropRef(ent, path, scope)
+              as.getOrElse(realPath.last.stripPrefix("$")) ->
+                PropRef(entOpt, realPath)
+            case SelectExpr(e, Some(a)) => a -> e
+          }.toMap
           val sortSpecs = q.orderBy.zipWithIndex.map { case ((e, asc), i) =>
             def hidden(c: org.apache.spark.sql.Column) =
               (Some(c.as(s"__sort$i")),
@@ -186,9 +197,15 @@ final class AdtPlanner(graph: TwinGraph) {
               case ref: PropRef => hidden(sortKey(ref, scope))
               // arbitrary expression (arithmetic, scalar call, CASE):
               // compiled result already carries its type
-              case other => hidden(compile(other, scope))
+              case other => hidden(compile(substituteAliases(other, aliasMap), scope))
             }
           }
+          // a hidden sort key under DISTINCT would order by an arbitrary
+          // surviving duplicate's value — nondeterministic; openCypher
+          // rejects ordering by non-projected values here too
+          if (q.distinct && sortSpecs.exists(_._1.isDefined))
+            throw new AdtPlanException(
+              "ORDER BY under DISTINCT must order by returned columns")
           val sortCols = sortSpecs.flatMap(_._1)
           val hiddenNames = sortSpecs.zipWithIndex.collect {
             case ((Some(_), _), i) => s"__sort$i"
@@ -393,18 +410,10 @@ final class AdtPlanner(graph: TwinGraph) {
           s"OPTIONAL MATCH target ${e.dst} is already bound")
         val relAndDst = relDf.join(ns(graph.twins, e.dst),
           col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
-        // scoped WHERE/property map joins the match condition, exactly as
-        // in the top-level OPTIONAL MATCH: failing predicate null-extends
-        val joinCond = e.optWhere match {
-          case Some(w) =>
-            val optScope = scope.copy(twins = twins + e.dst,
-              rels = rels + relAlias, default = e.src)
-            col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id") &&
-              compile(w, optScope)
-          case None =>
-            col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id")
-        }
-        df = df.join(relAndDst, joinCond, "left_outer")
+        df = df.join(relAndDst, optionalJoinCond(e, relAlias,
+            scope.copy(twins = twins + e.dst, rels = rels + relAlias,
+              default = e.src)),
+          "left_outer")
         rels += relAlias
         twins += e.dst
       } else {
@@ -605,16 +614,9 @@ final class AdtPlanner(graph: TwinGraph) {
               col(s"${relAlias}__target_id") === col(s"${e.dst}__dt_id"))
             // a scoped WHERE joins the match condition — it may reference
             // both the outer row and the optional pattern's bindings
-            val joinCond = e.optWhere match {
-              case Some(w) =>
-                val optScope = Scope(twinAliases.toSet + e.dst,
-                  relAliases.toSet, e.src)
-                col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id") &&
-                  compile(w, optScope)
-              case None =>
-                col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id")
-            }
-            df = df.join(relAndDst, joinCond, "left_outer")
+            df = df.join(relAndDst, optionalJoinCond(e, relAlias,
+                Scope(twinAliases.toSet + e.dst, relAliases.toSet, e.src)),
+              "left_outer")
             twinAliases += e.dst
           } else {
             df = df.join(relDf, col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id"))
@@ -913,6 +915,33 @@ final class AdtPlanner(graph: TwinGraph) {
 
       case other => throw new AdtPlanException(s"unknown function $other")
     }
+  }
+
+  /** Left-outer join condition for an optional edge: the source equi-join
+    * plus any scoped WHERE compiled against the pattern's bindings — the
+    * single definition of the null-extension semantics, shared by the
+    * top-level and pipeline-stage OPTIONAL MATCH planners. */
+  private def optionalJoinCond(e: MatchEdge, relAlias: String,
+      optScope: Scope): Column = {
+    val base = col(s"${e.src}__dt_id") === col(s"${relAlias}__source_id")
+    e.optWhere.fold(base)(w => base && compile(w, optScope))
+  }
+
+  /** Replace bare output-alias references with their source expressions
+    * (for ORDER BY expressions compiled pre-projection). */
+  private def substituteAliases(e: Expr, map: Map[String, Expr]): Expr = e match {
+    case PropRef(None, List(n)) if map.contains(n) => map(n)
+    case And(l, r) => And(substituteAliases(l, map), substituteAliases(r, map))
+    case Or(l, r) => Or(substituteAliases(l, map), substituteAliases(r, map))
+    case Not(x) => Not(substituteAliases(x, map))
+    case Cmp(op, l, r) => Cmp(op, substituteAliases(l, map), substituteAliases(r, map))
+    case In(l, vs) => In(substituteAliases(l, map), vs)
+    case FnCall(n, args) => FnCall(n, args.map(substituteAliases(_, map)))
+    case Arith(op, l, r) => Arith(op, substituteAliases(l, map), substituteAliases(r, map))
+    case CaseExpr(bs, els) => CaseExpr(
+      bs.map { case (c, v) => (substituteAliases(c, map), substituteAliases(v, map)) },
+      els.map(substituteAliases(_, map)))
+    case other => other
   }
 
   /** ORDER BY key for a possibly-JSON-extracted property: numeric values

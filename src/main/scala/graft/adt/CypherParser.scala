@@ -85,15 +85,7 @@ object CypherParser {
           val filtersBefore = propFilters.size
           val edgesBefore = edges.size
           parsePatterns(edges, loneNodes, optional = true)
-          val mapFilters = propFilters.drop(filtersBefore).toList
-          propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
-          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
-          (mapFilters ++ w.toList).reduceOption(And).foreach { expr =>
-            if (edges.size - edgesBefore != 1) throw new AdtParseException(
-              "WHERE/property maps on OPTIONAL MATCH are supported for " +
-                "single-edge patterns only")
-            edges(edges.size - 1) = edges.last.copy(optWhere = Some(expr))
-          }
+          attachOptWhere(edges, edgesBefore, filtersBefore)
         }
       } else if (!isKw(cur, "UNWIND"))
         throw new AdtParseException(s"expected MATCH or UNWIND, found $cur")
@@ -145,17 +137,7 @@ object CypherParser {
           if (stageLone.nonEmpty || stageEdges.exists(_.pathAlias.isDefined))
             throw new AdtParseException(
               "OPTIONAL MATCH after a stage supports plain edge patterns only")
-          // scoped WHERE / property maps attach to the (single) edge's
-          // left-outer join condition, same as the top-level form
-          val mapFilters = propFilters.drop(filtersBefore).toList
-          propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
-          val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
-          (mapFilters ++ w.toList).reduceOption(And).foreach { expr =>
-            if (stageEdges.size != 1) throw new AdtParseException(
-              "WHERE/property maps on OPTIONAL MATCH are supported for " +
-                "single-edge patterns only")
-            stageEdges(0) = stageEdges.head.copy(optWhere = Some(expr))
-          }
+          attachOptWhere(stageEdges, edgesBefore = 0, filtersBefore)
           pipeline += MatchClause(stageEdges.toList, Nil, None)
         } else inPipeline = false
       }
@@ -217,6 +199,23 @@ object CypherParser {
     private def num(): Int = advance() match {
       case Num(s) => s.toInt
       case t => throw new AdtParseException(s"expected number, found $t")
+    }
+
+    /** Scoped WHERE / inline property maps of an OPTIONAL MATCH attach to
+      * its single edge — the planner folds them into the left-outer join
+      * condition so a failing predicate null-extends. Shared by the
+      * top-level and pipeline-stage forms. */
+    private def attachOptWhere(edges: collection.mutable.ListBuffer[MatchEdge],
+        edgesBefore: Int, filtersBefore: Int): Unit = {
+      val mapFilters = propFilters.drop(filtersBefore).toList
+      propFilters.remove(filtersBefore, propFilters.size - filtersBefore)
+      val w = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+      (mapFilters ++ w.toList).reduceOption(And).foreach { expr =>
+        if (edges.size - edgesBefore != 1) throw new AdtParseException(
+          "WHERE/property maps on OPTIONAL MATCH are supported for " +
+            "single-edge patterns only")
+        edges(edges.size - 1) = edges.last.copy(optWhere = Some(expr))
+      }
     }
 
     private def parsePatterns(edges: collection.mutable.ListBuffer[MatchEdge],

@@ -141,6 +141,8 @@ final class HttpApi(
           val arr = Json.parse(body(ex))
           if (!arr.isArray)
             throw StoreException(400, "expected a JSON array of relationships")
+          if (arr.size() > 100) // reject before serializing 100+ elements
+            throw StoreException(400, "batch limited to 100 relationships")
           import scala.jdk.CollectionConverters._
           val results = store.createOrReplaceRelationships(
             arr.elements().asScala.map(Json.render).toSeq)

@@ -602,6 +602,15 @@ class CypherSpec extends AnyFunSuite {
     // aggregated RETURN still requires naming an output column
     intercept[AdtPlanException](planner.run(
       "MATCH (t:Twin) RETURN t.name AS n, count(*) AS c ORDER BY c * 2"))
+    // an output alias INSIDE an expression means the projected value,
+    // not a (null) JSON property of the default entity
+    val aliased = planner.run(
+      "MATCH (t:Twin) RETURN t.name AS n ORDER BY toLower(n) DESC")
+    assert(aliased.collect().map(_.getString(0)).toSeq ==
+      Seq("Sun", "Moon", "Kepler442b", "Earth"))
+    // DISTINCT + a non-returned sort key is nondeterministic → rejected
+    intercept[AdtPlanException](planner.run(
+      "MATCH (t:Twin) RETURN DISTINCT t.name AS n ORDER BY t.mass"))
   }
 
   test("exists(n.prop) legacy form and labels()") {
