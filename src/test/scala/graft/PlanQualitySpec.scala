@@ -158,6 +158,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"marker dictionary join must broadcast:\n$p")
   }
 
+  test("WITH ... ORDER BY ... LIMIT plans as top-k, not a global sort") {
+    val p = plan("q_cypher_with_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"a sorted+limited horizon must plan as TakeOrdered:\n$p")
+  }
+
   test("Cypher arithmetic filter stays inside one scan stage (no extra exchange)") {
     val p = plan("q_cypher_arith")
     // filter + projection over one table: zero joins, shuffles only for
