@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the mixture-assembly step between
+  * curation and training. Production pipelines need samples that are
+  * REPRODUCIBLE (same inputs → same corpus, on any engine, any
+  * partitioning), so randomness here is a salted content hash, never
+  * `rand()`:
+  *
+  *  - [[hashSample]]: keep a p-fraction by hashing the id — the standard
+  *    deterministic Bernoulli sample. Changing the salt draws an
+  *    independent sample; the same salt always draws the same one.
+  *  - [[stratifiedCap]]: at most k rows per stratum (cap the
+  *    over-represented language/source/domain before training) — one
+  *    row_number window per stratum, one shuffle keyed by the stratum.
+  *
+  * Scale shape: hashSample is a pure per-row filter (zero shuffle,
+  * pushed into the scan stage); stratifiedCap is one hash-partition
+  * shuffle on the stratum key + a windowed rank — no global sort, no
+  * driver state. Skewed strata are bounded BY CONSTRUCTION: only k rows
+  * per stratum survive the window, and Spark's rank-limit pushdown stops
+  * accumulating past k per partition group.
+  */
+object Sampling {
+
+  /** Salted uniform hash of `id` in [0, 10000): the first 15 md5 hex
+    * digits (60 bits, exact in a long) mod 10^4 — identical arithmetic on
+    * any SQL engine, no float rounding. */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000
+
+  /** Deterministic p-fraction sample: keeps rows whose salted hash falls
+    * below p×10000. E[kept] = p×n with concentration like any Bernoulli
+    * sample, but membership is a pure function of (id, salt). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(hashBucket(col(idCol), salt) < lit((fraction * 10000).toInt))
+  }
+
+  /** At most `k` rows per stratum, chosen deterministically: rank by the
+    * salted hash (an unbiased draw within the stratum), ties broken by
+    * id. One shuffle on the stratum key. */
+  def stratifiedCap(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"cap $k must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -96,6 +96,24 @@ object PipelineQueries {
     "q_pipeline_curate" -> ((s, d) => {
       Curation.curate(Td.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash sampling: same (id, salt) → same membership on
+    // any engine/partitioning — the reproducible-corpus requirement.
+    "q_pipeline_sample" -> ((s, d) => {
+      Sampling.hashSample(Td.documents(s, d), "doc_id", 0.25)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Stratified cap: at most 30 docs per predicted language, drawn by
+    // salted hash rank — the mixture-balancing step.
+    "q_pipeline_stratcap" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val withLang = docs.join(
+        TextAnalysis.languageId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      Sampling.stratifiedCap(withLang, "pred_lang", "doc_id", k = 30)
+        .select(col("doc_id"), col("pred_lang")).orderBy(col("doc_id"))
     })
   )
 
@@ -311,6 +329,34 @@ object PipelineQueries {
          |SELECT doc_id, pred_lang, n_tokens, stopword_ratio_4, is_survivor,
          |  reject_reason, reject_reason IS NULL AS keep
          |FROM verdict ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pipeline_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x'||substr(md5('graft'||doc_id),1,15)) AS BIGINT)
+        |  % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_stratcap" -> {
+      val dict = TextAnalysis.LangMarkers
+        .map { case (l, m) => s"('$l','$m')" }.mkString(",")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+         |dict(cand_lang, marker) AS (VALUES $dict),
+         |hits AS (SELECT doc_id, cand_lang, count(*) hits FROM toks
+         |         JOIN dict ON tok = marker GROUP BY 1,2),
+         |best AS (SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY hits DESC, cand_lang) rn FROM hits),
+         |lang AS (SELECT d.doc_id, coalesce(b.cand_lang,'und') pred_lang
+         |         FROM documents d LEFT JOIN best b
+         |           ON b.doc_id = d.doc_id AND b.rn = 1),
+         |ranked AS (SELECT l.doc_id, l.pred_lang,
+         |  row_number() OVER (PARTITION BY l.pred_lang ORDER BY
+         |    CAST(('0x'||substr(md5('graft'||l.doc_id),1,15)) AS BIGINT)
+         |      % 10000, l.doc_id) rn
+         |  FROM lang l)
+         |SELECT doc_id, pred_lang FROM ranked WHERE rn <= 30
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_multimodal_decode" ->

@@ -166,6 +166,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(idxs.headOption.contains(0) && idxs.forall(_ % 2 == 0))
   }
 
+  test("deterministic sampling: reproducible membership, salt independence, strict caps") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) "de" else "en")).toDF("doc_id", "lang")
+    // same salt → identical membership across evaluations
+    val a = Sampling.hashSample(corpus, "doc_id", 0.3).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(corpus, "doc_id", 0.3).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty && a.size < 200)
+    // roughly the requested fraction (hash-uniformity, wide tolerance)
+    assert(a.size > 200 * 0.15 && a.size < 200 * 0.45, s"got ${a.size}/200")
+    // a different salt draws a different (but equally reproducible) sample
+    val c = Sampling.hashSample(corpus, "doc_id", 0.3, salt = "other")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(c != a)
+    // fraction edges
+    assert(Sampling.hashSample(corpus, "doc_id", 0.0).count() == 0)
+    assert(Sampling.hashSample(corpus, "doc_id", 1.0).count() == 200)
+
+    // stratified cap: every stratum bounded by k, deterministic picks
+    val capped = Sampling.stratifiedCap(corpus, "lang", "doc_id", k = 20)
+    val sizes = capped.groupBy($"lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes("en") == 20 && sizes("de") == 20)
+    val again = Sampling.stratifiedCap(corpus, "lang", "doc_id", k = 20)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select($"doc_id").as[Long].collect().sorted.toSeq)
+    // a stratum smaller than k survives whole
+    val tiny = Sampling.stratifiedCap(corpus.filter(col("doc_id") <= 10),
+      "lang", "doc_id", k = 20)
+    assert(tiny.count() == 10)
+  }
+
   test("curation verdicts: policy order, survivor election, curated corpus") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
