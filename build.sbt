@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 32-way shuffles over sf0.1 needs more Spark memory than
+  // the 8g default (~4.6 GiB for storage+execution) — that evicts and
+  // spills across a 60+-query session, inflating unrelated queries. 16g is
+  // deliberately moderate: 48g heaps (pinned or not) showed multi-minute
+  // GC/page-fault pathologies on this virtualized box, and per-query
+  // block hygiene in Bench/Verify keeps the working set bounded anyway.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

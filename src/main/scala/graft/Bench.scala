@@ -26,12 +26,43 @@ object Bench {
         c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name")).count().count()
       } catch { case _: Throwable => }
+      // Warm the dedup/graph codegen paths (wide aggregation, hash
+      // self-join, explode, localCheckpoint, iterative BFS) on a tiny
+      // slice: the first execution of each generated-code shape pays JIT
+      // compilation that would otherwise bill ~10s to whichever heavy
+      // query runs first.
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        val pairs = graft.pipeline.Dedup.minhashLshPairs(
+          docs, "doc_id", "text", 3, 64, 16, 0.5)
+        graft.pipeline.Dedup.components(pairs).count()
+      } catch { case _: Throwable => }
+      try {
+        val rels = spark.read.parquet(s"$sfDir/../sf0.001/orders.parquet")
+          .select(col("o_custkey").cast("string").as("source_id"),
+            (col("o_orderkey") % 100).cast("string").as("target_id"),
+            lit("w").as("relationship_name"))
+        graft.graph.Vle.range(rels, 1, 5).count()
+      } catch { case _: Throwable => }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed inter-query hygiene: drop whatever cache the finished query
+      // left registered and unpersist orphaned persist/localCheckpoint
+      // blocks, so each timing measures its own plan rather than the
+      // accumulated session state of every query before it. Explicit
+      // unpersist (not System.gc()): a forced full GC on a large heap
+      // stalls the driver past the 10 s executor-heartbeat timeout.
+      // Queries are independent (nothing reads a prior query's frames), so
+      // dropping every still-persisted RDD here is safe.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
