@@ -6,13 +6,20 @@ import scala.jdk.CollectionConverters._
 
 /** DTDL v2-v4 subset: the JSON-level feature set the reference actually
   * exercises (Interface, extends, Property with primitive/Object/Array/Map/
-  * Enum schemas, Relationship, Component, Telemetry) — full DTDLParser
-  * conformance is explicitly out of scope (SURVEY §7 hard-part 5).
+  * Enum schemas, Relationship, Component, Telemetry), plus the three
+  * DTDLParser conformance features beyond that subset: semantic
+  * (quantitative) co-types with `unit` validation, and interface-level
+  * `schemas` definitions referenced by `@id` — full DTDLParser conformance
+  * remains out of scope (SURVEY §7 hard-part 5).
   *
   * Reference behavior reproduced: model parsing + bases/descendants closure
   * (/root/reference/src/AgeDigitalTwins/AgeDigitalTwinsClient.Models.cs:248-540)
   * and write-time property validation
-  * (AgeDigitalTwinsClient.DigitalTwins.cs:266-457).
+  * (AgeDigitalTwins.DigitalTwins.cs:266-457); the semantic-type sample the
+  * reference tests against is the `["Property","Humidity"]` +
+  * `"unit":"gramPerCubicMetre"` content of
+  * AgeDigitalTwins.Test/SampleData.cs:37-41 (context
+  * `dtmi:dtdl:extension:quantitativeTypes;1`).
   */
 sealed trait DtdlSchema {
   /** Validate a JSON value instance against this schema. */
@@ -86,20 +93,73 @@ final case class DtdlInterface(
 
 object Dtdl {
 
-  def parseSchema(n: JsonNode): DtdlSchema = {
+  /** The DTDL quantitativeTypes extension, exercised subset: semantic
+    * co-type → units it admits (DTDLParser validates unit membership; we
+    * validate against this table and accept unknown co-types untouched for
+    * forward compatibility). */
+  val QuantitativeUnits: Map[String, Set[String]] = Map(
+    "Temperature" -> Set("degreeCelsius", "degreeFahrenheit", "kelvin"),
+    "Humidity" -> Set("gramPerCubicMetre", "kilogramPerCubicMetre"),
+    "RelativeHumidity" -> Set("percent", "unity"),
+    "Pressure" -> Set("pascal", "kilopascal", "bar", "millibar",
+      "poundPerSquareInch"),
+    "Distance" -> Set("metre", "centimetre", "millimetre", "kilometre",
+      "mile", "foot", "inch"),
+    "Length" -> Set("metre", "centimetre", "millimetre", "kilometre",
+      "mile", "foot", "inch"),
+    "Velocity" -> Set("metrePerSecond", "kilometrePerHour", "milePerHour",
+      "knot"),
+    "Acceleration" -> Set("metrePerSecondSquared", "gForce"),
+    "Mass" -> Set("kilogram", "gram", "milligram", "tonne", "pound",
+      "ounce"),
+    "Angle" -> Set("degreeOfArc", "radian", "minuteOfArc", "secondOfArc"),
+    "TimeSpan" -> Set("second", "millisecond", "microsecond", "minute",
+      "hour", "day"),
+    "Frequency" -> Set("hertz", "kilohertz", "megahertz", "gigahertz"),
+    "Power" -> Set("watt", "kilowatt", "megawatt", "horsepower"),
+    "Energy" -> Set("joule", "kilojoule", "kilowattHour",
+      "electronvolt"),
+    "Current" -> Set("ampere", "milliampere", "microampere"),
+    "Voltage" -> Set("volt", "millivolt", "kilovolt"),
+    "Illuminance" -> Set("lux", "footcandle"),
+    "Luminosity" -> Set("candelaPerSquareMetre"),
+    "DataSize" -> Set("bit", "byte", "kibibyte", "mebibyte", "gibibyte",
+      "kilobyte", "megabyte", "gigabyte"),
+    "DataRate" -> Set("bitPerSecond", "kibibitPerSecond",
+      "bytePerSecond", "megabitPerSecond"),
+    "Volume" -> Set("cubicMetre", "litre", "millilitre", "gallon",
+      "fluidOunce"),
+    "Area" -> Set("squareMetre", "squareCentimetre", "squareKilometre",
+      "acre", "hectare"))
+
+  private val NumericPrimitives =
+    Set("double", "float", "integer", "long")
+
+  def parseSchema(n: JsonNode): DtdlSchema = parseSchema(n, Map.empty)
+
+  /** Parse a schema node; textual `dtmi:` values resolve through `defs`
+    * (the interface's `schemas` registry) — an unresolvable reference
+    * parses to [[AnySchema]] only when `defs` is empty (legacy lenient
+    * path); [[parseInterface]] pre-validates references and fails the
+    * model instead. */
+  def parseSchema(n: JsonNode, defs: Map[String, DtdlSchema]): DtdlSchema = {
     if (n == null || n.isNull) AnySchema
-    else if (n.isTextual) PrimitiveSchema(n.asText())
-    else if (n.isObject) {
+    else if (n.isTextual) {
+      val name = n.asText()
+      if (name.startsWith("dtmi:")) defs.getOrElse(name, AnySchema)
+      else PrimitiveSchema(name)
+    } else if (n.isObject) {
       val t = Option(n.get("@type")).map(typeNames).getOrElse(Nil)
       if (t.contains("Object")) {
         val fields = Option(n.get("fields")).map(_.elements().asScala.map { f =>
-          f.get("name").asText() -> parseSchema(f.get("schema"))
+          f.get("name").asText() -> parseSchema(f.get("schema"), defs)
         }.toMap).getOrElse(Map.empty)
         ObjectSchema(fields)
       } else if (t.contains("Array")) {
-        ArraySchema(parseSchema(n.get("elementSchema")))
+        ArraySchema(parseSchema(n.get("elementSchema"), defs))
       } else if (t.contains("Map")) {
-        MapSchema(Option(n.get("mapValue")).map(mv => parseSchema(mv.get("schema")))
+        MapSchema(Option(n.get("mapValue"))
+          .map(mv => parseSchema(mv.get("schema"), defs))
           .getOrElse(AnySchema))
       } else if (t.contains("Enum")) {
         val vals = Option(n.get("enumValues")).map(_.elements().asScala
@@ -108,6 +168,51 @@ object Dtdl {
         EnumSchema(vals)
       } else AnySchema
     } else AnySchema
+  }
+
+  /** Parse the interface-level `schemas` member (reusable schema
+    * definitions keyed by `@id`, DTDL v2+). Definitions may reference each
+    * other; resolution iterates to a fixpoint so ordering doesn't matter,
+    * and a cyclic reference fails rather than recursing. Returns the
+    * registry or the first error. */
+  def parseSchemaDefs(n: JsonNode): Either[String, Map[String, DtdlSchema]] = {
+    if (n == null || n.isNull) return Right(Map.empty)
+    if (!n.isArray) return Left("'schemas' must be an array")
+    val nodes = n.elements().asScala.toSeq
+    val byId = nodes.map { d =>
+      Option(d.get("@id")).map(_.asText())
+        .getOrElse(return Left("schema definition missing @id")) -> d
+    }
+    if (byId.map(_._1).distinct.size != byId.size)
+      return Left("duplicate schema definition @id")
+    // fixpoint: each pass parses definitions whose references all resolve
+    var resolved = Map.empty[String, DtdlSchema]
+    var pending = byId
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      val (ready, rest) = pending.partition { case (_, d) =>
+        schemaRefs(d).forall(resolved.contains)
+      }
+      progressed = ready.nonEmpty
+      resolved ++= ready.map { case (id, d) => id -> parseSchema(d, resolved) }
+      pending = rest
+    }
+    if (pending.nonEmpty)
+      Left(s"unresolvable (cyclic or undefined) schema reference in " +
+        pending.map(_._1).sorted.mkString("[", ", ", "]"))
+    else Right(resolved)
+  }
+
+  /** All `dtmi:` schema references inside a schema definition node. */
+  private def schemaRefs(n: JsonNode): Seq[String] = {
+    if (n == null) Nil
+    else if (n.isTextual) {
+      val s = n.asText(); if (s.startsWith("dtmi:")) Seq(s) else Nil
+    } else if (n.isObject)
+      Seq("fields", "elementSchema", "mapValue", "schema")
+        .flatMap(k => schemaRefs(n.get(k)))
+    else if (n.isArray) n.elements().asScala.flatMap(schemaRefs).toSeq
+    else Nil
   }
 
   private def typeNames(t: JsonNode): Seq[String] =
@@ -124,6 +229,10 @@ object Dtdl {
     val ext = Option(n.get("extends")).map { e =>
       if (e.isTextual) Seq(e.asText()) else e.elements().asScala.map(_.asText()).toSeq
     }.getOrElse(Nil)
+    val defs = parseSchemaDefs(n.get("schemas")) match {
+      case Right(d) => d
+      case Left(err) => return Left(s"model $id: $err")
+    }
     var props = Map.empty[String, DtdlSchema]
     var rels = Map.empty[String, Option[String]]
     var comps = Map.empty[String, String]
@@ -131,7 +240,20 @@ object Dtdl {
     Option(n.get("contents")).foreach(_.elements().asScala.foreach { c =>
       val ts = Option(c.get("@type")).map(typeNames).getOrElse(Nil)
       val name = Option(c.get("name")).map(_.asText()).getOrElse("")
-      if (ts.contains("Property")) props += name -> parseSchema(c.get("schema"))
+      if (ts.contains("Property") || ts.contains("Telemetry")) {
+        // a `schemas`-defined @id must resolve; a dangling reference is a
+        // model error, not an accept-anything schema
+        Option(c.get("schema")).filter(_.isTextual).map(_.asText())
+          .filter(r => r.startsWith("dtmi:") && !defs.contains(r))
+          .foreach(r => return Left(
+            s"model $id: content '$name' references undefined schema '$r'"))
+        validateSemanticType(id, name, ts, c) match {
+          case Left(err) => return Left(err)
+          case Right(()) =>
+        }
+      }
+      if (ts.contains("Property"))
+        props += name -> parseSchema(c.get("schema"), defs)
       else if (ts.contains("Relationship"))
         rels += name -> Option(c.get("target")).map(_.asText())
       else if (ts.contains("Component"))
@@ -140,6 +262,44 @@ object Dtdl {
     })
     Right(DtdlInterface(id, ext, props, rels, comps, telem,
       Option(n.get("displayName")).map(_.asText()), dtdlJson))
+  }
+
+  /** Semantic (quantitative) co-type checks for a Property/Telemetry
+    * content node: a recognized quantitative co-type requires a numeric
+    * schema and a unit drawn from that quantity kind's unit set; a `unit`
+    * on a content with no recognized quantitative co-type is an error.
+    * Unrecognized co-types (adjunct types from other extensions) pass
+    * through untouched. Mirrors DTDLParser's quantitativeTypes extension
+    * behavior on the surface the reference exercises
+    * (AgeDigitalTwins.Test/SampleData.cs:37-41). */
+  private def validateSemanticType(modelId: String, name: String,
+      ts: Seq[String], c: JsonNode): Either[String, Unit] = {
+    val quant = ts.filter(QuantitativeUnits.contains)
+    val unit = Option(c.get("unit")).map(_.asText())
+    if (quant.size > 1)
+      return Left(s"model $modelId: content '$name' has multiple " +
+        s"quantitative co-types ${quant.mkString(", ")}")
+    (quant.headOption, unit) match {
+      case (None, None) => Right(())
+      case (None, Some(u)) =>
+        Left(s"model $modelId: content '$name' declares unit '$u' " +
+          "without a quantitative semantic co-type")
+      case (Some(q), None) =>
+        Left(s"model $modelId: content '$name' has semantic type '$q' " +
+          "but no unit")
+      case (Some(q), Some(u)) =>
+        if (!QuantitativeUnits(q).contains(u))
+          Left(s"model $modelId: unit '$u' is not valid for semantic " +
+            s"type '$q'")
+        else {
+          val schemaName = Option(c.get("schema")).filter(_.isTextual)
+            .map(_.asText())
+          if (schemaName.exists(NumericPrimitives.contains)) Right(())
+          else Left(s"model $modelId: content '$name' with semantic type " +
+            s"'$q' must have a numeric schema, got " +
+            s"${schemaName.getOrElse("a complex schema")}")
+        }
+    }
   }
 
   /** Transitive bases per model (the reference computes this at upload,
