@@ -110,6 +110,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenSet(text)))
 
+  /** Gopher-style repetition quality signals, fixed-point ×10000:
+    *
+    *  - `top_token_ratio_4`: occurrences of the single most frequent token
+    *    over total tokens — boilerplate/spam saturates one token;
+    *  - `dup_bigram_ratio_4`: fraction of bigram occurrences that are
+    *    repeats of an already-seen bigram ((total − distinct) / total) —
+    *    repeated phrasing scores high even when unigrams look diverse.
+    *
+    * Shape at 100 TB: two explode→two-level-aggregate chains (each one
+    * shuffle on doc id with map-side partial aggregation — no window, no
+    * self-join) joined on the doc key; the bigram explode runs the same
+    * [[graft.functions.WordNGrams]] codegen kernel the dedup operators
+    * use. Docs with fewer than 2 tokens have no bigrams → ratio 0. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+    val bi = df
+      .select(col(idCol), explode(graft.functions.WordNGrams.ngrams(
+        tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("total_bi"), count(lit(1)).as("distinct_bi"))
+    df.select(col(idCol))
+      .join(tok, Seq(idCol), "left_outer")
+      .join(bi, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).cast(LongType).as("n_tokens"),
+        coalesce(floor(col("top_c") * 10000.0 / col("n_tok") + 0.5), lit(0L))
+          .cast(LongType).as("top_token_ratio_4"),
+        coalesce(floor((col("total_bi") - col("distinct_bi")) * 10000.0
+            / col("total_bi") + 0.5), lit(0L))
+          .cast(LongType).as("dup_bigram_ratio_4"))
+  }
+
   /** All per-document text statistics in ONE pass: explode tokens once,
     * aggregate with conditional sums (map-side combined, single shuffle).
     * The fingerprint folds into the same aggregation as

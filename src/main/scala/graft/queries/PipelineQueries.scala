@@ -105,6 +105,22 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality: top-token saturation and duplicate
+    // bigram fraction, the repetition filters of a curation pass.
+    "q_text_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rules-driven PII redaction: sequential regex rewrite + per-rule
+    // match counts (email rule matches nothing here — it exercises the
+    // multi-rule column shape; the number rule fires on every row).
+    "q_pipeline_redact" -> ((s, d) => {
+      Redaction.redact(Td.events(s, d), "event_id", "props",
+        Redaction.CommonPii.filter(r => r.name == "email" || r.name == "number"))
+        .orderBy(col("event_id"))
+    }),
+
     // Stratified cap: at most 30 docs per predicted language, drawn by
     // salted hash rank — the mixture-balancing step.
     "q_pipeline_stratcap" -> ((s, d) => {
@@ -330,6 +346,35 @@ object PipelineQueries {
          |  reject_reason, reject_reason IS NULL AS keep
          |FROM verdict ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) c FROM tok GROUP BY 1,2),
+        |ta AS (SELECT doc_id, max(c) top_c, sum(c) n_tok FROM tc GROUP BY 1),
+        |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+        |bg AS (SELECT a.doc_id, a.tok||' '||b.tok bg
+        |       FROM pos a JOIN pos b ON a.doc_id=b.doc_id AND b.p=a.p+1),
+        |bc AS (SELECT doc_id, bg, count(*) c FROM bg GROUP BY 1,2),
+        |ba AS (SELECT doc_id, sum(c) total_bi, count(*) distinct_bi FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ta.n_tok,0) AS BIGINT) n_tokens,
+        |  CAST(coalesce(floor(ta.top_c*10000.0/ta.n_tok+0.5),0) AS BIGINT) top_token_ratio_4,
+        |  CAST(coalesce(floor((ba.total_bi-ba.distinct_bi)*10000.0/ba.total_bi+0.5),0) AS BIGINT) dup_bigram_ratio_4
+        |FROM documents d
+        |LEFT JOIN ta ON ta.doc_id = d.doc_id
+        |LEFT JOIN ba ON ba.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pipeline_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]+', '[NUM]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) n_email,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) n_number
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_pipeline_sample" ->
       """SELECT doc_id FROM documents

@@ -227,4 +227,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.select($"doc_id").as[Long].collect().toSeq == Seq(0L))
     assert(kept.columns.contains("text"))
   }
+
+  test("repetition stats: top-token and duplicate-bigram saturation") {
+    val corpus = Seq(
+      (0L, "spam spam spam spam"),          // one token saturates: 10000
+      (1L, "a b a b a b"),                  // bigrams: a b ×3, b a ×2 → 3/5 dup
+      (2L, "all words here are unique"),    // no repetition at all
+      (3L, "solo")                          // single token: no bigrams → 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(corpus, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Long]("top_token_ratio_4") == 10000L)
+    assert(r(0).getAs[Long]("dup_bigram_ratio_4") == 6667L) // (3-1)/3
+    assert(r(1).getAs[Long]("n_tokens") == 6L)
+    assert(r(1).getAs[Long]("top_token_ratio_4") == 5000L)
+    assert(r(1).getAs[Long]("dup_bigram_ratio_4") == 6000L) // (5-2)/5
+    assert(r(2).getAs[Long]("top_token_ratio_4") == 2000L)
+    assert(r(2).getAs[Long]("dup_bigram_ratio_4") == 0L)
+    assert(r(3).getAs[Long]("n_tokens") == 1L)
+    assert(r(3).getAs[Long]("dup_bigram_ratio_4") == 0L)
+  }
+
+  test("redaction rewrites rule matches and counts them per rule") {
+    val corpus = Seq(
+      (0L, "mail bob@example.com or call +1 555 123 4567 now"),
+      (1L, "server at 10.0.0.1 port 8080"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Redaction.redact(corpus, "doc_id", "text", Redaction.CommonPii)
+      .orderBy($"doc_id").collect()
+    val r0 = out(0).getAs[String]("redacted")
+    assert(r0.contains("[EMAIL]") && !r0.contains("bob@"))
+    assert(r0.contains("[PHONE]") && !r0.contains("555"))
+    assert(out(0).getAs[Long]("n_email") == 1L)
+    assert(out(0).getAs[Long]("n_phone") == 1L)
+    val r1 = out(1).getAs[String]("redacted")
+    assert(r1.contains("[IP]") && !r1.contains("10.0.0.1"))
+    assert(r1.contains("[NUM]") && !r1.contains("8080"))
+    assert(out(1).getAs[Long]("n_ipv4") == 1L)
+    // counts are against the ORIGINAL text: the IP's digits count as
+    // number matches even though the IP rule rewrites them first
+    assert(out(1).getAs[Long]("n_number") == 5L)
+    assert(out(2).getAs[String]("redacted") == "nothing sensitive here")
+    assert(out(2).getAs[Long]("n_email") == 0L)
+  }
 }
