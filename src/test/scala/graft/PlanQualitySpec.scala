@@ -172,4 +172,21 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"arithmetic filter must not add shuffles:\n$p")
   }
+
+  test("repetition stats: aggregation chains, no window, no cartesian") {
+    val p = plan("q_text_repetition")
+    assert(!p.contains("Window"),
+      s"repetition signals must not use window functions (global sort per doc):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair enumeration:\n$p")
+    assert(p.contains("partial_"),
+      s"token/bigram counts must partially aggregate map-side:\n$p")
+  }
+
+  test("redaction is a pure projection: zero shuffles besides the output sort") {
+    val p = plan("q_pipeline_redact")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"redaction must stay a scan-speed projection:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"redaction must not shuffle (sort excepted):\n$p")
+  }
 }
