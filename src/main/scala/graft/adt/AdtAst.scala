@@ -84,6 +84,16 @@ final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   * into equality conditions, so the planner sees only this shape. */
 final case class CaseExpr(branches: List[(Expr, Expr)],
     elseExpr: Option[Expr]) extends Expr
+/** Cypher list comprehension `[x IN src WHERE pred | out]` — both the
+  * filter and the projection are optional (`[x IN src WHERE p]`,
+  * `[x IN src | e]`, `[x IN src]` are all valid). Compiles to the
+  * higher-order array functions filter/transform (codegen'd, row-local). */
+final case class ListComp(varName: String, src: Expr, where: Option[Expr],
+    out: Option[Expr]) extends Expr
+/** Cypher `reduce(acc = init, x IN src | expr)` — compiles to the
+  * higher-order aggregate() array fold. */
+final case class ReduceExpr(accName: String, init: Expr, varName: String,
+    src: Expr, out: Expr) extends Expr
 sealed trait Lit extends Expr
 final case class StrLit(v: String) extends Lit
 final case class NumLit(v: Double, isInt: Boolean) extends Lit

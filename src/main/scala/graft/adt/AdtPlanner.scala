@@ -40,7 +40,10 @@ final class AdtPlanner(graph: TwinGraph) {
     * by WITH/UNWIND stages, and path bindings by path alias. */
   private case class Scope(twins: Set[String], rels: Set[String],
       default: String, flat: Set[String] = Set.empty,
-      paths: Map[String, PathBinding] = Map.empty)
+      paths: Map[String, PathBinding] = Map.empty,
+      // list-comprehension / reduce() lambda variables: name → the bound
+      // higher-order-function Column, shadowing any same-named alias
+      lambdaVars: Map[String, Column] = Map.empty)
 
   /** Parse + plan with language detection (ADT vs raw Cypher), like the
     * reference endpoint (Query.cs:44-55). */
@@ -666,10 +669,35 @@ final class AdtPlanner(graph: TwinGraph) {
       }
       c.elseExpr.fold(whenChain)(e => whenChain.otherwise(compileOperand(e, scope)))
     case p: PropRef => propFromRef(p, scope).try_cast("boolean")
+    case lc: ListComp => compileListComp(lc, scope)
+    case r: ReduceExpr => compileReduce(r, scope)
     case l: Lit => lit(litValue(l))
     case l: ListLit => throw new AdtPlanException(s"list literal $l only valid in UNWIND/IN")
     case _: ExistsPattern => throw new AdtPlanException(
       "EXISTS patterns are only supported in the top-level WHERE (not in WITH stages)")
+  }
+
+  /** `[x IN src WHERE pred | out]` → filter/transform higher-order array
+    * functions: row-local, codegen'd, zero shuffles — exactly how a list
+    * expression should execute over 100 TB (never an explode+regroup). */
+  private def compileListComp(lc: ListComp, scope: Scope): Column = {
+    val src = compileOperand(lc.src, scope)
+    def bound(x: Column) = scope.copy(lambdaVars = scope.lambdaVars + (lc.varName -> x))
+    val filtered = lc.where.fold(src)(w => filter(src, x => compile(w, bound(x))))
+    lc.out.fold(filtered)(o => transform(filtered, x => compileOperand(o, bound(x))))
+  }
+
+  /** `reduce(acc = init, x IN src | expr)` → aggregate() array fold. An
+    * integer-literal init stays LongType so integer folds return Cypher
+    * integers, not doubles. */
+  private def compileReduce(r: ReduceExpr, scope: Scope): Column = {
+    val src = compileOperand(r.src, scope)
+    val init = r.init match {
+      case NumLit(v, true) => lit(v.toLong)
+      case other => compileOperand(other, scope)
+    }
+    aggregate(src, init, (acc, x) => compileOperand(r.out, scope.copy(
+      lambdaVars = scope.lambdaVars + (r.accName -> acc) + (r.varName -> x))))
   }
 
   private def compileCmp(op: String, l: Expr, r: Expr, scope: Scope): Column = {
@@ -705,6 +733,14 @@ final class AdtPlanner(graph: TwinGraph) {
   private def compileOperand(e: Expr, scope: Scope): Column = e match {
     case p: PropRef => propFromRef(p, scope)
     case l: Lit => lit(litValue(l))
+    // list literal in value position (`size([1,2,3])`, comprehension
+    // sources): all-integer lists stay LongType, like UNWIND
+    case ListLit(vs) =>
+      val allInt = vs.forall { case NumLit(_, i) => i; case _ => false }
+      array(vs.map {
+        case NumLit(v, _) if allInt => lit(v.toLong)
+        case v => lit(litValue(v))
+      }: _*)
     case other => compile(other, scope)
   }
 
@@ -850,6 +886,22 @@ final class AdtPlanner(graph: TwinGraph) {
       case "CEIL" => arity(f, 1, 1); ceil(numArg(f, scope)).cast("double")
       case "FLOOR" => arity(f, 1, 1); floor(numArg(f, scope)).cast("double")
 
+      // list functions. range() is inclusive both ends and, unlike Spark's
+      // sequence(), EMPTY when the step can't reach stop from start
+      // (sequence() auto-reverses `sequence(1, 0)` into [1, 0] and throws
+      // on a wrong-signed explicit step) — the runtime guard keeps Cypher
+      // semantics for data-dependent bounds.
+      case "RANGE" =>
+        arity(f, 2, 3)
+        def intArg(e: Expr): Column = compileOperand(e, scope).cast("long")
+        val (start, stop) = (intArg(f.args.head), intArg(f.args(1)))
+        val step = f.args.drop(2).headOption.map(intArg).getOrElse(lit(1L))
+        val reachable = (step > 0 && stop >= start) || (step < 0 && stop <= start)
+        when(reachable, sequence(start, stop, step))
+          .otherwise(array().cast("array<long>"))
+      case "HEAD" => arity(f, 1, 1); element_at(compileOperand(f.args.head, scope), 1)
+      case "LAST" => arity(f, 1, 1); element_at(compileOperand(f.args.head, scope), -1)
+
       // string functions; substring is 0-based in Cypher, 1-based in Spark
       case "SUBSTRING" =>
         arity(f, 2, 3)
@@ -941,6 +993,14 @@ final class AdtPlanner(graph: TwinGraph) {
     case CaseExpr(bs, els) => CaseExpr(
       bs.map { case (c, v) => (substituteAliases(c, map), substituteAliases(v, map)) },
       els.map(substituteAliases(_, map)))
+    // lambda variables shadow outer aliases inside their body
+    case ListComp(v, src, w, o) =>
+      val inner = map - v
+      ListComp(v, substituteAliases(src, map),
+        w.map(substituteAliases(_, inner)), o.map(substituteAliases(_, inner)))
+    case ReduceExpr(a, init, v, src, o) =>
+      ReduceExpr(a, substituteAliases(init, map), v,
+        substituteAliases(src, map), substituteAliases(o, map - a - v))
     case other => other
   }
 
@@ -1025,7 +1085,8 @@ final class AdtPlanner(graph: TwinGraph) {
 
   private def isFlatRef(p: PropRef, scope: Scope): Boolean =
     resolvePropRef(p.entity, p.path, scope) match {
-      case (None, List(name)) => scope.flat(name)
+      case (None, List(name)) =>
+        scope.flat(name) || scope.lambdaVars.contains(name)
       case _ => false
     }
 
@@ -1036,6 +1097,8 @@ final class AdtPlanner(graph: TwinGraph) {
   private def propValue(ent: Option[String], path: List[String],
       scope: Scope): Column = {
     path match {
+      case List(name) if ent.isEmpty && scope.lambdaVars.contains(name) =>
+        return scope.lambdaVars(name)
       case List(name) if ent.isEmpty && scope.flat(name) => return col(name)
       // length(p): hop count of a bound path — the VLE pair set's minimal
       // depth, or 1 for a single-hop path

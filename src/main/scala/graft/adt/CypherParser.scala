@@ -337,7 +337,8 @@ object CypherParser {
     private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER",
       "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS",
       "TOINTEGER", "TOFLOAT", "ABS", "ROUND", "CEIL", "FLOOR",
-      "SUBSTRING", "REPLACE", "TRIM", "SPLIT", "REVERSE", "LABELS")
+      "SUBSTRING", "REPLACE", "TRIM", "SPLIT", "REVERSE", "LABELS",
+      "RANGE", "HEAD", "LAST")
 
     /** fn(arg [, arg]*) where args are full value expressions. */
     private def scalarCall(): FnCall = {
@@ -388,7 +389,15 @@ object CypherParser {
     private def atomExpr(): Expr = cur match {
       case Sym("(") => pos += 1; val e = valueExpr(); expectSym(")"); e
       case Str(_) | Num(_) => literal()
+      // `[x IN src ...]` list comprehension vs `[lit, ...]` list literal —
+      // disambiguated by the `ident IN` prefix
+      case Sym("[") if nxt.isInstanceOf[Ident] &&
+          isKw(toks(math.min(pos + 2, toks.length - 1)), "IN") =>
+        parseListComp()
+      case Sym("[") => parseListLit()
       case Ident(s) if s.equalsIgnoreCase("CASE") => parseCase()
+      case Ident(f) if f.equalsIgnoreCase("reduce") && nxt == Sym("(") =>
+        parseReduce()
       // length(p) composes in expressions (`length(p) + 1`); the __length
       // pseudo-property resolves against the path binding at plan time
       case Ident(f) if f.equalsIgnoreCase("length") && nxt == Sym("(") =>
@@ -400,6 +409,35 @@ object CypherParser {
         nxt != Sym("(") => literal()
       case Ident(f) if scalarFns(f.toUpperCase) && nxt == Sym("(") => scalarCall()
       case _ => propRef()
+    }
+
+    /** `[x IN src (WHERE pred)? (| out)?]` — filter and projection both
+      * optional per openCypher. */
+    private def parseListComp(): ListComp = {
+      expectSym("[")
+      val v = ident()
+      expectKw("IN")
+      val src = valueExpr()
+      val where = if (isKw(cur, "WHERE")) { pos += 1; Some(orExpr()) } else None
+      val out = if (cur == Sym("|")) { pos += 1; Some(valueExpr()) } else None
+      expectSym("]")
+      ListComp(v, src, where, out)
+    }
+
+    /** `reduce(acc = init, x IN src | expr)`. */
+    private def parseReduce(): ReduceExpr = {
+      pos += 2 // reduce (
+      val acc = ident()
+      expectSym("=")
+      val init = valueExpr()
+      expectSym(",")
+      val v = ident()
+      expectKw("IN")
+      val src = valueExpr()
+      expectSym("|")
+      val out = valueExpr()
+      expectSym(")")
+      ReduceExpr(acc, init, v, src, out)
     }
 
     /** CASE [x] WHEN cond-or-value THEN e ... [ELSE e] END. The simple form

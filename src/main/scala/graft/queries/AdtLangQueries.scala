@@ -242,6 +242,21 @@ object AdtLangQueries {
           "size(split(t.name, '#')) AS parts ORDER BY id")
     }),
 
+    // Cypher list expressions: range(), list comprehension (filter +
+    // projection), reduce(), head()/last() — oracle is the closed form of
+    // each fold (triangular number, odd count), so the two engines compute
+    // the answer by entirely different routes.
+    "q_cypher_listexpr" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "AND t.acctbal >= 0 " +
+          "WITH t.`$dtId` AS id, toInteger(t.acctbal) % 5 + 2 AS n " +
+          "RETURN id, reduce(s = 0, x IN range(1, n) | s + x) AS tri, " +
+          "size([x IN range(1, n) WHERE x % 2 = 1]) AS odds, " +
+          "head(range(1, n)) AS first_v, last(range(1, n)) AS last_v " +
+          "ORDER BY id")
+    }),
+
     // Cypher path accessors nodes(p)/relationships(p) over a bound
     // single-edge path.
     "q_cypher_nodes" -> ((s, d) => {
@@ -377,6 +392,14 @@ object AdtLangQueries {
         |  replace(c_mktsegment, 'URE', '*') AS seg2,
         |  CAST(len(string_split(c_name, '#')) AS INT) AS parts
         |FROM customer ORDER BY 1""".stripMargin,
+    "q_cypher_listexpr" ->
+      """WITH b AS (SELECT 'C' || c_custkey AS id,
+        |  CAST(trunc(c_acctbal) AS BIGINT) % 5 + 2 AS n
+        |  FROM customer WHERE c_acctbal >= 0)
+        |SELECT id, n*(n+1)//2 AS tri, CAST((n+1)//2 AS INT) AS odds,
+        |  CAST(1 AS BIGINT) AS first_v, n AS last_v
+        |FROM b ORDER BY id""".stripMargin,
+
     "q_cypher_nodes" ->
       """SELECT 'N' || n_nationkey AS src,
         |  'N' || n_nationkey || ',R' || n_regionkey AS pnodes,

@@ -622,4 +622,61 @@ class CypherSpec extends AnyFunSuite {
     assert(l.getSeq[String](0).toList == List("dtmi:com:contoso:Planet;1"))
     assert(l.getSeq[String](1).toList == List("orbits"))
   }
+
+  test("range(), head(), last() list functions") {
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN range(1, 5) AS r, " +
+        "range(1, 10, 3) AS s, range(5, 1) AS empty, range(5, 1, -2) AS down, " +
+        "head(range(2, 9)) AS h, last(range(2, 9)) AS l").collect()(0)
+    assert(r.getSeq[Long](0).toList == List(1L, 2L, 3L, 4L, 5L))
+    assert(r.getSeq[Long](1).toList == List(1L, 4L, 7L, 10L))
+    assert(r.getSeq[Long](2).isEmpty, "range(5,1) must be empty, not reversed")
+    assert(r.getSeq[Long](3).toList == List(5L, 3L, 1L))
+    assert(r.getLong(4) == 2L && r.getLong(5) == 9L)
+  }
+
+  test("list comprehension: filter, projection, and both") {
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN " +
+        "[x IN range(1, 6) WHERE x % 2 = 0] AS evens, " +
+        "[x IN range(1, 3) | x * 10] AS tens, " +
+        "[x IN range(1, 6) WHERE x > 3 | x + 100] AS both, " +
+        "size([x IN range(1, 6) WHERE x >= 5]) AS n").collect()(0)
+    assert(r.getSeq[Long](0).toList == List(2L, 4L, 6L))
+    assert(r.getSeq[Long](1).toList == List(10L, 20L, 30L))
+    assert(r.getSeq[Long](2).toList == List(104L, 105L, 106L))
+    assert(r.getInt(3) == 2)
+  }
+
+  test("list comprehension over a collect() output and a literal list") {
+    val all = planner.run(
+      "MATCH (t:Twin) WITH collect(t.`$dtId`) AS ids " +
+        "RETURN size([x IN ids WHERE x <> 'earth']) AS others").collect()(0)
+    assert(all.getInt(0) == 3, "sun, moon1, kepler remain after filtering earth")
+    val lits = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN [x IN [3, 1, 2] | x * 2] AS d")
+      .collect()(0)
+    assert(lits.getSeq[Long](0).toList == List(6L, 2L, 4L))
+  }
+
+  test("reduce() folds a list; integer init stays integer") {
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN " +
+        "reduce(s = 0, x IN range(1, 10) | s + x) AS tri, " +
+        "reduce(p = 1, x IN [1, 2, 3, 4] | p * x) AS fact").collect()(0)
+    assert(r.getLong(0) == 55L)
+    assert(r.getLong(1) == 24L)
+  }
+
+  test("lambda variables shadow outer aliases and compose in WHERE") {
+    // `x` is both an output alias and the comprehension variable — the
+    // lambda binding must win inside the brackets
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) WITH t.name AS x " +
+        "RETURN x, size([x IN range(1, 4) WHERE x > 1]) AS n").collect()(0)
+    assert(r.getString(0) == "Earth")
+    assert(r.getInt(1) == 3)
+    // comprehension in a WHERE predicate
+    assert(count("MATCH (t:Twin) WHERE size([x IN range(1, 3) | x]) = 3 RETURN t") == 4)
+  }
 }
