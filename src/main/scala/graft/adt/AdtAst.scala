@@ -25,7 +25,9 @@ final case class SelectProp(entity: Option[String], path: List[String],
   * values into a list (sorted — openCypher leaves the order unspecified,
   * we pick the deterministic one). */
 final case class SelectAgg(fn: String, arg: Option[PropRef],
-    as: Option[String], distinct: Boolean = false) extends SelectItem
+    as: Option[String], distinct: Boolean = false,
+    // percentileCont/percentileDisc second argument (the quantile)
+    param: Option[Double] = None) extends SelectItem
 /** Scalar-expression return item (Cypher `RETURN toUpper(n.name) AS x`,
   * size()/coalesce()/toString()/toLower() over bindings) — compiled as a
   * plain Column, grouped-by when the RETURN also aggregates. */

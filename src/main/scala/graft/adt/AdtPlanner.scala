@@ -253,6 +253,25 @@ final class AdtPlanner(graph: TwinGraph) {
       // Nulls are skipped by collect_list/set, matching Cypher.
       case ("COLLECT", false) => sort_array(collect_list(raw.get))
       case ("COLLECT", true) => sort_array(collect_set(raw.get))
+      // openCypher statistics aggregates (AGE executes these natively)
+      case ("STDEV", false) => stddev_samp(num.get)
+      case ("STDEVP", false) => stddev_pop(num.get)
+      // percentileCont: exact linear-interpolated percentile — Spark's
+      // percentile() (not percentile_approx) matches AGE/SQL
+      // percentile_cont semantics
+      case ("PERCENTILECONT", false) =>
+        percentile(num.get, lit(a.param.getOrElse(
+          throw new AdtPlanException("percentileCont needs a quantile"))))
+      // percentileDisc: the smallest value whose cumulative frequency
+      // reaches q — the 1-indexed ceil(q·n)-th of the sorted values
+      // (q = 0 answers the minimum). Emulated via a sorted collect; exact
+      // and deterministic, but materializes the group — fine for the
+      // grouped-aggregate shapes Cypher queries produce.
+      case ("PERCENTILEDISC", false) =>
+        val q = a.param.getOrElse(
+          throw new AdtPlanException("percentileDisc needs a quantile"))
+        val sorted = sort_array(collect_list(num.get))
+        element_at(sorted, greatest(ceil(lit(q) * size(sorted)), lit(1)).cast("int"))
       case (fn, true) => throw new AdtPlanException(s"$fn(DISTINCT ...) is not supported")
       case (fn, false) => throw new AdtPlanException(s"unknown aggregate $fn")
     }

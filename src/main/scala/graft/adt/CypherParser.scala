@@ -333,7 +333,8 @@ object CypherParser {
       (alias, names.toList, vle)
     }
 
-    private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
+    private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
+      "STDEV", "STDEVP", "PERCENTILECONT", "PERCENTILEDISC")
     private val scalarFns = Set("SIZE", "COALESCE", "TOUPPER", "TOLOWER",
       "TOSTRING", "KEYS", "PROPERTIES", "NODES", "RELATIONSHIPS",
       "TOINTEGER", "TOFLOAT", "ABS", "ROUND", "CEIL", "FLOOR",
@@ -487,11 +488,22 @@ object CypherParser {
             }
             if (distinct && arg.isEmpty)
               throw new AdtParseException(s"$fn(DISTINCT *) is not valid")
-            if (fn == "COLLECT" && arg.isEmpty)
-              throw new AdtParseException("collect(*) is not valid")
+            if ((fn == "COLLECT" || fn.startsWith("STDEV") ||
+                fn.startsWith("PERCENTILE")) && arg.isEmpty)
+              throw new AdtParseException(s"${fn.toLowerCase}(*) is not valid")
+            // percentileCont/percentileDisc carry the quantile as a second
+            // literal argument
+            val param = if (fn.startsWith("PERCENTILE")) {
+              expectSym(",")
+              literal() match {
+                case NumLit(q, _) if q >= 0 && q <= 1 => Some(q)
+                case other => throw new AdtParseException(
+                  s"$fn quantile must be a literal in [0, 1], got $other")
+              }
+            } else None
             expectSym(")")
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None
-            items += SelectAgg(fn, arg, as, distinct)
+            items += SelectAgg(fn, arg, as, distinct, param)
           case _ =>
             val e = valueExpr()
             val as = if (isKw(cur, "AS")) { pos += 1; Some(ident()) } else None

@@ -257,6 +257,21 @@ object AdtLangQueries {
           "ORDER BY id")
     }),
 
+    // openCypher statistics aggregates (AGE executes these natively):
+    // stdev/stdevP on exact integer cents, percentileDisc (smallest value
+    // at cumulative ≥ q, row_number oracle), percentileCont (linear
+    // interpolation; ×2 makes the half-point exact). Fixed-point outputs.
+    "q_cypher_stats" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "WITH toInteger(round(t.acctbal * 100)) AS cents " +
+          "WITH count(*) AS n, stdev(cents) AS sd, stdevP(cents) AS sdp, " +
+          "percentileDisc(cents, 0.5) AS p50d, percentileCont(cents, 0.5) AS p50c " +
+          "RETURN n, toInteger(floor(sd + 0.5)) AS sd_i, " +
+          "toInteger(floor(sdp + 0.5)) AS sdp_i, " +
+          "toInteger(p50d) AS p50d_i, toInteger(p50c * 2) AS p50c_2")
+    }),
+
     // Cypher path accessors nodes(p)/relationships(p) over a bound
     // single-edge path.
     "q_cypher_nodes" -> ((s, d) => {
@@ -392,6 +407,18 @@ object AdtLangQueries {
         |  replace(c_mktsegment, 'URE', '*') AS seg2,
         |  CAST(len(string_split(c_name, '#')) AS INT) AS parts
         |FROM customer ORDER BY 1""".stripMargin,
+    "q_cypher_stats" ->
+      """WITH c AS (SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |ranked AS (SELECT cents, row_number() OVER (ORDER BY cents) rn,
+        |  count(*) OVER () n FROM c)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n,
+        |  (SELECT CAST(floor(stddev_samp(cents) + 0.5) AS BIGINT) FROM c) AS sd_i,
+        |  (SELECT CAST(floor(stddev_pop(cents) + 0.5) AS BIGINT) FROM c) AS sdp_i,
+        |  (SELECT CAST(cents AS BIGINT) FROM ranked
+        |   WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)) AS p50d_i,
+        |  (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) FROM c) AS p50c_2""".stripMargin,
+
     "q_cypher_listexpr" ->
       """WITH b AS (SELECT 'C' || c_custkey AS id,
         |  CAST(trunc(c_acctbal) AS BIGINT) % 5 + 2 AS n

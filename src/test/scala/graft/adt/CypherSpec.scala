@@ -668,6 +668,27 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(1) == 24L)
   }
 
+  test("stdev/stdevP/percentileCont/percentileDisc aggregates") {
+    val r = planner.run(
+      "UNWIND [2, 4, 4, 4, 5, 5, 7, 9] AS x RETURN " +
+        "stdevP(x) AS sdp, percentileDisc(x, 0.5) AS p50d, " +
+        "percentileCont(x, 0.25) AS p25c, percentileDisc(x, 0) AS p0")
+      .collect()(0)
+    assert(r.getDouble(0) == 2.0) // the classic σ=2 set
+    assert(r.getDouble(1) == 4.0, "disc p50 = 4th of 8 sorted values")
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 2.0, "percentileDisc(x, 0) answers the minimum")
+    val sd = planner.run(
+      "UNWIND [2, 4, 4, 4, 5, 5, 7, 9] AS x RETURN stdev(x) AS sd")
+      .collect()(0).getDouble(0)
+    assert(math.abs(sd - 2.13808993) < 1e-6, s"sample stdev, got $sd")
+    // grouped: per-model mass percentile over the fixture
+    val grouped = planner.run(
+      "MATCH (t:Twin) RETURN t.`$metadata`.`$model` AS m, " +
+        "percentileDisc(t.mass, 1.0) AS pmax ORDER BY m")
+    assert(grouped.collect().map(_.getDouble(1)).max == 1.989e30)
+  }
+
   test("lambda variables shadow outer aliases and compose in WHERE") {
     // `x` is both an output alias and the comprehension variable — the
     // lambda binding must win inside the brackets
