@@ -41,7 +41,20 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_json_type"),
       info("graft_json_type", "JSON type at a dotted path"),
-      (args: Seq[Expression]) => JsonTypeOf(args(0), args(1))))
+      (args: Seq[Expression]) => JsonTypeOf(args(0), args(1))),
+    (FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams",
+        "word n-grams of a token array: graft_ngrams(tokens, 3)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams n must be an integer literal, got $other")
+        }
+        WordNGrams(args(0), n)
+      }))
 
   /** Register directly on an already-constructed session (the extensions
     * path only applies at session build time). */

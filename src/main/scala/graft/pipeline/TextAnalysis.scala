@@ -147,6 +147,35 @@ object TextAnalysis {
           .cast(LongType).as("dup_bigram_ratio_4"))
   }
 
+  /** Top-k keyword extraction per document: rank a document's tokens by
+    * (term frequency desc, corpus document frequency asc, token asc) —
+    * the integer-ranked analogue of tf-idf (rarer-in-corpus breaks tf
+    * ties), deliberately float-free so rankings are bit-stable across
+    * engines and partition orders. Stopwords are excluded.
+    *
+    * Shape at 100 TB: distinct (doc, token) pairs → one groupBy(token)
+    * for corpus df → equi-join back (shuffle by token) → per-doc top-k as
+    * a bounded sorted-slice aggregation (shuffle by doc) — NO window
+    * function, so no per-partition global sort; state per doc is bounded
+    * by its vocabulary. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").isin(StopWords.map(lit): _*) && col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = tf.join(dfreq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("tf")).as("ntf"), col("df"), col("tok")))), 1, k).as("top"))
+      .select(col(idCol), posexplode(col("top")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.tok").as("token"), (-col("col.ntf")).as("tf"),
+        col("col.df").as("df"))
+    ranked
+  }
+
   /** All per-document text statistics in ONE pass: explode tokens once,
     * aggregate with conditional sums (map-side combined, single shuffle).
     * The fingerprint folds into the same aggregation as

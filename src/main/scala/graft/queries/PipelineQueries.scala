@@ -112,6 +112,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Integer-ranked keyword extraction: tf desc, corpus-df asc (the
+    // rarer-in-corpus tiebreak of tf-idf without float idf), token asc.
+    "q_text_keywords" -> ((s, d) => {
+      TextAnalysis.topKeywords(Td.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Rules-driven PII redaction: sequential regex rewrite + per-rule
     // match counts (email rule matches nothing here — it exercises the
     // multi-rule column shape; the number rule fires on every row).
@@ -365,6 +372,19 @@ object PipelineQueries {
         |LEFT JOIN ta ON ta.doc_id = d.doc_id
         |LEFT JOIN ba ON ba.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) tf FROM tok
+        |       WHERE tok NOT IN ('the','a','an','of','to','and','in','is','it','on')
+        |         AND tok <> '' GROUP BY 1,2),
+        |dfq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |      row_number() OVER (PARTITION BY tf.doc_id
+        |        ORDER BY tf.tf DESC, dfq.df, tf.tok) rn
+        |      FROM tf JOIN dfq USING (tok))
+        |SELECT doc_id, CAST(rn AS BIGINT) rank, tok AS token, tf, df
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_pipeline_redact" ->
       """SELECT event_id,

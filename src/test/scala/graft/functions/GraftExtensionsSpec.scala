@@ -34,6 +34,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 1.0)
   }
 
+  test("graft_ngrams shingles a token array from SQL") {
+    val row = spark.sql(
+      "SELECT graft_ngrams(array('a', 'b', 'c', 'd'), 3) AS g, " +
+        "graft_ngrams(array('a', 'b'), 3) AS short").collect()(0)
+    assert(row.getSeq[String](0).toList == List("a b c", "b c d"))
+    assert(row.getSeq[String](1).isEmpty)
+  }
+
   test("graft_json_type introspects documents from SQL") {
     spark.sql(
       """SELECT '{"a": 1, "s": "x", "o": {"k": true}, "arr": [1]}' AS doc""")

@@ -248,6 +248,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3).getAs[Long]("dup_bigram_ratio_4") == 0L)
   }
 
+  test("keyword extraction ranks by tf desc, corpus df asc, token asc") {
+    val corpus = Seq(
+      (0L, "spark spark spark query engine"),
+      (1L, "query query planner"),
+      (2L, "the planner and the engine")   // stopwords excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topKeywords(corpus, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rank").collect()
+    // doc 0: spark tf=3; query and engine tie at tf=1 — engine df=2 ties
+    // query df=2, token asc picks engine
+    assert(r(0).getAs[String]("token") == "spark" && r(0).getAs[Long]("tf") == 3L)
+    assert(r(1).getAs[String]("token") == "engine")
+    // doc 1: query tf=2 wins; planner second
+    assert(r(2).getAs[String]("token") == "query")
+    assert(r(3).getAs[String]("token") == "planner")
+    // doc 2: stopwords dropped; planner/engine both tf=1 df=2 → token asc
+    assert(r(4).getAs[String]("token") == "engine")
+    assert(r(5).getAs[String]("token") == "planner")
+  }
+
   test("redaction rewrites rule matches and counts them per rule") {
     val corpus = Seq(
       (0L, "mail bob@example.com or call +1 555 123 4567 now"),
