@@ -270,8 +270,12 @@ final class AdtPlanner(graph: TwinGraph) {
       case ("PERCENTILEDISC", false) =>
         val q = a.param.getOrElse(
           throw new AdtPlanException("percentileDisc needs a quantile"))
+        // try_element_at: a group whose values are all null/non-numeric
+        // collects an empty list — answer null (agtype-style), don't
+        // ANSI-crash the aggregate
         val sorted = sort_array(collect_list(num.get))
-        element_at(sorted, greatest(ceil(lit(q) * size(sorted)), lit(1)).cast("int"))
+        try_element_at(sorted,
+          greatest(ceil(lit(q) * size(sorted)), lit(1)).cast("int"))
       case (fn, true) => throw new AdtPlanException(s"$fn(DISTINCT ...) is not supported")
       case (fn, false) => throw new AdtPlanException(s"unknown aggregate $fn")
     }
@@ -916,10 +920,20 @@ final class AdtPlanner(graph: TwinGraph) {
         val (start, stop) = (intArg(f.args.head), intArg(f.args(1)))
         val step = f.args.drop(2).headOption.map(intArg).getOrElse(lit(1L))
         val reachable = (step > 0 && stop >= start) || (step < 0 && stop <= start)
-        when(reachable, sequence(start, stop, step))
+        // Cypher semantics beyond sequence(): null bound/step → null list;
+        // step 0 → error (AGE raises; silently-empty would corrupt folds)
+        when(start.isNull || stop.isNull || step.isNull,
+            lit(null).cast("array<long>"))
+          .when(step === 0L,
+            raise_error(lit("range() step must not be zero")).cast("array<long>"))
+          .when(reachable, sequence(start, stop, step))
           .otherwise(array().cast("array<long>"))
-      case "HEAD" => arity(f, 1, 1); element_at(compileOperand(f.args.head, scope), 1)
-      case "LAST" => arity(f, 1, 1); element_at(compileOperand(f.args.head, scope), -1)
+      // try_element_at: head/last of an empty list answer null (Cypher),
+      // not ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+      case "HEAD" =>
+        arity(f, 1, 1); try_element_at(compileOperand(f.args.head, scope), lit(1))
+      case "LAST" =>
+        arity(f, 1, 1); try_element_at(compileOperand(f.args.head, scope), lit(-1))
 
       // string functions; substring is 0-based in Cypher, 1-based in Spark
       case "SUBSTRING" =>

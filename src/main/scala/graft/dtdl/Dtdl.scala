@@ -241,10 +241,10 @@ object Dtdl {
       val ts = Option(c.get("@type")).map(typeNames).getOrElse(Nil)
       val name = Option(c.get("name")).map(_.asText()).getOrElse("")
       if (ts.contains("Property") || ts.contains("Telemetry")) {
-        // a `schemas`-defined @id must resolve; a dangling reference is a
-        // model error, not an accept-anything schema
-        Option(c.get("schema")).filter(_.isTextual).map(_.asText())
-          .filter(r => r.startsWith("dtmi:") && !defs.contains(r))
+        // every `schemas` @id reference — top-level OR nested inside an
+        // inline Object/Array/Map — must resolve; a dangling reference is
+        // a model error, not a silently accept-anything schema
+        schemaRefs(c.get("schema")).filterNot(defs.contains).headOption
           .foreach(r => return Left(
             s"model $id: content '$name' references undefined schema '$r'"))
         validateSemanticType(id, name, ts, c) match {

@@ -108,13 +108,22 @@ object GraphViews {
   /** Memoized per (session, dir) with persisted tables — the derivation is
     * deterministic, and consecutive queries in one session (Verify/Bench)
     * shouldn't re-scan four parquet files each. `spark.catalog.clearCache`
-    * drops the persisted data; the memoized plan then lazily re-caches. */
-  def graph(spark: SparkSession, dir: String): TwinGraph =
-    memo.computeIfAbsent((spark, dir), { _ =>
-      import org.apache.spark.storage.StorageLevel
+    * UNREGISTERS a persist (the plan does not lazily re-cache on its own),
+    * so re-register whenever the memoized frames come back uncached —
+    * otherwise every query after a session-hygiene pass re-derives the
+    * graph from parquet on each use. */
+  def graph(spark: SparkSession, dir: String): TwinGraph = {
+    import org.apache.spark.storage.StorageLevel
+    val g = memo.computeIfAbsent((spark, dir), { _ =>
       TwinGraph(
         twins(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
         relationships(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
         models(spark))
     })
+    if (g.twins.storageLevel == StorageLevel.NONE)
+      g.twins.persist(StorageLevel.MEMORY_AND_DISK)
+    if (g.relationships.storageLevel == StorageLevel.NONE)
+      g.relationships.persist(StorageLevel.MEMORY_AND_DISK)
+    g
+  }
 }

@@ -668,6 +668,24 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(1) == 24L)
   }
 
+  test("head()/last() of an empty list answer null; range() step 0 errors") {
+    val r = planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN " +
+        "head([x IN range(1, 3) WHERE x > 5]) AS h, " +
+        "last(range(5, 1)) AS l").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "empty-list head/last must be null, not an ANSI index error")
+    val boom = intercept[Exception](planner.run(
+      "MATCH (t:Twin {`$dtId`: 'earth'}) RETURN range(1, 5, 0) AS r").collect())
+    assert(boom.getMessage != null)
+  }
+
+  test("percentileDisc over an all-string property answers null, not a crash") {
+    val r = planner.run(
+      "MATCH (t:Twin) RETURN percentileDisc(t.name, 0.5) AS p").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("stdev/stdevP/percentileCont/percentileDisc aggregates") {
     val r = planner.run(
       "UNWIND [2, 4, 4, 4, 5, 5, 7, 9] AS x RETURN " +

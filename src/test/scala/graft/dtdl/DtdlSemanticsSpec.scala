@@ -138,6 +138,15 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(m.swap.toOption.get.contains("undefined schema"))
   }
 
+  test("a dangling reference nested in an inline schema fails the model too") {
+    val m = parse(
+      """{"@id":"dtmi:g:s;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"boundary",
+        |   "schema":{"@type":"Array","elementSchema":"dtmi:g:missing;1"}}]}""".stripMargin)
+    assert(m.isLeft)
+    assert(m.swap.toOption.get.contains("undefined schema"))
+  }
+
   test("cyclic schema definitions are rejected") {
     val m = parse(
       """{"@id":"dtmi:g:s;1","@type":"Interface",
