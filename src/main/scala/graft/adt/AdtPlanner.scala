@@ -253,9 +253,16 @@ final class AdtPlanner(graph: TwinGraph) {
       // Nulls are skipped by collect_list/set, matching Cypher.
       case ("COLLECT", false) => sort_array(collect_list(raw.get))
       case ("COLLECT", true) => sort_array(collect_set(raw.get))
-      // openCypher statistics aggregates (AGE executes these natively)
-      case ("STDEV", false) => stddev_samp(num.get)
-      case ("STDEVP", false) => stddev_pop(num.get)
+      // openCypher statistics aggregates (AGE executes these natively).
+      // Neo4j/AGE answer 0 (not NULL) for stDev over a group with fewer
+      // than two numeric values; Spark's stddev_samp answers NULL there —
+      // coalesce to 0 when the group had at least one numeric value.
+      case ("STDEV", false) =>
+        coalesce(stddev_samp(num.get),
+          when(count(num.get) > 0, lit(0.0)))
+      case ("STDEVP", false) =>
+        coalesce(stddev_pop(num.get),
+          when(count(num.get) > 0, lit(0.0)))
       // percentileCont: exact linear-interpolated percentile — Spark's
       // percentile() (not percentile_approx) matches AGE/SQL
       // percentile_cont semantics

@@ -130,7 +130,38 @@ object Dtdl {
     "Volume" -> Set("cubicMetre", "litre", "millilitre", "gallon",
       "fluidOunce"),
     "Area" -> Set("squareMetre", "squareCentimetre", "squareKilometre",
-      "acre", "hectare"))
+      "acre", "hectare"),
+    "AngularAcceleration" -> Set("radianPerSecondSquared"),
+    "AngularVelocity" -> Set("radianPerSecond", "degreePerSecond",
+      "revolutionPerSecond", "revolutionPerMinute"),
+    "Capacitance" -> Set("farad", "millifarad", "microfarad", "nanofarad",
+      "picofarad"),
+    "Density" -> Set("kilogramPerCubicMetre", "gramPerCubicMetre"),
+    "ElectricCharge" -> Set("coulomb"),
+    "Force" -> Set("newton", "pound", "ounce", "ton"),
+    "Inductance" -> Set("henry", "millihenry", "microhenry"),
+    "Latitude" -> Set("degreeOfArc", "minuteOfArc", "secondOfArc",
+      "radian"),
+    "Longitude" -> Set("degreeOfArc", "minuteOfArc", "secondOfArc",
+      "radian"),
+    "Luminance" -> Set("candelaPerSquareMetre"),
+    "LuminousFlux" -> Set("lumen"),
+    "LuminousIntensity" -> Set("candela"),
+    "MagneticFlux" -> Set("weber", "maxwell"),
+    "MagneticInduction" -> Set("tesla"),
+    "MassFlowRate" -> Set("gramPerSecond", "kilogramPerSecond",
+      "gramPerHour", "kilogramPerHour"),
+    "Resistance" -> Set("ohm", "milliohm", "kiloohm", "megaohm"),
+    "SoundPressure" -> Set("decibel", "bel"),
+    "Thrust" -> Set("newton", "pound", "ounce", "ton"),
+    "Torque" -> Set("newtonMetre"),
+    "VolumeFlowRate" -> Set("litrePerSecond", "millilitrePerSecond",
+      "litrePerHour", "millilitrePerHour"))
+
+  /** Structural content @type values — everything else on a content node
+    * is an adjunct co-type (semantic or from an unknown extension). */
+  private val StructuralContentTypes =
+    Set("Property", "Telemetry", "Relationship", "Component", "Command")
 
   private val NumericPrimitives =
     Set("double", "float", "integer", "long")
@@ -279,8 +310,15 @@ object Dtdl {
     if (quant.size > 1)
       return Left(s"model $modelId: content '$name' has multiple " +
         s"quantitative co-types ${quant.mkString(", ")}")
+    // Adjunct co-types we don't recognize (a quantity kind newer than this
+    // table, or another extension entirely) pass through untouched — DTDL
+    // forward compatibility. Unit enforcement only applies when the
+    // co-type is a kind we actually know.
+    val unknownAdjunct = ts.exists(t =>
+      !StructuralContentTypes.contains(t) && !QuantitativeUnits.contains(t))
     (quant.headOption, unit) match {
       case (None, None) => Right(())
+      case (None, Some(_)) if unknownAdjunct => Right(())
       case (None, Some(u)) =>
         Left(s"model $modelId: content '$name' declares unit '$u' " +
           "without a quantitative semantic co-type")

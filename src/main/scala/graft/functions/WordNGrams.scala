@@ -22,8 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen at scan speed, so the only shuffle left in a dedup
   * pass is the one the algorithm actually needs (the distinct / groupBy).
   *
-  * Output strings are `sep`-joined and byte-identical to both prior
-  * formulations and the positional-join SQL the DuckDB oracles use. */
+  * Output strings are `sep`-joined and byte-identical to the
+  * positional-join SQL the DuckDB oracles use, with one deliberate
+  * divergence from the retired `transform(sequence, slice)` formulation:
+  * a document with fewer than n tokens yields an EMPTY array here, where
+  * the old slice-based form emitted one partial shingle. Empty is the
+  * semantics the dedup operators want — a doc too short to hold a full
+  * n-gram has no shingle evidence, so MinHash/Jaccard never pair it on a
+  * fragment (see TextAnalysisSpec "short docs yield no shingles"). */
 case class WordNGrams(child: Expression, n: Int, sep: String = " ")
     extends UnaryExpression {
   require(n >= 1, s"n-gram size must be >= 1, got $n")

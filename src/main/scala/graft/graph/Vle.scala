@@ -252,14 +252,16 @@ object Vle {
     // Relationship uniqueness is per edge *identity*: parallel edges are
     // distinct traversals. Use the real id when the graph has one; else a
     // (source, target, name) composite is the closest stable identity.
+    // The explicit "\u0001" unit separator keeps ("a","bc") and ("ab","c")
+    // from colliding into one composite id (VleSpec has the collision case).
     val withId =
       if (named.columns.contains("relationship_id"))
         named.withColumn("__eid", col("relationship_id"))
       else if (named.columns.contains("relationship_name"))
-        named.withColumn("__eid", concat_ws("",
+        named.withColumn("__eid", concat_ws("\u0001",
           col("source_id"), col("target_id"), col("relationship_name")))
       else named.withColumn("__eid",
-        concat_ws("", col("source_id"), col("target_id")))
+        concat_ws("\u0001", col("source_id"), col("target_id")))
     val e = withId.select(col("source_id"), col("target_id"), col("__eid"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val starts = shortPairs.select(col("start_id")).distinct()

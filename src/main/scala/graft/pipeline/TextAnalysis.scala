@@ -21,11 +21,16 @@ object TextAnalysis {
   /** Distinct sorted token set (for set-similarity and fingerprints). */
   def tokenSet(text: Column): Column = sort_array(array_distinct(tokens(text)))
 
-  /** n-gram word shingles: ["a b c", "b c d", ...] (full n-grams only;
-    * fewer than n tokens → empty array). Delegates to the native
-    * [[graft.functions.WordNGrams]] codegen kernel — the Column-level
-    * `transform(sequence, slice)` formulation is interpreter-evaluated at
-    * ~2 ms/row, five orders of magnitude off scan speed. */
+  /** n-gram word shingles: ["a b c", "b c d", ...] (full n-grams only).
+    * A document with fewer than n tokens yields an EMPTY shingle array —
+    * intentionally: such a doc carries no full-n-gram evidence, so
+    * shingle-based dedup (MinHash/Jaccard/fingerprint) treats it as
+    * unpaired rather than matching on a partial fragment. (The retired
+    * `transform(sequence, slice)` formulation emitted one partial shingle
+    * for short docs; that behavior is gone on purpose.) Delegates to the
+    * native [[graft.functions.WordNGrams]] codegen kernel — the
+    * Column-level formulation is interpreter-evaluated at ~2 ms/row,
+    * five orders of magnitude off scan speed. */
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordNGrams.ngrams(tokens(text), n)
 

@@ -272,6 +272,18 @@ object AdtLangQueries {
           "toInteger(p50d) AS p50d_i, toInteger(p50c * 2) AS p50c_2")
     }),
 
+    // openCypher small-group divergence guard: stDev over a group with a
+    // single value answers 0 in Neo4j/AGE, NULL in vanilla Spark — the
+    // planner coalesces. Per-customer groups are all size 1 by key.
+    "q_cypher_stdev_single" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "AND t.acctbal > 9900 " +
+          "WITH t.`$dtId` AS id, toInteger(round(t.acctbal * 100)) AS cents " +
+          "WITH id, stdev(cents) AS sd, stdevP(cents) AS sdp " +
+          "RETURN id, sd, sdp ORDER BY id")
+    }),
+
     // Cypher path accessors nodes(p)/relationships(p) over a bound
     // single-edge path.
     "q_cypher_nodes" -> ((s, d) => {
@@ -418,6 +430,13 @@ object AdtLangQueries {
         |  (SELECT CAST(cents AS BIGINT) FROM ranked
         |   WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)) AS p50d_i,
         |  (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) FROM c) AS p50c_2""".stripMargin,
+
+    "q_cypher_stdev_single" ->
+      """SELECT 'C' || c_custkey AS id,
+        |  coalesce(stddev_samp(CAST(round(c_acctbal * 100, 0) AS BIGINT)), 0.0) AS sd,
+        |  coalesce(stddev_pop(CAST(round(c_acctbal * 100, 0) AS BIGINT)), 0.0) AS sdp
+        |FROM customer WHERE c_acctbal > 9900
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cypher_listexpr" ->
       """WITH b AS (SELECT 'C' || c_custkey AS id,

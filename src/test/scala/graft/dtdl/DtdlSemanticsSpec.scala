@@ -73,6 +73,33 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(m.isRight, m)
   }
 
+  test("full quantity-kind table: Force/Torque/Resistance/Latitude validate") {
+    for ((kind, unit) <- Seq("Force" -> "newton", "Torque" -> "newtonMetre",
+        "Resistance" -> "ohm", "Latitude" -> "degreeOfArc",
+        "Density" -> "kilogramPerCubicMetre", "Capacitance" -> "microfarad")) {
+      val m = parse(
+        s"""{"@id":"dtmi:g:s;1","@type":"Interface","contents":[
+           |  {"@type":["Property","$kind"],"name":"x",
+           |   "schema":"double","unit":"$unit"}]}""".stripMargin)
+      assert(m.isRight, s"$kind/$unit rejected: $m")
+    }
+  }
+
+  test("an unknown adjunct co-type with a unit passes through (fwd compat)") {
+    // A quantity kind newer than our table (or another extension entirely)
+    // must not be rejected just because it declares a mandatory unit.
+    val m = parse(
+      """{"@id":"dtmi:g:s;1","@type":"Interface","contents":[
+        |  {"@type":["Property","ApparentEnergy"],"name":"x",
+        |   "schema":"double","unit":"voltAmpereHour"}]}""".stripMargin)
+    assert(m.isRight, m)
+    // ...but a unit with ONLY the structural type is still an error.
+    val bare = parse(
+      """{"@id":"dtmi:g:s;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"x","schema":"double","unit":"kelvin"}]}""".stripMargin)
+    assert(bare.isLeft)
+  }
+
   test("semantic types on Telemetry contents are validated too") {
     val m = parse(
       """{"@id":"dtmi:g:s;1","@type":"Interface","contents":[

@@ -37,6 +37,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("short docs yield no shingles — unpaired, never matched on fragments") {
+    val short = Seq((10L, "one two"), (11L, "one two"), (12L, "one"),
+      (13L, "")).toDF("doc_id", "text")
+    // <n tokens → empty shingle array (full n-grams only, by design)
+    val sets = short.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sets.values.forall(_.isEmpty), s"expected no partial shingles: $sets")
+    // and so shingle-based dedup never pairs them, even when byte-identical
+    val pairs = Dedup.shingleJaccardPairs(short, "doc_id", "text", 3, 0.1, 1000)
+    assert(pairs.isEmpty, "short docs must not pair on partial shingles")
+  }
+
   test("minhash LSH finds the same pairs as exact jaccard here") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
