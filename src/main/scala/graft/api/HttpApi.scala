@@ -38,7 +38,16 @@ final class HttpApi(
     store: TwinStore,
     sparkSession: () => SparkSession,
     limiter: Option[RateLimiter] = None,
-    jobService: JobService = new JobService()) {
+    jobService: JobService = new JobService(),
+    auth: Option[Auth.AuthConfig] = None,
+    permissionProvider: Option[Auth.PermissionProvider] = None,
+    protection: Option[Protection] = None) {
+
+  /** Effective provider when authorization runs: explicit wins, else the
+    * reference's always-registered claims provider (Program.cs:193). */
+  private val provider: Auth.PermissionProvider =
+    permissionProvider.getOrElse(new Auth.ClaimsPermissionProvider(
+      auth.map(_.permissionsClaimName).getOrElse("permissions")))
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -76,13 +85,118 @@ final class HttpApi(
     }
   }
 
-  // ---------------- dispatch ----------------
+  // ---------------- auth + admission ----------------
+
+  /** Required `resource/action` per route class, mirroring the
+    * reference's per-endpoint RequirePermission calls
+    * (DigitalTwinsEndpoints.cs:31-151, RelationshipsEndpoints.cs:46-216,
+    * QueryEndpoints.cs:66, ModelsEndpoints.cs:60-173,
+    * ImportJobEndpoints.cs:29-87, TelemetryEndpoints.cs:39,
+    * ComponentsEndpoints.cs:37-67). Graph lifecycle routes are dev-only
+    * and carry no permission beyond authentication
+    * (GraphEndpoints.cs:11-33). */
+  private def requiredPermission(method: String,
+      segs: List[String]): Option[Auth.Permission] = {
+    import Auth._
+    def act: Action = method match {
+      case "GET" => Action.Read
+      case "DELETE" => Action.Delete
+      case _ => Action.Write
+    }
+    segs match {
+      case "query" :: _ => Some(Permission(Resource.Query, Action.Act))
+      // batch relationship create/replace
+      case "relationships" :: _ =>
+        Some(Permission(Resource.Relationships, Action.Write))
+      case "digitaltwins" :: _ :: sub :: _
+          if sub == "relationships" || sub == "incomingrelationships" =>
+        Some(Permission(Resource.Relationships, act))
+      // telemetry POST and component PATCH land on Write via `act`
+      case "digitaltwins" :: _ =>
+        Some(Permission(Resource.DigitalTwins, act))
+      case "models" :: _ => Some(Permission(Resource.Models, act))
+      case "jobs" :: "imports" :: rest =>
+        val action = rest match {
+          case _ :: "cancel" :: _ => Action.Act
+          case _ :: "resume" :: _ => Action.Act
+          case _ => act
+        }
+        Some(Permission(Resource.JobsImports, action))
+      case "jobs" :: "deletions" :: _ =>
+        Some(Permission(Resource.JobsDeletions, act))
+      case _ => None
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     // drop the api-version query param the Azure SDK appends
     val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     try {
+      // authentication (401), admission (429), authorization (403) — the
+      // reference's middleware order: rate limiting + DB protection run
+      // before authn/authz (Program.cs:317-326), but authn must come
+      // first HERE because per-user admission keys on the token subject;
+      // the observable contract (which status for which failure) matches.
+      val principalOr: Either[String, Option[Auth.Principal]] = auth match {
+        case None => Right(None)
+        case Some(cfg) =>
+          Auth.validateBearer(
+            Option(ex.getRequestHeaders.getFirst("Authorization")), cfg)
+            .map(Some(_))
+      }
+      principalOr match {
+        case Left(msg) =>
+          ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+          error(ex, 401, "Unauthorized", msg)
+        case Right(principal) =>
+          val userId = principal.map(_.subject).filter(_.nonEmpty)
+            .orElse(Option(ex.getRemoteAddress)
+              .flatMap(a => Option(a.getAddress)).map(_.getHostAddress))
+            .getOrElse("anonymous")
+          protection.map(_.admit(method, segs, userId))
+            .getOrElse(Protection.Admitted) match {
+            case Protection.Rejected(retry, reason) =>
+              ex.getResponseHeaders.set("Retry-After", retry.toString)
+              error(ex, 429, "TooManyRequests", reason)
+            case Protection.Admitted =>
+              try {
+                val denied = for {
+                  cfg <- auth
+                  if cfg.authorizationEnabled
+                  req <- requiredPermission(method, segs)
+                  p <- principal
+                  if !provider.permissionsFor(p).exists(_.grants(req))
+                } yield req
+                denied match {
+                  case Some(req) =>
+                    error(ex, 403, "Forbidden", s"missing permission '$req'")
+                  case None => dispatch(ex, method, segs, userId)
+                }
+              } finally protection.foreach(_.release(userId))
+          }
+      }
+    } catch {
+      case StoreException(status, msg) => error(ex, status, codeFor(status), msg)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        error(ex, 400, "BadRequest", s"invalid JSON: ${e.getMessage}")
+      case e: IllegalArgumentException => error(ex, 400, "BadRequest",
+        String.valueOf(e.getMessage))
+      case e: AdtParseException => error(ex, 400, "BadRequest", e.getMessage)
+      case e: AdtPlanException => error(ex, 400, "BadRequest", e.getMessage)
+      case e: QueryThrottledException =>
+        ex.getResponseHeaders.set("Retry-After", "1")
+        error(ex, 429, "TooManyRequests", e.getMessage)
+      case e: Exception => error(ex, 500, "InternalServerError",
+        String.valueOf(e.getMessage))
+    } finally ex.close()
+  }
+
+  // ---------------- dispatch ----------------
+
+  private def dispatch(ex: HttpExchange, method: String, segs: List[String],
+      userId: String): Unit = {
+    {
       (method, segs) match {
         case ("GET", List("digitaltwins", id)) =>
           val doc = store.getTwin(id)
@@ -172,6 +286,10 @@ final class HttpApi(
           val maxPer = Option(req.get("maxItemsPerPage")).map(_.asInt()).getOrElse(2000)
           val tok = Option(req.get("continuationToken")).filter(!_.isNull).map(_.asText())
           val p = queryService().query(q, maxPer, tok)
+          // feed the executed charge back into the per-user complexity
+          // budget (the reference's Items["QueryCharge"] loop,
+          // WeightedQueryRateLimitingMiddleware.cs:28-45)
+          protection.foreach(_.recordQueryCharge(userId, p.charge))
           val cont = p.continuationToken
             .map(t => s""","continuationToken":${Json.render(Json.text(t))}""")
             .getOrElse("")
@@ -250,20 +368,7 @@ final class HttpApi(
 
         case _ => error(ex, 404, "NotFound", s"no route for $method ${segs.mkString("/")}")
       }
-    } catch {
-      case StoreException(status, msg) => error(ex, status, codeFor(status), msg)
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        error(ex, 400, "BadRequest", s"invalid JSON: ${e.getMessage}")
-      case e: IllegalArgumentException => error(ex, 400, "BadRequest",
-        String.valueOf(e.getMessage))
-      case e: AdtParseException => error(ex, 400, "BadRequest", e.getMessage)
-      case e: AdtPlanException => error(ex, 400, "BadRequest", e.getMessage)
-      case e: QueryThrottledException =>
-        ex.getResponseHeaders.set("Retry-After", "1")
-        error(ex, 429, "TooManyRequests", e.getMessage)
-      case e: Exception => error(ex, 500, "InternalServerError",
-        String.valueOf(e.getMessage))
-    } finally ex.close()
+    }: Unit
   }
 
   // ---------------- helpers ----------------
