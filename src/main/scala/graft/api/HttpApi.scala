@@ -114,6 +114,9 @@ final class HttpApi(
       // telemetry POST and component PATCH land on Write via `act`
       case "digitaltwins" :: _ =>
         Some(Permission(Resource.DigitalTwins, act))
+      // search is a POST but a read (ModelsEndpoints.cs:171)
+      case "models" :: "search" :: _ =>
+        Some(Permission(Resource.Models, Action.Read))
       case "models" :: _ => Some(Permission(Resource.Models, act))
       case "jobs" :: "imports" :: rest =>
         val action = rest match {
@@ -304,6 +307,26 @@ final class HttpApi(
           import scala.jdk.CollectionConverters._
           val created = store.createModels(arr.elements().asScala.map(Json.render).toSeq)
           respondJson(ex, 201, created.map(modelJson).mkString("[", ",", "]"))
+        // hybrid lexical/vector model search (ModelsEndpoints.cs:153-176:
+        // POST /models/search {query?, vector?, limit?})
+        case ("POST", List("models", "search")) =>
+          val reqNode = Json.parse(body(ex))
+          import scala.jdk.CollectionConverters._
+          val q = Option(reqNode.get("query")).filter(!_.isNull).map(_.asText())
+          val vec = Option(reqNode.get("vector")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asDouble()).toSeq)
+          val limit = Option(reqNode.get("limit")).map(_.asInt()).getOrElse(10)
+          page(ex, store.searchModels(q, vec, limit).map(modelJson))
+        // embedding upload (Models.cs:859-880; the reference drives this
+        // through the SDK — the route shape mirrors component update)
+        case ("PUT", List("models", id, "embedding")) =>
+          val arr = Json.parse(body(ex))
+          if (!arr.isArray)
+            throw StoreException(400, "expected a JSON array embedding")
+          import scala.jdk.CollectionConverters._
+          store.updateModelEmbedding(id,
+            arr.elements().asScala.map(_.asDouble()).toSeq)
+          respond(ex, 204, "")
         case ("GET", List("models", id)) =>
           respondJson(ex, 200, modelJson(store.getModel(id)))
         case ("DELETE", List("models", id)) =>

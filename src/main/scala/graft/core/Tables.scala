@@ -44,7 +44,10 @@ object Tables {
     StructField("display_name", StringType),
     StructField("decommissioned", BooleanType),
     StructField("upload_time", StringType),
-    StructField("dtdl", StringType)
+    StructField("dtdl", StringType),
+    // pgvector-style model embedding (reference Models.cs:859-880:
+    // `SET m.embedding = [..]::vector`); null until one is uploaded
+    StructField("embedding", ArrayType(DoubleType))
   ))
 
   /** One logical row per mutation — this makes the reference's WAL

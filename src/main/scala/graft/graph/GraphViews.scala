@@ -33,16 +33,26 @@ object GraphViews {
 
   def models(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // Embeddings are fixed dyadic-rational vectors (exact in binary64, so
+    // L2 ranking is bit-reproducible in any engine — the DuckDB oracle
+    // recomputes them) standing in for a real model-description encoder.
     Seq(
-      (Place, Seq.empty[String], Seq(Region, Nation, Customer, Supplier), "Place"),
-      (Region, Seq(Place), Seq(Nation, Customer, Supplier), "Region"),
-      (Nation, Seq(Region, Place), Seq(Customer, Supplier), "Nation"),
-      (Customer, Seq(Nation, Region, Place), Seq.empty[String], "Customer"),
-      (Supplier, Seq(Nation, Region, Place), Seq.empty[String], "Supplier")
-    ).toDF("id", "bases", "descendants", "display_name")
+      (Place, Seq.empty[String], Seq(Region, Nation, Customer, Supplier),
+        "Place", Seq(0.0, 0.0, 1.0)),
+      (Region, Seq(Place), Seq(Nation, Customer, Supplier),
+        "Region", Seq(1.0, 0.25, 0.5)),
+      (Nation, Seq(Region, Place), Seq(Customer, Supplier),
+        "Nation", Seq(2.0, 0.5, 0.25)),
+      (Customer, Seq(Nation, Region, Place), Seq.empty[String],
+        "Customer", Seq(3.0, 0.75, 0.0)),
+      (Supplier, Seq(Nation, Region, Place), Seq.empty[String],
+        "Supplier", Seq(3.0, -0.75, 0.25))
+    ).toDF("id", "bases", "descendants", "display_name", "embedding")
       .withColumn("decommissioned", lit(false))
       .withColumn("upload_time", lit("2026-01-01T00:00:00Z"))
       .withColumn("dtdl", lit(null).cast("string"))
+      .select("id", "bases", "descendants", "display_name",
+        "decommissioned", "upload_time", "dtdl", "embedding")
   }
 
   def twins(spark: SparkSession, dir: String): DataFrame = {

@@ -110,6 +110,27 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
       .limit(limit)
   }
 
+  /** Hybrid lexical+vector model search over the `models` table — the
+    * reference's SearchModelsAsync vector branch (Models.cs:883-931:
+    * lexical WHERE filter, `ORDER BY l2_distance(m.embedding, [..])
+    * LIMIT n`). Squared L2 via the codegen'd
+    * [[graft.pipeline.Similarity.l2sq]] kernel (same ranking as L2);
+    * models without an embedding sort last, ties break on id.
+    * TakeOrdered plan — one scan, no shuffle beyond the top-k. */
+  def searchModelsSemantic(query: Option[String], vector: Seq[Double],
+      limit: Int = 10): DataFrame = {
+    val base = query.map(_.toLowerCase).filter(_.nonEmpty) match {
+      case Some(needle) =>
+        models.filter(lower(col("id")).contains(needle) ||
+          lower(coalesce(col("display_name"), lit(""))).contains(needle))
+      case None => models
+    }
+    val qv = array(vector.map(lit): _*)
+    base.withColumn("l2sq", graft.pipeline.Similarity.l2sq(col("embedding"), qv))
+      .orderBy(col("l2sq").asc_nulls_last, col("id").asc)
+      .limit(limit)
+  }
+
   /** B16/C15: ordered vector top-k over a JSON embedding property —
     * `ORDER BY l2_distance(t.emb, [..]) LIMIT k` (DigitalTwins.cs:1242-1248)
     * as a TakeOrdered over an L2 Column kernel (no UDF). */

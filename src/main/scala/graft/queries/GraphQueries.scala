@@ -64,6 +64,17 @@ object GraphQueries {
         .orderBy(col("relationship_id")).limit(50)
     }),
 
+    // Semantic model search (Models.cs:883-931): rank models by L2
+    // distance between their stored embedding and a query vector, with a
+    // lexical needle filtering first. Fixed-point squared distance (the
+    // embeddings are dyadic rationals, exact in binary64 on any engine).
+    "q_model_semantic" -> ((s, d) => {
+      GraphViews.graph(s, d)
+        .searchModelsSemantic(None, Seq(2.5, 0.5, 0.25), limit = 4)
+        .select(col("id"),
+          floor(col("l2sq") * 10000 + lit(0.5)).cast("long").as("dist_fp"))
+    }),
+
     // C1 IS_OF_MODEL with inheritance: Nation + its descendants
     // (Customer, Supplier) — broadcast closure membership.
     "q_c1_is_of_model" -> ((s, d) => {
@@ -106,6 +117,20 @@ object GraphQueries {
       |        'N' || s_nationkey, 'located_in' FROM supplier)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same five fixed model embeddings (GraphViews.models), squared-L2
+    // ranked against [2.5, 0.5, 0.25]; dyadic values → exact doubles
+    "q_model_semantic" ->
+      """WITH m(id, e1, e2, e3) AS (VALUES
+        |  ('dtmi:graft:Place;1',    0.0,  0.0,  1.0),
+        |  ('dtmi:graft:Region;1',   1.0,  0.25, 0.5),
+        |  ('dtmi:graft:Nation;1',   2.0,  0.5,  0.25),
+        |  ('dtmi:graft:Customer;1', 3.0,  0.75, 0.0),
+        |  ('dtmi:graft:Supplier;1', 3.0, -0.75, 0.25)),
+        |d AS (SELECT id,
+        |  (e1-2.5)*(e1-2.5) + (e2-0.5)*(e2-0.5) + (e3-0.25)*(e3-0.25) AS l2sq
+        |  FROM m)
+        |SELECT id, CAST(floor(l2sq * 10000 + 0.5) AS BIGINT) AS dist_fp
+        |FROM d ORDER BY l2sq, id LIMIT 4""".stripMargin,
     "q_a1_twin_scan" ->
       s"""SELECT model_id, count(*) AS n FROM $twinsSql t
          |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -121,9 +121,57 @@ final class TwinStore(
       throw StoreException(409,
         s"model $id has dependents: ${dependents.map(_.id).mkString(",")}")
     registry = ModelRegistry(registry.models - id)
+    modelEmbeddings.remove(id): Unit
   }
 
-  def deleteAllModels(): Unit = { registry = ModelRegistry(Map.empty) }
+  def deleteAllModels(): Unit = {
+    registry = ModelRegistry(Map.empty)
+    modelEmbeddings.clear()
+  }
+
+  // ---------------- model embeddings + semantic search ----------------
+
+  private val modelEmbeddings = collection.mutable.Map[String, Seq[Double]]()
+
+  /** Store/replace the vector embedding of one model (the reference's
+    * UpdateModelEmbeddingAsync, Models.cs:859-880: `SET m.embedding =
+    * [..]::vector`). 404 on a missing model. */
+  def updateModelEmbedding(modelId: String, embedding: Seq[Double]): Unit = {
+    getModel(modelId)
+    if (embedding.isEmpty)
+      throw StoreException(400, "embedding must be non-empty")
+    modelEmbeddings(modelId) = embedding
+  }
+
+  def modelEmbedding(modelId: String): Option[Seq[Double]] =
+    modelEmbeddings.get(modelId)
+
+  /** Hybrid lexical + vector model search (SearchModelsAsync,
+    * Models.cs:883-960): with a vector, rank ascending by L2 distance to
+    * it (lexical needle as a filter when also given; models without an
+    * embedding sort last); lexical-only filters and orders by id; with
+    * neither, plain list. The model catalog is registry-resident
+    * (catalog-metadata-sized), so this ranks driver-side — the
+    * table-scale form is [[graft.graph.TwinGraph.searchModelsSemantic]]
+    * over the `models` table. */
+  def searchModels(query: Option[String], vector: Option[Seq[Double]],
+      limit: Int = 10): Seq[DtdlInterface] = {
+    val needle = query.map(_.toLowerCase).filter(_.nonEmpty)
+    val lexical = registry.models.values.filter { m =>
+      needle.forall(n => m.id.toLowerCase.contains(n) ||
+        m.displayName.exists(_.toLowerCase.contains(n)))
+    }.toSeq
+    vector match {
+      case Some(v) =>
+        def l2sq(e: Seq[Double]): Double =
+          e.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+        lexical.sortBy { m =>
+          val d = modelEmbeddings.get(m.id).filter(_.size == v.size).map(l2sq)
+          (d.isEmpty, d.getOrElse(0.0), m.id) // nulls last, then distance, then id
+        }.take(limit)
+      case None => lexical.sortBy(_.id).take(limit)
+    }
+  }
 
   // ---------------- twins (D1-D5) ----------------
 
@@ -401,7 +449,7 @@ final class TwinStore(
     TwinGraph(
       spark.createDataFrame(twinRows.asJava, Tables.twinsSchema),
       spark.createDataFrame(relRows.asJava, Tables.relationshipsSchema),
-      TwinStore.modelsDf(spark, registry))
+      TwinStore.modelsDf(spark, registry, modelEmbeddings.toMap))
   }
 
   def mutationsDf(spark: SparkSession): DataFrame =
@@ -411,11 +459,13 @@ final class TwinStore(
 object TwinStore {
 
   /** Registry → `models` table rows (Tables.modelsSchema). */
-  def modelsDf(spark: SparkSession, registry: ModelRegistry): DataFrame = {
+  def modelsDf(spark: SparkSession, registry: ModelRegistry,
+      embeddings: Map[String, Seq[Double]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.Row
     val rows = registry.models.values.map { m =>
       Row(m.id, registry.bases(m.id), registry.descendants(m.id),
-        m.displayName.orNull, false, null, m.raw)
+        m.displayName.orNull, false, null, m.raw,
+        embeddings.get(m.id).orNull)
     }.toSeq
     spark.createDataFrame(rows.asJava, Tables.modelsSchema)
   }

@@ -239,6 +239,30 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("model embedding upload + semantic search routes") {
+    withApi() { base =>
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build()).statusCode() == 201)
+      // upload an embedding; 404 for an unknown model
+      assert(send(req(base, "/models/dtmi:api:Room;1/embedding").PUT(
+        HttpRequest.BodyPublishers.ofString("[1.0, 0.5]")).build()).statusCode() == 204)
+      assert(send(req(base, "/models/dtmi:none;1/embedding").PUT(
+        HttpRequest.BodyPublishers.ofString("[1.0]")).build()).statusCode() == 404)
+      // search with a vector answers the ranked page envelope
+      val res = send(req(base, "/models/search").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """{"query":"room","vector":[1.0,0.0],"limit":5}""")).build())
+      assert(res.statusCode() == 200, res.body())
+      val values = Json.parse(res.body()).get("value")
+      assert(values.size() == 1 &&
+        values.get(0).get("id").asText() == "dtmi:api:Room;1")
+      // lexical miss → empty page
+      val miss = send(req(base, "/models/search").POST(
+        HttpRequest.BodyPublishers.ofString("""{"query":"warehouse"}""")).build())
+      assert(Json.parse(miss.body()).get("value").size() == 0)
+    }
+  }
+
   test("models, components, telemetry and jobs routes") {
     withApi() { base =>
       // models list/get/delete

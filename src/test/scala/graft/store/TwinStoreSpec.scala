@@ -222,6 +222,37 @@ class TwinStoreSpec extends AnyFunSuite {
     assert(s.models.models.isEmpty)
   }
 
+  test("model embeddings: update, semantic + hybrid search, delete cleanup") {
+    val s = new TwinStore()
+    s.createModels(Seq(celestial, planet, habitable, moon))
+    // 404 before the model exists, 400 on an empty vector
+    intercept[StoreException](s.updateModelEmbedding("dtmi:none;1", Seq(1.0)))
+    intercept[StoreException](
+      s.updateModelEmbedding("dtmi:com:contoso:Planet;1", Nil))
+    s.updateModelEmbedding("dtmi:com:contoso:CelestialBody;1", Seq(0.0, 0.0))
+    s.updateModelEmbedding("dtmi:com:contoso:Planet;1", Seq(1.0, 0.0))
+    s.updateModelEmbedding("dtmi:com:contoso:HabitablePlanet;1", Seq(1.0, 1.0))
+    assert(s.modelEmbedding("dtmi:com:contoso:Planet;1").contains(Seq(1.0, 0.0)))
+    // vector search ranks by L2; Moon (no embedding) sorts last
+    val ranked = s.searchModels(None, Some(Seq(1.0, 0.25))).map(_.id)
+    assert(ranked == Seq(
+      "dtmi:com:contoso:Planet;1",          // d² = 0.0625
+      "dtmi:com:contoso:HabitablePlanet;1", // d² = 0.5625
+      "dtmi:com:contoso:CelestialBody;1",   // d² = 1.0625
+      "dtmi:com:contoso:Moon;1"))           // no embedding → last
+    // hybrid: lexical needle filters before the vector ranking
+    val hybrid = s.searchModels(Some("planet"), Some(Seq(1.0, 0.25))).map(_.id)
+    assert(hybrid == Seq(
+      "dtmi:com:contoso:Planet;1", "dtmi:com:contoso:HabitablePlanet;1"))
+    // lexical-only orders by id; limit respected
+    assert(s.searchModels(Some("contoso"), None, limit = 2).map(_.id) ==
+      Seq("dtmi:com:contoso:CelestialBody;1", "dtmi:com:contoso:HabitablePlanet;1"))
+    // re-upload of a deleted model starts with no embedding
+    s.deleteModel("dtmi:com:contoso:HabitablePlanet;1")
+    s.createModels(Seq(habitable))
+    assert(s.modelEmbedding("dtmi:com:contoso:HabitablePlanet;1").isEmpty)
+  }
+
   test("mutation log records one row per logical operation") {
     val s = freshStore()
     s.createOrReplaceTwin("room1",
