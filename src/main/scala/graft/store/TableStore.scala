@@ -36,20 +36,33 @@ import scala.jdk.CollectionConverters._
   * §2 A8.
   *
   * Scale posture: queries ([[graph]]) and snapshot folding are pure
-  * DataFrame plans — no driver materialization, any corpus size. The
-  * interactive CRUD working set is driver-resident (as the reference's is
-  * Postgres-resident); bulk ingest at beyond-RAM scale goes through
-  * [[importGraph]], which merges whole DataFrames into the snapshot without
-  * touching driver state (the WAL-bypassing bulk-load path).
+  * DataFrame plans — no driver materialization, any corpus size.
+  * Interactive CRUD faults its per-key working set in LAZILY ([[open]]):
+  * a point operation on an unseen key runs one dt_id-filtered read
+  * against the snapshot (sorted files → row-group skipping) plus the
+  * journal tail, so a write-reopen touches O(touched keys), never
+  * O(corpus) — the reopen cost that matters when the store holds 100 TB.
+  * [[TableTwinStore.openEager]] preserves the restore-everything mode for
+  * working sets that are known to be small and hot. Bulk ingest at
+  * beyond-RAM scale goes through [[importGraph]], which merges whole
+  * DataFrames into the snapshot without touching driver state (the
+  * WAL-bypassing bulk-load path).
   */
 final class TableTwinStore private (
     val spark: SparkSession, val dir: String, clock: () => String,
-    queryOnly: Boolean = false) {
+    queryOnly: Boolean = false, lazyLoad: Boolean = true) {
 
   private val mem = new TwinStore(clock)
   private var version = 0
   private var appliedSeq = 0L
   private var journaledCount = 0 // prefix of mem.mutations already on disk
+
+  // Keys whose current state is resolved into `mem` (present or absent).
+  // Every CRUD wrapper faults its keys first, so a key touched this
+  // session is always marked — `mem` stays authoritative for marked keys
+  // and the fault fold never overwrites newer session state.
+  private val faultedTwins = collection.mutable.Set[String]()
+  private val faultedRels = collection.mutable.Set[(String, String)]()
 
   /** Query-only opens skip the O(corpus) driver restore, so interactive
     * point reads/writes have no working set to serve them — [[graph]] is
@@ -83,9 +96,88 @@ final class TableTwinStore private (
     val r = f; saveModels(); r
   }
 
+  // ---------------- lazy per-key working set ----------------
+
+  /** Resolve one twin's current state into `mem`: the snapshot's single
+    * dt_id row (sorted files → parquet min/max row-group skipping; a
+    * partitioned deployment prunes to one file slice) folded with this
+    * key's journal-tail events in seq order. O(one key), not O(corpus). */
+  private def faultTwin(dtId: String): Unit = {
+    if (!lazyLoad || faultedTwins.contains(dtId)) return
+    var doc: Option[String] =
+      if (version == 0) None
+      else GraphStore.read(spark, snapshotPath(version)).twins
+        .filter(col("dt_id") === dtId).select(col("properties"))
+        .collect().headOption.map(_.getString(0))
+    mutationsDf
+      .filter(col("seq") > appliedSeq && col("entity_kind") === "Twin")
+      .withColumn("__id", get_json_object(
+        coalesce(col("new_json"), col("old_json")), "$['$dtId']"))
+      .filter(col("__id") === dtId)
+      .orderBy(col("seq"))
+      .select(col("event_type"), col("new_json"))
+      .collect().foreach { r =>
+        r.getAs[String]("event_type") match {
+          case "TwinCreate" | "TwinUpdate" => doc = Some(r.getAs[String]("new_json"))
+          case "TwinDelete" => doc = None
+          case _ => ()
+        }
+      }
+    doc.foreach(d => mem.restoreTwin(Json.parse(d).asInstanceOf[ObjectNode]))
+    faultedTwins.add(dtId): Unit
+  }
+
+  /** Same per-key fault for one relationship, keyed
+    * (source_id, relationship_id). */
+  private def faultRel(sourceId: String, relId: String): Unit = {
+    if (!lazyLoad || faultedRels.contains((sourceId, relId))) return
+    var doc: Option[String] =
+      if (version == 0) None
+      else GraphStore.read(spark, snapshotPath(version)).relationships
+        .filter(col("source_id") === sourceId && col("relationship_id") === relId)
+        .select(col("properties"))
+        .collect().headOption.map(_.getString(0))
+    mutationsDf
+      .filter(col("seq") > appliedSeq && col("entity_kind") === "Relationship")
+      .withColumn("__src", get_json_object(
+        coalesce(col("new_json"), col("old_json")), "$['$sourceId']"))
+      .withColumn("__rid", get_json_object(
+        coalesce(col("new_json"), col("old_json")), "$['$relationshipId']"))
+      .filter(col("__src") === sourceId && col("__rid") === relId)
+      .orderBy(col("seq"))
+      .select(col("event_type"), col("new_json"))
+      .collect().foreach { r =>
+        r.getAs[String]("event_type") match {
+          case "RelationshipCreate" | "RelationshipUpdate" =>
+            doc = Some(r.getAs[String]("new_json"))
+          case "RelationshipDelete" => doc = None
+          case _ => ()
+        }
+      }
+    doc.foreach(d => mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
+    faultedRels.add((sourceId, relId)): Unit
+  }
+
+  /** `mem`'s edge scan only sees the faulted working set; in lazy mode the
+    * delete-twin guard must consult the whole table (folded snapshot +
+    * journal). One pushed-down existence probe. */
+  private def hasAnyEdge(dtId: String): Boolean =
+    !graph.relationships
+      .filter(col("source_id") === dtId || col("target_id") === dtId)
+      .isEmpty
+
   def models: ModelRegistry = mem.models
-  def twinIds: Seq[String] = mem.twinIds
-  def relationshipKeys: Seq[(String, String)] = mem.relationshipKeys
+
+  /** Id enumeration. Lazy opens answer from the folded table (an
+    * ids-only distributed scan — enumerating every id IS a corpus scan;
+    * callers wanting bulk work should use [[graph]] directly). */
+  def twinIds: Seq[String] =
+    if (!lazyLoad) mem.twinIds
+    else graph.twins.select(col("dt_id")).collect().map(_.getString(0)).toSeq
+  def relationshipKeys: Seq[(String, String)] =
+    if (!lazyLoad) mem.relationshipKeys
+    else graph.relationships.select(col("source_id"), col("relationship_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   def createModels(dtdlJsons: Seq[String]) = modelOp(mem.createModels(dtdlJsons))
   def getModel(id: String) = mem.getModel(id)
   def getModelWithBaseContents(id: String) = mem.getModelWithBaseContents(id)
@@ -94,41 +186,80 @@ final class TableTwinStore private (
 
   def createOrReplaceTwin(dtId: String, docJson: String,
       ifNoneMatchStar: Boolean = false, lastUpdatedBy: Option[String] = None): JsonNode =
-    journaled(mem.createOrReplaceTwin(dtId, docJson, ifNoneMatchStar, lastUpdatedBy))
+    journaled {
+      faultTwin(dtId)
+      mem.createOrReplaceTwin(dtId, docJson, ifNoneMatchStar, lastUpdatedBy)
+    }
   def getTwin(dtId: String): JsonNode = {
     requireFullOpen("point read")
+    faultTwin(dtId)
     mem.getTwin(dtId)
   }
   def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
       lastUpdatedBy: Option[String] = None): JsonNode =
-    journaled(mem.patchTwin(dtId, patchJson, ifMatch, lastUpdatedBy))
+    journaled {
+      faultTwin(dtId)
+      mem.patchTwin(dtId, patchJson, ifMatch, lastUpdatedBy)
+    }
   def deleteTwin(dtId: String, ifMatch: Option[String] = None): Unit =
-    journaled(mem.deleteTwin(dtId, ifMatch))
+    journaled {
+      faultTwin(dtId)
+      // mem's edge guard only sees the faulted subset — consult the table
+      if (lazyLoad && hasAnyEdge(dtId))
+        throw StoreException(400, s"twin $dtId still has relationships")
+      mem.deleteTwin(dtId, ifMatch)
+    }
   def createOrReplaceTwins(docs: Seq[String]): Seq[Either[String, JsonNode]] =
-    journaled(mem.createOrReplaceTwins(docs))
+    journaled {
+      docs.foreach(d => Json.tryParse(d)
+        .flatMap(n => Json.get(n, "/$dtId")).map(_.asText())
+        .foreach(faultTwin))
+      mem.createOrReplaceTwins(docs)
+    }
 
   def getComponent(dtId: String, componentName: String): JsonNode = {
     requireFullOpen("point read")
+    faultTwin(dtId)
     mem.getComponent(dtId, componentName)
   }
   def updateComponent(dtId: String, componentName: String, patchJson: String): JsonNode =
-    journaled(mem.updateComponent(dtId, componentName, patchJson))
+    journaled {
+      faultTwin(dtId)
+      mem.updateComponent(dtId, componentName, patchJson)
+    }
 
   def createOrReplaceRelationship(sourceId: String, relId: String, docJson: String,
       ifNoneMatchStar: Boolean = false): JsonNode =
-    journaled(mem.createOrReplaceRelationship(sourceId, relId, docJson, ifNoneMatchStar))
+    journaled {
+      // validation reads the source's model and the target's existence
+      faultTwin(sourceId)
+      Json.tryParse(docJson).flatMap(n => Json.get(n, "/$targetId"))
+        .map(_.asText()).foreach(faultTwin)
+      faultRel(sourceId, relId)
+      mem.createOrReplaceRelationship(sourceId, relId, docJson, ifNoneMatchStar)
+    }
   def getRelationship(sourceId: String, relId: String): JsonNode = {
     requireFullOpen("point read")
+    faultRel(sourceId, relId)
     mem.getRelationship(sourceId, relId)
   }
   def patchRelationship(sourceId: String, relId: String, patchJson: String): JsonNode =
-    journaled(mem.patchRelationship(sourceId, relId, patchJson))
+    journaled {
+      faultRel(sourceId, relId)
+      mem.patchRelationship(sourceId, relId, patchJson)
+    }
   def deleteRelationship(sourceId: String, relId: String): Unit =
-    journaled(mem.deleteRelationship(sourceId, relId))
+    journaled {
+      faultRel(sourceId, relId)
+      mem.deleteRelationship(sourceId, relId)
+    }
 
   def publishTelemetry(dtId: String, payload: String,
       componentName: Option[String] = None): Unit =
-    journaled(mem.publishTelemetry(dtId, payload, componentName))
+    journaled {
+      faultTwin(dtId)
+      mem.publishTelemetry(dtId, payload, componentName)
+    }
 
   // ---------------- durable plumbing ----------------
 
@@ -352,9 +483,11 @@ final class TableTwinStore private (
   // ---------------- restart ----------------
 
   private def load(): Unit = {
+    var metaNextSeq = 0L
     readJsonResilient(s"$dir/meta.json").foreach { meta =>
       version = meta.get("version").asInt()
       appliedSeq = meta.get("appliedSeq").asLong()
+      metaNextSeq = Option(meta.get("nextSeq")).map(_.asLong()).getOrElse(0L)
     }
     readJsonResilient(s"$dir/models.json").foreach { arr =>
       val raws = arr.elements().asScala.map(Json.render).toSeq
@@ -364,6 +497,18 @@ final class TableTwinStore private (
     // as DataFrames — no working set to restore, no journal replay. Reopen
     // cost is O(meta + models), not O(corpus) through the driver.
     if (queryOnly) return
+    // Lazy open (the default): no corpus restore, no journal replay — CRUD
+    // faults keys on demand. Only the seq high-water mark is needed up
+    // front so new mutations continue the numbering past everything ever
+    // journaled (CloudEvent ids are minted from it): max of the meta's
+    // nextSeq and the journal tail's max(seq), one scalar aggregate.
+    if (lazyLoad) {
+      val tailMax = Option(mutationsDf.agg(max(col("seq"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      mem.restoreSeq(Seq(metaNextSeq, tailMax, appliedSeq).max)
+      journaledCount = 0
+      return
+    }
     // snapshot into the driver-resident CRUD working set
     if (version > 0) {
       val g = GraphStore.read(spark, snapshotPath(version))
@@ -409,11 +554,25 @@ final class TableTwinStore private (
 
 object TableTwinStore {
 
-  /** Open (or initialize) a table-backed store at `dir`. Restores models,
-    * the snapshot and any journal tail written after the last checkpoint. */
+  /** Open (or initialize) a table-backed store at `dir`. Restores models
+    * and the seq high-water mark — O(meta + models + one aggregate), never
+    * O(corpus). Point CRUD faults each touched key's state on first use
+    * (snapshot point read + journal-tail fold); bulk reads go through
+    * [[TableTwinStore.graph]]. */
   def open(spark: SparkSession, dir: String,
       clock: () => String = () => java.time.Instant.now().toString): TableTwinStore = {
     val st = new TableTwinStore(spark, dir, clock)
+    st.load()
+    st
+  }
+
+  /** Restore-everything open: snapshot + journal replayed into the
+    * driver-resident working set up front. Only sensible when the corpus
+    * is known to fit in driver memory and most keys will be touched —
+    * otherwise use [[open]], whose reopen cost is per touched key. */
+  def openEager(spark: SparkSession, dir: String,
+      clock: () => String = () => java.time.Instant.now().toString): TableTwinStore = {
+    val st = new TableTwinStore(spark, dir, clock, lazyLoad = false)
     st.load()
     st
   }
