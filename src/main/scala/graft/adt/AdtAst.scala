@@ -56,7 +56,11 @@ final case class MatchEdge(src: String, relAlias: Option[String],
     // optional pattern): scoped to the pattern, planned INTO the left-outer
     // join condition — a failing predicate null-extends instead of
     // dropping the outer row
-    optWhere: Option[Expr] = None)
+    optWhere: Option[Expr] = None,
+    // `p = shortestPath(...)` vs a bare `p = (a)-[*..]->(b)`: shortestPath
+    // binds one row per endpoint PAIR (minimal depth); a bare VLE path
+    // binds one row per PATH, with interiors enumerated
+    shortest: Boolean = false)
 
 /** JOIN tgt RELATED src.relName relAlias (AdtQueryHelpers.cs:127-159). */
 final case class JoinRelated(target: String, source: String, relName: String,

@@ -33,7 +33,13 @@ final class AdtPlanner(graph: TwinGraph) {
     * aliases in PATH order — for a reverse-arrow pattern the lexical start
     * is the edge's dst, and nodes(p) must honor the written order. */
   private case class PathBinding(rel: String, isVle: Boolean,
-      src: String, dst: String)
+      src: String, dst: String,
+      // false for `<-[r]-` patterns: the VLE interior arrays are built in
+      // edge-traversal order, so path-order accessors reverse them
+      forward: Boolean = true,
+      // shortestPath paths bind per endpoint pair and carry NO interior;
+      // bare VLE paths bind per path, with node_ids/rel_ids columns
+      shortest: Boolean = false)
 
   /** Resolution context: which aliases are twins vs relationships, the
     * default entity for unqualified properties, flat columns introduced
@@ -62,7 +68,7 @@ final class AdtPlanner(graph: TwinGraph) {
       case (e, i) if e.pathAlias.isDefined =>
         val (pSrc, pDst) = if (e.pathForward) (e.src, e.dst) else (e.dst, e.src)
         e.pathAlias.get -> PathBinding(e.relAlias.getOrElse(s"__rel$i"),
-          e.vle.isDefined, pSrc, pDst)
+          e.vle.isDefined, pSrc, pDst, e.pathForward, e.shortest)
     }.toMap
     var scope = Scope(twinAliases, relAliases, defaultEntity,
       paths = pathBindings)
@@ -608,6 +614,31 @@ final class AdtPlanner(graph: TwinGraph) {
           // a VLE edge joins through the BFS reachability pair set
           // (source_id, target_id, depth) instead of a single edge row
           val relDf = e.vle match {
+            // A bare path binding over a VLE (`p = (a)-[*1..3]->(b)`, not
+            // shortestPath) has openCypher PER-PATH semantics: one row per
+            // trail, with nodes(p)/relationships(p) available as ordered
+            // interior arrays. Only for bounded ranges within the
+            // enumeration cap — per-path enumeration of an unbounded VLE
+            // is combinatorial.
+            case Some((lo, hi)) if e.pathAlias.isDefined && !e.shortest =>
+              val cap = graph.twins.sparkSession.conf
+                .get("spark.graft.vle.trailEnumDepthCap",
+                  graft.graph.Vle.TrailEnumDepthCap.toString).toInt
+              if (hi > cap) throw new AdtPlanException(
+                s"a path variable over a variable-length edge needs a " +
+                  s"bounded range within *..$cap (got *$lo..$hi) — per-path " +
+                  "enumeration is capped by " +
+                  "spark.graft.vle.trailEnumDepthCap; use shortestPath(...) " +
+                  "with length(p) and the endpoint bindings for wider ranges")
+              val nodes =
+                if (lo == 0) Some(graph.twins.select(col("dt_id")))
+                else None
+              ns(graft.graph.Vle.trails(graph.relationships, lo, hi,
+                  e.relNames, nodes,
+                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                .select(col("start_id").as("source_id"),
+                  col("end_id").as("target_id"), col("depth"),
+                  col("node_ids"), col("rel_ids")), relAlias)
             case Some((lo, hi)) =>
               // *0..n: the depth-0 universe is EVERY twin (openCypher
               // zero-length paths match nodes regardless of edges), not
@@ -875,21 +906,30 @@ final class AdtPlanner(graph: TwinGraph) {
             s"properties() needs a node or relationship alias, got $other")
         }
 
-      // nodes(p) / relationships(p): path accessors over a bound
-      // single-edge path. A shortestPath over a VLE knows only endpoints
-      // and depth (per-path enumeration is rejected by design), so the
-      // interior is unavailable — reject rather than return a wrong list.
+      // nodes(p) / relationships(p): path accessors. Single-edge paths
+      // answer from the endpoint/rel bindings. A bare bounded-VLE path was
+      // planned per trail, so its interior rides the match as
+      // node_ids/rel_ids array columns — reversed for reverse-arrow
+      // patterns, whose traversal order is the opposite of the written
+      // path order. A shortestPath knows only endpoints and depth (it
+      // binds per PAIR, not per path) — reject rather than fake a list.
       case "NODES" | "RELATIONSHIPS" =>
         val pb = f.args.head match {
           case PropRef(None, List(p)) if scope.paths.contains(p) => scope.paths(p)
           case other => throw new AdtPlanException(
             s"${f.name.toLowerCase}() needs a bound path variable, got $other")
         }
-        if (pb.isVle) throw new AdtPlanException(
-          s"${f.name.toLowerCase}() over a shortestPath/VLE path is not " +
-            "supported: interior nodes are not enumerated (use length(p) " +
-            "and the endpoint bindings)")
-        if (f.name == "NODES")
+        if (pb.isVle && pb.shortest) throw new AdtPlanException(
+          s"${f.name.toLowerCase}() over a shortestPath is not supported: " +
+            "shortestPath binds one row per endpoint pair, not per path " +
+            "(use a bare bounded path `p = (a)-[*1..k]->(b)` to enumerate " +
+            "interiors, or length(p) and the endpoint bindings)")
+        if (pb.isVle) {
+          val c = if (f.name == "NODES") col(s"${pb.rel}__node_ids")
+                  else col(s"${pb.rel}__rel_ids")
+          if (pb.forward) c else reverse(c)
+        }
+        else if (f.name == "NODES")
           array(col(s"${pb.src}__dt_id"), col(s"${pb.dst}__dt_id"))
         else array(col(s"${pb.rel}__relationship_id"))
 

@@ -223,10 +223,10 @@ object CypherParser {
         optional: Boolean = false): Unit = {
       var more = true
       while (more) {
-        // path variable binding: `p = (a)-[r]->(b)` or
-        // `p = shortestPath((a)-[*..n]->(b))`. The shortestPath form maps
-        // exactly onto the VLE pair set's minimal depth; a bare path over a
-        // VLE edge would need per-path enumeration, which we reject.
+        // path variable binding: `p = (a)-[r]->(b)`,
+        // `p = (a)-[*1..3]->(b)` (per-path, interiors enumerated), or
+        // `p = shortestPath((a)-[*..n]->(b))` (per endpoint pair at the
+        // VLE pair set's minimal depth).
         var pathAlias: Option[String] = None
         var shortest = false
         (cur, nxt) match {
@@ -263,11 +263,13 @@ object CypherParser {
         pathAlias.foreach { _ =>
           if (edges.size - edgesBefore != 1) throw new AdtParseException(
             "a path variable must bind a single-edge pattern")
-          val e = edges.last
-          if (e.vle.isDefined && !shortest) throw new AdtParseException(
-            "per-path enumeration over a variable-length edge is not " +
-              "supported: wrap the pattern in shortestPath(...)")
-          edges(edges.size - 1) = e.copy(pathAlias = pathAlias)
+          // a bare VLE path (`p = (a)-[*1..3]->(b)`) is legal: it binds one
+          // row per path, with interiors, while shortestPath keeps the
+          // cheaper one-row-per-pair minimal-depth plan. The planner caps
+          // the bare form's range (per-path enumeration of an unbounded
+          // VLE is combinatorial).
+          edges(edges.size - 1) =
+            edges.last.copy(pathAlias = pathAlias, shortest = shortest)
         }
         if (!hadEdge) loneNodes += left
         if (cur == Sym(",")) pos += 1 else more = false

@@ -241,6 +241,129 @@ object Vle {
     }
   }
 
+  /** Per-TRAIL enumeration with interiors, for bounded ranges: one row per
+    * distinct trail (ordered edge list, openCypher relationship
+    * uniqueness), carrying `node_ids` (node ids in traversal order, both
+    * endpoints included) and `rel_ids` (edge ids in order) — the lists
+    * `nodes(p)` / `relationships(p)` need over a VLE path (AGE returns
+    * full paths from its VLE executor, Query.cs:122-129; here the
+    * interior rides the frontier rows as array columns, so the whole
+    * enumeration stays a distributed plan).
+    *
+    * Row multiplicity is PER PATH (two trails between the same endpoints =
+    * two rows), unlike [[range]]'s per-pair rows — callers choose by
+    * whether the query observes the interior. `maxDepth` must stay within
+    * `spark.graft.vle.trailEnumDepthCap` (the planner rejects wider
+    * ranges); within the cap the frontier is additionally guarded by
+    * `spark.graft.vle.trailEnumRowBudget` against combinatorially cyclic
+    * graphs (truncates with a driver-log warning, as [[trailEnumerate]]
+    * does). */
+  def trails(edges: DataFrame, minDepth: Int, maxDepth: Int,
+      relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
+      sourceIds: Option[Seq[String]] = None,
+      targetIds: Option[Seq[String]] = None): DataFrame = {
+    require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
+    require(minDepth >= 0, s"VLE range lower bound must be >= 0, got $minDepth")
+    val conf = edges.sparkSession.conf
+    val cap = conf
+      .get("spark.graft.vle.trailEnumDepthCap", TrailEnumDepthCap.toString).toInt
+    require(maxDepth <= cap,
+      s"trails() enumerates bounded ranges only: max depth $maxDepth exceeds " +
+        s"spark.graft.vle.trailEnumDepthCap=$cap")
+    if (sourceIds.isEmpty && targetIds.isDefined) {
+      // bound TARGET only: enumerate backward over the reversed edge set
+      // (edge identity survives reversal), then flip lists back to forward
+      // traversal order and swap the endpoints.
+      val rev = edges
+        .withColumnRenamed("source_id", "__vle_tmp")
+        .withColumnRenamed("target_id", "source_id")
+        .withColumnRenamed("__vle_tmp", "target_id")
+      return trails(rev, minDepth, maxDepth, relNames, nodes,
+          sourceIds = targetIds)
+        .select(col("end_id").as("start_id"), col("start_id").as("end_id"),
+          col("depth"), reverse(col("node_ids")).as("node_ids"),
+          reverse(col("rel_ids")).as("rel_ids"))
+    }
+    val named =
+      if (relNames.isEmpty) edges
+      else edges.filter(col("relationship_name").isin(relNames: _*))
+    // Edge identity for both uniqueness and the relationships(p) output:
+    // the real relationship_id when the graph has one, else a
+    // "\u0001"-separated composite (see trailEnumerate).
+    val withId =
+      if (named.columns.contains("relationship_id"))
+        named.withColumn("__eid", col("relationship_id"))
+      else if (named.columns.contains("relationship_name"))
+        named.withColumn("__eid", concat_ws("\u0001",
+          col("source_id"), col("target_id"), col("relationship_name")))
+      else named.withColumn("__eid",
+        concat_ws("\u0001", col("source_id"), col("target_id")))
+    val e = withId.select(col("source_id"), col("target_id"), col("__eid"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val rowBudget = conf
+      .get("spark.graft.vle.trailEnumRowBudget", TrailEnumRowBudget.toString).toLong
+
+    import graft.core.Blocks
+    val frames = collection.mutable.ListBuffer[DataFrame]() // in-range levels
+    // the zero-length path: (n, n, [n], []) for every node in the caller's
+    // universe (openCypher *0..k matches nodes regardless of edges)
+    if (minDepth == 0) {
+      val universe = nodes.map(n => n.select(col(n.columns.head).as("n")))
+        .getOrElse(e.select(explode(array(col("source_id"), col("target_id")))
+          .as("n")))
+        .distinct()
+      val bound = sourceIds.fold(universe)(ids =>
+        universe.filter(col("n").isin(ids: _*)))
+      frames += bound.select(col("n").as("start_id"), col("n").as("end_id"),
+        lit(0).as("depth"), array(col("n")).as("node_ids"),
+        array().cast("array<string>").as("rel_ids"))
+    }
+    var frontier = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+      .select(col("source_id").as("start_id"), col("target_id").as("end_id"),
+        lit(1).as("depth"),
+        array(col("source_id"), col("target_id")).as("node_ids"),
+        array(col("__eid")).as("rel_ids"))
+      .localCheckpoint(eager = true)
+    val frontiers = collection.mutable.ListBuffer(frontier)
+    if (minDepth <= 1 && maxDepth >= 1) frames += frontier
+    var depth = 1
+    var emptied = frontier.isEmpty
+    def overBudget(): Boolean = {
+      val over = frontier.count() > rowBudget
+      if (over) org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"VLE path enumeration truncated at depth $depth/$maxDepth: frontier " +
+          s"exceeds $rowBudget rows (spark.graft.vle.trailEnumRowBudget); " +
+          "deeper paths are missing from nodes()/relationships() output")
+      over
+    }
+    while (!emptied && depth < maxDepth && !overBudget()) {
+      val next = frontier.join(e, col("end_id") === col("source_id"))
+        .filter(!array_contains(col("rel_ids"), col("__eid")))
+        .select(col("start_id"), col("target_id").as("end_id"),
+          lit(depth + 1).as("depth"),
+          concat(col("node_ids"), array(col("target_id"))).as("node_ids"),
+          concat(col("rel_ids"), array(col("__eid"))).as("rel_ids"))
+        .localCheckpoint(eager = true)
+      depth += 1
+      if (next.isEmpty) { emptied = true; Blocks.free(next) }
+      else {
+        frontier = next
+        frontiers += next
+        if (depth >= minDepth) frames += next
+      }
+    }
+    val raw =
+      if (frames.isEmpty)
+        frontier.limit(0) // schema-correct empty frame
+      else frames.reduce(_.unionByName(_))
+    val filteredOut = targetIds.fold(raw)(ids =>
+      raw.filter(col("end_id").isin(ids: _*)))
+    val out = filteredOut.localCheckpoint(eager = true)
+    frontiers.foreach(Blocks.free)
+    e.unpersist(false)
+    out
+  }
+
   /** Edge-set trail enumeration restricted to start nodes that have some
     * pair below minDepth (`shortPairs`); returns (start_id, end_id, depth)
     * for pairs in `shortPairs` reached by a trail of in-range length. */

@@ -117,20 +117,27 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ids.groupBy(col("sid")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxDf).select(col("sid"))
-    // materialized once: the capped index feeds BOTH sides of the self-join
-    // below — left lazy, the df-count aggregation would run twice
-    val idsF = ids.join(rare, Seq("sid"), "left_semi")
-      .localCheckpoint(eager = true)
-    val inter = idsF.select(col("doc").as("doc_a"), col("sid"))
-      .join(idsF.select(col("doc").as("doc_b"), col("sid")), Seq("sid"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Exact (pre-cap) set size per doc, annotated ONTO the index rows
+    // before the self-join: the sizes then ride the pair aggregation as
+    // extra grouping keys, so the (much larger) pair set is never
+    // re-shuffled through two doc-keyed size joins afterwards — those
+    // post-join shuffles were this operator's largest constant at sf0.1.
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // materialized once: the capped+annotated index feeds BOTH sides of
+    // the self-join below — left lazy, the df-count and size aggregations
+    // would run twice
+    val idsF = ids.join(rare, Seq("sid"), "left_semi")
+      .join(sizes, Seq("doc"))
+      .localCheckpoint(eager = true)
     val out = materializedWithout(ids) {
-      inter
-        .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-        .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      idsF.select(col("doc").as("doc_a"), col("sz").as("sz_a"), col("sid"))
+        .join(idsF.select(col("doc").as("doc_b"), col("sz").as("sz_b"),
+          col("sid")), Seq("sid"))
+        .filter(col("doc_a") < col("doc_b"))
+        // sz_a/sz_b are functions of the doc keys — as extra grouping keys
+        // they keep the aggregate a pure map-side-combinable count
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard_4",
           floor(col("inter") * 10000.0 / (col("sz_a") + col("sz_b") - col("inter")) + 0.5)
             .cast(LongType))

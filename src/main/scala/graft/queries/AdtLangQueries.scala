@@ -293,6 +293,19 @@ object AdtLangQueries {
           "ORDER BY src")
         .select(col("src"), concat_ws(",", col("pnodes")).as("pnodes"),
           concat_ws(",", col("prels")).as("prels"))
+    }),
+
+    // Interior path enumeration over a bare bounded VLE (one row per
+    // path, openCypher multiplicity): every *1..2 path in the place graph
+    // — members>nation and member>nation>region chains — with full
+    // node/edge lists. Exercises Vle.trails end to end.
+    "q_cypher_path_nodes" -> ((s, d) => {
+      run(s, d,
+        "MATCH p = (a:Twin)-[*1..2]->(b:Twin) " +
+          "RETURN nodes(p) AS pnodes, relationships(p) AS prels")
+        .select(concat_ws(">", col("pnodes")).as("path_nodes"),
+          concat_ws(">", col("prels")).as("path_rels"))
+        .orderBy(col("path_nodes"), col("path_rels"))
     })
   )
 
@@ -451,6 +464,25 @@ object AdtLangQueries {
         |  'N' || n_nationkey || ',R' || n_regionkey AS pnodes,
         |  'N' || n_nationkey || '-R' || n_regionkey AS prels
         |FROM nation ORDER BY 1""".stripMargin,
+    "q_cypher_path_nodes" ->
+      """WITH e AS (
+        |  SELECT 'N' || n_nationkey AS sid, 'R' || n_regionkey AS tid,
+        |         'N' || n_nationkey || '-R' || n_regionkey AS rid FROM nation
+        |  UNION ALL
+        |  SELECT 'C' || c_custkey, 'N' || c_nationkey,
+        |         'C' || c_custkey || '-N' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'S' || s_suppkey, 'N' || s_nationkey,
+        |         'S' || s_suppkey || '-N' || s_nationkey FROM supplier),
+        |p1 AS (SELECT sid || '>' || tid AS path_nodes, rid AS path_rels,
+        |              sid, tid FROM e),
+        |p2 AS (SELECT p1.path_nodes || '>' || e.tid AS path_nodes,
+        |              p1.path_rels || '>' || e.rid AS path_rels
+        |       FROM p1 JOIN e ON p1.tid = e.sid)
+        |SELECT path_nodes, path_rels FROM (
+        |  SELECT path_nodes, path_rels FROM p1
+        |  UNION ALL SELECT path_nodes, path_rels FROM p2)
+        |ORDER BY 1, 2""".stripMargin,
     "q_cypher_shortest" ->
       """SELECT src, hops FROM (
         |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops

@@ -98,69 +98,141 @@ final class TableTwinStore private (
 
   // ---------------- lazy per-key working set ----------------
 
-  /** Resolve one twin's current state into `mem`: the snapshot's single
-    * dt_id row (sorted files → parquet min/max row-group skipping; a
-    * partitioned deployment prunes to one file slice) folded with this
-    * key's journal-tail events in seq order. O(one key), not O(corpus). */
-  private def faultTwin(dtId: String): Unit = {
-    if (!lazyLoad || faultedTwins.contains(dtId)) return
-    var doc: Option[String] =
-      if (version == 0) None
-      else GraphStore.read(spark, snapshotPath(version)).twins
-        .filter(col("dt_id") === dtId).select(col("properties"))
-        .collect().headOption.map(_.getString(0))
-    mutationsDf
-      .filter(col("seq") > appliedSeq && col("entity_kind") === "Twin")
-      .withColumn("__id", get_json_object(
-        coalesce(col("new_json"), col("old_json")), "$['$dtId']"))
-      .filter(col("__id") === dtId)
-      .orderBy(col("seq"))
-      .select(col("event_type"), col("new_json"))
-      .collect().foreach { r =>
-        r.getAs[String]("event_type") match {
-          case "TwinCreate" | "TwinUpdate" => doc = Some(r.getAs[String]("new_json"))
-          case "TwinDelete" => doc = None
-          case _ => ()
+  // Journal-tail high-water mark at open. Rows with seq in
+  // (appliedSeq, tailMaxAtOpen] are PRE-SESSION state a fault must fold.
+  // Rows beyond it were journaled by THIS session, whose keys are always
+  // already marked faulted (every CRUD wrapper faults before mutating),
+  // so no fault ever needs them — which is what lets faults skip the
+  // journal entirely on a store with no pre-session tail.
+  private var tailMaxAtOpen = 0L
+  private def hasPreSessionTail: Boolean = tailMaxAtOpen > appliedSeq
+
+  /** The pre-session journal tail, read ONCE on first fault and grouped by
+    * key in seq order. Bounded by checkpoint cadence (events since the
+    * last snapshot), NOT by corpus size — the same bound the old
+    * restore-everything replay had — so a driver-resident map is the right
+    * shape: after this one read, per-key faults cost zero journal jobs.
+    * Values are (seq, event_type, new_json). */
+  private lazy val preSessionTail
+      : (Map[String, Seq[(Long, String, String)]],
+         Map[(String, String), Seq[(Long, String, String)]]) =
+    if (!hasPreSessionTail) (Map.empty, Map.empty)
+    else {
+      val rows = mutationsDf
+        .filter(col("seq") > appliedSeq && col("seq") <= tailMaxAtOpen)
+        .select(col("seq"), col("entity_kind"), col("event_type"),
+          col("new_json"), col("old_json"))
+        .collect()
+      val twins = collection.mutable.Map[String, List[(Long, String, String)]]()
+      val rels = collection.mutable.Map[(String, String), List[(Long, String, String)]]()
+      rows.foreach { r =>
+        val doc = Option(r.getString(3)).getOrElse(r.getString(4))
+        Json.tryParse(doc).foreach { n =>
+          val ev = (r.getLong(0), r.getString(2), r.getString(3))
+          r.getString(1) match {
+            case "Twin" =>
+              Json.get(n, "/$dtId").map(_.asText()).foreach { id =>
+                twins(id) = ev :: twins.getOrElse(id, Nil)
+              }
+            case "Relationship" =>
+              for {
+                s0 <- Json.get(n, "/$sourceId").map(_.asText())
+                r0 <- Json.get(n, "/$relationshipId").map(_.asText())
+              } rels((s0, r0)) = ev :: rels.getOrElse((s0, r0), Nil)
+            case _ => ()
+          }
         }
       }
-    doc.foreach(d => mem.restoreTwin(Json.parse(d).asInstanceOf[ObjectNode]))
+      (twins.view.mapValues(_.sortBy(_._1).toSeq).toMap,
+       rels.view.mapValues(_.sortBy(_._1).toSeq).toMap)
+    }
+
+  // One snapshot listing per (reopen, version): per-key point probes reuse
+  // the frame instead of re-listing parquet files every fault.
+  private var snapCache: Option[(Int, TwinGraph)] = None
+  private def snapshotGraph(): TwinGraph = snapCache match {
+    case Some((v, g)) if v == version => g
+    case _ =>
+      val g = GraphStore.read(spark, snapshotPath(version))
+      snapCache = Some((version, g)); g
+  }
+
+  private def foldTwinEvents(init: Option[String],
+      evs: Seq[(Long, String, String)]): Option[String] =
+    evs.foldLeft(init) { case (doc, (_, et, newJson)) =>
+      et match {
+        case "TwinCreate" | "TwinUpdate" => Some(newJson)
+        case "TwinDelete" => None
+        case _ => doc
+      }
+    }
+
+  private def foldRelEvents(init: Option[String],
+      evs: Seq[(Long, String, String)]): Option[String] =
+    evs.foldLeft(init) { case (doc, (_, et, newJson)) =>
+      et match {
+        case "RelationshipCreate" | "RelationshipUpdate" => Some(newJson)
+        case "RelationshipDelete" => None
+        case _ => doc
+      }
+    }
+
+  /** Resolve one twin's current state into `mem`: the snapshot's single
+    * dt_id row (pushed-down point filter — sorted files → parquet min/max
+    * row-group skipping; a partitioned deployment prunes to one file
+    * slice) folded with this key's pre-session tail events. O(one key),
+    * not O(corpus); zero Spark jobs on a fresh store. */
+  private def faultTwin(dtId: String): Unit = {
+    if (!lazyLoad || faultedTwins.contains(dtId)) return
+    val snap: Option[String] =
+      if (version == 0) None
+      else snapshotGraph().twins
+        .filter(col("dt_id") === dtId).select(col("properties"))
+        .collect().headOption.map(_.getString(0))
+    foldTwinEvents(snap, preSessionTail._1.getOrElse(dtId, Nil))
+      .foreach(d => mem.restoreTwin(Json.parse(d).asInstanceOf[ObjectNode]))
     faultedTwins.add(dtId): Unit
+  }
+
+  /** Batch fault (D5 path): all unseen keys resolve in ONE snapshot probe
+    * (`dt_id IN (...)`) instead of a Spark job per key. */
+  private def faultTwins(dtIds: Seq[String]): Unit = {
+    if (!lazyLoad) return
+    val todo = dtIds.distinct.filterNot(faultedTwins.contains)
+    if (todo.isEmpty) return
+    val snap: Map[String, String] =
+      if (version == 0) Map.empty
+      else snapshotGraph().twins
+        .filter(col("dt_id").isin(todo: _*))
+        .select(col("dt_id"), col("properties"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    todo.foreach { id =>
+      foldTwinEvents(snap.get(id), preSessionTail._1.getOrElse(id, Nil))
+        .foreach(d => mem.restoreTwin(Json.parse(d).asInstanceOf[ObjectNode]))
+      faultedTwins.add(id): Unit
+    }
   }
 
   /** Same per-key fault for one relationship, keyed
     * (source_id, relationship_id). */
   private def faultRel(sourceId: String, relId: String): Unit = {
     if (!lazyLoad || faultedRels.contains((sourceId, relId))) return
-    var doc: Option[String] =
+    val snap: Option[String] =
       if (version == 0) None
-      else GraphStore.read(spark, snapshotPath(version)).relationships
+      else snapshotGraph().relationships
         .filter(col("source_id") === sourceId && col("relationship_id") === relId)
         .select(col("properties"))
         .collect().headOption.map(_.getString(0))
-    mutationsDf
-      .filter(col("seq") > appliedSeq && col("entity_kind") === "Relationship")
-      .withColumn("__src", get_json_object(
-        coalesce(col("new_json"), col("old_json")), "$['$sourceId']"))
-      .withColumn("__rid", get_json_object(
-        coalesce(col("new_json"), col("old_json")), "$['$relationshipId']"))
-      .filter(col("__src") === sourceId && col("__rid") === relId)
-      .orderBy(col("seq"))
-      .select(col("event_type"), col("new_json"))
-      .collect().foreach { r =>
-        r.getAs[String]("event_type") match {
-          case "RelationshipCreate" | "RelationshipUpdate" =>
-            doc = Some(r.getAs[String]("new_json"))
-          case "RelationshipDelete" => doc = None
-          case _ => ()
-        }
-      }
-    doc.foreach(d => mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
+    foldRelEvents(snap, preSessionTail._2.getOrElse((sourceId, relId), Nil))
+      .foreach(d => mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
     faultedRels.add((sourceId, relId)): Unit
   }
 
   /** `mem`'s edge scan only sees the faulted working set; in lazy mode the
     * delete-twin guard must consult the whole table (folded snapshot +
-    * journal). One pushed-down existence probe. */
+    * journal) — but only when pre-session state exists at all: on a store
+    * built entirely this session, `mem` has seen every relationship and
+    * its own guard suffices (no Spark job). */
   private def hasAnyEdge(dtId: String): Boolean =
     !graph.relationships
       .filter(col("source_id") === dtId || col("target_id") === dtId)
@@ -204,16 +276,16 @@ final class TableTwinStore private (
   def deleteTwin(dtId: String, ifMatch: Option[String] = None): Unit =
     journaled {
       faultTwin(dtId)
-      // mem's edge guard only sees the faulted subset — consult the table
-      if (lazyLoad && hasAnyEdge(dtId))
+      // mem's edge guard only sees the faulted subset — consult the table,
+      // unless the store has no pre-session state (then mem saw every edge)
+      if (lazyLoad && (version > 0 || hasPreSessionTail) && hasAnyEdge(dtId))
         throw StoreException(400, s"twin $dtId still has relationships")
       mem.deleteTwin(dtId, ifMatch)
     }
   def createOrReplaceTwins(docs: Seq[String]): Seq[Either[String, JsonNode]] =
     journaled {
-      docs.foreach(d => Json.tryParse(d)
-        .flatMap(n => Json.get(n, "/$dtId")).map(_.asText())
-        .foreach(faultTwin))
+      faultTwins(docs.flatMap(d => Json.tryParse(d)
+        .flatMap(n => Json.get(n, "/$dtId")).map(_.asText())))
       mem.createOrReplaceTwins(docs)
     }
 
@@ -505,6 +577,7 @@ final class TableTwinStore private (
     if (lazyLoad) {
       val tailMax = Option(mutationsDf.agg(max(col("seq"))).first().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      tailMaxAtOpen = tailMax
       mem.restoreSeq(Seq(metaNextSeq, tailMax, appliedSeq).max)
       journaledCount = 0
       return

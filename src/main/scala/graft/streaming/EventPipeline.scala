@@ -363,6 +363,114 @@ object EventPipeline {
       .start()
   }
 
+  /** Scale path for the injected-client sinks (A13/A14 at data-history
+    * volumes): delivery runs on the EXECUTORS — `mkDeliver` builds ONE
+    * client per partition (one HTTP connection / MQTT session each; the
+    * factory closure must be serializable), events are hash-partitioned
+    * by `subject` and time-ordered within each partition (the same
+    * per-entity ordering affinity [[kafkaFrame]] keys by — the per-event
+    * total order of the single-consumer route weakens to per-entity
+    * order, which is the guarantee consumers actually rely on), and only
+    * FAILURES return to the driver. DLQ semantics are identical to
+    * [[runPerEventRoute]]: failed events (and nothing else) dead-letter;
+    * no DLQ configured → the batch throws and the checkpoint retries.
+    *
+    * The driver-side single-consumer route matches the reference's
+    * semantics for its ≤100-event batches (SharedEventConsumer.cs:31);
+    * this one scales delivery with partitions where a single consumer is
+    * the bottleneck. */
+  private def runPerEventRouteDistributed(
+      events: Dataset[CloudEvent],
+      checkpointDir: String,
+      dlqDir: Option[String],
+      what: String,
+      parallelism: Int)(mkDeliver: () => String => Option[String])
+      : StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val slots =
+          if (parallelism > 0) parallelism
+          else spark.sessionState.conf.numShufflePartitions
+        val failed: Array[(CloudEvent, String)] = withEnvelope(batch.toDF())
+          .repartition(slots, col("subject"))
+          .sortWithinPartitions(col("time"), col("id"))
+          .select(struct(col("id"), col("source"), col("type"),
+            col("subject"), col("time"), col("datacontenttype"), col("data"),
+            col("dataschema")).as("event"), col("__envelope").as("env"))
+          .as[(CloudEvent, String)]
+          .mapPartitions { it =>
+            val deliver = mkDeliver()
+            it.flatMap { case (ev, env) => deliver(env).map(msg => (ev, msg)) }
+          }
+          .collect()
+        if (failed.nonEmpty) dlqDir match {
+          case Some(d) =>
+            failed.toSeq.toDF("event", "dlq_error")
+              .select(col("event.*"), col("dlq_error"))
+              .withColumn("dlq_batch", lit(batchId))
+              .write.mode("append").parquet(d)
+          case None => throw new RuntimeException(
+            s"${failed.length} $what failed: ${failed.head._2}")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** A13 at scale: MQTT publishes distributed over executors — one client
+    * per partition via `mkPublish`, per-subject ordering, DLQ semantics of
+    * [[runMqttRoute]]. */
+  def runMqttRouteDistributed(
+      events: Dataset[CloudEvent],
+      topic: String,
+      mkPublish: () => (String, String) => Unit,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      parallelism: Int = 0): StreamingQuery =
+    runPerEventRouteDistributed(events, checkpointDir, dlqDir,
+        "MQTT publishes", parallelism) { () =>
+      val publish = mkPublish()
+      env => try { publish(topic, env); None }
+      catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+    }
+
+  /** A14 at scale: webhook POSTs distributed over executors — one HTTP
+    * client per partition via `mkPost`, per-subject ordering, DLQ and
+    * 401-retry semantics of [[runWebhookRoute]]. Auth state (including
+    * the [[OAuthTokenProvider]] cache) is serialized per partition: each
+    * executor client acquires and refreshes its own token, as a fleet of
+    * webhook workers would. */
+  def runWebhookRouteDistributed(
+      events: Dataset[CloudEvent],
+      url: String,
+      auth: WebhookAuth,
+      mkPost: () => (String, Map[String, String], String) => Int,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      parallelism: Int = 0): StreamingQuery =
+    runPerEventRouteDistributed(events, checkpointDir, dlqDir,
+        "webhook deliveries", parallelism) { () =>
+      val post = mkPost()
+      def headers() = webhookHeaders(auth)
+      body => try {
+        var status = post(url, headers(), body)
+        if (status == 401) auth match {
+          // expired-token race: invalidate this partition's cache and
+          // retry once with a freshly acquired token
+          case WebhookAuth.OAuthRefreshed(p) =>
+            p.invalidate()
+            status = post(url, headers(), body)
+          case _ =>
+        }
+        if (status < 200 || status >= 300) Some(s"webhook returned $status")
+        else None
+      } catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+    }
+
   /** A14 webhook sink auth modes, mirroring the reference's
     * Events/Sinks/Webhook/WebhookEventSink.cs (Basic, Bearer, ApiKey and
     * OAuth client-credentials — the OAuth token is acquired out-of-band and
@@ -390,7 +498,7 @@ object EventPipeline {
   final class OAuthTokenProvider(
       fetch: () => (String, Long),
       clock: () => Long = () => System.currentTimeMillis(),
-      refreshSkewMs: Long = 60000L) {
+      refreshSkewMs: Long = 60000L) extends Serializable {
     private var cached: Option[(String, Long)] = None // (token, expiresAtMs)
     private[streaming] var fetchCount = 0
 

@@ -105,7 +105,7 @@ class CypherSpec extends AnyFunSuite {
     assert(grouped == Seq(("EARTH", 1L), ("SUN", 2L)))
   }
 
-  test("shortestPath + length(p); bare VLE path is rejected") {
+  test("shortestPath + length(p); bare VLE path binds per path") {
     val df = planner.run(
       "MATCH p = shortestPath((s:Twin)-[*1..4]->(t:Twin)) " +
         "WHERE t.`$dtId` = 'sun' RETURN s.`$dtId` AS src, length(p) AS hops ORDER BY src")
@@ -117,9 +117,42 @@ class CypherSpec extends AnyFunSuite {
         "RETURN a.`$dtId` AS src, length(p) AS hops")
     assert(one.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("earth", 1L)))
-    val ex = intercept[AdtParseException](planner.run(
-      "MATCH p = (a:Twin)-[*1..2]->(b:Twin) RETURN length(p)"))
-    assert(ex.getMessage.contains("shortestPath"))
+    // bare VLE path: one row per PATH (not per pair), interiors enumerated
+    val paths = planner.run(
+      "MATCH p = (a:Twin)-[r:orbits*1..2]->(b:Twin) WHERE a.`$dtId` = 'moon1' " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS hops " +
+        "ORDER BY hops")
+    assert(paths.collect().map(r => (r.getSeq[String](0).toList,
+      r.getSeq[String](1).toList, r.getLong(2))).toSeq ==
+      Seq((List("moon1", "earth"), List("r1"), 1L),
+          (List("moon1", "earth", "sun"), List("r1", "r2"), 2L)))
+    // label-free *1..2 from moon1 includes the node-repeating (but
+    // edge-unique) trail moon1->earth->moon1 — three paths, per openCypher
+    val multi = planner.run(
+      "MATCH p = (a:Twin)-[*1..2]->(b:Twin) WHERE a.`$dtId` = 'moon1' " +
+        "RETURN nodes(p) AS ns ORDER BY ns")
+    assert(multi.collect().map(_.getSeq[String](0).toList).toSeq ==
+      Seq(List("moon1", "earth"), List("moon1", "earth", "moon1"),
+          List("moon1", "earth", "sun")))
+    // reverse arrow: nodes(p) honors WRITTEN order (b first) over the
+    // reversed traversal
+    val rev = planner.run(
+      "MATCH p = (b:Twin)<-[r:orbits*1..2]-(a:Twin) WHERE b.`$dtId` = 'sun' " +
+        "RETURN nodes(p) AS ns ORDER BY ns")
+    assert(rev.collect().map(_.getSeq[String](0).toList).toSeq ==
+      Seq(List("sun", "earth"), List("sun", "earth", "moon1"),
+          List("sun", "kepler")))
+    // *0..1 includes the zero-length path: just the start node, no rels
+    val zero = planner.run(
+      "MATCH p = (a:Twin)-[*0..1]->(b:Twin) WHERE a.`$dtId` = 'kepler' " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs ORDER BY ns")
+    assert(zero.collect().map(r => (r.getSeq[String](0).toList,
+      r.getSeq[String](1).toList)).toSeq ==
+      Seq((List("kepler"), Nil), (List("kepler", "sun"), List("r3"))))
+    // unbounded bare path exceeds the enumeration cap — clean plan error
+    val ex = intercept[AdtPlanException](planner.run(
+      "MATCH p = (a:Twin)-[*1..]->(b:Twin) RETURN length(p)"))
+    assert(ex.getMessage.contains("trailEnumDepthCap"))
   }
 
   test("variable-length Cypher edge -[*2..6]-> (VariableLengthEdgeTests.cs)") {

@@ -431,4 +431,160 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(delivered.size == 7)
     assert(!new java.io.File(s"$dir/dlq").exists, "retry succeeded — nothing dead-lettered")
   }
+
+  // ---------------- distributed (executor-side) sink delivery ----------------
+
+  import graft.events.CloudEvent
+
+  private def eventStream(dir: String, events: Seq[CloudEvent]) = {
+    import spark.implicits._
+    events.toDS().write.mode("overwrite").parquet(s"$dir/events")
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CloudEvent].schema)
+      .parquet(s"$dir/events").as[CloudEvent]
+  }
+
+  private def mkEvents(n: Int, subjects: Int): Seq[CloudEvent] =
+    (1 to n).map(i => CloudEvent(f"id$i%03d", "https://inst",
+      "Konnektr.DigitalTwins.Twin.Update", s"twin${i % subjects}",
+      f"2026-01-01T00:00:${i % 60}%02d.${i / 60}%03dZ", "application/json",
+      s"""{"seq":$i}"""))
+
+  test("distributed MQTT route: executor-side clients, parity + partial DLQ") {
+    val dir = Files.createTempDirectory("graft-dmqtt").toString
+    DistributedSinkRecorder.reset()
+    val q = EventPipeline.runMqttRouteDistributed(
+      eventStream(dir, mkEvents(24, subjects = 6)), "twins/events",
+      // factory runs ON the executor: one "client" per partition,
+      // recording into the JVM-static holder (local[*] shares the JVM)
+      () => (topic, payload) => DistributedSinkRecorder.record(topic, payload),
+      s"$dir/cp", Some(s"$dir/dlq"), parallelism = 6)
+    q.awaitTermination(60000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 24)
+    assert(DistributedSinkRecorder.deliveredSeq.forall(_._2 == "twins/events"))
+    assert(!new java.io.File(s"$dir/dlq").exists, "nothing dead-lettered")
+
+    // partial failure: one subject's publishes throw → ONLY those DLQ
+    DistributedSinkRecorder.reset()
+    val q2 = EventPipeline.runMqttRouteDistributed(
+      eventStream(dir, mkEvents(24, subjects = 6)), "twins/events",
+      () => (topic, payload) =>
+        if (payload.contains("\"subject\":\"twin3\""))
+          throw new RuntimeException("broker gone")
+        else DistributedSinkRecorder.record(topic, payload),
+      s"$dir/cp2", Some(s"$dir/dlq2"), parallelism = 6)
+    q2.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq2")
+    assert(dlq.count() == 4 && DistributedSinkRecorder.deliveredSeq.size == 20)
+    assert(dlq.select("subject").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("twin3"))
+    assert(dlq.select("dlq_error").collect()(0).getString(0).contains("broker gone"))
+  }
+
+  test("distributed delivery is concurrent; per-subject order is preserved") {
+    val dir = Files.createTempDirectory("graft-dconc").toString
+    DistributedSinkRecorder.reset()
+    // 32 events over 8 subjects, a 40 ms "network" per publish: serial
+    // delivery would never overlap; partitioned delivery must
+    val q = EventPipeline.runMqttRouteDistributed(
+      eventStream(dir, mkEvents(32, subjects = 8)), "t",
+      () => (_, payload) => DistributedSinkRecorder.recordSlow(payload, 40),
+      s"$dir/cp", Some(s"$dir/dlq"), parallelism = 8)
+    q.awaitTermination(120000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 32)
+    assert(DistributedSinkRecorder.maxInFlight.get() >= 2,
+      s"expected overlapping deliveries, max in-flight was " +
+        s"${DistributedSinkRecorder.maxInFlight.get()}")
+    // within each subject, delivery order follows event-time order
+    val bySubject = DistributedSinkRecorder.deliveredSeq
+      .map { case (seq, _, payload) =>
+        val n = graft.json.Json.parse(payload)
+        (n.get("subject").asText(), n.get("time").asText(), seq)
+      }
+      .groupBy(_._1)
+    bySubject.foreach { case (subj, rows) =>
+      val inDeliveryOrder = rows.sortBy(_._3).map(_._2)
+      assert(inDeliveryOrder == inDeliveryOrder.sorted,
+        s"subject $subj delivered out of time order: $inDeliveryOrder")
+    }
+  }
+
+  test("distributed webhook route: per-partition token refresh, status DLQ") {
+    import EventPipeline.{WebhookAuth => WA}
+    val dir = Files.createTempDirectory("graft-dhook").toString
+    DistributedSinkRecorder.reset()
+    // The provider (and its fetch closure) deserialize per partition, so
+    // each partition's copy starts cold: the captured counter snapshot is
+    // 0, its first fetch yields the expired "stale" token, the 401 retry
+    // refreshes to a unique fresh one — per-partition token refresh.
+    val localCount = new java.util.concurrent.atomic.AtomicInteger()
+    val provider = new EventPipeline.OAuthTokenProvider(
+      fetch = () =>
+        if (localCount.incrementAndGet() == 1) ("stale", 300L)
+        else (s"tok${DistributedSinkRecorder.tokenSeq.incrementAndGet()}", 300L))
+    val q = EventPipeline.runWebhookRouteDistributed(
+      eventStream(dir, mkEvents(24, subjects = 6)),
+      "https://hook.example/events", WA.OAuthRefreshed(provider),
+      () => (url, headers, body) =>
+        if (headers("Authorization") == "Bearer stale") {
+          DistributedSinkRecorder.tokenRejections.incrementAndGet(); 401
+        } else { DistributedSinkRecorder.record(url, body); 200 },
+      s"$dir/cp", Some(s"$dir/dlq"), parallelism = 6)
+    q.awaitTermination(60000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 24,
+      "every event delivered after its partition's 401-retry")
+    assert(DistributedSinkRecorder.tokenRejections.get() >= 1,
+      "at least one partition hit the stale token and refreshed")
+    assert(!new java.io.File(s"$dir/dlq").exists)
+
+    // non-2xx without retry path → DLQ
+    DistributedSinkRecorder.reset()
+    val q2 = EventPipeline.runWebhookRouteDistributed(
+      eventStream(dir, mkEvents(12, subjects = 3)),
+      "https://hook.example/events", WA.NoAuth,
+      () => (_, _, body) =>
+        if (body.contains("\"subject\":\"twin1\"")) 503
+        else { DistributedSinkRecorder.record("u", body); 200 },
+      s"$dir/cp2", Some(s"$dir/dlq2"), parallelism = 3)
+    q2.awaitTermination(60000)
+    val dlq = spark.read.parquet(s"$dir/dlq2")
+    assert(dlq.count() == 4 && DistributedSinkRecorder.deliveredSeq.size == 8)
+    assert(dlq.select("dlq_error").collect()(0).getString(0).contains("503"))
+  }
+}
+
+/** JVM-static recorder for executor-side delivery closures: a captured
+  * local would be SERIALIZED per task and its mutations lost — statics are
+  * shared in local[*]'s single JVM, so assertions see executor effects. */
+object DistributedSinkRecorder {
+  import java.util.concurrent._
+  import java.util.concurrent.atomic._
+  import scala.jdk.CollectionConverters._
+
+  /** (global delivery sequence, topic/url, payload) */
+  private val deliveredQ = new ConcurrentLinkedQueue[(Int, String, String)]()
+  def deliveredSeq: Seq[(Int, String, String)] =
+    deliveredQ.iterator().asScala.toSeq
+  private val seq = new AtomicInteger()
+  val inFlight = new AtomicInteger()
+  val maxInFlight = new AtomicInteger()
+  val tokenSeq = new AtomicInteger()
+  val tokenRejections = new AtomicInteger()
+
+  def record(topic: String, payload: String): Unit = {
+    deliveredQ.add((seq.incrementAndGet(), topic, payload)); ()
+  }
+
+  def recordSlow(payload: String, sleepMs: Long): Unit = {
+    val cur = inFlight.incrementAndGet()
+    maxInFlight.updateAndGet(m => math.max(m, cur))
+    Thread.sleep(sleepMs)
+    record("t", payload)
+    inFlight.decrementAndGet(); ()
+  }
+
+  def reset(): Unit = {
+    deliveredQ.clear(); seq.set(0); inFlight.set(0); maxInFlight.set(0)
+    tokenSeq.set(0); tokenRejections.set(0)
+  }
 }
