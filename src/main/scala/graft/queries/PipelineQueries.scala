@@ -98,6 +98,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark-contamination detection: docs with doc_id % 10 == 0 play
+    // the eval set; every remaining doc reports how many of its 3-gram
+    // shingles leak from it. Bench shingle set broadcasts; the corpus
+    // aggregates in one shuffle (never self-joined).
+    "q_pipeline_contamination" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      Contamination.benchmarkOverlap(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", "text", n = 3)
+        .orderBy(col("doc"))
+    }),
+
     // Deterministic hash sampling: same (id, salt) → same membership on
     // any engine/partitioning — the reproducible-corpus requirement.
     "q_pipeline_sample" -> ((s, d) => {
@@ -172,6 +185,18 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    "q_pipeline_contamination" ->
+      s"""WITH $shingleIdsSql,
+         |bench AS (SELECT DISTINCT sid FROM ids WHERE doc % 10 = 0),
+         |corpus AS (SELECT * FROM ids WHERE doc % 10 <> 0),
+         |agg AS (SELECT doc, count(*) n_shingles,
+         |        CAST(sum(CASE WHEN sid IN (SELECT sid FROM bench)
+         |                      THEN 1 ELSE 0 END) AS BIGINT) n_hits
+         |        FROM corpus GROUP BY 1)
+         |SELECT doc, n_shingles, n_hits,
+         |  CAST(floor(n_hits*10000.0/n_shingles+0.5) AS BIGINT) overlap_4
+         |FROM agg ORDER BY doc""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $shingleIdsSql,

@@ -37,6 +37,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("benchmark contamination: overlap fractions and decontaminated corpus") {
+    // doc 0 IS the benchmark text (full leak), doc 2 shares most shingles,
+    // docs 3/4 share none
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("bench_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val out = Contamination
+      .benchmarkOverlap(corpus, bench, "doc_id", "text", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 = the benchmark text verbatim: 8 shingles, all hits
+    assert(out(1L) == ((8L, 8L, 10000L)), s"full leak: ${out(1L)}")
+    // doc 2 differs in one word: the two windows covering it miss
+    assert(out(2L) == ((8L, 6L, 7500L)), s"near leak: ${out(2L)}")
+    // unrelated docs: zero hits
+    assert(out(3L)._2 == 0L && out(4L)._2 == 0L)
+    // decontamination drops only the above-threshold doc
+    val kept = Contamination
+      .decontaminated(corpus, bench, "doc_id", "text", "text", 3, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"only the verbatim leak removed: $kept")
+  }
+
   test("short docs yield no shingles — unpaired, never matched on fragments") {
     val short = Seq((10L, "one two"), (11L, "one two"), (12L, "one"),
       (13L, "")).toDF("doc_id", "text")
