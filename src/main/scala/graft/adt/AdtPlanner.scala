@@ -39,7 +39,31 @@ final class AdtPlanner(graph: TwinGraph) {
       forward: Boolean = true,
       // shortestPath paths bind per endpoint pair and carry NO interior;
       // bare VLE paths bind per path, with node_ids/rel_ids columns
-      shortest: Boolean = false)
+      shortest: Boolean = false,
+      // whether the match planned node_ids/rel_ids interior arrays for
+      // this path: always for a bare bounded-VLE path (per-path
+      // multiplicity needs them), and for a shortestPath only when the
+      // query observes nodes(p)/relationships(p) — the canonical-path
+      // enumeration costs more than the per-pair BFS, so it is planned
+      // on demand (see pathInteriorRefs)
+      hasInterior: Boolean = false)
+
+  /** Path aliases whose interior the query observes via `nodes(p)` /
+    * `relationships(p)` — a generic AST walk (every Expr position: SELECT,
+    * WHERE, WITH, UNWIND, ORDER BY, lambdas), so the MATCH planner can
+    * decide up front whether a shortestPath needs interior enumeration. */
+  private def pathInteriorRefs(q: AdtQuery): Set[String] = {
+    val acc = collection.mutable.Set[String]()
+    def walk(x: Any): Unit = x match {
+      case FnCall(n, List(PropRef(None, List(p))))
+          if n == "NODES" || n == "RELATIONSHIPS" => acc += p
+      case xs: Iterable[_] => xs.foreach(walk)
+      case p: Product => p.productIterator.foreach(walk)
+      case _ => ()
+    }
+    walk(q)
+    acc.toSet
+  }
 
   /** Resolution context: which aliases are twins vs relationships, the
     * default entity for unqualified properties, flat columns introduced
@@ -64,11 +88,14 @@ final class AdtPlanner(graph: TwinGraph) {
   def plan(q: AdtQuery): DataFrame = {
     // ---- resolve scope: which aliases exist, which are twins vs rels ----
     val (df0, twinAliases, relAliases, defaultEntity) = buildScope(q)
+    val interiorRefs = pathInteriorRefs(q)
     val pathBindings = q.matches.zipWithIndex.collect {
       case (e, i) if e.pathAlias.isDefined =>
         val (pSrc, pDst) = if (e.pathForward) (e.src, e.dst) else (e.dst, e.src)
         e.pathAlias.get -> PathBinding(e.relAlias.getOrElse(s"__rel$i"),
-          e.vle.isDefined, pSrc, pDst, e.pathForward, e.shortest)
+          e.vle.isDefined, pSrc, pDst, e.pathForward, e.shortest,
+          hasInterior = e.vle.isDefined &&
+            (!e.shortest || interiorRefs(e.pathAlias.get)))
     }.toMap
     var scope = Scope(twinAliases, relAliases, defaultEntity,
       paths = pathBindings)
@@ -573,6 +600,9 @@ final class AdtPlanner(graph: TwinGraph) {
     case FromTwins(alias) =>
       val edges = q.matches ++ q.joins.map(j =>
         MatchEdge(j.source, j.relAlias, List(j.relName), j.target))
+      // path aliases whose interiors the query reads — decides whether a
+      // shortestPath plans as per-pair BFS or canonical-path enumeration
+      lazy val interiorPaths = pathInteriorRefs(q)
 
       // $dtId point/IN bindings from top-level WHERE conjuncts (incl. the
       // inline property maps the parser lowered into WHERE) — used to SEED
@@ -634,6 +664,31 @@ final class AdtPlanner(graph: TwinGraph) {
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
               ns(graft.graph.Vle.trails(graph.relationships, lo, hi,
+                  e.relNames, nodes,
+                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                .select(col("start_id").as("source_id"),
+                  col("end_id").as("target_id"), col("depth"),
+                  col("node_ids"), col("rel_ids")), relAlias)
+            // shortestPath whose interior the query observes: per-pair
+            // multiplicity (as always for shortestPath) but carrying the
+            // canonical minimal path's node_ids/rel_ids — enumerated via
+            // the trail machinery with a deterministic tie-break, so only
+            // available for ranges within the enumeration cap.
+            case Some((lo, hi)) if e.pathAlias.isDefined && e.shortest &&
+                interiorPaths(e.pathAlias.get) =>
+              val cap = graph.twins.sparkSession.conf
+                .get("spark.graft.vle.trailEnumDepthCap",
+                  graft.graph.Vle.TrailEnumDepthCap.toString).toInt
+              if (hi > cap) throw new AdtPlanException(
+                s"nodes()/relationships() over a shortestPath needs a " +
+                  s"bounded range within *..$cap (got *$lo..$hi) — interior " +
+                  "enumeration is capped by " +
+                  "spark.graft.vle.trailEnumDepthCap; use length(p) and " +
+                  "the endpoint bindings for wider ranges")
+              val nodes =
+                if (lo == 0) Some(graph.twins.select(col("dt_id")))
+                else None
+              ns(graft.graph.Vle.shortestPaths(graph.relationships, lo, hi,
                   e.relNames, nodes,
                   sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
                 .select(col("start_id").as("source_id"),
@@ -908,22 +963,25 @@ final class AdtPlanner(graph: TwinGraph) {
 
       // nodes(p) / relationships(p): path accessors. Single-edge paths
       // answer from the endpoint/rel bindings. A bare bounded-VLE path was
-      // planned per trail, so its interior rides the match as
-      // node_ids/rel_ids array columns — reversed for reverse-arrow
-      // patterns, whose traversal order is the opposite of the written
-      // path order. A shortestPath knows only endpoints and depth (it
-      // binds per PAIR, not per path) — reject rather than fake a list.
+      // planned per trail, and a shortestPath whose interior the query
+      // observes was planned with its canonical minimal path, so either
+      // interior rides the match as node_ids/rel_ids array columns —
+      // reversed for reverse-arrow patterns, whose traversal order is the
+      // opposite of the written path order.
       case "NODES" | "RELATIONSHIPS" =>
         val pb = f.args.head match {
           case PropRef(None, List(p)) if scope.paths.contains(p) => scope.paths(p)
           case other => throw new AdtPlanException(
             s"${f.name.toLowerCase}() needs a bound path variable, got $other")
         }
-        if (pb.isVle && pb.shortest) throw new AdtPlanException(
-          s"${f.name.toLowerCase}() over a shortestPath is not supported: " +
-            "shortestPath binds one row per endpoint pair, not per path " +
-            "(use a bare bounded path `p = (a)-[*1..k]->(b)` to enumerate " +
-            "interiors, or length(p) and the endpoint bindings)")
+        // A VLE path without planned interiors can only be a shortestPath
+        // whose nodes()/relationships() reference the AST scan missed —
+        // defensive: the MATCH planner enumerates interiors for every
+        // path alias pathInteriorRefs() finds.
+        if (pb.isVle && !pb.hasInterior) throw new AdtPlanException(
+          s"${f.name.toLowerCase}() over this path was not planned with " +
+            "interior enumeration (internal: pathInteriorRefs missed the " +
+            "reference) — bind the accessor directly in RETURN/WITH/WHERE")
         if (pb.isVle) {
           val c = if (f.name == "NODES") col(s"${pb.rel}__node_ids")
                   else col(s"${pb.rel}__rel_ids")

@@ -364,6 +364,33 @@ object Vle {
     out
   }
 
+  /** Canonical shortest path per endpoint pair WITH interiors — what
+    * `nodes(p)`/`relationships(p)` over `p = shortestPath(...)` needs.
+    * openCypher's shortestPath returns an arbitrary one of the minimal
+    * paths; an arbitrary pick breaks both result determinism and oracle
+    * comparison, so the tie-break is total and deterministic: minimal
+    * depth, then lexicographically smallest node list, then edge list
+    * (ids joined with "\u0001" so composite boundaries can't collide).
+    * Ties of the full key are identical paths, so `min_by` is stable.
+    *
+    * Costs a bounded trail enumeration rather than the per-pair BFS —
+    * callers (the planner) choose this form only when the query actually
+    * observes the interior, and the depth cap bounds the blow-up. */
+  def shortestPaths(edges: DataFrame, minDepth: Int, maxDepth: Int,
+      relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
+      sourceIds: Option[Seq[String]] = None,
+      targetIds: Option[Seq[String]] = None): DataFrame =
+    trails(edges, minDepth, maxDepth, relNames, nodes, sourceIds, targetIds)
+      .groupBy(col("start_id"), col("end_id"))
+      .agg(min_by(
+        struct(col("depth"), col("node_ids"), col("rel_ids")),
+        struct(col("depth"), array_join(col("node_ids"), "\u0001"),
+          array_join(col("rel_ids"), "\u0001"))).as("__best"))
+      .select(col("start_id"), col("end_id"),
+        col("__best.depth").as("depth"),
+        col("__best.node_ids").as("node_ids"),
+        col("__best.rel_ids").as("rel_ids"))
+
   /** Edge-set trail enumeration restricted to start nodes that have some
     * pair below minDepth (`shortPairs`); returns (start_id, end_id, depth)
     * for pairs in `shortPairs` reached by a trail of in-range length. */

@@ -163,6 +163,20 @@ object AdtLangQueries {
           "RETURN m.`$dtId` AS src, length(p) AS hops ORDER BY src")
     }),
 
+    // shortestPath with interior enumeration: one row per source reaching
+    // region R1, carrying the canonical minimal path's node and edge
+    // lists (deterministic tie-break, so oracle-comparable).
+    "q_cypher_shortest_paths" -> ((s, d) => {
+      run(s, d,
+        "MATCH p = shortestPath((m:Twin)-[*1..3]->(g:Twin)) " +
+          "WHERE g.`$dtId` = 'R1' " +
+          "RETURN m.`$dtId` AS src, length(p) AS hops, " +
+          "nodes(p) AS pnodes, relationships(p) AS prels ORDER BY src")
+        .select(col("src"), col("hops"),
+          concat_ws(">", col("pnodes")).as("pnodes"),
+          concat_ws(">", col("prels")).as("prels"))
+    }),
+
     // Cypher MATCH after a WITH horizon: aggregate members per nation,
     // filter on the aggregate, then hop the surviving nations to regions.
     "q_cypher_pipeline_match" -> ((s, d) => {
@@ -483,6 +497,25 @@ object AdtLangQueries {
         |  SELECT path_nodes, path_rels FROM p1
         |  UNION ALL SELECT path_nodes, path_rels FROM p2)
         |ORDER BY 1, 2""".stripMargin,
+    "q_cypher_shortest_paths" ->
+      """SELECT src, hops, pnodes, prels FROM (
+        |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops,
+        |         'N' || n_nationkey || '>R1' AS pnodes,
+        |         'N' || n_nationkey || '-R1' AS prels
+        |  FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT 'C' || c_custkey, CAST(2 AS BIGINT),
+        |         'C' || c_custkey || '>N' || c_nationkey || '>R1',
+        |         'C' || c_custkey || '-N' || c_nationkey || '>N' || c_nationkey || '-R1'
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT 'S' || s_suppkey, CAST(2 AS BIGINT),
+        |         'S' || s_suppkey || '>N' || s_nationkey || '>R1',
+        |         'S' || s_suppkey || '-N' || s_nationkey || '>N' || s_nationkey || '-R1'
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1)
+        |ORDER BY src""".stripMargin,
     "q_cypher_shortest" ->
       """SELECT src, hops FROM (
         |  SELECT 'N' || n_nationkey AS src, CAST(1 AS BIGINT) AS hops

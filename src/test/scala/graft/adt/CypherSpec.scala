@@ -477,9 +477,26 @@ class CypherSpec extends AnyFunSuite {
         "RETURN nodes(p) AS ns ORDER BY b.`$dtId`")
     assert(rev.collect().map(_.getSeq[String](0).toList).toSeq ==
       Seq(List("sun", "earth"), List("sun", "kepler")))
-    // interior of a shortestPath is not enumerated — clean plan error
-    intercept[AdtPlanException](planner.run(
-      "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) RETURN nodes(p) AS ns"))
+    // interior of a shortestPath IS enumerated when the query observes it:
+    // one row per endpoint pair, carrying the canonical minimal path
+    val sp = planner.run(
+      "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) " +
+        "WHERE b.`$dtId` = 'sun' " +
+        "RETURN a.`$dtId` AS src, nodes(p) AS ns, relationships(p) AS rs " +
+        "ORDER BY src")
+    assert(sp.collect().map(r => (r.getString(0), r.getSeq[String](1).toList,
+      r.getSeq[String](2).toList)).toSeq == Seq(
+      ("earth", List("earth", "sun"), List("r2")),
+      ("kepler", List("kepler", "sun"), List("r3")),
+      ("moon1", List("moon1", "earth", "sun"), List("r1", "r2"))))
+    // still per PAIR: moon1 reaches sun once even though a *1..2 bare
+    // pattern would also bind the moon1->earth->moon1 trail elsewhere
+    assert(sp.count() == 3)
+    // a range beyond the enumeration cap rejects cleanly when interiors
+    // are observed (length(p)-only shortestPath stays BFS and allows it)
+    val exSp = intercept[AdtPlanException](planner.run(
+      "MATCH p = shortestPath((a:Twin)-[*1..]->(b:Twin)) RETURN nodes(p) AS ns"))
+    assert(exSp.getMessage.contains("trailEnumDepthCap"))
     // length(p) composes in arithmetic
     val l = planner.run(
       "MATCH p = shortestPath((a:Twin)-[*1..2]->(b:Twin)) WHERE b.`$dtId` = 'sun' " +
@@ -750,5 +767,34 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
     // comprehension in a WHERE predicate
     assert(count("MATCH (t:Twin) WHERE size([x IN range(1, 3) | x]) = 3 RETURN t") == 4)
+  }
+
+  test("shortestPath interior tie-break: canonical (smallest) path wins") {
+    // diamond: a->x->b and a->y->b are BOTH shortest; openCypher allows
+    // an arbitrary pick, ours is the deterministic lexicographic minimum
+    // (node list, then rel list) so results and oracles are stable
+    val spark = host.spark
+    import spark.implicits._
+    val twins = Seq("a", "x", "y", "b").map(id =>
+        (id, "dtmi:t;1", null: String, "2026-01-01T00:00:00Z",
+          s"""{"$$dtId":"$id"}"""))
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val rels = Seq(
+      ("e1", "a", "x", "hop", null: String, "{}"),
+      ("e2", "x", "b", "hop", null: String, "{}"),
+      ("e3", "a", "y", "hop", null: String, "{}"),
+      ("e4", "y", "b", "hop", null: String, "{}"))
+      .toDF("relationship_id", "source_id", "target_id",
+        "relationship_name", "etag", "properties")
+    val models = Seq(("dtmi:t;1", Seq.empty[String], Seq.empty[String], "T"))
+      .toDF("id", "bases", "descendants", "display_name")
+    val p = new AdtPlanner(graft.graph.TwinGraph(twins, rels, models))
+    val rows = p.run(
+      "MATCH p = shortestPath((s:Twin)-[*1..3]->(t:Twin)) " +
+        "WHERE s.`$dtId` = 'a' AND t.`$dtId` = 'b' " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs").collect()
+    assert(rows.length == 1, "one row per endpoint pair")
+    assert(rows(0).getSeq[String](0).toList == List("a", "x", "b"))
+    assert(rows(0).getSeq[String](1).toList == List("e1", "e2"))
   }
 }
