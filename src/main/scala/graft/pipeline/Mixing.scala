@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture assembly: sample each source at a rate that realizes a
+  * target mixture (per-source weights) under a total token budget — the
+  * step that turns curated per-source corpora into one training mix with
+  * controlled proportions.
+  *
+  * Rates are solved driver-side by water-filling over the PER-SOURCE
+  * aggregate (one row per source — catalog-sized at any corpus scale):
+  * a source whose weight asks for more tokens than it has saturates at
+  * rate 1.0 and the shortfall is redistributed over the unsaturated
+  * sources by weight, iterating until stable (≤ #sources rounds).
+  * Membership is then [[Sampling.hashBucket]] — a salted content hash,
+  * so the mix is reproducible on any engine and any partitioning, and
+  * the corpus-side plan is one broadcast join of #sources rate rows plus
+  * a per-row filter: the 100 TB side is never shuffled.
+  *
+  * No-repetition contract: a rate never exceeds 1.0. If the budget
+  * exceeds the total available tokens, every source saturates and the
+  * mix is simply the whole corpus (callers wanting multi-epoch
+  * repetition handle that above this operator).
+  */
+object Mixing {
+
+  /** Water-filled per-source sampling rates.
+    *
+    * @param available per-source token counts
+    * @param weights   target mixture weights (relative; needn't sum to 1);
+    *                  sources absent from the map get weight 0 (dropped)
+    * @param budget    total token budget for the mix
+    * @return per-source rate in [0,1], quantized to 1e-4 (floor) so the
+    *         same rates are exactly representable in any engine
+    */
+  def waterfillRates(available: Map[String, Long], weights: Map[String, Double],
+      budget: Long): Map[String, Double] = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    var saturated = Set.empty[String]
+    var rates = Map.empty[String, Double]
+    var remaining = budget.toDouble
+    var stable = false
+    val eligible = available.keySet.filter(s => weights.getOrElse(s, 0.0) > 0)
+    while (!stable) {
+      val open = eligible -- saturated
+      val wsum = open.toSeq.map(weights(_)).sum
+      if (open.isEmpty || wsum <= 0) stable = true
+      else {
+        // targets for the open sources from the remaining budget
+        val newlySat = open.filter { s =>
+          remaining * weights(s) / wsum >= available(s).toDouble
+        }
+        if (newlySat.isEmpty) {
+          rates = open.map { s =>
+            val t = remaining * weights(s) / wsum
+            s -> math.floor(t / available(s).toDouble * 10000) / 10000
+          }.toMap
+          stable = true
+        } else {
+          saturated ++= newlySat
+          remaining -= newlySat.toSeq.map(available(_).toDouble).sum
+          if (remaining < 0) remaining = 0
+        }
+      }
+    }
+    (saturated.map(_ -> 1.0) ++ rates).toMap
+  }
+
+  /** The mixed corpus: per-source deterministic hash sample at the
+    * water-filled rates. One tiny aggregate (collected: #sources rows),
+    * one broadcast join, zero corpus shuffle. */
+  def mix(docs: DataFrame, idCol: String, tokenCol: String, sourceCol: String,
+      weights: Map[String, Double], budget: Long,
+      salt: String = "graft-mix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val available = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__atok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = waterfillRates(available, weights, budget)
+    val rateDf = rates.toSeq.map { case (s, r) =>
+      (s, math.round(r * 10000)) }.toDF(sourceCol, "__rate4")
+    docs.join(broadcast(rateDf), Seq(sourceCol))
+      .filter(Sampling.hashBucket(col(idCol), salt) < col("__rate4"))
+      .drop("__rate4")
+  }
+}

@@ -118,6 +118,28 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Corpus mixture assembly: water-filled per-source rates under a
+    // token budget (total/4), weights 3:1 for src0-4 vs src5-14 and
+    // src15-19 excluded; membership is the salted-hash sample, so the
+    // whole mix is reproducible. No source saturates at these weights, so
+    // the oracle's closed-form rate matches the water-filled one.
+    "q_pipeline_mix" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val total = docs.agg(sum(col("n_chars")).cast("long")).first.getLong(0)
+      val weights = ((0 to 4).map(i => s"src$i" -> 3.0) ++
+        (5 to 14).map(i => s"src$i" -> 1.0)).toMap
+      Mixing.mix(docs, "doc_id", "n_chars", "source", weights,
+          budget = total / 4)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: every doc's global token interval and sequence
+    // span at seq_len 512 over the salted-hash-ordered token stream.
+    "q_pipeline_pack" -> ((s, d) => {
+      Packing.pack(Td.documents(s, d), "doc_id", "n_chars", seqLen = 512)
+        .orderBy(col("doc"))
+    }),
+
     // Gopher-style repetition quality: top-token saturation and duplicate
     // bigram fraction, the repetition filters of a curation pass.
     "q_text_repetition" -> ((s, d) => {
@@ -426,6 +448,43 @@ object PipelineQueries {
         |WHERE CAST(('0x'||substr(md5('graft'||doc_id),1,15)) AS BIGINT)
         |  % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Mixing.waterfillRates' unsaturated closed form with the
+    // SAME double-arithmetic order (B*w/25.0/atok*10000, left-assoc), so
+    // the floor quantization is bit-identical across engines.
+    "q_pipeline_mix" ->
+      """WITH stats AS (SELECT source, CAST(sum(n_chars) AS BIGINT) atok
+        |               FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) // 4 AS b FROM documents),
+        |w AS (SELECT source, atok,
+        |        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |             THEN 3.0
+        |             WHEN source IN ('src15','src16','src17','src18','src19')
+        |             THEN NULL ELSE 1.0 END wt FROM stats),
+        |rates AS (SELECT source,
+        |            CAST(floor((SELECT b FROM tot) * wt / 25.0 / atok
+        |              * 10000) AS BIGINT) r4
+        |          FROM w WHERE wt IS NOT NULL)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN rates r ON d.source = r.source
+        |WHERE CAST(('0x'||substr(md5('graft-mix'||d.doc_id),1,15)) AS BIGINT)
+        |  % 10000 < r.r4
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pipeline_pack" ->
+      """WITH k AS (SELECT doc_id AS doc,
+        |             greatest(CAST(n_chars AS BIGINT), 0) AS tokens,
+        |             md5('graft-pack'||doc_id) AS kk FROM documents),
+        |c AS (SELECT doc, tokens,
+        |        CAST(coalesce(sum(tokens) OVER (ORDER BY kk, doc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_tok
+        |      FROM k)
+        |SELECT doc, tokens, start_tok, start_tok + tokens AS end_tok,
+        |  CAST(floor(start_tok / 512) AS BIGINT) AS seq_first,
+        |  CAST(floor(greatest(start_tok + tokens - 1, start_tok) / 512)
+        |    AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc""".stripMargin,
 
     "q_pipeline_stratcap" -> {
       val dict = TextAnalysis.LangMarkers

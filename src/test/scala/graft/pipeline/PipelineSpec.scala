@@ -327,4 +327,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("redacted") == "nothing sensitive here")
     assert(out(2).getAs[Long]("n_email") == 0L)
   }
+
+  test("waterfill rates: saturation redistributes, no rate exceeds 1") {
+    // a:100 b:1000 c:1000 tokens, equal weights, budget 900 → a's target
+    // (300) saturates it; the shortfall redistributes to b and c (400 each)
+    val r = Mixing.waterfillRates(
+      Map("a" -> 100L, "b" -> 1000L, "c" -> 1000L),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), budget = 900L)
+    assert(r("a") == 1.0, s"saturated source samples fully: $r")
+    assert(r("b") == 0.4 && r("c") == 0.4, s"redistributed: $r")
+    // zero-weight / absent sources are dropped entirely
+    val r2 = Mixing.waterfillRates(
+      Map("a" -> 100L, "b" -> 100L), Map("a" -> 1.0), budget = 50L)
+    assert(r2.get("b").isEmpty && r2("a") == 0.5)
+    // budget above total availability: everything saturates
+    val r3 = Mixing.waterfillRates(
+      Map("a" -> 10L, "b" -> 10L), Map("a" -> 1.0, "b" -> 9.0), budget = 100L)
+    assert(r3 == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
+  test("mix: deterministic membership, excluded sources dropped") {
+    val sized = docs
+      .withColumn("source", when(col("doc_id") < 2, "keepA")
+        .when(col("doc_id") < 4, "keepB").otherwise("dropped"))
+      .withColumn("tok", length(col("text")).cast("long"))
+    val weights = Map("keepA" -> 1.0, "keepB" -> 1.0)
+    val out = Mixing.mix(sized, "doc_id", "tok", "source", weights,
+      budget = 1000L)
+    // budget exceeds availability → both kept sources fully sampled
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+    // identical rerun → identical membership (pure function of id+salt)
+    val again = Mixing.mix(sized, "doc_id", "tok", "source", weights, 1000L)
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("packing: contiguous deterministic layout and sequence spans") {
+    val sized = docs.withColumn("tok", length(col("text")).cast("long"))
+    val packed = Packing.pack(sized, "doc_id", "tok", seqLen = 64)
+      .orderBy(col("start_tok")).collect()
+    // intervals tile [0, total) with no gaps or overlaps
+    var expectStart = 0L
+    for (r <- packed) {
+      assert(r.getAs[Long]("start_tok") == expectStart,
+        s"contiguous layout at doc ${r.getAs[Long]("doc")}")
+      expectStart = r.getAs[Long]("end_tok")
+    }
+    assert(expectStart ==
+      sized.agg(sum(col("tok"))).first.getLong(0), "covers every token")
+    // sequence spans follow from the interval arithmetic
+    for (r <- packed) {
+      assert(r.getAs[Long]("seq_first") == r.getAs[Long]("start_tok") / 64)
+      assert(r.getAs[Long]("seq_last") ==
+        math.max(r.getAs[Long]("end_tok") - 1, r.getAs[Long]("start_tok")) / 64)
+    }
+    // the layout is a pure function of (ids, salt): rerun identical
+    val again = Packing.pack(sized, "doc_id", "tok", seqLen = 64)
+      .orderBy(col("start_tok")).collect()
+    assert(packed.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // stats roll up: 5 docs, ~50-char texts at seqLen 64 → crossers exist
+    val st = Packing.stats(Packing.pack(sized, "doc_id", "tok", 64), 64)
+      .collect()(0)
+    assert(st.getAs[Long]("n_docs") == 5L)
+    assert(st.getAs[Long]("n_seqs") == (expectStart - 1) / 64 + 1)
+    assert(st.getAs[Long]("boundary_crossers") >= 1L)
+  }
 }
