@@ -300,13 +300,39 @@ final class HttpApi(
             s"""{"value":[${p.rows.mkString(",")}]$cont}""")
 
         case ("GET", List("models")) =>
-          page(ex, store.models.models.values.toSeq.sortBy(_.id).map(modelJson))
+          // ListModels options (ModelsEndpoints.cs:31-43): dependenciesFor
+          // narrows to the listed models + their transitive bases (the
+          // reference UNWINDs m.bases); includeModelDefinition (default
+          // false) gates the raw DTDL payload.
+          val params = Option(ex.getRequestURI.getRawQuery).toSeq
+            .flatMap(_.split("&")).flatMap { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) =>
+                  Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+                    java.net.URLDecoder.decode(v, "UTF-8"))
+                case _ => None
+              }
+            }
+          val depsFor = params.collect {
+            case ("dependenciesFor", v) if v.nonEmpty => v }
+          val includeDef = params.collectFirst {
+            case ("includeModelDefinition", v) => v.equalsIgnoreCase("true") }
+            .getOrElse(false)
+          val all = store.models.models
+          val selected =
+            if (depsFor.isEmpty) all.values.toSeq
+            else {
+              val wanted = depsFor.toSet ++
+                depsFor.flatMap(id => store.models.bases.getOrElse(id, Nil))
+              all.values.filter(m => wanted(m.id)).toSeq
+            }
+          page(ex, selected.sortBy(_.id).map(m => modelJson(m, includeDef)))
         case ("POST", List("models")) =>
           val arr = Json.parse(body(ex))
           if (!arr.isArray) throw StoreException(400, "expected a JSON array of models")
           import scala.jdk.CollectionConverters._
           val created = store.createModels(arr.elements().asScala.map(Json.render).toSeq)
-          respondJson(ex, 201, created.map(modelJson).mkString("[", ",", "]"))
+          respondJson(ex, 201, created.map(m => modelJson(m)).mkString("[", ",", "]"))
         // hybrid lexical/vector model search (ModelsEndpoints.cs:153-176:
         // POST /models/search {query?, vector?, limit?})
         case ("POST", List("models", "search")) =>
@@ -316,7 +342,7 @@ final class HttpApi(
           val vec = Option(reqNode.get("vector")).filter(_.isArray)
             .map(_.elements().asScala.map(_.asDouble()).toSeq)
           val limit = Option(reqNode.get("limit")).map(_.asInt()).getOrElse(10)
-          page(ex, store.searchModels(q, vec, limit).map(modelJson))
+          page(ex, store.searchModels(q, vec, limit).map(m => modelJson(m)))
         // embedding upload (Models.cs:859-880; the reference drives this
         // through the SDK — the route shape mirrors component update)
         case ("PUT", List("models", id, "embedding")) =>
@@ -419,12 +445,16 @@ final class HttpApi(
   private def etagOf(doc: com.fasterxml.jackson.databind.JsonNode): Option[String] =
     Option(doc.get("$etag")).map(_.asText())
 
-  private def modelJson(m: graft.dtdl.DtdlInterface): String = {
+  /** Model payload; create/get-by-id/search always carry the definition
+    * (Azure GetById does), ListModels only with includeModelDefinition. */
+  private def modelJson(m: graft.dtdl.DtdlInterface,
+      includeDef: Boolean = true): String = {
     val o = Json.obj()
     o.put("id", m.id)
     m.displayName.foreach(d => o.put("displayName", d))
     o.put("decommissioned", false)
-    o.set[com.fasterxml.jackson.databind.JsonNode]("model", Json.parse(m.raw))
+    if (includeDef)
+      o.set[com.fasterxml.jackson.databind.JsonNode]("model", Json.parse(m.raw)): Unit
     Json.render(o)
   }
 

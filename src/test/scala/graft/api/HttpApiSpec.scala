@@ -331,4 +331,72 @@ class HttpApiSpec extends AnyFunSuite {
       assert(send(req(base, "/nope").GET().build()).statusCode() == 404)
     }
   }
+
+  test("SDK envelope parity: encoded ids, $lastUpdateTime, ListModels options") {
+    withApi() { base =>
+      send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+
+      // twin create against an unknown model → 400 (SDK
+      // ...ModelNotFound_ReturnsBadRequest)
+      val noModel = send(req(base, "/digitaltwins/orphan").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Missing;1"}}""")).build())
+      assert(noModel.statusCode() == 400)
+      assert(Json.parse(noModel.body()).get("error").get("code").asText()
+        == "BadRequest")
+
+      // percent-encoded twin id round-trips through the path (SDK
+      // ...WithPercentEncodedId_WorksCorrectly: id `10%B2H6_H2`)
+      val encId = "10%25B2H6_H2" // encodes 10%B2H6_H2
+      val putEnc = send(req(base, s"/digitaltwins/$encId").PUT(
+        HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:api:Room;1"},"temperature":42}""")).build())
+      assert(putEnc.statusCode() == 200)
+      assert(Json.parse(putEnc.body()).get("$dtId").asText() == "10%B2H6_H2")
+      val gotEnc = Json.parse(
+        send(req(base, s"/digitaltwins/$encId").GET().build()).body())
+      assert(gotEnc.get("temperature").asInt() == 42)
+
+      // $etag body field == ETag header; $metadata.$lastUpdateTime present
+      // and identical between the create response and a fresh GET (SDK
+      // ...VerifiesEtagAndLastUpdateTime)
+      val created = Json.parse(putEnc.body())
+      val hdrEtag = putEnc.headers().firstValue("ETag").orElseThrow()
+      assert(created.get("$etag").asText() == hdrEtag)
+      val lut = created.get("$metadata").get("$lastUpdateTime").asText()
+      assert(lut.nonEmpty)
+      assert(gotEnc.get("$etag").asText() == hdrEtag)
+      assert(gotEnc.get("$metadata").get("$lastUpdateTime").asText() == lut)
+
+      // ListModels: definition omitted by default, present with
+      // includeModelDefinition=true (ModelsEndpoints.cs:35-43)
+      val bare = Json.parse(send(req(base, "/models").GET().build()).body())
+        .get("value").get(0)
+      assert(bare.get("id").asText() == "dtmi:api:Room;1")
+      assert(!bare.has("model"), "definition only on request")
+      val full = Json.parse(send(
+        req(base, "/models?includeModelDefinition=true").GET().build()).body())
+        .get("value").get(0)
+      assert(full.get("model").get("@id").asText() == "dtmi:api:Room;1")
+
+      // dependenciesFor: the listed model + its transitive bases, nothing
+      // else (reference UNWINDs m.bases)
+      val child =
+        """{"@id":"dtmi:api:Office;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","extends":["dtmi:api:Room;1"],
+          |"contents":[]}""".stripMargin
+      val lone =
+        """{"@id":"dtmi:api:Shed;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","contents":[]}""".stripMargin
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$child,$lone]")).build())
+        .statusCode() == 201)
+      val deps = Json.parse(send(
+        req(base, "/models?dependenciesFor=dtmi:api:Office;1").GET().build())
+        .body()).get("value")
+      val ids = (0 until deps.size()).map(deps.get(_).get("id").asText()).toSet
+      assert(ids == Set("dtmi:api:Office;1", "dtmi:api:Room;1"), s"got $ids")
+    }
+  }
 }
