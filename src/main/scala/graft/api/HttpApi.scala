@@ -111,6 +111,9 @@ final class HttpApi(
       case "digitaltwins" :: _ :: sub :: _
           if sub == "relationships" || sub == "incomingrelationships" =>
         Some(Permission(Resource.Relationships, act))
+      // hybrid search is a POST but a read (DigitalTwinsEndpoints.cs:150)
+      case "digitaltwins" :: "search" :: _ =>
+        Some(Permission(Resource.DigitalTwins, Action.Read))
       // telemetry POST and component PATCH land on Write via `act`
       case "digitaltwins" :: _ =>
         Some(Permission(Resource.DigitalTwins, act))
@@ -269,6 +272,57 @@ final class HttpApi(
               s"""{"success":false,"error":${Json.render(Json.text(msg))}}"""
           }
           respondJson(ex, 200, items.mkString("{\"results\":[", ",", "]}"))
+
+        // batch twin create/replace (DigitalTwinsEndpoints.cs:110-129):
+        // BatchDigitalTwinResult shape, per-item outcome, item failures
+        // never abort the batch
+        case ("POST", List("digitaltwins")) =>
+          val arr = Json.parse(body(ex))
+          if (!arr.isArray)
+            throw StoreException(400, "expected a JSON array of digital twins")
+          if (arr.size() > 100)
+            throw StoreException(400, "batch limited to 100 twins")
+          import scala.jdk.CollectionConverters._
+          val docs = arr.elements().asScala.map(Json.render).toSeq
+          val results = store.createOrReplaceTwins(docs)
+          val items = docs.zip(results).map { case (d, r) =>
+            val id = Json.tryParse(d).flatMap(n => Json.get(n, "/$dtId"))
+              .map(_.asText()).getOrElse("")
+            val o = Json.obj()
+            o.put("digitalTwinId", id)
+            r match {
+              case Right(_) => o.put("isSuccess", true)
+              case Left(msg) =>
+                o.put("isSuccess", false)
+                o.put("errorMessage", msg)
+            }
+            Json.render(o)
+          }
+          val failures = results.count(_.isLeft)
+          respondJson(ex, 200,
+            s"""{"results":[${items.mkString(",")}],""" +
+              s""""successCount":${results.size - failures},""" +
+              s""""failureCount":$failures,"hasFailures":${failures > 0}}""")
+
+        // hybrid twin search (DigitalTwinsEndpoints.cs:132-151 →
+        // HybridSearchAsync, DigitalTwins.cs:1223-1248): vector ranking
+        // over a twin embedding property with an optional model filter
+        case ("POST", List("digitaltwins", "search")) =>
+          val reqNode = Json.parse(body(ex))
+          import scala.jdk.CollectionConverters._
+          val vec = Option(reqNode.get("vector")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asDouble()).toSeq)
+            .getOrElse(throw StoreException(400, "vector required"))
+          val prop = Option(reqNode.get("embeddingProperty"))
+            .filter(!_.isNull).map(_.asText()).getOrElse("embedding")
+          val modelFilter = Option(reqNode.get("modelFilter"))
+            .filter(!_.isNull).map(_.asText())
+          val limit = Option(reqNode.get("limit")).map(_.asInt()).getOrElse(10)
+          val graph = store.toGraph(sparkSession())
+          val rows = graph.vectorSearch(prop, vec, limit, modelFilter)
+            .select("properties").collect()
+            .map(_.getString(0)).toSeq
+          respondJson(ex, 200, rows.mkString("{\"value\":[", ",", "]}"))
 
         case ("POST", List("digitaltwins", id, "telemetry")) =>
           store.publishTelemetry(id, body(ex))

@@ -78,7 +78,10 @@ object Protection {
     case "jobs" :: _ => Some(Tier.Admin)
     case "relationships" :: _ => Some(Tier.Heavy) // batch create/replace
     case "digitaltwins" :: _ =>
-      if (method == "GET" || segs.lastOption.contains("telemetry"))
+      // hybrid search is a POST but a read (DigitalTwinsEndpoints.cs:151:
+      // LightOperations)
+      if (method == "GET" || segs.lastOption.contains("telemetry") ||
+          segs == List("digitaltwins", "search"))
         Some(Tier.Light)
       else Some(Tier.Heavy)
     case _ => None // graph lifecycle & unknown routes: global only

@@ -134,12 +134,15 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
   /** B16/C15: ordered vector top-k over a JSON embedding property —
     * `ORDER BY l2_distance(t.emb, [..]) LIMIT k` (DigitalTwins.cs:1242-1248)
     * as a TakeOrdered over an L2 Column kernel (no UDF). */
-  def vectorSearch(embeddingProp: String, queryVec: Seq[Double], k: Int): DataFrame = {
+  def vectorSearch(embeddingProp: String, queryVec: Seq[Double], k: Int,
+      modelFilter: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val emb = from_json(TwinGraph.prop(col("properties"), Seq(embeddingProp)),
       ArrayType(DoubleType))
     val qv = array(queryVec.map(lit): _*)
-    twins
+    // exact-model filter before ranking (HybridSearchAsync's WHERE
+    // t.$metadata.$model = '...', DigitalTwins.cs:1238-1240)
+    modelFilter.fold(twins)(m => twins.filter(col("model_id") === m))
       .withColumn("l2sq", graft.pipeline.Similarity.l2sq(emb, qv))
       .filter(col("l2sq").isNotNull)
       .orderBy(col("l2sq").asc, col("dt_id").asc)

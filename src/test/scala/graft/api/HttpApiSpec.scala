@@ -399,4 +399,56 @@ class HttpApiSpec extends AnyFunSuite {
       assert(ids == Set("dtmi:api:Office;1", "dtmi:api:Room;1"), s"got $ids")
     }
   }
+
+  test("batch twin upsert and hybrid twin search routes") {
+    withApi() { base =>
+      val sensor =
+        """{"@id":"dtmi:api:Sensor;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","contents":[
+          |{"@type":"Property","name":"embedding",
+          | "schema":{"@type":"Array","elementSchema":"double"}}]}""".stripMargin
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$sensor]")).build())
+        .statusCode() == 201)
+
+      // POST /digitaltwins: BatchDigitalTwinResult shape, item failures
+      // don't abort the batch (DigitalTwinsEndpoints.cs:110-129)
+      val batch = send(req(base, "/digitaltwins").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """[{"$dtId":"s1","$metadata":{"$model":"dtmi:api:Sensor;1"},"embedding":[1.0,0.0]},
+            |{"$dtId":"s2","$metadata":{"$model":"dtmi:api:Sensor;1"},"embedding":[0.0,1.0]},
+            |{"$metadata":{"$model":"dtmi:api:Sensor;1"}}]""".stripMargin)).build())
+      assert(batch.statusCode() == 200)
+      val br = Json.parse(batch.body())
+      assert(br.get("successCount").asInt() == 2)
+      assert(br.get("failureCount").asInt() == 1)
+      assert(br.get("hasFailures").asBoolean())
+      assert(br.get("results").get(0).get("digitalTwinId").asText() == "s1")
+      assert(br.get("results").get(0).get("isSuccess").asBoolean())
+      assert(!br.get("results").get(2).get("isSuccess").asBoolean())
+      assert(br.get("results").get(2).get("errorMessage").asText().nonEmpty)
+
+      // POST /digitaltwins/search: vector ranking over the embedding
+      // property, nearest first (HybridSearchAsync)
+      val found = send(req(base, "/digitaltwins/search").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """{"vector":[1.0,0.1],"limit":2}""")).build())
+      assert(found.statusCode() == 200)
+      val vals = Json.parse(found.body()).get("value")
+      assert(vals.size() == 2)
+      assert(vals.get(0).get("$dtId").asText() == "s1", "nearest first")
+      assert(vals.get(1).get("$dtId").asText() == "s2")
+
+      // modelFilter narrows to exact model; a non-matching filter is empty
+      val none = Json.parse(send(req(base, "/digitaltwins/search").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """{"vector":[1.0,0.0],"modelFilter":"dtmi:api:Room;1"}""")).build())
+        .body()).get("value")
+      assert(none.size() == 0)
+
+      // missing vector → 400
+      assert(send(req(base, "/digitaltwins/search").POST(
+        HttpRequest.BodyPublishers.ofString("{}")).build()).statusCode() == 400)
+    }
+  }
 }
