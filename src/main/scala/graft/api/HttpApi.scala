@@ -409,6 +409,11 @@ final class HttpApi(
           respond(ex, 204, "")
         case ("GET", List("models", id)) =>
           respondJson(ex, 200, modelJson(store.getModel(id)))
+        // delete-all first: "models" alone must not bind as an id
+        // (DeleteAllModels, ModelsEndpoints.cs:85-101)
+        case ("DELETE", List("models")) =>
+          store.deleteAllModels()
+          respond(ex, 204, "")
         case ("DELETE", List("models", id)) =>
           store.deleteModel(id)
           respond(ex, 204, "")

@@ -449,6 +449,11 @@ class HttpApiSpec extends AnyFunSuite {
       // missing vector → 400
       assert(send(req(base, "/digitaltwins/search").POST(
         HttpRequest.BodyPublishers.ofString("{}")).build()).statusCode() == 400)
+
+      // DELETE /models wipes every model in one call (DeleteAllModels)
+      assert(send(req(base, "/models").DELETE().build()).statusCode() == 204)
+      assert(Json.parse(send(req(base, "/models").GET().build()).body())
+        .get("value").size() == 0)
     }
   }
 }
