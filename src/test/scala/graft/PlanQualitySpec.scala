@@ -189,4 +189,43 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"redaction must not shuffle (sort excepted):\n$p")
   }
+
+  test("contamination: bench shingle set broadcasts, corpus never self-joins") {
+    val p = plan("q_pipeline_contamination")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-set shingle ids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 100 TB corpus side must never shuffle into a join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the per-doc overlap count must keep its map-side partial:\n$p")
+  }
+
+  test("mix: rates broadcast; the corpus is filtered, never shuffled") {
+    val p = plan("q_pipeline_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the #sources rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"membership must stay a per-row filter:\n$p")
+  }
+
+  test("pack: every big-side window is bucket-partitioned, offsets broadcast") {
+    val p = plan("q_pipeline_pack")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row offset table must broadcast:\n$p")
+    // two windows: the 256-row offsets cumulation (globally ordered,
+    // trivially small) and the per-bucket running sum. The per-bucket one
+    // must carry a partition spec so the corpus never single-sorts.
+    assert(p.contains("Window [sum(tokens") || p.contains("Window ["),
+      s"expected window nodes:\n$p")
+    assert(p.contains("windowspecdefinition(__bucket"),
+      s"the corpus-side running sum must partition by bucket:\n$p")
+  }
+
+  test("shortestPath interiors: enumeration joins stay equi-joins") {
+    val p = plan("q_cypher_shortest_paths")
+    assert(!p.contains("CartesianProduct"),
+      s"trail expansion must equi-join frontier to edges:\n$p")
+  }
 }
