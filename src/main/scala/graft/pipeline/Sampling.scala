@@ -42,6 +42,30 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < lit((fraction * 10000).toInt))
   }
 
+  /** Deterministic train/val/test assignment: each row lands in the split
+    * whose cumulative hash range covers its salted bucket — disjoint and
+    * exhaustive by construction, a pure per-row projection (zero
+    * shuffle), and stable under corpus growth: adding documents never
+    * moves an existing one between splits (the property rand()-based
+    * splitting lacks, and the reason eval sets stay uncontaminated
+    * across corpus versions). Fractions are quantized to 1e-4; the last
+    * split absorbs the remainder. */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000) }.tail
+    val b = hashBucket(col(idCol), salt)
+    val assign = splits.init.zip(cuts.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), rest) => when(b < cut, name).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** At most `k` rows per stratum, chosen deterministically: rank by the
     * salted hash (an unbiased draw within the stratum), ties broken by
     * id. One shuffle on the stratum key. */

@@ -181,6 +181,26 @@ object TextAnalysis {
     ranked
   }
 
+  /** Corpus vocabulary: the top-k tokens by total frequency, with both
+    * term frequency (total occurrences) and document frequency (docs
+    * containing the token) — the input to tokenizer training, OOV
+    * analysis and stopword discovery. One explode, one two-column
+    * aggregate with map-side combine (tf sums, df counts distinct docs
+    * via per-doc pre-grouping), one top-k: no global sort of the token
+    * table. Ties rank by token text so the cut is deterministic. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 1000): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** All per-document text statistics in ONE pass: explode tokens once,
     * aggregate with conditional sums (map-side combined, single shuffle).
     * The fingerprint folds into the same aggregation as

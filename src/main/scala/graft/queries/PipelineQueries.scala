@@ -118,6 +118,20 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Deterministic 90/5/5 train/val/test assignment: disjoint hash
+    // ranges, stable under corpus growth (docs never switch splits).
+    "q_pipeline_split" -> ((s, d) => {
+      Sampling.split(Td.documents(s, d), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary: top-k tokens by total frequency with tf + df,
+    // deterministic tie-break on token text.
+    "q_text_vocab" -> ((s, d) => {
+      TextAnalysis.vocabulary(Td.documents(s, d), "doc_id", "text", k = 20)
+    }),
+
     // Corpus mixture assembly: water-filled per-source rates under a
     // token budget (total/4), weights 3:1 for src0-4 vs src5-14 and
     // src15-19 excluded; membership is the salted-hash sample, so the
@@ -448,6 +462,24 @@ object PipelineQueries {
         |WHERE CAST(('0x'||substr(md5('graft'||doc_id),1,15)) AS BIGINT)
         |  % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 9000 THEN 'train'
+        |       WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x'||substr(md5('graft-split'||doc_id),1,15)) AS BIGINT)
+        |    % 10000 AS b FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+        |           FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) tf FROM t
+        |       WHERE tok <> '' GROUP BY 1,2)
+        |SELECT tok AS token, CAST(sum(tf) AS BIGINT) tf,
+        |  CAST(count(*) AS BIGINT) df
+        |FROM pd GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin,
 
     // Mirrors Mixing.waterfillRates' unsaturated closed form with the
     // SAME double-arithmetic order (B*w/25.0/atok*10000, left-assoc), so

@@ -362,6 +362,34 @@ class PipelineSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("split: disjoint, exhaustive, growth-stable assignment") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val out = Sampling.split(docs, "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    // exhaustive: every doc assigned to exactly one of the three names
+    assert(out.size == 5 && out.values.forall(splits.map(_._1).contains))
+    // growth-stable: assignments of existing ids survive adding docs
+    val grown = docs.unionByName(
+      Seq((100L, "brand new doc"), (101L, "another new doc"))
+        .toDF("doc_id", "text"))
+    val out2 = Sampling.split(grown, "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    for ((id, s) <- out) assert(out2(id) == s, s"doc $id moved splits")
+    // fractions must sum to 1
+    intercept[IllegalArgumentException](
+      Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
+  test("vocabulary: tf/df ranked with deterministic tie-break") {
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the' appears twice in each of docs 0-2 → tf 6, df 3; top token
+    assert(v(0) == (("the", 6L, 3L)), s"got ${v.toSeq}")
+    // every remaining count is below or equal, ties ordered by token
+    assert(v.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
+
   test("packing: contiguous deterministic layout and sequence spans") {
     val sized = docs.withColumn("tok", length(col("text")).cast("long"))
     val packed = Packing.pack(sized, "doc_id", "tok", seqLen = 64)
