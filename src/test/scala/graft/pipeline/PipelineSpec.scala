@@ -362,6 +362,34 @@ class PipelineSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("streaming dedup: first occurrence wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two copies of X (min id 1 wins), one Y
+      input.addData(Doc(3L, "copy of X"), Doc(1L, "copy of X"), Doc(2L, "doc Y"))
+      q.processAllAvailable()
+      // batch 2: a late copy of X (dropped) and a new Z (emitted)
+      input.addData(Doc(4L, "copy of X"), Doc(5L, "doc Z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "copy of X"), (2L, "doc Y"), (5L, "doc Z")),
+      s"got $got")
+    // parity with the batch pass: same survivor rule as Dedup.exact
+    val batch = Dedup.exact(
+      Seq((3L, "copy of X"), (1L, "copy of X"), (2L, "doc Y"),
+        (4L, "copy of X"), (5L, "doc Z")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("survivor_id").as[Long].collect().toSet
+    assert(batch == got.map(_._1))
+  }
+
   test("split: disjoint, exhaustive, growth-stable assignment") {
     val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
     val out = Sampling.split(docs, "doc_id", splits)
