@@ -127,6 +127,40 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** Materialize the IVF index at rest: the corpus with its cell
+    * assignment, written as parquet PARTITIONED BY cell_id — one
+    * directory per coarse cell. This is the layout the ivfTopK scaladoc
+    * promises: once cells are directories, a probe touches only its
+    * cells' files and the other ~K-1/K of a 100 TB corpus is never read. */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit =
+    assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("v_id").as(idCol), col("v_vec").as(vecCol), col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+  /** IVF top-k against an at-rest index from [[writeIvfIndex]]. Same
+    * scoring and output as [[ivfTopK]], but the corpus side arrives
+    * pre-assigned from disk and the broadcast probe join runs on the
+    * PARTITION column — Spark's dynamic partition pruning turns the
+    * probe into directory skipping (the plan carries a `dynamicpruning`
+    * partition filter; PipelineSpec asserts it), so scan cost is
+    * O(probed cells), not O(corpus). */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val q = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("v_id").as("q_id"), col("v_vec").as("q_vec"), col("cell_id"))
+    val scored = index
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell_id"))
+      .join(broadcast(q), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cs", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
   /** Embedding near-dup: each vector's nearest neighbor (cosine) WITHIN its
     * coarse IVF cell — the argmax formulation avoids float-threshold
     * boundary effects, and the cell bucketing is what makes it a 100 TB

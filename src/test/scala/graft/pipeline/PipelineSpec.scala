@@ -362,6 +362,43 @@ class PipelineSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("IVF at rest: partitioned index, dynamic pruning, parity with in-memory") {
+    // 40 vectors around 4 well-separated anchors; anchors double as
+    // centroids, so every cell has 10 members
+    def vec(cx: Double, cy: Double, i: Int): Array[Float] =
+      Array((cx + 0.01 * i).toFloat, (cy - 0.01 * i).toFloat)
+    val anchors = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))
+    val corpus = (0 until 40).map { i =>
+      val (cx, cy) = anchors(i % 4); (i.toLong, vec(cx, cy, i / 4))
+    }.toDF("vec_id", "embedding")
+    val centroids = anchors.zipWithIndex.map { case ((cx, cy), i) =>
+      (i.toLong, Array(cx.toFloat, cy.toFloat)) }.toDF("cell_id", "cell_vec")
+    val queries = corpus.filter(col("vec_id") < 4)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(corpus, centroids, "vec_id", "embedding", dir)
+    // one directory per cell at rest
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).sorted
+    assert(cellDirs.toSeq == Seq("cell_id=0", "cell_id=1", "cell_id=2", "cell_id=3"))
+
+    val index = spark.read.parquet(dir)
+    val atRest = Similarity.ivfTopKIndexed(index, queries, centroids,
+      "vec_id", "embedding", k = 3)
+    // the probe join must plan as a dynamic partition-pruning scan: only
+    // the probed cells' directories are read at 100 TB
+    val plan = atRest.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell_id:\n$plan")
+    // parity with the in-memory formulation
+    val inMem = Similarity.ivfTopK(queries, corpus, centroids,
+      "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = atRest.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == inMem, s"at-rest != in-memory: $got vs $inMem")
+  }
+
   test("streaming dedup: first occurrence wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.Doc
