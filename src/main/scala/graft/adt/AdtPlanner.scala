@@ -644,54 +644,48 @@ final class AdtPlanner(graph: TwinGraph) {
           // a VLE edge joins through the BFS reachability pair set
           // (source_id, target_id, depth) instead of a single edge row
           val relDf = e.vle match {
-            // A bare path binding over a VLE (`p = (a)-[*1..3]->(b)`, not
-            // shortestPath) has openCypher PER-PATH semantics: one row per
-            // trail, with nodes(p)/relationships(p) available as ordered
-            // interior arrays. Only for bounded ranges within the
-            // enumeration cap — per-path enumeration of an unbounded VLE
-            // is combinatorial.
-            case Some((lo, hi)) if e.pathAlias.isDefined && !e.shortest =>
+            // Interior enumeration, two flavors sharing one arm:
+            //  - a bare path binding (`p = (a)-[*1..3]->(b)`) has
+            //    openCypher PER-PATH semantics — one row per trail, with
+            //    nodes(p)/relationships(p) as ordered interior arrays;
+            //  - a shortestPath whose interior the query observes keeps
+            //    per-PAIR multiplicity but carries the canonical minimal
+            //    path (deterministic tie-break).
+            // Both route through the trail machinery, so both are limited
+            // to bounded ranges within the enumeration cap (unbounded
+            // enumeration is combinatorial), and on adversarially cyclic
+            // graphs both inherit trails()' frontier row budget — a
+            // shortestPath that only reads length(p) instead stays on the
+            // uncapped per-pair BFS below.
+            case Some((lo, hi)) if e.pathAlias.isDefined &&
+                (!e.shortest || interiorPaths(e.pathAlias.get)) =>
               val cap = graph.twins.sparkSession.conf
                 .get("spark.graft.vle.trailEnumDepthCap",
                   graft.graph.Vle.TrailEnumDepthCap.toString).toInt
               if (hi > cap) throw new AdtPlanException(
-                s"a path variable over a variable-length edge needs a " +
-                  s"bounded range within *..$cap (got *$lo..$hi) — per-path " +
+                (if (e.shortest)
+                  s"nodes()/relationships() over a shortestPath needs a " +
+                    s"bounded range within *..$cap (got *$lo..$hi) — interior "
+                 else
+                  s"a path variable over a variable-length edge needs a " +
+                    s"bounded range within *..$cap (got *$lo..$hi) — per-path ") +
                   "enumeration is capped by " +
-                  "spark.graft.vle.trailEnumDepthCap; use shortestPath(...) " +
-                  "with length(p) and the endpoint bindings for wider ranges")
+                  "spark.graft.vle.trailEnumDepthCap; use " +
+                  (if (e.shortest) "" else "shortestPath(...) with ") +
+                  "length(p) and the endpoint bindings for wider ranges")
               val nodes =
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
-              ns(graft.graph.Vle.trails(graph.relationships, lo, hi,
-                  e.relNames, nodes,
-                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
-                .select(col("start_id").as("source_id"),
-                  col("end_id").as("target_id"), col("depth"),
-                  col("node_ids"), col("rel_ids")), relAlias)
-            // shortestPath whose interior the query observes: per-pair
-            // multiplicity (as always for shortestPath) but carrying the
-            // canonical minimal path's node_ids/rel_ids — enumerated via
-            // the trail machinery with a deterministic tie-break, so only
-            // available for ranges within the enumeration cap.
-            case Some((lo, hi)) if e.pathAlias.isDefined && e.shortest &&
-                interiorPaths(e.pathAlias.get) =>
-              val cap = graph.twins.sparkSession.conf
-                .get("spark.graft.vle.trailEnumDepthCap",
-                  graft.graph.Vle.TrailEnumDepthCap.toString).toInt
-              if (hi > cap) throw new AdtPlanException(
-                s"nodes()/relationships() over a shortestPath needs a " +
-                  s"bounded range within *..$cap (got *$lo..$hi) — interior " +
-                  "enumeration is capped by " +
-                  "spark.graft.vle.trailEnumDepthCap; use length(p) and " +
-                  "the endpoint bindings for wider ranges")
-              val nodes =
-                if (lo == 0) Some(graph.twins.select(col("dt_id")))
-                else None
-              ns(graft.graph.Vle.shortestPaths(graph.relationships, lo, hi,
-                  e.relNames, nodes,
-                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
-                .select(col("start_id").as("source_id"),
+              val enumerated =
+                if (e.shortest)
+                  graft.graph.Vle.shortestPaths(graph.relationships, lo, hi,
+                    e.relNames, nodes,
+                    sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                else
+                  graft.graph.Vle.trails(graph.relationships, lo, hi,
+                    e.relNames, nodes,
+                    sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+              ns(enumerated.select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth"),
                   col("node_ids"), col("rel_ids")), relAlias)
             case Some((lo, hi)) =>

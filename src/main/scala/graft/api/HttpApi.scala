@@ -111,8 +111,10 @@ final class HttpApi(
       case "digitaltwins" :: _ :: sub :: _
           if sub == "relationships" || sub == "incomingrelationships" =>
         Some(Permission(Resource.Relationships, act))
-      // hybrid search is a POST but a read (DigitalTwinsEndpoints.cs:150)
-      case "digitaltwins" :: "search" :: _ =>
+      // hybrid search (POST only) is a read (DigitalTwinsEndpoints.cs:150);
+      // any other verb on /digitaltwins/search is a twin op on the id
+      // "search" and must keep the method-derived action
+      case "digitaltwins" :: "search" :: Nil if method == "POST" =>
         Some(Permission(Resource.DigitalTwins, Action.Read))
       // telemetry POST and component PATCH land on Write via `act`
       case "digitaltwins" :: _ =>
@@ -317,7 +319,12 @@ final class HttpApi(
             .filter(!_.isNull).map(_.asText()).getOrElse("embedding")
           val modelFilter = Option(reqNode.get("modelFilter"))
             .filter(!_.isNull).map(_.asText())
-          val limit = Option(reqNode.get("limit")).map(_.asInt()).getOrElse(10)
+          val limit = Option(reqNode.get("limit")).filter(!_.isNull)
+            .map { n =>
+              if (!n.canConvertToInt || n.asInt() <= 0)
+                throw StoreException(400, "limit must be a positive integer")
+              n.asInt()
+            }.getOrElse(10)
           val graph = store.toGraph(sparkSession())
           val rows = graph.vectorSearch(prop, vec, limit, modelFilter)
             .select("properties").collect()

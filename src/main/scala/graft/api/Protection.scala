@@ -78,10 +78,11 @@ object Protection {
     case "jobs" :: _ => Some(Tier.Admin)
     case "relationships" :: _ => Some(Tier.Heavy) // batch create/replace
     case "digitaltwins" :: _ =>
-      // hybrid search is a POST but a read (DigitalTwinsEndpoints.cs:151:
-      // LightOperations)
+      // hybrid search (POST only) is a read (DigitalTwinsEndpoints.cs:151:
+      // LightOperations); a PUT/PATCH/DELETE on the twin id "search" is
+      // still a write and stays Heavy
       if (method == "GET" || segs.lastOption.contains("telemetry") ||
-          segs == List("digitaltwins", "search"))
+          (method == "POST" && segs == List("digitaltwins", "search")))
         Some(Tier.Light)
       else Some(Tier.Heavy)
     case _ => None // graph lifecycle & unknown routes: global only

@@ -375,7 +375,12 @@ object Vle {
     *
     * Costs a bounded trail enumeration rather than the per-pair BFS —
     * callers (the planner) choose this form only when the query actually
-    * observes the interior, and the depth cap bounds the blow-up. */
+    * observes the interior, and the depth cap bounds the blow-up.
+    * CAVEAT inherited from [[trails]]: on adversarially cyclic graphs the
+    * frontier row budget truncates enumeration (driver-log warning), so a
+    * pair whose only shortest path lies beyond the truncation depth is
+    * absent here even though the BFS form would return it — observing the
+    * interior can narrow the pair set on such graphs. */
   def shortestPaths(edges: DataFrame, minDepth: Int, maxDepth: Int,
       relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
       sourceIds: Option[Seq[String]] = None,

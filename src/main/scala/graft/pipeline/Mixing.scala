@@ -76,8 +76,13 @@ object Mixing {
       salt: String = "graft-mix"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val available = docs.groupBy(col(sourceCol))
-      .agg(sum(col(tokenCol)).cast("long").as("__atok"))
+    // null-safe per-source totals: an all-null token column sums to null
+    // (→ 0 here, the source just saturates trivially), and a null source
+    // key can't carry a weight — those docs are excluded from the mix,
+    // the same as a source absent from the weight map
+    val available = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__atok"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rates = waterfillRates(available, weights, budget)
     val rateDf = rates.toSeq.map { case (s, r) =>

@@ -107,17 +107,16 @@ object Similarity {
     cents
   }
 
-  /** IVF top-k: each query searches only the corpus vectors in its
-    * `nprobe` nearest cells. Corpus vectors live in exactly one cell (so
-    * no pair is scored twice); at rest the corpus is written bucketed by
-    * cell_id and a probe becomes partition pruning. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+  /** Shared IVF scoring tail: broadcast the probed queries, equi-join on
+    * cell, rank by cosine per query. `cellAssigned` carries
+    * (n_id, n_vec, cell_id) — from [[assignCells]] in memory or from an
+    * at-rest index. */
+  private def scoreProbes(cellAssigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     val q = assignProbes(queries, centroids, idCol, vecCol, nprobe)
       .select(col("v_id").as("q_id"), col("v_vec").as("q_vec"), col("cell_id"))
-    val scored = assigned
-      .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"), col("cell_id"))
+    val scored = cellAssigned
       .join(broadcast(q), Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cs", cosine(col("q_vec"), col("n_vec")))
@@ -126,6 +125,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
   }
+
+  /** IVF top-k: each query searches only the corpus vectors in its
+    * `nprobe` nearest cells. Corpus vectors live in exactly one cell (so
+    * no pair is scored twice); at rest the corpus is written bucketed by
+    * cell_id and a probe becomes partition pruning. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    scoreProbes(
+      assignCells(corpus, centroids, idCol, vecCol)
+        .select(col("v_id").as("n_id"), col("v_vec").as("n_vec"), col("cell_id")),
+      queries, centroids, idCol, vecCol, k, nprobe)
 
   /** Materialize the IVF index at rest: the corpus with its cell
     * assignment, written as parquet PARTITIONED BY cell_id — one
@@ -147,19 +157,11 @@ object Similarity {
     * O(probed cells), not O(corpus). */
   def ivfTopKIndexed(index: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    val q = assignProbes(queries, centroids, idCol, vecCol, nprobe)
-      .select(col("v_id").as("q_id"), col("v_vec").as("q_vec"), col("cell_id"))
-    val scored = index
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell_id"))
-      .join(broadcast(q), Seq("cell_id"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cs", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
-  }
+      nprobe: Int = 1): DataFrame =
+    scoreProbes(
+      index.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col("cell_id")),
+      queries, centroids, idCol, vecCol, k, nprobe)
 
   /** Embedding near-dup: each vector's nearest neighbor (cosine) WITHIN its
     * coarse IVF cell — the argmax formulation avoids float-threshold

@@ -171,6 +171,29 @@ class AuthSpec extends AnyFunSuite {
     }
   }
 
+  test("PUT/DELETE on twin id 'search' need write/delete scope, not read") {
+    // POST /digitaltwins/search is the read-scoped hybrid-search route;
+    // every other verb on that path is a twin op on the literal id
+    // "search" and must keep the method-derived permission — a read-only
+    // principal must not be able to write through the search path.
+    withApi() { base =>
+      val readTok = Some(token(Seq("digitaltwins/read")))
+      val put = send(req(base, "/digitaltwins/search", readTok)
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"$metadata":{"$model":"dtmi:x;1"}}""")).build())
+      assert(put.statusCode() == 403, s"read scope must not PUT: ${put.body()}")
+      val del = send(req(base, "/digitaltwins/search", readTok)
+        .DELETE().build())
+      assert(del.statusCode() == 403, s"read scope must not DELETE: ${del.body()}")
+      // the search POST itself stays readable with read scope (404/400
+      // family fine, never 403)
+      val search = send(req(base, "/digitaltwins/search", readTok)
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"vector":[1.0]}""")).build())
+      assert(search.statusCode() != 403, s"search must allow read scope")
+    }
+  }
+
   test("wildcard + write scopes unlock writes; reads stay forbidden without read") {
     withApi() { base =>
       val model =
