@@ -62,6 +62,24 @@ object EventQueries {
         .orderBy(col("event_id"), col("key"))
     }),
 
+    // As-of join: every click matched to the user's latest prior (or
+    // simultaneous) view — the point-in-time lookup, tagged-union + one
+    // window per key (no range-join explosion). Fixed-point value so the
+    // carried double hash-compares exactly.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Td.events(s, d)
+      graft.operators.AsOfJoin.asOf(
+        probe = ev.filter(col("event_type") === "click"),
+        series = ev.filter(col("event_type") === "view"),
+        keyCols = Seq("user_id"), probeTimeCol = "ts", seriesTimeCol = "ts",
+        carryCols = Seq("event_id", "value"),
+        seriesTiebreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"),
+          cents(col("asof_value")).as("asof_value_c"))
+        .orderBy(col("event_id"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -99,6 +117,14 @@ object EventQueries {
         |  json_extract_string(doc, '$.' || k) AS value
         |FROM docs, unnest(['n','s','k']) t(k)
         |ORDER BY event_id, key""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |views AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, v.event_id AS asof_event_id,
+        |  CAST(floor(v.value*100+0.5) AS BIGINT) AS asof_value_c
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_e10_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n,
