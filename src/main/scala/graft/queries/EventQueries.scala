@@ -80,6 +80,23 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: clicks inside the hour after each purchase by the same
+    // user — bucketized to an equi-join on (user, hour-bin), never a
+    // nested-loop inequality join.
+    "q_range_join" -> ((s, d) => {
+      val ev = Td.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, Seq("user_id"), "ts", "start_ts", "end_ts",
+        binMs = 3600000L)
+        .select(col("event_id"), col("user_id"), col("ivl_p_id"))
+        .orderBy(col("event_id"), col("ivl_p_id"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -125,6 +142,14 @@ object EventQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH purchases AS (SELECT user_id, event_id AS p_id, ts AS st,
+        |  ts + INTERVAL 1 HOUR AS en FROM events WHERE event_type = 'purchase'),
+        |clicks AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.p_id AS ivl_p_id
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.st <= c.ts AND c.ts < p.en
+        |ORDER BY 1, 3""".stripMargin,
     "q_e10_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n,
