@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed Spark
+  * [[Aggregator]] — the brief "custom aggregate" case: the state is the
+  * k SMALLEST distinct 60-bit hashes seen, so each partial is bounded at
+  * k longs no matter how many rows flow through it, partials merge by
+  * set-union-and-trim (map-side combine for free), and the k-th minimum
+  * estimates the distinct count as (k-1)·2^60 / h_k.
+  *
+  * Everything is deterministic — the hash is [[graft.pipeline
+  * .TextAnalysis.stableId]]'s md5-derived 60-bit integer, and bottom-k of
+  * a set does not depend on arrival order — so unlike
+  * `approx_count_distinct` (HLL++, whose registers are
+  * implementation-defined), the SKETCH STATE itself is reproducible on
+  * any engine and can be oracle-checked exactly; only the final
+  * float estimate is engine-side arithmetic.
+  */
+object KmvSketch {
+
+  /** 2^60 — the hash domain of stableId's 15 hex digits. */
+  val HashDomain: Double = math.pow(2.0, 60)
+
+  /** Insert keeping `b` sorted, distinct, and at most k long. */
+  private def insert(k: Int)(b: Seq[Long], h: Long): Seq[Long] =
+    if (b.contains(h) || (b.size >= k && h >= b.last)) b
+    else {
+      val (lo, hi) = b.span(_ < h)
+      (lo ++ (h +: hi)).take(k)
+    }
+
+  /** The Aggregator: Long hash in, bottom-k sorted hash list out. */
+  case class Kmv(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 2, s"k $k must be >= 2")
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(k)(b, h)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert(k))
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** DataFrame-facing aggregate column: `kmv(16)(hashCol)`. */
+  def kmv(k: Int)(hashes: Column): Column =
+    udaf(Kmv(k), Encoders.scalaLong).apply(hashes)
+
+  /** Distinct-count estimate from a finished sketch: exact below k
+    * (the sketch saw every distinct hash), (k-1)/u_k above it, where
+    * u_k is the k-th minimum normalized into (0,1]. */
+  def estimate(sketch: Seq[Long], k: Int): Double =
+    if (sketch.size < k) sketch.size.toDouble
+    else (k - 1) * HashDomain / sketch.last.toDouble
+}

@@ -97,6 +97,21 @@ object EventQueries {
         .orderBy(col("event_id"), col("ivl_p_id"))
     }),
 
+    // KMV distinct-count sketch: bounded bottom-k aggregate whose STATE
+    // is deterministic (unlike HLL registers) — the oracle reproduces the
+    // exact k-th minimum hash and sketch size per group.
+    "q_sketch_kmv" -> ((s, d) => {
+      Td.events(s, d)
+        .select(col("event_type"), graft.pipeline.TextAnalysis
+          .stableId(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.kmv(16)(col("h")).as("sk"))
+        .select(col("event_type"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), -1).as("kth_hash"))
+        .orderBy(col("event_type"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -150,6 +165,16 @@ object EventQueries {
         |FROM clicks c JOIN purchases p
         |  ON c.user_id = p.user_id AND p.st <= c.ts AND c.ts < p.en
         |ORDER BY 1, 3""".stripMargin,
+    "q_sketch_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    AS hv FROM events),
+        |r AS (SELECT event_type, hv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hv) rn,
+        |  count(*) OVER (PARTITION BY event_type) n FROM h)
+        |SELECT event_type, CAST(least(n, 16) AS BIGINT) AS n_sketch,
+        |  hv AS kth_hash
+        |FROM r WHERE rn = least(n, 16) ORDER BY event_type""".stripMargin,
     "q_e10_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n,
