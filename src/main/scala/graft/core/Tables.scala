@@ -78,12 +78,15 @@ object Td {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (exact floor division — DuckDB reads the same instants). */
+    * timestamp. INTEGER `div`, not `/`: epoch nanos (~1.7e18) exceed
+    * double's 2^53 exact range, so float division drifts by up to ~256 ns
+    * and occasionally rounds across a microsecond boundary — DuckDB
+    * (epoch_us on the nanos) floors exactly, and so must we. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -112,6 +112,16 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Gap-based sessionization: 30-minute-silence session rollup per
+    // user — one shuffle + per-key window, no self-join.
+    "q_sessionize" -> ((s, d) => {
+      graft.operators.Sessionize.sessions(
+        Td.events(s, d), Seq("user_id"), "ts", gapMs = 1800000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("duration_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -165,6 +175,19 @@ object EventQueries {
         |FROM clicks c JOIN purchases p
         |  ON c.user_id = p.user_id AND p.st <= c.ts AND c.ts < p.en
         |ORDER BY 1, 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  THEN 1 ELSE 0 END AS head FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(head) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sketch_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
