@@ -226,4 +226,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"trail expansion must equi-join frontier to edges:\n$p")
   }
+
+  test("as-of join: tagged union + window, never a nested-loop range join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the t2<=t1 predicate must not plan as a nested loop:\n$p")
+    assert(p.contains("Union"), s"expected the tagged union:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the carry-forward must be one per-key window:\n$p")
+  }
+
+  test("range join: equi-join on (key, bin) with containment post-filter") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the interval predicate must meet through the bin equi-join:\n$p")
+  }
+
+  test("sessionize and kmv: one shuffle family each, partial agg kept") {
+    val ps = plan("q_sessionize")
+    assert(!ps.contains("Join"), s"sessionization must not self-join:\n$ps")
+    assert(ps.contains("windowspecdefinition(user_id"),
+      s"session numbering is a per-key window:\n$ps")
+    val pk = plan("q_sketch_kmv")
+    // the bounded Aggregator must keep its map-side partial
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(pk).size >= 2, s"kmv must partial-aggregate:\n$pk")
+  }
 }
