@@ -30,17 +30,27 @@ object Packing {
   /** Per-document packed intervals: `(doc, tokens, start_tok, end_tok,
     * seq_first, seq_last)` at sequence length `seqLen`. Zero-token
     * documents occupy an empty interval (seq_first = seq_last = the
-    * sequence their position falls in). */
+    * sequence their position falls in).
+    *
+    * `bucketHexDigits` sizes the prefix-sum fan-out: 16^d buckets, each
+    * sorted by ONE task in the per-bucket window. Size so corpus/16^d
+    * fits a task comfortably — 2 (256 buckets) suits test scales; a
+    * 100 TB corpus wants 4-5 (65k-1M buckets of 100 MB-1.5 GB). The
+    * result is IDENTICAL for any d (the bucket id is a prefix of the
+    * sort key, so bucket order == global order); only parallelism
+    * changes. The offsets side stays one small window (16^d rows). */
   def pack(docs: DataFrame, idCol: String, tokenCol: String, seqLen: Long,
-      salt: String = "graft-pack"): DataFrame = {
+      salt: String = "graft-pack", bucketHexDigits: Int = 2): DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen must be positive")
+    require(bucketHexDigits >= 1 && bucketHexDigits <= 8,
+      s"bucketHexDigits $bucketHexDigits out of [1,8]")
     val keyed = docs.select(
       col(idCol).as("doc"),
       greatest(col(tokenCol).cast("long"), lit(0L)).as("tokens"),
       md5(concat(lit(salt), col(idCol).cast("string"))).as("__key"))
-      .withColumn("__bucket", substring(col("__key"), 1, 2))
+      .withColumn("__bucket", substring(col("__key"), 1, bucketHexDigits))
 
-    // bucket offsets: 256 rows, cumulated in one tiny window
+    // bucket offsets: 16^d rows, cumulated in one tiny window
     val offsets = keyed.groupBy(col("__bucket"))
       .agg(sum(col("tokens")).as("__btok"))
       .withColumn("__offset",

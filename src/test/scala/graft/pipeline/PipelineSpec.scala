@@ -474,10 +474,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("seq_last") ==
         math.max(r.getAs[Long]("end_tok") - 1, r.getAs[Long]("start_tok")) / 64)
     }
-    // the layout is a pure function of (ids, salt): rerun identical
+    // the layout is a pure function of (ids, salt): rerun identical, and
+    // the bucket fan-out is parallelism-only — any width, same layout
     val again = Packing.pack(sized, "doc_id", "tok", seqLen = 64)
       .orderBy(col("start_tok")).collect()
     assert(packed.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val wide = Packing.pack(sized, "doc_id", "tok", 64, bucketHexDigits = 4)
+      .orderBy(col("start_tok")).collect()
+    assert(packed.map(_.toSeq).toSeq == wide.map(_.toSeq).toSeq,
+      "bucket width must not change the layout")
     // stats roll up: 5 docs, ~50-char texts at seqLen 64 → crossers exist
     val st = Packing.stats(Packing.pack(sized, "doc_id", "tok", 64), 64)
       .collect()(0)
