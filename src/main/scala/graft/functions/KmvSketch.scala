@@ -33,11 +33,15 @@ object KmvSketch {
       (lo ++ (h +: hi)).take(k)
     }
 
-  /** The Aggregator: Long hash in, bottom-k sorted hash list out. */
-  case class Kmv(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  /** The Aggregator: Long hash in (nulls skipped, like every SQL
+    * aggregate — a primitive encoder would instead coerce NULL to 0 and
+    * poison the sketch minimum), bottom-k sorted hash list out. */
+  case class Kmv(k: Int)
+      extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
     require(k >= 2, s"k $k must be >= 2")
     def zero: Seq[Long] = Vector.empty
-    def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(k)(b, h)
+    def reduce(b: Seq[Long], h: java.lang.Long): Seq[Long] =
+      if (h == null) b else insert(k)(b, h.longValue)
     def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert(k))
     def finish(b: Seq[Long]): Seq[Long] = b
     def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
@@ -46,7 +50,7 @@ object KmvSketch {
 
   /** DataFrame-facing aggregate column: `kmv(16)(hashCol)`. */
   def kmv(k: Int)(hashes: Column): Column =
-    udaf(Kmv(k), Encoders.scalaLong).apply(hashes)
+    udaf(Kmv(k), Encoders.LONG).apply(hashes)
 
   /** Distinct-count estimate from a finished sketch: exact below k
     * (the sketch saw every distinct hash), (k-1)/u_k above it, where

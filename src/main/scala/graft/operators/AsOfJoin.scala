@@ -40,49 +40,56 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "at least one key column required")
     require(carryCols.nonEmpty, "at least one carried column required")
     val keys = keyCols.map(col)
+    // tiebreak keeps its own type: any orderable column works, and a
+    // forced cast would null out e.g. string ids, silently destroying
+    // the determinism the parameter exists for
+    val tbType = seriesTiebreak
+      .map(c => series.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.IntegerType)
     val tb: Column = seriesTiebreak.map(col).getOrElse(lit(0))
 
+    // ALL carried values (and the matched timestamp) travel in ONE
+    // struct per series row: a single last(ignoreNulls) then skips only
+    // probe-row placeholders, never a legitimately-NULL value inside a
+    // series row — per-column carries would reach past a null-valued
+    // match to a stale older row, disagreeing with asof_ts.
     val probeSide = probe.select(
       keys :+
         col(probeTimeCol).as("__t") :+
         lit(1).as("__tag") :+
-        lit(null).cast("long").as("__tb") :+
-        struct(probe.columns.map(col): _*).as("__row") :++
-        carryCols.map(c => lit(null).cast(series.schema(c).dataType)
-          .as(s"__c_$c")): _*)
+        lit(null).cast(tbType).as("__tb") :+
+        struct(probe.columns.map(col): _*).as("__row") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__mt",
+            probe.schema(probeTimeCol).dataType) +:
+            carryCols.map(c => org.apache.spark.sql.types.StructField(
+              c, series.schema(c).dataType)))).as("__match"): _*)
     val seriesSide = series.select(
       keys :+
         col(seriesTimeCol).as("__t") :+
         lit(0).as("__tag") :+
-        tb.cast("long").as("__tb") :+
-        lit(null).cast(probeSide.schema("__row").dataType).as("__row") :++
-        carryCols.map(c => col(c).as(s"__c_$c")): _*)
+        tb.as("__tb") :+
+        lit(null).cast(probeSide.schema("__row").dataType).as("__row") :+
+        struct(col(seriesTimeCol).as("__mt") +:
+          carryCols.map(c => col(c)): _*).as("__match"): _*)
 
     val w = Window.partitionBy(keys: _*)
       .orderBy(col("__t").asc, col("__tag").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(probeSide.unionByName(seriesSide)) {
-      (df, c) => df.withColumn(s"asof_$c",
-        last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts",
-      last(when(col("__tag") === 0, col("__t")), ignoreNulls = true).over(w))
+    val matched = probeSide.unionByName(seriesSide)
+      .withColumn("__best", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
 
-    val matched = carried.filter(col("__tag") === 1)
     // tolerance needs real timestamps (unix_millis); matches older than
     // the window null out exactly like an unmatched probe
-    val expired = toleranceMs.map(t =>
-      col("asof_ts").isNotNull &&
-        unix_millis(col("__t")) - unix_millis(col("asof_ts")) > t)
-    // carried columns null out BEFORE asof_ts: the expiry condition reads
-    // asof_ts, so overwriting it first would make the condition see the
-    // fresh null and keep the stale carried values
-    val out = expired.fold(matched) { cond =>
-      carryCols.foldLeft(matched) { (df, c) =>
-        df.withColumn(s"asof_$c", when(cond, lit(null)).otherwise(col(s"asof_$c")))
-      }.withColumn("asof_ts",
-        when(cond, lit(null)).otherwise(col("asof_ts")))
+    val best = toleranceMs.fold(col("__best")) { t =>
+      when(col("__best").isNotNull &&
+        unix_millis(col("__t")) - unix_millis(col("__best.__mt")) > t,
+        lit(null)).otherwise(col("__best"))
     }
-    out.select(col("__row.*") +:
-      carryCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+    matched.withColumn("__best", best)
+      .select(col("__row.*") +:
+        carryCols.map(c => col(s"__best.$c").as(s"asof_$c")) :+
+        col("__best.__mt").as("asof_ts"): _*)
   }
 }

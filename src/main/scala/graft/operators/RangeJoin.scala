@@ -29,18 +29,23 @@ object RangeJoin {
     require(binMs > 0, s"binMs $binMs must be positive")
     val keys = keyCols.map(col)
 
+    // bin arithmetic at MICROsecond resolution (Spark timestamps): an
+    // ms-floored end would compute the last overlapped bucket from a
+    // point up to 1 ms EARLY, silently dropping matches whose interval
+    // end carries a sub-ms fraction landing on a bucket edge
+    val binUs = binMs * 1000
     val p = points.withColumn("__bin",
-      floor(unix_millis(col(pointTimeCol)) / binMs))
+      floor(unix_micros(col(pointTimeCol)) / binUs))
     val ivlCols = intervals.columns.filterNot(keyCols.contains)
     val i = intervals
       .filter(col(endCol) > col(startCol))
       .select(keys ++ ivlCols.map(c => col(c).as(s"ivl_$c")): _*)
       // half-open [start, end): the last overlapped bucket is the one
-      // holding end-1ms, so an interval ending exactly on a bucket edge
+      // holding end-1us, so an interval ending exactly on a bucket edge
       // doesn't leak into the next bucket
       .withColumn("__bin", explode(sequence(
-        floor(unix_millis(col(s"ivl_$startCol")) / binMs),
-        floor((unix_millis(col(s"ivl_$endCol")) - 1) / binMs))))
+        floor(unix_micros(col(s"ivl_$startCol")) / binUs),
+        floor((unix_micros(col(s"ivl_$endCol")) - 1) / binUs))))
 
     p.join(i, keyCols :+ "__bin")
       .filter(col(s"ivl_$startCol") <= col(pointTimeCol) &&

@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a naive global cumulative sum is one all-rows window —
   * a single-partition sort at 100 TB. Instead a two-level prefix sum:
-  * the first hex digits of the order key split the stream into 256
+  * the first `d` hex digits of the order key split the stream into 16^d
   * range-aligned buckets (the bucket id is a PREFIX of the sort key, so
-  * bucket order == global order); per-bucket totals cumulate in a
-  * 256-row window (driver-trivial), and each row then needs only its
-  * WITHIN-bucket running sum (a window partitioned by bucket — 256-way
-  * parallel, each ~1/256 of the data) plus its bucket's offset.
+  * bucket order == global order); per-bucket totals cumulate in one
+  * 16^d-row window (tiny), and each row then needs only its
+  * WITHIN-bucket running sum (a window partitioned by bucket — 16^d-way
+  * parallel, each ~1/16^d of the data) plus its bucket's offset.
   */
 object Packing {
 
@@ -42,8 +42,10 @@ object Packing {
   def pack(docs: DataFrame, idCol: String, tokenCol: String, seqLen: Long,
       salt: String = "graft-pack", bucketHexDigits: Int = 2): DataFrame = {
     require(seqLen > 0, s"seqLen $seqLen must be positive")
-    require(bucketHexDigits >= 1 && bucketHexDigits <= 8,
-      s"bucketHexDigits $bucketHexDigits out of [1,8]")
+    // cap at 5 (1M buckets): beyond that the offsets side stops being
+    // "one small window + broadcast" and becomes its own scale problem
+    require(bucketHexDigits >= 1 && bucketHexDigits <= 5,
+      s"bucketHexDigits $bucketHexDigits out of [1,5]")
     val keyed = docs.select(
       col(idCol).as("doc"),
       greatest(col(tokenCol).cast("long"), lit(0L)).as("tokens"),

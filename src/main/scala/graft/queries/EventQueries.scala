@@ -160,17 +160,21 @@ object EventQueries {
         |FROM docs, unnest(['n','s','k']) t(k)
         |ORDER BY event_id, key""".stripMargin,
     "q_asof_join" ->
-      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
-        |views AS (SELECT * FROM events WHERE event_type = 'view')
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+        |views AS (SELECT * FROM e WHERE event_type = 'view')
         |SELECT c.event_id, c.user_id, v.event_id AS asof_event_id,
         |  CAST(floor(v.value*100+0.5) AS BIGINT) AS asof_value_c
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_range_join" ->
-      """WITH purchases AS (SELECT user_id, event_id AS p_id, ts AS st,
-        |  ts + INTERVAL 1 HOUR AS en FROM events WHERE event_type = 'purchase'),
-        |clicks AS (SELECT * FROM events WHERE event_type = 'click')
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |purchases AS (SELECT user_id, event_id AS p_id, ts AS st,
+        |  ts + INTERVAL 1 HOUR AS en FROM e WHERE event_type = 'purchase'),
+        |clicks AS (SELECT * FROM e WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, p.p_id AS ivl_p_id
         |FROM clicks c JOIN purchases p
         |  ON c.user_id = p.user_id AND p.st <= c.ts AND c.ts < p.en

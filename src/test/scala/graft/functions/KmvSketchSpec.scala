@@ -18,10 +18,13 @@ class KmvSketchSpec extends AnyFunSuite {
   test("aggregator state: sorted, distinct, bounded, order-insensitive") {
     val agg = Kmv(4)
     // duplicates collapse, inserts keep sort order, size caps at k
-    val b = Seq(50L, 10L, 30L, 10L, 90L, 20L, 5L).foldLeft(agg.zero)(agg.reduce)
+    def red(b: Seq[Long], h: Long): Seq[Long] = agg.reduce(b, Long.box(h))
+    val b = Seq(50L, 10L, 30L, 10L, 90L, 20L, 5L).foldLeft(agg.zero)(red)
     assert(b == Vector(5L, 10L, 20L, 30L))
+    // null input rows are skipped, like every SQL aggregate
+    assert(agg.reduce(b, null) == b)
     // merge = union-and-trim; commutative
-    val c = Seq(1L, 60L, 25L).foldLeft(agg.zero)(agg.reduce)
+    val c = Seq(1L, 60L, 25L).foldLeft(agg.zero)(red)
     assert(agg.merge(b, c) == agg.merge(c, b))
     assert(agg.merge(b, c) == Vector(1L, 5L, 10L, 20L))
   }

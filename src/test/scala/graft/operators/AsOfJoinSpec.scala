@@ -69,6 +69,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.getLong(0) == 22L && got.getDouble(1) == 2.0)
   }
 
+  test("a null-VALUED latest match carries its null, not an older value") {
+    // the match is the 10:01 row whose px is legitimately NULL — the
+    // carry must not reach back to 10:00's 100.0 (struct carry, not
+    // per-column ignoreNulls)
+    val q = Seq(
+      (1L, "A", ts("2026-01-01 10:00:00"), Some(100.0)),
+      (2L, "A", ts("2026-01-01 10:01:00"), None: Option[Double])
+    ).toDF("qid", "sym", "qts", "px")
+    val r = AsOfJoin.asOf(
+        Seq((9L, "A", ts("2026-01-01 10:02:00"))).toDF("tid", "sym", "tts"),
+        q, Seq("sym"), "tts", "qts", carryCols = Seq("qid", "px"))
+      .select(col("asof_qid"), col("asof_px"), col("asof_ts")).collect()(0)
+    assert(r.getLong(0) == 2L, "the 10:01 row is the match")
+    assert(r.isNullAt(1), "its null px must carry through")
+    assert(r.getAs[Timestamp]("asof_ts") == ts("2026-01-01 10:01:00"))
+  }
+
+  test("string tiebreak column stays typed (no silent cast-to-null)") {
+    val dup = Seq(
+      ("qa", "A", ts("2026-01-01 10:00:00"), 1.0),
+      ("qb", "A", ts("2026-01-01 10:00:00"), 2.0)
+    ).toDF("qid", "sym", "qts", "px")
+    val got = AsOfJoin.asOf(
+        Seq((30L, "A", ts("2026-01-01 10:00:01"))).toDF("tid", "sym", "tts"),
+        dup, Seq("sym"), "tts", "qts", carryCols = Seq("qid"),
+        seriesTiebreak = Some("qid"))
+      .select(col("asof_qid")).collect()(0)
+    assert(got.getString(0) == "qb", "lexicographically-last wins, not null-order chance")
+  }
+
   test("probe columns survive untouched; asof_ts carries the matched time") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts",
         carryCols = Seq("px"))
