@@ -65,4 +65,28 @@ object Curation {
       curate(docs, idCol, textCol, keepLang, minTokens, maxStopwordRatio4)
         .filter(col("keep")).select(col(idCol)),
       Seq(idCol))
+
+  /** STREAMING curation: the same policy applied to a document stream as
+    * it arrives — the row-local checks (empty, language, length, quality)
+    * run as pure projections via [[TextAnalysis.languageIdCol]] and
+    * [[TextAnalysis.qualityMetrics]] (append-mode safe, per micro-batch),
+    * and the duplicate check is [[StreamingDedup]]'s incremental
+    * first-occurrence state. Emits kept documents once each; a copy of a
+    * kept doc arriving in any later batch is dropped, exactly like the
+    * batch pass's survivor election over the accumulated corpus. */
+  def curateStream(docs: org.apache.spark.sql.Dataset[StreamingDedup.Doc],
+      keepLang: String = "en", minTokens: Int = 5,
+      maxStopwordRatio4: Long = 5000L)
+      : org.apache.spark.sql.Dataset[StreamingDedup.Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = TextAnalysis.qualityMetrics(docs.toDF(), "text")
+      .withColumn("__lang", TextAnalysis.languageIdCol(col("text")))
+      .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+        col("__lang") === keepLang &&
+        col("n_tokens") >= minTokens &&
+        col("stopword_ratio_4") <= maxStopwordRatio4)
+      .select(col("docId"), col("text")).as[StreamingDedup.Doc]
+    StreamingDedup.dedupStream(kept)
+  }
 }

@@ -110,6 +110,24 @@ object TextAnalysis {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Per-ROW language id: the same (−hits, lang) argmax as [[languageId]]
+    * but as ONE Column expression over the token array — no explode, no
+    * shuffle, so it composes into row-level filters and Structured
+    * Streaming projections (append mode), where the aggregation form
+    * would demand stateful update mode. Parity is spec-asserted. */
+  def languageIdCol(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = LangMarkers.map(_._1).distinct.sorted
+    val markers = LangMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ranked = sort_array(array(langs.map { l =>
+      val h = size(filter(toks,
+        t => markers(l).map(m => t === lit(m)).reduce(_ || _)))
+      struct((-h).cast(LongType).as("neg"), lit(l).as("lang"))
+    }: _*))
+    when(text.isNull || ranked.getItem(0).getField("neg") === 0, lit("und"))
+      .otherwise(ranked.getItem(0).getField("lang"))
+  }
+
   /** Canonical fingerprint (OpenRefine-style): md5 of the sorted distinct
     * token set — identical docs up to token order/multiplicity collide. */
   def fingerprint(text: Column): Column =

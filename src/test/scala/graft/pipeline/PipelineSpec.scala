@@ -427,6 +427,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch == got.map(_._1))
   }
 
+  test("languageIdCol matches the aggregation-form languageId row for row") {
+    val mixed = Seq(
+      (0L, "the quick fox is fast and slow of course"),
+      (1L, "el rapido zorro de la tabla"),
+      (2L, "der schnelle fuchs die tabelle das"),
+      (3L, "xyzzy qwerty plugh"),
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val agg = TextAnalysis.languageId(mixed, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang")).as[(Long, String)].collect().toMap
+    val perRow = mixed
+      .select(col("doc_id"), TextAnalysis.languageIdCol(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(perRow == agg, s"per-row $perRow vs agg $agg")
+  }
+
+  test("streaming curation: quality gate + incremental dedup, append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = Curation.curateStream(input.toDS(), minTokens = 4)
+      .writeStream.format("memory").queryName("scurate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, "the fast table is a good table of data"), // kept
+        Doc(2L, "el rapido zorro de la tabla"),            // language
+        Doc(3L, "the fast one"),                           // too short
+        Doc(4L, ""))                                       // empty
+      q.processAllAvailable()
+      // later batch: duplicate of 1 dropped by state, new doc kept
+      input.addData(
+        Doc(5L, "the fast table is a good table of data"),
+        Doc(6L, "a slow scan of the wide fast table"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scurate").as[(Long, String)].collect().map(_._1).toSet
+    assert(got == Set(1L, 6L), s"got $got")
+  }
+
   test("split: disjoint, exhaustive, growth-stable assignment") {
     val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
     val out = Sampling.split(docs, "doc_id", splits)
