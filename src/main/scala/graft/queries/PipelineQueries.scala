@@ -147,6 +147,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
 
+    // Multi-epoch mixture: budget = full token total, so the up-weighted
+    // sources repeat (rate > 1) — every copy a row tagged with its epoch.
+    // No source hits the epoch cap, so the closed-form rate is exact.
+    "q_pipeline_mix_epochs" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val total = docs.agg(sum(col("n_chars")).cast("long")).first.getLong(0)
+      val weights = ((0 to 4).map(i => s"src$i" -> 3.0) ++
+        (5 to 14).map(i => s"src$i" -> 1.0)).toMap
+      Mixing.mixWithRepetition(docs, "doc_id", "n_chars", "source", weights,
+          budget = total, maxEpochs = 8.0)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Sequence packing: every doc's global token interval and sequence
     // span at seq_len 512 over the salted-hash-ordered token stream.
     "q_pipeline_pack" -> ((s, d) => {
@@ -502,6 +516,28 @@ object PipelineQueries {
         |WHERE CAST(('0x'||substr(md5('graft-mix'||d.doc_id),1,15)) AS BIGINT)
         |  % 10000 < r.r4
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pipeline_mix_epochs" ->
+      """WITH stats AS (SELECT source, CAST(sum(n_chars) AS BIGINT) atok
+        |               FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS b FROM documents),
+        |w AS (SELECT source, atok,
+        |        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |             THEN 3.0
+        |             WHEN source IN ('src15','src16','src17','src18','src19')
+        |             THEN NULL ELSE 1.0 END wt FROM stats),
+        |rates AS (SELECT source,
+        |            CAST(floor((SELECT b FROM tot) * wt / 25.0 / atok
+        |              * 10000) AS BIGINT) r4
+        |          FROM w WHERE wt IS NOT NULL),
+        |x AS (SELECT d.doc_id, d.source, r.r4 // 10000 AS fullc,
+        |        CASE WHEN
+        |          CAST(('0x'||substr(md5('graft-mix'||d.doc_id),1,15)) AS BIGINT)
+        |            % 10000 < r.r4 % 10000 THEN 1 ELSE 0 END AS frac
+        |      FROM documents d JOIN rates r ON d.source = r.source)
+        |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+        |FROM x, unnest(range(0, fullc + frac)) AS t(e)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_pipeline_pack" ->
       """WITH k AS (SELECT doc_id AS doc,

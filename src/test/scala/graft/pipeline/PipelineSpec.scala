@@ -496,6 +496,30 @@ class PipelineSpec extends AnyFunSuite {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
   }
 
+  test("epoch rates and repetition mix: small sources repeat, copies tagged") {
+    // a:100 b:1000 tokens, a weighted 9:1 — its target (900) is 9 epochs,
+    // capped at 3; the freed budget flows to b
+    val r = Mixing.epochRates(Map("a" -> 100L, "b" -> 1000L),
+      Map("a" -> 9.0, "b" -> 1.0), budget = 1000L, maxEpochs = 3.0)
+    assert(r("a") == 3.0, s"capped at maxEpochs: $r")
+    assert(r("b") == 0.7, s"remainder redistributed: $r")
+    // rate 2.5 → every doc twice, ~half a third time, epochs 0/1/2
+    val docs2 = docs.withColumn("source", lit("s"))
+      .withColumn("tok", lit(10L))
+    val out = Mixing.mixWithRepetition(docs2, "doc_id", "tok", "source",
+      Map("s" -> 1.0), budget = 125L, maxEpochs = 4.0)
+    val byDoc = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc.values.forall(n => n == 2L || n == 3L),
+      s"2 full epochs + fractional third: $byDoc")
+    assert(out.select("epoch").as[Long].collect().toSet.subsetOf(Set(0L, 1L, 2L)))
+    // determinism: identical rerun
+    val again = Mixing.mixWithRepetition(docs2, "doc_id", "tok", "source",
+      Map("s" -> 1.0), 125L, 4.0)
+    assert(again.select("doc_id", "epoch").as[(Long, Long)].collect().sorted
+      .sameElements(out.select("doc_id", "epoch").as[(Long, Long)].collect().sorted))
+  }
+
   test("packing: contiguous deterministic layout and sequence spans") {
     val sized = docs.withColumn("tok", length(col("text")).cast("long"))
     val packed = Packing.pack(sized, "doc_id", "tok", seqLen = 64)
