@@ -199,6 +199,34 @@ object TextAnalysis {
     ranked
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * windows of `chunkTokens` tokens overlapping by `overlap` — the
+    * long-document preprocessing step before embedding or training on a
+    * fixed context. Starts advance by the stride (chunk − overlap); a
+    * tail start whose window would sit entirely inside the previous
+    * chunk's coverage (start ≥ n − overlap, start > 0) is dropped, so
+    * coverage is complete with bounded duplication. Pure per-row
+    * explode — no shuffle, stream-safe. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens $chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"))
+      .withColumn("__start", explode(filter(
+        sequence(lit(0), col("__n") - 1, lit(stride)),
+        s => s === 0 || s < col("__n") - overlap)))
+      .select(col(idCol),
+        (col("__start") / stride).cast(LongType).as("chunk_idx"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast(LongType)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1,
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Corpus vocabulary: the top-k tokens by total frequency, with both
     * term frequency (total occurrences) and document frequency (docs
     * containing the token) — the input to tokenizer training, OOV

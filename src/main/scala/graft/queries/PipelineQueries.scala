@@ -126,6 +126,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: 32-token windows with 8-token overlap per
+    // document — pure per-row explode, stream-safe.
+    "q_text_chunk" -> ((s, d) => {
+      TextAnalysis.chunk(Td.documents(s, d), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Corpus vocabulary: top-k tokens by total frequency with tf + df,
     // deterministic tie-break on token text.
     "q_text_vocab" -> ((s, d) => {
@@ -485,6 +493,17 @@ object PipelineQueries {
         |  CAST(('0x'||substr(md5('graft-split'||doc_id),1,15)) AS BIGINT)
         |    % 10000 AS b FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks,
+        |  len(string_split(text,' ')) n FROM documents),
+        |s AS (SELECT doc_id, toks, n, CAST(t2.s AS BIGINT) AS st
+        |      FROM t, unnest(range(0, n, 24)) AS t2(s)
+        |      WHERE t2.s = 0 OR t2.s < n - 8)
+        |SELECT doc_id, st // 24 AS chunk_idx,
+        |  least(32, n - st) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok

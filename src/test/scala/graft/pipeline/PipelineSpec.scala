@@ -486,6 +486,25 @@ class PipelineSpec extends AnyFunSuite {
       Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("chunking: overlapping windows, full coverage, no contained tails") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))) // 10 tokens
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(d, "doc_id", "text", chunkTokens = 8, overlap = 4)
+      .orderBy(col("chunk_idx"))
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // starts 0 and 4; start 8 (>= n - overlap = 6) would be fully inside
+    // chunk 1's coverage and is dropped
+    assert(got.length == 2, s"got ${got.toSeq}")
+    assert(got(0) == ((0L, 8L, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(got(1) == ((1L, 6L, (5 to 10).map(i => s"t$i").mkString(" "))))
+    // a doc shorter than one chunk yields exactly one whole-doc chunk
+    val short = TextAnalysis.chunk(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .collect()
+    assert(short.length == 1 && short(0).getAs[String]("chunk_text") == "a b c")
+  }
+
   test("vocabulary: tf/df ranked with deterministic tie-break") {
     val v = TextAnalysis.vocabulary(docs, "doc_id", "text", k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
