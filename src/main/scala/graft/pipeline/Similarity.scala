@@ -163,6 +163,28 @@ object Similarity {
         col("cell_id")),
       queries, centroids, idCol, vecCol, k, nprobe)
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * max-abs scale, each component rounded to [-127, 127] — 4× less
+    * storage/bandwidth than float32, the standard compression for
+    * billion-vector corpora (dot products on int8 + one scale multiply
+    * reconstruct scores to ~1e-2). All arithmetic in DOUBLE with
+    * away-from-zero rounding, so any engine reproduces the exact bytes.
+    * Zero vectors keep scale 0 and an all-zero code. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol),
+      x => abs(x.cast("double"))))
+    df.select(col(idCol),
+      scale.as("q_scale"),
+      transform(col(vecCol), x =>
+        when(scale === 0d, lit(0))
+          .otherwise(round(x.cast("double") / scale * 127))
+          .cast("byte")).as("q_vec"))
+  }
+
+  /** Dequantize back to doubles: component * scale / 127. */
+  def dequantizeInt8(qVec: Column, qScale: Column): Column =
+    transform(qVec, q => q.cast("double") * qScale / 127d)
+
   /** Embedding near-dup: each vector's nearest neighbor (cosine) WITHIN its
     * coarse IVF cell — the argmax formulation avoids float-threshold
     * boundary effects, and the cell bucketing is what makes it a 100 TB

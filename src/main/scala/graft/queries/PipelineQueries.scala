@@ -81,6 +81,16 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // int8 embedding quantization: exact byte parity via double math +
+    // away-from-zero rounding; the code vector hashes compactly.
+    "q_embed_quant" -> ((s, d) => {
+      Similarity.quantizeInt8(Td.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          floor(col("q_scale") * 1000000 + 0.5).cast("long").as("scale_6"),
+          md5(concat_ws(",", col("q_vec"))).as("q_hash"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_embed_nn" -> ((s, d) => {
       Similarity.nearestNeighbor(Td.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("v_id"))
@@ -557,6 +567,18 @@ object PipelineQueries {
         |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
         |FROM x, unnest(range(0, fullc + frac)) AS t(e)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(floor(s*1000000+0.5) AS BIGINT) AS scale_6,
+        |  md5(array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN s = 0 THEN 0
+        |         ELSE round(CAST(x AS DOUBLE)/s*127) END AS TINYINT)), ','))
+        |    AS q_hash
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_pipeline_pack" ->
       """WITH k AS (SELECT doc_id AS doc,

@@ -362,6 +362,28 @@ class PipelineSpec extends AnyFunSuite {
       out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("int8 quantization: bounded codes, small roundtrip error, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(3.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    val rows = q.orderBy("vec_id").collect()
+    val c1 = rows(0).getSeq[Byte](2)
+    assert(c1 == Seq[Byte](64, -127, 32), s"codes $c1") // round(.5*127)=64
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getSeq[Byte](2) == Seq[Byte](0, 0, 0),
+      "zero vector: scale 0, zero code")
+    assert(rows(2).getSeq[Byte](2) == Seq[Byte](127))
+    // dequantized values land within half a quantization step
+    val back = q.select(col("vec_id"),
+        Similarity.dequantizeInt8(col("q_vec"), col("q_scale")).as("d"))
+      .filter(col("vec_id") === 1L).collect()(0).getSeq[Double](1)
+    Seq(0.5, -1.0, 0.25).zip(back).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1.0 / 254 + 1e-9, s"$x vs $y")
+    }
+  }
+
   test("IVF at rest: partitioned index, dynamic pruning, parity with in-memory") {
     // 40 vectors around 4 well-separated anchors; anchors double as
     // centroids, so every cell has 10 members
