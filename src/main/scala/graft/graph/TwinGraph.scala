@@ -63,6 +63,25 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
     out.unionByName(in).limit(limit)
   }
 
+  /** Degree statistics: per-twin out/in/total degree over the
+    * relationship table — the first graph-health query run on any large
+    * graph (hub detection, skew planning for traversal joins). Two
+    * map-side-combined aggregations + outer joins back onto the twin
+    * set, so isolated twins report zero instead of vanishing. */
+  def degrees(): DataFrame = {
+    val outD = relationships.groupBy(col("source_id").as("dt_id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inD = relationships.groupBy(col("target_id").as("dt_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    twins.select(col("dt_id"))
+      .join(outD, Seq("dt_id"), "left_outer")
+      .join(inD, Seq("dt_id"), "left_outer")
+      .select(col("dt_id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+
   // -------- C1: IS_OF_MODEL --------
 
   /** Twins whose model equals `modelId` or (unless exact) inherits from it.

@@ -64,6 +64,12 @@ object GraphQueries {
         .orderBy(col("relationship_id")).limit(50)
     }),
 
+    // Degree statistics: per-twin out/in/total degree, isolated twins
+    // report zero — the hub-detection / skew-planning query.
+    "q_graph_degrees" -> ((s, d) => {
+      GraphViews.graph(s, d).degrees().orderBy(col("dt_id"))
+    }),
+
     // Semantic model search (Models.cs:883-931): rank models by L2
     // distance between their stored embedding and a query vector, with a
     // lexical needle filtering first. Fixed-point squared distance (the
@@ -158,6 +164,19 @@ object GraphQueries {
          |  CASE WHEN source_id = 'N3' THEN 'out' ELSE 'in' END AS direction
          |FROM $relsSql r WHERE source_id = 'N3' OR target_id = 'N3'
          |ORDER BY relationship_id LIMIT 50""".stripMargin,
+    "q_graph_degrees" ->
+      s"""WITH o AS (SELECT source_id AS dt_id, count(*) AS out_degree
+         |           FROM $relsSql r GROUP BY 1),
+         |i AS (SELECT target_id AS dt_id, count(*) AS in_degree
+         |      FROM $relsSql r2 GROUP BY 1)
+         |SELECT t.dt_id,
+         |  CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+         |  CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+         |  CAST(coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0)
+         |    AS BIGINT) AS degree
+         |FROM $twinsSql t
+         |LEFT JOIN o ON t.dt_id = o.dt_id LEFT JOIN i ON t.dt_id = i.dt_id
+         |ORDER BY t.dt_id""".stripMargin,
     "q_c1_is_of_model" ->
       s"""SELECT model_id, count(*) AS n FROM $twinsSql t
          |WHERE model_id IN ('dtmi:graft:Nation;1','dtmi:graft:Customer;1','dtmi:graft:Supplier;1')
