@@ -36,36 +36,13 @@ object Mixing {
     */
   def waterfillRates(available: Map[String, Long], weights: Map[String, Double],
       budget: Long): Map[String, Double] = {
-    require(budget >= 0, s"budget $budget must be >= 0")
-    require(weights.values.forall(_ >= 0), "weights must be >= 0")
-    var saturated = Set.empty[String]
-    var rates = Map.empty[String, Double]
-    var remaining = budget.toDouble
-    var stable = false
-    val eligible = available.keySet.filter(s => weights.getOrElse(s, 0.0) > 0)
-    while (!stable) {
-      val open = eligible -- saturated
-      val wsum = open.toSeq.map(weights(_)).sum
-      if (open.isEmpty || wsum <= 0) stable = true
-      else {
-        // targets for the open sources from the remaining budget
-        val newlySat = open.filter { s =>
-          remaining * weights(s) / wsum >= available(s).toDouble
-        }
-        if (newlySat.isEmpty) {
-          rates = open.map { s =>
-            val t = remaining * weights(s) / wsum
-            s -> math.floor(t / available(s).toDouble * 10000) / 10000
-          }.toMap
-          stable = true
-        } else {
-          saturated ++= newlySat
-          remaining -= newlySat.toSeq.map(available(_).toDouble).sum
-          if (remaining < 0) remaining = 0
-        }
-      }
-    }
-    (saturated.map(_ -> 1.0) ++ rates).toMap
+    // the no-repetition fill IS the epoch fill with a 1.0 cap; 0-token
+    // eligible sources saturate trivially (nothing to sample) instead of
+    // being dropped, preserving "everything from an exhausted source"
+    epochRates(available, weights, budget, maxEpochs = 1.0) ++
+      available.keySet
+        .filter(s => weights.getOrElse(s, 0.0) > 0 && available(s) == 0L)
+        .map(_ -> 1.0).toMap
   }
 
   /** Per-source MULTI-EPOCH rates: like [[waterfillRates]] but a source
@@ -76,6 +53,7 @@ object Mixing {
   def epochRates(available: Map[String, Long], weights: Map[String, Double],
       budget: Long, maxEpochs: Double = 4.0): Map[String, Double] = {
     require(budget >= 0, s"budget $budget must be >= 0")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
     require(maxEpochs >= 1.0, s"maxEpochs $maxEpochs must be >= 1")
     var capped = Set.empty[String]
     var rates = Map.empty[String, Double]
@@ -114,16 +92,21 @@ object Mixing {
     * the copies so downstream packing/shuffling treats them as rows.
     * The copy fan-out is a per-row `explode(sequence(...))` — no joins
     * beyond the broadcast rate table, no corpus shuffle. */
+  /** Per-source token totals, null-safe (see [[mix]]'s contract notes). */
+  private def availableTokens(docs: DataFrame, tokenCol: String,
+      sourceCol: String): Map[String, Long] =
+    docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__atok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   def mixWithRepetition(docs: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, weights: Map[String, Double], budget: Long,
       maxEpochs: Double = 4.0, salt: String = "graft-mix"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val available = docs.filter(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol))
-      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__atok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates = epochRates(available, weights, budget, maxEpochs)
+    val rates = epochRates(availableTokens(docs, tokenCol, sourceCol),
+      weights, budget, maxEpochs)
     val rateDf = rates.toSeq.map { case (s, r) =>
       (s, math.round(r * 10000)) }.toDF(sourceCol, "__rate4")
     docs.join(broadcast(rateDf), Seq(sourceCol))
@@ -147,15 +130,12 @@ object Mixing {
       salt: String = "graft-mix"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // null-safe per-source totals: an all-null token column sums to null
-    // (→ 0 here, the source just saturates trivially), and a null source
-    // key can't carry a weight — those docs are excluded from the mix,
-    // the same as a source absent from the weight map
-    val available = docs.filter(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol))
-      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("long").as("__atok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates = waterfillRates(available, weights, budget)
+    // null-safety contract: an all-null token column sums to null (→ 0,
+    // the source saturates trivially), and a null source key can't carry
+    // a weight — those docs are excluded from the mix, the same as a
+    // source absent from the weight map
+    val rates = waterfillRates(
+      availableTokens(docs, tokenCol, sourceCol), weights, budget)
     val rateDf = rates.toSeq.map { case (s, r) =>
       (s, math.round(r * 10000)) }.toDF(sourceCol, "__rate4")
     docs.join(broadcast(rateDf), Seq(sourceCol))

@@ -171,14 +171,18 @@ object Similarity {
     * away-from-zero rounding, so any engine reproduces the exact bytes.
     * Zero vectors keep scale 0 and an all-zero code. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scale = array_max(transform(col(vecCol),
-      x => abs(x.cast("double"))))
-    df.select(col(idCol),
-      scale.as("q_scale"),
-      transform(col(vecCol), x =>
-        when(scale === 0d, lit(0))
-          .otherwise(round(x.cast("double") / scale * 127))
-          .cast("byte")).as("q_vec"))
+    // two projections: the scale must be a MATERIALIZED column before the
+    // per-element lambda references it — higher-order functions evaluate
+    // interpreted with no common-subexpression elimination, so an inline
+    // array_max would re-scan the whole vector for every element (O(d²))
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("q_scale",
+        array_max(transform(col("__v"), x => abs(x.cast("double")))))
+      .select(col(idCol), col("q_scale"),
+        transform(col("__v"), x =>
+          when(col("q_scale") === 0d, lit(0))
+            .otherwise(round(x.cast("double") / col("q_scale") * 127))
+            .cast("byte")).as("q_vec"))
   }
 
   /** Dequantize back to doubles: component * scale / 127. */

@@ -215,7 +215,11 @@ object TextAnalysis {
     val stride = chunkTokens - overlap
     val toks = tokens(col(textCol))
     val n = size(toks)
-    df.select(col(idCol), toks.as("__toks"), n.as("__n"))
+    // null/blank documents produce NO chunks (same contract as shingles'
+    // short-doc rule) — without this, "" tokenizes to [""] and would emit
+    // a phantom chunk with chunk_text "" but n_chunk_tokens 1
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), toks.as("__toks"), n.as("__n"))
       .withColumn("__start", explode(filter(
         sequence(lit(0), col("__n") - 1, lit(stride)),
         s => s === 0 || s < col("__n") - overlap)))

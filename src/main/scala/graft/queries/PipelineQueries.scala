@@ -173,6 +173,17 @@ object PipelineQueries {
       val total = docs.agg(sum(col("n_chars")).cast("long")).first.getLong(0)
       val weights = ((0 to 4).map(i => s"src$i" -> 3.0) ++
         (5 to 14).map(i => s"src$i" -> 1.0)).toMap
+      // the oracle is the unsaturated closed form — fail LOUDLY (verify
+      // records the error) rather than hash-diverge if a future fixture
+      // ever pushes a source into the epoch cap
+      locally {
+        val avail = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).cast("long")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rates = Mixing.epochRates(avail, weights, total, maxEpochs = 8.0)
+        require(rates.values.forall(_ < 8.0),
+          s"q_pipeline_mix_epochs fixture saturates the epoch cap: $rates")
+      }
       Mixing.mixWithRepetition(docs, "doc_id", "n_chars", "source", weights,
           budget = total, maxEpochs = 8.0)
         .select(col("doc_id"), col("source"), col("epoch"))
@@ -506,7 +517,8 @@ object PipelineQueries {
 
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks,
-        |  len(string_split(text,' ')) n FROM documents),
+        |  len(string_split(text,' ')) n FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
         |s AS (SELECT doc_id, toks, n, CAST(t2.s AS BIGINT) AS st
         |      FROM t, unnest(range(0, n, 24)) AS t2(s)
         |      WHERE t2.s = 0 OR t2.s < n - 8)
@@ -539,7 +551,7 @@ object PipelineQueries {
         |rates AS (SELECT source,
         |            CAST(floor((SELECT b FROM tot) * wt / 25.0 / atok
         |              * 10000) AS BIGINT) r4
-        |          FROM w WHERE wt IS NOT NULL)
+        |          FROM w WHERE wt IS NOT NULL AND atok > 0)
         |SELECT d.doc_id, d.source FROM documents d
         |JOIN rates r ON d.source = r.source
         |WHERE CAST(('0x'||substr(md5('graft-mix'||d.doc_id),1,15)) AS BIGINT)
@@ -558,7 +570,7 @@ object PipelineQueries {
         |rates AS (SELECT source,
         |            CAST(floor((SELECT b FROM tot) * wt / 25.0 / atok
         |              * 10000) AS BIGINT) r4
-        |          FROM w WHERE wt IS NOT NULL),
+        |          FROM w WHERE wt IS NOT NULL AND atok > 0),
         |x AS (SELECT d.doc_id, d.source, r.r4 // 10000 AS fullc,
         |        CASE WHEN
         |          CAST(('0x'||substr(md5('graft-mix'||d.doc_id),1,15)) AS BIGINT)
