@@ -130,6 +130,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    }),
+
+    // Bloom semi-join: fact rows whose order survives a selective
+    // dimension filter — bloom-negative rows die at scan speed, only the
+    // residual shuffles, result exactly the SQL semi-join.
+    "q_bloom_semijoin" -> ((s, d) => {
+      graft.operators.BloomSemiJoin.semiJoin(
+        Td.lineitem(s, d),
+        Td.orders(s, d).filter(col("o_totalprice") > 400000),
+        "l_orderkey", "o_orderkey", numBits = 1 << 16, numHashes = 5)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Bloom anti-join: the definitely-absent shortcut — bloom-negative
+    // rows skip the join entirely, bloom-positive rows anti-join for real.
+    "q_bloom_anti" -> ((s, d) => {
+      graft.operators.BloomSemiJoin.antiJoin(
+        Td.lineitem(s, d),
+        Td.orders(s, d).filter(col("o_totalprice") > 400000),
+        "l_orderkey", "o_orderkey", numBits = 1 << 16, numHashes = 5)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -187,6 +210,16 @@ object RelationalQueries {
     "q_b12_unwind" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_bloom_semijoin" ->
+      """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_bloom_anti" ->
+      """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -252,4 +252,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
       .findAllIn(pk).size >= 2, s"kmv must partial-aggregate:\n$pk")
   }
+
+  test("bloom semi-join: probe-side bitset filter before the join, no BNLJ") {
+    val p = plan("q_bloom_semijoin")
+    // the membership test (element_at on the words literal) must sit in a
+    // probe-side Filter — definitely-absent rows die before any exchange
+    assert(p.contains("element_at"),
+      s"bloom pre-filter missing from the probe side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"residual must finish as a hash semi-join:\n$p")
+    assert(p.contains("LeftSemi"), s"exactness comes from the real semi-join:\n$p")
+  }
 }
