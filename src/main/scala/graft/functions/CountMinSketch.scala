@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Count-Min frequency sketch as a typed [[Aggregator]] — the frequency
+  * sibling of [[KmvSketch]]: fixed `depth × width` counter grid, each row
+  * increments one counter per depth row, estimate = min over rows. State
+  * is bounded (depth·width longs) no matter the input size, partials
+  * merge by element-wise sum (map-side combine for free), and the error
+  * is one-sided: est ≥ true count, est ≤ true + 2n/width w.p. 1-2^-depth.
+  *
+  * Like KMV — and unlike `count_min_sketch`'s opaque binary — the state
+  * is DETERMINISTIC: positions come from md5 double hashing (the
+  * [[graft.operators.BloomSemiJoin]] scheme) and integer addition
+  * commutes, so the grid is identical on any engine, any row order, any
+  * partitioning, and an oracle can reproduce the exact estimates.
+  */
+object CountMinSketch {
+
+  /** (h1, h2) = 60-bit md5 hex halves of the key, each mod width;
+    * depth-row i uses bucket (h1 + i·h2) % width. */
+  private[graft] def hashPair(key: String, width: Int): (Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width,
+      java.lang.Long.parseLong(hex.substring(15, 30), 16) % width)
+  }
+
+  case class CmAgg(width: Int, depth: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(width >= 2 && depth >= 1 && depth <= 16,
+      s"count-min grid ${depth}x$width out of range")
+    def zero: Array[Long] = new Array[Long](width * depth)
+    def reduce(b: Array[Long], key: String): Array[Long] = {
+      if (key != null) {
+        val (h1, h2) = hashPair(key, width)
+        var i = 0
+        while (i < depth) {
+          b(i * width + ((h1 + i * h2) % width).toInt) += 1L
+          i += 1
+        }
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Aggregate column: `countMin(8192, 4)(keyCol)` → the counter grid. */
+  def countMin(width: Int, depth: Int)(key: Column): Column =
+    udaf(CmAgg(width, depth), Encoders.STRING).apply(key)
+
+  /** Point estimate for one key from a finished grid. */
+  def estimate(grid: Seq[Long], width: Int, depth: Int, key: String): Long = {
+    val (h1, h2) = hashPair(key, width)
+    (0 until depth).map(i => grid(i * width + ((h1 + i * h2) % width).toInt)).min
+  }
+}

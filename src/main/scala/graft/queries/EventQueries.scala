@@ -112,6 +112,22 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Count-Min frequency sketch: bounded depth×width counter grid whose
+    // STATE is deterministic (md5 double hashing + commutative adds, vs
+    // count_min_sketch's opaque binary) — the oracle rebuilds the exact
+    // grid and reproduces every estimate. Probes = first 20 user ids.
+    "q_sketch_countmin" -> ((s, d) => {
+      import s.implicits._
+      val ev = Td.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("k"))
+      val g = ev.select(graft.functions.CountMinSketch.countMin(8192, 4)(col("k")))
+        .head.getSeq[Long](0)
+      val probes = ev.distinct.orderBy(col("k")).limit(20).as[String].collect()
+      probes.toSeq
+        .map(k => (k, graft.functions.CountMinSketch.estimate(g, 8192, 4, k)))
+        .toDF("key", "est").orderBy(col("key"))
+    }),
+
     // Gap-based sessionization: 30-minute-silence session rollup per
     // user — one shuffle + per-key window, no self-join.
     "q_sessionize" -> ((s, d) => {
@@ -179,6 +195,25 @@ object EventQueries {
         |FROM clicks c JOIN purchases p
         |  ON c.user_id = p.user_id AND p.st <= c.ts AND c.ts < p.en
         |ORDER BY 1, 3""".stripMargin,
+    "q_sketch_countmin" ->
+      """WITH rows_h AS (SELECT
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    % 8192 AS h1,
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15)) AS BIGINT)
+        |    % 8192 AS h2
+        |  FROM events WHERE user_id IS NOT NULL),
+        |buckets AS (SELECT t.i, (h1 + t.i*h2) % 8192 AS b, count(*) AS c
+        |  FROM rows_h, unnest(range(0,4)) AS t(i) GROUP BY 1,2),
+        |keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE user_id IS NOT NULL ORDER BY 1 LIMIT 20),
+        |kh AS (SELECT k,
+        |  CAST(('0x'||substr(md5(k),1,15)) AS BIGINT) % 8192 AS h1,
+        |  CAST(('0x'||substr(md5(k),16,15)) AS BIGINT) % 8192 AS h2 FROM keys),
+        |pe AS (SELECT kh.k, t.i, (kh.h1 + t.i*kh.h2) % 8192 AS b
+        |  FROM kh, unnest(range(0,4)) AS t(i))
+        |SELECT pe.k AS key, CAST(min(coalesce(bu.c, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN buckets bu ON pe.i = bu.i AND pe.b = bu.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
