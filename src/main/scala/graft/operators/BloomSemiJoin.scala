@@ -21,22 +21,34 @@ import org.apache.spark.sql.functions._
   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects the same
   * idea opportunistically; this operator makes it explicit, REUSABLE
   * across queries (build once, probe many), and deterministic: the bits
-  * derive from md5 double-hashing (same scheme as
-  * [[graft.pipeline.TextAnalysis.stableId]]), and bit-OR is commutative,
-  * so the sketch bytes are identical on any engine, any partitioning,
-  * any row order — unlike `bloom_filter_agg`, whose serialized form is
-  * implementation-defined.
+  * derive from xxhash64 double-hashing and bit-OR is commutative, so the
+  * sketch bytes are identical for any partitioning and any row order —
+  * unlike `bloom_filter_agg`, whose serialized form is
+  * implementation-defined. xxhash64 rather than the repo's usual md5
+  * scheme because the membership test runs per probe-side ROW inside a
+  * Filter, where codegen does no common-subexpression elimination: k=5
+  * probes evaluate the hash 10×/row, and a native long hash keeps that
+  * at ~ns instead of md5+hex-parse string machinery (~µs). The builder
+  * reproduces the Column-side value through the same catalyst
+  * [[XxHash64Function]] fold (seed 42, then the probe index).
   */
 object BloomSemiJoin {
 
-  /** Deterministic double hash of a key's canonical string form: the two
-    * 60-bit halves of md5 hex, each reduced mod numBits. Bit i of the
-    * filter is h1 + i*h2 (Kirsch-Mitzenmacher double hashing). */
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Deterministic double hash of a key's canonical string form, each
+    * value reduced into [0, numBits). h1 = xxhash64(key), h2 =
+    * xxhash64(key, 1) — exactly Spark's `xxhash64(col)` and
+    * `xxhash64(col, lit(1))` folds, so builder and probe agree. Bit i of
+    * the filter is h1 + i*h2 (Kirsch-Mitzenmacher double hashing). */
   private def hashPair(key: String, numBits: Int): (Long, Long) = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % numBits,
-      java.lang.Long.parseLong(hex.substring(15, 30), 16) % numBits)
+    val s = UTF8String.fromString(key)
+    val h1 = XxHash64Function.hash(s, StringType, 42L)
+    val h2 = XxHash64Function.hash(1L, LongType, h1)
+    (((h1 % numBits) + numBits) % numBits,
+      ((h2 % numBits) + numBits) % numBits)
   }
 
   /** The bitset builder as a typed aggregate: state = numBits/64 longs,
@@ -83,22 +95,22 @@ object BloomSemiJoin {
       .head.getSeq[Long](0).toArray
   }
 
-  /** Membership test as a pure-codegen Column over the same md5 double
-    * hash the builder used: false ⇒ key DEFINITELY absent, true ⇒
+  /** Membership test as a pure-codegen Column over the same xxhash64
+    * double hash the builder used: false ⇒ key DEFINITELY absent, true ⇒
     * present or false positive. Null keys test null (falsy in a filter).
     * The words ride along as a single array literal — constant-folded
     * per task, no join, no shuffle. */
   def mightContain(words: Array[Long], numBits: Int, numHashes: Int)(
       key: Column): Column = {
     val w = lit(words)
-    val hex = md5(key.cast("string"))
-    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long") % numBits
-    val h2 = conv(substring(hex, 16, 15), 16, 10).cast("long") % numBits
+    val ks = key.cast("string")
+    val h1 = pmod(xxhash64(ks), lit(numBits.toLong))
+    val h2 = pmod(xxhash64(ks, lit(1L)), lit(numBits.toLong))
     (0 until numHashes).map { i =>
       val pos = (h1 + lit(i.toLong) * h2) % numBits
-      element_at(w, floor(pos / 64).cast("int") + 1)
+      element_at(w, (shiftright(pos, 6) + 1).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L),
-          (pos % 64).cast("int"))) =!= lit(0L)
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
   }
 
