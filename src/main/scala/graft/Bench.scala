@@ -90,7 +90,10 @@ object Bench {
         dropSessionState()
         attempt += 1
       }
-      (name, if (err.isEmpty) best else -1.0, err)
+      // A query only counts as failed when NO attempt succeeded: if
+      // attempt 0 timed and attempt 1 threw, the valid timing stands.
+      val succeeded = best < Double.MaxValue
+      (name, if (succeeded) best else -1.0, if (succeeded) None else err)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

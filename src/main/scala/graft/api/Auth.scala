@@ -9,12 +9,14 @@ import graft.json.Json
   * permission-policy stack (ApiService/Program.cs:151-258,
   * ServiceDefaults/Authorization) re-expressed over the JDK.
   *
-  * Authentication is a self-contained HS256 JWT validation (signature,
-  * `exp`/`nbf`, `iss`, `aud`): the reference delegates RS256 validation to
-  * an OIDC authority's published keys, which a zero-egress build cannot
-  * fetch — symmetric HMAC over the same JWT wire format keeps every
-  * validation rule testable here while the asymmetric variant is a
-  * key-lookup away. Authorization mirrors the reference's permission
+  * Authentication is a self-contained JWT validation (signature,
+  * `exp`/`nbf`, `iss`, `aud`) for two algorithms: HS256 (shared secret)
+  * and RS256 against a locally-configured JWKS document — the reference
+  * delegates RS256 key *fetch* to an OIDC authority's metadata endpoint,
+  * which a zero-egress build cannot reach, but the RSA verification
+  * itself is pure JDK math; operators supply the authority's JWKS JSON
+  * via config/disk instead of a URL. Both algorithms share the same
+  * claim rules. Authorization mirrors the reference's permission
   * model exactly: `resource/action` strings
   * (Authorization/Models/Permission.cs:31-80) with wildcard grants,
   * parsed leniently (invalid entries skipped,
@@ -103,6 +105,10 @@ object Auth {
       audience: String,
       permissionsClaimName: String = "permissions",
       authorizationEnabled: Boolean = true,
+      requireExpiration: Boolean = true,
+      /** RFC 7517 JWKS document (the `{"keys":[...]}` JSON an OIDC
+        * authority serves at jwks_uri), enabling RS256 tokens. */
+      jwksJson: Option[String] = None,
       clock: () => Long = () => System.currentTimeMillis() / 1000)
 
   private def b64url(bytes: Array[Byte]): String =
@@ -116,10 +122,37 @@ object Auth {
     mac.doFinal(signingInput.getBytes("UTF-8"))
   }
 
+  /** kid → RSA public key from a JWKS document; parsed once per distinct
+    * document (the config string is stable for an API's lifetime). */
+  private val jwksCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, java.security.interfaces.RSAPublicKey]]()
+
+  private def jwksKeys(jwksJson: String): Map[String, java.security.interfaces.RSAPublicKey] =
+    jwksCache.computeIfAbsent(jwksJson, { s =>
+      import scala.jdk.CollectionConverters._
+      val keys = Option(Json.parse(s).get("keys")).toSeq
+        .flatMap(_.elements().asScala)
+      keys.flatMap { k =>
+        for {
+          kty <- Option(k.get("kty")).map(_.asText()) if kty == "RSA"
+          n <- Option(k.get("n")).map(_.asText())
+          e <- Option(k.get("e")).map(_.asText())
+        } yield {
+          val spec = new java.security.spec.RSAPublicKeySpec(
+            new java.math.BigInteger(1, b64urlDecode(n)),
+            new java.math.BigInteger(1, b64urlDecode(e)))
+          Option(k.get("kid")).map(_.asText()).getOrElse("") ->
+            java.security.KeyFactory.getInstance("RSA").generatePublic(spec)
+              .asInstanceOf[java.security.interfaces.RSAPublicKey]
+        }
+      }.toMap
+    })
+
   /** Validate `Authorization: Bearer <jwt>`: well-formed three-part
-    * compact JWS, HS256 header, constant-time signature check, then the
-    * reference's TokenValidationParameters (Program.cs:163-171) —
-    * issuer, audience (string or array), expiry, not-before. */
+    * compact JWS, HS256 (constant-time HMAC compare) or RS256 (JWKS kid
+    * lookup + SHA256withRSA) signature check, then the reference's
+    * TokenValidationParameters (Program.cs:163-171) — issuer, audience
+    * (string or array), expiry (required), not-before. */
   def validateBearer(header: Option[String], cfg: AuthConfig): Either[String, Principal] = {
     val token = header match {
       case Some(h) if h.regionMatches(true, 0, "Bearer ", 0, 7) => h.drop(7).trim
@@ -133,15 +166,41 @@ object Auth {
       try (Json.parse(new String(b64urlDecode(h64), "UTF-8")),
         Json.parse(new String(b64urlDecode(p64), "UTF-8")))
       catch { case _: Exception => return Left("malformed token") }
-    if (!Option(headerJson.get("alg")).map(_.asText()).contains("HS256"))
-      return Left("unsupported token algorithm")
-    val expected = hmac(cfg.secret, s"$h64.$p64")
     val given = try b64urlDecode(s64)
       catch { case _: Exception => return Left("malformed token signature") }
-    if (!java.security.MessageDigest.isEqual(expected, given))
-      return Left("invalid token signature")
+    Option(headerJson.get("alg")).map(_.asText()) match {
+      case Some("HS256") =>
+        if (!java.security.MessageDigest.isEqual(hmac(cfg.secret, s"$h64.$p64"), given))
+          return Left("invalid token signature")
+      case Some("RS256") =>
+        val jwks = cfg.jwksJson match {
+          case Some(j) => j
+          case None => return Left("no JWKS configured for RS256 tokens")
+        }
+        val keys = try jwksKeys(jwks)
+          catch { case _: Exception => return Left("malformed JWKS document") }
+        val key = Option(headerJson.get("kid")).map(_.asText()) match {
+          case Some(kid) => keys.get(kid)
+          // a kid-less token is only unambiguous against a 1-key JWKS
+          case None if keys.size == 1 => keys.values.headOption
+          case None => None
+        }
+        key match {
+          case None => return Left("unknown signing key")
+          case Some(pub) =>
+            val v = java.security.Signature.getInstance("SHA256withRSA")
+            v.initVerify(pub)
+            v.update(s"$h64.$p64".getBytes("UTF-8"))
+            val ok = try v.verify(given) catch { case _: Exception => false }
+            if (!ok) return Left("invalid token signature")
+        }
+      case _ => return Left("unsupported token algorithm")
+    }
     val now = cfg.clock()
+    // The reference's JwtBearer stack defaults RequireExpirationTime=true:
+    // a signed token without `exp` would otherwise never expire.
     val exp = Option(payload.get("exp")).map(_.asLong())
+    if (cfg.requireExpiration && exp.isEmpty) return Left("token missing expiry")
     if (exp.exists(_ <= now)) return Left("token expired")
     if (Option(payload.get("nbf")).map(_.asLong()).exists(_ > now))
       return Left("token not yet valid")

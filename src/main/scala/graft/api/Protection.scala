@@ -64,6 +64,12 @@ object Protection {
         Some(math.max(1L, (windowStart + windowMillis - now + 999) / 1000))
       else { used += n; None }
     }
+    /** Return a permit acquired this window — a request rejected by a
+      * LATER check must not erode the shared window for everyone else.
+      * No-op if the window already rolled over (the permit expired). */
+    def refund(n: Int = 1): Unit = synchronized {
+      if (clock() - windowStart < windowMillis) used = math.max(0, used - n)
+    }
   }
 
   /** Tier classification for a (method, path-segments) pair, mirroring
@@ -111,16 +117,63 @@ final class Protection(cfg: Protection.ProtectionConfig = Protection.ProtectionC
   }
   private val users = new ConcurrentHashMap[String, UserMetrics]()
 
-  /** Full admission check: global window → tier window → per-user
-    * concurrency → (query routes) complexity budget. On admission the
-    * per-user concurrent count is incremented — the caller MUST pair
-    * with [[release]] in a finally. */
+  /** Full admission check: per-user concurrency → (query routes)
+    * complexity budget → global window → tier window. Per-user checks run
+    * FIRST so a request destined for a per-user 429 never debits the
+    * shared windows (one user's rejected burst must not erode everyone
+    * else's capacity); a tier rejection refunds the already-debited
+    * global permit for the same reason. On admission the per-user
+    * concurrent count is incremented — the caller MUST pair with
+    * [[release]] in a finally. */
   def admit(method: String, segs: List[String], userId: String): Decision = {
+    val tier = classify(method, segs)
+    val m = users.computeIfAbsent(userId, _ => new UserMetrics)
+    // concurrency cap (DatabaseProtectionMiddleware.cs:43-56) — reserve
+    // the slot with a CAS loop so concurrent admits cannot both pass a
+    // stale check and overshoot the cap.
+    var reserved = false
+    while (!reserved) {
+      val cur = m.concurrent.get()
+      if (cur >= cfg.maxConcurrentRequestsPerUser)
+        return Rejected(1, s"maximum ${cfg.maxConcurrentRequestsPerUser} " +
+          "concurrent requests allowed per user")
+      reserved = m.concurrent.compareAndSet(cur, cur + 1)
+    }
+    def rollbackConcurrent(): Unit = m.concurrent.decrementAndGet()
+    // query complexity budget (DatabaseProtectionMiddleware.cs:58-74):
+    // checked before the request, debited by base complexity on entry;
+    // the executed query's real charge tops up via recordQueryCharge.
+    var complexityDebited = false
+    if (tier.contains(Tier.WeightedQuery)) {
+      m.synchronized {
+        val now = clockMs()
+        if (now - m.complexityWindowStart >= cfg.queryComplexityWindowSeconds * 1000) {
+          m.complexityWindowStart = now
+          m.complexitySpent = 0.0
+        }
+        if (m.complexitySpent > cfg.maxQueryComplexityPerWindow) {
+          rollbackConcurrent()
+          return Rejected(
+            math.max(1L, (m.complexityWindowStart +
+              cfg.queryComplexityWindowSeconds * 1000 - now) / 1000),
+            "query units limit exceeded; reduce query complexity or wait")
+        }
+        m.complexitySpent += cfg.baseQueryComplexity
+        complexityDebited = true
+      }
+    }
+    def rollbackUser(): Unit = {
+      if (complexityDebited) m.synchronized {
+        m.complexitySpent = math.max(0.0, m.complexitySpent - cfg.baseQueryComplexity)
+      }
+      rollbackConcurrent()
+    }
     global.tryAcquire() match {
-      case Some(retry) => return Rejected(retry, "global rate limit exceeded")
+      case Some(retry) =>
+        rollbackUser()
+        return Rejected(retry, "global rate limit exceeded")
       case None =>
     }
-    val tier = classify(method, segs)
     val tierResult = tier match {
       case Some(Tier.Light) => light.tryAcquire().map(r => (r, "light"))
       case Some(Tier.Medium) => medium.tryAcquire().map(r => (r, "medium"))
@@ -131,33 +184,11 @@ final class Protection(cfg: Protection.ProtectionConfig = Protection.ProtectionC
     }
     tierResult match {
       case Some((retry, name)) =>
+        global.refund()
+        rollbackUser()
         return Rejected(retry, s"$name operations rate limit exceeded")
       case None =>
     }
-    val m = users.computeIfAbsent(userId, _ => new UserMetrics)
-    // concurrency cap (DatabaseProtectionMiddleware.cs:43-56)
-    if (m.concurrent.get() >= cfg.maxConcurrentRequestsPerUser)
-      return Rejected(1, s"maximum ${cfg.maxConcurrentRequestsPerUser} " +
-        "concurrent requests allowed per user")
-    // query complexity budget (DatabaseProtectionMiddleware.cs:58-74):
-    // checked before the request, debited by base complexity on entry;
-    // the executed query's real charge tops up via recordQueryCharge.
-    if (tier.contains(Tier.WeightedQuery)) {
-      m.synchronized {
-        val now = clockMs()
-        if (now - m.complexityWindowStart >= cfg.queryComplexityWindowSeconds * 1000) {
-          m.complexityWindowStart = now
-          m.complexitySpent = 0.0
-        }
-        if (m.complexitySpent > cfg.maxQueryComplexityPerWindow)
-          return Rejected(
-            math.max(1L, (m.complexityWindowStart +
-              cfg.queryComplexityWindowSeconds * 1000 - now) / 1000),
-            "query units limit exceeded; reduce query complexity or wait")
-        m.complexitySpent += cfg.baseQueryComplexity
-      }
-    }
-    m.concurrent.incrementAndGet()
     Admitted
   }
 

@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions.udaf
   */
 object CountMinSketch {
 
-  /** (h1, h2) = 60-bit md5 hex halves of the key, each mod width;
-    * depth-row i uses bucket (h1 + i·h2) % width. */
+  /** (h1, h2) = 60-bit md5 hex halves of the key; depth-row i uses
+    * bucket (h1 + i·h2) % width. h2 is forced into [1, width-1]: a zero
+    * step would collapse every depth row onto bucket h1 for that key,
+    * voiding the depth-wise independence behind the 1-2^-depth bound. */
   private[graft] def hashPair(key: String, width: Int): (Long, Long) = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width,
-      java.lang.Long.parseLong(hex.substring(15, 30), 16) % width)
+      java.lang.Long.parseLong(hex.substring(15, 30), 16) % (width - 1) + 1)
   }
 
   case class CmAgg(width: Int, depth: Int)

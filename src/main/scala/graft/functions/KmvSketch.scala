@@ -57,5 +57,8 @@ object KmvSketch {
     * u_k is the k-th minimum normalized into (0,1]. */
   def estimate(sketch: Seq[Long], k: Int): Double =
     if (sketch.size < k) sketch.size.toDouble
+    // h_k == 0 would divide to Infinity; a full sketch whose k-th minimum
+    // is 0 degenerates to "at least k distinct" — report k.
+    else if (sketch.last == 0L) k.toDouble
     else (k - 1) * HashDomain / sketch.last.toDouble
 }

@@ -200,7 +200,7 @@ object EventQueries {
         |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
         |    % 8192 AS h1,
         |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15)) AS BIGINT)
-        |    % 8192 AS h2
+        |    % 8191 + 1 AS h2
         |  FROM events WHERE user_id IS NOT NULL),
         |buckets AS (SELECT t.i, (h1 + t.i*h2) % 8192 AS b, count(*) AS c
         |  FROM rows_h, unnest(range(0,4)) AS t(i) GROUP BY 1,2),
@@ -208,7 +208,7 @@ object EventQueries {
         |  WHERE user_id IS NOT NULL ORDER BY 1 LIMIT 20),
         |kh AS (SELECT k,
         |  CAST(('0x'||substr(md5(k),1,15)) AS BIGINT) % 8192 AS h1,
-        |  CAST(('0x'||substr(md5(k),16,15)) AS BIGINT) % 8192 AS h2 FROM keys),
+        |  CAST(('0x'||substr(md5(k),16,15)) AS BIGINT) % 8191 + 1 AS h2 FROM keys),
         |pe AS (SELECT kh.k, t.i, (kh.h1 + t.i*kh.h2) % 8192 AS b
         |  FROM kh, unnest(range(0,4)) AS t(i))
         |SELECT pe.k AS key, CAST(min(coalesce(bu.c, 0)) AS BIGINT) AS est

@@ -111,6 +111,72 @@ class AuthSpec extends AnyFunSuite {
     assert(check(arrTok).isRight)
   }
 
+  test("token without exp is rejected (RequireExpirationTime parity)") {
+    // mintToken always stamps exp — hand-build an exp-less payload: a
+    // signed token with no expiry must not become a permanent credential
+    def expless(secretKey: String): String = {
+      val h = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+        """{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+      val p = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+        s"""{"iss":"${cfg.issuer}","aud":"graft-api","sub":"u"}""".getBytes("UTF-8"))
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(secretKey.getBytes("UTF-8"), "HmacSHA256"))
+      val sig = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(mac.doFinal(s"$h.$p".getBytes("UTF-8")))
+      s"$h.$p.$sig"
+    }
+    val r = validateBearer(Some(s"Bearer ${expless(secret)}"), cfg)
+    assert(r.swap.toOption.get.contains("expiry"), s"expected missing-expiry rejection: $r")
+    // opt-out flag restores the lenient mode
+    assert(validateBearer(Some(s"Bearer ${expless(secret)}"),
+      cfg.copy(requireExpiration = false)).isRight)
+  }
+
+  test("RS256 against a local JWKS: accept, bad sig, wrong kid, expired") {
+    import java.security.{KeyPairGenerator, Signature}
+    import java.security.interfaces.{RSAPrivateKey, RSAPublicKey}
+    def b64(b: Array[Byte]) =
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    def unsignedBigEndian(i: java.math.BigInteger): Array[Byte] = {
+      val raw = i.toByteArray
+      if (raw(0) == 0) raw.drop(1) else raw // strip the sign byte
+    }
+    val gen = KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val pair = gen.generateKeyPair()
+    val rogue = gen.generateKeyPair()
+    val pub = pair.getPublic.asInstanceOf[RSAPublicKey]
+    val jwks =
+      s"""{"keys":[{"kty":"RSA","kid":"key-1","use":"sig","alg":"RS256",
+         |"n":"${b64(unsignedBigEndian(pub.getModulus))}",
+         |"e":"${b64(unsignedBigEndian(pub.getPublicExponent))}"}]}""".stripMargin
+    val rsCfg = cfg.copy(jwksJson = Some(jwks))
+    def mint(priv: RSAPrivateKey, kid: String, expiresIn: Long = 3600): String = {
+      val now = System.currentTimeMillis() / 1000
+      val h = b64(s"""{"alg":"RS256","typ":"JWT","kid":"$kid"}""".getBytes("UTF-8"))
+      val p = b64((s"""{"iss":"${cfg.issuer}","aud":"graft-api","sub":"u",""" +
+        s""""exp":${now + expiresIn}}""").getBytes("UTF-8"))
+      val s = Signature.getInstance("SHA256withRSA")
+      s.initSign(priv)
+      s.update(s"$h.$p".getBytes("UTF-8"))
+      s"$h.$p.${b64(s.sign())}"
+    }
+    val priv = pair.getPrivate.asInstanceOf[RSAPrivateKey]
+    def check(t: String, c: AuthConfig = rsCfg) = validateBearer(Some(s"Bearer $t"), c)
+    assert(check(mint(priv, "key-1")).isRight)
+    assert(check(mint(rogue.getPrivate.asInstanceOf[RSAPrivateKey], "key-1"))
+      .swap.toOption.get.contains("signature"))
+    assert(check(mint(priv, "other-kid"))
+      .swap.toOption.get.contains("unknown signing key"))
+    assert(check(mint(priv, "key-1", expiresIn = -10))
+      .swap.toOption.get.contains("expired"))
+    // without a configured JWKS the algorithm is rejected outright
+    assert(check(mint(priv, "key-1"), cfg)
+      .swap.toOption.get.contains("JWKS"))
+    // HS256 continues to validate under the same config
+    assert(check(token(Seq("models/read")), rsCfg).isRight)
+  }
+
   // ---------- providers (Claims/Api/Composite provider tests) ----------
 
   test("claims, api and composite providers aggregate and cache") {
@@ -276,6 +342,46 @@ class AuthSpec extends AnyFunSuite {
     assert(prot.admit("GET", List("models"), "v") == Protection.Admitted)
     prot.release("u")
     assert(prot.admit("GET", List("models"), "u") == Protection.Admitted)
+  }
+
+  test("per-user rejections do not erode the shared windows") {
+    // concurrency cap 1, global permits 2: the second (concurrency-
+    // rejected) admit must NOT consume a global permit, so after release
+    // a second successful admit still fits the global window.
+    val prot = new Protection(Protection.ProtectionConfig(
+      limits = Protection.Limits(globalPermits = 2, globalWindowSeconds = 3600),
+      maxConcurrentRequestsPerUser = 1))
+    assert(prot.admit("GET", List("models"), "u") == Protection.Admitted)
+    prot.admit("GET", List("models"), "u") match {
+      case Protection.Rejected(_, reason) => assert(reason.contains("concurrent"))
+      case other => fail(s"expected concurrency rejection, got $other")
+    }
+    prot.release("u")
+    assert(prot.admit("GET", List("models"), "u") == Protection.Admitted,
+      "concurrency-rejected request consumed a global permit")
+    // concurrency count was not leaked by the rejected admit
+    prot.release("u")
+    assert(prot.concurrentFor("u") == 0)
+  }
+
+  test("tier rejection refunds the global permit") {
+    // admin permits 1, global permits 3: an admin-tier 429 must hand its
+    // global permit back, leaving 2 for other tiers.
+    val prot = new Protection(Protection.ProtectionConfig(
+      limits = Protection.Limits(globalPermits = 3, globalWindowSeconds = 3600,
+        adminPermits = 1, adminWindowSeconds = 3600, lightPermits = 100)))
+    assert(prot.admit("GET", List("models"), "u") == Protection.Admitted)
+    prot.admit("GET", List("models"), "u") match {
+      case Protection.Rejected(_, reason) => assert(reason.contains("admin"))
+      case other => fail(s"expected admin tier rejection, got $other")
+    }
+    // two global permits must remain (1 used by the admitted request)
+    assert(prot.admit("GET", List("digitaltwins", "x"), "u") == Protection.Admitted)
+    assert(prot.admit("GET", List("digitaltwins", "x"), "u") == Protection.Admitted)
+    prot.admit("GET", List("digitaltwins", "x"), "u") match {
+      case Protection.Rejected(_, reason) => assert(reason.contains("global"))
+      case other => fail(s"expected global exhaustion, got $other")
+    }
   }
 
   test("query complexity budget: heavy charges exhaust the window") {

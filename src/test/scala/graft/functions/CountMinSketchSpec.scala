@@ -35,6 +35,16 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(CountMinSketch.estimate(g, w, d, "absent") >= 0)
   }
 
+  test("h2 step is never zero: depth rows always probe distinct sequences") {
+    // h2 == 0 would collapse all depth rows onto bucket h1, voiding the
+    // 1-2^-depth bound; the step is forced into [1, width-1].
+    (1 to 2000).foreach { i =>
+      val (h1, h2) = CountMinSketch.hashPair(s"probe-$i", w)
+      assert(h1 >= 0 && h1 < w, s"h1 $h1 out of range for probe-$i")
+      assert(h2 >= 1 && h2 <= w - 1, s"h2 $h2 must be in [1,${w - 1}]")
+    }
+  }
+
   test("grid is order- and partitioning-independent; nulls skipped") {
     val keys = (1 to 200).map(i => s"k${i % 37}")
     val a = grid(keys, 7)

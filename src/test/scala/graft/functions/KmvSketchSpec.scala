@@ -31,6 +31,10 @@ class KmvSketchSpec extends AnyFunSuite {
 
   test("estimate: exact below k, within 15% above it") {
     assert(estimate(Vector(7L, 9L), k = 4) == 2.0, "undersaturated = exact")
+    // degenerate full sketch whose k-th minimum is 0 must not divide to
+    // Infinity — it reports "at least k distinct"
+    assert(estimate(Vector(0L, 0L), k = 2) == 2.0)
+    assert(!estimate(Vector(0L, 0L), k = 2).isInfinity)
     // 5000 distinct values through the DataFrame aggregate with k=64
     val df = (1 to 5000).toDF("v")
       .select(graft.pipeline.TextAnalysis.stableId(col("v").cast("string")).as("h"))
