@@ -61,38 +61,37 @@ object EventPipeline {
   }
 
   /** The three Kusto-shaped DataHistory tables
-    * (docs/how-to-guides/data-history-kusto.mdx:113-179). */
+    * (docs/how-to-guides/data-history-kusto.mdx:113-179): (data-JSON
+    * path → Kusto column) specs shared by the driver and executor
+    * ingest routes. */
+  private val PropertyCols = Seq("timeStamp" -> "TimeStamp",
+    "serviceId" -> "ServiceId", "id" -> "Id", "modelId" -> "ModelId",
+    "key" -> "Key", "value" -> "Value", "relationshipId" -> "RelationshipId",
+    "relationshipTarget" -> "RelationshipTarget")
+  private val TwinLifecycleCols = Seq("twinId" -> "TwinId",
+    "action" -> "Action", "timeStamp" -> "TimeStamp",
+    "serviceId" -> "ServiceId", "modelId" -> "ModelId")
+  private val RelLifecycleCols = Seq("relationshipId" -> "RelationshipId",
+    "name" -> "Name", "action" -> "Action", "timeStamp" -> "TimeStamp",
+    "serviceId" -> "ServiceId", "source" -> "Source", "target" -> "Target")
+
+  private def tableColumns(cols: Seq[(String, String)]) =
+    cols.map { case (path, name) =>
+      get_json_object(col("data"), s"$$['$path']").as(name)
+    }
+
+  private def projectTable(events: Dataset[CloudEvent], eventType: String,
+      cols: Seq[(String, String)]): DataFrame =
+    events.filter(col("type") === eventType).select(tableColumns(cols): _*)
+
   def propertyEvents(events: Dataset[CloudEvent]): DataFrame =
-    events.filter(col("type") === CloudEventFactory.PropertyEventType)
-      .select(
-        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
-        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
-        get_json_object(col("data"), "$['id']").as("Id"),
-        get_json_object(col("data"), "$['modelId']").as("ModelId"),
-        get_json_object(col("data"), "$['key']").as("Key"),
-        get_json_object(col("data"), "$['value']").as("Value"),
-        get_json_object(col("data"), "$['relationshipId']").as("RelationshipId"),
-        get_json_object(col("data"), "$['relationshipTarget']").as("RelationshipTarget"))
+    projectTable(events, CloudEventFactory.PropertyEventType, PropertyCols)
 
   def twinLifeCycleEvents(events: Dataset[CloudEvent]): DataFrame =
-    events.filter(col("type") === CloudEventFactory.TwinLifecycleType)
-      .select(
-        get_json_object(col("data"), "$['twinId']").as("TwinId"),
-        get_json_object(col("data"), "$['action']").as("Action"),
-        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
-        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
-        get_json_object(col("data"), "$['modelId']").as("ModelId"))
+    projectTable(events, CloudEventFactory.TwinLifecycleType, TwinLifecycleCols)
 
   def relationshipLifeCycleEvents(events: Dataset[CloudEvent]): DataFrame =
-    events.filter(col("type") === CloudEventFactory.RelationshipLifecycleType)
-      .select(
-        get_json_object(col("data"), "$['relationshipId']").as("RelationshipId"),
-        get_json_object(col("data"), "$['name']").as("Name"),
-        get_json_object(col("data"), "$['action']").as("Action"),
-        get_json_object(col("data"), "$['timeStamp']").as("TimeStamp"),
-        get_json_object(col("data"), "$['serviceId']").as("ServiceId"),
-        get_json_object(col("data"), "$['source']").as("Source"),
-        get_json_object(col("data"), "$['target']").as("Target"))
+    projectTable(events, CloudEventFactory.RelationshipLifecycleType, RelLifecycleCols)
 
   /** A12: Kusto route — each micro-batch splits into the three DataHistory
     * tables and queued-ingests each table's JSON rows through an injected
@@ -144,6 +143,88 @@ object EventPipeline {
               s"${failed.length} Kusto table ingestions failed: ${failed.head._3}")
           }
         } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** A12 at scale: Kusto queued ingestion distributed over EXECUTORS —
+    * the scale path for data-history volumes where the driver-collected
+    * [[runKustoRoute]] becomes the bottleneck. `mkIngest` builds ONE
+    * queued-ingest client per partition (the factory closure must be
+    * serializable); rows are hash-partitioned by (table, subject) —
+    * table-major so each executor submits few large per-table ingestions
+    * (queued ingestion amortizes per-blob overhead), subject to spread
+    * one table's volume across partitions — and time-sorted within each
+    * partition, so any one entity's history lands in order within its
+    * ingest batch. Only FAILED rows return to the driver.
+    *
+    * DLQ semantics refine [[runKustoRoute]]'s: a failed ingestion
+    * dead-letters that (table × partition)'s rows rather than the whole
+    * table's — same rows-on-failure guarantee, finer blast radius. DLQ
+    * schema is identical (kusto_table, row_json, dlq_error, dlq_batch);
+    * no DLQ configured → the batch throws and the checkpoint retries. */
+  def runKustoRouteDistributed(
+      events: Dataset[CloudEvent],
+      mkIngest: () => (String, Seq[String]) => Unit,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      propertyTable: String = "AdtPropertyEvents",
+      twinLifecycleTable: String = "AdtTwinLifeCycleEvents",
+      relLifecycleTable: String = "AdtRelationshipLifeCycleEvents",
+      parallelism: Int = 0): StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val slots =
+          if (parallelism > 0) parallelism
+          else spark.sessionState.conf.numShufflePartitions
+        // (table, subject, time, row_json) — row_json built with the same
+        // column specs as the driver route's projections, so both routes
+        // ingest byte-identical rows
+        val specs = Seq(
+          (propertyTable, CloudEventFactory.PropertyEventType, PropertyCols),
+          (twinLifecycleTable, CloudEventFactory.TwinLifecycleType, TwinLifecycleCols),
+          (relLifecycleTable, CloudEventFactory.RelationshipLifecycleType, RelLifecycleCols))
+        val tagged = specs.map { case (table, typ, cols) =>
+          batch.toDF().filter(col("type") === typ)
+            .select(lit(table).as("kusto_table"), col("subject"), col("time"),
+              to_json(struct(tableColumns(cols): _*)).as("row_json"))
+        }.reduce(_ unionAll _)
+        val failed: Array[(String, String, String)] = tagged
+          .repartition(slots, col("kusto_table"), col("subject"))
+          .sortWithinPartitions(col("kusto_table"), col("time"))
+          .as[(String, String, String, String)]
+          .mapPartitions { it =>
+            val ingest = mkIngest()
+            // rows arrive table-contiguous (sorted); one ingestion per
+            // table run keeps queued-ingest batch granularity
+            val byTable = scala.collection.mutable.LinkedHashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+            it.foreach { case (t, _, _, row) =>
+              byTable.getOrElseUpdate(t,
+                scala.collection.mutable.ArrayBuffer.empty[String]) += row
+            }
+            byTable.iterator.flatMap { case (t, rows) =>
+              try { ingest(t, rows.toSeq); Iterator.empty }
+              catch { case e: Exception =>
+                val msg = String.valueOf(e.getMessage)
+                rows.iterator.map(r => (t, r, msg))
+              }
+            }
+          }
+          .collect()
+        if (failed.nonEmpty) dlqDir match {
+          case Some(d) =>
+            failed.toSeq.toDF("kusto_table", "row_json", "dlq_error")
+              .withColumn("dlq_batch", lit(batchId))
+              .write.mode("append").parquet(d)
+          case None => throw new RuntimeException(
+            s"${failed.length} Kusto row ingestions failed: ${failed.head._3}")
+        }
         ()
       }
       .start()

@@ -509,6 +509,74 @@ class EventPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Kusto route: row-identical to driver route, same DLQ outcomes") {
+    val dir = Files.createTempDirectory("graft-dkusto").toString
+    val store = populatedStore()
+    store.mutationsDf(spark).write.mode("overwrite").parquet(s"$dir/mutations")
+    def dh() = EventPipeline.toDataHistory(
+      EventPipeline.readMutationStream(spark, s"$dir/mutations"), "https://inst")
+
+    // the driver-collected route is the semantic reference
+    val driverRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q0 = EventPipeline.runKustoRoute(dh(),
+      (t, rows) => { rows.foreach(r => driverRows.add((t, r))); () }, s"$dir/cp0")
+    q0.awaitTermination(60000)
+
+    DistributedSinkRecorder.reset()
+    val q1 = EventPipeline.runKustoRouteDistributed(dh(),
+      () => (t, rows) => rows.foreach(r => DistributedSinkRecorder.record(t, r)),
+      s"$dir/cp1", Some(s"$dir/dlq1"), parallelism = 4)
+    q1.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    val driverSet = driverRows.iterator().asScala.toSet
+    val distSet = DistributedSinkRecorder.deliveredSeq
+      .map { case (_, t, r) => (t, r) }.toSet
+    assert(driverSet.nonEmpty && distSet == driverSet,
+      "executor route must ingest byte-identical (table, row) pairs")
+    assert(!new java.io.File(s"$dir/dlq1").exists, "nothing dead-lettered")
+
+    // injected failure on one table → both routes dead-letter exactly the
+    // same rows; the other tables' ingestions stand on both
+    val q2 = EventPipeline.runKustoRoute(dh(),
+      (t, _) => if (t == "AdtPropertyEvents") throw new RuntimeException("ingest queue down") else (),
+      s"$dir/cp2", Some(s"$dir/dlqDriver"))
+    q2.awaitTermination(60000)
+    DistributedSinkRecorder.reset()
+    val q3 = EventPipeline.runKustoRouteDistributed(dh(),
+      () => (t, rows) =>
+        if (t == "AdtPropertyEvents") throw new RuntimeException("ingest queue down")
+        else rows.foreach(r => DistributedSinkRecorder.record(t, r)),
+      s"$dir/cp3", Some(s"$dir/dlqDist"), parallelism = 4)
+    q3.awaitTermination(60000)
+    def dlqSet(p: String) = spark.read.parquet(p)
+      .select("kusto_table", "row_json")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dlqSet(s"$dir/dlqDist") == dlqSet(s"$dir/dlqDriver"),
+      "same rows dead-letter on both routes")
+    assert(DistributedSinkRecorder.deliveredSeq.nonEmpty,
+      "non-failing tables still ingested")
+  }
+
+  test("distributed Kusto ingest calls overlap across partitions") {
+    val dir = Files.createTempDirectory("graft-dkingest").toString
+    DistributedSinkRecorder.reset()
+    // 24 property events over 6 subjects, a 40 ms "ingest queue" per
+    // call: single-client serial ingestion would never overlap
+    val events = (1 to 24).map(i => CloudEvent(f"id$i%03d", "https://inst",
+      graft.events.CloudEventFactory.PropertyEventType, s"twin${i % 6}",
+      f"2026-01-01T00:00:${i % 60}%02dZ", "application/json",
+      s"""{"id":"twin${i % 6}","key":"temperature","value":"$i"}"""))
+    val q = EventPipeline.runKustoRouteDistributed(
+      eventStream(dir, events),
+      () => (t, rows) => DistributedSinkRecorder.ingestSlow(t, rows, 40),
+      s"$dir/cp", Some(s"$dir/dlq"), parallelism = 6)
+    q.awaitTermination(120000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 24)
+    assert(DistributedSinkRecorder.maxInFlight.get() >= 2,
+      s"expected overlapping ingest calls, max in-flight was " +
+        s"${DistributedSinkRecorder.maxInFlight.get()}")
+  }
+
   test("distributed webhook route: per-partition token refresh, status DLQ") {
     import EventPipeline.{WebhookAuth => WA}
     val dir = Files.createTempDirectory("graft-dhook").toString
@@ -580,6 +648,16 @@ object DistributedSinkRecorder {
     maxInFlight.updateAndGet(m => math.max(m, cur))
     Thread.sleep(sleepMs)
     record("t", payload)
+    inFlight.decrementAndGet(); ()
+  }
+
+  /** Batch-granular slow "queued ingest": tracks overlapping ingest CALLS
+    * (the unit of Kusto queued-ingestion concurrency). */
+  def ingestSlow(table: String, rows: Seq[String], sleepMs: Long): Unit = {
+    val cur = inFlight.incrementAndGet()
+    maxInFlight.updateAndGet(m => math.max(m, cur))
+    Thread.sleep(sleepMs)
+    rows.foreach(r => record(table, r))
     inFlight.decrementAndGet(); ()
   }
 
