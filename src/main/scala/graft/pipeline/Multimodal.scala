@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The Spark-side plumbing is real — binary column, per-partition batch
-  * iteration (the Scala analogue of `mapInPandas` batch shape), explicit
-  * output schema, partition-count control — while the actual codec is a
-  * STUB (this container ships no image/audio libraries): `decodeStub`
-  * derives deterministic pseudo-metadata from the bytes, so the pipeline
-  * shape is testable end-to-end and a real decoder (JavaCV / TwelveMonkeys
-  * on the cluster classpath) drops in by replacing one function.
+  * Image and audio metadata decoding is REAL, from JDK built-ins — no
+  * external codec library needed: `javax.imageio.ImageIO` reads PNG /
+  * JPEG / BMP / GIF / WBMP headers (width × height × format, header-only,
+  * no pixel decode), `javax.sound.sampled.AudioSystem` reads WAV / AIFF /
+  * AU headers (frame count, sample rate, channels). Video remains the one
+  * honest STUB (`decodeStub`, deterministic pseudo-metadata — the JDK
+  * ships no video demuxer; JavaCV on a cluster classpath drops in by
+  * replacing that one function). The Spark-side plumbing — binary column,
+  * per-partition batch iteration (the Scala analogue of `mapInPandas`
+  * batch shape), explicit output schema, partition-count control — is the
+  * same for all three.
   */
 object Multimodal {
 
@@ -29,8 +33,8 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** STUB decoder — deterministic pseudo-metadata from leading bytes.
-    * Replace with a real codec for production. */
+  /** STUB decoder for video/unknown payloads — deterministic
+    * pseudo-metadata from leading bytes (the JDK has no video demuxer). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     if (bytes == null || bytes.isEmpty) (0, 0, 0)
     else {
@@ -40,21 +44,107 @@ object Multimodal {
     }
   }
 
-  /** Batch "decode": per-partition iteration over binary payloads with an
+  /** REAL image metadata via ImageIO: (width, height, format), read from
+    * the header only — `reader.getWidth(0)` never decodes pixel data, so
+    * this runs at header speed over a 100 TB image corpus. Handles every
+    * format the JDK registers readers for (PNG, JPEG, BMP, GIF, WBMP). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL audio metadata via AudioSystem: (frame count, sample rate,
+    * channels) from the container header (WAV, AIFF, AU). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Float, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFrameLength, in.getFormat.getSampleRate,
+        in.getFormat.getChannels))
+      finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch on declared media type: image/audio decode for real through
+    * the JDK; video and text fall to the deterministic stub. Images
+    * report n_frames=1; audio reports its frame count with no spatial
+    * dims. Undecodable payloads of a real type report zeros (corrupt
+    * media must not kill a 100 TB scan). */
+  def decodeAny(bytes: Array[Byte], mediaType: String): (Int, Int, Int) =
+    mediaType match {
+      case t if t != null && t.startsWith("image/") =>
+        decodeImage(bytes).map { case (w, h, _) => (w, h, 1) }
+          .getOrElse((0, 0, 0))
+      case t if t != null && t.startsWith("audio/") =>
+        decodeAudio(bytes).map { case (f, _, _) => (0, 0, f.toInt) }
+          .getOrElse((0, 0, 0))
+      case _ => decodeStub(bytes)
+    }
+
+  /** Batch decode: per-partition iteration over binary payloads with an
     * explicit output schema — the shape a real frame-sampler / feature
-    * extractor plugs into. */
+    * extractor plugs into. Uses the `media_type` column for codec
+    * dispatch when present. */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rows = media.select(col("media_id"), col("content")).rdd
+    val withType =
+      if (media.columns.contains("media_type"))
+        media.select(col("media_id"), col("content"), col("media_type"))
+      else media.select(col("media_id"), col("content"),
+        lit(null).cast(StringType).as("media_type"))
+    val rows = withType.rdd
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, f) = decodeStub(bytes)
+          val (w, h, f) = decodeAny(bytes, r.getAs[String](2))
           Row(id, w, h, f, if (bytes == null) 0L else bytes.length.toLong)
         }
       }
     spark.createDataFrame(rows, decodedSchema)
+  }
+
+  /** Deterministic PNG fixture: w×h RGB gradient, ImageIO-encoded — used
+    * by the codec gate and specs (TESTDATA ships no binary columns). */
+  def pngFixture(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV fixture: nFrames of 8-bit mono PCM. */
+  def wavFixture(nFrames: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1, false, false)
+    val pcm = Array.tabulate[Byte](nFrames)(i => ((i * 7) % 256 - 128).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   val resizedSchema: StructType = StructType(Seq(

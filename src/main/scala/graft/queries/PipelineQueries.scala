@@ -101,6 +101,27 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL codec gate: deterministic PNG / WAV fixtures generated
+    // executor-side (dimensions derived from doc_id), round-tripped
+    // through ImageIO / AudioSystem header decoding; text rows keep the
+    // stub path. The oracle recomputes every expected dimension in SQL.
+    "q_multimodal_codec" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 => (id, Multimodal.pngFixture(
+            (8 + id % 24).toInt, (8 + id % 16).toInt), "image/png")
+          case 1 => (id, Multimodal.wavFixture((100 + id % 900).toInt), "audio/wav")
+          case _ => (id, s"text-$id".getBytes("UTF-8"), "text/plain")
+        }
+      }).toDF("media_id", "content", "media_type")
+      Multimodal.decode(media)
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     // End-to-end curation verdict: language + quality + exact-dedup
     // survivor election composed in one plan, per-doc reject reason.
     "q_pipeline_curate" -> ((s, d) => {
@@ -635,6 +656,24 @@ object PipelineQueries {
         |  CAST(240 + ascii(substr(text,2,1)) % 240 AS INT) height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) n_frames,
         |  CAST(octet_length(encode(text)) AS BIGINT) n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_codec" ->
+      """WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 8 + doc_id % 24
+        |    WHEN 1 THEN 0
+        |    ELSE 320 + ascii('t') % 320 END AS INT) width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 8 + doc_id % 16
+        |    WHEN 1 THEN 0
+        |    ELSE 240 + ascii('e') % 240 END AS INT) height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1
+        |    WHEN 1 THEN 100 + doc_id % 900
+        |    ELSE octet_length(encode('text-' || CAST(doc_id AS VARCHAR))) % 30 + 1
+        |    END AS INT) n_frames
+        |FROM ids ORDER BY media_id""".stripMargin
   )
 }

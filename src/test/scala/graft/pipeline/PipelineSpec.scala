@@ -155,6 +155,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
   }
 
+  test("real JDK codecs: PNG and WAV fixtures round-trip exact metadata") {
+    // image: header-only decode of an ImageIO-encoded gradient
+    val png = Multimodal.pngFixture(37, 21)
+    assert(Multimodal.decodeImage(png).contains((37, 21, "png")))
+    // jpeg/bmp/gif go through the same registered-reader path
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      12, 9, java.awt.image.BufferedImage.TYPE_INT_RGB), "bmp", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray).map(t => (t._1, t._2))
+      .contains((12, 9)))
+    // audio: WAV header reports frames / rate / channels
+    val wav = Multimodal.wavFixture(1234, 8000f)
+    assert(Multimodal.decodeAudio(wav).contains((1234L, 8000f, 1)))
+    // corrupt payloads degrade to None, never throw
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty && Multimodal.decodeAudio(null).isEmpty)
+
+    // dispatch: media_type routes to the right codec; text keeps the stub
+    assert(Multimodal.decodeAny(png, "image/png") == (37, 21, 1))
+    assert(Multimodal.decodeAny(wav, "audio/wav") == (0, 0, 1234))
+    assert(Multimodal.decodeAny("hi".getBytes, "text/plain") ==
+      Multimodal.decodeStub("hi".getBytes))
+    // corrupt media of a declared real type reports zeros (scan survives)
+    assert(Multimodal.decodeAny("junk".getBytes, "image/png") == (0, 0, 0))
+
+    // end-to-end through the batch decode plumbing
+    val media = Seq(
+      (1L, png, "image/png"),
+      (2L, wav, "audio/wav"),
+      (3L, "plain".getBytes("UTF-8"), "text/plain"))
+      .toDF("media_id", "content", "media_type")
+    val out = Multimodal.decode(media).orderBy($"media_id").collect()
+    assert(out(0).getInt(1) == 37 && out(0).getInt(2) == 21 && out(0).getInt(3) == 1)
+    assert(out(1).getInt(3) == 1234)
+    assert(out(1).getLong(4) == wav.length.toLong)
+  }
+
   test("minhash banding rejects a numHashes/bands remainder") {
     val ex = intercept[IllegalArgumentException](
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 12, 0.5))
