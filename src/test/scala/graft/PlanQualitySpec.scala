@@ -43,6 +43,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "query side must broadcast")
   }
 
+  test("q_sim_recall: IVF retrieval recall >= 0.9 at nprobe=4") {
+    val row = SparkEntry.queries("q_sim_recall")(spark, sf).collect()(0)
+    val recallM = row.getAs[Long]("recall_m")
+    assert(recallM >= 900L, s"IVF recall@5 must be >= 0.9, got ${recallM / 10.0}%")
+    assert(row.getAs[Long]("n_total") == 100L, "20 queries x k=5")
+  }
+
   test("q_dedup_minhash: no cartesian products anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"),
