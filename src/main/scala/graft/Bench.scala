@@ -42,6 +42,7 @@ object Bench {
         val pairs = graft.pipeline.Dedup.minhashLshPairs(
           docs, "doc_id", "text", 3, 64, 16, 0.5)
         graft.pipeline.Dedup.components(pairs).count()
+        graft.pipeline.Dedup.componentsStars(pairs).count()
       }
       warm("vle bfs") {
         // Derived from the current scale's own orders table (capped) so the

@@ -231,9 +231,15 @@ object Dedup {
     // joins against it, and its lineage would otherwise reach back through
     // the freed one-shot edge copy — a lost partition would then be
     // unrecomputable. Severing the lineage makes freeing edges safe.
+    // No distinct(): min-label propagation is duplicate-insensitive (a
+    // repeated edge changes no min), so deduplication would buy nothing
+    // for a full extra shuffle. Checkpointed HASH-PARTITIONED ON `b` —
+    // the key every round's neighbor join probes — so the per-round join
+    // reuses this partitioning and only the (much smaller) labels side
+    // shuffles each iteration.
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .repartition(col("b"))
       .localCheckpoint(eager = true)
     if (ownsEdges) graft.core.Blocks.free(edges)
     var labels = sym.select(col("a").as("doc")).distinct()
@@ -268,6 +274,88 @@ object Dedup {
     }
     graft.core.Blocks.free(sym) // labels are checkpoints; sym is dead now
     labels.select(col("doc"), col("label").as("component"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the A/B alternative to [[components]]' min-label +
+    * pointer-doubling loop, kept for benchmarking both shapes. Each round:
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(N(u) ∪ u): emit (v, m) for v ∈ N(u), v > u.
+    *  - small-star: on the now-downward edge list (a > b), every node
+    *    links its smaller neighbors + itself to its minimum: emit (v, m)
+    *    for v ∈ N(u) ∪ {u} \ {m}.
+    *
+    * Both steps are one groupBy-min + one equi-join each — no per-node
+    * adjacency list is ever collected, so hub nodes cannot overflow a
+    * task. Converges when the edge multiset stops changing (checked with
+    * a count + hash-sum aggregate, not a full except). Output matches
+    * [[components]]: (doc, component = min reachable id). */
+  def componentsStars(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val ownsEdges = !isRematerializable(proj)
+    val edges0 = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
+    // all nodes, for labeling isolated-in-pairs docs at the end
+    val nodes = edges0.select(col("a")).unionByName(edges0.select(col("b").as("a")))
+      .distinct().select(col("a").as("doc")).localCheckpoint(eager = true)
+    // canonical downward orientation (a > b)
+    var e = edges0
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    if (ownsEdges) graft.core.Blocks.free(edges0)
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      // hash folded into [0, 1e9) before summing: ANSI mode would throw
+      // on a raw sum(xxhash64) overflow
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))),
+          lit(0L)).as("h")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var eSig = edgeSig(e)
+    var converged = false
+    while (!converged) {
+      // large-star over the symmetric view
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val lmins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val large = sym.join(lmins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // small-star on the downward list
+      val smins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(smins, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(smins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      graft.core.Blocks.free(large)
+      // convergence: same distinct-edge set as last round, compared via
+      // (count, order-insensitive hash-sum) — one agg job per round; the
+      // previous round's signature is carried, not recomputed
+      val sig = edgeSig(small)
+      converged = sig == eSig
+      eSig = sig
+      graft.core.Blocks.free(e)
+      e = small
+    }
+    // stars: every non-root points directly at its component min
+    val out = nodes.join(e.select(col("a").as("doc"), col("b").as("component")),
+        Seq("doc"), "left_outer")
+      .select(col("doc"), coalesce(col("component"), col("doc")).as("component"))
+      .localCheckpoint(eager = true)
+    graft.core.Blocks.free(e)
+    graft.core.Blocks.free(nodes)
+    out
   }
 
   /** True when re-evaluating `df` costs no more than re-reading stored

@@ -52,6 +52,14 @@ object PipelineQueries {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // Same relation via large-star/small-star contraction — kept gated so
+    // both connected-components shapes stay honest A/B candidates.
+    "q_dedup_components_stars" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.componentsStars(pairs).orderBy(col("doc"))
+    }),
+
     "q_text_stats" -> ((s, d) => {
       TextAnalysis.textStats(Td.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len_4"),
@@ -304,7 +312,8 @@ object PipelineQueries {
   private val minhashParamsSql = Dedup.hashParams(64)
     .map { case (h, a, b) => s"($h,$a,$b)" }.mkString(",")
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = {
+    val base = Map(
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
@@ -732,5 +741,9 @@ object PipelineQueries {
         |    ELSE octet_length(encode('text-' || CAST(doc_id AS VARCHAR))) % 30 + 1
         |    END AS INT) n_frames
         |FROM ids ORDER BY media_id""".stripMargin
-  )
+    )
+    // the star-contraction variant computes the identical (doc, component)
+    // relation, so it shares q_dedup_components' oracle verbatim
+    base + ("q_dedup_components_stars" -> base("q_dedup_components"))
+  }
 }

@@ -56,6 +56,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate generation must stay index-joined:\n$p")
   }
 
+  test("componentsStars: star contraction stays equi-joined, no adjacency collect") {
+    import spark.implicits._
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val p = graft.pipeline.Dedup.componentsStars(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"contraction must equi-join:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "no per-node adjacency list may be collected (hub-node task overflow)")
+  }
+
   test("q_embed_nn: no cartesian product, no full-corpus broadcast") {
     val p = plan("q_embed_nn")
     assert(!p.contains("CartesianProduct"),

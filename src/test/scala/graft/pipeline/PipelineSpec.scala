@@ -199,6 +199,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("divide"))
   }
 
+  test("large-star/small-star components match min-label components") {
+    // chain, separate pair, triangle-ish merge, and a deep path that
+    // exercises multiple contraction rounds
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L)) ++
+      (100L until 120L).map(i => (i, i + 1)))
+      .toDF("doc_a", "doc_b")
+    val a = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.componentsStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"star contraction diverged: ${b.diff(a)} vs ${a.diff(b)}")
+    assert(b.contains((120L, 100L)), "deep chain must collapse to its min")
+  }
+
   test("connected components + survivors over near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L))
       .toDF("doc_a", "doc_b")
