@@ -42,7 +42,6 @@ object Bench {
         val pairs = graft.pipeline.Dedup.minhashLshPairs(
           docs, "doc_id", "text", 3, 64, 16, 0.5)
         graft.pipeline.Dedup.components(pairs).count()
-        graft.pipeline.Dedup.componentsStars(pairs).count()
       }
       warm("vle bfs") {
         // Derived from the current scale's own orders table (capped) so the
@@ -70,15 +69,19 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // Best-of-2 per query: this host's sf0.1 samples swing 10-200x on
+    // Best-of-N per query: this host's sf0.1 samples swing 10-200x on
     // identical code (page cache, CPU contention, JIT). The first pass
-    // warms, the min of the two is reported — the minimum of independent
-    // samples converges on the code's actual cost, the mean on the host's.
+    // warms, the min is reported — the minimum of independent samples
+    // converges on the code's actual cost, the mean on the host's.
+    // Sub-second queries are the noisiest (r7↔r9 showed >2x swings on
+    // untouched code with best-of-2), so queries whose best is < 2 s get
+    // a third sample; heavy queries keep 2 to bound wall time.
     val runs = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var attempt = 0
-      while (attempt < 2 && err.isEmpty) {
+      def maxAttempts = if (attempt >= 2 && best < 2.0) 3 else 2
+      while (attempt < maxAttempts && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -105,7 +108,20 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = runs.collect { case (_, v, None) => v }
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.size - ok.size},"sf":"$sfDir"}""")
+    val failed = runs.size - ok.size
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The result must survive stdout truncation: also write it to a file
+    // (r8/r9 shipped artifacts with parsed:null because the JSON line
+    // lived only in a clipped stdout tail).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
+    // A bench with failing queries is a failed bench: rc must say so
+    // (r8/r9 reported rc:0 with failed:10).
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -15,11 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as a FAIL row in the driver's
+    // compare, never as a silent absence (r8/r9 shipped all-green
+    // artifacts while 10 queries errored). On exception we write a
+    // one-row parquet with a `_verify_error` column: present → compared →
+    // schema mismatch → visible FAIL.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
       // Inter-query hygiene (same rationale as Bench): queries are
       // independent, so orphaned persist/checkpoint blocks from the
@@ -43,6 +58,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud-failure manifest: every registered query name plus per-query
+    // error text, so any compare (or human) can detect a shrunken run by
+    // diffing |manifest| against |green rows|.
+    val manifest = SparkEntry.queries.keys.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }

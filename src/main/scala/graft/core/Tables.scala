@@ -76,21 +76,33 @@ object Td {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp. INTEGER `div`, not `/`: epoch nanos (~1.7e18) exceed
-    * double's 2^53 exact range, so float division drifts by up to ~256 ns
-    * and occasionally rounds across a microsecond boundary — DuckDB
-    * (epoch_us on the nanos) floors exactly, and so must we. */
+  /** events.parquet has shipped with two physical layouts for `ts`:
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it is
+    * read as a long (`nanosAsLong`) and floor-divided to micros — and plain
+    * `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ). Branch on the
+    * read schema so both load to a UTC microsecond TimestampType with
+    * identical values (DuckDB `epoch_us` floor semantics either way). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // `div` truncates toward zero, but floor semantics must hold for
-    // pre-1970 instants too (DuckDB's epoch_us floors): subtract the
-    // borrow when the remainder is negative
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(
-        expr("(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // INTEGER `div`, not `/`: epoch nanos (~1.7e18) exceed double's
+        // 2^53 exact range, so float division drifts by up to ~256 ns and
+        // occasionally rounds across a microsecond boundary. `div`
+        // truncates toward zero, but floor semantics must hold for
+        // pre-1970 instants too: subtract the borrow when the remainder
+        // is negative.
+        raw.withColumn("ts", timestamp_micros(
+          expr("(ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      case TimestampType => raw
+      case _ =>
+        // TIMESTAMP_NTZ: the stored wall-clock is UTC; sessions here run
+        // with spark.sql.session.timeZone=UTC, so the cast is an identity
+        // on the stored microseconds.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -78,7 +78,7 @@ object Dedup {
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle-id sets; returns pairs with jaccard_4 ≥ threshold
     * (fixed-point ×10000). */
-  private def verifyJaccard(candidates: DataFrame, ids: DataFrame,
+  private[pipeline] def verifyJaccard(candidates: DataFrame, ids: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = ids.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     // Candidates are usually tiny vs the shingle table, but NOT bounded —
@@ -168,6 +168,29 @@ object Dedup {
     ids.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH band-signature rows (doc, band, sig) from exploded shingle ids:
+    * sig = "-"-joined minima of the band's hashes, concatenated in
+    * hash-index order — bit-identical to the generated oracle SQL. One
+    * wide aggregation, then a narrow explode of precomputed structs (no
+    * second aggregation, no ×numHashes shuffle). Shared by the batch LSH
+    * pass and the streaming incremental index
+    * ([[StreamingNearDedup]]), so both produce byte-identical buckets. */
+  private[pipeline] def bandSignaturesFrom(ids: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+        "a remainder would silently drop hash functions from the banding")
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("-", (0 until rowsPerBand).map(r =>
+          col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*).as("sig"))
+    }
+    minhashSignaturesFrom(ids, numHashes)
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band, banded signature), verify candidates
     * with exact Jaccard. Band signatures concatenate minima in hash-index
@@ -179,22 +202,11 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
         "a remainder would silently drop hash functions from the banding")
-    val rowsPerBand = numHashes / bands
     val ids = shingleIds(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wide = minhashSignaturesFrom(ids, numHashes)
-    // (band, sig) rows via a narrow explode of precomputed structs — no
-    // second aggregation; sig = "-"-joined minima of the band's hashes.
-    val bandStructs = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("-", (0 until rowsPerBand).map(r =>
-          col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*).as("sig"))
-    }
     // materialized once: sigs feeds BOTH sides of the bucket self-join —
     // left lazy, the 64-min signature aggregation would run twice
-    val sigs = wide
-      .select(col("doc"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val sigs = bandSignaturesFrom(ids, numHashes, bands)
       .localCheckpoint(eager = true)
     val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
     val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
@@ -207,15 +219,25 @@ object Dedup {
     out
   }
 
-  /** Connected components over near-dup pairs: iterative min-label
-    * propagation (each doc repeatedly takes the min label in its
-    * neighborhood) — the scalable union-find. Converges in O(component
-    * diameter) rounds; near-dup clusters are shallow, so typically 2-3.
-    * Per-round `localCheckpoint` truncates the iterative-join lineage,
-    * same discipline as [[graft.graph.Vle]]. Returns (doc, component)
-    * where component = min doc id reachable, including isolated docs'
-    * self-labels only if they appear in `pairs`. */
+  /** Connected components over near-dup pairs: (doc, component = min doc id
+    * reachable), for every doc that appears in `pairs`. Delegates to
+    * [[componentsStars]] — the r7-r9 A/B between star contraction and
+    * min-label propagation never separated beyond host noise on wall time,
+    * and the star shape runs fewer Spark jobs per round (no convergence
+    * probe join), so it wins on scheduling overhead at scale. The min-label
+    * loop is retained as [[componentsMinLabel]] and parity-tested in
+    * PipelineSpec. */
   def components(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame =
+    componentsStars(pairs, aCol, bCol)
+
+  /** Iterative min-label propagation (each doc repeatedly takes the min
+    * label in its neighborhood) — the scalable union-find, with pointer
+    * doubling for O(log diameter) convergence. Kept as the A/B alternative
+    * to [[componentsStars]] (spec-parity-tested, not gated). Per-round
+    * `localCheckpoint` truncates the iterative-join lineage, same
+    * discipline as [[graft.graph.Vle]]. */
+  def componentsMinLabel(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
     // Materialize the incoming pair plan ONCE before fanning it out into
     // sym = edges ∪ edges.swap — without this, an expensive unpersisted
@@ -278,8 +300,8 @@ object Dedup {
 
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — the A/B alternative to [[components]]' min-label +
-    * pointer-doubling loop, kept for benchmarking both shapes. Each round:
+    * SoCC'14) — the implementation behind [[components]]; the min-label +
+    * pointer-doubling loop survives as [[componentsMinLabel]]. Each round:
     *
     *  - large-star: every node u links its LARGER neighbors to
     *    m = min(N(u) ∪ u): emit (v, m) for v ∈ N(u), v > u.

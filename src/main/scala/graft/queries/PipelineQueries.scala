@@ -43,21 +43,16 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Near-dup clustering: MinHash pairs → connected components (iterative
-    // min-label propagation = distributed union-find) → one row per doc
-    // with its component id. The survivor-election step of a dedup pass.
+    // Near-dup clustering: MinHash pairs → connected components
+    // (large-star/small-star contraction = distributed union-find) → one
+    // row per doc with its component id. The survivor-election step of a
+    // dedup pass. The min-label A/B candidate was demoted to a spec after
+    // r7-r9 benches showed the two shapes separated only by host noise —
+    // one gate, one LSH pairing, instead of paying the pairing twice.
     "q_dedup_components" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       Dedup.components(pairs).orderBy(col("doc"))
-    }),
-
-    // Same relation via large-star/small-star contraction — kept gated so
-    // both connected-components shapes stay honest A/B candidates.
-    "q_dedup_components_stars" -> ((s, d) => {
-      val pairs = Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      Dedup.componentsStars(pairs).orderBy(col("doc"))
     }),
 
     "q_text_stats" -> ((s, d) => {
@@ -742,8 +737,6 @@ object PipelineQueries {
         |    END AS INT) n_frames
         |FROM ids ORDER BY media_id""".stripMargin
     )
-    // the star-contraction variant computes the identical (doc, component)
-    // relation, so it shares q_dedup_components' oracle verbatim
-    base + ("q_dedup_components_stars" -> base("q_dedup_components"))
+    base
   }
 }

@@ -205,7 +205,7 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L)) ++
       (100L until 120L).map(i => (i, i + 1)))
       .toDF("doc_a", "doc_b")
-    val a = Dedup.components(pairs).collect()
+    val a = Dedup.componentsMinLabel(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = Dedup.componentsStars(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
