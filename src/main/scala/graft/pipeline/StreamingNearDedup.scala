@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Near-duplicate dedup over a document STREAM — the incremental-ingestion
+  * form of [[Dedup.minhashLshPairs]]: documents arrive in micro-batches and
+  * a document is dropped when it is a verified near-duplicate (exact
+  * Jaccard ≥ threshold on candidates that share an LSH band bucket) of ANY
+  * previously seen document — survivor or not — or of a lower-id document
+  * in its own batch. The continuous-crawl counterpart of the batch LSH
+  * pass (reference-need anchor: the events service is continuous ingestion;
+  * reference src/AgeDigitalTwins.Events — the batch pass alone would
+  * re-pair the whole corpus per crawl increment).
+  *
+  * Any-seen semantics (state grows by every document, dropped or kept) is
+  * deliberate, for two reasons:
+  *
+  *  - it is MONOTONE: whether a bucket admits a new doc never depends on
+  *    another bucket's verdict, so there is no cross-bucket coordination.
+  *    A single `flatMapGroupsWithState` keyed by band bucket cannot match
+  *    batch survivor-election semantics — a doc lands in `bands` buckets
+  *    and the per-bucket verdicts would need a second stateful combine,
+  *    which Structured Streaming disallows after arbitrary state.
+  *  - when documents arrive in id order it is EXACTLY the batch rule
+  *    "doc survives iff it never appears as doc_b in
+  *    [[Dedup.minhashLshPairs]] over the full corpus" — which makes the
+  *    operator oracle-checkable in plain SQL (gate `q_stream_neardedup`).
+  *
+  * Scale shape: the seen-index lives AT REST (parquet, band-partitioned),
+  * not in executor state — 100 TB of crawl history cannot live in a state
+  * store, but a banded signature index is exactly what an object store
+  * holds well. Each increment does only equi-joins: batch sigs ⋈ index
+  * sigs on (band, sig) for candidates, then the exact-Jaccard verify joins
+  * restricted (semi-join) to candidate docs only. Per-batch work is
+  * proportional to the batch and its collisions, never to history size —
+  * except the candidate probe, which a real deployment prunes further by
+  * bucketing the index files on `sig`.
+  *
+  * Append-based state is idempotence-weak: a retried micro-batch would
+  * append its signatures twice (harmless for correctness — dedup state is
+  * duplicate-insensitive — but it doubles those rows). Production sinks
+  * would write per-batchId directories or a transactional table format.
+  */
+object StreamingNearDedup {
+
+  /** Shingle/LSH parameters, matching [[Dedup.minhashLshPairs]] defaults. */
+  case class Params(n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5)
+
+  /** The at-rest seen-index: band signatures (doc, band, sig) for candidate
+    * generation and full shingle-id sets (doc, sid) for exact verification. */
+  case class SeenIndex(sigs: DataFrame, shingles: DataFrame)
+
+  /** Result of one increment: `survivors` (the batch rows that are not
+    * near-dups of anything seen), plus the batch's own index rows to append
+    * to the seen-index (ALL batch docs — any-seen semantics). */
+  case class Increment(survivors: DataFrame, sigs: DataFrame,
+      shingles: DataFrame)
+
+  /** One micro-batch against the prior seen-index. Pure function of its
+    * inputs — the caller owns index persistence (see [[foreachBatchSink]]
+    * for the streaming wiring and [[nearDedupBatches]] for the bounded
+    * fold). `sigs`/`shingles` in the result are eagerly materialized
+    * (localCheckpoint), so callers may fold them into the next increment's
+    * index without re-running this batch's LSH pipeline. */
+  def increment(batch: DataFrame, idCol: String, textCol: String,
+      prior: Option[SeenIndex], p: Params = Params()): Increment = {
+    val ids = Dedup.shingleIds(batch, idCol, textCol, p.n)
+      .localCheckpoint(true)
+    val sigs = Dedup.bandSignaturesFrom(ids, p.numHashes, p.bands)
+      .localCheckpoint(true)
+    // Intra-batch candidates: lower id arrived "first" within the batch —
+    // the same deterministic tie-break as the batch pass / Dedup.exact.
+    val intra = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
+      .join(sigs.select(col("doc").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+    // Cross candidates: anything already in the index beats the new doc,
+    // whatever its id — arrival order wins in a stream.
+    val cross = prior.map { ix =>
+      ix.sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
+        .join(sigs.select(col("doc").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+    }
+    val cand = cross.foldLeft(intra)(_ unionByName _)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Verify on exact Jaccard over full shingle sets, restricted to docs
+    // that actually appear in a candidate pair — per-batch verify cost is
+    // O(candidates), not O(history).
+    val candDocs = cand.select(col("doc_a").as("doc"))
+      .unionByName(cand.select(col("doc_b").as("doc"))).distinct()
+    val idsAll = prior.map(ix => ix.shingles.unionByName(ids)).getOrElse(ids)
+      .join(candDocs, Seq("doc"), "left_semi")
+    val dropped = Dedup.verifyJaccard(cand, idsAll, p.threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    Increment(batch.join(dropped, Seq(idCol), "left_anti"), sigs, ids)
+  }
+
+  /** Bounded multi-batch simulation: split `docs` into `numBatches`
+    * contiguous id ranges (id order = arrival order), fold [[increment]]
+    * across them, return the surviving ids. With id-ordered arrival this
+    * equals the batch rule "keep docs that never appear as doc_b in
+    * [[Dedup.minhashLshPairs]]" — the `q_stream_neardedup` oracle. */
+  def nearDedupBatches(docs: DataFrame, idCol: String, textCol: String,
+      numBatches: Int, p: Params = Params()): DataFrame = {
+    val bounds = docs.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).collect()(0)
+    if (bounds.isNullAt(0)) return docs.select(col(idCol))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    val cuts = (0 to numBatches).map(i => lo + span * i / numBatches)
+    var index: Option[SeenIndex] = None
+    var out: Option[DataFrame] = None
+    for (i <- 0 until numBatches) {
+      val batch = docs.filter(col(idCol) >= cuts(i) && col(idCol) < cuts(i + 1))
+      val inc = increment(batch, idCol, textCol, index, p)
+      val surv = inc.survivors.select(col(idCol)).localCheckpoint(true)
+      out = Some(out.map(_.unionByName(surv)).getOrElse(surv))
+      index = Some(index match {
+        case Some(ix) => SeenIndex(ix.sigs.unionByName(inc.sigs),
+          ix.shingles.unionByName(inc.shingles))
+        case None => SeenIndex(inc.sigs, inc.shingles)
+      })
+    }
+    out.get
+  }
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Streaming wiring: `docs.writeStream` → foreachBatch over
+    * [[increment]], with the seen-index at `$stateDir/sigs` (partitioned by
+    * band, so a band-bucketed probe reads one directory per band) and
+    * `$stateDir/shingles`, survivors appended under `outDir`. Start with
+    * `.start()` on the returned writer. */
+  def foreachBatchSink(docs: Dataset[StreamingDedup.Doc], stateDir: String,
+      outDir: String, p: Params = Params()): DataStreamWriter[StreamingDedup.Doc] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[StreamingDedup.Doc], _: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF().select(col("docId").as("doc_id"),
+          col("text"))
+        val prior = for {
+          s <- readIfExists(spark, s"$stateDir/sigs")
+          sh <- readIfExists(spark, s"$stateDir/shingles")
+        } yield SeenIndex(s, sh)
+        val inc = increment(df, "doc_id", "text", prior, p)
+        inc.survivors.write.mode("append").parquet(outDir)
+        inc.sigs.write.partitionBy("band").mode("append")
+          .parquet(s"$stateDir/sigs")
+        inc.shingles.write.mode("append").parquet(s"$stateDir/shingles")
+        graft.core.Blocks.free(inc.sigs)
+        graft.core.Blocks.free(inc.shingles)
+    }
+}

@@ -55,6 +55,15 @@ object PipelineQueries {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // Streaming near-dup dedup, bounded case: fold the incremental
+    // MinHash-LSH pass over 4 id-ordered micro-batches. With id-ordered
+    // arrival the any-seen drop rule equals "doc survives iff it never
+    // appears as doc_b in the full-corpus verified pair set" — the oracle.
+    "q_stream_neardedup" -> ((s, d) => {
+      StreamingNearDedup.nearDedupBatches(Td.documents(s, d), "doc_id",
+        "text", numBatches = 4).orderBy(col("doc_id"))
+    }),
+
     "q_text_stats" -> ((s, d) => {
       TextAnalysis.textStats(Td.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len_4"),
@@ -356,6 +365,22 @@ object PipelineQueries {
          |$jaccardVerifySql
          |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_stream_neardedup" ->
+      s"""WITH $shingleIdsSql,
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |$jaccardVerifySql
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard_4 >= 5000)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shingleIdsSql,

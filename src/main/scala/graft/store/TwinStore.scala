@@ -234,7 +234,8 @@ final class TwinStore(
   /** JSON-Patch update (D3): apply, re-validate, stamp only patched
     * top-level props, new etag (DigitalTwins.cs:558-758). */
   def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
-      lastUpdatedBy: Option[String] = None): JsonNode = {
+      lastUpdatedBy: Option[String] = None,
+      componentName: Option[String] = None): JsonNode = {
     val old = getTwin(dtId).asInstanceOf[ObjectNode]
     ifMatch.foreach { m =>
       val cur = Option(old.get("$etag")).map(_.asText()).getOrElse("")
@@ -266,6 +267,21 @@ final class TwinStore(
       meta.set[JsonNode](k, pm)
     }
     for (k <- changed if !patched.has(k)) meta.remove(k)
+    // A component update also stamps the component's own inner
+    // $metadata.$lastUpdateTime, creating the object if absent
+    // (Components.cs:297-331 stamps all three: twin $lastUpdateTime,
+    // component $metadata.$lastUpdateTime, twin $metadata.<comp>).
+    componentName.foreach { cn =>
+      patched.get(cn) match {
+        case o: ObjectNode =>
+          val cm = Option(o.get("$metadata")).collect { case m: ObjectNode => m }
+            .getOrElse {
+              val m = Json.obj(); o.set[JsonNode]("$metadata", m); m
+            }
+          cm.put("$lastUpdateTime", now)
+        case _ =>
+      }
+    }
     meta.put("$lastUpdateTime", now)
     patched.put("$etag", ETag.generate(dtId, now))
     twins(dtId) = patched
@@ -336,7 +352,8 @@ final class TwinStore(
     val prefixed = JsonPatch.parseOps(patchJson).map(op =>
       op.copy(path = s"/$componentName${op.path}",
         from = if (op.from == null) null else s"/$componentName${op.from}"))
-    patchTwin(dtId, JsonPatch.render(prefixed))
+    patchTwin(dtId, JsonPatch.render(prefixed),
+      componentName = Some(componentName))
   }
 
   // ---------------- relationships (D6-D8) ----------------

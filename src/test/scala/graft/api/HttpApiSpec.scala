@@ -400,6 +400,79 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("SDK envelope parity: relationship preconditions, component stamping, token echo") {
+    withApi() { base =>
+      val compModel =
+        """{"@id":"dtmi:api:Thermo;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","contents":[
+          |{"@type":"Property","name":"reading","schema":"double"}]}""".stripMargin
+      val hostModel =
+        """{"@id":"dtmi:api:Rig;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","contents":[
+          |{"@type":"Component","name":"thermo","schema":"dtmi:api:Thermo;1"},
+          |{"@type":"Relationship","name":"feeds"}]}""".stripMargin
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$compModel,$hostModel]")).build())
+        .statusCode() == 201)
+      for (id <- Seq("rig1", "rig2"))
+        assert(send(req(base, s"/digitaltwins/$id").PUT(
+          HttpRequest.BodyPublishers.ofString(
+            """{"$metadata":{"$model":"dtmi:api:Rig;1"},
+              |"thermo":{"$metadata":{},"reading":1.0}}""".stripMargin)).build())
+          .statusCode() == 200)
+
+      // If-None-Match: * on an EXISTING relationship → 412 with the Azure
+      // envelope; on a fresh one → 200 (SDK create-if-not-exists flow)
+      val fresh = send(req(base, "/digitaltwins/rig1/relationships/f1")
+        .header("If-None-Match", "*")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"$relationshipName":"feeds","$targetId":"rig2"}""")).build())
+      assert(fresh.statusCode() == 200)
+      val dup = send(req(base, "/digitaltwins/rig1/relationships/f1")
+        .header("If-None-Match", "*")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"$relationshipName":"feeds","$targetId":"rig2"}""")).build())
+      assert(dup.statusCode() == 412)
+      assert(Json.parse(dup.body()).get("error").get("code").asText()
+        == "PreconditionFailed")
+
+      // Component PATCH stamps all three metadata sites (Components.cs:
+      // 297-331): twin $metadata.$lastUpdateTime, the component's inner
+      // $metadata.$lastUpdateTime, and twin $metadata.thermo.lastUpdateTime
+      val cp = send(req(base, "/digitaltwins/rig1/components/thermo")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(
+          """[{"op":"replace","path":"/reading","value":7.5}]""")).build())
+      assert(cp.statusCode() == 204)
+      val comp = Json.parse(send(
+        req(base, "/digitaltwins/rig1/components/thermo").GET().build()).body())
+      assert(comp.get("reading").asDouble() == 7.5)
+      val compLut = comp.get("$metadata").get("$lastUpdateTime").asText()
+      assert(compLut.nonEmpty)
+      val twin = Json.parse(send(
+        req(base, "/digitaltwins/rig1").GET().build()).body())
+      assert(twin.get("$metadata").get("$lastUpdateTime").asText() == compLut)
+      assert(twin.get("$metadata").get("thermo").get("lastUpdateTime")
+        .asText() == compLut)
+
+      // Continuation token echo: the same token replayed twice returns the
+      // same page (the SDK's AsPages retry path re-sends a token)
+      val q1 = Json.parse(send(req(base, "/query").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """{"query":"SELECT T.$dtId AS id FROM DIGITALTWINS T","maxItemsPerPage":1}""")).build()).body())
+      val tok = q1.get("continuationToken").asText()
+      assert(tok.nonEmpty)
+      def pageFor(t: String) = Json.parse(send(req(base, "/query").POST(
+        HttpRequest.BodyPublishers.ofString(
+          s"""{"query":"SELECT T.$$dtId AS id FROM DIGITALTWINS T","maxItemsPerPage":1,"continuationToken":${Json.render(Json.text(t))}}""")).build()).body())
+      val p2a = pageFor(tok)
+      val p2b = pageFor(tok)
+      assert(p2a.get("value").get(0).get("id").asText()
+        == p2b.get("value").get(0).get("id").asText(), "token replay is stable")
+      assert(p2a.get("value").get(0).get("id").asText()
+        != q1.get("value").get(0).get("id").asText(), "token advances the page")
+    }
+  }
+
   test("batch twin upsert and hybrid twin search routes") {
     withApi() { base =>
       val sensor =

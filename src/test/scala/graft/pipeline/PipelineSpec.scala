@@ -501,6 +501,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch == got.map(_._1))
   }
 
+  test("streaming near-dup dedup: incremental LSH matches the batch any-seen rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // id order = arrival order, so stream output must equal the batch rule
+    // "keep docs never appearing as doc_b in minhashLshPairs".
+    val corpus = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog today"),
+      Doc(1L, "the quick brown fox jumps over the lazy dog today"), // dup of 0
+      Doc(2L, "completely different words about spark and scala engines"),
+      // later batches: near-dup of 0 (cross-batch drop), dup of 2
+      // (cross-batch drop), and a fresh doc (kept)
+      Doc(3L, "the quick brown fox jumps over the lazy cat today"),
+      Doc(4L, "completely different words about spark and scala engines"),
+      Doc(5L, "unrelated text mentioning neither animals nor engines at all"))
+    val tmp = java.nio.file.Files.createTempDirectory("sndd").toString
+    val input = MemoryStream[Doc]
+    val q = StreamingNearDedup.foreachBatchSink(
+      input.toDS(), s"$tmp/state", s"$tmp/out").start()
+    try {
+      input.addData(corpus(0), corpus(1), corpus(2))
+      q.processAllAvailable()
+      input.addData(corpus(3), corpus(4))
+      q.processAllAvailable()
+      input.addData(corpus(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    val full = corpus.map(d => (d.docId, d.text)).toDF("doc_id", "text")
+    val dropped = Dedup.minhashLshPairs(full, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_b").as[Long].collect().toSet
+    val expected = corpus.map(_.docId).toSet -- dropped
+    assert(got == expected, s"stream $got vs batch-rule $expected")
+    assert(got == Set(0L, 2L, 5L), s"got $got")
+    // the bounded fold (the q_stream_neardedup gate shape) agrees too
+    val folded = StreamingNearDedup.nearDedupBatches(full, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    assert(folded == expected, s"fold $folded vs $expected")
+  }
+
   test("languageIdCol matches the aggregation-form languageId row for row") {
     val mixed = Seq(
       (0L, "the quick fox is fast and slow of course"),
