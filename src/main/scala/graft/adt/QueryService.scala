@@ -34,7 +34,12 @@ import graft.json.Json
 final case class QueryPage(
     rows: Seq[String],           // one JSON object per row
     continuationToken: Option[String],
-    charge: Double)
+    charge: Double,
+    // observed-work VLE telemetry (Vle.Metrics): how many expansion rounds
+    // ran and the widest frontier, 0/0 for non-VLE queries — the basis of
+    // the +10 surcharge inside `charge`
+    vleIterations: Int = 0,
+    vleFrontierPeak: Long = 0L)
 
 final class QueryThrottledException(msg: String) extends RuntimeException(msg)
 
@@ -127,7 +132,12 @@ final class QueryService(graph: TwinGraph,
     }
 
     val ast = QueryLanguage.parse(effectiveQuery)
-    val (df, page) = continuationToken match {
+    // Collect observed VLE work (iterations + frontier peak) for the whole
+    // plan/collect scope: the expansion loops run driver-side inside
+    // planner.plan, so the collector sees exactly this query's traversals.
+    val vleMetrics = new graft.graph.Vle.Metrics
+    val (df, page) = graft.graph.Vle.withMetrics(vleMetrics) {
+      continuationToken match {
       case None =>
         // fresh query: limited sort over CURRENT data (TakeOrdered-style —
         // no full-result materialization for single-page results)
@@ -144,6 +154,7 @@ final class QueryService(graph: TwinGraph,
       case Some(_) =>
         val snap = sortedSnapshot(pinId, effectiveQuery)
         (snap, snap.offset(skip.toInt).limit(maxItemsPerPage + 1).collect())
+      }
     }
     val hasMore = page.length > maxItemsPerPage
     val rows = page.take(maxItemsPerPage).toSeq
@@ -154,13 +165,15 @@ final class QueryService(graph: TwinGraph,
         Some(Base64.getEncoder.encodeToString(t.getBytes("UTF-8")))
       } else None
 
-    val c = charge(ast, rows, df.columns.length)
+    val c = charge(ast, rows, df.columns.length, vleMetrics)
     limiter.foreach { l =>
       if (!l.tryAcquire(c))
         throw new QueryThrottledException(
           s"query charge $c exceeds remaining window budget ${l.remaining}")
     }
-    QueryPage(rows.map(rowToJson(df.columns, _)), nextToken, c)
+    QueryPage(rows.map(rowToJson(df.columns, _)), nextToken, c,
+      vleIterations = vleMetrics.iterations,
+      vleFrontierPeak = vleMetrics.frontierPeak)
   }
 
   /** Stream all pages (the reference's AsyncPageable). */
@@ -176,8 +189,16 @@ final class QueryService(graph: TwinGraph,
     }
 
   /** B20 query charge (Query.cs:240-257): rows + properties returned +
-    * 10 if a variable-length edge + 5 if aggregate or IS_OF_MODEL. */
-  private def charge(ast: AdtQuery, rows: Seq[Row], nCols: Int): Double = {
+    * 10 if a variable-length edge + 5 if aggregate or IS_OF_MODEL.
+    *
+    * The VLE surcharge is grounded in OBSERVED work when available
+    * (Vle.Metrics recorded during this query's expansion — iterations +
+    * frontier peak make the +10 reproducible from what actually ran); the
+    * reference's static `isVariableLengthEdgeQuery` flag remains as the
+    * fallback so pages served from a pinned snapshot (no re-expansion)
+    * still bill the surcharge exactly as the reference does per page. */
+  private def charge(ast: AdtQuery, rows: Seq[Row], nCols: Int,
+      vle: graft.graph.Vle.Metrics): Double = {
     var c = rows.length.toDouble
     // properties returned: JSON doc columns count their fields, scalars 1
     rows.foreach { r =>
@@ -197,7 +218,8 @@ final class QueryService(graph: TwinGraph,
         case m: MatchClause => m.edges.exists(_.vle.isDefined)
         case _ => false
       }
-    if (vleAnywhere) c += 10
+    if (vle.observedVle) c += vle.surcharge
+    else if (vleAnywhere) c += 10
     def aggIn(items: Seq[SelectItem]): Boolean = items.exists {
       case SelectCount | _: SelectAgg => true
       case _ => false

@@ -29,6 +29,47 @@ object Vle {
   /** Frontier-row ceiling for trail enumeration beyond the static cap. */
   val TrailEnumRowBudget = 2000000L
 
+  /** Observed-work telemetry for VLE expansion (SURVEY B20): iteration
+    * count + peak frontier rows, recorded by the BFS loop and the trail
+    * enumerator. The reference bills VLE queries a flat +10 surcharge
+    * (AgeDigitalTwinsClient.Query.cs:240-257, from a static
+    * `isVariableLengthEdgeQuery` flag); with these metrics the charge
+    * model can reproduce that surcharge from work the engine actually
+    * performed — and operators get convergence visibility (how many
+    * rounds, how wide the frontier got) for free.
+    *
+    * Activate for the current thread with [[withMetrics]] — the driver
+    * loop of every Vle entry point called inside the scope records here.
+    * Frontier counts are read off eager localCheckpoints (already
+    * materialized blocks), so recording adds row-count jobs over cached
+    * partitions, never a recompute of the expansion. */
+  final class Metrics {
+    @volatile var iterations: Int = 0
+    @volatile var frontierPeak: Long = 0L
+    /** True when a variable-length expansion actually ran in scope. */
+    def observedVle: Boolean = iterations > 0
+    /** The reference's +10 VLE surcharge, derived from observed work. */
+    def surcharge: Double = if (observedVle) 10.0 else 0.0
+  }
+
+  private val activeMetrics = new ThreadLocal[Metrics]
+
+  /** Run `body` with `m` as this thread's active VLE metrics collector. */
+  def withMetrics[T](m: Metrics)(body: => T): T = {
+    activeMetrics.set(m)
+    try body finally activeMetrics.remove()
+  }
+
+  private def metricsOn: Boolean = activeMetrics.get() != null
+
+  private def record(iteration: Int, frontierRows: Long): Unit = {
+    val m = activeMetrics.get()
+    if (m != null) {
+      if (iteration > m.iterations) m.iterations = iteration
+      if (frontierRows > m.frontierPeak) m.frontierPeak = frontierRows
+    }
+  }
+
   private def filtered(edges: DataFrame, relNames: Seq[String]): DataFrame = {
     val e0 =
       if (relNames.isEmpty) edges
@@ -74,6 +115,7 @@ object Vle {
     var visited = seed.select(col("source_id").as("start_id"),
       col("target_id").as("end_id"), lit(1).as("depth"))
       .localCheckpoint(eager = true)
+    if (metricsOn) record(1, visited.count())
     var visitedCp = visited // last checkpoint holding the visited base rows
     var frontier = visited
     var depth = 1
@@ -95,8 +137,13 @@ object Vle {
         .join(visited.select(col("start_id").as("vs"), col("end_id").as("ve")),
           col("start_id") === col("vs") && col("end_id") === col("ve"), "left_anti")
         .localCheckpoint(eager = true)
-      if (next.isEmpty) { done = true; Blocks.free(next) }
+      // with metrics on, the emptiness probe doubles as the frontier count
+      // (next is an eager checkpoint — counting reads cached blocks)
+      val frontierRows =
+        if (metricsOn) next.count() else if (next.isEmpty) 0L else -1L
+      if (frontierRows == 0L) { done = true; Blocks.free(next) }
       else {
+        record(depth + 1, frontierRows)
         oldFrontiers = frontier :: oldFrontiers
         val grown = visited.unionByName(next)
         visited =
@@ -141,6 +188,10 @@ object Vle {
     * maxDepth ≤ 3 is cheaper than materializing it, locally and at scale. */
   private def joinChain(edges: DataFrame, relNames: Seq[String],
       maxDepth: Int, sourceIds: Option[Seq[String]]): DataFrame = {
+    // declarative regime: the chain depth is the iteration count; frontier
+    // sizes are not observable without forcing the lazy plan, so only the
+    // depth is recorded (enough to reproduce the VLE surcharge)
+    record(maxDepth, 0L)
     val e = filtered(edges, relNames)
     val seed = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
     var level = seed.select(col("source_id").as("start_id"),
@@ -328,8 +379,11 @@ object Vle {
     if (minDepth <= 1 && maxDepth >= 1) frames += frontier
     var depth = 1
     var emptied = frontier.isEmpty
+    if (metricsOn && !emptied) record(1, frontier.count())
     def overBudget(): Boolean = {
-      val over = frontier.count() > rowBudget
+      val n = frontier.count()
+      record(depth, n)
+      val over = n > rowBudget
       if (over) org.apache.log4j.Logger.getLogger(getClass).warn(
         s"VLE path enumeration truncated at depth $depth/$maxDepth: frontier " +
           s"exceeds $rowBudget rows (spark.graft.vle.trailEnumRowBudget); " +

@@ -114,38 +114,47 @@ object EventPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
         val cached = batch.persist()
-        try {
-          val tables = Seq(
-            propertyTable -> propertyEvents(cached),
-            twinLifecycleTable -> twinLifeCycleEvents(cached),
-            relLifecycleTable -> relationshipLifeCycleEvents(cached))
-          val failed = tables.flatMap { case (table, df) =>
-            val rows = df.toJSON.collect().toSeq
-            if (rows.isEmpty) None
-            else {
-              try { ingest(table, rows); None }
-              catch { case e: Exception =>
-                Some((table, rows, String.valueOf(e.getMessage)))
-              }
-            }
-          }
-          if (failed.nonEmpty) dlqDir match {
-            case Some(d) =>
-              failed.flatMap { case (table, rows, msg) =>
-                rows.map(r => (table, r, msg))
-              }.toDF("kusto_table", "row_json", "dlq_error")
-                .withColumn("dlq_batch", lit(batchId))
-                .write.mode("append").parquet(d)
-            case None => throw new RuntimeException(
-              s"${failed.length} Kusto table ingestions failed: ${failed.head._3}")
-          }
-        } finally cached.unpersist()
+        try kustoIngestDriverBatch(cached, batchId, ingest, dlqDir,
+          propertyTable, twinLifecycleTable, relLifecycleTable)
+        finally cached.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Per-batch body of the driver-collected Kusto route; `batch` must
+    * already be persisted by the caller (it is read three times). */
+  private def kustoIngestDriverBatch(batch: Dataset[CloudEvent],
+      batchId: Long, ingest: (String, Seq[String]) => Unit,
+      dlqDir: Option[String], propertyTable: String,
+      twinLifecycleTable: String, relLifecycleTable: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val tables = Seq(
+      propertyTable -> propertyEvents(batch),
+      twinLifecycleTable -> twinLifeCycleEvents(batch),
+      relLifecycleTable -> relationshipLifeCycleEvents(batch))
+    val failed = tables.flatMap { case (table, df) =>
+      val rows = df.toJSON.collect().toSeq
+      if (rows.isEmpty) None
+      else {
+        try { ingest(table, rows); None }
+        catch { case e: Exception =>
+          Some((table, rows, String.valueOf(e.getMessage)))
+        }
+      }
+    }
+    if (failed.nonEmpty) dlqDir match {
+      case Some(d) =>
+        failed.flatMap { case (table, rows, msg) =>
+          rows.map(r => (table, r, msg))
+        }.toDF("kusto_table", "row_json", "dlq_error")
+          .withColumn("dlq_batch", lit(batchId))
+          .write.mode("append").parquet(d)
+      case None => throw new RuntimeException(
+        s"${failed.length} Kusto table ingestions failed: ${failed.head._3}")
+    }
   }
 
   /** A12 at scale: Kusto queued ingestion distributed over EXECUTORS —
@@ -177,6 +186,20 @@ object EventPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        kustoIngestDistributedBatch(batch, batchId, mkIngest, dlqDir,
+          propertyTable, twinLifecycleTable, relLifecycleTable, parallelism)
+        ()
+      }
+      .start()
+  }
+
+  /** Per-batch body of the executor-distributed Kusto route. */
+  private def kustoIngestDistributedBatch(batch: Dataset[CloudEvent],
+      batchId: Long, mkIngest: () => (String, Seq[String]) => Unit,
+      dlqDir: Option[String], propertyTable: String,
+      twinLifecycleTable: String, relLifecycleTable: String,
+      parallelism: Int): Unit = {
+    {
         val spark = batch.sparkSession
         import spark.implicits._
         val slots =
@@ -225,6 +248,41 @@ object EventPipeline {
           case None => throw new RuntimeException(
             s"${failed.length} Kusto row ingestions failed: ${failed.head._3}")
         }
+    }
+  }
+
+  /** A12 with per-batch dispatch: small micro-batches take the
+    * driver-collected route (one client, minimal scheduling overhead —
+    * the steady-state data-history trickle), batches above
+    * `distributedRowThreshold` take the executor route (per-partition
+    * clients, only failed rows return to the driver — backfills and burst
+    * replays). The threshold probe is one count over the persisted batch;
+    * both bodies then reuse those cached blocks. One client factory
+    * serves both paths: the driver path instantiates it locally once per
+    * batch, so a deployment configures a single connection closure. */
+  def runKustoRouteAuto(
+      events: Dataset[CloudEvent],
+      mkIngest: () => (String, Seq[String]) => Unit,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      propertyTable: String = "AdtPropertyEvents",
+      twinLifecycleTable: String = "AdtTwinLifeCycleEvents",
+      relLifecycleTable: String = "AdtRelationshipLifeCycleEvents",
+      parallelism: Int = 0,
+      distributedRowThreshold: Long = 50000L): StreamingQuery = {
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CloudEvent], batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          if (cached.count() > distributedRowThreshold)
+            kustoIngestDistributedBatch(cached, batchId, mkIngest, dlqDir,
+              propertyTable, twinLifecycleTable, relLifecycleTable, parallelism)
+          else
+            kustoIngestDriverBatch(cached, batchId, mkIngest(), dlqDir,
+              propertyTable, twinLifecycleTable, relLifecycleTable)
+        } finally cached.unpersist()
         ()
       }
       .start()

@@ -117,6 +117,29 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) == 0.0)
   }
 
+  test("VLE charge telemetry (B20): observed iterations + frontier peak") {
+    // VLE query → telemetry shows traversal work and the +10 surcharge is
+    // derived from it (Query.cs:240-257's flat flag, now observed)
+    val v = svc.query(
+      "SELECT T.$dtId AS id FROM DIGITALTWINS MATCH (S)-[r:next*1..2]->(T) " +
+        "WHERE S.$dtId = 't000'")
+    assert(v.vleIterations >= 1, s"expected observed iterations, got $v")
+    assert(v.charge == 2 + 2 + 10)
+    // non-VLE query: zero telemetry, no surcharge
+    val p = svc.query("SELECT T.$dtId AS id FROM DIGITALTWINS T", 5)
+    assert(p.vleIterations == 0 && p.vleFrontierPeak == 0L)
+    // BFS regime on the 25-chain: 24 rounds to closure, the widest
+    // frontier is the 24 depth-1 pairs, surcharge derives from the work
+    val m = new Vle.Metrics
+    val reach = Vle.withMetrics(m) {
+      Vle.reachability(graph.relationships, relNames = Seq("next"))
+    }
+    assert(reach.count() == 25 * 24 / 2)
+    assert(m.iterations == 24, s"iterations ${m.iterations}")
+    assert(m.frontierPeak == 24L, s"frontier peak ${m.frontierPeak}")
+    assert(m.observedVle && m.surcharge == 10.0)
+  }
+
   test("unbounded VLE (B7): full chain reachability with minimal depths") {
     val reach = Vle.reachability(graph.relationships, relNames = Seq("next"))
     assert(reach.count() == 25 * 24 / 2) // all ordered pairs in a 25-chain

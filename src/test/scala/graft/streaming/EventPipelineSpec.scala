@@ -557,6 +557,44 @@ class EventPipelineSpec extends AnyFunSuite {
       "non-failing tables still ingested")
   }
 
+  test("auto Kusto route: batch size picks driver vs executor path") {
+    def factory(): (String, Seq[String]) => Unit = {
+      DistributedSinkRecorder.factoryCalls.incrementAndGet()
+      (t, rows) => rows.foreach(r => DistributedSinkRecorder.record(t, r))
+    }
+    def propEvents(n: Int, subjects: Int): Seq[CloudEvent] =
+      (1 to n).map(i => CloudEvent(f"id$i%03d", "https://inst",
+        graft.events.CloudEventFactory.PropertyEventType, s"twin${i % subjects}",
+        f"2026-01-01T00:00:${i % 60}%02d.${i / 60}%03dZ", "application/json",
+        s"""{"id":"twin${i % subjects}","key":"temperature","value":"$i"}"""))
+    // small batch (≤ threshold) → driver-collected path: ONE client built
+    val dirS = Files.createTempDirectory("graft-akusto-s").toString
+    DistributedSinkRecorder.reset()
+    val qS = EventPipeline.runKustoRouteAuto(
+      eventStream(dirS, propEvents(10, subjects = 5)), () => factory(),
+      s"$dirS/cp", Some(s"$dirS/dlq"), parallelism = 4,
+      distributedRowThreshold = 64)
+    qS.awaitTermination(60000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 10)
+    assert(DistributedSinkRecorder.factoryCalls.get == 1,
+      s"small batch must take the driver path (one client), " +
+        s"got ${DistributedSinkRecorder.factoryCalls.get}")
+
+    // large batch (> threshold) → executor path: a client per partition
+    val dirL = Files.createTempDirectory("graft-akusto-l").toString
+    DistributedSinkRecorder.reset()
+    val qL = EventPipeline.runKustoRouteAuto(
+      eventStream(dirL, propEvents(120, subjects = 8)), () => factory(),
+      s"$dirL/cp", Some(s"$dirL/dlq"), parallelism = 4,
+      distributedRowThreshold = 64)
+    qL.awaitTermination(60000)
+    assert(DistributedSinkRecorder.deliveredSeq.size == 120)
+    assert(DistributedSinkRecorder.factoryCalls.get > 1,
+      s"large batch must take the executor path (client per partition), " +
+        s"got ${DistributedSinkRecorder.factoryCalls.get}")
+    assert(!new java.io.File(s"$dirL/dlq").exists, "nothing dead-lettered")
+  }
+
   test("distributed Kusto ingest calls overlap across partitions") {
     val dir = Files.createTempDirectory("graft-dkingest").toString
     DistributedSinkRecorder.reset()
@@ -638,6 +676,9 @@ object DistributedSinkRecorder {
   val maxInFlight = new AtomicInteger()
   val tokenSeq = new AtomicInteger()
   val tokenRejections = new AtomicInteger()
+  /** How many times a sink-client factory ran (1 = driver path; one per
+    * partition task = executor path). */
+  val factoryCalls = new AtomicInteger()
 
   def record(topic: String, payload: String): Unit = {
     deliveredQ.add((seq.incrementAndGet(), topic, payload)); ()
@@ -663,6 +704,6 @@ object DistributedSinkRecorder {
 
   def reset(): Unit = {
     deliveredQ.clear(); seq.set(0); inFlight.set(0); maxInFlight.set(0)
-    tokenSeq.set(0); tokenRejections.set(0)
+    tokenSeq.set(0); tokenRejections.set(0); factoryCalls.set(0)
   }
 }
