@@ -45,14 +45,19 @@ object JsonFunctions {
   def json_type_of(doc: Column, path: String): Column =
     jsonTypeOfUdf(doc, lit(path))
 
-  def is_number(doc: Column, path: String): Column =
-    json_type_of(doc, path) === "number"
-  def is_string(doc: Column, path: String): Column =
-    json_type_of(doc, path) === "string"
-  def is_object(doc: Column, path: String): Column =
-    json_type_of(doc, path) === "object"
+  // Total booleans, never SQL NULL: the reference's plpgsql helpers
+  // RETURN false on null/missing agtype values (EXCEPTION ... RETURN
+  // false, GraphInitialization.cs:186-235), so `NOT IS_PRIMITIVE(x)` must
+  // keep rows where x is undefined — three-valued NULL would drop them.
+  private def typeIs(doc: Column, path: String, t: String): Column =
+    coalesce(json_type_of(doc, path) === t, lit(false))
+
+  def is_number(doc: Column, path: String): Column = typeIs(doc, path, "number")
+  def is_string(doc: Column, path: String): Column = typeIs(doc, path, "string")
+  def is_object(doc: Column, path: String): Column = typeIs(doc, path, "object")
   def is_bool_strict(doc: Column, path: String): Column =
-    json_type_of(doc, path) === "boolean"
+    typeIs(doc, path, "boolean")
   def is_primitive(doc: Column, path: String): Column =
-    json_type_of(doc, path).isin("string", "number", "boolean")
+    coalesce(json_type_of(doc, path).isin("string", "number", "boolean"),
+      lit(false))
 }

@@ -66,6 +66,42 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic global shuffle: the training-order permutation. Every
+    * row gets `shuffle_rank` (1-based) = its position when the corpus is
+    * sorted by the salted 60-bit md5 hash of its id, ties broken by id.
+    * Same salt → same permutation on any engine; a new salt is a fresh
+    * epoch order — the reproducible replacement for `orderBy(rand())`.
+    *
+    * Scale shape: NO single-partition global window (the naive
+    * `row_number over (order by hash)` formulation collapses 100 TB onto
+    * one task). Instead the same two-level prefix sum as [[Packing]]:
+    * the 60-bit key space is cut into 1024 ordered buckets (uniform by
+    * hash uniformity, so no skew), bucket row-counts (1024 rows, a
+    * driver-sized aggregate) turn into running offsets with a cheap
+    * window over the tiny count table, and each row's rank = its
+    * bucket's offset + its row_number within the bucket — a window
+    * PARTITIONED by bucket, which distributes. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "graft-shuffle")
+      : DataFrame = {
+    val key = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val bucketSpan = 1L << 50 // 2^60 key space / 1024 ordered buckets
+    val keyed = df.withColumn("__sk", key)
+      .withColumn("__sb", (col("__sk") / bucketSpan).cast("long"))
+    val offsets = keyed.groupBy(col("__sb")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__sb")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__sb"), col("__boff"))
+    keyed
+      .join(broadcast(offsets), Seq("__sb"))
+      .withColumn("shuffle_rank", col("__boff") +
+        row_number().over(Window.partitionBy(col("__sb"))
+          .orderBy(col("__sk"), col(idCol))))
+      .drop("__sk", "__sb", "__boff")
+  }
+
   /** At most `k` rows per stratum, chosen deterministically: rank by the
     * salted hash (an unbiased draw within the stratum), ties broken by
     * id. One shuffle on the stratum key. */

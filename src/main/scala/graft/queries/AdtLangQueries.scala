@@ -96,6 +96,19 @@ object AdtLangQueries {
           "WHERE IS_NULL(acctbal) AND IS_OF_MODEL('dtmi:graft:Nation;1', exact)")
     }),
 
+    // C8-C12 JSON type predicates through the parser: acctbal is a JSON
+    // number on customers/suppliers only (absent on nations/regions), name
+    // is a string everywhere, tags is an array (non-primitive) when
+    // present — so the conjunction selects exactly customers + suppliers.
+    "q_adt_typeof" -> ((s, d) => {
+      run(s, d,
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
+          "WHERE IS_NUMBER(T.acctbal) AND IS_STRING(T.name) " +
+          "AND NOT IS_BOOL(T.acctbal) AND NOT IS_OBJECT(T.name) " +
+          "AND NOT IS_PRIMITIVE(T.tags)")
+        .orderBy(col("dt_id"))
+    }),
+
     // B2 $-metadata access + B3 IN list.
     "q_adt_metadata_model" -> ((s, d) => {
       run(s, d,
@@ -360,6 +373,11 @@ object AdtLangQueries {
       """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM nation""".stripMargin,
     "q_adt_metadata_model" ->
       """SELECT CAST(count(*) AS BIGINT) AS COUNT FROM supplier""".stripMargin,
+    "q_adt_typeof" ->
+      """SELECT dt_id FROM (
+        |  SELECT 'C' || c_custkey AS dt_id FROM customer
+        |  UNION ALL SELECT 'S' || s_suppkey FROM supplier)
+        |ORDER BY 1""".stripMargin,
     "q_adt_in_list" ->
       """SELECT dt_id FROM (
         |  SELECT 'R' || r_regionkey AS dt_id FROM region WHERE r_regionkey IN (0,2)

@@ -55,6 +55,15 @@ object PipelineQueries {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // Deterministic global shuffle: the reproducible training-order
+    // permutation (salted-hash sort rank, two-level prefix sum — no
+    // single-partition window).
+    "q_pipeline_shuffle" -> ((s, d) => {
+      Sampling.shuffleOrder(Td.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy(col("shuffle_rank"))
+    }),
+
     // Streaming near-dup dedup, bounded case: fold the incremental
     // MinHash-LSH pass over 4 id-ordered micro-batches. With id-ordered
     // arrival the any-seen drop rule equals "doc survives iff it never
@@ -365,6 +374,15 @@ object PipelineQueries {
          |$jaccardVerifySql
          |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_pipeline_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM (SELECT doc_id,
+        |        CAST(('0x'||substr(md5('graft-shuffle'||CAST(doc_id AS VARCHAR)),1,15))
+        |          AS BIGINT) k
+        |      FROM documents)
+        |ORDER BY shuffle_rank""".stripMargin,
 
     "q_stream_neardedup" ->
       s"""WITH $shingleIdsSql,

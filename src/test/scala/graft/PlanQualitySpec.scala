@@ -66,6 +66,26 @@ class PlanQualitySpec extends AnyFunSuite {
       "no per-node adjacency list may be collected (hub-node task overflow)")
   }
 
+  test("streaming near-dup increment: equi-joined probe, no cartesian, no adjacency collect") {
+    import spark.implicits._
+    import graft.pipeline.StreamingNearDedup
+    val prior = (1L to 40L).map(i => (i, s"prior doc $i with words $i ${i + 1} ${i + 2} shared"))
+      .toDF("doc_id", "text")
+    val batch = (100L to 120L).map(i => (i, s"new doc $i with words $i ${i + 1} ${i + 2} shared"))
+      .toDF("doc_id", "text")
+    val pInc = StreamingNearDedup.increment(prior, "doc_id", "text", None)
+    val inc = StreamingNearDedup.increment(batch, "doc_id", "text",
+      Some(StreamingNearDedup.SeenIndex(pInc.sigs, pInc.shingles)))
+    val p = inc.survivors.queryExecution.executedPlan.toString
+    // the candidate probe must meet the index through (band, sig) equi-joins
+    // — an all-pairs stage here would scan history × batch at 100 TB
+    assert(!p.contains("CartesianProduct"), s"probe must stay equi-joined:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded broadcast may back the candidate probe:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "no per-bucket member list may be collected (hot-bucket task overflow)")
+  }
+
   test("q_embed_nn: no cartesian product, no full-corpus broadcast") {
     val p = plan("q_embed_nn")
     assert(!p.contains("CartesianProduct"),

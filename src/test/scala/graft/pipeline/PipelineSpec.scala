@@ -583,6 +583,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(1L, 6L), s"got $got")
   }
 
+  test("shuffleOrder: exact permutation, salt-reproducible, no global window") {
+    val corpus = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleOrder(corpus, "doc_id")
+      .select(col("doc_id"), col("shuffle_rank")).as[(Long, Long)].collect()
+    // a permutation: ranks are exactly 1..n, each id exactly once
+    assert(out.map(_._2).sorted.toSeq == (1L to 200L))
+    assert(out.map(_._1).toSet == (1L to 200L).toSet)
+    // reproducible: same salt → identical ranks; fresh salt → new order
+    val again = Sampling.shuffleOrder(corpus, "doc_id")
+      .select(col("doc_id"), col("shuffle_rank")).as[(Long, Long)].collect()
+    assert(out.toMap == again.toMap)
+    val epoch2 = Sampling.shuffleOrder(corpus, "doc_id", salt = "epoch-2")
+      .select(col("doc_id"), col("shuffle_rank")).as[(Long, Long)].collect()
+    assert(epoch2.toMap != out.toMap, "a new salt must draw a new permutation")
+    // matches the naive (single-partition) formulation it replaces
+    val naiveKey = conv(substring(md5(concat(lit("graft-shuffle"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val naive = corpus.withColumn("k", naiveKey)
+      .orderBy(col("k"), col("doc_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toMap
+    assert(out.toMap == naive)
+    // the data path must not funnel through a single-partition window:
+    // the only SinglePartition exchange allowed is the 1024-row
+    // bucket-offset table feeding the broadcast
+    val plan = Sampling.shuffleOrder(corpus, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("SinglePartition".r.findAllIn(plan).size <= 1,
+      s"data rows crossed a single-partition exchange:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("split: disjoint, exhaustive, growth-stable assignment") {
     val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
     val out = Sampling.split(docs, "doc_id", splits)
