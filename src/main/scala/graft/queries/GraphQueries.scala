@@ -27,6 +27,13 @@ object GraphQueries {
         .orderBy(col("relationship_name"))
     }),
 
+    // A3 twin point lookup by primary key (the GET /digitaltwins/{id}
+    // read path over the columnar layout; pushdown plan-asserted in spec).
+    "q_a3_twin_lookup" -> ((s, d) => {
+      GraphViews.graph(s, d).twinById("N3")
+        .select(col("dt_id"), col("model_id"))
+    }),
+
     // A3/A5 point lookup + outgoing edges of one twin.
     "q_a5_outgoing" -> ((s, d) => {
       GraphViews.graph(s, d).outgoing("N0")
@@ -143,6 +150,9 @@ object GraphQueries {
     "q_a2_rel_scan" ->
       s"""SELECT relationship_name, count(*) AS n FROM $relsSql r
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a3_twin_lookup" ->
+      s"""SELECT dt_id, model_id FROM $twinsSql t
+         |WHERE dt_id = 'N3'""".stripMargin,
     "q_a5_outgoing" ->
       s"""SELECT relationship_id, relationship_name, target_id FROM $relsSql r
          |WHERE source_id = 'N0' ORDER BY 1""".stripMargin,
