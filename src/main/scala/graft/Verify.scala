@@ -17,25 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // A query that throws must surface as a FAIL row in the driver's
     // compare, never as a silent absence (r8/r9 shipped all-green
-    // artifacts while 10 queries errored). On exception we write a
-    // one-row parquet with a `_verify_error` column: present → compared →
-    // schema mismatch → visible FAIL.
+    // artifacts while 10 queries errored).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
-        failures(name) = msg
-        System.err.println(s"[verify] $name FAILED: $msg")
-        try {
-          import spark.implicits._
-          Seq(msg).toDF("_verify_error").coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
-        }
-      }
+      Verify.writeQueryOutput(spark, sfDir, outDir, name, fn)
+        .foreach(failures(name) = _)
       // Inter-query hygiene (same rationale as Bench): queries are
       // independent, so orphaned persist/checkpoint blocks from the
       // finished query only crowd the session.
@@ -72,4 +58,29 @@ object Verify {
           failures.keys.mkString(", "))
     spark.stop()
   }
+
+  /** Run one registered query and write its parquet output; on ANY
+    * exception write a one-row `_verify_error` parquet in its place and
+    * return the message. The marker makes a broken query a visible FAIL
+    * row in the driver's compare (present → compared → schema mismatch)
+    * instead of a silent absence. */
+  def writeQueryOutput(spark: SparkSession, sfDir: String, outDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+      System.err.println(s"[verify] $name FAILED: $msg")
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("_verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+      }
+      Some(msg)
+    }
 }
