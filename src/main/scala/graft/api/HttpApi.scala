@@ -415,7 +415,48 @@ final class HttpApi(
             arr.elements().asScala.map(_.asDouble()).toSeq)
           respond(ex, 204, "")
         case ("GET", List("models", id)) =>
-          respondJson(ex, 200, modelJson(store.getModel(id)))
+          // includeBaseModelContents=true (GetModelAsync option,
+          // Models.cs:124-216): merge the raw DTDL content entries of the
+          // model AND its transitive bases into flattened per-type arrays
+          // (properties/relationships/components/telemetries/commands),
+          // each omitted when empty — the SDK's flattened-surface view.
+          val includeBase = Option(ex.getRequestURI.getRawQuery).toSeq
+            .flatMap(_.split("&")).exists(kv => kv.split("=", 2) match {
+              case Array("includeBaseModelContents", v) => v.equalsIgnoreCase("true")
+              case _ => false
+            })
+          val m = store.getModel(id)
+          if (!includeBase) respondJson(ex, 200, modelJson(m))
+          else {
+            val o = Json.parse(modelJson(m))
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            import scala.jdk.CollectionConverters._
+            def hasType(n: com.fasterxml.jackson.databind.JsonNode, t: String) =
+              Option(n.get("@type")).exists {
+                case s if s.isTextual => s.asText() == t
+                case a if a.isArray => a.elements().asScala.exists(_.asText() == t)
+                case _ => false
+              }
+            def contentsOf(raw: String, t: String) =
+              Json.tryParse(raw).flatMap(n => Option(n.get("contents"))).toSeq
+                .flatMap {
+                  case arr if arr.isArray => arr.elements().asScala.toSeq
+                  case one if one.isObject => Seq(one)
+                  case _ => Nil
+                }
+                .filter(hasType(_, t))
+            val chain = store.models.chain(id) // self first, then bases
+            for ((key, t) <- Seq("properties" -> "Property",
+                "relationships" -> "Relationship", "components" -> "Component",
+                "telemetries" -> "Telemetry", "commands" -> "Command")) {
+              val merged = chain.flatMap(i => contentsOf(i.raw, t))
+              if (merged.nonEmpty) {
+                val arr = o.putArray(key)
+                merged.foreach(e => arr.add(e.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+              }
+            }
+            respondJson(ex, 200, Json.render(o))
+          }
         // delete-all first: "models" alone must not bind as an id
         // (DeleteAllModels, ModelsEndpoints.cs:85-101)
         case ("DELETE", List("models")) =>

@@ -454,6 +454,35 @@ class HttpApiSpec extends AnyFunSuite {
       assert(twin.get("$metadata").get("thermo").get("lastUpdateTime")
         .asText() == compLut)
 
+      // includeBaseModelContents=true flattens the inherited surface
+      // (reference GetModelAsync_IncludesAllBaseProperties...): a derived
+      // model reports its own properties plus the base's relationships
+      // and components, omitted arrays stay absent
+      val derived =
+        """{"@id":"dtmi:api:RigPlus;1","@type":"Interface",
+          |"@context":"dtmi:dtdl:context;3","extends":["dtmi:api:Rig;1"],
+          |"contents":[{"@type":"Property","name":"rpm","schema":"double"}]}""".stripMargin
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$derived]")).build())
+        .statusCode() == 201)
+      val flat = Json.parse(send(req(base,
+        "/models/dtmi:api:RigPlus;1?includeBaseModelContents=true")
+        .GET().build()).body())
+      def names(field: String): Set[String] = {
+        val n = flat.get(field)
+        if (n == null) Set.empty
+        else (0 until n.size()).map(n.get(_).get("name").asText()).toSet
+      }
+      assert(names("properties") == Set("rpm"), s"got ${names("properties")}")
+      assert(names("relationships") == Set("feeds"))
+      assert(names("components") == Set("thermo"))
+      assert(!flat.has("telemetries") && !flat.has("commands"),
+        "empty merged arrays must be omitted")
+      // without the option the flattened arrays are absent
+      val plainModel = Json.parse(send(req(base,
+        "/models/dtmi:api:RigPlus;1").GET().build()).body())
+      assert(!plainModel.has("properties"))
+
       // Continuation token echo: the same token replayed twice returns the
       // same page (the SDK's AsPages retry path re-sends a token)
       val q1 = Json.parse(send(req(base, "/query").POST(
