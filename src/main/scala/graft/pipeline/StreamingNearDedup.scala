@@ -72,20 +72,21 @@ object StreamingNearDedup {
       .localCheckpoint(true)
     val sigs = Dedup.bandSignaturesFrom(ids, p.numHashes, p.bands)
       .localCheckpoint(true)
-    // Intra-batch candidates: lower id arrived "first" within the batch —
-    // the same deterministic tie-break as the batch pass / Dedup.exact.
-    val intra = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
+    // One probe join builds BOTH candidate kinds: the left side is the
+    // prior index (tagged __prior) unioned with the batch's own sigs, the
+    // right side is the batch. Intra-batch pairs keep the lower-id-first
+    // tie-break (same as the batch pass / Dedup.exact); index hits drop
+    // the new doc whatever its id — arrival order wins in a stream.
+    val left = prior match {
+      case Some(ix) => ix.sigs.withColumn("__prior", lit(true))
+        .unionByName(sigs.withColumn("__prior", lit(false)))
+      case None => sigs.withColumn("__prior", lit(false))
+    }
+    val cand = left.select(col("doc").as("doc_a"), col("band"), col("sig"),
+        col("__prior"))
       .join(sigs.select(col("doc").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-    // Cross candidates: anything already in the index beats the new doc,
-    // whatever its id — arrival order wins in a stream.
-    val cross = prior.map { ix =>
-      ix.sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
-        .join(sigs.select(col("doc").as("doc_b"), col("band"), col("sig")),
-          Seq("band", "sig"))
-    }
-    val cand = cross.foldLeft(intra)(_ unionByName _)
+      .filter(col("__prior") || col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // Verify on exact Jaccard over full shingle sets, restricted to docs
     // that actually appear in a candidate pair — per-batch verify cost is
