@@ -39,10 +39,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * except the candidate probe, which a real deployment prunes further by
   * bucketing the index files on `sig`.
   *
-  * Append-based state is idempotence-weak: a retried micro-batch would
-  * append its signatures twice (harmless for correctness — dedup state is
-  * duplicate-insensitive — but it doubles those rows). Production sinks
-  * would write per-batchId directories or a transactional table format.
+  * State writes are EXACTLY-ONCE under micro-batch replay: each batch
+  * commits into its own `batch=<id>` directory with the signature
+  * directory written last as the commit marker — a retried batch either
+  * short-circuits on the marker or overwrites its own half-written
+  * attempt (see [[processBatch]]).
   */
 object StreamingNearDedup {
 
@@ -135,28 +136,45 @@ object StreamingNearDedup {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** One micro-batch against the at-rest state, EXACTLY-ONCE: every
+    * artifact lands in a `batch=<id>` directory, written in dependency
+    * order (shingles, survivors, sigs last as the commit marker) with
+    * per-directory overwrite — so a replayed batch id either short-
+    * circuits (marker present: the batch fully committed) or cleanly
+    * rewrites a half-written attempt. State reads list the parent
+    * directory; the `batch` partition column is projected away. */
+  def processBatch(df: DataFrame, batchId: Long, stateDir: String,
+      outDir: String, p: Params = Params()): Unit = {
+    val spark = df.sparkSession
+    val marker = new Path(s"$stateDir/sigs/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // replayed, already committed
+    val prior = for {
+      s <- readIfExists(spark, s"$stateDir/sigs")
+      sh <- readIfExists(spark, s"$stateDir/shingles")
+    } yield SeenIndex(s.select(col("doc"), col("band"), col("sig")),
+      sh.select(col("doc"), col("sid")))
+    val inc = increment(df, "doc_id", "text", prior, p)
+    inc.shingles.write.mode("overwrite")
+      .parquet(s"$stateDir/shingles/batch=$batchId")
+    inc.survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // sigs last: its presence marks the batch committed (the skip above)
+    inc.sigs.write.partitionBy("band").mode("overwrite")
+      .parquet(marker.toString)
+    graft.core.Blocks.free(inc.sigs)
+    graft.core.Blocks.free(inc.shingles)
+  }
+
   /** Streaming wiring: `docs.writeStream` → foreachBatch over
-    * [[increment]], with the seen-index at `$stateDir/sigs` (partitioned by
-    * band, so a band-bucketed probe reads one directory per band) and
-    * `$stateDir/shingles`, survivors appended under `outDir`. Start with
-    * `.start()` on the returned writer. */
+    * [[processBatch]], with the seen-index at `$stateDir/sigs` (inner
+    * band partitioning, so a band-bucketed probe reads one directory per
+    * band) and `$stateDir/shingles`; survivors land under
+    * `outDir/batch=<id>`. Start with `.start()` on the returned writer. */
   def foreachBatchSink(docs: Dataset[StreamingDedup.Doc], stateDir: String,
       outDir: String, p: Params = Params()): DataStreamWriter[StreamingDedup.Doc] =
     docs.writeStream.foreachBatch {
-      (batch: Dataset[StreamingDedup.Doc], _: Long) =>
-        val spark = batch.sparkSession
-        val df = batch.toDF().select(col("docId").as("doc_id"),
-          col("text"))
-        val prior = for {
-          s <- readIfExists(spark, s"$stateDir/sigs")
-          sh <- readIfExists(spark, s"$stateDir/shingles")
-        } yield SeenIndex(s, sh)
-        val inc = increment(df, "doc_id", "text", prior, p)
-        inc.survivors.write.mode("append").parquet(outDir)
-        inc.sigs.write.partitionBy("band").mode("append")
-          .parquet(s"$stateDir/sigs")
-        inc.shingles.write.mode("append").parquet(s"$stateDir/shingles")
-        graft.core.Blocks.free(inc.sigs)
-        graft.core.Blocks.free(inc.shingles)
+      (batch: Dataset[StreamingDedup.Doc], batchId: Long) =>
+        processBatch(batch.toDF().select(col("docId").as("doc_id"),
+          col("text")), batchId, stateDir, outDir, p)
     }
 }

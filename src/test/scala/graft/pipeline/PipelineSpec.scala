@@ -540,6 +540,16 @@ class PipelineSpec extends AnyFunSuite {
     val folded = StreamingNearDedup.nearDedupBatches(full, "doc_id", "text", 3)
       .as[Long].collect().toSet
     assert(folded == expected, s"fold $folded vs $expected")
+    // exactly-once: replaying a committed batch id is a no-op — no
+    // duplicated survivors, no doubled index rows
+    val sigRows = spark.read.parquet(s"$tmp/state/sigs").count()
+    StreamingNearDedup.processBatch(
+      Seq((corpus(5).docId, corpus(5).text)).toDF("doc_id", "text"),
+      batchId = 2, s"$tmp/state", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet == got, "no replay dupes")
+    assert(spark.read.parquet(s"$tmp/state/sigs").count() == sigRows,
+      "replay must not grow the index")
   }
 
   test("languageIdCol matches the aggregation-form languageId row for row") {
