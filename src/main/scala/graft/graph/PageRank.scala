@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over the relationship graph — the classic
+  * link-quality signal a web-scale training-data pipeline uses to weight
+  * or filter documents by site authority (Page et al., "The PageRank
+  * Citation Ranking", 1999). The reference has no equivalent operator;
+  * this belongs to the pipeline-extension surface (SURVEY §2.F), next to
+  * degree statistics (`TwinGraph.degrees`).
+  *
+  * All arithmetic is INTEGER, in rank micro-units (1.0 ≡ 1,000,000):
+  * per-edge contribution is `rank div outdeg`, damping is
+  * `(85 · Σcontrib) div 100 + 150000`. Integer sums are
+  * order-independent, so the result is bit-identical on any engine and
+  * any partitioning — float PageRank cannot be hash-compared across
+  * engines because summation order perturbs the low bits. Truncation
+  * leaks a bounded sliver of mass per iteration (standard for the
+  * no-dangling-redistribution formulation); ranks remain a correct
+  * relative ordering, which is all the curation signal needs.
+  *
+  * Scale shape: the loop is K joins/aggregations — contributions shuffle
+  * on the edge's source (co-partitioned with the rank table), the sum
+  * shuffles on target, both map-side combinable. Per-iteration
+  * `localCheckpoint` truncates the iterative-join lineage and frees the
+  * superseded rank table, same discipline as [[Vle]] and
+  * [[graft.pipeline.Dedup.componentsStars]]. No driver-side state, no
+  * adjacency lists — hub nodes cost one aggregation bucket, not a task.
+  */
+object PageRank {
+
+  /** (node, rank_m) after `iterations` synchronous rounds, nodes = every
+    * endpoint of `relationships` (source_id/target_id columns). */
+  def ranks(relationships: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import graft.core.Blocks
+    val edges = relationships.select(col("source_id"), col("target_id"))
+      .distinct()
+    val nodes = edges.select(col("source_id").as("node"))
+      .unionByName(edges.select(col("target_id").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val outdeg = edges.groupBy(col("source_id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // edge list annotated with its source's out-degree, materialized once:
+    // every iteration re-reads it
+    val e = edges.join(outdeg, Seq("source_id")).localCheckpoint(eager = true)
+    var ranks = nodes.withColumn("rank_m", lit(1000000L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("source_id"), col("rank_m")),
+          Seq("source_id"))
+        .select(col("target_id").as("node"),
+          expr("rank_m div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("rank_m"))
+        .localCheckpoint(eager = true)
+      Blocks.free(ranks)
+      ranks = next
+    }
+    Blocks.free(e)
+    Blocks.free(nodes)
+    ranks
+  }
+}

@@ -48,6 +48,15 @@ object GraphQueries {
         .orderBy(col("relationship_name"))
     }),
 
+    // Fixed-iteration integer PageRank over the relationship graph — the
+    // link-quality curation signal (SURVEY §2.F), bit-exact vs the oracle
+    // because all arithmetic is order-independent integer micro-units.
+    "q_graph_pagerank" -> ((s, d) => {
+      graft.graph.PageRank.ranks(
+        GraphViews.graph(s, d).relationships, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // B4 single-hop MATCH (src)-[r:located_in]->(dst): members per nation.
     "q_b4_single_hop" -> ((s, d) => {
       GraphViews.graph(s, d).hop(Seq("located_in"))
@@ -153,6 +162,33 @@ object GraphQueries {
     "q_a3_twin_lookup" ->
       s"""SELECT dt_id, model_id FROM $twinsSql t
          |WHERE dt_id = 'N3'""".stripMargin,
+    // three unrolled synchronous rounds (aggregates are not allowed in a
+    // recursive CTE term), integer micro-unit arithmetic throughout —
+    // bit-identical to the Spark loop on any summation order
+    "q_graph_pagerank" ->
+      s"""WITH edges AS (SELECT DISTINCT source_id, target_id FROM $relsSql r),
+         |nodes AS (SELECT source_id AS node FROM edges
+         |          UNION SELECT target_id FROM edges),
+         |outdeg AS (SELECT source_id, count(*) AS od FROM edges GROUP BY 1),
+         |ew AS (SELECT e.source_id, e.target_id, od
+         |       FROM edges e JOIN outdeg o USING (source_id)),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |c1 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr0 ON pr0.node = ew.source_id GROUP BY 1),
+         |pr1 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c1 USING (node)),
+         |c2 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr1 ON pr1.node = ew.source_id GROUP BY 1),
+         |pr2 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c2 USING (node)),
+         |c3 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr2 ON pr2.node = ew.source_id GROUP BY 1),
+         |pr3 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c3 USING (node))
+         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
     "q_a5_outgoing" ->
       s"""SELECT relationship_id, relationship_name, target_id FROM $relsSql r
          |WHERE source_id = 'N0' ORDER BY 1""".stripMargin,

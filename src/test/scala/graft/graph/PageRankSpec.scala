@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer micro-unit PageRank: hand-computed fixtures + invariants. */
+class PageRankSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edges(rows: (String, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("source_id", "target_id")
+  }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+    PageRank.ranks(df, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+
+  test("star graph, one iteration, hand-computed micro-units") {
+    // a, b, c all point at hub; hub points nowhere.
+    val g = edges(("a", "hub"), ("b", "hub"), ("c", "hub"))
+    val r = ranksOf(g, 1)
+    // leaves receive no contributions: 150000 + 0
+    assert(r("a") == 150000L && r("b") == 150000L && r("c") == 150000L)
+    // hub: 150000 + 85% of (3 × 1000000 div 1) = 150000 + 2550000
+    assert(r("hub") == 2700000L, s"hub ${r("hub")}")
+  }
+
+  test("out-degree splits contributions with integer division") {
+    // a -> {b, c}: each gets 1000000 div 2 = 500000 in round 1.
+    val g = edges(("a", "b"), ("a", "c"))
+    val r = ranksOf(g, 1)
+    assert(r("b") == 150000L + 85L * 500000L / 100L)
+    assert(r("b") == r("c"))
+    assert(r("a") == 150000L)
+  }
+
+  test("two-node cycle is a fixpoint of the damped update") {
+    // a <-> b: each node always receives the other's full rank.
+    val g = edges(("a", "b"), ("b", "a"))
+    val r1 = ranksOf(g, 1)
+    assert(r1("a") == 1000000L && r1("b") == 1000000L,
+      s"cycle must self-reproduce: $r1")
+    val r5 = ranksOf(g, 5)
+    assert(r5 == r1, "fixpoint must be iteration-count independent")
+  }
+
+  test("iterations refine ranks deterministically; reruns are identical") {
+    val g = edges(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"))
+    val once = ranksOf(g, 3)
+    val again = ranksOf(g, 3)
+    assert(once == again, "bit-identical across runs")
+    // hand-traced micro-units after 3 synchronous rounds: d's extra mass
+    // enters at a in round 1 and pulses around the cycle to c by round 3
+    assert(once == Map("a" -> 1127500L, "b" -> 1108375L,
+      "c" -> 1614125L, "d" -> 150000L), s"got $once")
+  }
+}
