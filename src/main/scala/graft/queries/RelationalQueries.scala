@@ -153,6 +153,19 @@ object RelationalQueries {
         "l_orderkey", "o_orderkey", numBits = 1 << 16, numHashes = 5)
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Z-order clustering key (Morton interleave of the two hottest filter
+    // columns) — the layout a 100 TB table sorts by so data files carry
+    // tight min/max envelopes on both dimensions at once. Pure integer
+    // bit arithmetic, codegen'd, bit-identical to the SQL oracle.
+    "q_layout_zorder" -> ((s, d) => {
+      Td.orders(s, d)
+        .withColumn("zkey", graft.operators.ZOrder.zkey2(
+          col("o_custkey") % 65536, col("o_orderkey") % 65536))
+        .select(col("o_orderkey"), col("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -220,6 +233,13 @@ object RelationalQueries {
       """SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_layout_zorder" ->
+      s"""SELECT o_orderkey,
+         |  CAST(${graft.operators.ZOrder.zkey2Sql("a", "b")} AS BIGINT) AS zkey
+         |FROM (SELECT o_orderkey, o_custkey % 65536 AS a,
+         |             o_orderkey % 65536 AS b FROM orders)
+         |ORDER BY zkey, o_orderkey LIMIT 100""".stripMargin
   )
 }
