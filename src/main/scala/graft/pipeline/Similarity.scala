@@ -148,6 +148,24 @@ object Similarity {
       .select(col("v_id").as(idCol), col("v_vec").as(vecCol), col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
 
+  /** Incremental maintenance of an at-rest IVF index: assign the new
+    * vectors to their cells against the SAME frozen centroids and append
+    * into the cell directories — continuous embedding ingestion without
+    * rebuilding the index (the streaming counterpart of
+    * [[writeIvfIndex]]; wire into `foreachBatch` for a vector stream).
+    * Append is per-cell-directory and the assignment is deterministic,
+    * so replaying a batch at worst duplicates rows, which ranking
+    * tolerates (n_id ties) but production sinks would guard with
+    * per-batch subdirs as [[StreamingNearDedup.processBatch]] does.
+    * Centroids stay frozen between rebuilds — the standard IVF
+    * trade-off: recall drifts only as far as the data distribution does,
+    * and a periodic [[kMeans]] + [[writeIvfIndex]] re-clusters. */
+  def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit =
+    assignCells(newVectors, centroids, idCol, vecCol)
+      .select(col("v_id").as(idCol), col("v_vec").as(vecCol), col("cell_id"))
+      .write.partitionBy("cell_id").mode("append").parquet(path)
+
   /** IVF top-k against an at-rest index from [[writeIvfIndex]]. Same
     * scoring and output as [[ivfTopK]], but the corpus side arrives
     * pre-assigned from disk and the broadcast probe join runs on the

@@ -473,6 +473,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == inMem, s"at-rest != in-memory: $got vs $inMem")
   }
 
+  test("IVF incremental append: new vectors land in their cells, parity holds") {
+    def vec(cx: Double, cy: Double, i: Int): Array[Float] =
+      Array((cx + 0.01 * i).toFloat, (cy - 0.01 * i).toFloat)
+    val anchors = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))
+    val all = (0 until 40).map { i =>
+      val (cx, cy) = anchors(i % 4); (i.toLong, vec(cx, cy, i / 4))
+    }.toDF("vec_id", "embedding")
+    val centroids = anchors.zipWithIndex.map { case ((cx, cy), i) =>
+      (i.toLong, Array(cx.toFloat, cy.toFloat)) }.toDF("cell_id", "cell_vec")
+    val initial = all.filter(col("vec_id") < 20)
+    val late = all.filter(col("vec_id") >= 20)
+    val queries = all.filter(col("vec_id") < 4)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    Similarity.writeIvfIndex(initial, centroids, "vec_id", "embedding", dir)
+    Similarity.appendToIvfIndex(late, centroids, "vec_id", "embedding", dir)
+    val index = spark.read.parquet(dir)
+    assert(index.count() == 40, "all vectors indexed after append")
+    // appended vectors sit in their assigned cell directories
+    // (partition-column discovery infers cell_id as int — cast for the read)
+    assert(index.filter(col("vec_id") === 20L)
+      .select(col("cell_id").cast("long")).collect()(0).getLong(0) == 0L)
+    // search over the grown index matches a fresh full-corpus pass
+    val got = Similarity.ivfTopKIndexed(index, queries, centroids,
+      "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Similarity.ivfTopK(queries, all, centroids,
+      "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == full, s"incremental index diverged: $got vs $full")
+  }
+
   test("streaming dedup: first occurrence wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.Doc
