@@ -55,6 +55,27 @@ object PipelineQueries {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // LSH retrieval-quality gate: recall of banded MinHash candidates
+    // against the exact (df-capped) shingle-Jaccard pair set at the same
+    // threshold — the q_sim_recall pattern for the dedup family. A
+    // banding-parameter regression (fewer bands, worse hashes) fails this
+    // gate even while the pair gates above still match their own oracles.
+    "q_dedup_recall" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 1000)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("h"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("h")), lit(0L)).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          floor(col("n_hit") * 10000.0 / col("n_exact") + 0.5)
+            .cast("long").as("recall_m"))
+    }),
+
     // Deterministic global shuffle: the reproducible training-order
     // permutation (salted-hash sort rank, two-level prefix sum — no
     // single-partition window).
@@ -374,6 +395,46 @@ object PipelineQueries {
          |$jaccardVerifySql
          |SELECT doc_a, doc_b, jaccard_4 FROM jac WHERE jaccard_4 >= 5000
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_recall" ->
+      s"""WITH $shingleIdsSql,
+         |rare AS (SELECT sid FROM ids GROUP BY sid HAVING count(*) <= 1000),
+         |idsf AS (SELECT * FROM ids WHERE sid IN (SELECT sid FROM rare)),
+         |ex_inter AS (SELECT a.doc doc_a, b.doc doc_b, count(*) i
+         |             FROM idsf a JOIN idsf b ON a.sid = b.sid AND a.doc < b.doc
+         |             GROUP BY 1,2),
+         |sizes AS (SELECT doc, count(*) sz FROM ids GROUP BY doc),
+         |exact AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(floor(i*10000.0/(sa.sz+sb.sz-i)+0.5) AS BIGINT) j4
+         |  FROM ex_inter JOIN sizes sa ON sa.doc = doc_a
+         |                JOIN sizes sb ON sb.doc = doc_b)
+         |  WHERE j4 >= 5000),
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |c_inter AS (SELECT c.doc_a, c.doc_b, count(*) i
+         |            FROM cand c JOIN ids ia ON ia.doc = c.doc_a
+         |                        JOIN ids ib ON ib.doc = c.doc_b AND ib.sid = ia.sid
+         |            GROUP BY 1,2),
+         |lsh AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(floor(i*10000.0/(sa.sz+sb.sz-i)+0.5) AS BIGINT) j4
+         |  FROM c_inter JOIN sizes sa ON sa.doc = doc_a
+         |               JOIN sizes sb ON sb.doc = doc_b)
+         |  WHERE j4 >= 5000)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(floor(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 10000.0 / count(*) + 0.5) AS BIGINT) AS recall_m
+         |FROM exact e LEFT JOIN lsh l
+         |  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b""".stripMargin,
 
     "q_pipeline_shuffle" ->
       """SELECT doc_id,
