@@ -89,4 +89,26 @@ object Curation {
       .select(col("docId"), col("text")).as[StreamingDedup.Doc]
     StreamingDedup.dedupStream(kept)
   }
+
+  /** Streaming curation WITH near-dup coverage — the full parity of the
+    * batch path (quality gate → exact dedup → near-dup dedup) over a
+    * stream: [[curateStream]]'s row-local policy + exact first-occurrence
+    * state feeds [[StreamingNearDedup.processBatch]] per micro-batch, so
+    * a near-copy of anything previously ingested is dropped too (batch
+    * MinHash-LSH semantics, exactly-once state under replay). Survivors
+    * land under `outDir/batch=<id>`; the seen-index under `stateDir`.
+    * Start with `.start()` on the returned writer. */
+  def curateNearDupStream(docs: org.apache.spark.sql.Dataset[StreamingDedup.Doc],
+      stateDir: String, outDir: String,
+      keepLang: String = "en", minTokens: Int = 5,
+      maxStopwordRatio4: Long = 5000L,
+      p: StreamingNearDedup.Params = StreamingNearDedup.Params())
+      : org.apache.spark.sql.streaming.DataStreamWriter[StreamingDedup.Doc] =
+    curateStream(docs, keepLang, minTokens, maxStopwordRatio4)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingDedup.Doc], batchId: Long) =>
+          StreamingNearDedup.processBatch(
+            batch.toDF().select(col("docId").as("doc_id"), col("text")),
+            batchId, stateDir, outDir, p)
+      }
 }

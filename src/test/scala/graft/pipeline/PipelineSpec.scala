@@ -658,6 +658,31 @@ class PipelineSpec extends AnyFunSuite {
       s"bucket offsets must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("streaming curation with near-dup coverage: batch-path parity over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("scnd").toString
+    val input = MemoryStream[Doc]
+    val q = Curation.curateNearDupStream(
+      input.toDS(), s"$tmp/state", s"$tmp/out", minTokens = 4).start()
+    try {
+      input.addData(
+        Doc(1L, "the fast table is a good table of data today"), // kept
+        Doc(2L, "el zorro de la tabla"),                         // language
+        Doc(3L, "the fast one"))                                 // too short
+      q.processAllAvailable()
+      input.addData(
+        Doc(4L, "the fast table is a good table of data today"), // exact dup → state
+        Doc(5L, "the fast table is a good table of data tonight"), // NEAR dup of 1
+        Doc(6L, "a slow scan of the wide fast table runs on and on")) // kept
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 6L), s"got $got")
+  }
+
   test("split: disjoint, exhaustive, growth-stable assignment") {
     val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
     val out = Sampling.split(docs, "doc_id", splits)
