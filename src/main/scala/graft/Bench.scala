@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Match Verify/specs: Td.events' TIMESTAMP_NTZ branch assumes UTC
+      // sessions; on a non-UTC host an unpinned bench would load shifted
+      // ts values and time a different row set than the correctness gate.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def warm(step: String)(body: => Unit): Unit =
@@ -99,6 +103,31 @@ object Bench {
       val succeeded = best < Double.MaxValue
       (name, if (succeeded) best else -1.0, if (succeeded) None else err)
     }
+    // Second scale point: a single timed pass per query at a smaller SF
+    // (default sibling sf0.01 when present), so the artifact carries a
+    // scaling signal — a query whose sf0.1/sf0.01 time ratio far exceeds
+    // the 10x data ratio is growing super-linearly in SF and gets flagged
+    // for the plan audit. One attempt, post-warmup (the main pass already
+    // JIT'd every codegen shape): sf2 timings are a trend line, not the
+    // headline metric.
+    val sf2Dir = sys.env.get("SPARK_GRAFT_SF_DIR2")
+      .orElse {
+        val sib = new java.io.File(new java.io.File(sfDir).getParent, "sf0.01")
+        if (sib.isDirectory && sib.getPath != new java.io.File(sfDir).getPath)
+          Some(sib.getPath) else None
+      }
+    val runs2 = sf2Dir.map { d =>
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try { fn(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED at sf2: ${e.getMessage}")
+          -1.0
+        }
+        dropSessionState()
+        (name, r)
+      }.toMap
+    }.getOrElse(Map.empty[String, Double])
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
@@ -108,10 +137,13 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = runs.collect { case (_, v, None) => v }
     val total = ok.sum
-    val failed = runs.size - ok.size
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // The result must survive stdout truncation: also write it to a file
+    val failed = runs.size - ok.size + runs2.values.count(_ < 0)
+    val qs2 = runs2.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val sf2Json = sf2Dir.map(d =>
+      s""","sf2":${jstr(d)},"queries_sf2":$qs2""").getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"$sf2Json}"""
+    // The result must survive stdout truncation: write it to a file
     // (r8/r9 shipped artifacts with parsed:null because the JSON line
     // lived only in a clipped stdout tail).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -120,6 +152,12 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // The one-line JSON goes out LAST, after spark.stop()'s shutdown
+    // chatter, so a driver that tail-parses stdout always finds a complete
+    // record as the final program line (r10 shipped parsed:null because
+    // the line sat mid-stream of a clipped tail).
+    println(json)
+    System.out.flush()
     // A bench with failing queries is a failed bench: rc must say so
     // (r8/r9 reported rc:0 with failed:10).
     if (failed > 0) sys.exit(1)

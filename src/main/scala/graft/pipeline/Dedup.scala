@@ -41,21 +41,13 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Materialize `out` exactly once while `cache` is persisted, truncate
-    * its lineage, then drop the cache before returning.
-    *
-    * Why both steps: `Dataset.persist` registers the plan in Spark's
-    * CacheManager, which holds it until an explicit `unpersist` — over a
-    * long multi-query session (the driver's 50+-query bench) leaked caches
-    * accumulate and thrash the executor heap. `localCheckpoint(eager=true)`
-    * evaluates the expensive subplan ONCE and replaces the result's lineage
-    * with the stored blocks, so downstream consumers that read the result
-    * twice (e.g. [[components]] building edges ∪ edges.swap) never re-run
-    * the generator pipeline; its blocks are ContextCleaner-managed and free
-    * themselves when the frame is garbage-collected. */
-  private def materializedWithout(cache: DataFrame)(out: DataFrame): DataFrame =
-    try out.localCheckpoint(eager = true)
-    finally cache.unpersist(false)
+  // Materialization discipline shared by the pair builders below: the
+  // shingle-id table is `persist`ed only for the duration of the pass (a
+  // leaked CacheManager entry would thrash the executor heap over the
+  // driver's 100-query bench), while results are `localCheckpoint(eager)`ed
+  // — evaluated ONCE, lineage truncated, blocks ContextCleaner-managed so
+  // downstream consumers that read a result twice (e.g. [[components]]
+  // building edges ∪ edges.swap) never re-run the generator pipeline.
 
   /** Per-(doc, shingle_id) exploded distinct shingle ids.
     *
@@ -115,6 +107,19 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val ids = shingleIds(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try shingleJaccardPairsFrom(ids, threshold, maxDf)
+    finally ids.unpersist(false)
+  }
+
+  /** [[shingleJaccardPairs]] over pre-built shingle ids — the entry point
+    * for callers that feed several dedup passes from ONE `shingleIds` run
+    * (e.g. the `q_dedup_recall` gate pairing this with
+    * [[minhashLshPairsFrom]]). `ids` should be materialized (persisted or
+    * checkpointed) by the caller; its lifecycle stays with the caller.
+    * The result is eagerly checkpointed, so it remains readable after the
+    * caller releases `ids`. */
+  def shingleJaccardPairsFrom(ids: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
     val rare = ids.groupBy(col("sid")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxDf).select(col("sid"))
     // Exact (pre-cap) set size per doc, annotated ONTO the index rows
@@ -129,7 +134,7 @@ object Dedup {
     val idsF = ids.join(rare, Seq("sid"), "left_semi")
       .join(sizes, Seq("doc"))
       .localCheckpoint(eager = true)
-    val out = materializedWithout(ids) {
+    val out =
       idsF.select(col("doc").as("doc_a"), col("sz").as("sz_a"), col("sid"))
         .join(idsF.select(col("doc").as("doc_b"), col("sz").as("sz_b"),
           col("sid")), Seq("sid"))
@@ -143,7 +148,7 @@ object Dedup {
             .cast(LongType))
         .filter(col("jaccard_4") >= math.round(threshold * 10000))
         .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
-    }
+        .localCheckpoint(eager = true)
     graft.core.Blocks.free(idsF)
     out
   }
@@ -199,11 +204,20 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    val ids = shingleIds(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try minhashLshPairsFrom(ids, numHashes, bands, threshold)
+    finally ids.unpersist(false)
+  }
+
+  /** [[minhashLshPairs]] over pre-built shingle ids — see
+    * [[shingleJaccardPairsFrom]] for the contract (caller materializes and
+    * owns `ids`; the eagerly-checkpointed result outlives it). */
+  def minhashLshPairsFrom(ids: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
         "a remainder would silently drop hash functions from the banding")
-    val ids = shingleIds(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialized once: sigs feeds BOTH sides of the bucket self-join —
     // left lazy, the 64-min signature aggregation would run twice
     val sigs = bandSignaturesFrom(ids, numHashes, bands)
@@ -214,7 +228,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val out = materializedWithout(ids)(verifyJaccard(candidates, ids, threshold))
+    val out = verifyJaccard(candidates, ids, threshold)
+      .localCheckpoint(eager = true)
     graft.core.Blocks.free(sigs)
     out
   }

@@ -85,9 +85,12 @@ object Sampling {
       : DataFrame = {
     val key = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 15), 16, 10).cast("long")
-    val bucketSpan = 1L << 50 // 2^60 key space / 1024 ordered buckets
+    // 2^60 key space / 1024 ordered buckets. shiftright, not `/ 2^50`:
+    // SQL `/` is double division and 60-bit keys exceed double's 2^53
+    // exact range, so boundary keys would round into the adjacent bucket
+    // (rank stays correct only by a fragile monotonicity argument).
     val keyed = df.withColumn("__sk", key)
-      .withColumn("__sb", (col("__sk") / bucketSpan).cast("long"))
+      .withColumn("__sb", shiftright(col("__sk"), 50))
     val offsets = keyed.groupBy(col("__sb")).agg(count(lit(1)).as("__bn"))
       .withColumn("__boff",
         coalesce(sum(col("__bn")).over(

@@ -41,9 +41,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * State writes are EXACTLY-ONCE under micro-batch replay: each batch
   * commits into its own `batch=<id>` directory with the signature
-  * directory written last as the commit marker — a retried batch either
-  * short-circuits on the marker or overwrites its own half-written
-  * attempt (see [[processBatch]]).
+  * directory written last — its `_SUCCESS` file is the commit marker — and
+  * prior-state reads exclude the in-flight batch's own partition, so a
+  * retried batch either short-circuits on the marker or cleanly overwrites
+  * its own half-written attempt (see [[processBatch]]).
   */
 object StreamingNearDedup {
 
@@ -133,27 +134,43 @@ object StreamingNearDedup {
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    // The dir can exist yet hold no committed parquet (a crashed first
+    // batch leaves only _temporary debris) — schema inference then throws;
+    // that state is indistinguishable from "no prior index", so map it
+    // to None rather than failing the replay that would repair it.
+    if (fs.exists(p))
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    else None
   }
 
   /** One micro-batch against the at-rest state, EXACTLY-ONCE: every
     * artifact lands in a `batch=<id>` directory, written in dependency
-    * order (shingles, survivors, sigs last as the commit marker) with
-    * per-directory overwrite — so a replayed batch id either short-
-    * circuits (marker present: the batch fully committed) or cleanly
-    * rewrites a half-written attempt. State reads list the parent
-    * directory; the `batch` partition column is projected away. */
+    * order (shingles, survivors, sigs last — its `_SUCCESS` file is the
+    * commit marker) with per-directory overwrite — so a replayed batch id
+    * either short-circuits (marker present: the batch fully committed) or
+    * cleanly rewrites a half-written attempt. State reads list the parent
+    * directory but FILTER OUT this batch's own partition: batch ids are
+    * monotone in Structured Streaming, so the only possibly-uncommitted
+    * rows under the state dirs belong to a failed attempt of `batchId`
+    * itself — including them would double the replayed docs' shingle sets
+    * and distort every Jaccard the verify step computes. The `batch`
+    * partition column is projected away after the filter. */
   def processBatch(df: DataFrame, batchId: Long, stateDir: String,
       outDir: String, p: Params = Params()): Unit = {
     val spark = df.sparkSession
     val marker = new Path(s"$stateDir/sigs/batch=$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return // replayed, already committed
+    // _SUCCESS, not the directory: the committer creates the directory at
+    // write START, so a crash mid-write leaves it present but incomplete —
+    // dir-existence would read that half-commit as done forever.
+    if (fs.exists(new Path(marker, "_SUCCESS"))) return // replayed, committed
     val prior = for {
       s <- readIfExists(spark, s"$stateDir/sigs")
       sh <- readIfExists(spark, s"$stateDir/shingles")
-    } yield SeenIndex(s.select(col("doc"), col("band"), col("sig")),
-      sh.select(col("doc"), col("sid")))
+    } yield SeenIndex(
+      s.filter(col("batch") =!= batchId).select(col("doc"), col("band"), col("sig")),
+      sh.filter(col("batch") =!= batchId).select(col("doc"), col("sid")))
     val inc = increment(df, "doc_id", "text", prior, p)
     inc.shingles.write.mode("overwrite")
       .parquet(s"$stateDir/shingles/batch=$batchId")

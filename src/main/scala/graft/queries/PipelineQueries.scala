@@ -62,12 +62,19 @@ object PipelineQueries {
     // gate even while the pair gates above still match their own oracles.
     "q_dedup_recall" -> ((s, d) => {
       val docs = Td.documents(s, d)
-      val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDf = 1000)
+      // ONE shingle pass feeds both sides: the exact ground truth and the
+      // banded candidates share the same (doc, sid) table, checkpointed
+      // once — running the two public entry points back-to-back paid the
+      // tokenize/shingle/distinct pipeline twice per gate run.
+      val ids = Dedup.shingleIds(docs, "doc_id", "text", n = 3)
+        .localCheckpoint(true)
+      val exact = Dedup.shingleJaccardPairsFrom(ids,
+        threshold = 0.5, maxDf = 1000)
         .select(col("doc_a"), col("doc_b"))
-      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val lsh = Dedup.minhashLshPairsFrom(ids,
+        numHashes = 64, bands = 16, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("h"))
+      graft.core.Blocks.free(ids) // both sides are eager checkpoints now
       exact.join(lsh, Seq("doc_a", "doc_b"), "left_outer")
         .agg(count(lit(1)).as("n_exact"),
           coalesce(sum(col("h")), lit(0L)).as("n_hit"))

@@ -584,6 +584,93 @@ class PipelineSpec extends AnyFunSuite {
       "replay must not grow the index")
   }
 
+  test("near-dup replay of a half-committed batch reproduces the clean run") {
+    // The failure the commit protocol must survive: batch 1's first attempt
+    // dies AFTER writing its shingles (and after the committer created the
+    // sigs batch dir) but BEFORE the sigs _SUCCESS marker. The replay must
+    // not see the dead attempt's shingle rows as prior state — unioned with
+    // the fresh batch they double every replayed doc's shingle set, and an
+    // exact duplicate's Jaccard degenerates to 4i/(2a+2b-4i) = null, so the
+    // dup would wrongly SURVIVE.
+    val b0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "completely different words about spark and scala engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"), // dup of 0
+      (3L, "fresh sentences resembling nothing else in this corpus here"))
+      .toDF("doc_id", "text")
+    def run(half: Boolean): (Set[Long], Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("sndd-replay").toString
+      StreamingNearDedup.processBatch(b0, 0, s"$dir/state", s"$dir/out")
+      if (half) {
+        Dedup.shingleIds(b1, "doc_id", "text", 3)
+          .write.parquet(s"$dir/state/shingles/batch=1")
+        // dir exists, no _SUCCESS: what a crash mid-sigs-write leaves
+        new java.io.File(s"$dir/state/sigs/batch=1").mkdirs()
+      }
+      StreamingNearDedup.processBatch(b1, 1, s"$dir/state", s"$dir/out")
+      (spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet,
+        spark.read.parquet(s"$dir/state/sigs").count())
+    }
+    val (cleanSurv, cleanSigs) = run(half = false)
+    val (replaySurv, replaySigs) = run(half = true)
+    assert(cleanSurv == Set(0L, 1L, 3L), s"clean run broken: $cleanSurv")
+    assert(replaySurv == cleanSurv, s"replay diverged: $replaySurv vs $cleanSurv")
+    assert(replaySigs == cleanSigs, "replay must repair, not grow, the index")
+  }
+
+  test("near-dup stream kill/restart from checkpoint matches the unkilled run") {
+    // End-to-end crash-recovery: readStream → foreachBatch → stop with data
+    // pending and a half-committed state attempt on disk → restart from the
+    // same checkpoint → survivors identical to a run that was never killed.
+    // The scenario the reference's replication slot self-healing covers
+    // (Events/Core/Services/AgeDigitalTwinsReplication.cs:678-813).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val wave1 = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog today"),
+      Doc(1L, "completely different words about spark and scala engines"))
+    val wave2 = Seq(
+      Doc(2L, "the quick brown fox jumps over the lazy dog today"), // dup of 0
+      Doc(3L, "the quick brown fox jumps over the lazy cat today"), // near-dup of 0
+      Doc(4L, "unrelated text mentioning neither animals nor engines at all"))
+    def survivors(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    // control: same waves, never killed
+    val ctl = java.nio.file.Files.createTempDirectory("sndd-ctl").toString
+    locally {
+      val in = MemoryStream[Doc]
+      val q = StreamingNearDedup.foreachBatchSink(in.toDS(), s"$ctl/state", s"$ctl/out")
+        .option("checkpointLocation", s"$ctl/chk").start()
+      try {
+        in.addData(wave1); q.processAllAvailable()
+        in.addData(wave2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // killed run: stop with wave2 pending, litter a dead batch-1 attempt,
+    // restart on the same checkpoint + source
+    val tmp = java.nio.file.Files.createTempDirectory("sndd-kill").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamingNearDedup
+      .foreachBatchSink(in.toDS(), s"$tmp/state", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk").start()
+    val q1 = start()
+    in.addData(wave1); q1.processAllAvailable()
+    in.addData(wave2)
+    q1.stop() // killed before the pending wave commits
+    Dedup.shingleIds(
+      wave2.map(d => (d.docId, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", 3).write.mode("overwrite")
+      .parquet(s"$tmp/state/shingles/batch=1") // the dead attempt's debris
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(survivors(tmp) == survivors(ctl),
+      s"restart diverged: ${survivors(tmp)} vs ${survivors(ctl)}")
+    assert(survivors(tmp) == Set(0L, 1L, 4L), s"got ${survivors(tmp)}")
+  }
+
   test("languageIdCol matches the aggregation-form languageId row for row") {
     val mixed = Seq(
       (0L, "the quick fox is fast and slow of course"),
