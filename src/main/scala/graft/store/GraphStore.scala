@@ -45,12 +45,21 @@ object GraphStore {
       spark.read.parquet(s"$dir/models"))
   }
 
-  /** Bucketed catalog tables (shuffle-free traversal joins). Requires a
-    * session with a warehouse dir; `buckets` should match cluster
-    * parallelism. */
-  def writeBucketedTables(graph: TwinGraph, db: String, buckets: Int = 32): Unit = {
+  /** Bucketed catalog tables — the layout that makes traversal joins
+    * shuffle-free: twins hashed into `buckets` files on `dt_id`,
+    * relationships on `source_id`, so a hop join (B4/B5) finds both sides
+    * already co-partitioned on the join key and EnsureRequirements inserts
+    * no Exchange (asserted in PlanQualitySpec). This is the cluster-scale
+    * analogue of the reference's btree indexes
+    * (GraphInitialization.cs:13-39): the btree makes the per-row lookup
+    * cheap on one node; co-bucketing makes the whole-table join cheap on a
+    * thousand. `buckets` should match cluster parallelism; `location`
+    * overrides the warehouse dir for the database. */
+  def writeBucketedTables(graph: TwinGraph, db: String, buckets: Int = 32,
+      location: Option[String] = None): Unit = {
     val spark = graph.twins.sparkSession
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db$loc")
     graph.twins.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "dt_id").sortBy("dt_id")
       .saveAsTable(s"$db.twins")
@@ -59,6 +68,13 @@ object GraphStore {
       .saveAsTable(s"$db.relationships")
     graph.models.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.models")
   }
+
+  /** The graph view over [[writeBucketedTables]] output. Frames read
+    * through the catalog (not raw parquet paths) so scans carry the bucket
+    * spec and joins on `dt_id`/`source_id` skip their shuffles. */
+  def readBucketedTables(spark: SparkSession, db: String): TwinGraph =
+    TwinGraph(spark.table(s"$db.twins"), spark.table(s"$db.relationships"),
+      spark.table(s"$db.models"))
 
   /** MERGE INTO twins: upserts win over existing rows on dt_id. */
   def mergeTwins(existing: DataFrame, upserts: DataFrame): DataFrame =

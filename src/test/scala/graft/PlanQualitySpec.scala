@@ -290,6 +290,34 @@ class PlanQualitySpec extends AnyFunSuite {
       .findAllIn(pk).size >= 2, s"kmv must partial-aggregate:\n$pk")
   }
 
+  test("co-bucketed graph layout: the hop join runs with no Exchange on bucketed sides") {
+    // The q_b4_single_hop shape over GraphStore.writeBucketedTables output:
+    // twins bucketed on dt_id, relationships on source_id, equal bucket
+    // counts — EnsureRequirements must find both sides of the src⋈rels
+    // join (and the dst side of the second join) already co-partitioned.
+    // Broadcast is disabled so the assertion sees the shuffle decision a
+    // 100-TB twin table would face, not the sf0.001 broadcast shortcut.
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val g = graft.graph.GraphViews.graph(spark, sf)
+    graft.store.GraphStore.writeBucketedTables(g, "bucketed_spec", buckets = 4,
+      Some(loc))
+    val stored = graft.store.GraphStore.readBucketedTables(spark, "bucketed_spec")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = stored.hop(Seq("located_in")).queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"with broadcast off the hop must be a partitioned join:\n$p")
+      // unbucketed parquet pays 4 Exchanges here (both sides of src⋈rels,
+      // both sides of ⋈dst); the bucketed layout leaves only the re-key of
+      // the first join's output onto target_id for the dst join
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"bucketed hop must elide the src/rels/dst-side shuffles, got $exchanges:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("bloom semi-join: probe-side bitset filter before the join, no BNLJ") {
     val p = plan("q_bloom_semijoin")
     // the membership test (element_at on the words literal) must sit in a
