@@ -43,81 +43,98 @@ final case class QueryPage(
 
 final class QueryThrottledException(msg: String) extends RuntimeException(msg)
 
-final class QueryService(graph: TwinGraph,
-    limiter: Option[RateLimiter] = None,
-    snapshotFreeGraceMs: Long = 120000L) {
+/** Pinned sorted snapshots keyed by an opaque pagination id carried in the
+  * continuation token (access-ordered LRU). Keying by id — not query text —
+  * means a fresh arrival of the same query text can never yank a pin out
+  * from under another client's in-flight pagination.
+  *
+  * The cache is a standalone object so it can OUTLIVE any one
+  * [[QueryService]]: the HTTP layer rebuilds its service whenever the
+  * store changes, and an in-flight pagination's pins must survive that
+  * rebuild or pages 2..N silently lose snapshot isolation the moment any
+  * writer touches the store (the SDK's AsPages-with-interleaved-writes
+  * scenario). Evicted/replaced pins free their checkpoint blocks only
+  * after a grace period: a concurrent request may have fetched the frame
+  * under the lock and still be mid-collect outside it, and a
+  * localCheckpoint has no lineage — freeing its blocks under that reader
+  * would fail the collect unrecoverably. The grace comfortably exceeds a
+  * page collect; tests pass 0 to assert the free itself. */
+final class SnapshotCache(graceMs: Long = 120000L, capacity: Int = 32) {
 
-  private val planner = new AdtPlanner(graph)
-
-  /** B19 read-only guard (Query.cs:68-88). */
-  private val forbidden = Seq("CREATE ", "DELETE ", "SET ", "MERGE ", "REMOVE ")
-
-  /** Pinned sorted snapshots keyed by an opaque pagination id carried in
-    * the continuation token (access-ordered LRU). Keying by id — not query
-    * text — means a fresh arrival of the same query text can never yank a
-    * pin out from under another client's in-flight pagination. Evicted
-    * pins free their checkpoint blocks immediately instead of waiting for
-    * a driver GC + ContextCleaner pass. */
   private val snapshots =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-        val evict = size() > 32
+        val evict = size() > capacity
         if (evict) deferFree(e.getValue)
         evict
       }
     }
 
-  /** Evicted (or replaced) snapshots whose blocks are freed only after a
-    * grace period: a concurrent request may have fetched the frame under
-    * the lock and still be mid-collect outside it, and a localCheckpoint
-    * has no lineage — freeing its blocks under that reader would fail the
-    * collect unrecoverably. The grace comfortably exceeds a page collect;
-    * tests pass 0 to assert the free itself. */
   private val pendingFree =
     scala.collection.mutable.Queue.empty[(DataFrame, Long)]
 
   private def deferFree(df: DataFrame): Unit =
     synchronized(pendingFree.enqueue((df, System.nanoTime())))
 
-  private def sweepPendingFree(): Unit = synchronized {
-    val cutoff = System.nanoTime() - snapshotFreeGraceMs * 1000000L
+  def get(pinId: String): Option[DataFrame] =
+    synchronized(Option(snapshots.get(pinId)))
+
+  /** Pin (a racing double-build for the same pin must not leak the
+    * loser's blocks — the replaced frame joins the deferred-free queue). */
+  def put(pinId: String, snap: DataFrame): Unit =
+    synchronized(Option(snapshots.put(pinId, snap)).foreach(deferFree))
+
+  def sweep(): Unit = synchronized {
+    val cutoff = System.nanoTime() - graceMs * 1000000L
     while (pendingFree.nonEmpty && pendingFree.head._2 <= cutoff)
       graft.core.Blocks.free(pendingFree.dequeue()._1)
   }
 
-  /** Free every pinned snapshot and queued deferred free — for a service
-    * being retired (e.g. its graph went stale). Callers must ensure no
-    * request is still in flight against this instance, or defer the call
-    * by the same grace the LRU eviction gets. */
-  def freeAllSnapshots(): Unit = synchronized {
+  /** Free every pinned snapshot and queued deferred free — for a cache
+    * being retired. Callers must ensure no request is still in flight
+    * against any pin, or defer the call by the eviction grace. */
+  def freeAll(): Unit = synchronized {
     snapshots.values().forEach(graft.core.Blocks.free(_))
     snapshots.clear()
     pendingFree.foreach { case (df, _) => graft.core.Blocks.free(df) }
     pendingFree.clear()
   }
+}
+
+final class QueryService(graph: TwinGraph,
+    limiter: Option[RateLimiter] = None,
+    snapshots: SnapshotCache = new SnapshotCache()) {
+
+  private val planner = new AdtPlanner(graph)
+
+  /** B19 read-only guard (Query.cs:68-88). */
+  private val forbidden = Seq("CREATE ", "DELETE ", "SET ", "MERGE ", "REMOVE ")
+
+  /** Free this service's snapshot cache (for a standalone service being
+    * retired; services sharing an externally-owned [[SnapshotCache]] leave
+    * its lifecycle to the owner). */
+  def freeAllSnapshots(): Unit = snapshots.freeAll()
 
   /** Get-or-build the pinned sorted snapshot for a pagination id; a miss
     * (evicted pin or restarted service) rebuilds from the query text — the
     * continuation stays valid, merely losing snapshot isolation from that
     * point on, same as the reference's re-execute-with-SKIP behavior. */
   private[graft] def sortedSnapshot(pinId: String, query: String): DataFrame =
-    synchronized(Option(snapshots.get(pinId)))
-      .getOrElse(buildSnapshot(pinId, query))
+    snapshots.get(pinId).getOrElse(buildSnapshot(pinId, query))
 
   /** Build (outside the lock — materialization can be slow) and pin. */
   private def buildSnapshot(pinId: String, query: String): DataFrame = {
     val df = planner.plan(QueryLanguage.parse(query))
     val snap = df.orderBy(df.columns.map(col): _*)
       .localCheckpoint(eager = true)
-    // a racing double-build for the same pin must not leak the loser's blocks
-    synchronized(Option(snapshots.put(pinId, snap)).foreach(deferFree))
+    snapshots.put(pinId, snap)
     snap
   }
 
   def query(q: String, maxItemsPerPage: Int = 2000,
       continuationToken: Option[String] = None): QueryPage = {
-    sweepPendingFree()
+    snapshots.sweep()
     val upper = q.toUpperCase
     if (forbidden.exists(upper.contains))
       throw new AdtPlanException("query endpoint is read-only")

@@ -62,24 +62,22 @@ final class HttpApi(
 
   /** QueryService memoized per store state: twin/relationship mutations
     * bump `currentSeq`, model create/delete changes the registry (which
-    * never advances seq), so the key is both. Retired services keep their
-    * pinned pagination snapshots for a grace period (an in-flight request
-    * may still be collecting against them), then free the blocks. */
+    * never advances seq), so the key is both. The pagination-snapshot
+    * cache is OWNED HERE and shared across service generations: a token
+    * issued before a write must keep serving its pinned snapshot after
+    * the write retires the service that built it (the SDK's AsPages loop
+    * with interleaved writers) — pin lifecycle is the cache's LRU +
+    * deferred-free grace, not service retirement. */
   private var cachedQs: Option[((Long, graft.dtdl.ModelRegistry), QueryService)] = None
-  private val retiredQs =
-    scala.collection.mutable.Queue.empty[(QueryService, Long)]
-  private val retireGraceMs = 120000L
+  private val snapshotCache = new graft.adt.SnapshotCache()
 
   private def queryService(): QueryService = synchronized {
     val key = (store.currentSeq, store.models)
-    val cutoff = System.nanoTime() - retireGraceMs * 1000000L
-    while (retiredQs.nonEmpty && retiredQs.head._2 <= cutoff)
-      retiredQs.dequeue()._1.freeAllSnapshots()
     cachedQs match {
       case Some((k, qs)) if k == key => qs
       case _ =>
-        cachedQs.foreach { case (_, old) => retiredQs.enqueue((old, System.nanoTime())) }
-        val qs = new QueryService(store.toGraph(sparkSession()), limiter)
+        val qs = new QueryService(store.toGraph(sparkSession()), limiter,
+          snapshotCache)
         cachedQs = Some((key, qs))
         qs
     }

@@ -416,40 +416,42 @@ final case class ModelRegistry(models: Map[String, DtdlInterface]) {
   /** Validate a twin document against its declared model: every
     * non-`$` property must be a defined Property (type-checked) or
     * Component (validated against the component model). Mirrors
-    * DigitalTwins.cs:266-457 incl. its error strings. */
+    * DigitalTwins.cs:266-457 incl. its error strings. Errors ACCUMULATE
+    * across properties ("; "-joined) rather than short-circuiting — the
+    * reference's ValidationFailedException names every offending property
+    * in one message (DigitalTwinsTests.cs:117-138 asserts both 'test' and
+    * 'diameter' appear), which is what an API caller fixing a document
+    * actually needs. */
   def validateTwin(doc: JsonNode): Either[String, Unit] = {
     val modelId = Json.get(doc, "/$metadata/$model")
       .map(_.asText())
       .getOrElse(return Left("$metadata.$model is required"))
     if (!models.contains(modelId)) return Left(s"Model $modelId does not exist")
-    doc.properties().asScala.foldLeft[Either[String, Unit]](Right(())) { (acc, e) =>
-      acc.flatMap { _ =>
-        val k = e.getKey
-        if (k.startsWith("$")) Right(())
-        else propertySchema(modelId, k) match {
-          case Some(schema) =>
-            schema.validate(e.getValue).left.map(m => s"Property '$k': $m")
-          case None =>
-            componentModel(modelId, k) match {
-              case Some(compModel) =>
-                val compDoc = e.getValue
-                if (!compDoc.isObject) Left(s"Component '$k' must be an object")
-                else compDoc.properties().asScala
-                  .filterNot(_.getKey.startsWith("$"))
-                  .foldLeft[Either[String, Unit]](Right(())) { (a2, ce) =>
-                    a2.flatMap { _ =>
-                      propertySchema(compModel, ce.getKey) match {
-                        case Some(s) => s.validate(ce.getValue)
-                          .left.map(m => s"Component '$k' property '${ce.getKey}': $m")
-                        case None =>
-                          Left(s"Property '${ce.getKey}' is not defined in the model $compModel")
-                      }
-                    }
+    val errors = doc.properties().asScala.toSeq.flatMap { e =>
+      val k = e.getKey
+      if (k.startsWith("$")) Nil
+      else propertySchema(modelId, k) match {
+        case Some(schema) =>
+          schema.validate(e.getValue).left.toSeq.map(m => s"Property '$k': $m")
+        case None =>
+          componentModel(modelId, k) match {
+            case Some(compModel) =>
+              val compDoc = e.getValue
+              if (!compDoc.isObject) Seq(s"Component '$k' must be an object")
+              else compDoc.properties().asScala.toSeq
+                .filterNot(_.getKey.startsWith("$"))
+                .flatMap { ce =>
+                  propertySchema(compModel, ce.getKey) match {
+                    case Some(s) => s.validate(ce.getValue).left.toSeq
+                      .map(m => s"Component '$k' property '${ce.getKey}': $m")
+                    case None =>
+                      Seq(s"Property '${ce.getKey}' is not defined in the model $compModel")
                   }
-              case None => Left(s"Property '$k' is not defined in the model")
-            }
-        }
+                }
+            case None => Seq(s"Property '$k' is not defined in the model")
+          }
       }
     }
+    if (errors.isEmpty) Right(()) else Left(errors.mkString("; "))
   }
 }

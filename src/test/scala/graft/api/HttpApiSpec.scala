@@ -502,6 +502,64 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("token echo across 3+ pages stays snapshot-consistent under interleaved writes") {
+    // The SDK's AsPages loop walks every page of a query while other
+    // clients keep writing (AzureDigitalTwinsSdkIntegrationTests.cs
+    // paging scenarios): a continuation issued on page 1 pins a snapshot,
+    // so twins created/deleted mid-walk must neither appear, vanish, nor
+    // duplicate across the remaining pages.
+    withApi() { base =>
+      assert(send(req(base, "/models").POST(
+        HttpRequest.BodyPublishers.ofString(s"[$model]")).build())
+        .statusCode() == 201)
+      def put(id: String): Unit =
+        assert(send(req(base, s"/digitaltwins/$id").PUT(
+          HttpRequest.BodyPublishers.ofString(
+            """{"$metadata":{"$model":"dtmi:api:Room;1"},"temperature":20.0}""")).build())
+          .statusCode() == 200)
+      for (i <- 1 to 5) put(s"page$i")
+      def page(tok: Option[String]) = Json.parse(send(req(base, "/query").POST(
+        HttpRequest.BodyPublishers.ofString(
+          s"""{"query":"SELECT T.$$dtId AS id FROM DIGITALTWINS T",
+             |"maxItemsPerPage":2${tok.map(t =>
+               s""","continuationToken":${Json.render(Json.text(t))}""").getOrElse("")}}"""
+            .stripMargin.replace("\n", ""))).build()).body())
+      def ids(p: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+        (0 until p.get("value").size()).map(p.get("value").get(_).get("id").asText())
+      val p1 = page(None)
+      val t1 = p1.get("continuationToken").asText()
+      assert(ids(p1).size == 2 && t1.nonEmpty)
+      // interleaved write AFTER the snapshot pinned: must not surface
+      put("late1")
+      val p2 = page(Some(t1))
+      val t2 = p2.get("continuationToken").asText()
+      assert(ids(p2).size == 2 && t2.nonEmpty)
+      // delete an already-served twin and write another newcomer mid-walk
+      assert(send(req(base, s"/digitaltwins/${ids(p1).head}")
+        .DELETE().build()).statusCode() == 204)
+      put("late2")
+      val p3 = page(Some(t2))
+      assert(ids(p3).size == 1,
+        s"page 3 must hold exactly the 5th pinned twin, got ${ids(p3)}")
+      assert(!p3.has("continuationToken") || p3.get("continuationToken").isNull,
+        "the walk must terminate after the pinned set is exhausted")
+      val walked = ids(p1) ++ ids(p2) ++ ids(p3)
+      assert(walked.distinct == walked, s"no twin may repeat: $walked")
+      assert(walked.toSet == (1 to 5).map(i => s"page$i").toSet,
+        s"pages must cover exactly the pinned snapshot: $walked")
+      // token echo at depth: re-sending t2 after the interleaved writes
+      // replays page 3 identically (the SDK's retry path)
+      assert(ids(page(Some(t2))) == ids(p3), "deep token replay is stable")
+      // a FRESH query (no token) sees the post-write world
+      val fresh = Json.parse(send(req(base, "/query").POST(
+        HttpRequest.BodyPublishers.ofString(
+          """{"query":"SELECT T.$dtId AS id FROM DIGITALTWINS T","maxItemsPerPage":100}""")).build()).body())
+      assert(ids(fresh).toSet ==
+        walked.toSet - ids(p1).head + "late1" + "late2",
+        s"unpinned queries serve current data, got ${ids(fresh)}")
+    }
+  }
+
   test("batch twin upsert and hybrid twin search routes") {
     withApi() { base =>
       val sensor =

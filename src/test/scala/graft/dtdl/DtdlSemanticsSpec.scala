@@ -186,6 +186,187 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(m.swap.toOption.get.contains("unresolvable"))
   }
 
+  // ---------- reference sample-data conformance (1:1 named tests) ----------
+
+  /** SampleData.cs Room (lines 7-72): inline nested Object `wall_size`
+    * {width,height,depth: double} beside quantitative-typed temperature/
+    * humidity and a Relationship. The twin-side scenarios mirror
+    * DigitalTwinsTests.CreateOrReplaceDigitalTwinAsync_InvalidProperty_
+    * ValidationFailedException. */
+  private val roomModel =
+    """{"@id":"dtmi:com:adt:dtsample:room;1","@type":"Interface",
+      |  "@context":["dtmi:dtdl:context;3","dtmi:dtdl:extension:quantitativeTypes;1"],
+      |  "contents":[
+      |    {"@type":"Property","name":"name","schema":"string"},
+      |    {"@type":"Property","name":"exitDoor","schema":"string"},
+      |    {"@type":"Property","name":"temperature","schema":"double"},
+      |    {"@type":["Property","Humidity"],"name":"humidity",
+      |     "schema":"double","unit":"gramPerCubicMetre"},
+      |    {"@type":"Property","name":"wall_size","schema":{
+      |      "@type":"Object","fields":[
+      |        {"name":"width","schema":"double"},
+      |        {"name":"height","schema":"double"},
+      |        {"name":"depth","schema":"double"}]}},
+      |    {"@type":"Relationship","name":"rel_has_sensors",
+      |     "@id":"dtmi:com:adt:dtsample:room:rel_has_sensors;1"}]}""".stripMargin
+
+  test("SampleData Room: nested Object wall_size validates field-by-field") {
+    val m = parse(roomModel)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:com:adt:dtsample:room;1" -> m.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"room1","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},
+        |  "name":"Room 1","temperature":22.5,"humidity":0.6,
+        |  "wall_size":{"width":4.0,"height":2.5,"depth":6.0}}""".stripMargin)
+    assert(reg.validateTwin(ok).isRight)
+    val badType = Json.parse(
+      """{"$dtId":"room1","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},
+        |  "wall_size":{"width":"wide","height":2.5,"depth":6.0}}""".stripMargin)
+    val e1 = reg.validateTwin(badType)
+    assert(e1.isLeft && e1.swap.toOption.get.contains("wall_size"),
+      s"nested field type error must name the property: $e1")
+    val badField = Json.parse(
+      """{"$dtId":"room1","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},
+        |  "wall_size":{"width":4.0,"slope":1.0}}""".stripMargin)
+    assert(reg.validateTwin(badField).isLeft,
+      "'slope' is not a field of the inline Object schema")
+  }
+
+  test("CreateOrReplaceDigitalTwinAsync_InvalidProperty: ALL offending properties named") {
+    // DigitalTwinsTests.cs:117-138 — Crater twin with an undefined 'test'
+    // AND a mistyped 'diameter'; the reference asserts the single error
+    // message mentions BOTH, so validation must accumulate, not
+    // short-circuit on the first bad property.
+    val crater = parse(
+      """{"@id":"dtmi:com:contoso:Crater;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3","contents":[
+        |    {"@type":"Property","name":"diameter","schema":"double"},
+        |    {"@type":"Property","name":"depth","schema":"double"},
+        |    {"@type":"Property","name":"age","schema":"double"}]}""".stripMargin)
+    assert(crater.isRight, crater)
+    val reg = ModelRegistry(Map("dtmi:com:contoso:Crater;1" -> crater.toOption.get))
+    val bad = Json.parse(
+      """{"$dtId":"invalidtwin",
+        |  "$metadata":{"$model":"dtmi:com:contoso:Crater;1"},
+        |  "test":"test","diameter":"foo"}""".stripMargin)
+    val err = reg.validateTwin(bad).swap.toOption.get
+    assert(err.contains("test"), s"must name the undefined property: $err")
+    assert(err.contains("diameter"), s"must name the mistyped property: $err")
+    // model-not-found is its own error, before any property check
+    // (CreateOrReplaceDigitalTwinAsync_InvalidModel_ThrowsModelNotFound)
+    val orphan = Json.parse(
+      """{"$dtId":"t","$metadata":{"$model":"dtmi:com:notfound;1"},"test":1}""")
+    assert(reg.validateTwin(orphan).swap.toOption.get
+      .contains("dtmi:com:notfound;1 does not exist"))
+  }
+
+  test("ComponentsTests thermostat: component values validate against the component model") {
+    // GetComponentAsync_ShouldReturnComponent_WhenComponentExists /
+    // UpdateComponentAsync_ShouldThrowException_WhenComponentDoesNotExist
+    // (ComponentsTests.cs:23-100,269): TestDevice has Component
+    // 'thermostat' of model Thermostat; component docs carry their own
+    // $metadata which validation must skip.
+    val device = parse(
+      """{"@id":"dtmi:example:TestDevice;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3","contents":[
+        |    {"@type":"Component","name":"thermostat",
+        |     "schema":"dtmi:example:Thermostat;1"}]}""".stripMargin)
+    val thermo = parse(
+      """{"@id":"dtmi:example:Thermostat;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3","contents":[
+        |    {"@type":"Property","name":"temperature","schema":"double"},
+        |    {"@type":"Property","name":"targetTemperature","schema":"double"}]}""".stripMargin)
+    assert(device.isRight && thermo.isRight, (device, thermo))
+    val reg = ModelRegistry(Map(
+      "dtmi:example:TestDevice;1" -> device.toOption.get,
+      "dtmi:example:Thermostat;1" -> thermo.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"test-twin-components-1",
+        |  "$metadata":{"$model":"dtmi:example:TestDevice;1"},
+        |  "thermostat":{"temperature":23.5,"targetTemperature":20.0,
+        |    "$metadata":{"$lastUpdateTime":"2024-01-01T00:00:00Z"}}}""".stripMargin)
+    assert(reg.validateTwin(ok).isRight)
+    assert(reg.componentModel("dtmi:example:TestDevice;1", "thermostat")
+      .contains("dtmi:example:Thermostat;1"))
+    val badProp = Json.parse(
+      """{"$dtId":"t","$metadata":{"$model":"dtmi:example:TestDevice;1"},
+        |  "thermostat":{"fanSpeed":3}}""".stripMargin)
+    assert(reg.validateTwin(badProp).swap.toOption.get
+      .contains("not defined in the model dtmi:example:Thermostat;1"))
+    val notObject = Json.parse(
+      """{"$dtId":"t","$metadata":{"$model":"dtmi:example:TestDevice;1"},
+        |  "thermostat":21.0}""".stripMargin)
+    assert(reg.validateTwin(notObject).swap.toOption.get
+      .contains("must be an object"))
+  }
+
+  test("SampleData Planet family: inheritance chain + relationship properties + Component") {
+    // SampleData.cs:124-232 (CelestialBody/Planet/Moon/HabitablePlanet/
+    // Crater) — the model set behind ModelsTests.CreateModels_Descendants
+    // AndBasesStoredCorrectly and RelationshipsTests.UpdateRelationship
+    // Async_SatellitesDistance: 'satellites' declares a Distance property
+    // (which the reference stores but does not schema-check — parse must
+    // accept it), 'deepCraters' is a Component, and HabitablePlanet
+    // inherits name/mass through two extends levels.
+    val celestial = parse(
+      """{"@id":"dtmi:com:contoso:CelestialBody;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3","contents":[
+        |    {"@type":"Property","name":"name","schema":"string"},
+        |    {"@type":"Property","name":"mass","schema":"double"},
+        |    {"@type":"Property","name":"temperature","schema":"double"},
+        |    {"@type":"Relationship","name":"orbits",
+        |     "target":"dtmi:com:contoso:CelestialBody;1"}]}""".stripMargin)
+    val planet = parse(
+      """{"@id":"dtmi:com:contoso:Planet;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3",
+        |  "extends":"dtmi:com:contoso:CelestialBody;1","contents":[
+        |    {"@type":"Relationship","name":"satellites",
+        |     "target":"dtmi:com:contoso:Moon;1",
+        |     "properties":[
+        |       {"@type":"Property","name":"Distance","schema":"double"}]},
+        |    {"@type":"Component","name":"deepCraters",
+        |     "schema":"dtmi:com:contoso:Crater;1"},
+        |    {"@type":"Property","name":"hasLife","schema":"boolean"}]}""".stripMargin)
+    val moon = parse(
+      """{"@id":"dtmi:com:contoso:Moon;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3",
+        |  "extends":"dtmi:com:contoso:CelestialBody;1"}""".stripMargin)
+    val habitable = parse(
+      """{"@id":"dtmi:com:contoso:HabitablePlanet;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3",
+        |  "extends":"dtmi:com:contoso:Planet;1"}""".stripMargin)
+    val crater = parse(
+      """{"@id":"dtmi:com:contoso:Crater;1","@type":"Interface",
+        |  "@context":"dtmi:dtdl:context;3","contents":[
+        |    {"@type":"Property","name":"diameter","schema":"double"}]}""".stripMargin)
+    for (m <- Seq(celestial, planet, moon, habitable, crater))
+      assert(m.isRight, m)
+    val reg = ModelRegistry(Seq(celestial, planet, moon, habitable, crater)
+      .map(_.toOption.get).map(i => i.id -> i).toMap)
+    // bases/descendants closure (ModelsTests.CreateModels_Descendants...)
+    assert(reg.bases("dtmi:com:contoso:HabitablePlanet;1") ==
+      Seq("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"))
+    assert(reg.descendants("dtmi:com:contoso:CelestialBody;1").toSet ==
+      Set("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:Moon;1",
+        "dtmi:com:contoso:HabitablePlanet;1"))
+    // relationships inherit: a HabitablePlanet still orbits and has moons
+    assert(reg.hasRelationship("dtmi:com:contoso:HabitablePlanet;1", "satellites"))
+    assert(reg.hasRelationship("dtmi:com:contoso:HabitablePlanet;1", "orbits"))
+    // a twin of the leaf model validates properties from every level
+    val ok = Json.parse(
+      """{"$dtId":"earth",
+        |  "$metadata":{"$model":"dtmi:com:contoso:HabitablePlanet;1"},
+        |  "name":"Earth","mass":5.97e24,"hasLife":true,
+        |  "deepCraters":{"diameter":1.2}}""".stripMargin)
+    assert(reg.validateTwin(ok).isRight)
+    val bad = Json.parse(
+      """{"$dtId":"earth",
+        |  "$metadata":{"$model":"dtmi:com:contoso:HabitablePlanet;1"},
+        |  "name":"Earth","mass":"heavy"}""".stripMargin)
+    assert(reg.validateTwin(bad).swap.toOption.get.contains("mass"),
+      "inherited property types are enforced through the chain")
+  }
+
   test("a reused Enum schema validates membership") {
     val m = parse(
       """{"@id":"dtmi:g:s;1","@type":"Interface",
