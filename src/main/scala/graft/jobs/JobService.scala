@@ -64,59 +64,146 @@ object DeleteCheckpoint {
   * identically (checkpoint survives, lock leases out, job resumes). */
 final class JobCrashException(msg: String) extends RuntimeException(msg)
 
+/** Pluggable lease storage. The reference keeps lock_* columns in the
+  * shared database (JobService.cs:593-735), so two service instances
+  * contend through storage, not memory — [[FileLockStore]] is that shape
+  * over a shared directory; [[MemoryLockStore]] is the single-driver
+  * default. Compound read-modify-write sequences run under [[withMutex]],
+  * the store-wide mutual-exclusion guard. */
+trait LockStore {
+  def withMutex[A](f: => A): A
+  def get(jobId: String): Option[JobLock]
+  def put(jobId: String, l: JobLock): Unit
+  def remove(jobId: String): Unit
+  def ids: Seq[String]
+}
+
+final class MemoryLockStore extends LockStore {
+  private val locks = collection.mutable.Map[String, JobLock]()
+  def withMutex[A](f: => A): A = synchronized(f)
+  def get(jobId: String): Option[JobLock] = synchronized(locks.get(jobId))
+  def put(jobId: String, l: JobLock): Unit = synchronized(locks(jobId) = l)
+  def remove(jobId: String): Unit = synchronized(locks.remove(jobId): Unit)
+  def ids: Seq[String] = synchronized(locks.keys.toSeq)
+}
+
+/** Lease storage over a shared directory — one JSON file per job, renamed
+  * into place atomically, with the cross-writer critical section held via
+  * an OS file lock (plus a JVM-wide monitor per directory, because POSIX
+  * file locks are per-process and overlap within one JVM). Two service
+  * instances pointed at the same directory contend exactly like two
+  * reference instances sharing the jobs table: acquire-if-expired,
+  * owner-fenced heartbeats, orphan takeover. */
+final class FileLockStore(dir: java.nio.file.Path) extends LockStore {
+  import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+  Files.createDirectories(dir)
+
+  private def fileOf(jobId: String): Path =
+    dir.resolve(java.net.URLEncoder.encode(jobId, "UTF-8") + ".json")
+
+  def withMutex[A](f: => A): A =
+    FileLockStore.jvmMutex(dir.toAbsolutePath.toString).synchronized {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(".mutex"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try { val fl = ch.lock(); try f finally fl.release() }
+      finally ch.close()
+    }
+
+  def get(jobId: String): Option[JobLock] = {
+    val p = fileOf(jobId)
+    if (!Files.exists(p)) None
+    else Json.tryParse(new String(Files.readAllBytes(p), "UTF-8")).map { n =>
+      JobLock(n.get("owner").asText(), n.get("acquiredAt").asLong(),
+        n.get("leaseMillis").asLong(), n.get("heartbeatAt").asLong())
+    }
+  }
+
+  def put(jobId: String, l: JobLock): Unit = {
+    val tmp = Files.createTempFile(dir, ".lk", ".tmp")
+    Files.write(tmp,
+      (s"""{"owner":${Json.render(Json.text(l.owner))},""" +
+        s""""acquiredAt":${l.acquiredAt},"leaseMillis":${l.leaseMillis},""" +
+        s""""heartbeatAt":${l.heartbeatAt}}""").getBytes("UTF-8"))
+    Files.move(tmp, fileOf(jobId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def remove(jobId: String): Unit =
+    Files.deleteIfExists(fileOf(jobId)): Unit
+
+  def ids: Seq[String] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(n => java.net.URLDecoder.decode(n.stripSuffix(".json"), "UTF-8"))
+        .toSeq
+    } finally s.close()
+  }
+}
+
+object FileLockStore {
+  private val mutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmMutex(key: String): Object =
+    mutexes.computeIfAbsent(key, _ => new Object)
+}
+
 final class JobService(clock: () => String = () => java.time.Instant.now().toString,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    lockStore: LockStore = new MemoryLockStore) {
 
   val DefaultLeaseMillis: Long = 5 * 60 * 1000L // reference default 5 min
 
   private val jobs = collection.mutable.LinkedHashMap[String, JobRecord]()
-  private val locks = collection.mutable.Map[String, JobLock]()
+  private def locks = lockStore
 
   def list: Seq[JobRecord] = jobs.values.toSeq
   def get(id: String): JobRecord =
     jobs.getOrElse(id, throw StoreException(404, s"job $id not found"))
-  def lockInfo(jobId: String): Option[JobLock] = synchronized(locks.get(jobId))
+  def lockInfo(jobId: String): Option[JobLock] = locks.get(jobId)
 
   /** Acquire-or-take-over: succeeds when the job is unlocked OR the
     * current lease has expired (orphaned instance). */
   def tryAcquireLock(jobId: String, owner: String,
-      leaseMillis: Long = DefaultLeaseMillis): Boolean = synchronized {
+      leaseMillis: Long = DefaultLeaseMillis): Boolean = locks.withMutex {
     val now = nowMs()
     locks.get(jobId) match {
       case Some(l) if l.owner != owner && !l.isExpired(now) => false
       case _ =>
-        locks(jobId) = JobLock(owner, now, leaseMillis, now)
+        locks.put(jobId, JobLock(owner, now, leaseMillis, now))
         true
     }
   }
 
   /** Heartbeat renewal: only the live owner can renew; an expired lease
     * cannot be resurrected (the instance must re-acquire). */
-  def renewHeartbeat(jobId: String, owner: String): Boolean = synchronized {
+  def renewHeartbeat(jobId: String, owner: String): Boolean = locks.withMutex {
     val now = nowMs()
     locks.get(jobId) match {
       case Some(l) if l.owner == owner && !l.isExpired(now) =>
-        locks(jobId) = l.copy(heartbeatAt = now)
+        locks.put(jobId, l.copy(heartbeatAt = now))
         true
       case _ => false
     }
   }
 
-  def releaseLock(jobId: String, owner: String): Unit = synchronized {
-    if (locks.get(jobId).exists(_.owner == owner)) locks.remove(jobId): Unit
+  def releaseLock(jobId: String, owner: String): Unit = locks.withMutex {
+    if (locks.get(jobId).exists(_.owner == owner)) locks.remove(jobId)
   }
 
   /** Drop every expired lock; returns how many (JobService.cs:878-911). */
-  def cleanupExpiredLocks(): Int = synchronized {
+  def cleanupExpiredLocks(): Int = locks.withMutex {
     val now = nowMs()
-    val victims = locks.collect { case (id, l) if l.isExpired(now) => id }.toSeq
+    val victims = locks.ids.filter(id => locks.get(id).exists(_.isExpired(now)))
     victims.foreach(locks.remove)
     victims.size
   }
 
   /** Startup resume discovery: Running jobs not held by a live lease
     * (JobService.cs:919-947). */
-  def jobsToResume: Seq[JobRecord] = synchronized {
+  def jobsToResume: Seq[JobRecord] = locks.withMutex {
     val now = nowMs()
     jobs.values.filter(j => j.status == "Running" &&
       locks.get(j.id).forall(_.isExpired(now))).toSeq

@@ -136,6 +136,52 @@ class JobsSpec extends AnyFunSuite {
     assert(svc.cleanupExpiredLocks() == 1)
   }
 
+  test("multi-writer lock contention: two services, shared at-rest lease storage") {
+    // The reference's distributed path (JobService.cs:593-735): instances
+    // share lock_* columns in one database, so A's lease must fence B
+    // through STORAGE, not memory. Two independent JobService instances —
+    // separate clocks, separate FileLockStore objects — contend over the
+    // same directory.
+    val dir = java.nio.file.Files.createTempDirectory("graft-joblocks")
+    var clockA = 0L
+    var clockB = 0L
+    val a = new JobService(nowMs = () => clockA,
+      lockStore = new FileLockStore(dir))
+    val b = new JobService(nowMs = () => clockB,
+      lockStore = new FileLockStore(dir))
+    assert(a.tryAcquireLock("j1", "writerA", leaseMillis = 1000))
+    clockB = 500
+    assert(!b.tryAcquireLock("j1", "writerB", leaseMillis = 1000),
+      "a live lease must block a second writer through shared storage")
+    assert(!b.renewHeartbeat("j1", "writerB"), "only the owner heartbeats")
+    // A's heartbeat at t=900 extends the lease to t=1900
+    clockA = 900
+    assert(a.renewHeartbeat("j1", "writerA"))
+    clockB = 1500
+    assert(!b.tryAcquireLock("j1", "writerB", leaseMillis = 1000),
+      "the heartbeat must extend the lease across writers")
+    // A dies (no more heartbeats); past expiry B takes over
+    clockB = 2000
+    assert(b.tryAcquireLock("j1", "writerB", leaseMillis = 1000),
+      "an orphaned lease is taken over")
+    assert(b.lockInfo("j1").exists(_.owner == "writerB"))
+    // fencing: the old owner's late heartbeat and release are no-ops
+    clockA = 2100
+    assert(!a.renewHeartbeat("j1", "writerA"),
+      "a fenced-out instance must not resurrect its lease")
+    a.releaseLock("j1", "writerA")
+    assert(a.lockInfo("j1").exists(_.owner == "writerB"),
+      "a non-owner release must not drop the new owner's lease")
+    // the new owner's view is authoritative from either instance
+    b.releaseLock("j1", "writerB")
+    assert(a.lockInfo("j1").isEmpty && b.lockInfo("j1").isEmpty)
+    // expired-lock GC sees shared state too
+    assert(a.tryAcquireLock("j2", "writerA", leaseMillis = 1000))
+    clockB = 4000
+    assert(b.cleanupExpiredLocks() == 1,
+      "cleanup must collect the other instance's expired lease")
+  }
+
   test("delete job: crash mid-phase, lease out, resume from checkpoint") {
     val (svc, advance) = timedService()
     val store = new TwinStore()

@@ -620,6 +620,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(replaySigs == cleanSigs, "replay must repair, not grow, the index")
   }
 
+  test("exact-dedup stream kill/restart recovers flatMapGroupsWithState state") {
+    // The state-store recovery path: claims made before the kill must
+    // fence duplicates arriving after the restart, and a batch pending at
+    // the kill must replay deterministically (min-id winner).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup-kill").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamingDedup.dedupStream(in.toDS())
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Doc], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tmp/out/batch=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/chk").start()
+    val q1 = start()
+    in.addData(Doc(3L, "copy of X"), Doc(1L, "copy of X"), Doc(2L, "doc Y"))
+    q1.processAllAvailable()
+    in.addData(Doc(4L, "copy of X"), Doc(5L, "doc Z")) // pending at the kill
+    q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(Doc(6L, "doc Z"), Doc(7L, "doc W")) // post-restart dup + fresh
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("docId").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 5L, 7L),
+      s"state must survive the restart (no re-emit of X, Z claimed pre-kill fences 6): $got")
+  }
+
   test("near-dup stream kill/restart from checkpoint matches the unkilled run") {
     // End-to-end crash-recovery: readStream → foreachBatch → stop with data
     // pending and a half-committed state attempt on disk → restart from the
