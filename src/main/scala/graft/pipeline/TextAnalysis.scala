@@ -251,6 +251,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Duplicated-span coverage: the C4/Dolma-style boilerplate signal —
+    * per document, the fraction of its distinct n-gram shingles that also
+    * occur in at least one OTHER document (or twice in the corpus, since
+    * shingles are per-doc distinct: corpus df ≥ 2 ⇔ shared). A page whose
+    * spans are mostly corpus-repeated is navigation/boilerplate even when
+    * no single whole-document near-duplicate exists, which is exactly the
+    * case pairwise dedup misses.
+    *
+    * Scale shape: shingle ids from the codegen n-gram kernel (no global
+    * dictionary), one map-side-combined `groupBy(sid)` for document
+    * frequency, one sid equi-join back (never broadcast — the shingle
+    * table is corpus-sized), one `groupBy(doc)` rollup; short docs (< n
+    * tokens) are kept via the left join with zero coverage. No pair
+    * enumeration anywhere — cost is O(corpus shingles), not O(docs²). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val ids = Dedup.shingleIds(df, idCol, textCol, n)
+    val dfCnt = ids.groupBy(col("sid")).agg(count(lit(1)).as("__df"))
+    val per = ids.join(dfCnt, Seq("sid"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(floor(col("n_dup") * 10000.0 / col("n_shingles") + 0.5)
+          .cast(LongType), lit(0L)).as("dup_ratio_4"))
+  }
+
   /** All per-document text statistics in ONE pass: explode tokens once,
     * aggregate with conditional sums (map-side combined, single shuffle).
     * The fingerprint folds into the same aggregation as

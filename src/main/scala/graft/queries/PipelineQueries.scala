@@ -113,6 +113,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-span coverage: share of each doc's distinct 3-gram
+    // shingles that recur elsewhere in the corpus — the boilerplate
+    // signal pairwise dedup misses (C4/Dolma-style span filtering).
+    "q_text_dupspan" -> ((s, d) => {
+      TextAnalysis.dupSpanCoverage(Td.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = Td.embeddings(s, d)
       Similarity.bruteForceTopK(
@@ -372,6 +380,20 @@ object PipelineQueries {
          |SELECT doc, n_shingles, n_hits,
          |  CAST(floor(n_hits*10000.0/n_shingles+0.5) AS BIGINT) overlap_4
          |FROM agg ORDER BY doc""".stripMargin,
+
+    "q_text_dupspan" ->
+      s"""WITH $shingleIdsSql,
+         |dfc AS (SELECT sid, count(*) c FROM ids GROUP BY 1),
+         |per AS (SELECT doc, count(*) n_shingles,
+         |        CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_dup
+         |        FROM ids JOIN dfc USING (sid) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_shingles, 0) AS n_shingles,
+         |  coalesce(n_dup, 0) AS n_dup,
+         |  coalesce(CAST(floor(n_dup*10000.0/n_shingles+0.5) AS BIGINT), 0)
+         |    AS dup_ratio_4
+         |FROM documents d LEFT JOIN per ON per.doc = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $shingleIdsSql,

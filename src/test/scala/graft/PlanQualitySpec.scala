@@ -210,6 +210,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"arithmetic filter must not add shuffles:\n$p")
   }
 
+  test("dup-span coverage: sid equi-join only, partial aggregation kept") {
+    val p = plan("q_text_dupspan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"df-count join must meet through the sid equi-join:\n$p")
+    // document-frequency count + per-doc rollup each keep map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregate pairs:\n$p")
+  }
+
   test("repetition stats: aggregation chains, no window, no cartesian") {
     val p = plan("q_text_repetition")
     assert(!p.contains("Window"),

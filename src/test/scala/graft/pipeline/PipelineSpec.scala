@@ -703,6 +703,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(tmp) == Set(0L, 1L, 4L), s"got ${survivors(tmp)}")
   }
 
+  test("dupSpanCoverage: corpus-repeated shingles per doc, short docs kept at zero") {
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles: "a b c","b c d","c d e"
+      (2L, "a b c x y"), // shares "a b c" with doc 1
+      (3L, "zz"),        // < n tokens → zero shingles, must still appear
+      (4L, "q r s t")    // all unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, 3L, 1L, 3333L)), s"got ${got(0)}")
+    assert(got(1) == ((2L, 3L, 1L, 3333L)), s"got ${got(1)}")
+    assert(got(2) == ((3L, 0L, 0L, 0L)), "short docs keep a zero row")
+    assert(got(3) == ((4L, 2L, 0L, 0L)), s"got ${got(3)}")
+  }
+
   test("languageIdCol matches the aggregation-form languageId row for row") {
     val mixed = Seq(
       (0L, "the quick fox is fast and slow of course"),
