@@ -33,9 +33,17 @@ object Profile {
       case "explain" :: names if names.nonEmpty => names.foreach(explain(spark, sfDir, _))
       case "stages" :: _ => stages(spark, sfDir)
       case "components" :: _ => components(spark, sfDir)
+      case "scale" :: rest =>
+        val factor = rest.headOption.flatMap(_.toIntOption).getOrElse(8)
+        val names = rest.drop(if (rest.headOption.exists(_.toIntOption.isDefined)) 1 else 0) match {
+          case Nil => Seq("q_dedup_minhash", "q_dedup_jaccard", "q_dedup_components",
+            "q_text_dupspan", "q_pipeline_shuffle", "q_sim_topk", "q_embed_nn")
+          case ns => ns
+        }
+        scaleProbe(spark, sfDir, factor, names)
       case other =>
         System.err.println(
-          s"""usage: Profile query <name>... | explain <name>... | stages | components
+          s"""usage: Profile query <name>... | explain <name>... | stages | components | scale [factor] [name...]
              |got: ${other.mkString(" ")}""".stripMargin)
         sys.exit(2)
     } finally spark.stop()
@@ -95,6 +103,56 @@ object Profile {
     dropState(spark)
     count("minhash pairs COLD")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5))
+  }
+
+  /** Data-scaling probe: amplify documents/embeddings by `factor` (id
+    * offsets; each copy's text gets a distinct leading token so near-dup
+    * structure is preserved without quadratic duplicate groups; vectors
+    * get a tiny per-copy first-component nudge for the same reason), then
+    * time each query at 1x vs Nx. The per-query growth ratio is the
+    * empirical scaling exponent the plan audits argue for: a
+    * linear-by-design operator should report ratio ≈ factor — superlinear
+    * growth here is a red flag no sf0.1-only bench can see, because at
+    * sf0.1 fixed scheduling overhead dominates data-dependent cost. */
+  private def scaleProbe(spark: SparkSession, sfDir: String, factor: Int,
+      names: Seq[String]): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val out = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docSpan = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      docs.select((col("doc_id") + lit(k * docSpan)).as("doc_id"),
+        concat(lit(s"c$k "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embSpan = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * embSpan)).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(k * 1e-3f)),
+          slice(col("embedding"), 2, 10000)).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale] corpus x$factor at $out")
+    def best(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        dropState(spark)
+        t
+      }
+      ts.min
+    }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t1 = best(fn, sfDir)
+      val tN = best(fn, out)
+      println(f"[scale] $name%-22s 1x=$t1%7.2fs  ${factor}x=$tN%7.2fs  " +
+        f"ratio=${tN / t1}%5.2f (linear would be <= $factor)")
+    }
   }
 
   /** LSH pairs → connected components, stage-timed. */
