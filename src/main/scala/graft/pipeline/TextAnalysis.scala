@@ -251,6 +251,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 top-k keyword retrieval — the corpus-search primitive of a
+    * training-data pipeline (find documents matching an eval probe, audit
+    * a topic's coverage, seed decontamination sweeps). Lucene-form BM25:
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1) (always positive), term
+    * weight idf·tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen)).
+    *
+    * Output is (rank, id) — scores stay internal because IEEE float
+    * round-trips break cross-engine hashes while ranks are stable (exact
+    * score ties break by id; the [[graft.pipeline.Similarity]] precedent).
+    *
+    * Scale shape: the token explode is scan-local; `tf` collapses to
+    * |matched docs|·|terms| rows before any join; `dfreq` (|terms| rows)
+    * and the 1-row corpus stats broadcast; the only corpus-sized shuffles
+    * are the two groupBys (lengths, tf), both map-side combined. Top-k is
+    * TakeOrdered — no global sort materializes. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = df.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("tok"))
+    val lens = toks.groupBy(col("doc")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(avg(col("len")).as("avglen"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(lens, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
+      .groupBy(col("doc")).agg(sum(col("__w")).as("__score"))
+    val top = scored.orderBy(col("__score").desc, col("doc").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score").desc, col("doc").asc)).cast(LongType))
+      .select(col("rank"), col("doc").as(idCol))
+  }
+
   /** Duplicated-span coverage: the C4/Dolma-style boilerplate signal —
     * per document, the fraction of its distinct n-gram shingles that also
     * occur in at least one OTHER document (or twice in the corpus, since

@@ -121,6 +121,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 keyword retrieval: rank output (ties by id), scores internal.
+    "q_text_bm25" -> ((s, d) => {
+      TextAnalysis.bm25TopK(Td.documents(s, d), "doc_id", "text",
+        terms = Seq("vector", "merge", "window"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
     "q_sim_topk" -> ((s, d) => {
       val emb = Td.embeddings(s, d)
       Similarity.bruteForceTopK(
@@ -380,6 +387,29 @@ object PipelineQueries {
          |SELECT doc, n_shingles, n_hits,
          |  CAST(floor(n_hits*10000.0/n_shingles+0.5) AS BIGINT) overlap_4
          |FROM agg ORDER BY doc""".stripMargin,
+
+    // Literal arithmetic is written as the same double ops Spark computes
+    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines round identically; only
+    // ranks are emitted, so residual 1-ulp score noise cannot flip hashes
+    // (exact ties break by doc id).
+    "q_text_bm25" ->
+      """WITH toks AS (SELECT doc_id doc, unnest(string_split(text,' ')) tok
+        |              FROM documents),
+        |lens AS (SELECT doc, count(*) len FROM toks GROUP BY 1),
+        |stats AS (SELECT avg(len) avglen, count(*) n_docs FROM lens),
+        |tf AS (SELECT doc, tok, count(*) tf FROM toks
+        |       WHERE tok IN ('vector','merge','window') GROUP BY 1,2),
+        |dfreq AS (SELECT tok, count(*) dfreq FROM tf GROUP BY 1),
+        |scored AS (SELECT doc,
+        |  sum(ln((n_docs - dfreq + 0.5)/(dfreq + 0.5) + 1.0)
+        |      * (tf*(1.2 + 1.0))
+        |      / (tf + 1.2*((1.0 - 0.75) + 0.75*len/avglen))) score
+        |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc)
+        |       CROSS JOIN stats GROUP BY doc),
+        |top AS (SELECT doc, score FROM scored ORDER BY score DESC, doc LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
+        |  doc AS doc_id
+        |FROM top ORDER BY rank""".stripMargin,
 
     "q_text_dupspan" ->
       s"""WITH $shingleIdsSql,

@@ -703,6 +703,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(tmp) == Set(0L, 1L, 4L), s"got ${survivors(tmp)}")
   }
 
+  test("bm25TopK: hand-computed ranking — tf saturation, length norm, idf") {
+    // N=4, avglen=(4+9+3+3)/4=4.75, df(vector)=df(merge)=2 → idf=ln(2).
+    // d1 (both terms, short): ~1.74; d3 (merge x3, tf saturates): ~1.18;
+    // d2 (one hit, long doc penalized): ~0.51; d4: no hit, excluded.
+    val docs = Seq(
+      (1L, "vector vector merge x"),
+      (2L, "vector a b c d e f g h"),
+      (3L, "merge merge merge"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("vector", "merge"), k = 3)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"got ${got.toSeq}")
+  }
+
   test("dupSpanCoverage: corpus-repeated shingles per doc, short docs kept at zero") {
     val docs = Seq(
       (1L, "a b c d e"), // shingles: "a b c","b c d","c d e"
