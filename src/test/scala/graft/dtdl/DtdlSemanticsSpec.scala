@@ -367,6 +367,30 @@ class DtdlSemanticsSpec extends AnyFunSuite {
       "inherited property types are enforced through the chain")
   }
 
+  test("a Map schema validates values under arbitrary keys") {
+    val m = parse(
+      """{"@id":"dtmi:g:dev;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"thresholds","schema":{
+        |    "@type":"Map",
+        |    "mapKey":{"name":"name","schema":"string"},
+        |    "mapValue":{"name":"level","schema":"double"}}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:dev;1" -> m.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:dev;1"},
+        |  "thresholds":{"low":1.5,"high":9.0}}""".stripMargin)
+    assert(reg.validateTwin(ok).isRight)
+    val badValue = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:dev;1"},
+        |  "thresholds":{"low":"cold"}}""".stripMargin)
+    assert(reg.validateTwin(badValue).isLeft,
+      "map values must match the mapValue schema")
+    val notObject = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:dev;1"},
+        |  "thresholds":3.0}""".stripMargin)
+    assert(reg.validateTwin(notObject).isLeft, "a Map instance is an object")
+  }
+
   test("a reused Enum schema validates membership") {
     val m = parse(
       """{"@id":"dtmi:g:s;1","@type":"Interface",
