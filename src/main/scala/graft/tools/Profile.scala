@@ -37,7 +37,9 @@ object Profile {
         val factor = rest.headOption.flatMap(_.toIntOption).getOrElse(8)
         val names = rest.drop(if (rest.headOption.exists(_.toIntOption.isDefined)) 1 else 0) match {
           case Nil => Seq("q_dedup_minhash", "q_dedup_jaccard", "q_dedup_components",
-            "q_text_dupspan", "q_pipeline_shuffle", "q_sim_topk", "q_embed_nn")
+            "q_text_dupspan", "q_text_bm25", "q_pipeline_shuffle", "q_sim_topk",
+            "q_embed_nn", "q_sessionize", "q_asof_join", "q_range_join",
+            "q_e10_window")
           case ns => ns
         }
         scaleProbe(spark, sfDir, factor, names)
@@ -135,6 +137,19 @@ object Profile {
         col("label"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events amplify along the KEY dimension (user_id offsets): more users
+    // with the same per-key history is the direction a growing deployment
+    // actually takes, and it keeps per-key window/sort depth constant so a
+    // super-linear result indicts the plan, not the data shape.
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val evSpan = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val userSpan = events.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      events.select((col("event_id") + lit(k * evSpan)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * userSpan)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"[scale] corpus x$factor at $out")
     def best(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val ts = (1 to 2).map { _ =>
