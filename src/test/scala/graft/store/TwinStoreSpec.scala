@@ -60,6 +60,30 @@ class TwinStoreSpec extends AnyFunSuite {
       Seq("dtmi:com:contoso:HabitablePlanet;1"))
   }
 
+  test("descendants update when derived models arrive later; delete + recreate") {
+    // ModelsTests.CreateModels_DescendantsUpdatedInBaseModel_WhenDerived
+    // ModelsCreatedLater + CreateModels_ExistingModel_ThrowsModelAlready
+    // Exists + CreateModels_CanDeleteAndCreateAgain (ModelsTests.cs:264,
+    // 291,522): closures must track multi-call uploads, not just one batch.
+    val s = new TwinStore()
+    s.createModels(Seq(celestial))
+    assert(s.models.descendants("dtmi:com:contoso:CelestialBody;1").isEmpty)
+    s.createModels(Seq(planet, moon)) // extends resolves against the store
+    assert(s.models.descendants("dtmi:com:contoso:CelestialBody;1").sorted ==
+      Seq("dtmi:com:contoso:Moon;1", "dtmi:com:contoso:Planet;1"))
+    s.createModels(Seq(habitable))
+    assert(s.models.descendants("dtmi:com:contoso:CelestialBody;1").sorted ==
+      Seq("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Moon;1",
+        "dtmi:com:contoso:Planet;1"))
+    val dup = intercept[StoreException](s.createModels(Seq(moon)))
+    assert(dup.status == 409 && dup.msg.contains("already exist"))
+    s.deleteModel("dtmi:com:contoso:HabitablePlanet;1")
+    assert(s.models.descendants("dtmi:com:contoso:Planet;1").isEmpty)
+    s.createModels(Seq(habitable)) // delete-then-recreate round-trips
+    assert(s.models.descendants("dtmi:com:contoso:Planet;1") ==
+      Seq("dtmi:com:contoso:HabitablePlanet;1"))
+  }
+
   test("create twin: validation, stamping, etag") {
     val s = freshStore()
     val stored = s.createOrReplaceTwin("room1",
