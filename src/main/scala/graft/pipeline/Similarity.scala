@@ -247,4 +247,99 @@ object Similarity {
     corpus.select(col(idCol).as("v_id"))
       .join(best, Seq("v_id"), "left_outer")
   }
+
+  // -------- product quantization (PQ) --------
+
+  /** Sampled PQ codebook: `size` codewords per subspace, taken from the
+    * `size` smallest-id corpus vectors (deterministic, training-free — the
+    * same rule as [[nearestNeighbor]]'s default centroids, so every
+    * replica including the SQL oracle rebuilds the identical table; swap
+    * in per-subspace k-means for production recall). Output
+    * (subspace, cb_id, cb_vec) — m·size rows, always broadcast-sized. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, size: Int = 32): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    // the un-partitioned window runs on <= size rows (post-limit) — bounded
+    val src = corpus.orderBy(col(idCol).asc).limit(size)
+      .withColumn("cb_id",
+        (row_number().over(Window.orderBy(col(idCol).asc)) - 1).cast("int"))
+    (0 until m).map { s =>
+      src.select(lit(s).as("subspace"), col("cb_id"),
+        slice(col(vecCol), s * sub + 1, sub).as("cb_vec"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def subspaces(vec: Column, dim: Int, m: Int): Column = {
+    val sub = dim / m
+    explode(array((0 until m).map(s => struct(lit(s).as("subspace"),
+      slice(vec, s * sub + 1, sub).as("sub_vec"))): _*))
+  }
+
+  /** PQ encoding: each vector compresses to `m` codebook indices (argmin
+    * squared L2 per subspace, ties to the smaller codeword id) — m bytes
+    * instead of dim floats, the storage layout of billion-vector corpora.
+    * One broadcast join against the codebook + one map-side-combinable
+    * argmin; no shuffle touches the full vectors. Output (id, codes). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, m: Int = 4): DataFrame =
+    corpus.select(col(idCol), subspaces(col(vecCol), dim, m).as("sp"))
+      .select(col(idCol), col("sp.subspace").as("subspace"),
+        col("sp.sub_vec").as("sub_vec"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("d2", l2sq(col("sub_vec"), col("cb_vec")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("d2"), col("cb_id"))).as("best"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("subspace"),
+        col("best.cb_id").as("code")))).as("sc"))
+      .select(col(idCol),
+        transform(col("sc"), x => x.getField("code")).as("codes"))
+
+  /** PQ top-k with exact re-ranking — the asymmetric-distance (ADC) search
+    * pattern: queries stay full-precision, the corpus is scanned as codes.
+    *
+    *  1. LUT: per (query, subspace, codeword) squared L2 — |q|·m·size
+    *    rows, broadcast (queries are the small side, as in
+    *    [[bruteForceTopK]]).
+    *  2. ADC scan: exploded codes equi-join the LUT on (subspace, code);
+    *    per-(query, doc) sum approximates the distance. The corpus-sized
+    *    side moves once, carrying only ids + codes — never the vectors.
+    *  3. Shortlist k·`rerank` docs per query by ADC, then re-rank the
+    *    shortlist with EXACT distances — the full-precision read is
+    *    semi-join-bounded to shortlist rows, so recall comes back without
+    *    a full-precision scan.
+    *
+    * Output (q_id, rank, n_id) — rank-only, hash-stable. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, codebook: DataFrame, k: Int,
+      dim: Int, m: Int = 4, rerank: Int = 4): DataFrame = {
+    val lut = queries
+      .select(col(idCol).as("q_id"), subspaces(col(vecCol), dim, m).as("sp"))
+      .select(col("q_id"), col("sp.subspace").as("subspace"),
+        col("sp.sub_vec").as("q_sub"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("q_id"), col("subspace"), col("cb_id").as("code"),
+        l2sq(col("q_sub"), col("cb_vec")).as("d2"))
+    val codeRows = codes
+      .select(col(idCol).as("n_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    val adc = codeRows.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id")).agg(sum(col("d2")).as("adc"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("n_id").asc)
+    val shortlist = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= k * rerank).select(col("q_id"), col("n_id"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), Seq("q_id"))
+      .withColumn("d2", l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wExact).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+  }
 }

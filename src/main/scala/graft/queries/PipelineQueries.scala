@@ -170,6 +170,29 @@ object PipelineQueries {
           .cast("long").as("recall_m"))
     }),
 
+    // PQ codes: every vector's m=4 codebook indices (byte-parity gate for
+    // the compressed at-rest layout).
+    "q_pq_codes" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 16, size = 32)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, m = 16)
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_str"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PQ ADC search with exact re-rank: rank output per query.
+    "q_pq_topk" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 16, size = 32)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+        dim = 64, m = 16)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), codes, emb,
+        "vec_id", "embedding", cb, k = 5, dim = 64, m = 16, rerank = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // int8 embedding quantization: exact byte parity via double math +
     // away-from-zero rounding; the code vector hashes compactly.
     "q_embed_quant" -> ((s, d) => {
@@ -367,6 +390,24 @@ object PipelineQueries {
 
   private val minhashParamsSql = Dedup.hashParams(64)
     .map { case (h, a, b) => s"($h,$a,$b)" }.mkString(",")
+
+  /** Shared PQ fragments: sampled codebook (32 codewords × 16 subspaces of
+    * 4 dims) + per-vector code assignment. `list_distance` (sqrt'd) vs
+    * the engine's squared fold is fine for argmin/rank positions —
+    * monotone — and exact ties break by codeword id on both sides. */
+  private val pqCodesSql =
+    """cbsrc AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32),
+      |cb AS (SELECT s subspace,
+      |       CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) cb_id,
+      |       embedding[s*4+1:(s+1)*4] cb_vec
+      |       FROM cbsrc, (SELECT unnest(range(0,16)) s)),
+      |sub AS (SELECT vec_id, s subspace, embedding[s*4+1:(s+1)*4] sub_vec
+      |        FROM embeddings, (SELECT unnest(range(0,16)) s)),
+      |asg AS (SELECT vec_id, subspace, cb_id, row_number() OVER (
+      |          PARTITION BY vec_id, subspace
+      |          ORDER BY list_distance(sub_vec::DOUBLE[], cb_vec::DOUBLE[]), cb_id) rn
+      |        FROM sub JOIN cb USING (subspace)),
+      |codes AS (SELECT vec_id, subspace, cb_id code FROM asg WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = {
     val base = Map(
@@ -824,6 +865,35 @@ object PipelineQueries {
         |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
         |FROM x, unnest(range(0, fullc + frac)) AS t(e)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q_pq_codes" ->
+      s"""WITH $pqCodesSql
+         |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY subspace) codes_str
+         |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    "q_pq_topk" ->
+      s"""WITH $pqCodesSql,
+         |lut AS (SELECT q.vec_id q_id, c.subspace, c.cb_id code,
+         |        POWER(list_distance(
+         |          q.embedding[c.subspace*4+1:(c.subspace+1)*4]::DOUBLE[],
+         |          c.cb_vec::DOUBLE[]), 2) d2
+         |        FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |adc AS (SELECT l.q_id, co.vec_id n_id, sum(l.d2) adc
+         |        FROM codes co JOIN lut l
+         |          ON l.subspace = co.subspace AND l.code = co.code
+         |        WHERE l.q_id <> co.vec_id GROUP BY 1,2),
+         |short AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) rn
+         |  FROM adc) WHERE rn <= 20),
+         |ex AS (SELECT s.q_id, s.n_id,
+         |       list_distance(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) d
+         |       FROM short s JOIN embeddings q ON q.vec_id = s.q_id
+         |                    JOIN embeddings n ON n.vec_id = s.n_id),
+         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (
+         |        PARTITION BY q_id ORDER BY d, n_id) AS INT) rank FROM ex)
+         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q_embed_quant" ->
       """WITH q AS (SELECT vec_id, embedding,

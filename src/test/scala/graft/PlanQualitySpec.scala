@@ -50,6 +50,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_total") == 100L, "20 queries x k=5")
   }
 
+  test("PQ + exact rerank: recall vs exact L2, codes never expand the vectors") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions._
+    // sf0.01, not the spec-default sf0.001: recall against a 32-codeword
+    // sampled codebook is only meaningful when the corpus is several times
+    // the codebook (500 vectors here vs 50 at sf0.001, where the shortlist
+    // is most of the corpus and the measurement is degenerate)
+    val emb = graft.core.Td.embeddings(spark, "/root/testdata/sf0.01")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", dim = 64,
+      m = 16, size = 32)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+      dim = 64, m = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(queries, codes, emb, "vec_id", "embedding",
+      cb, k = 5, dim = 64, m = 16, rerank = 4)
+    // exact L2 ground truth, same tie-break
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    val exact = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2", Similarity.l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.join(pq.select(col("q_id"), col("n_id")),
+      Seq("q_id", "n_id")).count()
+    val total = exact.count()
+    assert(total == 50, s"10 queries x k=5, got $total")
+    assert(hits * 10 >= total * 8,
+      s"PQ@rerank4 recall must be >= 0.8, got $hits/$total")
+    // plan: the ADC scan must move codes, not vectors, and everything
+    // meets through broadcast/equi joins — no unbounded nested loop
+    val p = pq.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"ADC must stay equi-joined:\n$p")
+  }
+
   test("q_dedup_minhash: no cartesian products anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"),
