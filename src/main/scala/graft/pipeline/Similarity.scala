@@ -326,6 +326,15 @@ object Similarity {
     val adc = codeRows.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id")).agg(sum(col("d2")).as("adc"))
+    rerankExact(adc, queries, corpus, idCol, vecCol, k, rerank)
+  }
+
+  /** Shared ADC tail: shortlist k·`rerank` per query by approximate
+    * distance, then re-rank the shortlist with exact squared L2 — the
+    * full-precision read is semi-join-bounded to shortlist rows. */
+  private def rerankExact(adc: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").asc, col("n_id").asc)
     val shortlist = adc.withColumn("rn", row_number().over(wAdc))
@@ -341,5 +350,41 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact).cast("int"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** IVF+PQ — the billion-vector composition (FAISS IVFPQ): the coarse
+    * quantizer prunes the scan to each query's `nprobe` cells, the ADC
+    * scan inside those cells reads only m-byte codes, and the final
+    * ranking re-checks exact distances on the k·`rerank` shortlist. At
+    * rest the index is codes partitioned by `cell_id` (the
+    * [[ivfTopKIndexed]] layout with vectors swapped for codes), so the
+    * probe step becomes partition pruning and per-query cost is
+    * (corpus/cells)·nprobe·m bytes — independent of full-precision corpus
+    * size. Queries/probes/LUT/codebook all broadcast; the corpus-sized
+    * side moves once, as codes. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      m: Int = 16, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val index = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+      .withColumnRenamed(idCol, "n_id")
+      .join(assignCells(corpus, centroids, idCol, vecCol)
+        .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("v_id").as("q_id"), col("cell_id"))
+    val lut = queries
+      .select(col(idCol).as("q_id"), subspaces(col(vecCol), dim, m).as("sp"))
+      .select(col("q_id"), col("sp.subspace").as("subspace"),
+        col("sp.sub_vec").as("q_sub"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("q_id"), col("subspace"), col("cb_id").as("code"),
+        l2sq(col("q_sub"), col("cb_vec")).as("d2"))
+    val adc = index
+      .select(col("n_id"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(probes), Seq("cell_id")) // prune to probed cells
+      .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(lut), Seq("q_id", "subspace", "code"))
+      .groupBy(col("q_id"), col("n_id")).agg(sum(col("d2")).as("adc"))
+    rerankExact(adc, queries, corpus, idCol, vecCol, k, rerank)
   }
 }

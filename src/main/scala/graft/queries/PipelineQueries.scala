@@ -193,6 +193,20 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF+PQ: coarse cells prune the scan, ADC reads codes in probed
+    // cells only, exact re-rank on the shortlist. Rank output.
+    "q_pq_ivf" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 16, size = 32)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      Similarity.ivfpqTopK(emb.filter(col("vec_id") < 10), emb, centroids,
+        cb, "vec_id", "embedding", k = 5, dim = 64, m = 16, nprobe = 4,
+        rerank = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // int8 embedding quantization: exact byte parity via double math +
     // away-from-zero rounding; the code vector hashes compactly.
     "q_embed_quant" -> ((s, d) => {
@@ -881,6 +895,48 @@ object PipelineQueries {
          |adc AS (SELECT l.q_id, co.vec_id n_id, sum(l.d2) adc
          |        FROM codes co JOIN lut l
          |          ON l.subspace = co.subspace AND l.code = co.code
+         |        WHERE l.q_id <> co.vec_id GROUP BY 1,2),
+         |short AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) rn
+         |  FROM adc) WHERE rn <= 20),
+         |ex AS (SELECT s.q_id, s.n_id,
+         |       list_distance(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) d
+         |       FROM short s JOIN embeddings q ON q.vec_id = s.q_id
+         |                    JOIN embeddings n ON n.vec_id = s.n_id),
+         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (
+         |        PARTITION BY q_id ORDER BY d, n_id) AS INT) rank FROM ex)
+         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_pq_ivf" ->
+      s"""WITH $pqCodesSql,
+         |cents AS (SELECT vec_id cell_id, embedding cell_vec
+         |          FROM embeddings WHERE vec_id < 8),
+         |ncell AS (SELECT vec_id n_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]),
+         |      c.cell_id) rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (SELECT vec_id q_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]),
+         |      c.cell_id) rn
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+         |  WHERE rn <= 4),
+         |lut AS (SELECT q.vec_id q_id, c.subspace, c.cb_id code,
+         |        POWER(list_distance(
+         |          q.embedding[c.subspace*4+1:(c.subspace+1)*4]::DOUBLE[],
+         |          c.cb_vec::DOUBLE[]), 2) d2
+         |        FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |adc AS (SELECT l.q_id, co.vec_id n_id, sum(l.d2) adc
+         |        FROM codes co
+         |        JOIN ncell nc ON nc.n_id = co.vec_id
+         |        JOIN probes p ON p.cell_id = nc.cell_id
+         |        JOIN lut l ON l.q_id = p.q_id
+         |          AND l.subspace = co.subspace AND l.code = co.code
          |        WHERE l.q_id <> co.vec_id GROUP BY 1,2),
          |short AS (SELECT q_id, n_id FROM (
          |  SELECT q_id, n_id,

@@ -86,6 +86,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"ADC must stay equi-joined:\n$p")
   }
 
+  test("q_pq_ivf: cell-pruned ADC — codes scan equi-joins, no cartesian") {
+    val p = plan("q_pq_ivf")
+    assert(!p.contains("CartesianProduct"), s"ADC must stay equi-joined:\n$p")
+    // the only nested-loop broadcasts allowed are the bounded centroid
+    // table (limit-8 cells) inside assign, same allowance as q_embed_nn
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val boundedBuilds = "PushedFilters: \\[IsNotNull\\(vec_id\\), LessThan\\(vec_id,8\\)\\]".r
+      .findAllIn(p).size
+    assert(bnlj <= boundedBuilds + 1,
+      s"an unbounded broadcast build crept into the ADC plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes/LUT must broadcast into the codes scan:\n$p")
+  }
+
   test("q_dedup_minhash: no cartesian products anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"),
