@@ -314,13 +314,7 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, codebook: DataFrame, k: Int,
       dim: Int, m: Int = 4, rerank: Int = 4): DataFrame = {
-    val lut = queries
-      .select(col(idCol).as("q_id"), subspaces(col(vecCol), dim, m).as("sp"))
-      .select(col("q_id"), col("sp.subspace").as("subspace"),
-        col("sp.sub_vec").as("q_sub"))
-      .join(broadcast(codebook), Seq("subspace"))
-      .select(col("q_id"), col("subspace"), col("cb_id").as("code"),
-        l2sq(col("q_sub"), col("cb_vec")).as("d2"))
+    val lut = adcLut(queries, codebook, idCol, vecCol, dim, m)
     val codeRows = codes
       .select(col(idCol).as("n_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
     val adc = codeRows.join(broadcast(lut), Seq("subspace", "code"))
@@ -369,17 +363,55 @@ object Similarity {
       .withColumnRenamed(idCol, "n_id")
       .join(assignCells(corpus, centroids, idCol, vecCol)
         .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
-    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
-      .select(col("v_id").as("q_id"), col("cell_id"))
-    val lut = queries
+      .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+    ivfpqTopKIndexed(index, queries, corpus, centroids, codebook,
+      idCol, vecCol, k, dim, m, nprobe, rerank)
+  }
+
+  /** Per-(query, subspace, codeword) squared L2 — the ADC lookup table;
+    * |q|·m·codebook rows, always broadcast-sized. */
+  private def adcLut(queries: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame =
+    queries
       .select(col(idCol).as("q_id"), subspaces(col(vecCol), dim, m).as("sp"))
       .select(col("q_id"), col("sp.subspace").as("subspace"),
         col("sp.sub_vec").as("q_sub"))
       .join(broadcast(codebook), Seq("subspace"))
       .select(col("q_id"), col("subspace"), col("cb_id").as("code"),
         l2sq(col("q_sub"), col("cb_vec")).as("d2"))
+
+  /** Materialize the IVF+PQ index at rest: m-byte codes partitioned by
+    * cell_id — the layout where a probe is DIRECTORY pruning and the
+    * bytes read per probed cell are codes, not vectors: per-query scan
+    * cost is (corpus/cells)·nprobe·m bytes regardless of full-precision
+    * corpus size. Incremental append works exactly as
+    * [[appendToIvfIndex]] (assign + encode against frozen
+    * centroids/codebook, append per cell directory). */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, m: Int = 16): Unit =
+    pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+      .withColumnRenamed(idCol, "n_id")
+      .join(assignCells(corpus, centroids, idCol, vecCol)
+        .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
+      .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+  /** IVF+PQ against an index frame carrying (id, codes, cell_id) — built
+    * in memory by [[ivfpqTopK]] or read from [[writeIvfPqIndex]] output,
+    * where the broadcast probe join runs on the PARTITION column and
+    * dynamic partition pruning turns probing into directory skipping
+    * (plan-asserted in PipelineSpec). Exact re-ranking stays semi-join-
+    * bounded to the shortlist — the only full-precision reads. */
+  def ivfpqTopKIndexed(index: DataFrame, queries: DataFrame,
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int = 16,
+      nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val probes = assignProbes(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("v_id").as("q_id"), col("cell_id"))
+    val lut = adcLut(queries, codebook, idCol, vecCol, dim, m)
     val adc = index
-      .select(col("n_id"), col("cell_id"),
+      .select(col(idCol).as("n_id"), col("cell_id"),
         posexplode(col("codes")).as(Seq("subspace", "code")))
       .join(broadcast(probes), Seq("cell_id")) // prune to probed cells
       .filter(col("q_id") =!= col("n_id"))

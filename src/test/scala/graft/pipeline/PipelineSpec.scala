@@ -505,6 +505,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == full, s"incremental index diverged: $got vs $full")
   }
 
+  test("at-rest IVF+PQ index: cell dirs, dynamic pruning, in-memory parity") {
+    def vec(cx: Double, cy: Double, i: Int): Array[Float] = {
+      // 8-dim so PQ splits into m=4 subspaces of 2; anchor signal in the
+      // leading pair, a deterministic per-vector residue in the rest
+      val base = Array((cx + 0.01 * i).toFloat, (cy - 0.01 * i).toFloat)
+      base ++ (0 until 6).map(j => ((i * 7 + j * 3) % 11 * 0.1).toFloat)
+    }
+    val anchors = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))
+    val corpus = (0 until 40).map { i =>
+      val (cx, cy) = anchors(i % 4); (i.toLong, vec(cx, cy, i / 4))
+    }.toDF("vec_id", "embedding")
+    val centroids = anchors.zipWithIndex.map { case ((cx, cy), i) =>
+      (i.toLong, Array(cx.toFloat, cy.toFloat) ++ Array.fill(6)(0.0f))
+    }.toDF("cell_id", "cell_vec")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, size = 16)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(corpus, centroids, cb, "vec_id", "embedding",
+      dir, dim = 8, m = 4)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).sorted
+    assert(cellDirs.toSeq == Seq("cell_id=0", "cell_id=1", "cell_id=2", "cell_id=3"))
+
+    val index = spark.read.parquet(dir)
+    val atRest = Similarity.ivfpqTopKIndexed(index, queries, corpus,
+      centroids, cb, "vec_id", "embedding", k = 3, dim = 8, m = 4,
+      nprobe = 2, rerank = 4)
+    val plan = atRest.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell_id:\n$plan")
+    val inMem = Similarity.ivfpqTopK(queries, corpus, centroids, cb,
+      "vec_id", "embedding", k = 3, dim = 8, m = 4, nprobe = 2, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = atRest.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == inMem, s"at-rest != in-memory: $got vs $inMem")
+    // with well-separated anchors the exact re-rank pins each query's
+    // same-cell neighbors first — sanity that PQ+rerank finds them
+    assert(got.nonEmpty && got.forall { case (q, _, n) => q % 4 == n % 4 },
+      s"neighbors must come from the query's own anchor family: $got")
+  }
+
   test("streaming dedup: first occurrence wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.Doc
