@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics at corpus scale. The reference exposes
+  * aggregation (AVG/MIN/MAX/SUM/COUNT — reference
+  * src/AgeDigitalTwins/AdtQueryHelpers.cs aggregate rewrite) but no exact
+  * percentile; a training-data pipeline needs one constantly (length
+  * caps, score cutoffs, contamination thresholds are all "value at
+  * quantile q" decisions, and an approximate sketch cannot back a
+  * reproducible filter).
+  *
+  * Scale shape: selection-by-rank, never a global sort. A global
+  * `row_number() OVER (ORDER BY v)` collapses 100 TB onto one task; here
+  * the value space is cut into range buckets (boundaries from a one-pass
+  * `approx_percentile` probe — only bucket SIZES depend on its accuracy,
+  * never the answer), bucket counts (a driver-sized aggregate) turn into
+  * running offsets, each target rank lands in exactly one bucket, and
+  * only the buckets that contain a target get a within-bucket sort — a
+  * window PARTITIONED by bucket over ~n/B rows. Two scans + one bounded
+  * window; the heavy shuffle is one hash partition on the bucket id of a
+  * B-th of the data. Ties concentrate mass into one bucket in the worst
+  * case (all-equal column) — then that bucket's window is the data, which
+  * is the information-theoretic floor for an exact answer on ties.
+  */
+object Stats {
+
+  /** Exact discontinuous quantiles (inverse empirical CDF: the value at
+    * 1-based rank `max(1, ceil(q·n))` in sort order). Returns
+    * `(q_bp, value)` — q in integer basis points, so the row set is
+    * hash-comparable cross-engine. Null values are excluded (SQL
+    * aggregate semantics); an all-null or empty input returns no rows. */
+  def exactQuantiles(df: DataFrame, valueCol: String, qsBp: Seq[Long],
+      numBuckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+    val n = v.count()
+    if (n == 0L) return Seq.empty[(Long, Double)].toDF("q_bp", "value")
+      .select(col("q_bp"), col("value").cast(df.schema(valueCol).dataType))
+    // Integer ceil — (q·n + 9999) div 10⁴ — NOT float ceil: when q_bp·n is
+    // a multiple of 10⁴ the double quotient can land an ulp above the
+    // integer and ceil would select the next rank.
+    val targets = qsBp.distinct.map(q =>
+      (q, math.max(1L, (q * n + 9999L) / 10000L)))
+    // Range boundaries from an approximate probe; dedup handles heavy
+    // ties (duplicate boundaries just leave some buckets empty).
+    val bounds: Seq[Double] =
+      if (numBuckets < 2) Seq.empty
+      else v.agg(expr(
+          s"approx_percentile(v, array(${
+            (1 until numBuckets).map(i => s"${i.toDouble / numBuckets}d")
+              .mkString(",")}), 1000)").as("bs"))
+        .collect()(0).getSeq[Any](0)
+        .map(_.toString.toDouble).distinct.sorted
+    // bucket id = number of boundaries strictly below the value: a fold of
+    // B-1 codegen'd comparisons, no UDF, no join.
+    def bucketOf(c: Column): Column =
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(c > lit(b).cast(df.schema(valueCol).dataType), 1)
+          .otherwise(0)
+      }
+    val bucketed = v.withColumn("__qb", bucketOf(col("v")))
+    val counts = bucketed.groupBy(col("__qb"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // running offsets locate each target rank's bucket + within-rank
+    val offsets = counts.scanLeft((0, 0L, 0L)) {
+      case ((_, _, acc), (b, c)) => (b, acc, acc + c)
+    }.tail // (bucket, offsetBefore, offsetAfter)
+    val located = targets.map { case (q, r) =>
+      val (b, off, _) = offsets.find { case (_, off, end) =>
+        off < r && r <= end
+      }.get
+      (q, b, r - off)
+    }
+    val need = located.map { case (q, b, wr) => (q, b, wr) }
+      .toDF("q_bp", "__qb", "__wr")
+    val neededBuckets = located.map(_._2).distinct
+    // within-bucket rank: the only sort in the plan, partitioned by bucket
+    // and restricted to buckets that actually contain a target
+    val ranked = bucketed.filter(col("__qb").isin(neededBuckets: _*))
+      .withColumn("__wr", row_number().over(
+        Window.partitionBy(col("__qb")).orderBy(col("v"))))
+    ranked.join(broadcast(need), Seq("__qb", "__wr"))
+      .select(col("q_bp"), col("v").as("value"))
+  }
+}

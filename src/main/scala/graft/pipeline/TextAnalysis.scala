@@ -67,6 +67,40 @@ object TextAnalysis {
       .withColumn("stopword_ratio_4", floor(nStop * 10000.0 / nTok + 0.5).cast(LongType))
   }
 
+  /** Integer weights (micro-units) for [[qualityClassifier]] — the shape
+    * of a trained linear quality filter (fastText/logistic over document
+    * statistics), frozen to fixed-point so the verdict is bit-reproducible
+    * on any engine and any partitioning. Swap in learned weights in
+    * production; the pipeline plumbing is identical. */
+  case class QualityWeights(
+      wTokens: Long = 500L, tokenCap: Long = 80L,
+      wAvgLen4: Long = 1L, wStop4: Long = 20L, wAlpha4: Long = 10L,
+      bias: Long = -160000L, threshold: Long = 0L)
+
+  /** Model-based quality filtering: a linear score over integer document
+    * features (token count capped, average token length, stopword ratio,
+    * alphabetic-character ratio — the classic quality-filter features),
+    * entirely Long arithmetic inside whole-stage codegen. Output
+    * `(id, score_m, keep_i)`; the filter decision is `score ≥ threshold`.
+    * Pure projection — zero shuffles, scan-speed over 100 TB. */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      w: QualityWeights = QualityWeights()): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => t.isin(StopWords.map(lit): _*)))
+    val avg4 = floor(sumLen * 10000.0 / nTok + 0.5).cast(LongType)
+    val stop4 = floor(nStop * 10000.0 / nTok + 0.5).cast(LongType)
+    val alpha4 = floor(
+      length(regexp_replace(col(textCol), "[^a-zA-Z]", "")) * 10000.0 /
+        length(col(textCol)) + 0.5).cast(LongType)
+    val score = lit(w.wTokens) * least(nTok, lit(w.tokenCap)) +
+      lit(w.wAvgLen4) * avg4 + lit(w.wStop4) * stop4 +
+      lit(w.wAlpha4) * alpha4 + lit(w.bias)
+    df.select(col(idCol), score.as("score_m"),
+      when(score >= lit(w.threshold), 1L).otherwise(0L).as("keep_i"))
+  }
+
   /** Tiny per-language marker dictionaries for the n-gram/stopword language
     * ID heuristic. Deliberately small: the operator's value is the
     * scalable argmax-join shape, not lexicon quality. */

@@ -117,6 +117,24 @@ object GraphQueries {
       GraphViews.graph(s, d).expand(None, max = 2)
         .groupBy(col("depth")).agg(count(lit(1)).as("n"))
         .orderBy(col("depth"))
+    }),
+
+    // Per-node triangle counts on the part co-purchase graph (parts that
+    // share an order, high-quantity lines only — keeps the graph sparse
+    // enough for a 3-way SQL oracle while still forming real triangles).
+    // Output is the triangles-per-node histogram; the place-graph itself
+    // is triangle-free by construction, hence the derived graph.
+    "q_graph_triangles" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.graph.Triangles.perNode(edges, "src", "dst")
+        .groupBy(col("triangles")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("triangles"))
     })
   )
 
@@ -230,6 +248,28 @@ object GraphQueries {
     "q_c1_is_of_model_exact" ->
       s"""SELECT dt_id FROM $twinsSql t
          |WHERE model_id = 'dtmi:graft:Nation;1' ORDER BY 1""".stripMargin,
+    // same co-purchase graph, naive canonical x<y<z triangle join (the
+    // degree orientation changes the plan, not the count)
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
+        |nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*) AS t FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT CAST(coalesce(p.t, 0) AS BIGINT) AS triangles,
+        |       count(*) AS n_nodes
+        |FROM nodes n LEFT JOIN pn p ON p.node = n.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_b7_vle" ->
       s"""WITH e AS (SELECT source_id, target_id FROM $relsSql r),
          |p1 AS (SELECT source_id AS start_id, target_id AS end_id, 1 AS depth FROM e),

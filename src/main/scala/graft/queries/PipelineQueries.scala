@@ -121,6 +121,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality filter: fixed-point linear classifier over
+    // document statistics — the "trained filter" pipeline stage with a
+    // frozen deterministic model.
+    "q_text_classifier" -> ((s, d) => {
+      TextAnalysis.qualityClassifier(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 keyword retrieval: rank output (ties by id), scores internal.
     "q_text_bm25" -> ((s, d) => {
       TextAnalysis.bm25TopK(Td.documents(s, d), "doc_id", "text",
@@ -623,6 +631,22 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) bpeish,
         |  md5(array_to_string(list_sort(list_distinct(toks)),' ')) fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same frozen weights as TextAnalysis.QualityWeights defaults
+    "q_text_classifier" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) n_tokens,
+        |  CAST(floor(list_sum(list_transform(toks, x -> length(x)))*10000.0/len(toks)+0.5) AS BIGINT) avg4,
+        |  CAST(floor(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','and','in','is','it','on'], x)))*10000.0/len(toks)+0.5) AS BIGINT) stop4,
+        |  CAST(floor(length(regexp_replace(text,'[^a-zA-Z]','','g'))*10000.0/length(text)+0.5) AS BIGINT) alpha4
+        |  FROM t),
+        |s AS (SELECT doc_id,
+        |  500*least(n_tokens,80) + 1*avg4 + 20*stop4 + 10*alpha4 - 160000 AS score_m
+        |  FROM f)
+        |SELECT doc_id, score_m,
+        |  CAST(CASE WHEN score_m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_i
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val dict = TextAnalysis.LangMarkers

@@ -166,10 +166,33 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("zkey"))
         .orderBy(col("zkey"), col("o_orderkey"))
         .limit(100)
+    }),
+
+    // Exact distributed quantiles (selection-by-rank, no global sort):
+    // the reproducible cutoff computation behind every length-cap /
+    // score-threshold pipeline decision.
+    "q_stats_quantiles" -> ((s, d) => {
+      graft.operators.Stats.exactQuantiles(Td.lineitem(s, d),
+        "l_extendedprice", Seq(100L, 2500L, 5000L, 7500L, 9900L, 10000L))
+        .orderBy(col("q_bp"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // inverse empirical CDF: value at 1-based rank max(1, ceil(q·n)) —
+    // integer ceil, so rank selection is exact on both engines
+    "q_stats_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS value,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM lineitem
+        |      WHERE l_extendedprice IS NOT NULL),
+        |t(q_bp) AS (VALUES (100),(2500),(5000),(7500),(9900),(10000)),
+        |r AS (SELECT CAST(q_bp AS BIGINT) AS q_bp,
+        |        greatest(1, (q_bp * n + 9999) // 10000) AS rk
+        |      FROM t, n)
+        |SELECT r.q_bp, v.value FROM r JOIN v ON v.rn = r.rk
+        |ORDER BY q_bp""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,

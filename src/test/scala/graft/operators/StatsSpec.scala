@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact quantiles by distributed rank selection: reference-model parity,
+  * tie handling, and the no-global-sort plan shape. */
+class StatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The spec's reference model: value at 1-based rank max(1, ceil(q·n)). */
+  private def model(vs: Seq[Double], qBp: Long): Double = {
+    val sorted = vs.sorted
+    val r = math.max(1L, (qBp * vs.size + 9999L) / 10000L)
+    sorted((r - 1).toInt)
+  }
+
+  private def quantMap(vs: Seq[Double], qs: Seq[Long], buckets: Int = 64) = {
+    val s = spark; import s.implicits._
+    Stats.exactQuantiles(vs.toDF("x"), "x", qs, buckets).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+  }
+
+  test("matches the sorted-rank model on distinct values") {
+    val vs = (1 to 1000).map(i => (i * 37 % 1009).toDouble)
+    val qs = Seq(0L, 100L, 2500L, 5000L, 7500L, 9900L, 10000L)
+    val got = quantMap(vs, qs)
+    qs.foreach(q => assert(got(q) == model(vs, q), s"q=$q"))
+  }
+
+  test("heavy ties: every rank still selects the exact model value") {
+    val vs = Seq.fill(400)(7.0) ++ Seq.fill(100)(1.0) ++ Seq.fill(100)(9.0)
+    val qs = Seq(100L, 1900L, 2000L, 2100L, 5000L, 8000L, 8100L, 10000L)
+    val got = quantMap(vs, qs)
+    qs.foreach(q => assert(got(q) == model(vs, q), s"q=$q got ${got(q)}"))
+  }
+
+  test("bucket count does not change the answer, only the plan") {
+    val vs = (1 to 500).map(i => math.sin(i).abs * 1000)
+    val qs = Seq(500L, 5000L, 9500L)
+    assert(quantMap(vs, qs, 64) == quantMap(vs, qs, 4))
+    assert(quantMap(vs, qs, 64) == quantMap(vs, qs, 1),
+      "degenerate single bucket must still be exact")
+  }
+
+  test("empty and all-null inputs return no rows") {
+    val s = spark; import s.implicits._
+    assert(Stats.exactQuantiles(Seq.empty[Double].toDF("x"), "x",
+      Seq(5000L)).count() == 0)
+    assert(Stats.exactQuantiles(Seq[Option[Double]](None, None).toDF("x"),
+      "x", Seq(5000L)).count() == 0)
+  }
+
+  test("plan never funnels data through a single partition") {
+    val s = spark; import s.implicits._
+    val df = Stats.exactQuantiles(
+      (1 to 2000).map(_.toDouble).toDF("x"), "x", Seq(2500L, 7500L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"rank selection must not globally sort:\n$plan")
+  }
+}

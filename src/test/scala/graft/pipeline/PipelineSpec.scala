@@ -984,4 +984,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(st.getAs[Long]("n_seqs") == (expectStart - 1) / 64 + 1)
     assert(st.getAs[Long]("boundary_crossers") >= 1L)
   }
+
+  test("qualityClassifier: hand-computed fixed-point score and verdict") {
+    // "ab cd the x!" → 4 tokens, sumLen=9 chars (avg4 22500), 1 stopword
+    // (stop4 2500), 8 alpha of 12 chars (alpha4 floor(6666.7+0.5)=6667)
+    val one = Seq((7L, "ab cd the x!")).toDF("doc_id", "text")
+    val w = TextAnalysis.QualityWeights()
+    val r = TextAnalysis.qualityClassifier(one, "doc_id", "text", w)
+      .collect()(0)
+    val expected = w.wTokens * 4 + w.wAvgLen4 * 22500 +
+      w.wStop4 * 2500 + w.wAlpha4 * 6667 + w.bias
+    assert(r.getAs[Long]("score_m") == expected, s"got $r")
+    assert(r.getAs[Long]("keep_i") == (if (expected >= 0) 1L else 0L))
+  }
+
+  test("qualityClassifier: threshold moves the verdict, not the score") {
+    val lo = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+      TextAnalysis.QualityWeights(threshold = Long.MinValue))
+    val hi = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+      TextAnalysis.QualityWeights(threshold = Long.MaxValue))
+    assert(lo.agg(sum(col("keep_i"))).first.getLong(0) == 5L)
+    assert(hi.agg(sum(col("keep_i"))).first.getLong(0) == 0L)
+    val s1 = lo.select("doc_id", "score_m").collect().map(_.toSeq).toSet
+    val s2 = hi.select("doc_id", "score_m").collect().map(_.toSeq).toSet
+    assert(s1 == s2, "scores are threshold-independent")
+  }
+
+  test("qualityClassifier is a pure projection — no shuffle in the plan") {
+    val plan = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must stay scan-speed:\n$plan")
+  }
 }
