@@ -95,8 +95,14 @@ object StreamingNearDedup {
     // O(candidates), not O(history).
     val candDocs = cand.select(col("doc_a").as("doc"))
       .unionByName(cand.select(col("doc_b").as("doc"))).distinct()
+    // distinct AFTER the semi-join restriction (bounded by candidates):
+    // shingle rows are set members, and during [[compactState]]'s
+    // commit-then-delete window a doc's rows can appear in BOTH the new
+    // compacted generation and a not-yet-deleted source batch — row
+    // counting in verifyJaccard would double its set size without this.
     val idsAll = prior.map(ix => ix.shingles.unionByName(ids)).getOrElse(ids)
       .join(candDocs, Seq("doc"), "left_semi")
+      .distinct()
     val dropped = Dedup.verifyJaccard(cand, idsAll, p.threshold)
       .select(col("doc_b").as(idCol)).distinct()
     Increment(batch.join(dropped, Seq(idCol), "left_anti"), sigs, ids)
@@ -165,12 +171,21 @@ object StreamingNearDedup {
     // write START, so a crash mid-write leaves it present but incomplete —
     // dir-existence would read that half-commit as done forever.
     if (fs.exists(new Path(marker, "_SUCCESS"))) return // replayed, committed
+    // Positive partitions: the only possibly-uncommitted one is this
+    // batch's own (ids are monotone). Negative partitions are compacted
+    // generations written by [[compactState]] — those commit out-of-band,
+    // so only generations whose sigs `_SUCCESS` exists may be read (a
+    // crashed compaction leaves a half-written gen dir behind).
+    val liveGens = committedGenerations(fs, stateDir)
+    val genOk = if (liveGens.isEmpty) lit(false)
+      else col("batch").isin(liveGens: _*)
+    val keep = col("batch") =!= batchId && (col("batch") >= 0 || genOk)
     val prior = for {
       s <- readIfExists(spark, s"$stateDir/sigs")
       sh <- readIfExists(spark, s"$stateDir/shingles")
     } yield SeenIndex(
-      s.filter(col("batch") =!= batchId).select(col("doc"), col("band"), col("sig")),
-      sh.filter(col("batch") =!= batchId).select(col("doc"), col("sid")))
+      s.filter(keep).select(col("doc"), col("band"), col("sig")),
+      sh.filter(keep).select(col("doc"), col("sid")))
     val inc = increment(df, "doc_id", "text", prior, p)
     inc.shingles.write.mode("overwrite")
       .parquet(s"$stateDir/shingles/batch=$batchId")
@@ -182,16 +197,88 @@ object StreamingNearDedup {
     graft.core.Blocks.free(inc.shingles)
   }
 
+  /** Batch partitions of the seen-index, split by sign: positives are
+    * stream batches, negatives are compacted generations. Commit marker
+    * for both is the sigs directory's `_SUCCESS`. */
+  private def partitionIds(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val root = new Path(s"$stateDir/sigs")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+  }
+
+  private def committedGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] =
+    partitionIds(fs, stateDir).filter(_ < 0).filter(g =>
+      fs.exists(new Path(s"$stateDir/sigs/batch=$g/_SUCCESS")))
+
+  /** Merge committed seen-index batches into one compacted generation.
+    * Unbounded crawl history otherwise accumulates one `batch=<id>`
+    * directory per micro-batch — at 100 TB of history the per-batch
+    * candidate probe pays an ever-growing listing and a small-files read;
+    * after compaction the index is one band-partitioned directory again.
+    *
+    * Crash-safety, same discipline as [[processBatch]]:
+    *  - the new generation (`batch=-G`, G monotone) writes shingles first,
+    *    then sigs — the sigs `_SUCCESS` is the generation commit marker;
+    *    a crash mid-write leaves an uncommitted gen that readers skip
+    *    (see `committedGenerations`) and the next compaction overwrites.
+    *  - sources are deleted only AFTER the commit marker exists. A crash
+    *    mid-delete leaves rows duplicated between the generation and the
+    *    surviving sources; reads tolerate that window by construction
+    *    (candidate pairs are `distinct`ed, shingle sets are `distinct`ed
+    *    post-restriction in [[increment]]) and the next compaction
+    *    re-merges whatever is left.
+    *  - the NEWEST committed stream batch is never merged: it is the one
+    *    batch Structured Streaming can still replay after a sink crash,
+    *    and replay short-circuit needs its own marker directory intact.
+    *    (Merging it would also put the replayed docs in `prior`, where
+    *    they would self-match and silently drop the whole batch.) */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val fs = new Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ids = partitionIds(fs, stateDir)
+    val pos = ids.filter(_ >= 0).sorted.filter(id =>
+      fs.exists(new Path(s"$stateDir/sigs/batch=$id/_SUCCESS")))
+    val sources = (if (pos.isEmpty) pos else pos.init) ++
+      committedGenerations(fs, stateDir)
+    if (sources.size < 2) return // nothing worth merging
+    val newGen = -(committedGenerations(fs, stateDir).map(-_).maxOption
+      .getOrElse(0L) + 1L)
+    val sigs = spark.read.parquet(s"$stateDir/sigs")
+      .filter(col("batch").isin(sources: _*))
+      .select(col("doc"), col("band"), col("sig")).distinct()
+    val shingles = spark.read.parquet(s"$stateDir/shingles")
+      .filter(col("batch").isin(sources: _*))
+      .select(col("doc"), col("sid")).distinct()
+    shingles.write.mode("overwrite")
+      .parquet(s"$stateDir/shingles/batch=$newGen")
+    sigs.write.partitionBy("band").mode("overwrite")
+      .parquet(s"$stateDir/sigs/batch=$newGen")
+    sources.foreach { id =>
+      fs.delete(new Path(s"$stateDir/sigs/batch=$id"), true)
+      fs.delete(new Path(s"$stateDir/shingles/batch=$id"), true)
+    }
+  }
+
   /** Streaming wiring: `docs.writeStream` → foreachBatch over
     * [[processBatch]], with the seen-index at `$stateDir/sigs` (inner
     * band partitioning, so a band-bucketed probe reads one directory per
     * band) and `$stateDir/shingles`; survivors land under
-    * `outDir/batch=<id>`. Start with `.start()` on the returned writer. */
+    * `outDir/batch=<id>`. Start with `.start()` on the returned writer.
+    * `compactEvery > 0` folds [[compactState]] into the cadence: every
+    * N-th batch compacts the seen-index after committing — foreachBatch
+    * is serial, so compaction never races a batch write. */
   def foreachBatchSink(docs: Dataset[StreamingDedup.Doc], stateDir: String,
-      outDir: String, p: Params = Params()): DataStreamWriter[StreamingDedup.Doc] =
+      outDir: String, p: Params = Params(), compactEvery: Int = 0)
+      : DataStreamWriter[StreamingDedup.Doc] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[StreamingDedup.Doc], batchId: Long) =>
         processBatch(batch.toDF().select(col("docId").as("doc_id"),
           col("text")), batchId, stateDir, outDir, p)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactState(batch.sparkSession, stateDir)
     }
 }
