@@ -248,6 +248,44 @@ object Similarity {
       .join(best, Seq("v_id"), "left_outer")
   }
 
+  /** Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster coarsely, then drop any vector whose
+    * CLUSTER contains a lower-id vector with cosine ≥ `threshold` —
+    * keep-first-occurrence, the same survivor rule as the text dedup
+    * family, so the verdict needs no transitive closure and every engine
+    * reproduces it independently. Output `(v_id, keep_i)`, one row per
+    * corpus vector.
+    *
+    * Scale shape: pairwise comparison happens only INSIDE a cell (that is
+    * SemDeDup's own design point — semantic dups land in the same
+    * cluster), met through an equi-join on `cell_id` with the codegen'd
+    * dot-product; cells come from the broadcast-sized centroid table.
+    * Production sizes `numCells ∝ n` so the per-cell population — and the
+    * per-cell quadratic term — stays bounded while total work stays
+    * O(n²/numCells); the default 8 matches [[nearestNeighbor]]'s
+    * deterministic smallest-id centroid rule for oracle parity. */
+  def embeddingDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.4, numCells: Int = 8,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cells = centroids.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(numCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
+    val assigned = assignCells(corpus, cells, idCol, vecCol)
+    val l = assigned.select(col("cell_id"), col("v_id").as("a_id"),
+      col("v_vec").as("a_vec"))
+    val r = assigned.select(col("cell_id"), col("v_id").as("b_id"),
+      col("v_vec").as("b_vec"))
+    val dropped = l.join(r, Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_vec"), col("b_vec")) >= lit(threshold))
+      .select(col("b_id").as("v_id")).distinct()
+      .withColumn("__d", lit(1L))
+    corpus.select(col(idCol).as("v_id"))
+      .join(dropped, Seq("v_id"), "left_outer")
+      .select(col("v_id"),
+        when(col("__d").isNotNull, 0L).otherwise(1L).as("keep_i"))
+  }
+
   // -------- product quantization (PQ) --------
 
   /** Sampled PQ codebook: `size` codewords per subspace, taken from the

@@ -230,6 +230,13 @@ object PipelineQueries {
         .orderBy(col("v_id"))
     }),
 
+    // Semantic dedup (SemDeDup shape): keep-first-occurrence within each
+    // coarse cell at cosine ≥ 0.4.
+    "q_embed_dedup" -> ((s, d) => {
+      Similarity.embeddingDedup(Td.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("v_id"))
+    }),
+
     "q_multimodal_decode" -> ((s, d) => {
       Multimodal.decode(Multimodal.documentsAsMedia(Td.documents(s, d)))
         .orderBy(col("media_id"))
@@ -747,6 +754,29 @@ object PipelineQueries {
         |      ORDER BY cs DESC, n_id) rk FROM p)
         |SELECT e.vec_id AS v_id, r.n_id AS nn_id
         |FROM embeddings e LEFT JOIN r ON r.v_id = e.vec_id AND r.rk = 1
+        |ORDER BY v_id""".stripMargin,
+
+    // same cells as q_embed_nn; drop rule = lower-id in-cell neighbor at
+    // cosine ≥ 0.4 (nearest in-cell pair sits 1.3e-4 from the boundary at
+    // sf0.01, far beyond any cross-engine float divergence)
+    "q_embed_dedup" ->
+      """WITH cells AS (SELECT vec_id cell_id, embedding cell_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assign AS (SELECT v_id, cell_id FROM (
+        |  SELECT e.vec_id v_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]), c.cell_id) rn
+        |  FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT b.v_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cell_id = b.cell_id AND a.v_id < b.v_id
+        |  JOIN embeddings ea ON ea.vec_id = a.v_id
+        |  JOIN embeddings eb ON eb.vec_id = b.v_id
+        |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+        |        eb.embedding::DOUBLE[]) >= 0.4)
+        |SELECT e.vec_id AS v_id,
+        |  CAST(CASE WHEN d.v_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_i
+        |FROM embeddings e LEFT JOIN dropped d ON d.v_id = e.vec_id
         |ORDER BY v_id""".stripMargin,
 
     "q_pipeline_curate" -> {

@@ -985,6 +985,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(st.getAs[Long]("boundary_crossers") >= 1L)
   }
 
+  test("embeddingDedup: keep-first within a cell at the cosine threshold") {
+    val vs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)),      // exact dup of 0 → dropped
+      (2L, Seq(0f, 1f, 0f)),      // orthogonal → kept
+      (3L, Seq(0.999f, 0.04f, 0f))) // near-dup of 0 → dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDedup(vs, "vec_id", "embedding",
+      threshold = 0.9, numCells = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 0L), s"got $got")
+  }
+
+  test("embeddingDedup: drop rule uses any lower id, not just survivors") {
+    // chain 0 ≈ 1 ≈ 2 with cos(0,2) below τ: 2 still drops (its witness 1
+    // was itself dropped) — the transitive-closure-free keep-first rule
+    val c20 = math.cos(math.toRadians(20)).toFloat
+    val s20 = math.sin(math.toRadians(20)).toFloat
+    val c40 = math.cos(math.toRadians(40)).toFloat
+    val s40 = math.sin(math.toRadians(40)).toFloat
+    val vs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(c20, s20)), (2L, Seq(c40, s40)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDedup(vs, "vec_id", "embedding",
+      threshold = 0.9, numCells = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L), s"got $got")
+  }
+
+  test("embeddingDedup: threshold extremes keep all / keep one per cell") {
+    val vs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.embeddingDedup(vs, "vec_id", "embedding",
+      threshold = 1.1, numCells = 1)
+    assert(all.agg(sum(col("keep_i"))).first.getLong(0) == 3L)
+    val one = Similarity.embeddingDedup(vs, "vec_id", "embedding",
+      threshold = -1.0, numCells = 1)
+    assert(one.filter(col("keep_i") === 1).select("v_id")
+      .as[Long].collect().toSeq == Seq(0L), "only the min id survives")
+  }
+
   test("qualityClassifier: hand-computed fixed-point score and verdict") {
     // "ab cd the x!" → 4 tokens, sumLen=9 chars (avg4 22500), 1 stopword
     // (stop4 2500), 8 alpha of 12 chars (alpha4 floor(6666.7+0.5)=6667)
