@@ -175,6 +175,22 @@ object RelationalQueries {
       graft.operators.Stats.exactQuantiles(Td.lineitem(s, d),
         "l_extendedprice", Seq(100L, 2500L, 5000L, 7500L, 9900L, 10000L))
         .orderBy(col("q_bp"))
+    }),
+
+    // Salted skew join: hot lineitem orderkeys spread over (key, salt);
+    // result must be row-identical to the plain join the oracle runs.
+    "q_skew_join" -> ((s, d) => {
+      val li = Td.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val ords = Td.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val hot = graft.operators.SkewJoin.hotKeys(li, "l_orderkey", 6L)
+      graft.operators.SkewJoin
+        .join(li, ords, "l_orderkey", "o_orderkey", hot, salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+            .as("sum_q_c"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -193,6 +209,12 @@ object RelationalQueries {
         |      FROM t, n)
         |SELECT r.q_bp, v.value FROM r JOIN v ON v.rn = r.rk
         |ORDER BY q_bp""".stripMargin,
+    // plain join — the salted split must be invisible in the result
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_q_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
