@@ -87,4 +87,36 @@ object Stats {
     ranked.join(broadcast(need), Seq("__qb", "__wr"))
       .select(col("q_bp"), col("v").as("value"))
   }
+
+  /** ANALYZE-style column profile: per column, row count, null count,
+    * distinct count, and min/max (as strings, so one schema fits every
+    * column type). The statistics pass behind layout decisions — skew
+    * detection for [[SkewJoin.hotKeys]] thresholds, Z-order column
+    * selection, partition sizing.
+    *
+    * One scan: every column's aggregates run in a single `agg` (multiple
+    * exact distinct counts plan as one expand — the scan is read once,
+    * expanded k ways before the aggregation; `exact = false` swaps in
+    * HyperLogLog `approx_count_distinct`, collapsing the expand for very
+    * wide tables). The result is column-count-sized — driver-safe by
+    * construction. */
+  def tableProfile(df: DataFrame, columns: Seq[String] = Seq.empty,
+      exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = if (columns.isEmpty) df.columns.toSeq else columns
+    val aggs: Seq[Column] = names.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null__$c"),
+      (if (exact) count_distinct(col(c))
+       else approx_count_distinct(col(c))).as(s"ndv__$c"),
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c")) }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    names.map { c => (c, n, row.getAs[Long](s"null__$c"),
+        row.getAs[Long](s"ndv__$c"),
+        Option(row.getAs[String](s"min__$c")),
+        Option(row.getAs[String](s"max__$c")))
+    }.toDF("col_name", "n_rows", "n_null", "ndv", "min_s", "max_s")
+  }
 }

@@ -435,6 +435,23 @@ object Similarity {
       .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
 
+  /** Incremental append to an at-rest [[writeIvfPqIndex]] index: new
+    * vectors are assigned and PQ-encoded against the FROZEN centroids and
+    * codebook, then appended into their cell directories — continuous
+    * embedding ingestion without touching existing codes. Same trade-off
+    * as [[appendToIvfIndex]]: quantization error drifts only as far as
+    * the data distribution does; a periodic rebuild re-trains both
+    * quantizers. */
+  def appendToIvfPqIndex(newVectors: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, m: Int = 16): Unit =
+    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
+      .withColumnRenamed(idCol, "n_id")
+      .join(assignCells(newVectors, centroids, idCol, vecCol)
+        .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
+      .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+      .write.partitionBy("cell_id").mode("append").parquet(path)
+
   /** IVF+PQ against an index frame carrying (id, codes, cell_id) — built
     * in memory by [[ivfpqTopK]] or read from [[writeIvfPqIndex]] output,
     * where the broadcast probe join runs on the PARTITION column and

@@ -69,7 +69,8 @@ object StreamingNearDedup {
     * (localCheckpoint), so callers may fold them into the next increment's
     * index without re-running this batch's LSH pipeline. */
   def increment(batch: DataFrame, idCol: String, textCol: String,
-      prior: Option[SeenIndex], p: Params = Params()): Increment = {
+      prior: Option[SeenIndex], p: Params = Params(),
+      dedupPrior: Boolean = false): Increment = {
     val ids = Dedup.shingleIds(batch, idCol, textCol, p.n)
       .localCheckpoint(true)
     val sigs = Dedup.bandSignaturesFrom(ids, p.numHashes, p.bands)
@@ -95,14 +96,17 @@ object StreamingNearDedup {
     // O(candidates), not O(history).
     val candDocs = cand.select(col("doc_a").as("doc"))
       .unionByName(cand.select(col("doc_b").as("doc"))).distinct()
-    // distinct AFTER the semi-join restriction (bounded by candidates):
-    // shingle rows are set members, and during [[compactState]]'s
-    // commit-then-delete window a doc's rows can appear in BOTH the new
-    // compacted generation and a not-yet-deleted source batch — row
-    // counting in verifyJaccard would double its set size without this.
-    val idsAll = prior.map(ix => ix.shingles.unionByName(ids)).getOrElse(ids)
+    // `dedupPrior`: distinct AFTER the semi-join restriction (bounded by
+    // candidates) — shingle rows are set members, and during
+    // [[compactState]]'s commit-then-delete window a doc's rows can
+    // appear in BOTH the new compacted generation and a not-yet-deleted
+    // source batch; row counting in verifyJaccard would double its set
+    // size. Callers whose prior state cannot hold duplicates (no
+    // compacted generation on disk) skip the extra shuffle.
+    val restricted = prior.map(ix => ix.shingles.unionByName(ids))
+      .getOrElse(ids)
       .join(candDocs, Seq("doc"), "left_semi")
-      .distinct()
+    val idsAll = if (dedupPrior) restricted.distinct() else restricted
     val dropped = Dedup.verifyJaccard(cand, idsAll, p.threshold)
       .select(col("doc_b").as(idCol)).distinct()
     Increment(batch.join(dropped, Seq(idCol), "left_anti"), sigs, ids)
@@ -186,7 +190,10 @@ object StreamingNearDedup {
     } yield SeenIndex(
       s.filter(keep).select(col("doc"), col("band"), col("sig")),
       sh.filter(keep).select(col("doc"), col("sid")))
-    val inc = increment(df, "doc_id", "text", prior, p)
+    // duplicates in prior state are only possible while a compacted
+    // generation coexists with its not-yet-deleted sources
+    val inc = increment(df, "doc_id", "text", prior, p,
+      dedupPrior = liveGens.nonEmpty)
     inc.shingles.write.mode("overwrite")
       .parquet(s"$stateDir/shingles/batch=$batchId")
     inc.survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

@@ -101,6 +101,34 @@ object TextAnalysis {
       when(score >= lit(w.threshold), 1L).otherwise(0L).as("keep_i"))
   }
 
+  /** Unigram language-model familiarity score — the CCNet-shaped "does
+    * this doc look like the corpus" quality signal (LM perplexity
+    * filtering with the LM reduced to corpus document frequencies). Each
+    * token occurrence contributes `ilog2(df(token))` — the integer log is
+    * the binary digit count minus one, exact on any engine, so the score
+    * avoids the transcendental-`ln` cross-platform trap entirely. Output
+    * `(id, n_tokens, lm_m)` with `lm_m = (1000·Σ ilog2(df)) div n_tokens`
+    * — higher means built from commoner vocabulary.
+    *
+    * Scale shape: one explode, a distinct + count for the df table (the
+    * token dictionary — shuffles on the token key, map-side combined),
+    * one equi-join of occurrences against it, one per-doc rollup. No
+    * windows, no driver state; the df table can be persisted and reused
+    * across scoring runs. */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("tok"))
+    val docFreq = tok.distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = (length(bin(col("df"))) - 1).cast(LongType)
+    tok.join(docFreq.select(col("tok"), w.as("w")), Seq("tok"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("s"))
+      .select(col("doc").as(idCol), col("n_tokens"),
+        expr("(1000 * s) div n_tokens").as("lm_m"))
+  }
+
   /** Tiny per-language marker dictionaries for the n-gram/stopword language
     * ID heuristic. Deliberately small: the operator's value is the
     * scalable argmax-join shape, not lexicon quality. */

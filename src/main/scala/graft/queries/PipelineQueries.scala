@@ -129,6 +129,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram LM familiarity: integer-log2 document-frequency score, the
+    // perplexity-filter stage with exact cross-engine arithmetic.
+    "q_text_unigramlm" -> ((s, d) => {
+      TextAnalysis.unigramLmScore(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 keyword retrieval: rank output (ties by id), scores internal.
     "q_text_bm25" -> ((s, d) => {
       TextAnalysis.bm25TopK(Td.documents(s, d), "doc_id", "text",
@@ -653,6 +660,17 @@ object PipelineQueries {
         |  FROM f)
         |SELECT doc_id, score_m,
         |  CAST(CASE WHEN score_m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_i
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // ilog2 via binary digit count on both engines — no float log anywhere
+    "q_text_unigramlm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |w AS (SELECT tok, CAST(length(bin(df)) - 1 AS BIGINT) AS w FROM df),
+        |s AS (SELECT t.doc_id, count(*) AS n_tokens, sum(w.w) AS s
+        |      FROM tok t JOIN w ON w.tok = t.tok GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((1000 * s) // n_tokens AS BIGINT) AS lm_m
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {

@@ -177,6 +177,14 @@ object RelationalQueries {
         .orderBy(col("q_bp"))
     }),
 
+    // ANALYZE-style column profile: the one-scan statistics pass behind
+    // layout/skew decisions (exact NDV via a single expand).
+    "q_stats_profile" -> ((s, d) => {
+      graft.operators.Stats.tableProfile(Td.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
     // Salted skew join: hot lineitem orderkeys spread over (key, salt);
     // result must be row-identical to the plain join the oracle runs.
     "q_skew_join" -> ((s, d) => {
@@ -209,6 +217,21 @@ object RelationalQueries {
         |      FROM t, n)
         |SELECT r.q_bp, v.value FROM r JOIN v ON v.rn = r.rk
         |ORDER BY q_bp""".stripMargin,
+    "q_stats_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      s"""WITH p AS (${cols.map(one).mkString("\nUNION ALL\n")})
+         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_null AS BIGINT) AS n_null, CAST(ndv AS BIGINT) AS ndv,
+         |  min_s, max_s
+         |FROM p ORDER BY col_name""".stripMargin
+    },
     // plain join — the salted split must be invisible in the result
     "q_skew_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -56,6 +56,37 @@ class StatsSpec extends AnyFunSuite {
       "x", Seq(5000L)).count() == 0)
   }
 
+  test("tableProfile: nulls, exact ndv, min/max per column in one pass") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), None),
+      (3L, Some("a"), Some(30.0)),
+      (4L, None, Some(10.0))).toDF("id", "s", "v")
+    val got = Stats.tableProfile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("v") == ((4L, 1L, 2L, "10.0", "30.0")))
+  }
+
+  test("tableProfile: all-null column reports null bounds, zero ndv") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "x")
+    val r = Stats.tableProfile(df, Seq("x")).collect()(0)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("tableProfile: approximate ndv lands near exact for a narrow table") {
+    val s = spark; import s.implicits._
+    val df = (1 to 5000).map(i => i % 1000).toDF("k")
+    val approx = Stats.tableProfile(df, exact = false)
+      .collect()(0).getLong(3)
+    assert(math.abs(approx - 1000L) < 150, s"approx ndv $approx")
+  }
+
   test("plan never funnels data through a single partition") {
     val s = spark; import s.implicits._
     val df = Stats.exactQuantiles(

@@ -549,6 +549,62 @@ class PipelineSpec extends AnyFunSuite {
       s"neighbors must come from the query's own anchor family: $got")
   }
 
+  test("IVF+PQ incremental append: codes land per cell, search parity holds") {
+    def vec(cx: Double, cy: Double, i: Int): Array[Float] = {
+      val base = Array((cx + 0.01 * i).toFloat, (cy - 0.01 * i).toFloat)
+      base ++ (0 until 6).map(j => ((i * 7 + j * 3) % 11 * 0.1).toFloat)
+    }
+    val anchors = Seq((10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0))
+    val all = (0 until 40).map { i =>
+      val (cx, cy) = anchors(i % 4); (i.toLong, vec(cx, cy, i / 4))
+    }.toDF("vec_id", "embedding")
+    val centroids = anchors.zipWithIndex.map { case ((cx, cy), i) =>
+      (i.toLong, Array(cx.toFloat, cy.toFloat) ++ Array.fill(6)(0.0f))
+    }.toDF("cell_id", "cell_vec")
+    val queries = all.filter(col("vec_id") < 4)
+    // quantizers frozen on the INITIAL corpus only — the append contract
+    val initial = all.filter(col("vec_id") < 20)
+    val late = all.filter(col("vec_id") >= 20)
+    val cb = Similarity.pqCodebook(initial, "vec_id", "embedding",
+      dim = 8, m = 4, size = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc").toString
+    Similarity.writeIvfPqIndex(initial, centroids, cb, "vec_id", "embedding",
+      dir, dim = 8, m = 4)
+    Similarity.appendToIvfPqIndex(late, centroids, cb, "vec_id", "embedding",
+      dir, dim = 8, m = 4)
+    val index = spark.read.parquet(dir)
+    assert(index.count() == 40, "all codes indexed after append")
+    assert(index.filter(col("vec_id") === 20L)
+      .select(col("cell_id").cast("long")).collect()(0).getLong(0) == 0L,
+      "appended codes sit in their assigned cell directory")
+    val got = Similarity.ivfpqTopKIndexed(index, queries, all, centroids,
+      cb, "vec_id", "embedding", k = 3, dim = 8, m = 4, nprobe = 2,
+      rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // a fresh full-corpus index with the SAME frozen quantizers
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-full").toString
+    Similarity.writeIvfPqIndex(all, centroids, cb, "vec_id", "embedding",
+      dir2, dim = 8, m = 4)
+    val full = Similarity.ivfpqTopKIndexed(spark.read.parquet(dir2), queries,
+      all, centroids, cb, "vec_id", "embedding", k = 3, dim = 8, m = 4,
+      nprobe = 2, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == full, s"appended index diverged: $got vs $full")
+  }
+
+  test("unigramLmScore: hand-computed integer-log2 familiarity") {
+    // dfs: a→2 b→2 c→1 d→1; ilog2: a,b→1, c,d→0
+    val fx = Seq((0L, "a a b"), (1L, "a c"), (2L, "b b d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLmScore(fx, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 1000L)),  // (1+1+1)*1000 div 3
+      1L -> ((2L, 500L)),   // (1+0)*1000 div 2
+      2L -> ((3L, 666L))),  // (1+1+0)*1000 div 3
+      s"got $got")
+  }
+
   test("streaming dedup: first occurrence wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.Doc
