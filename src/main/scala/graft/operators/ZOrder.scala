@@ -45,4 +45,23 @@ object ZOrder {
     (0 until bits).flatMap { i =>
       Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
+
+  /** Materialize `df` physically clustered on the Z-curve of
+    * (`aCol`, `bCol`): range-partition on the interleaved key — each
+    * output file owns a contiguous curve segment, i.e. a small rectangle
+    * in (a, b)-space — and sort within partitions so parquet row-group
+    * min/max stats stay tight inside every file too. A scan filtering on
+    * EITHER column (or both) then prunes whole files from the footer
+    * stats; ZOrderSpec measures the effect against a hash-scattered
+    * layout. Boundaries come from range-partitioning's sampling — they
+    * shift a little run to run, which moves file cut points, never the
+    * bounding-box property. */
+  def writeClustered(df: org.apache.spark.sql.DataFrame, aCol: String,
+      bCol: String, path: String, numFiles: Int = 32, bits: Int = 16)
+      : Unit =
+    df.withColumn("__zk", zkey2(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__zk"))
+      .sortWithinPartitions(col("__zk"))
+      .drop("__zk")
+      .write.mode("overwrite").parquet(path)
 }

@@ -135,6 +135,22 @@ object GraphQueries {
       graft.graph.Triangles.perNode(edges, "src", "dst")
         .groupBy(col("triangles")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("triangles"))
+    }),
+
+    // k-core peeling (3 fixed rounds at k=15) on the same co-purchase
+    // graph — the cohesion filter; fixed rounds for oracle parity, the
+    // PageRank unrolling discipline (aggregates can't live in a
+    // recursive CTE term).
+    "q_graph_kcore" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.graph.KCore.peel(edges, "src", "dst", k = 15, rounds = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -270,6 +286,26 @@ object GraphQueries {
         |       count(*) AS n_nodes
         |FROM nodes n LEFT JOIN pn p ON p.node = n.node
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three unrolled peeling rounds over the same co-purchase graph
+    "q_graph_kcore" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
+        |sym AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |d1 AS (SELECT u, count(*) c FROM sym GROUP BY 1),
+        |n1 AS (SELECT u AS node FROM d1 WHERE c >= 15),
+        |s2 AS (SELECT u, v FROM sym
+        |       WHERE u IN (SELECT node FROM n1) AND v IN (SELECT node FROM n1)),
+        |d2 AS (SELECT u, count(*) c FROM s2 GROUP BY 1),
+        |n2 AS (SELECT u AS node FROM d2 WHERE c >= 15),
+        |s3 AS (SELECT u, v FROM sym
+        |       WHERE u IN (SELECT node FROM n2) AND v IN (SELECT node FROM n2)),
+        |d3 AS (SELECT u, count(*) c FROM s3 GROUP BY 1),
+        |n3 AS (SELECT u AS node FROM d3 WHERE c >= 15)
+        |SELECT node FROM n3 ORDER BY node""".stripMargin,
     "q_b7_vle" ->
       s"""WITH e AS (SELECT source_id, target_id FROM $relsSql r),
          |p1 AS (SELECT source_id AS start_id, target_id AS end_id, 1 AS depth FROM e),

@@ -55,4 +55,26 @@ class ZOrderSpec extends AnyFunSuite {
     // the other — the z areas stay uniformly small
     assert(spans.forall(_ <= 9L), s"file bounding areas: $spans")
   }
+
+  test("writeClustered: a square predicate touches few files vs hash layout") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zc").toString
+    ZOrder.writeClustered(grid, "a", "b", zdir, numFiles = 16, bits = 6)
+    val hdir = java.nio.file.Files.createTempDirectory("graft-zr").toString
+    grid.repartition(16).write.mode("overwrite").parquet(hdir)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("a").between(8, 15) && col("b").between(8, 15))
+        .select(input_file_name()).distinct().count()
+    // the 8x8 square [8,15]^2 is ONE aligned Z-block: a contiguous run of
+    // 64 keys out of 4096 → at most 2 of the 16 range files hold it; the
+    // hash layout scatters the same 64 rows over nearly every file
+    val z = filesTouched(zdir)
+    val h = filesTouched(hdir)
+    assert(z <= 2L, s"z-clustered layout touched $z files")
+    assert(h >= 8L, s"hash layout unexpectedly clustered: $h files")
+    // the layout is a permutation, not a transformation
+    assert(spark.read.parquet(zdir).count() == 4096L)
+  }
 }
