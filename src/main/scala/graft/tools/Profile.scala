@@ -39,7 +39,9 @@ object Profile {
           case Nil => Seq("q_dedup_minhash", "q_dedup_jaccard", "q_dedup_components",
             "q_text_dupspan", "q_text_bm25", "q_pipeline_shuffle", "q_sim_topk",
             "q_embed_nn", "q_sessionize", "q_asof_join", "q_range_join",
-            "q_e10_window")
+            "q_e10_window", "q_graph_triangles", "q_graph_kcore",
+            "q_stats_quantiles", "q_skew_join", "q_text_unigramlm",
+            "q_text_classifier")
           case ns => ns
         }
         scaleProbe(spark, sfDir, factor, names)
@@ -150,6 +152,24 @@ object Profile {
         col("event_type"), col("value"), col("props"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // lineitem/orders amplify as DISJOINT copies (order AND part keys
+    // offset): the co-purchase graph gains factor independent components
+    // of the original density — growth then measures the PLAN, where
+    // offsetting only orders would densify the graph and grow pair/
+    // triangle counts super-linearly by construction.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val okSpan = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1
+    val pkSpan = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okSpan))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * pkSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until factor).map { k =>
+      ords.withColumn("o_orderkey", col("o_orderkey") + lit(k * okSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     println(s"[scale] corpus x$factor at $out")
     def best(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val ts = (1 to 2).map { _ =>
