@@ -344,37 +344,11 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = true)
     if (ownsEdges) graft.core.Blocks.free(edges0)
-    def edgeSig(df: DataFrame): (Long, Long) = {
-      // hash folded into [0, 1e9) before summing: ANSI mode would throw
-      // on a raw sum(xxhash64) overflow
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))),
-          lit(0L)).as("h")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
     var eSig = edgeSig(e)
     var converged = false
     while (!converged) {
-      // large-star over the symmetric view
-      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      val lmins = sym.groupBy(col("a"))
-        .agg(min(col("b")).as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
-      val large = sym.join(lmins, Seq("a"))
-        .filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint(eager = true)
-      // small-star on the downward list
-      val smins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val small = large.join(smins, Seq("a"))
-        .filter(col("b") =!= col("m"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionByName(smins.select(col("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint(eager = true)
+      val (smallPlan, large) = starsRound(e)
+      val small = smallPlan.localCheckpoint(eager = true)
       graft.core.Blocks.free(large)
       // convergence: same distinct-edge set as last round, compared via
       // (count, order-insensitive hash-sum) — one agg job per round; the
@@ -393,6 +367,100 @@ object Dedup {
     graft.core.Blocks.free(e)
     graft.core.Blocks.free(nodes)
     out
+  }
+
+  /** One large-star + small-star contraction round ([[componentsStars]]'
+    * loop body). Returns the next downward edge list as an UNMATERIALIZED
+    * plan plus the intermediate large-star checkpoint the caller frees
+    * once the plan is materialized (checkpointed or written to disk). */
+  private def starsRound(e: DataFrame): (DataFrame, DataFrame) = {
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val lmins = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    val large = sym.join(lmins, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val smins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val small = large.join(smins, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .unionByName(smins.select(col("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    (small, large)
+  }
+
+  /** Order-insensitive (count, hash-sum) signature of a downward edge
+    * list — the one-agg convergence probe. Hash folded into [0, 1e9)
+    * before summing: ANSI mode would throw on a raw sum(xxhash64)
+    * overflow. */
+  private def edgeSig(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))),
+        lit(0L)).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Restart-resumable [[componentsStars]]: every contraction round
+    * commits its edge list at rest under `stateDir/edges/round=N` (the
+    * parquet `_SUCCESS` is the commit marker, the same discipline as
+    * [[StreamingNearDedup.processBatch]]), and the final labels commit
+    * under `stateDir/labels`. A components job over 100 TB of near-dup
+    * pairs runs for hours; when the driver dies at round 37, this resumes
+    * at round 37 — a half-written round directory is overwritten, a
+    * completed run short-circuits to the stored labels. Each round costs
+    * one extra parquet write vs the in-memory loop; lineage per round is
+    * flat by construction (every round reads a file, not a join tree).
+    * State stays on disk for inspection; delete `stateDir` to reset. */
+  def componentsResumable(pairs: DataFrame, stateDir: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dir(i: Int) = s"$stateDir/edges/round=$i"
+    def committed(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
+    if (committed(s"$stateDir/labels"))
+      return spark.read.parquet(s"$stateDir/labels")
+    if (!committed(dir(0)))
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir(0))
+    var i = Iterator.from(1).takeWhile(j => committed(dir(j))).toSeq
+      .lastOption.getOrElse(0)
+    var e = spark.read.parquet(dir(i))
+    var eSig = edgeSig(e)
+    var converged = false
+    // resume always runs at least one round; if the crash happened after
+    // convergence the first round is a no-op whose signature matches
+    while (!converged) {
+      val (smallPlan, large) = starsRound(e)
+      smallPlan.write.mode("overwrite").parquet(dir(i + 1))
+      graft.core.Blocks.free(large)
+      val next = spark.read.parquet(dir(i + 1))
+      val sig = edgeSig(next)
+      converged = sig == eSig
+      eSig = sig
+      e = next
+      i += 1
+    }
+    val nodes = spark.read.parquet(dir(0))
+    val allNodes = nodes.select(col("a"))
+      .unionByName(nodes.select(col("b").as("a")))
+      .distinct().select(col("a").as("doc"))
+    allNodes.join(e.select(col("a").as("doc"), col("b").as("component")),
+        Seq("doc"), "left_outer")
+      .select(col("doc"),
+        coalesce(col("component"), col("doc")).as("component"))
+      .write.mode("overwrite").parquet(s"$stateDir/labels")
+    spark.read.parquet(s"$stateDir/labels")
   }
 
   /** True when re-evaluating `df` costs no more than re-reading stored

@@ -1082,6 +1082,38 @@ class PipelineSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(0L), "only the min id survives")
   }
 
+  test("componentsResumable: parity, completed-run short-circuit, mid-state resume") {
+    // chain + separate pair: contraction needs multiple rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = labelSet(Dedup.components(pairs))
+    assert(expect == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)))
+    val d1 = java.nio.file.Files.createTempDirectory("comp-res").toString
+    assert(labelSet(Dedup.componentsResumable(pairs, d1)) == expect)
+    // completed run short-circuits to the stored labels — even with a
+    // DIFFERENT (empty) pairs argument, proof nothing recomputes
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(labelSet(Dedup.componentsResumable(empty, d1)) == expect)
+    // mid-state resume: strip the run back to rounds 0..1 and no labels —
+    // the state a driver crash at round 2 leaves — then resume
+    val edgesDir = new java.io.File(s"$d1/edges")
+    val rounds = edgesDir.listFiles().map(_.getName)
+      .filter(_.startsWith("round=")).map(_.stripPrefix("round=").toInt)
+    assert(rounds.max >= 2, s"fixture must need >2 rounds, got ${rounds.toSeq}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rounds.filter(_ > 1).foreach(r => rm(new java.io.File(s"$d1/edges/round=$r")))
+    rm(new java.io.File(s"$d1/labels"))
+    // litter a half-written next round (no _SUCCESS) — must be overwritten
+    new java.io.File(s"$d1/edges/round=2").mkdirs()
+    assert(labelSet(Dedup.componentsResumable(empty, d1)) == expect,
+      "resume from mid-state must reproduce the full run")
+  }
+
   test("qualityClassifier: hand-computed fixed-point score and verdict") {
     // "ab cd the x!" → 4 tokens, sumLen=9 chars (avg4 22500), 1 stopword
     // (stop4 2500), 8 alpha of 12 chars (alpha4 floor(6666.7+0.5)=6667)
