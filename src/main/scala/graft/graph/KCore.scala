@@ -38,6 +38,21 @@ object KCore {
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
   }
 
+  /** One peeling round as an UNMATERIALIZED plan: survivors of `nodes`
+    * with ≥ k neighbors inside the `nodes`-restricted subgraph — two
+    * semi-joins plus a combinable count. Exposed for plan-quality
+    * assertions; the loops below materialize it per round. */
+  private[graft] def peelRound(sym: DataFrame, nodes: DataFrame, k: Int)
+      : DataFrame =
+    sym.join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("u").as("node"))
+
+  /** The symmetric simple edge view, for [[peelRound]] callers. */
+  private[graft] def symmetricView(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = symmetric(edges, srcCol, dstCol)
+
   /** Surviving nodes after `rounds` synchronous peeling rounds at
     * threshold `k` (every node starts alive; round r drops nodes with
     * fewer than k surviving neighbors). With enough rounds this IS the
@@ -51,12 +66,7 @@ object KCore {
     var nodes = sym.select(col("u").as("node")).distinct()
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
-      val live = sym
-        .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
-      val next = live.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u").as("node"))
-        .localCheckpoint(eager = true)
+      val next = peelRound(sym, nodes, k).localCheckpoint(eager = true)
       Blocks.free(nodes)
       nodes = next
     }
@@ -77,12 +87,7 @@ object KCore {
     var rounds = 0
     var converged = prev == 0L
     while (!converged && rounds < maxRounds) {
-      val live = sym
-        .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
-      val next = live.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u").as("node"))
-        .localCheckpoint(eager = true)
+      val next = peelRound(sym, nodes, k).localCheckpoint(eager = true)
       val n = next.count()
       Blocks.free(nodes)
       nodes = next

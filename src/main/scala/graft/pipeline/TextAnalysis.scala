@@ -56,6 +56,27 @@ object TextAnalysis {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "on")
 
+  /** Real subword pieces over a trained WordPiece vocabulary (greedy
+    * longest match, `##` continuations, `[UNK]` fallback) — the exact
+    * token stream a BERT-family training job sees; replaces the
+    * [[bpeishCount]] proxy wherever a true vocab exists. Native codegen
+    * kernel, row-local, zero shuffle. */
+  def wordPieces(text: Column, vocab: Seq[String]): Column =
+    graft.functions.WordPiece.tokenize(tokens(text), vocab)
+
+  /** Subword count under a WordPiece vocabulary. */
+  def wordPieceCount(text: Column, vocab: Seq[String]): Column =
+    size(wordPieces(text, vocab)).cast(LongType)
+
+  /** Single-character vocabulary (a-z, A-Z + continuations): the oracle
+    * harness's degenerate-but-exact vocab — greedy matching over it has a
+    * closed form (alphabetic word → one piece per char, anything else →
+    * `[UNK]`) that plain SQL reproduces, which is what lets the driver
+    * hash-check the full tokenizer path; real greedy semantics are
+    * spec-tested with multi-char vocabularies. */
+  val CharVocab: Seq[String] =
+    (('a' to 'z') ++ ('A' to 'Z')).flatMap(c => Seq(c.toString, "##" + c))
+
   /** Quality metrics in fixed-point (×10000) for cross-engine parity. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

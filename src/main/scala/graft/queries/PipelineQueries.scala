@@ -129,6 +129,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece subword counts over the char vocabulary (the vocab whose
+    // greedy matching has a closed form SQL reproduces — the full kernel
+    // path gets hash-checked; multi-char greedy semantics live in
+    // WordPieceSpec).
+    "q_text_wordpiece" -> ((s, d) => {
+      Td.documents(s, d).select(col("doc_id"),
+        TextAnalysis.wordPieceCount(col("text"), TextAnalysis.CharVocab)
+          .as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram LM familiarity: integer-log2 document-frequency score, the
     // perplexity-filter stage with exact cross-engine arithmetic.
     "q_text_unigramlm" -> ((s, d) => {
@@ -661,6 +672,17 @@ object PipelineQueries {
         |SELECT doc_id, score_m,
         |  CAST(CASE WHEN score_m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_i
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // char-vocab closed form: alphabetic word → one piece per character,
+    // empty token → nothing, anything else (or >64 chars) → one [UNK]
+    "q_text_wordpiece" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
+        |c AS (SELECT doc_id, CASE WHEN w = '' THEN 0
+        |  WHEN length(w) > 64 THEN 1
+        |  WHEN regexp_full_match(w, '[a-zA-Z]+') THEN length(w)
+        |  ELSE 1 END AS n FROM tok)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_subwords
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // ilog2 via binary digit count on both engines — no float log anywhere
     "q_text_unigramlm" ->

@@ -387,4 +387,51 @@ class PlanQualitySpec extends AnyFunSuite {
       s"residual must finish as a hash semi-join:\n$p")
     assert(p.contains("LeftSemi"), s"exactness comes from the real semi-join:\n$p")
   }
+
+  test("triangles: wedge and closing joins stay equi-joined, no adjacency collect") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"degree-oriented counting must equi-join:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "no per-node adjacency list (hub-node task overflow)")
+  }
+
+  test("k-core: peeling rounds are semi-joins + partial-aggregated counts") {
+    // the gate's result is a per-round checkpoint (Scan ExistingRDD), so
+    // assert on the actual round plan the loop materializes
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = (1L to 40L).map(i => (i, i % 10 + 100L)).toDF("src", "dst")
+    val sym = graft.graph.KCore.symmetricView(e, "src", "dst")
+    val nodes = sym.select(col("u").as("node")).distinct()
+    val p = graft.graph.KCore.peelRound(sym, nodes, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"survivor restriction must semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"degree count must keep map-side combine:\n$p")
+  }
+
+  test("skew join: hot list broadcasts; no nested-loop anywhere") {
+    val p = plan("q_skew_join")
+    assert(p.contains("BroadcastHashJoin"), s"hot split must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"salted path must equi-join:\n$p")
+  }
+
+  test("unigram LM: df join is an equi-join; rollup keeps partial aggregation") {
+    val p = plan("q_text_unigramlm")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"per-doc rollup must keep map-side combine:\n$p")
+  }
+
+  test("wordpiece: pure projection over the scan — no shuffle before the sort") {
+    val p = plan("q_text_wordpiece")
+    // one Exchange allowed: the deterministic output orderBy
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"tokenization must not shuffle:\n$p")
+    assert(p.contains("wordpiece"), s"native kernel missing from the plan:\n$p")
+  }
 }
