@@ -88,6 +88,29 @@ object Stats {
       .select(col("q_bp"), col("v").as("value"))
   }
 
+  /** Per-group exact quantiles: the stratified form of
+    * [[exactQuantiles]] — value at 1-based rank `max(1, ceil(q·n_g))`
+    * inside each group. One count aggregate + one window PARTITIONED BY
+    * the group column (groups distribute across the cluster; a single
+    * pathologically-large group sorts within its partition — for that
+    * shape, filter the group out and use [[exactQuantiles]]'s bucketed
+    * selection). Output `(group, q_bp, value)`. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qsBp: Seq[Long]): DataFrame = {
+    val v = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val qs = qsBp.distinct.map(q => lit(q))
+    val targets = counts.select(col("g"), col("n"),
+        explode(array(qs: _*)).as("q_bp"))
+      .select(col("g"), col("q_bp"),
+        greatest(lit(1L), expr("(q_bp * n + 9999) div 10000")).as("__rk"))
+    val ranked = v.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"))).cast("long"))
+    ranked.join(targets, Seq("g", "__rk"))
+      .select(col("g").as(groupCol), col("q_bp"), col("v").as("value"))
+  }
+
   /** ANALYZE-style column profile: per column, row count, null count,
     * distinct count, and min/max (as strings, so one schema fits every
     * column type). The statistics pass behind layout decisions — skew

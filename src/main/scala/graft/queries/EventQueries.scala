@@ -138,6 +138,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Ordered-step funnel: how far each user travels along
+    // view → click → purchase, greedy earliest-completion semantics.
+    "q_events_funnel" -> ((s, d) => {
+      graft.operators.Funnel.stages(Td.events(s, d), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -214,6 +222,21 @@ object EventQueries {
         |SELECT pe.k AS key, CAST(min(coalesce(bu.c, 0)) AS BIGINT) AS est
         |FROM pe LEFT JOIN buckets bu ON pe.i = bu.i AND pe.b = bu.b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one CTE per step, each the min ts strictly after the previous stage
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, ts FROM events),
+        |u0 AS (SELECT DISTINCT u FROM e),
+        |r1 AS (SELECT u, min(ts) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.u, min(ts) AS t2 FROM e JOIN r1 ON e.u = r1.u
+        |       WHERE et = 'click' AND ts > t1 GROUP BY 1),
+        |r3 AS (SELECT e.u, min(ts) AS t3 FROM e JOIN r2 ON e.u = r2.u
+        |       WHERE et = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT u0.u AS user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u0 LEFT JOIN r1 USING (u) LEFT JOIN r2 USING (u)
+        |LEFT JOIN r3 USING (u)
+        |ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER

@@ -177,6 +177,14 @@ object RelationalQueries {
         .orderBy(col("q_bp"))
     }),
 
+    // Stratified exact quantiles: per-group rank selection (the
+    // per-source length-distribution report).
+    "q_stats_grouped_quantiles" -> ((s, d) => {
+      graft.operators.Stats.groupedQuantiles(Td.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", Seq(2500L, 5000L, 7500L))
+        .orderBy(col("l_returnflag"), col("q_bp"))
+    }),
+
     // ANALYZE-style column profile: the one-scan statistics pass behind
     // layout/skew decisions (exact NDV via a single expand).
     "q_stats_profile" -> ((s, d) => {
@@ -217,6 +225,19 @@ object RelationalQueries {
         |      FROM t, n)
         |SELECT r.q_bp, v.value FROM r JOIN v ON v.rn = r.rk
         |ORDER BY q_bp""".stripMargin,
+    "q_stats_grouped_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS value,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |t(q_bp) AS (VALUES (2500),(5000),(7500)),
+        |r AS (SELECT n.g, CAST(q_bp AS BIGINT) AS q_bp,
+        |        greatest(1, (q_bp * n + 9999) // 10000) AS rk
+        |      FROM t, n)
+        |SELECT r.g AS l_returnflag, r.q_bp, v.value
+        |FROM r JOIN v ON v.g = r.g AND v.rn = r.rk
+        |ORDER BY 1, 2""".stripMargin,
     "q_stats_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -56,6 +56,25 @@ class StatsSpec extends AnyFunSuite {
       "x", Seq(5000L)).count() == 0)
   }
 
+  test("groupedQuantiles: per-group rank selection matches the model") {
+    val s = spark; import s.implicits._
+    val df = (Seq.tabulate(100)(i => ("a", (i * 13 % 101).toDouble)) ++
+      Seq.tabulate(7)(i => ("b", (i * 3).toDouble))).toDF("g", "x")
+    val qs = Seq(2500L, 5000L, 10000L)
+    val got = Stats.groupedQuantiles(df, "g", "x", qs).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    def m(vs: Seq[Double], q: Long) = {
+      val sorted = vs.sorted
+      sorted((math.max(1L, (q * vs.size + 9999L) / 10000L) - 1).toInt)
+    }
+    val a = (0 until 100).map(i => (i * 13 % 101).toDouble)
+    val b = (0 until 7).map(i => (i * 3).toDouble)
+    qs.foreach { q =>
+      assert(got(("a", q)) == m(a, q), s"a q=$q")
+      assert(got(("b", q)) == m(b, q), s"b q=$q")
+    }
+  }
+
   test("tableProfile: nulls, exact ndv, min/max per column in one pass") {
     val s = spark; import s.implicits._
     val df = Seq(
