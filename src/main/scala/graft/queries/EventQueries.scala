@@ -146,6 +146,26 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Regular-grid resample + forward fill: every hourly slot in each
+    // user's span gets a row; gaps carry the last observed slot sum.
+    // Per-key sequence() grid + per-key fill window — no global calendar
+    // join, no single-partition window (operators/TimeSeries.scala).
+    "q_ts_resample" -> ((s, d) => {
+      graft.operators.TimeSeries.resample(
+        Td.events(s, d), "user_id", "ts", "value", stepSec = 3600L)
+        .select(col("k").as("user_id"),
+          date_format(col("slot"), "yyyy-MM-dd HH").as("slot"),
+          col("n_events"), col("sum_c"), col("filled_c"))
+        .orderBy(col("user_id"), col("slot"))
+    }),
+
+    // Cohort retention: users bucketed by first-seen day × activity-day
+    // offset — the engagement-decay table, two keyed aggregations.
+    "q_events_retention" -> ((s, d) => {
+      graft.operators.TimeSeries.cohortRetention(Td.events(s, d), "user_id", "ts")
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // E10 micro-batch/window shape: tumbling hourly aggregation (the same
     // groupBy(window(...)) runs under readStream with a watermark).
     "q_e10_window" -> ((s, d) => {
@@ -265,6 +285,35 @@ object EventQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1,2 HAVING count(*) >= 2
-        |ORDER BY 1,2""".stripMargin
+        |ORDER BY 1,2""".stripMargin,
+    "q_ts_resample" ->
+      """WITH b AS (SELECT user_id,
+        |  make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600000000) AS slot,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(slot) mn, max(slot) mx FROM b GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS slot
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.slot,
+        |        coalesce(b.n_events, 0) AS n_events, b.sum_c
+        |      FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.slot = g.slot)
+        |SELECT user_id, strftime(slot, '%Y-%m-%d %H') AS slot,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum_c, 0) AS BIGINT) AS sum_c,
+        |  CAST(coalesce(last_value(sum_c IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY slot
+        |    ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS filled_c
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    "q_events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(day) AS cohort FROM days GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN f USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -78,6 +78,49 @@ object RelationalQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // OLAP subtotal lattice: ROLLUP(l_returnflag, l_linestatus) — the
+    // grouping-sets operator class (detail rows + per-flag subtotals +
+    // grand total in ONE aggregation pass; Catalyst plans it as a single
+    // Expand + hash aggregate, so the scan is read once, not once per
+    // level). GROUPING() markers are collapsed to an explicit 'ALL'
+    // sentinel so subtotal row identity is engine-independent (no NULL
+    // sort-order ambiguity between engines).
+    "q_rollup" -> ((s, d) => {
+      Td.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("__gr"),
+          grouping(col("l_linestatus")).as("__gl"))
+        .select(
+          when(col("__gr") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+            .as("rflag"),
+          when(col("__gl") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+            .as("lstatus"),
+          col("sum_qty_c"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    // Pivot (crosstab): order-priority counts pivoted to one column per
+    // priority class, one row per order status. Spark's pivot with an
+    // EXPLICIT value list — never the value-discovering overload, which
+    // runs a distinct scan on the driver before planning; at 100 TB the
+    // pivot key set must be declared, not discovered.
+    "q_pivot" -> ((s, d) => {
+      Td.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent_n"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high_n"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium_n"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec_n"),
+          coalesce(col("5-LOW"), lit(0L)).as("low_n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // B13 OPTIONAL MATCH — left outer join, zero-preserved.
     "q_b13_optional" -> ((s, d) => {
       val c = Td.customer(s, d); val o = Td.orders(s, d)
@@ -290,6 +333,26 @@ object RelationalQueries {
       """SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer
         |UNION SELECT DISTINCT CAST(s_nationkey AS INT) FROM supplier
         |ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE l_returnflag END AS rflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE l_linestatus END AS lstatus,
+        |  CAST(sum(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_b13_optional" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
