@@ -117,4 +117,41 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic negative-pair sampling for contrastive training: for
+    * every row, `k` pseudo-uniform "negative" partners drawn from the
+    * whole corpus by salted hash — reproducible on any engine or
+    * partitioning (same inputs → same pairs), unlike `rand()`-based
+    * draws.
+    *
+    * Mechanics: [[shuffleOrder]] assigns every row a dense 1..N rank (its
+    * two-level prefix sum — no single-partition window), then probe t of
+    * row i targets rank `H(salt, id, t) mod N + 1` and an equi-join on
+    * the rank resolves the partner id. The corpus is never cross-joined
+    * with itself: cost is one rank assignment + one k·N-row equi-join.
+    * Self-pairs (a row drawing its own rank, expected k rows total) are
+    * dropped rather than re-probed, so a doc occasionally yields k−1
+    * negatives — acceptable for training, and it keeps the plan one
+    * deterministic pass with no iteration.
+    *
+    * Output: (doc_id, t, neg_id) with t ∈ [0, k). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      salt: String = "graft-neg"): DataFrame = {
+    require(k > 0, s"negatives-per-row $k must be positive")
+    val ranks = shuffleOrder(df.select(col(idCol)), idCol)
+      .select(col(idCol), col("shuffle_rank"))
+    val n = ranks.agg(count(lit(1)).as("__n"))
+    val probeHash = conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"), lit(":"), col("t").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    ranks.crossJoin(broadcast(n))
+      .select(col(idCol), col("shuffle_rank"),
+        explode(array((0 until k).map(lit): _*)).as("t"), col("__n"))
+      .withColumn("neg_rank", pmod(probeHash, col("__n")) + 1)
+      .filter(col("neg_rank") =!= col("shuffle_rank"))
+      .join(ranks.select(col("shuffle_rank").as("neg_rank"),
+        col(idCol).as("neg_id")), Seq("neg_rank"))
+      .select(col(idCol).as("doc_id"), col("t").cast("long").as("t"),
+        col("neg_id"))
+  }
 }

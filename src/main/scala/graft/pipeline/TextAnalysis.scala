@@ -377,6 +377,36 @@ object TextAnalysis {
       .select(col("rank"), col("doc").as(idCol))
   }
 
+  /** TF-IDF top terms: each document's `k` most characteristic tokens by
+    * tf·ln(N/df) — the per-document keyword signature feeding topic
+    * bucketing and mixture diagnostics (complements [[bm25TopK]], which
+    * ranks DOCS for a fixed query; this ranks TERMS for every doc).
+    *
+    * Scale shape: one token explode, one map-side-combined (doc, tok)
+    * count, one map-side-combined tok document-frequency — NO global
+    * vocabulary broadcast (the df table stays distributed; the join back
+    * is an equi-join on the token). The only window is per-doc. Score
+    * stays per-(doc,term) — never summed — so IEEE determinism needs no
+    * fixed-point trick; ranks break ties by term, and only ranks are
+    * emitted. Output: (doc, rank, term), rank ≤ k.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+      .orderBy(col("__score").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score", col("tf") * log(col("n_docs") / col("dfreq")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("tok").as("term"))
+  }
+
   /** Duplicated-span coverage: the C4/Dolma-style boilerplate signal —
     * per document, the fraction of its distinct n-gram shingles that also
     * occur in at least one OTHER document (or twice in the corpus, since

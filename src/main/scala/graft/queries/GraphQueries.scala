@@ -137,6 +137,23 @@ object GraphQueries {
         .orderBy(col("triangles"))
     }),
 
+    // Link prediction: Jaccard-of-neighborhoods on the co-purchase graph
+    // — candidate pairs come only from wedge joins through shared
+    // neighbors (two equi-joins on the center node), never an all-pairs
+    // product; integer fixed-point score.
+    "q_graph_linkpred" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.graph.LinkPrediction.jaccardNeighbors(edges, "src", "dst",
+        minCommon = 2L)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
     // k-core peeling (3 fixed rounds at k=15) on the same co-purchase
     // graph — the cohesion filter; fixed rounds for oracle parity, the
     // PageRank unrolling discipline (aggregates can't live in a
@@ -286,6 +303,25 @@ object GraphQueries {
         |       count(*) AS n_nodes
         |FROM nodes n LEFT JOIN pn p ON p.node = n.node
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // wedge join through shared neighbors over the same co-purchase graph
+    "q_graph_linkpred" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_quantity >= 30 AND y.l_quantity >= 30),
+        |sym AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+        |wed AS (SELECT s1.v AS a, s2.v AS b, count(*) AS n_common
+        |        FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        |        GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT wed.a AS node_a, wed.b AS node_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(floor(n_common*10000.0/(da.deg + db.deg - n_common) + 0.5)
+        |    AS BIGINT) AS jaccard_4
+        |FROM wed JOIN deg da ON da.u = wed.a JOIN deg db ON db.u = wed.b
+        |ORDER BY 1, 2""".stripMargin,
     // three unrolled peeling rounds over the same co-purchase graph
     "q_graph_kcore" ->
       """WITH pairs AS (

@@ -83,6 +83,23 @@ object PipelineQueries {
             .cast("long").as("recall_m"))
     }),
 
+    // TF-IDF top terms: each doc's 3 most characteristic tokens — no
+    // global vocabulary broadcast, ranks only (IEEE noise can't flip
+    // hashes; ties break by term).
+    "q_text_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(Td.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc"), col("rank"))
+    }),
+
+    // Contrastive negative sampling: 4 deterministic pseudo-uniform
+    // corpus partners per doc via salted-hash rank probes — one rank
+    // assignment + one equi-join, never a self cross-join.
+    "q_pipeline_negpairs" -> ((s, d) => {
+      Sampling.negativePairs(Td.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 4)
+        .orderBy(col("doc_id"), col("t"))
+    }),
+
     // Deterministic global shuffle: the reproducible training-order
     // permutation (salted-hash sort rank, two-level prefix sum — no
     // single-partition window).
@@ -582,6 +599,37 @@ object PipelineQueries {
          |    * 10000.0 / count(*) + 0.5) AS BIGINT) AS recall_m
          |FROM exact e LEFT JOIN lsh l
          |  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(string_split(text,' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc, tok, tf*ln(n_docs/dfreq) AS score
+        |      FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+        |r AS (SELECT doc, tok, CAST(row_number() OVER (
+        |        PARTITION BY doc ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT doc, rank, tok AS term FROM r WHERE rank <= 3
+        |ORDER BY doc, rank""".stripMargin,
+
+    "q_pipeline_negpairs" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rnk
+        |  FROM (SELECT doc_id,
+        |          CAST(('0x'||substr(md5('graft-shuffle'||CAST(doc_id AS VARCHAR)),1,15))
+        |            AS BIGINT) AS k
+        |        FROM documents)),
+        |n AS (SELECT count(*) AS nn FROM r),
+        |p AS (SELECT doc_id, rnk, t,
+        |    (CAST(('0x'||substr(md5('graft-neg'||CAST(doc_id AS VARCHAR)||':'||CAST(t AS VARCHAR)),1,15))
+        |       AS BIGINT) % nn) + 1 AS neg_rank
+        |  FROM r CROSS JOIN n CROSS JOIN unnest(range(0,4)) AS u(t))
+        |SELECT p.doc_id, CAST(p.t AS BIGINT) AS t, r2.doc_id AS neg_id
+        |FROM p JOIN r r2 ON r2.rnk = p.neg_rank
+        |WHERE p.neg_rank <> p.rnk
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_pipeline_shuffle" ->
       """SELECT doc_id,

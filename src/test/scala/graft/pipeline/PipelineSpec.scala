@@ -909,6 +909,29 @@ class PipelineSpec extends AnyFunSuite {
       s"bucket offsets must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("negativePairs: k uniform-ish partners, no self-pairs, reproducible") {
+    val corpus = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Sampling.negativePairs(corpus.select(col("doc_id")), "doc_id", k = 4)
+      .as[(Long, Long, Long)].collect()
+    // each doc draws 4 probes, minus the expected-rare self-draw
+    assert(out.length >= 390 && out.length <= 400, s"got ${out.length}")
+    assert(out.forall { case (d, _, n) => d != n }, "self-pair leaked")
+    assert(out.forall { case (_, t, _) => t >= 0 && t < 4 })
+    // deterministic: a second evaluation is bit-identical
+    val again = Sampling.negativePairs(corpus.select(col("doc_id")), "doc_id", k = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // a different salt draws different partners
+    val s2 = Sampling.negativePairs(corpus.select(col("doc_id")), "doc_id",
+      k = 4, salt = "other")
+      .as[(Long, Long, Long)].collect()
+    assert(s2.sorted.toSeq != out.sorted.toSeq)
+    // pseudo-uniform: every doc is drawn as a negative at least once is
+    // too strong for n=100·4 draws, but coverage should be broad
+    assert(out.map(_._3).distinct.length > 60,
+      "negatives collapsed onto few partners")
+  }
+
   test("streaming curation with near-dup coverage: batch-path parity over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.Doc
