@@ -151,12 +151,46 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // Tail-fitted record: the driver archives only the last ~2000 chars of
+    // stdout and parses the result out of THAT, so a complete JSON record
+    // must fit inside the tail. The full line above is ~7 KB (117 queries
+    // at full double precision + the sf2 map) — it can never fit, which is
+    // exactly why r8-r10 shipped parsed:null even once the line printed
+    // last. Fit strategy: same shape, 3-decimal times, per-query entries
+    // admitted slowest-first (the ones a plan audit cares about) until the
+    // line reaches ~1800 chars; the rest are counted in "omitted" and live
+    // in bench_result.json ("full").
+    def r3(v: Double): String = { val x = math.rint(v * 1000) / 1000; if (x == x.toLong) x.toLong + ".0" else x.toString }
+    val fitted = {
+      val errsPart = if (runs.exists(_._3.nonEmpty)) s""","errors":$errs""" else ""
+      val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","full":"$outFile"$errsPart"""
+      val entries = runs.toSeq.sortBy { case (_, v, _) => -v }
+        .map { case (k, v, _) => jstr(k) + ":" + r3(v) }
+      // 1700, not 2000: the observed tail window is 2000 chars and must
+      // also hold sbt's "[success] Total time" epilogue (~70) plus the
+      // "[info] " prefix sbt stamps on forwarded lines (~7) with margin.
+      val budget = 1700 - head.length - 40 // room for ,"omitted":N,"queries":{}}
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      entries.foreach { e =>
+        if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
+      }
+      val omitted = entries.size - keep.size
+      head + s""","omitted":$omitted,"queries":${keep.mkString("{", ",", "}")}}"""
+    }
+    // Printed twice: once here (covers a driver whose tail window opens
+    // before JVM exit) and once from a shutdown hook — the hook fires when
+    // the sbt JVM exits, i.e. AFTER sbt's own "[success] Total time" line,
+    // so the fitted record is the true final line of captured stdout (in
+    // r10 sbt's epilogue displaced the result out of last position).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(fitted); System.out.flush()
+    }))
     spark.stop()
-    // The one-line JSON goes out LAST, after spark.stop()'s shutdown
-    // chatter, so a driver that tail-parses stdout always finds a complete
-    // record as the final program line (r10 shipped parsed:null because
-    // the line sat mid-stream of a clipped tail).
+    // Full record printed before the fitted one: a driver with a larger
+    // tail (or full-stdout parsing) sees every per-query entry.
     println(json)
+    println(fitted)
     System.out.flush()
     // A bench with failing queries is a failed bench: rc must say so
     // (r8/r9 reported rc:0 with failed:10).

@@ -77,6 +77,55 @@ case class EnumSchema(values: Set[String]) extends DtdlSchema {
     else Left(s"value '${v.asText()}' not in enum")
 }
 
+/** DTDL standard geospatial schema (`dtmi:standard:schema:geospatial:*`,
+  * DTDL v2+): values are GeoJSON geometry objects (RFC 7946) — a `type`
+  * tag matching the declared kind and a `coordinates` nesting of
+  * positions (arrays of 2-3 numbers). The reference inherits these from
+  * DTDLParser (`MaxDtdlVersion=4` at
+  * /root/reference/src/AgeDigitalTwins/AgeDigitalTwinsClient.cs:71); its
+  * own tests never exercise them, so this follows the public DTDL/GeoJSON
+  * specs directly. */
+case class GeoSchema(kind: String) extends DtdlSchema {
+  private def pos(v: JsonNode): Either[String, Unit] =
+    if (v.isArray && (v.size == 2 || v.size == 3) &&
+      v.elements().asScala.forall(_.isNumber)) Right(())
+    else Left(s"expected a GeoJSON position ([lon, lat] or [lon, lat, alt]), got $v")
+  private def arrayOf(v: JsonNode, min: Int, what: String,
+      each: JsonNode => Either[String, Unit]): Either[String, Unit] =
+    if (!v.isArray) Left(s"expected an array of $what, got ${v.getNodeType}")
+    else if (v.size < min) Left(s"$kind requires at least $min $what, got ${v.size}")
+    else v.elements().asScala.map(each).collectFirst { case l @ Left(_) => l }
+      .getOrElse(Right(()))
+  private def ring(v: JsonNode): Either[String, Unit] =
+    arrayOf(v, 4, "positions (a linear ring)", pos).flatMap { _ =>
+      if (v.get(0) == v.get(v.size - 1)) Right(())
+      else Left("a polygon linear ring must be closed (first position = last)")
+    }
+  private def coords(v: JsonNode): Either[String, Unit] = kind match {
+    case "point"           => pos(v)
+    case "multiPoint"      => arrayOf(v, 1, "positions", pos)
+    case "lineString"      => arrayOf(v, 2, "positions", pos)
+    case "multiLineString" => arrayOf(v, 1, "line strings",
+      arrayOf(_, 2, "positions", pos))
+    case "polygon"         => arrayOf(v, 1, "linear rings", ring)
+    case "multiPolygon"    => arrayOf(v, 1, "polygons",
+      arrayOf(_, 1, "linear rings", ring))
+    case _ => Right(()) // unknown geospatial kind: accept (forward compat)
+  }
+  private val geoType = kind.capitalize // GeoJSON type tags are UpperCamel
+  def validate(v: JsonNode): Either[String, Unit] = {
+    if (!v.isObject)
+      return Left(s"expected a GeoJSON $geoType object, got ${v.getNodeType}")
+    val t = Option(v.get("type")).filter(_.isTextual).map(_.asText())
+    if (!t.contains(geoType))
+      return Left(s"GeoJSON type must be '$geoType', got ${t.getOrElse("<missing>")}")
+    Option(v.get("coordinates")) match {
+      case None => Left("GeoJSON geometry requires 'coordinates'")
+      case Some(c) => coords(c)
+    }
+  }
+}
+
 case object AnySchema extends DtdlSchema {
   def validate(v: JsonNode): Either[String, Unit] = Right(())
 }
@@ -166,6 +215,9 @@ object Dtdl {
   private val NumericPrimitives =
     Set("double", "float", "integer", "long")
 
+  /** Standard geospatial schema DTMIs (any DTDL version suffix). */
+  private val GeoDtmi = "dtmi:standard:schema:geospatial:([A-Za-z]+);\\d+".r
+
   def parseSchema(n: JsonNode): DtdlSchema = parseSchema(n, Map.empty)
 
   /** Parse a schema node; textual `dtmi:` values resolve through `defs`
@@ -177,8 +229,13 @@ object Dtdl {
     if (n == null || n.isNull) AnySchema
     else if (n.isTextual) {
       val name = n.asText()
-      if (name.startsWith("dtmi:")) defs.getOrElse(name, AnySchema)
-      else PrimitiveSchema(name)
+      name match {
+        // standard geospatial schemas resolve before user definitions:
+        // the dtmi:standard: namespace is reserved by the DTDL spec
+        case GeoDtmi(kind) => GeoSchema(kind)
+        case _ if name.startsWith("dtmi:") => defs.getOrElse(name, AnySchema)
+        case _ => PrimitiveSchema(name)
+      }
     } else if (n.isObject) {
       val t = Option(n.get("@type")).map(typeNames).getOrElse(Nil)
       if (t.contains("Object")) {
@@ -234,11 +291,15 @@ object Dtdl {
     else Right(resolved)
   }
 
-  /** All `dtmi:` schema references inside a schema definition node. */
+  /** All `dtmi:` schema references inside a schema definition node that
+    * must resolve through the user `schemas` registry — the reserved
+    * standard namespace (geospatial) resolves intrinsically and is
+    * excluded. */
   private def schemaRefs(n: JsonNode): Seq[String] = {
     if (n == null) Nil
     else if (n.isTextual) {
-      val s = n.asText(); if (s.startsWith("dtmi:")) Seq(s) else Nil
+      val s = n.asText()
+      if (s.startsWith("dtmi:") && !GeoDtmi.matches(s)) Seq(s) else Nil
     } else if (n.isObject)
       Seq("fields", "elementSchema", "mapValue", "schema")
         .flatMap(k => schemaRefs(n.get(k)))

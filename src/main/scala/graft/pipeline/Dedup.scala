@@ -246,6 +246,30 @@ object Dedup {
       bCol: String = "doc_b"): DataFrame =
     componentsStars(pairs, aCol, bCol)
 
+  /** Quality-aware survivor selection: ONE doc per duplicate cluster — the
+    * member with the highest `scoreCol` (ties broken toward the lowest
+    * id), instead of the arbitrary min-id rule. This is the "keep the best
+    * copy" policy modern curation pipelines apply after fuzzy dedup
+    * (FineWeb, RefinedWeb): boilerplate-heavy mirrors lose to the cleanest
+    * copy rather than the numerically-first one. Docs absent from `pairs`
+    * are their own cluster and always survive.
+    *
+    * Scale shape: clusters come from [[components]] (pointer-doubling
+    * stars, no n² stage); the winner pick is one row_number window
+    * PARTITIONED by cluster — distributed by cluster key, never a global
+    * sort; the label join is an equi-join on the doc id. */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(pairs).withColumnRenamed("doc", idCol)
+    val labeled = docs.join(comp, Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Iterative min-label propagation (each doc repeatedly takes the min
     * label in its neighborhood) — the scalable union-find, with pointer
     * doubling for O(log diameter) convergence. Kept as the A/B alternative

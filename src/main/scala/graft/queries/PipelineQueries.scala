@@ -55,6 +55,17 @@ object PipelineQueries {
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 
+    // Quality-aware survivor rule: per near-dup cluster keep the highest-
+    // quality member (here: longest, ties → min id), not the min-id one.
+    "q_dedup_keepbest" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.keepBest(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH retrieval-quality gate: recall of banded MinHash candidates
     // against the exact (df-capped) shingle-Jaccard pair set at the same
     // threshold — the q_sim_recall pattern for the dedup family. A
@@ -135,6 +146,13 @@ object PipelineQueries {
     // signal pairwise dedup misses (C4/Dolma-style span filtering).
     "q_text_dupspan" -> ((s, d) => {
       TextAnalysis.dupSpanCoverage(Td.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-substring span removal (ExactSubstr dedup): corpus-repeated
+    // 3-gram spans are cut from each doc, survivors re-joined in order.
+    "q_span_dedup" -> ((s, d) => {
+      SpanDedup.exactSubstrRemove(Td.documents(s, d), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     }),
 
@@ -516,6 +534,35 @@ object PipelineQueries {
         |  doc AS doc_id
         |FROM top ORDER BY rank""".stripMargin,
 
+    "q_span_dedup" ->
+      // positional 3-grams (no DISTINCT — within-doc repeats count), dup =
+      // 2+ occurrences anywhere, covered positions spread over the 3
+      // tokens, survivors re-joined in position order. md5-hex parity with
+      // Spark's concat_ws rebuild.
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+         |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+         |sh AS (SELECT a.doc_id doc, a.p p, a.tok||' '||b.tok||' '||c.tok shingle
+         |       FROM pos a JOIN pos b ON a.doc_id=b.doc_id AND b.p=a.p+1
+         |                  JOIN pos c ON a.doc_id=c.doc_id AND c.p=a.p+2),
+         |ids AS (SELECT doc, p,
+         |        CAST(('0x'||substr(md5(shingle),1,15)) AS BIGINT) % $P AS sid FROM sh),
+         |dup AS (SELECT sid FROM ids GROUP BY sid HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT i.doc, i.p + o.o AS cp
+         |        FROM ids i JOIN dup USING (sid)
+         |        CROSS JOIN (VALUES (0),(1),(2)) o(o)),
+         |kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+         |         LEFT JOIN cov ON cov.doc = p.doc_id AND cov.cp = p.p
+         |         WHERE cov.doc IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) clean
+         |        FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc, CAST(count(*) AS BIGINT) n_removed FROM cov GROUP BY doc)
+         |SELECT d.doc_id,
+         |  coalesce(r.n_removed, 0) AS n_removed,
+         |  md5(coalesce(a.clean, '')) AS clean_md5
+         |FROM documents d LEFT JOIN rem r ON r.doc = d.doc_id
+         |                 LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_text_dupspan" ->
       s"""WITH $shingleIdsSql,
          |dfc AS (SELECT sid, count(*) c FROM ids GROUP BY 1),
@@ -677,6 +724,35 @@ object PipelineQueries {
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS doc, min(b) AS component FROM reach
          |GROUP BY a ORDER BY doc""".stripMargin,
+
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE $shingleIdsSql,
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |$jaccardVerifySql,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_4 >= 5000),
+         |sym AS (SELECT doc_a a, doc_b b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc, min(b) AS component FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, d.n_chars,
+         |        coalesce(c.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+         |win AS (SELECT *, row_number() OVER (
+         |        PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) rn
+         |        FROM lab)
+         |SELECT doc_id, n_chars, component FROM win WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       val (_, a0, b0) = Dedup.hashParams(1).head

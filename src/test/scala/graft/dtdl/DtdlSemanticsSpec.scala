@@ -410,4 +410,96 @@ class DtdlSemanticsSpec extends AnyFunSuite {
       """{"$dtId":"d","$metadata":{"$model":"dtmi:g:s;1"},"s1":"standby"}""")
     assert(reg.validateTwin(bad).isLeft)
   }
+
+  // ---------- standard geospatial schemas (DTDL v2+, GeoJSON values) ----------
+
+  private def geoReg(kind: String, version: Int = 2): ModelRegistry = {
+    val m = parse(
+      s"""{"@id":"dtmi:g:geo;1","@type":"Interface",
+         |  "@context":"dtmi:dtdl:context;3",
+         |  "contents":[
+         |    {"@type":"Property","name":"where",
+         |     "schema":"dtmi:standard:schema:geospatial:$kind;$version"}]}""".stripMargin)
+    assert(m.isRight, m)
+    ModelRegistry(Map("dtmi:g:geo;1" -> m.toOption.get))
+  }
+  private def twin(value: String) = Json.parse(
+    s"""{"$$dtId":"g","$$metadata":{"$$model":"dtmi:g:geo;1"},"where":$value}""")
+
+  test("geospatial point accepts a GeoJSON Point and rejects shape errors") {
+    val reg = geoReg("point")
+    assert(reg.validateTwin(twin(
+      """{"type":"Point","coordinates":[-122.3,47.6]}""")).isRight)
+    assert(reg.validateTwin(twin( // 3-element position (altitude) is legal
+      """{"type":"Point","coordinates":[-122.3,47.6,30.0]}""")).isRight)
+    assert(reg.validateTwin(twin(
+      """{"type":"LineString","coordinates":[-122.3,47.6]}""")).isLeft,
+      "type tag must match the declared kind")
+    assert(reg.validateTwin(twin(
+      """{"type":"Point","coordinates":[-122.3]}""")).isLeft,
+      "a position needs 2-3 numbers")
+    assert(reg.validateTwin(twin(
+      """{"type":"Point","coordinates":["-122.3","47.6"]}""")).isLeft,
+      "coordinates are numbers, not strings")
+    assert(reg.validateTwin(twin("""{"type":"Point"}""")).isLeft,
+      "coordinates member is required")
+    assert(reg.validateTwin(twin(""""POINT(-122.3 47.6)"""")).isLeft,
+      "WKT strings are not GeoJSON objects")
+  }
+
+  test("geospatial lineString needs 2+ positions; multiPoint nests once") {
+    val ls = geoReg("lineString")
+    assert(ls.validateTwin(twin(
+      """{"type":"LineString","coordinates":[[0,0],[1,1],[2,2]]}""")).isRight)
+    assert(ls.validateTwin(twin(
+      """{"type":"LineString","coordinates":[[0,0]]}""")).isLeft,
+      "a line needs at least two positions")
+    val mp = geoReg("multiPoint")
+    assert(mp.validateTwin(twin(
+      """{"type":"MultiPoint","coordinates":[[0,0],[1,1]]}""")).isRight)
+    assert(mp.validateTwin(twin(
+      """{"type":"MultiPoint","coordinates":[0,0]}""")).isLeft,
+      "MultiPoint coordinates are an array of positions")
+  }
+
+  test("geospatial polygon rings must close; multiPolygon nests twice") {
+    val pg = geoReg("polygon")
+    assert(pg.validateTwin(twin(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}""")).isRight)
+    assert(pg.validateTwin(twin(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[1,1]]]}""")).isLeft,
+      "ring must be closed (first position = last)")
+    assert(pg.validateTwin(twin(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[0,0]]]}""")).isLeft,
+      "ring needs at least 4 positions")
+    val mpg = geoReg("multiPolygon", version = 3)
+    assert(mpg.validateTwin(twin(
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,0]]]]}""")).isRight)
+    assert(mpg.validateTwin(twin(
+      """{"type":"MultiPolygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}""")).isLeft,
+      "a MultiPolygon is an array of polygons")
+  }
+
+  test("geospatial resolves before user schema definitions; patches validate too") {
+    // dtmi:standard: is reserved — a user `schemas` entry cannot shadow it,
+    // and the schema composes inside an Object like any other
+    val m = parse(
+      """{"@id":"dtmi:g:site;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":"Property","name":"fence",
+        |     "schema":{"@type":"Object","fields":[
+        |       {"name":"name","schema":"string"},
+        |       {"name":"area","schema":"dtmi:standard:schema:geospatial:polygon;2"}]}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:site;1" -> m.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"s","$metadata":{"$model":"dtmi:g:site;1"},
+        |  "fence":{"name":"yard",
+        |    "area":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}}}""".stripMargin)
+    assert(reg.validateTwin(ok).isRight)
+    val bad = Json.parse(
+      """{"$dtId":"s","$metadata":{"$model":"dtmi:g:site;1"},
+        |  "fence":{"name":"yard","area":{"type":"Point","coordinates":[0,0]}}}""".stripMargin)
+    assert(reg.validateTwin(bad).isLeft, "nested geospatial kind mismatch")
+  }
 }

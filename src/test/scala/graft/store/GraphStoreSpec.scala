@@ -59,6 +59,40 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(afterDelete.count() == graph.twins.count() - 1)
   }
 
+  test("B4 hop query over the bucketed store elides the first-join shuffles") {
+    // The actual q_b4_single_hop pipeline (hop + groupBy agg), planned over
+    // the bucketed catalog tables vs the plain parquet layout. The first
+    // hop join (src_dt_id = rel_source_id) finds both scans already
+    // hash-distributed on the join key — EnsureRequirements inserts no
+    // Exchange under it; the parquet layout shuffles both sides. The
+    // remaining Exchanges (second-join probe side, final aggregation) are
+    // inherent to the query, so the assertion is relative: bucketed plan
+    // carries at least two fewer Exchanges AND its scans are bucketed.
+    val dbLoc = Files.createTempDirectory("graft-db-b4").toString
+    spark.sql("DROP DATABASE IF EXISTS graftb4 CASCADE")
+    spark.sql(s"CREATE DATABASE graftb4 LOCATION '$dbLoc'")
+    GraphStore.writeBucketedTables(graph, "graftb4", buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def b4(g: graft.graph.TwinGraph) = g.hop(Seq("located_in"))
+        .groupBy(col("dst_dt_id"), col("src_model_id"))
+        .agg(count(lit(1)).as("n"))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val bucketed = b4(GraphStore.readBucketedTables(spark, "graftb4"))
+      val plain = b4(graph)
+      val bPlan = bucketed.queryExecution.executedPlan.toString
+      assert(bPlan.contains("SelectedBucketsCount") || bPlan.contains("Bucketed"),
+        s"scans not bucketed in:\n$bPlan")
+      assert(exchanges(bucketed) <= exchanges(plain) - 2,
+        s"bucketing saved no shuffles: bucketed=${exchanges(bucketed)} " +
+          s"plain=${exchanges(plain)}\n$bPlan")
+      // same answer through either layout
+      assert(bucketed.count() == plain.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed tables join without shuffling either side") {
     // the suite may share a session whose warehouse conf differs — pin the
     // database (and so its managed tables) to a fresh temp location
