@@ -130,6 +130,11 @@ object StreamingNearDedup {
     for (i <- 0 until numBatches) {
       val batch = docs.filter(col(idCol) >= cuts(i) && col(idCol) < cuts(i + 1))
       val inc = increment(batch, idCol, textCol, index, p)
+      // Eager per-batch materialization, measured choice: a lazy fold
+      // (letting the final action run all verify-join subtrees in one job)
+      // was tried and is ~50% SLOWER at sf0.1 — the single mega-plan loses
+      // more to AQE re-planning and stage re-execution than the four
+      // blocking checkpoints cost.
       val surv = inc.survivors.select(col(idCol)).localCheckpoint(true)
       out = Some(out.map(_.unionByName(surv)).getOrElse(surv))
       index = Some(index match {

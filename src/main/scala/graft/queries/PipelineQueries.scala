@@ -57,10 +57,14 @@ object PipelineQueries {
 
     // Quality-aware survivor rule: per near-dup cluster keep the highest-
     // quality member (here: longest, ties → min id), not the min-id one.
+    // Pairs come from the SimHash path — keepBest is pair-source-agnostic,
+    // and the MinHash pipeline is already exercised end-to-end by the
+    // pairs/components/recall gates; re-running it here would only
+    // duplicate bench cost (the r9 lesson on A/B gate duplication).
     "q_dedup_keepbest" -> ((s, d) => {
       val docs = Td.documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        n = 3, maxHamming = 3).select(col("doc_a"), col("doc_b"))
       Dedup.keepBest(docs.select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", pairs)
         .orderBy(col("doc_id"))
@@ -725,19 +729,19 @@ object PipelineQueries {
          |SELECT a AS doc, min(b) AS component FROM reach
          |GROUP BY a ORDER BY doc""".stripMargin,
 
-    "q_dedup_keepbest" ->
+    "q_dedup_keepbest" -> {
+      val (_, a0, b0) = Dedup.hashParams(1).head
       s"""WITH RECURSIVE $shingleIdsSql,
-         |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
-         |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
-         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
-         |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
-         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
-         |           AND l.doc < r.doc),
-         |$jaccardVerifySql,
-         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_4 >= 5000),
+         |hv AS (SELECT doc, ($a0*sid+$b0) % $P hv FROM ids),
+         |bits AS (SELECT doc, k,
+         |         CASE WHEN sum(CASE WHEN CAST(floor(hv/power(2,k)) AS BIGINT)%2=1
+         |           THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END bv
+         |         FROM hv CROSS JOIN range(0,32) t(k) GROUP BY 1,2),
+         |simh AS (SELECT doc, CAST(sum(bv*CAST(power(2,k) AS BIGINT)) AS BIGINT) simhash
+         |         FROM bits GROUP BY 1),
+         |pairs AS (SELECT a.doc doc_a, b.doc doc_b
+         |          FROM simh a JOIN simh b ON a.doc < b.doc
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
          |sym AS (SELECT doc_a a, doc_b b FROM pairs
          |        UNION SELECT doc_b, doc_a FROM pairs),
          |reach(a, b) AS (
@@ -752,7 +756,8 @@ object PipelineQueries {
          |        PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) rn
          |        FROM lab)
          |SELECT doc_id, n_chars, component FROM win WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_simhash" -> {
       val (_, a0, b0) = Dedup.hashParams(1).head
