@@ -47,6 +47,13 @@ object Bench {
           docs, "doc_id", "text", 3, 64, 16, 0.5)
         graft.pipeline.Dedup.components(pairs).count()
       }
+      // The simhash family (32-bit sign aggregation + pigeonhole chunk
+      // self-join) is its own codegen shape — unwarmed, its first bench
+      // attempt bills ~5-8 s of JIT to q_dedup_simhash.
+      warm("dedup simhash") {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", 3, 3).count()
+      }
       warm("vle bfs") {
         // Derived from the current scale's own orders table (capped) so the
         // step runs on any data layout, not just the sibling-sf0.001 tree.

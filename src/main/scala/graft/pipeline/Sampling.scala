@@ -42,6 +42,21 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < lit((fraction * 10000).toInt))
   }
 
+  /** Deterministic weight-proportional thinning — Bernoulli-by-weight with
+    * no RNG: a row survives iff its salted hash bucket falls below its OWN
+    * weight×10000 (clamped to [0,1]). This is the per-row generalization
+    * of [[hashSample]]'s global fraction and of Mixing's per-source rates:
+    * quality-proportional sampling ("keep high-quality docs with
+    * probability ∝ score") expressed as a pure projection — zero shuffle,
+    * growth-stable (a doc's fate never changes as the corpus grows), and
+    * engine-reproducible (same salted-md5 arithmetic as every sampler
+    * here). Weights are quantized to 1e-4 like all fixed-point gates. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      salt: String = "graft-weight"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) <
+      least(lit(10000L), greatest(lit(0L),
+        round(weight * 10000).cast("long"))))
+
   /** Deterministic train/val/test assignment: each row lands in the split
     * whose cumulative hash range covers its salted bucket — disjoint and
     * exhaustive by construction, a pure per-row projection (zero

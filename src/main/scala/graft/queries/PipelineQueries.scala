@@ -347,6 +347,14 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Quality-proportional thinning: survival probability ∝ doc length
+    // (n_chars/1000 clamped to 1) — per-row weights, not a global rate.
+    "q_pipeline_weighted" -> ((s, d) => {
+      Sampling.weightedSample(Td.documents(s, d), "doc_id",
+        col("n_chars") / 1000.0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Deterministic 90/5/5 train/val/test assignment: disjoint hash
     // ranges, stable under corpus growth (docs never switch splits).
     "q_pipeline_split" -> ((s, d) => {
@@ -1027,6 +1035,14 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x'||substr(md5('graft'||doc_id),1,15)) AS BIGINT)
         |  % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_weighted" ->
+      // weight = n_chars/1000 clamped to [0,1]; ×10000 quantization makes
+      // the threshold the exact integer n_chars*10 capped at 10000
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x'||substr(md5('graft-weight'||doc_id),1,15)) AS BIGINT)
+        |  % 10000 < least(10000, n_chars*10)
         |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_split" ->

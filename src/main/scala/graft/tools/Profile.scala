@@ -41,7 +41,7 @@ object Profile {
             "q_embed_nn", "q_sessionize", "q_asof_join", "q_range_join",
             "q_e10_window", "q_graph_triangles", "q_graph_kcore",
             "q_stats_quantiles", "q_skew_join", "q_text_unigramlm",
-            "q_text_classifier")
+            "q_text_classifier", "q_span_dedup", "q_dedup_keepbest")
           case ns => ns
         }
         scaleProbe(spark, sfDir, factor, names)

@@ -274,6 +274,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sampling.hashSample(corpus, "doc_id", 0.0).count() == 0)
     assert(Sampling.hashSample(corpus, "doc_id", 1.0).count() == 200)
 
+    // weight-proportional thinning: weight 0 → never kept, weight ≥ 1 →
+    // always kept, and a per-row weight reproduces hashSample when every
+    // row shares the fraction (same arithmetic, different salt)
+    val weighted = corpus.withColumn("w",
+      when($"doc_id" <= 50L, 0.0).when($"doc_id" <= 100L, 1.0)
+        .otherwise(0.3))
+    val kept = Sampling.weightedSample(weighted, "doc_id", $"w")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.intersect((1L to 50L).toSet).isEmpty, "weight 0 must drop")
+    assert((51L to 100L).forall(kept), "weight 1 must keep")
+    val partial = kept.count(_ > 100L)
+    assert(partial > 0 && partial < 100, s"got $partial of 100 at w=0.3")
+    val uniform = Sampling.weightedSample(corpus, "doc_id", lit(0.3),
+      salt = "graft").select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(uniform == a, "constant weight = hashSample under the same salt")
+
     // stratified cap: every stratum bounded by k, deterministic picks
     val capped = Sampling.stratifiedCap(corpus, "lang", "doc_id", k = 20)
     val sizes = capped.groupBy($"lang").count().collect()
