@@ -62,12 +62,64 @@ object StoreQueries {
     dir
   }
 
+  /** Store with RETAINED checkpoints for the time-travel gate: create all
+    * nations (seqs 1..N), retain-checkpoint, then patch/delete a subset
+    * (seqs N+1..), retain-checkpoint again. Returns (dir, N) — N is the
+    * seq at which the store held exactly the unmodified nation set. */
+  private def buildTimeTravelStore(s: SparkSession, d: String): (String, Long) = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_store_tt_" + java.lang.Integer.toHexString(d.hashCode))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(root)
+    val dir = root.getAbsolutePath
+    val clock = () => "2026-01-01T00:00:00Z"
+    val st = TableTwinStore.open(s, dir, clock)
+    st.createModels(Seq(
+      s"""{"@id":"$NationModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin))
+    val nations = graft.core.Td.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    st.createOrReplaceTwins(nations.toSeq.map { case (k, name) =>
+      s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"$name"}"""
+    })
+    st.checkpoint(retain = true) // base: pristine nation set at seq N
+    st.batch {
+      nations.filter(_._1 % 5 == 0).foreach { case (k, name) =>
+        st.patchTwin(s"N$k",
+          s"""[{"op":"replace","path":"/name","value":"$name-patched"}]""")
+      }
+    }
+    st.batch {
+      nations.filter(_._1 % 7 == 3).foreach { case (k, _) => st.deleteTwin(s"N$k") }
+    }
+    st.checkpoint(retain = true)
+    (dir, nations.length.toLong)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
       TableTwinStore.open(s, dir, () => "2026-01-01T00:00:01Z").graph.twins
         .select(col("dt_id"), col("model_id"),
+          get_json_object(col("properties"), "$.name").as("name"))
+        .orderBy(col("dt_id"))
+    }),
+
+    // Time travel (graphAt): after patches and deletes landed and were
+    // checkpointed, read the store AS OF the pre-mutation seq through a
+    // fresh query-only open — the historical state must be bit-identical
+    // to the pristine nation set the oracle rebuilds from the raw table.
+    "q_store_timetravel" -> ((s, d) => {
+      val (dir, asOf) = buildTimeTravelStore(s, d)
+      TableTwinStore.openQueryOnly(s, dir, () => "2026-01-01T00:00:01Z")
+        .graphAt(asOf).twins
+        .select(col("dt_id"),
           get_json_object(col("properties"), "$.name").as("name"))
         .orderBy(col("dt_id"))
     })
@@ -79,6 +131,10 @@ object StoreQueries {
          |  CASE WHEN n_nationkey % 5 = 0 THEN n_name || '-patched'
          |       ELSE n_name END AS name
          |FROM nation WHERE n_nationkey % 7 <> 3
-         |ORDER BY dt_id""".stripMargin
+         |ORDER BY dt_id""".stripMargin,
+
+    "q_store_timetravel" ->
+      """SELECT 'N' || n_nationkey AS dt_id, n_name AS name
+        |FROM nation ORDER BY dt_id""".stripMargin
   )
 }

@@ -56,6 +56,10 @@ final class TableTwinStore private (
   private var version = 0
   private var appliedSeq = 0L
   private var journaledCount = 0 // prefix of mem.mutations already on disk
+  // Retained checkpoints for time travel: (snapshot version, appliedSeq at
+  // its fold). Persisted in meta.json; empty until the first
+  // checkpoint(retain = true).
+  private val history = collection.mutable.ListBuffer[(Int, Long)]()
 
   // Keys whose current state is resolved into `mem` (present or absent).
   // Every CRUD wrapper faults its keys first, so a key touched this
@@ -414,6 +418,12 @@ final class TableTwinStore private (
     o.put("version", version)
     o.put("appliedSeq", appliedSeq)
     o.put("nextSeq", mem.currentSeq)
+    if (history.nonEmpty) {
+      val a = o.putArray("history")
+      history.foreach { case (v, s) =>
+        val e = a.addObject(); e.put("version", v); e.put("appliedSeq", s); ()
+      }
+    }
     writeText(s"$dir/meta.json", Json.render(o))
   }
 
@@ -500,8 +510,15 @@ final class TableTwinStore private (
     * everywhere) — like a WAL truncated past the confirmed LSN — so the
     * journal directory stays bounded no matter how long the store serves
     * CRUD. Streaming consumers keep their own checkpoints, exactly as a
-    * replication slot does. */
-  def checkpoint(): Unit = {
+    * replication slot does.
+    *
+    * `retain = true` additionally pins the NEW snapshot as a time-travel
+    * base (recorded in meta `history`); once any retained base exists,
+    * folded journal files are moved to `journal-archive/` instead of
+    * deleted, so [[graphAt]] can reconstruct EVERY seq from the first
+    * retained checkpoint onward. Retention is opt-in because the archive
+    * (like any time-travel log) grows with write volume. */
+  def checkpoint(retain: Boolean = false): Unit = {
     flushJournal()
     // The fold horizon must advance past EVERY journal row being folded —
     // on a query-only open the in-memory counter never advanced, and an
@@ -525,10 +542,50 @@ final class TableTwinStore private (
     val oldVersion = version
     version = newVersion
     appliedSeq = curSeq
+    if (retain) history += ((newVersion, curSeq))
     writeMeta()
     saveModels()
-    journalFiles.foreach(p => fs.delete(p, true))
-    if (oldVersion > 0) fs.delete(new Path(snapshotPath(oldVersion)), true)
+    if (history.nonEmpty) {
+      // archive, don't prune: time travel needs the folded rows
+      val arch = new Path(archivePath)
+      if (journalFiles.nonEmpty && !fs.exists(arch)) fs.mkdirs(arch)
+      journalFiles.foreach(p => fs.rename(p, new Path(arch, p.getName)))
+    } else journalFiles.foreach(p => fs.delete(p, true))
+    if (oldVersion > 0 && !history.exists(_._1 == oldVersion))
+      fs.delete(new Path(snapshotPath(oldVersion)), true)
+  }
+
+  private def archivePath = s"$dir/journal-archive"
+
+  /** The graph as of `asOfSeq` (inclusive) — Delta-style time travel over
+    * the journal + retained snapshots. Resolution: the retained base with
+    * the largest appliedSeq ≤ `asOfSeq` (empty store if none), plus every
+    * journal row (archived or live) with base < seq ≤ asOfSeq folded on
+    * top — the same set-wise fold [[checkpoint]] uses, so a time-travel
+    * read costs one snapshot scan + one bounded journal fold, never a
+    * driver-side replay. States BEFORE the first retained checkpoint are
+    * reachable only while their journal rows haven't been pruned by an
+    * unretained checkpoint (retention is opt-in, see [[checkpoint]]).
+    * Models are not versioned: the returned graph carries current models.
+    * Available on every open mode, including query-only. */
+  def graphAt(asOfSeq: Long): TwinGraph = {
+    if (!queryOnly) flushJournal()
+    val base = history.toSeq.filter(_._2 <= asOfSeq).sortBy(_._2).lastOption
+    val (t0, r0) = base match {
+      case Some((v, _)) =>
+        val g = GraphStore.read(spark, snapshotPath(v)); (g.twins, g.relationships)
+      case None =>
+        (emptyDf(Tables.twinsSchema), emptyDf(Tables.relationshipsSchema))
+    }
+    val baseSeq = base.map(_._2).getOrElse(0L)
+    val archived =
+      if (fs.exists(new Path(archivePath)))
+        spark.read.schema(Tables.mutationsSchema).parquet(archivePath)
+      else emptyDf(Tables.mutationsSchema)
+    val pend = archived.unionByName(mutationsDf)
+      .filter(col("seq") > baseSeq && col("seq") <= asOfSeq)
+    TwinGraph(foldTwinMutations(t0, pend), foldRelMutations(r0, pend),
+      TwinStore.modelsDf(spark, mem.models))
   }
 
   /** Bulk set-wise ingest (the beyond-driver-RAM path): merge whole
@@ -549,7 +606,8 @@ final class TableTwinStore private (
     val oldVersion = version
     version = newVersion
     writeMeta()
-    if (oldVersion > 0) fs.delete(new Path(snapshotPath(oldVersion)), true)
+    if (oldVersion > 0 && !history.exists(_._1 == oldVersion))
+      fs.delete(new Path(snapshotPath(oldVersion)), true)
   }
 
   // ---------------- restart ----------------
@@ -560,6 +618,9 @@ final class TableTwinStore private (
       version = meta.get("version").asInt()
       appliedSeq = meta.get("appliedSeq").asLong()
       metaNextSeq = Option(meta.get("nextSeq")).map(_.asLong()).getOrElse(0L)
+      Option(meta.get("history")).foreach(_.elements().asScala.foreach { e =>
+        history += ((e.get("version").asInt(), e.get("appliedSeq").asLong()))
+      })
     }
     readJsonResilient(s"$dir/models.json").foreach { arr =>
       val raws = arr.elements().asScala.map(Json.render).toSeq

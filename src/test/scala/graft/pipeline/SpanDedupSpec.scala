@@ -60,6 +60,38 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(4L, 4L), s"got $got")
   }
 
+  test("invariants on real corpus: token conservation and monotonicity") {
+    // On the sf0.001 documents table: (kept + removed) tokens == original
+    // tokens per doc, and appending an exact copy of a doc can only grow
+    // the removed set (removal is monotone in corpus duplication).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100).cache()
+    try {
+      val before = SpanDedup.exactSubstrRemove(docs, "doc_id", "text", n = 3)
+      val tokCounts = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val kept = SpanDedup.cleaned(docs, "doc_id", "text", n = 3)
+        .select(col("doc_id"),
+          when(col("clean_text") === "", lit(0L))
+            .otherwise(size(split(col("clean_text"), " ")).cast("long"))
+            .as("n_kept"))
+      val bad = before.join(tokCounts, "doc_id").join(kept, "doc_id")
+        .filter(col("n_kept") + col("n_removed") =!= col("n_tok"))
+      assert(bad.count() == 0,
+        s"token conservation violated: ${bad.collect().take(3).toSeq}")
+      // duplicate one doc under a fresh id: its spans all become repeated
+      val dupSrc = docs.orderBy(col("doc_id")).limit(1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val after = SpanDedup.exactSubstrRemove(docs.unionByName(dupSrc),
+        "doc_id", "text", n = 3)
+      val grew = before.withColumnRenamed("n_removed", "r0")
+        .select(col("doc_id"), col("r0"))
+        .join(after.select(col("doc_id"), col("n_removed").as("r1")), "doc_id")
+        .filter(col("r1") < col("r0"))
+      assert(grew.count() == 0, "duplication must never shrink removal")
+    } finally { docs.unpersist(); () }
+  }
+
   test("plan shape: no cartesian product, no pair enumeration") {
     val plan = SpanDedup.exactSubstrRemove(docs, "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString

@@ -305,4 +305,47 @@ class TableStoreSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "meta.json").exists())
     assert(new java.io.File(dir, "models.json").exists())
   }
+
+  test("time travel: graphAt reconstructs every seq across retained checkpoints") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("a", roomDoc("a", 1.0)) // seq 1
+    s1.createOrReplaceTwin("b", roomDoc("b", 1.0)) // seq 2
+    s1.checkpoint(retain = true)                   // base v1 @ seq 2
+    s1.createOrReplaceTwin("a", roomDoc("a", 2.0)) // seq 3
+    s1.deleteTwin("b")                             // seq 4
+    s1.checkpoint(retain = true)                   // base v2 @ seq 4
+    s1.createOrReplaceTwin("c", roomDoc("c", 1.0)) // seq 5, live journal
+    def temps(g: graft.graph.TwinGraph): Map[String, Double] =
+      g.twins.select(col("dt_id"),
+          get_json_object(col("properties"), "$['temperature']").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // before any mutation: empty store
+    assert(temps(s1.graphAt(0)).isEmpty)
+    // mid-first-batch state comes from the archived journal alone
+    assert(temps(s1.graphAt(1)) == Map("a" -> 1.0))
+    // exactly a retained base: no journal fold needed
+    assert(temps(s1.graphAt(2)) == Map("a" -> 1.0, "b" -> 1.0))
+    // base v1 + archived rows: update visible, delete not yet
+    assert(temps(s1.graphAt(3)) == Map("a" -> 2.0, "b" -> 1.0))
+    // delete lands
+    assert(temps(s1.graphAt(4)) == Map("a" -> 2.0))
+    // live (unarchived) journal rows fold too; far future = current state
+    assert(temps(s1.graphAt(5)) == Map("a" -> 2.0, "c" -> 1.0))
+    assert(temps(s1.graphAt(Long.MaxValue)) == temps(s1.graph))
+
+    // history survives reopen (meta round-trip), including query-only mode
+    val s2 = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+    assert(temps(s2.graphAt(3)) == Map("a" -> 2.0, "b" -> 1.0))
+    assert(temps(s2.graphAt(4)) == Map("a" -> 2.0))
+
+    // an unretained checkpoint archives (not prunes) once history exists,
+    // so earlier seqs stay reachable
+    val s3 = TableTwinStore.open(spark, dir, fixedClock())
+    s3.createOrReplaceTwin("d", roomDoc("d", 9.0)) // seq 6
+    s3.checkpoint()
+    assert(temps(s3.graphAt(1)) == Map("a" -> 1.0))
+    assert(temps(s3.graphAt(6))("d") == 9.0)
+  }
 }
