@@ -60,6 +60,11 @@ final class TableTwinStore private (
   // its fold). Persisted in meta.json; empty until the first
   // checkpoint(retain = true).
   private val history = collection.mutable.ListBuffer[(Int, Long)]()
+  // Oldest seq [[graphAt]] can faithfully reconstruct: journal rows at or
+  // below it may have been pruned (pre-retention checkpoints, or
+  // [[vacuumHistory]]). 0 while the full journal survives; persisted with
+  // the history.
+  private var travelHorizon = 0L
 
   // Keys whose current state is resolved into `mem` (present or absent).
   // Every CRUD wrapper faults its keys first, so a key touched this
@@ -423,6 +428,7 @@ final class TableTwinStore private (
       history.foreach { case (v, s) =>
         val e = a.addObject(); e.put("version", v); e.put("appliedSeq", s); ()
       }
+      o.put("travelHorizon", travelHorizon)
     }
     writeText(s"$dir/meta.json", Json.render(o))
   }
@@ -540,9 +546,17 @@ final class TableTwinStore private (
         TwinStore.modelsDf(spark, mem.models)),
       snapshotPath(newVersion))
     val oldVersion = version
+    val priorApplied = appliedSeq
     version = newVersion
     appliedSeq = curSeq
-    if (retain) history += ((newVersion, curSeq))
+    if (retain) {
+      // First retained base: if earlier (unretained) checkpoints already
+      // pruned journal rows <= priorApplied, states before THIS base are
+      // not reconstructible — pin the horizon here instead of silently
+      // folding over the gap. From a never-pruned store the horizon is 0.
+      if (history.isEmpty && priorApplied > 0) travelHorizon = curSeq
+      history += ((newVersion, curSeq))
+    }
     writeMeta()
     saveModels()
     if (history.nonEmpty) {
@@ -570,7 +584,19 @@ final class TableTwinStore private (
     * Available on every open mode, including query-only. */
   def graphAt(asOfSeq: Long): TwinGraph = {
     if (!queryOnly) flushJournal()
-    val base = history.toSeq.filter(_._2 <= asOfSeq).sortBy(_._2).lastOption
+    // Below the horizon the journal has gaps (pre-retention pruning or
+    // vacuum) — a fold would silently return partial state, so refuse.
+    val horizon = if (history.nonEmpty) travelHorizon else appliedSeq
+    if (asOfSeq < horizon) throw StoreException(400,
+      s"time travel to seq $asOfSeq is below the retention horizon " +
+        s"$horizon (journal rows pruned); retain earlier checkpoints or " +
+        "vacuum less aggressively")
+    // The CURRENT snapshot is always a valid base (state at appliedSeq),
+    // so recent-past travel works even with no retained history, and
+    // near-present reads fold a short tail instead of replaying from an
+    // old base.
+    val bases = history.toSeq ++ (if (version > 0) Seq((version, appliedSeq)) else Nil)
+    val base = bases.filter(_._2 <= asOfSeq).sortBy(_._2).lastOption
     val (t0, r0) = base match {
       case Some((v, _)) =>
         val g = GraphStore.read(spark, snapshotPath(v)); (g.twins, g.relationships)
@@ -586,6 +612,38 @@ final class TableTwinStore private (
       .filter(col("seq") > baseSeq && col("seq") <= asOfSeq)
     TwinGraph(foldTwinMutations(t0, pend), foldRelMutations(r0, pend),
       TwinStore.modelsDf(spark, mem.models))
+  }
+
+  /** Delta-VACUUM analogue: drop time-travel history older than the newest
+    * `keepBases` retained bases. Unpins (and deletes) the older snapshots,
+    * rewrites the journal archive to rows above the new horizon, and
+    * advances the horizon to the oldest kept base — [[graphAt]] below it
+    * then fails loudly instead of folding over the gap. Bounds the
+    * otherwise write-proportional archive growth. */
+  def vacuumHistory(keepBases: Int): Unit = {
+    require(keepBases >= 1, "keepBases must be >= 1")
+    if (history.size <= keepBases) return
+    val dropped = history.dropRight(keepBases).toList
+    val kept = history.takeRight(keepBases).toList
+    val newHorizon = kept.head._2
+    val arch = new Path(archivePath)
+    if (fs.exists(arch)) {
+      // set-wise rewrite: survivors to a fresh dir, then swap
+      val tmp = new Path(s"$archivePath.rewrite")
+      fs.delete(tmp, true)
+      spark.read.schema(Tables.mutationsSchema).parquet(archivePath)
+        .filter(col("seq") > newHorizon)
+        .write.parquet(tmp.toString)
+      fs.delete(arch, true)
+      if (!fs.rename(tmp, arch)) throw StoreException(500,
+        s"vacuum could not swap $tmp into place")
+    }
+    history.clear(); history ++= kept
+    travelHorizon = newHorizon
+    writeMeta()
+    dropped.foreach { case (v, _) =>
+      if (v != version) fs.delete(new Path(snapshotPath(v)), true)
+    }
   }
 
   /** Bulk set-wise ingest (the beyond-driver-RAM path): merge whole
@@ -621,6 +679,8 @@ final class TableTwinStore private (
       Option(meta.get("history")).foreach(_.elements().asScala.foreach { e =>
         history += ((e.get("version").asInt(), e.get("appliedSeq").asLong()))
       })
+      travelHorizon = Option(meta.get("travelHorizon"))
+        .map(_.asLong()).getOrElse(0L)
     }
     readJsonResilient(s"$dir/models.json").foreach { arr =>
       val raws = arr.elements().asScala.map(Json.render).toSeq

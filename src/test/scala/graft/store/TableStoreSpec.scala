@@ -348,4 +348,60 @@ class TableStoreSpec extends AnyFunSuite {
     assert(temps(s3.graphAt(1)) == Map("a" -> 1.0))
     assert(temps(s3.graphAt(6))("d") == 9.0)
   }
+
+  test("time travel horizon: recent-past works with no history; gaps refuse loudly") {
+    def temps(g: graft.graph.TwinGraph): Map[String, Double] =
+      g.twins.select(col("dt_id"),
+          get_json_object(col("properties"), "$['temperature']").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // store with NO retained checkpoints: the pruning checkpoint moves the
+    // horizon to appliedSeq — travel at/after it rides the current
+    // snapshot, travel before it refuses instead of folding a gap
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    s.createOrReplaceTwin("a", roomDoc("a", 1.0)) // seq 1
+    s.createOrReplaceTwin("b", roomDoc("b", 1.0)) // seq 2
+    s.checkpoint() // unretained: journal pruned, horizon = 2
+    s.createOrReplaceTwin("c", roomDoc("c", 3.0)) // seq 3, live
+    assert(temps(s.graphAt(2)) == Map("a" -> 1.0, "b" -> 1.0),
+      "current snapshot serves as the base at appliedSeq")
+    assert(temps(s.graphAt(3)).contains("c"))
+    val e = intercept[StoreException](s.graphAt(1))
+    assert(e.status == 400 && e.getMessage.contains("horizon"), e.getMessage)
+    // first RETAIN on the pruned store pins the horizon at its own seq —
+    // the pre-retention gap stays un-travelable rather than silently wrong
+    s.checkpoint(retain = true) // base @ seq 3
+    assert(temps(s.graphAt(3)).keySet == Set("a", "b", "c"))
+    assert(intercept[StoreException](s.graphAt(2)).status == 400)
+  }
+
+  test("vacuumHistory drops old bases, rewrites the archive, advances the horizon") {
+    def temps(g: graft.graph.TwinGraph): Map[String, Double] =
+      g.twins.select(col("dt_id"),
+          get_json_object(col("properties"), "$['temperature']").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    s.createOrReplaceTwin("a", roomDoc("a", 1.0)) // seq 1
+    s.checkpoint(retain = true)                   // base v1 @ 1
+    s.createOrReplaceTwin("b", roomDoc("b", 2.0)) // seq 2
+    s.checkpoint(retain = true)                   // base v2 @ 2
+    s.createOrReplaceTwin("c", roomDoc("c", 3.0)) // seq 3
+    s.checkpoint(retain = true)                   // base v3 @ 3
+    assert(temps(s.graphAt(1)) == Map("a" -> 1.0))
+    s.vacuumHistory(keepBases = 2)
+    // horizon is now the oldest KEPT base (seq 2): 2 and 3 still travel
+    assert(temps(s.graphAt(2)) == Map("a" -> 1.0, "b" -> 2.0))
+    assert(temps(s.graphAt(3)) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+    assert(intercept[StoreException](s.graphAt(1)).status == 400)
+    // the vacuumed horizon survives a reopen
+    val s2 = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+    assert(temps(s2.graphAt(2)) == Map("a" -> 1.0, "b" -> 2.0))
+    assert(intercept[StoreException](s2.graphAt(1)).status == 400)
+    // idempotent / no-op when fewer bases than keepBases
+    s.vacuumHistory(keepBases = 5)
+    assert(temps(s.graphAt(3)).size == 3)
+  }
 }
