@@ -110,6 +110,77 @@ object Bench {
       val succeeded = best < Double.MaxValue
       (name, if (succeeded) best else -1.0, if (succeeded) None else err)
     }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    def r3(v: Double): String = { val x = math.rint(v * 1000) / 1000; if (x == x.toLong) x.toLong + ".0" else x.toString }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    // The shutdown hook prints whatever record is newest — the hook fires
+    // when the sbt JVM exits, i.e. AFTER sbt's own "[success] Total time"
+    // line, so a fitted record is the true final line of captured stdout
+    // (in r10 sbt's epilogue displaced the result out of last position).
+    @volatile var latestFitted = ""
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (latestFitted.nonEmpty) { System.out.println(latestFitted); System.out.flush() }
+    }))
+    /** Build + persist + print the result record for the finished passes.
+      * Called TWICE: right after the headline pass (insurance — if the
+      * driver times the bench out during the sf2 trend pass below, the
+      * artifact and a parseable stdout record already exist), and again
+      * with the sf2 map folded in. */
+    def emit(runs2: Map[String, Double], sf2Dir: Option[String]): Unit = {
+      val qs = runs.map { case (k, v, _) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val errs = runs.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+        .mkString("{", ",", "}")
+      val ok = runs.collect { case (_, v, None) => v }
+      val total = ok.sum
+      val failed = runs.size - ok.size + runs2.values.count(_ < 0)
+      val qs2 = runs2.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val sf2Json = sf2Dir.map(d =>
+        s""","sf2":${jstr(d)},"queries_sf2":$qs2""").getOrElse("")
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"$sf2Json}"""
+      // The result must survive stdout truncation: write it to a file
+      // (r8/r9 shipped artifacts with parsed:null because the JSON line
+      // lived only in a clipped stdout tail).
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+      // Tail-fitted record: the driver archives only the last ~2000 chars
+      // of stdout and parses the result out of THAT, so a complete JSON
+      // record must fit inside the tail. The full line above is ~7 KB
+      // (120+ queries at full double precision + the sf2 map) — it can
+      // never fit, which is exactly why r8-r10 shipped parsed:null even
+      // once the line printed last. Fit strategy: same shape, 3-decimal
+      // times, per-query entries admitted slowest-first (the ones a plan
+      // audit cares about) until the line reaches ~1700 chars (the 2000
+      // tail must also hold sbt's epilogue and "[info] " prefixes); the
+      // rest are counted in "omitted" and live in bench_result.json
+      // ("full").
+      val fitted = {
+        val errsPart = if (runs.exists(_._3.nonEmpty)) s""","errors":$errs""" else ""
+        val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","full":"$outFile"$errsPart"""
+        val entries = runs.toSeq.sortBy { case (_, v, _) => -v }
+          .map { case (k, v, _) => jstr(k) + ":" + r3(v) }
+        val budget = 1700 - head.length - 40 // room for ,"omitted":N,"queries":{}}
+        val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+        var used = 0
+        entries.foreach { e =>
+          if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
+        }
+        val omitted = entries.size - keep.size
+        head + s""","omitted":$omitted,"queries":${keep.mkString("{", ",", "}")}}"""
+      }
+      latestFitted = fitted
+      // Full record first (a driver with a larger tail or full-stdout
+      // parsing sees every per-query entry), fitted record after.
+      println(json)
+      println(fitted)
+      System.out.flush()
+    }
+    emit(Map.empty, None) // headline record — survives an sf2-pass timeout
     // Second scale point: a single timed pass per query at a smaller SF
     // (default sibling sf0.01 when present), so the artifact carries a
     // scaling signal — a query whose sf0.1/sf0.01 time ratio far exceeds
@@ -135,72 +206,11 @@ object Bench {
         (name, r)
       }.toMap
     }.getOrElse(Map.empty[String, Double])
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
-    val qs = runs.map { case (k, v, _) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = runs.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
-      .mkString("{", ",", "}")
-    val ok = runs.collect { case (_, v, None) => v }
-    val total = ok.sum
-    val failed = runs.size - ok.size + runs2.values.count(_ < 0)
-    val qs2 = runs2.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val sf2Json = sf2Dir.map(d =>
-      s""","sf2":${jstr(d)},"queries_sf2":$qs2""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"$sf2Json}"""
-    // The result must survive stdout truncation: write it to a file
-    // (r8/r9 shipped artifacts with parsed:null because the JSON line
-    // lived only in a clipped stdout tail).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
-    }
-    // Tail-fitted record: the driver archives only the last ~2000 chars of
-    // stdout and parses the result out of THAT, so a complete JSON record
-    // must fit inside the tail. The full line above is ~7 KB (117 queries
-    // at full double precision + the sf2 map) — it can never fit, which is
-    // exactly why r8-r10 shipped parsed:null even once the line printed
-    // last. Fit strategy: same shape, 3-decimal times, per-query entries
-    // admitted slowest-first (the ones a plan audit cares about) until the
-    // line reaches ~1800 chars; the rest are counted in "omitted" and live
-    // in bench_result.json ("full").
-    def r3(v: Double): String = { val x = math.rint(v * 1000) / 1000; if (x == x.toLong) x.toLong + ".0" else x.toString }
-    val fitted = {
-      val errsPart = if (runs.exists(_._3.nonEmpty)) s""","errors":$errs""" else ""
-      val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","full":"$outFile"$errsPart"""
-      val entries = runs.toSeq.sortBy { case (_, v, _) => -v }
-        .map { case (k, v, _) => jstr(k) + ":" + r3(v) }
-      // 1700, not 2000: the observed tail window is 2000 chars and must
-      // also hold sbt's "[success] Total time" epilogue (~70) plus the
-      // "[info] " prefix sbt stamps on forwarded lines (~7) with margin.
-      val budget = 1700 - head.length - 40 // room for ,"omitted":N,"queries":{}}
-      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
-      var used = 0
-      entries.foreach { e =>
-        if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
-      }
-      val omitted = entries.size - keep.size
-      head + s""","omitted":$omitted,"queries":${keep.mkString("{", ",", "}")}}"""
-    }
-    // Printed twice: once here (covers a driver whose tail window opens
-    // before JVM exit) and once from a shutdown hook — the hook fires when
-    // the sbt JVM exits, i.e. AFTER sbt's own "[success] Total time" line,
-    // so the fitted record is the true final line of captured stdout (in
-    // r10 sbt's epilogue displaced the result out of last position).
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.out.println(fitted); System.out.flush()
-    }))
     spark.stop()
-    // Full record printed before the fitted one: a driver with a larger
-    // tail (or full-stdout parsing) sees every per-query entry.
-    println(json)
-    println(fitted)
-    System.out.flush()
+    emit(runs2, sf2Dir) // final record with the trend pass folded in
     // A bench with failing queries is a failed bench: rc must say so
     // (r8/r9 reported rc:0 with failed:10).
-    if (failed > 0) sys.exit(1)
+    val failedFinal = runs.count(_._3.nonEmpty) + runs2.values.count(_ < 0)
+    if (failedFinal > 0) sys.exit(1)
   }
 }

@@ -434,4 +434,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1, s"tokenization must not shuffle:\n$p")
     assert(p.contains("wordpiece"), s"native kernel missing from the plan:\n$p")
   }
+
+  test("span removal: sid/position equi-joins only, no pair stage") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("CartesianProduct"), s"pair enumeration appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop appeared:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the duplicate-sid count must map-side combine:\n$p")
+  }
+
+  test("keep-best survivor: winner pick is a CLUSTER-partitioned window") {
+    val p = plan("q_dedup_keepbest")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    // row_number must be partitioned by the cluster key — an empty window
+    // partition spec would collapse the corpus onto one task
+    assert(p.contains("windowspecdefinition(component"),
+      s"window must partition by component:\n$p")
+  }
+
+  test("weighted sampling is a per-row filter: zero hash shuffles") {
+    val p = plan("q_pipeline_weighted")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"thinning must not shuffle (only the output sort may range-partition):\n$p")
+  }
 }

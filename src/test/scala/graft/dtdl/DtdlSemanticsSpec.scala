@@ -411,6 +411,27 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(reg.validateTwin(bad).isLeft)
   }
 
+  test("Command contents parse through without affecting instance validation") {
+    // Commands are service-invocation surface, not twin state — DTDLParser
+    // accepts them and twin validation ignores them; a parser that chokes
+    // on the content type would reject real-world models.
+    val m = parse(
+      """{"@id":"dtmi:g:dev2;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":"Property","name":"temp","schema":"double"},
+        |    {"@type":"Command","name":"reboot",
+        |     "request":{"name":"delay","schema":"integer"},
+        |     "response":{"name":"ok","schema":"boolean"}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:dev2;1" -> m.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:dev2;1"},"temp":20.5}""")
+    assert(reg.validateTwin(ok).isRight)
+    val bad = Json.parse( // a property named like the command is undefined
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:dev2;1"},"reboot":1}""")
+    assert(reg.validateTwin(bad).isLeft, "commands define no twin property")
+  }
+
   // ---------- standard geospatial schemas (DTDL v2+, GeoJSON values) ----------
 
   private def geoReg(kind: String, version: Int = 2): ModelRegistry = {
