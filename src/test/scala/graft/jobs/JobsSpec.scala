@@ -182,6 +182,37 @@ class JobsSpec extends AnyFunSuite {
       "cleanup must collect the other instance's expired lease")
   }
 
+  test("lock race: 16 writers acquire concurrently, exactly one wins") {
+    // The scripted-clock test above proves the fencing RULES; this one
+    // proves the critical section — 16 threads (4 service instances × 4
+    // threads, all over one directory) race tryAcquireLock on the same
+    // job. The OS file lock + JVM mutex must serialize them to exactly
+    // one winner, and the loser set must agree on who won.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lockrace")
+    val now = System.currentTimeMillis()
+    val services = (0 until 4).map(_ =>
+      new JobService(nowMs = () => now, lockStore = new FileLockStore(dir)))
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(16)
+    val threads = (0 until 16).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        if (services(i % 4).tryAcquireLock("race-job", s"writer$i",
+          leaseMillis = 60000)) winners.add(s"writer$i")
+        done.countDown()
+      })
+      t.start(); t
+    }
+    start.countDown()
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS), "race hung")
+    threads.foreach(_.join(1000))
+    assert(winners.size == 1, s"expected one winner, got $winners")
+    val owner = services(0).lockInfo("race-job").map(_.owner)
+    assert(owner.contains(winners.iterator().next()),
+      s"stored owner $owner must be the winner $winners")
+  }
+
   test("delete job: crash mid-phase, lease out, resume from checkpoint") {
     val (svc, advance) = timedService()
     val store = new TwinStore()
