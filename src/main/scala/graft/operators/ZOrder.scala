@@ -39,6 +39,27 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
+  /** N-column generalization: bit i of column k lands at position
+    * i*n + k, so the n columns' bits interleave round-robin — the layout
+    * lever for three or four filter dimensions (time × tenant × model is
+    * the common trio). `bits * n` must stay ≤ 62 so the key fits a signed
+    * long; more total bits than that add no pruning power at realistic
+    * file counts anyway (a 32-file layout distinguishes only ~5 high
+    * bits). zkey2 is the n=2 special case (kept: its fixed shape
+    * generates slightly tighter code and is the oracle-gated form). */
+  def zkeyN(cols: Seq[Column], bits: Int = 8): Column = {
+    val n = cols.size
+    require(n >= 2, s"zkeyN needs at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits*n must be in [$n,62], got ${bits * n}")
+    val terms = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, k) =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + k)
+      }
+    }
+    terms.reduce(_ + _)
+  }
+
   /** The matching SQL text for an oracle / external engine, same bit math:
     * Σ ((x >> i) & 1) << 2i  +  ((y >> i) & 1) << (2i+1). */
   def zkey2Sql(a: String, b: String, bits: Int = 16): String =

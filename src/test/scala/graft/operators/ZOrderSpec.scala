@@ -56,6 +56,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(spans.forall(_ <= 9L), s"file bounding areas: $spans")
   }
 
+  test("zkeyN: n=2 agrees with zkey2; n=3 interleaves round-robin and bounds cubes") {
+    // n=2 parity: the general form must reproduce the fixed-shape key
+    val pairs = Seq((12345L, 54321L), (7L, 65535L), (65535L, 0L), (0L, 0L))
+      .toDF("a", "b")
+    assert(pairs.filter(ZOrder.zkeyN(Seq(col("a"), col("b")), 16)
+      =!= ZOrder.zkey2(col("a"), col("b"), 16)).count() == 0)
+    // n=3 bit placement: a=1 -> bit 0, b=1 -> bit 1, c=1 -> bit 2,
+    // a=2 -> bit 3 (second bit of a lands at 1*3+0)
+    val placed = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 0L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.zkeyN(Seq(col("a"), col("b"), col("c")), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(placed == Seq(1L, 2L, 4L, 8L), s"got $placed")
+    // locality in 3 dims: 8x8x8 cube cut into 16 z-sorted files — every
+    // file's bounding VOLUME stays a small box, never a full slab
+    val cube = (for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val ranked = cube
+      .withColumn("z", ZOrder.zkeyN(Seq(col("a"), col("b"), col("c")), 3))
+      .orderBy(col("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vols = ranked.grouped(32).map { file =>
+      val as = file.map(_._1); val bs = file.map(_._2); val cs = file.map(_._3)
+      (as.max - as.min + 1) * (bs.max - bs.min + 1) * (cs.max - cs.min + 1)
+    }.toSeq
+    // a 32-cell curve segment spans ~a 4x4x2 box (vol 32-64); a
+    // single-column sort would span full 8x8 slabs (vol 256+)
+    assert(vols.forall(_ <= 64L), s"file bounding volumes: $vols")
+  }
+
   test("writeClustered: a square predicate touches few files vs hash layout") {
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
       yield (a.toLong, b.toLong)).toDF("a", "b")
