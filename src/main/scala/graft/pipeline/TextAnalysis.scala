@@ -438,6 +438,64 @@ object TextAnalysis {
           .cast(LongType), lit(0L)).as("dup_ratio_4"))
   }
 
+  /** Corpus-weighted adjacent character pairs — round 1 of BPE training,
+    * exposed separately as the oracle-checkable core (the full trainer
+    * iterates this same counting over progressively merged symbols).
+    * Scale shape: the pair table derives from the DISTINCT-WORD frequency
+    * table, not the corpus — one corpus-wide map-side-combined word
+    * count, then everything else is vocabulary-sized. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    words.select(col("f"), split(col("w"), "").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(s)-1), " +
+          "i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("weight"))
+  }
+
+  /** Learn a BPE merge list (Sennrich et al. 2016) from the corpus:
+    * `numMerges` rounds of "count adjacent symbol pairs weighted by word
+    * frequency, merge the heaviest" (ties break lexicographically, so the
+    * result is deterministic on any partitioning). Stops early when the
+    * best pair drops below `minFreq`.
+    *
+    * Scale shape: one corpus-wide word count up front (map-side
+    * combined), checkpointed; every round then re-segments only the
+    * DISTINCT-WORD table with the native [[graft.functions.BpeSegment]]
+    * kernel and aggregates vocabulary-sized pair counts — the corpus is
+    * never rescanned. The driver holds only the merge list (K pairs). */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L): Seq[(String, String)] = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var exhausted = false
+      while (merges.size < numMerges && !exhausted) {
+        val top = words
+          .select(col("f"),
+            graft.functions.BpeSegment.segment(array(col("w")), merges.toSeq).as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(s)-1), " +
+              "i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("weight"))
+          .orderBy(col("weight").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(2) < minFreq) exhausted = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toSeq
+    } finally graft.core.Blocks.free(words)
+  }
+
   /** All per-document text statistics in ONE pass: explode tokens once,
     * aggregate with conditional sums (map-side combined, single shuffle).
     * The fingerprint folds into the same aggregation as

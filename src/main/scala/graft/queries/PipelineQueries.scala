@@ -153,6 +153,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE training round 1: corpus-weighted adjacent character pairs over
+    // the distinct-word frequency table — the oracle-checkable core the
+    // full bpeTrain loop iterates (the loop itself is spec-verified
+    // against the Sennrich reference example in BpeSpec).
+    "q_bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpePairCounts(Td.documents(s, d), "text")
+        .orderBy(col("weight").desc, col("a"), col("b")).limit(20)
+    }),
+
     // Exact-substring span removal (ExactSubstr dedup): corpus-repeated
     // 3-gram spans are cut from each doc, survivors re-joined in order.
     "q_span_dedup" -> ((s, d) => {
@@ -545,6 +554,17 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
         |  doc AS doc_id
         |FROM top ORDER BY rank""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text,' ')) w FROM documents),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) f FROM words
+        |       WHERE w <> '' GROUP BY w),
+        |cs AS (SELECT w, f, string_split(w,'') s FROM wf WHERE length(w) >= 2),
+        |pos AS (SELECT w, f, unnest(s) ch, generate_subscripts(s,1) p FROM cs),
+        |pairs AS (SELECT x.f, x.ch a, y.ch b
+        |          FROM pos x JOIN pos y ON x.w = y.w AND y.p = x.p + 1)
+        |SELECT a, b, CAST(sum(f) AS BIGINT) weight FROM pairs GROUP BY a, b
+        |ORDER BY weight DESC, a, b LIMIT 20""".stripMargin,
 
     "q_span_dedup" ->
       // positional 3-grams (no DISTINCT — within-doc repeats count), dup =
