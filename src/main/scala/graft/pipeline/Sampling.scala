@@ -81,6 +81,28 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Eval-set hygiene: near-dup pairs that CROSS split boundaries. A test
+    * doc with a near-duplicate in train is leakage — the eval score
+    * partly measures memorization of training text. Feed it the pair set
+    * any dedup family produces ([[Dedup.minhashLshPairs]] et al.) and the
+    * same split spec used for [[split]]; the survivors are the pairs to
+    * quarantine (typically: drop the eval-side doc). Two equi-joins on
+    * the doc id against the split assignment — the pair set is the small
+    * side, the corpus is never self-joined here. */
+  def splitLeakage(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "graft-split")
+      : DataFrame = {
+    val assigned = split(docs, idCol, splits, salt)
+      .select(col(idCol), col("split"))
+    pairs
+      .join(assigned.select(col(idCol).as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(assigned.select(col(idCol).as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
   /** Deterministic global shuffle: the training-order permutation. Every
     * row gets `shuffle_rank` (1-based) = its position when the corpus is
     * sorted by the salted 60-bit md5 hash of its id, ties broken by id.

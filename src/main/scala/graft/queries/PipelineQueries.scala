@@ -372,6 +372,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     }),
 
+    // Eval-set hygiene: MinHash near-dup pairs that cross the 90/5/5
+    // split boundary — train/eval leakage candidates to quarantine.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = Td.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      Sampling.splitLeakage(docs, "doc_id", pairs,
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Context-window chunking: 32-token windows with 8-token overlap per
     // document — pure per-row explode, stream-safe.
     "q_text_chunk" -> ((s, d) => {
@@ -1064,6 +1076,31 @@ object PipelineQueries {
         |WHERE CAST(('0x'||substr(md5('graft-weight'||doc_id),1,15)) AS BIGINT)
         |  % 10000 < least(10000, n_chars*10)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH $shingleIdsSql,
+         |params(h, a, b) AS (VALUES $minhashParamsSql),
+         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |       FROM ids CROSS JOIN params GROUP BY 1,2),
+         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
+         |         FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |           AND l.doc < r.doc),
+         |$jaccardVerifySql,
+         |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard_4 >= 5000),
+         |sp AS (SELECT doc_id,
+         |       CASE WHEN b < 9000 THEN 'train'
+         |            WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |         CAST(('0x'||substr(md5('graft-split'||doc_id),1,15)) AS BIGINT)
+         |           % 10000 AS b FROM documents))
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p JOIN sp sa ON sa.doc_id = p.doc_a
+         |             JOIN sp sb ON sb.doc_id = p.doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q_pipeline_split" ->
       """SELECT doc_id,

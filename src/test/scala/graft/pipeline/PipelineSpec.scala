@@ -991,6 +991,24 @@ class PipelineSpec extends AnyFunSuite {
       Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("splitLeakage surfaces exactly the cross-boundary near-dup pairs") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // force known split membership via a two-way split whose assignment we
+    // read back, then assert leakage = pairs whose sides disagree
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val assign = Sampling.split(d, "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val expected = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .filter { case (a, b) => assign(a) != assign(b) }.toSet
+    val got = Sampling.splitLeakage(d, "doc_id", pairs, splits)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected (assign $assign)")
+    // the split columns ride along for quarantine decisions
+    val cols = Sampling.splitLeakage(d, "doc_id", pairs, splits).columns.toSeq
+    assert(cols == Seq("doc_a", "doc_b", "split_a", "split_b"))
+  }
+
   test("chunking: overlapping windows, full coverage, no contained tails") {
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))) // 10 tokens
       .toDF("doc_id", "text")
