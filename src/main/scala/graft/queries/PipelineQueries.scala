@@ -153,6 +153,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Blocklist screening: ONE Aho-Corasick pass per doc over the whole
+    // phrase list (vs one contains-scan per phrase) — membership witness
+    // joined '|' so the oracle compares a plain string column.
+    "q_text_blocklist" -> ((s, d) => {
+      val phrases = Seq("table scan", "merge part", "batch batch",
+        "slow join", "spark window", "data line", "quantum physics")
+      Td.documents(s, d).select(col("doc_id"),
+        concat_ws("|",
+          graft.functions.Blocklist.matched(col("text"), phrases)).as("hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE training round 1: corpus-weighted adjacent character pairs over
     // the distinct-word frequency table — the oracle-checkable core the
     // full bpeTrain loop iterates (the loop itself is spec-verified
@@ -566,6 +578,15 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
         |  doc AS doc_id
         |FROM top ORDER BY rank""".stripMargin,
+
+    "q_text_blocklist" ->
+      // coalesce: DuckDB's array_to_string returns NULL on an empty list
+      // where Spark's concat_ws returns ''
+      """SELECT doc_id, coalesce(array_to_string(list_sort(list_filter(
+        |  ['table scan','merge part','batch batch','slow join',
+        |   'spark window','data line','quantum physics'],
+        |  p -> strpos(text, p) > 0)), '|'), '') AS hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(text,' ')) w FROM documents),
