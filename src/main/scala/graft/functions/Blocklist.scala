@@ -142,4 +142,12 @@ object Blocklist {
   /** Column entry: sorted distinct blocklist phrases present in `text`. */
   def matched(text: Column, phrases: Seq[String]): Column =
     ColumnBridge.column(BlocklistMatches(ColumnBridge.expression(text), phrases))
+
+  /** The C4-style usage: drop every document containing ANY blocklist
+    * phrase. Pure per-row filter — pushes into the scan stage, zero
+    * shuffle, streaming-safe. */
+  def screen(df: org.apache.spark.sql.DataFrame, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(org.apache.spark.sql.functions.size(
+      matched(org.apache.spark.sql.functions.col(textCol), phrases)) === 0)
 }

@@ -44,6 +44,17 @@ class BlocklistSpec extends AnyFunSuite {
     assert(run("", Seq("x")) == Seq.empty)
   }
 
+  test("screen drops exactly the docs containing any phrase; filter stays scan-local") {
+    val df = Seq((1L, "clean words only"), (2L, "contains bad phrase here"),
+      (3L, "also fine")).toDF("id", "t")
+    val kept = Blocklist.screen(df, "t", Seq("bad phrase", "zzz"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    val plan = Blocklist.screen(df, "t", Seq("bad phrase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"screening must not shuffle:\n$plan")
+  }
+
   test("parity with the naive contains formulation on generated texts") {
     val alphabet = "abc "
     val phrases = Seq("ab", "bc", "ca", "abc", "b c", "cab", "a", "bcbc")
