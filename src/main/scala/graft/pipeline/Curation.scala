@@ -28,12 +28,19 @@ object Curation {
     * dropped by a token explode. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       keepLang: String = "en", minTokens: Int = 5,
-      maxStopwordRatio4: Long = 5000L): DataFrame = {
+      maxStopwordRatio4: Long = 5000L,
+      blocklist: Seq[String] = Nil): DataFrame = {
     // quality metrics are pure per-row column expressions — no token
     // shuffle, no discarded fingerprint work, and null text survives
     val stats = TextAnalysis.qualityMetrics(
         docs.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col(textCol), col("n_tokens"), col("stopword_ratio_4"))
+    // blocklist verdict is another per-row projection (one Aho-Corasick
+    // pass per doc, see functions.Blocklist) — folded into the same stage
+    val blocked: org.apache.spark.sql.Column =
+      if (blocklist.isEmpty) lit(false)
+      else size(graft.functions.Blocklist.matched(
+        coalesce(col(textCol), lit("")), blocklist)) > 0
     val lang = TextAnalysis.languageId(docs, idCol, textCol)
       .select(col(idCol), col("pred_lang"))
     val survivors = Dedup.exact(docs, idCol, textCol)
@@ -45,14 +52,16 @@ object Curation {
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         col("n_tokens"), col("stopword_ratio_4"),
         coalesce(col("__is_surv"), lit(false)).as("is_survivor"),
-        (col(textCol).isNull || trim(col(textCol)) === "").as("__empty"))
+        (col(textCol).isNull || trim(col(textCol)) === "").as("__empty"),
+        blocked.as("__blocked"))
       .withColumn("reject_reason",
         when(col("__empty"), "empty")
+          .when(col("__blocked"), "blocklisted")
           .when(!col("is_survivor"), "duplicate")
           .when(col("pred_lang") =!= keepLang, "language")
           .when(col("n_tokens") < minTokens, "too_short")
           .when(col("stopword_ratio_4") > maxStopwordRatio4, "low_quality"))
-      .drop("__empty")
+      .drop("__empty", "__blocked")
       .withColumn("keep", col("reject_reason").isNull)
   }
 

@@ -330,6 +330,15 @@ class PipelineSpec extends AnyFunSuite {
     val kept = Curation.curatedCorpus(corpus, "doc_id", "text")
     assert(kept.select($"doc_id").as[Long].collect().toSeq == Seq(0L))
     assert(kept.columns.contains("text"))
+    // blocklist slots into policy order after 'empty', before 'duplicate'
+    val vb = Curation.curate(corpus, "doc_id", "text",
+        blocklist = Seq("brown fox"))
+      .orderBy($"doc_id").collect()
+    assert(Option(vb(0).getAs[String]("reject_reason")).contains("blocklisted"))
+    assert(Option(vb(1).getAs[String]("reject_reason")).contains("blocklisted"),
+      "blocklist outranks the duplicate verdict")
+    assert(Option(vb(5).getAs[String]("reject_reason")).contains("empty"),
+      "empty still outranks blocklist (null text cannot match)")
   }
 
   test("repetition stats: top-token and duplicate-bigram saturation") {
