@@ -160,7 +160,19 @@ object Bench {
       // rest are counted in "omitted" and live in bench_result.json
       // ("full").
       val fitted = {
-        val errsPart = if (runs.exists(_._3.nonEmpty)) s""","errors":$errs""" else ""
+        // errors in the fitted record are BUDGETED: the full map (200-char
+        // messages × N failures) could alone exceed the tail window right
+        // when failures make the record most important — carry the failed
+        // query NAMES plus one truncated sample message; the complete map
+        // lives in the full record and bench_result.json.
+        val errNames = runs.collect { case (k, _, Some(_)) => k }
+        val errsPart =
+          if (errNames.isEmpty) ""
+          else {
+            val sample = runs.collectFirst { case (k, _, Some(m)) =>
+              jstr(s"$k: ${m.take(100)}") }.getOrElse("\"\"")
+            s""","failed_queries":${errNames.take(10).map(jstr).mkString("[", ",", "]")},"first_error":$sample"""
+          }
         val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","full":"$outFile"$errsPart"""
         val entries = runs.toSeq.sortBy { case (_, v, _) => -v }
           .map { case (k, v, _) => jstr(k) + ":" + r3(v) }
