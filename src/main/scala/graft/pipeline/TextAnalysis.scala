@@ -150,6 +150,48 @@ object TextAnalysis {
         expr("(1000 * s) div n_tokens").as("lm_m"))
   }
 
+  /** Bigram-LM familiarity score — the CCNet-style perplexity-filter
+    * shape one order up from [[unigramLmScore]]: per positional bigram
+    * (a,b) the integer bit-score floor(log2 c(a,b)) − floor(log2 c(a,·))
+    * ≈ log2 P(b|a), summed per doc. More negative = the doc's word
+    * transitions are rarer under corpus statistics (gibberish, boilerplate
+    * salad); near zero = highly predictable text. Outputs stay pure
+    * integers (`n_bigrams`, `bits_sum`) — the caller picks its own
+    * normalization — which is also what makes the score bit-identical on
+    * any engine (floor-log2 via `length(bin(x)) - 1`, no float log).
+    *
+    * Scale shape: one corpus pass explodes positional bigrams; the two
+    * count tables are observed-vocabulary-sized; the per-bigram score
+    * joins are equi-joins on (a,b) and (a) (AQE broadcasts the unigram
+    * side when it measures small); one groupBy(doc) rollup; docs with <2
+    * tokens survive via the final left join with zeros. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bg = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .select(col("doc"),
+        explode(when(size(col("__t")) >= 2, // positional — repeats count
+          transform(sequence(lit(1), size(col("__t")) - 1),
+            i => struct(element_at(col("__t"), i).as("a"),
+              element_at(col("__t"), i + 1).as("b"))))
+          .otherwise(array())).as("p"))
+      .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val flog2 = (c: Column) => (length(bin(c)) - 1).cast(LongType)
+    val scored = bg
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(flog2(col("cab")) - flog2(col("ca"))).as("bits_sum"))
+    df.select(col(idCol))
+      .join(scored.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_sum"), lit(0L)).as("bits_sum"))
+  }
+
   /** Tiny per-language marker dictionaries for the n-gram/stopword language
     * ID heuristic. Deliberately small: the operator's value is the
     * scalable argmax-join shape, not lexicon quality. */

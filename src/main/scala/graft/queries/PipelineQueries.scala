@@ -153,6 +153,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM familiarity (CCNet-style perplexity-filter shape): per-doc
+    // Σ floor(log2 c(a,b)) − floor(log2 c(a,·)) — pure integers.
+    "q_text_bigramlm" -> ((s, d) => {
+      TextAnalysis.bigramLmScore(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocklist screening: ONE Aho-Corasick pass per doc over the whole
     // phrase list (vs one contains-scan per phrase) — membership witness
     // joined '|' so the oracle compares a plain string column.
@@ -578,6 +585,24 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
         |  doc AS doc_id
         |FROM top ORDER BY rank""".stripMargin,
+
+    "q_text_bigramlm" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+        |bg AS (SELECT x.doc_id, x.tok a, y.tok b
+        |       FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1),
+        |cab AS (SELECT a, b, count(*) c FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) c FROM bg GROUP BY a),
+        |w AS (SELECT g.doc_id,
+        |      (length(bin(cab.c)) - 1) - (length(bin(ca.c)) - 1) AS bits
+        |      FROM bg g JOIN cab ON cab.a = g.a AND cab.b = g.b
+        |                 JOIN ca ON ca.a = g.a),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+        |        CAST(sum(bits) AS BIGINT) bits_sum FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(bits_sum, 0) AS bits_sum
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_blocklist" ->
       // coalesce: DuckDB's array_to_string returns NULL on an empty list

@@ -1000,6 +1000,22 @@ class PipelineSpec extends AnyFunSuite {
       Sampling.split(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("bigramLmScore: hand-computed bit-scores; short docs survive at zero") {
+    // corpus bigram counts: c(a,b)=3 (doc1 ×2, doc2 ×1), c(b,a)=1,
+    // c(b,c)=1; prefix counts c(a,·)=3, c(b,·)=2. fl2 = floor(log2).
+    // doc 1 "a b a b": ab: fl2(3)-fl2(3)=0 (×2); ba: fl2(1)-fl2(2)=-1
+    //   → sum -1, n 3
+    // doc 2 "a b": ab → 0, n 1
+    // doc 3 "b c": bc: fl2(1)-fl2(2)=-1 → sum -1, n 1
+    // doc 4 "solo": no bigrams → (0, 0)
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, -1L), (2L, 1L, 0L), (3L, 1L, -1L), (4L, 0L, 0L)),
+      s"got $got")
+  }
+
   test("splitLeakage surfaces exactly the cross-boundary near-dup pairs") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
