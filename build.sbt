@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's shutdown hook prints the tail-fitted result record at forked-JVM
+// exit — which is BEFORE sbt's own "[success] Total time" epilogue, so with
+// the epilogue enabled the fitted JSON can never be the last captured stdout
+// line (the r8-r11 "parsed: null" artifacts). Suppressing the epilogue keeps
+// the forked process's final line last; task success still lands in the exit
+// code, which is what the driver checks.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by any task, so the
+// unused-key lint can't see the usage.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -98,7 +98,14 @@ case class GeoSchema(kind: String) extends DtdlSchema {
       .getOrElse(Right(()))
   private def ring(v: JsonNode): Either[String, Unit] =
     arrayOf(v, 4, "positions (a linear ring)", pos).flatMap { _ =>
-      if (v.get(0) == v.get(v.size - 1)) Right(())
+      // Closure is a NUMERIC comparison: Jackson's JsonNode.equals is
+      // numeric-type-sensitive (IntNode(0) != DoubleNode(0.0)), which
+      // would reject a spec-valid ring like [[0,0],...,[0.0,0.0]].
+      val first = v.get(0); val last = v.get(v.size - 1)
+      val closed = first.size == last.size &&
+        (0 until first.size).forall(i =>
+          first.get(i).asDouble() == last.get(i).asDouble())
+      if (closed) Right(())
       else Left("a polygon linear ring must be closed (first position = last)")
     }
   private def coords(v: JsonNode): Either[String, Unit] = kind match {

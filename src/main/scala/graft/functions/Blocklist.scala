@@ -55,7 +55,10 @@ object Blocklist {
       val out: Array[Array[Int]],
       val phrases: Array[UTF8String]) extends Serializable
 
-  def build(phrases: Seq[String]): Automaton = {
+  def build(rawPhrases: Seq[String]): Automaton = {
+    // matches() contracts DISTINCT matched phrases; a duplicate entry would
+    // get its own output index and emit the same text twice.
+    val phrases = rawPhrases.distinct
     require(phrases.nonEmpty, "blocklist must not be empty")
     require(phrases.forall(_.nonEmpty), "blocklist phrases must be non-empty")
     val next = new java.util.ArrayList[java.util.HashMap[Character, Integer]]()

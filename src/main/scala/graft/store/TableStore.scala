@@ -626,31 +626,70 @@ final class TableTwinStore private (
     val dropped = history.dropRight(keepBases).toList
     val kept = history.takeRight(keepBases).toList
     val newHorizon = kept.head._2
+    // Horizon FIRST: once meta says newHorizon, a crash at any later step
+    // leaves graphAt refusing loudly below it — never folding over an
+    // archive that was pruned past a still-persisted old horizon. The
+    // worst crash outcome under this ordering is an archive that is less
+    // pruned than the horizon promises, which is merely unreclaimed space.
+    history.clear(); history ++= kept
+    travelHorizon = newHorizon
+    writeMeta()
     val arch = new Path(archivePath)
     if (fs.exists(arch)) {
-      // set-wise rewrite: survivors to a fresh dir, then swap
+      // set-wise rewrite: survivors to a fresh dir, then rename-aside swap
+      // (arch -> arch.old, tmp -> arch, delete arch.old). The vulnerable
+      // window is two metadata renames, not a Spark job; [[load]] finishes
+      // an interrupted swap via [[recoverArchiveSwap]].
       val tmp = new Path(s"$archivePath.rewrite")
       fs.delete(tmp, true)
       spark.read.schema(Tables.mutationsSchema).parquet(archivePath)
         .filter(col("seq") > newHorizon)
         .write.parquet(tmp.toString)
-      fs.delete(arch, true)
+      val aside = new Path(s"$archivePath.old")
+      fs.delete(aside, true)
+      if (!fs.rename(arch, aside)) throw StoreException(500,
+        s"vacuum could not set aside $arch")
       if (!fs.rename(tmp, arch)) throw StoreException(500,
         s"vacuum could not swap $tmp into place")
+      fs.delete(aside, true)
     }
-    history.clear(); history ++= kept
-    travelHorizon = newHorizon
-    writeMeta()
     dropped.foreach { case (v, _) =>
       if (v != version) fs.delete(new Path(snapshotPath(v)), true)
     }
+  }
+
+  /** Finish (or roll back) a [[vacuumHistory]] archive swap interrupted by
+    * a crash. `journal-archive.old` existing means the survivor rewrite had
+    * COMPLETED (it is renamed aside only after the tmp write finishes), so
+    * the tmp dir is whole: promote it and drop the aside copy. A tmp dir
+    * without the aside marker is an unfinished rewrite: the real archive is
+    * still in place, so just discard the partial output. Idempotent. */
+  private def recoverArchiveSwap(): Unit = {
+    val arch = new Path(archivePath)
+    val aside = new Path(s"$archivePath.old")
+    val tmp = new Path(s"$archivePath.rewrite")
+    if (fs.exists(aside)) {
+      if (!fs.exists(arch) && fs.exists(tmp)) fs.rename(tmp, arch)
+      if (fs.exists(arch)) fs.delete(aside, true)
+      else fs.rename(aside, arch) // tmp lost entirely: keep the unpruned copy
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Bulk set-wise ingest (the beyond-driver-RAM path): merge whole
     * DataFrames straight into a new snapshot version — no journal rows, no
     * driver materialization, like a WAL-bypassing bulk load. Reopen the
     * store afterwards if interactive CRUD over the imported entities is
-    * needed. Frames must match `Tables.twinsSchema`/`relationshipsSchema`. */
+    * needed. Frames must match `Tables.twinsSchema`/`relationshipsSchema`.
+    *
+    * Time travel across an import boundary: the bulk merge writes NO
+    * journal rows, so no base-plus-fold reconstruction can reproduce a
+    * state that includes the imported entities except from a post-import
+    * snapshot. When retained history exists, the import therefore becomes
+    * the new first retained base (at the current appliedSeq) and the
+    * horizon is pinned there — [[graphAt]] below it refuses loudly (the
+    * same pattern as pre-retention pruning) instead of silently folding a
+    * pre-import base into a state that omits the bulk-loaded data. */
   def importGraph(twins: DataFrame, relationships: DataFrame): Unit = {
     checkpoint() // journal tail first, so the bulk merge sees current state
     val (t0, r0) = snapshotFrames
@@ -662,15 +701,31 @@ final class TableTwinStore private (
         TwinStore.modelsDf(spark, mem.models)),
       snapshotPath(newVersion))
     val oldVersion = version
+    val preImportBases = history.toList
     version = newVersion
+    if (history.nonEmpty) {
+      // Pre-import bases can only reconstruct states missing the imported
+      // entities; replace them with the imported snapshot pinned at the
+      // current seq, so asOfSeq >= appliedSeq folds from post-import state
+      // and asOfSeq < appliedSeq fails the horizon check.
+      history.clear()
+      history += ((newVersion, appliedSeq))
+      travelHorizon = appliedSeq
+    }
     writeMeta()
-    if (oldVersion > 0 && !history.exists(_._1 == oldVersion))
+    preImportBases.foreach { case (v, _) =>
+      if (v != newVersion) fs.delete(new Path(snapshotPath(v)), true)
+    }
+    if (oldVersion > 0 && oldVersion != newVersion &&
+        !preImportBases.exists(_._1 == oldVersion) &&
+        !history.exists(_._1 == oldVersion))
       fs.delete(new Path(snapshotPath(oldVersion)), true)
   }
 
   // ---------------- restart ----------------
 
   private def load(): Unit = {
+    recoverArchiveSwap() // finish any vacuum swap a crash interrupted
     var metaNextSeq = 0L
     readJsonResilient(s"$dir/meta.json").foreach { meta =>
       version = meta.get("version").asInt()

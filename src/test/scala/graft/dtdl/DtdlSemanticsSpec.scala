@@ -493,6 +493,15 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(pg.validateTwin(twin(
       """{"type":"Polygon","coordinates":[[[0,0],[4,0],[0,0]]]}""")).isLeft,
       "ring needs at least 4 positions")
+    // Closure is numeric, not JSON-node identity: [0,0] closes with
+    // [0.0,0.0] (Jackson's IntNode(0) != DoubleNode(0.0) must not leak
+    // into GeoJSON semantics).
+    assert(pg.validateTwin(twin(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0.0,0.0]]]}""")).isRight,
+      "int/double mixed representation of the same position still closes")
+    assert(pg.validateTwin(twin(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0,5]]]}""")).isLeft,
+      "a 2D first position does not close against a 3D last position")
     val mpg = geoReg("multiPolygon", version = 3)
     assert(mpg.validateTwin(twin(
       """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,0]]]]}""")).isRight)

@@ -42,6 +42,9 @@ class BlocklistSpec extends AnyFunSuite {
       Seq("table scan", "scan hit", "the table"))
     assert(got == Seq("scan hit", "table scan", "the table"))
     assert(run("", Seq("x")) == Seq.empty)
+    // duplicate list entries collapse at build time — each text appears
+    // once in the output, not once per duplicate automaton index
+    assert(run("ushers", Seq("she", "he", "she", "she")) == Seq("he", "she"))
   }
 
   test("screen drops exactly the docs containing any phrase; filter stays scan-local") {

@@ -404,4 +404,93 @@ class TableStoreSpec extends AnyFunSuite {
     s.vacuumHistory(keepBases = 5)
     assert(temps(s.graphAt(3)).size == 3)
   }
+
+  test("vacuum crash windows: reopen finishes (or rolls back) the archive swap") {
+    def temps(g: graft.graph.TwinGraph): Map[String, Double] =
+      g.twins.select(col("dt_id"),
+          get_json_object(col("properties"), "$['temperature']").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def build(): String = {
+      val dir = tempDir()
+      val s = TableTwinStore.open(spark, dir, fixedClock())
+      s.createModels(Seq(roomModel))
+      s.createOrReplaceTwin("a", roomDoc("a", 1.0)) // seq 1
+      s.checkpoint(retain = true)                   // base v1 @ 1
+      s.createOrReplaceTwin("b", roomDoc("b", 2.0)) // seq 2
+      s.checkpoint(retain = true)                   // base v2 @ 2
+      s.createOrReplaceTwin("c", roomDoc("c", 3.0)) // seq 3
+      s.checkpoint(retain = true)                   // base v3 @ 3
+      s.vacuumHistory(keepBases = 2)                // horizon -> 2
+      dir
+    }
+    def mv(dir: String, from: String, to: String): Unit = {
+      val ok = new java.io.File(dir, from).renameTo(new java.io.File(dir, to))
+      assert(ok, s"test setup: could not rename $from -> $to")
+    }
+    // Crash BETWEEN the two swap renames: archive set aside, pruned tmp not
+    // yet promoted. The aside marker proves the tmp is complete, so reopen
+    // promotes it and travel over the kept range works.
+    locally {
+      val dir = build()
+      mv(dir, "journal-archive", "journal-archive.rewrite")
+      new java.io.File(dir, "journal-archive.old").mkdirs()
+      val s2 = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+      assert(temps(s2.graphAt(2)) == Map("a" -> 1.0, "b" -> 2.0))
+      assert(temps(s2.graphAt(3)) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+      assert(intercept[StoreException](s2.graphAt(1)).status == 400)
+      assert(!new java.io.File(dir, "journal-archive.old").exists())
+      assert(!new java.io.File(dir, "journal-archive.rewrite").exists())
+    }
+    // Crash DURING the survivor rewrite: partial tmp, no aside marker, real
+    // archive untouched. Reopen discards the partial output; the archive
+    // (and travel) are unaffected.
+    locally {
+      val dir = build()
+      val junk = new java.io.File(dir, "journal-archive.rewrite")
+      junk.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(junk, "part-garbage.parquet").toPath, "not parquet")
+      val s2 = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+      assert(temps(s2.graphAt(3)) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+      assert(!new java.io.File(dir, "journal-archive.rewrite").exists())
+    }
+  }
+
+  test("importGraph pins the horizon: no silent pre-import reconstruction") {
+    def temps(g: graft.graph.TwinGraph): Map[String, Double] =
+      g.twins.select(col("dt_id"),
+          get_json_object(col("properties"), "$['temperature']").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    s.createModels(Seq(roomModel))
+    s.createOrReplaceTwin("a", roomDoc("a", 1.0)) // seq 1
+    s.checkpoint(retain = true)                   // base v1 @ 1
+    s.createOrReplaceTwin("b", roomDoc("b", 2.0)) // seq 2
+    import spark.implicits._
+    val bulkTwins = Seq(("z", "dtmi:com:adt:dtsample:room;1", null: String,
+        "2026-01-01T00:00:00Z",
+        """{"$dtId":"z","$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"temperature":9.0}"""))
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val noRels = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("relationship_id", "source_id", "target_id", "relationship_name",
+        "etag", "properties")
+    s.importGraph(bulkTwins, noRels) // journal bypassed: no seq rows for z
+    // Below the import boundary no base+fold can include z: refuse loudly
+    // (before the fix this silently returned {a} from the v1 base).
+    assert(intercept[StoreException](s.graphAt(1)).status == 400)
+    // At/after the boundary the imported snapshot is the base: z included.
+    assert(temps(s.graphAt(2)) == Map("a" -> 1.0, "b" -> 2.0, "z" -> 9.0))
+    // The previously-broken window — seqs between the pre-import base and a
+    // LATER retained base — must fold from the post-import snapshot.
+    s.createOrReplaceTwin("c", roomDoc("c", 3.0)) // seq 3
+    s.checkpoint(retain = true)
+    assert(temps(s.graphAt(2)) == Map("a" -> 1.0, "b" -> 2.0, "z" -> 9.0))
+    assert(temps(s.graphAt(3)) ==
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "z" -> 9.0))
+    // Horizon + post-import history survive a reopen.
+    val s2 = TableTwinStore.openQueryOnly(spark, dir, fixedClock())
+    assert(intercept[StoreException](s2.graphAt(1)).status == 400)
+    assert(temps(s2.graphAt(3)).keySet == Set("a", "b", "c", "z"))
+  }
 }
