@@ -41,7 +41,18 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
 
   /** One directed hop: returns (source twin cols prefixed src_, edge cols
     * rel_, target twin cols dst_). Edge-name disjunction (B6) is a plain
-    * IN filter because relationship_name is a column, not a label. */
+    * IN filter because relationship_name is a column, not a label.
+    *
+    * Skew decision rule: a hop shuffles edges on source_id then
+    * target_id, so a hub twin (a site twin every asset points at, the
+    * reference's `$metadata.$model`-indexed pressure point,
+    * GraphInitialization.cs:16-18) lands its whole edge set on one
+    * reducer. AQE's skew split rescues moderate sort-merge skew
+    * automatically; when a known hub exceeds what one partition split can
+    * absorb (rule of thumb: a single key's edges > a few x
+    * spark.sql.files.maxPartitionBytes worth of rows), pass the hub list
+    * to the `hotTwinIds` overload below, which salts exactly those keys
+    * and leaves the cold path untouched. */
   def hop(relNames: Seq[String] = Nil): DataFrame = {
     val rels0 = if (relNames.isEmpty) relationships
       else relationships.filter(col("relationship_name").isin(relNames: _*))
@@ -50,6 +61,43 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
     val rels = prefixed(rels0, "rel_")
     src.join(rels, col("src_dt_id") === col("rel_source_id"))
       .join(dst, col("rel_target_id") === col("dst_dt_id"))
+  }
+
+  /** [[hop]] with explicit hub-key salting — same rows, same columns.
+    * `hotTwinIds` is a 1-column frame of dt_ids measured (or known) to be
+    * hubs: each leg routes edges touching a listed twin through
+    * [[graft.operators.SkewJoin]] (deterministic content-hash salt, twin
+    * row replicated `salts` ways) and everything else through the plain
+    * co-partitioned equi-join. A stale or over-broad hub list moves rows
+    * between the two paths but never changes the result. */
+  def hop(relNames: Seq[String], hotTwinIds: DataFrame, salts: Int): DataFrame = {
+    import graft.operators.SkewJoin
+    val rels0 = if (relNames.isEmpty) relationships
+      else relationships.filter(col("relationship_name").isin(relNames: _*))
+    val src = prefixed(twins, "src_")
+    val dst = prefixed(twins, "dst_")
+    val rels = prefixed(rels0, "rel_")
+    val hot = hotTwinIds.toDF("__hot_id")
+    // Edges are the skewed (probe) side of both legs; the twin row for a
+    // hub is single, so replicating it `salts` times is cheap.
+    val srcLeg = SkewJoin.join(rels, src, "rel_source_id", "src_dt_id",
+      hot, salts)
+    val full = SkewJoin.join(srcLeg, dst, "rel_target_id", "dst_dt_id",
+      hot, salts)
+    // Restore [[hop]]'s column order (src_, rel_, dst_).
+    full.select((src.columns ++ rels.columns ++ dst.columns).map(col): _*)
+  }
+
+  /** Measured hub list for [[hop]]'s skew overload: twins whose degree
+    * (either direction) reaches `minDegree`. Two map-side-combinable
+    * counts — broadcast-sized by construction for any sane threshold. */
+  def hubTwinIds(minDegree: Long): DataFrame = {
+    import graft.operators.SkewJoin
+    SkewJoin.hotKeys(relationships, "source_id", minDegree)
+      .union(SkewJoin.hotKeys(
+        relationships.select(col("target_id").as("source_id")),
+        "source_id", minDegree))
+      .distinct()
   }
 
   /** B17 neighborhood: 1-hop, both directions, bounded. */

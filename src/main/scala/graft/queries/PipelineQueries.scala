@@ -300,6 +300,34 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The billion-vector AT-REST layout: m-byte PQ codes written as
+    // parquet partitioned by coarse cell, probed through dynamic
+    // partition pruning (directory skipping), exact re-rank on the
+    // shortlist only. Same answer as q_pq_ivf — the disk round-trip must
+    // be semantically invisible — but the scan side reads codes from the
+    // cell-partitioned index, which is the part that matters at 100 TB.
+    "q_pq_ivf_indexed" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 16, size = 32)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_" + java.lang.Integer.toHexString(d.hashCode))
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      rmrf(root)
+      Similarity.writeIvfPqIndex(emb, centroids, cb, "vec_id", "embedding",
+        root.getAbsolutePath, dim = 64, m = 16)
+      val index = s.read.parquet(root.getAbsolutePath)
+      Similarity.ivfpqTopKIndexed(index, emb.filter(col("vec_id") < 10),
+        emb, centroids, cb, "vec_id", "embedding", k = 5, dim = 64, m = 16,
+        nprobe = 4, rerank = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // int8 embedding quantization: exact byte parity via double math +
     // away-from-zero rounding; the code vector hashes compactly.
     "q_embed_quant" -> ((s, d) => {
@@ -1368,6 +1396,9 @@ object PipelineQueries {
         |    END AS INT) n_frames
         |FROM ids ORDER BY media_id""".stripMargin
     )
-    base
+    // The at-rest IVF+PQ gate answers the SAME question as q_pq_ivf (the
+    // parquet round-trip of the codes index must be semantically
+    // invisible); one oracle serves both keys.
+    base + ("q_pq_ivf_indexed" -> base("q_pq_ivf"))
   }
 }

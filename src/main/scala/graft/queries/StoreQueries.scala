@@ -101,6 +101,52 @@ object StoreQueries {
     (dir, nations.length.toLong)
   }
 
+  private val CustomerModel = "dtmi:graft:Customer;1"
+
+  /** Store whose mutation log carries a deterministic multi-day twin
+    * LIFECYCLE: customer k (< 300) is created on day k%3 and patched on
+    * day k%3 + 1 + k%2, with the injected clock advanced between batches.
+    * The journal then holds one Create + one Update row per twin with
+    * real per-day timestamps — the same rows the A9 CDC stream yields —
+    * which the time-series operators (§2.F) consume directly. */
+  private def buildLifecycleStore(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_store_lc_" + java.lang.Integer.toHexString(d.hashCode))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(root)
+    val dir = root.getAbsolutePath
+    var today = "2026-01-01T00:00:00Z"
+    val st = TableTwinStore.open(s, dir, () => today)
+    st.createModels(Seq(
+      s"""{"@id":"$CustomerModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin))
+    val keys = graft.core.Td.customer(s, d)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def doc(k: Long) =
+      s"""{"$$dtId":"C$k","$$metadata":{"$$model":"$CustomerModel"},"name":"c$k"}"""
+    // creates: cohort day = k % 3 (Jan 1-3), one journal append per day
+    (0L to 2L).foreach { day =>
+      today = s"2026-01-0${1 + day}T00:00:00Z"
+      st.batch { keys.filter(_ % 3 == day).foreach(k => st.createOrReplaceTwin(s"C$k", doc(k))) }
+    }
+    // second activity: patch on day k%3 + 1 + k%2 (Jan 2-5)
+    (1L to 4L).foreach { day =>
+      today = s"2026-01-0${1 + day}T00:00:00Z"
+      st.batch {
+        keys.filter(k => k % 3 + 1 + k % 2 == day).foreach(k =>
+          st.patchTwin(s"C$k",
+            s"""[{"op":"replace","path":"/name","value":"c$k-active"}]"""))
+      }
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
@@ -122,6 +168,21 @@ object StoreQueries {
         .select(col("dt_id"),
           get_json_object(col("properties"), "$.name").as("name"))
         .orderBy(col("dt_id"))
+    }),
+
+    // The composed §2.E × §2.F path: the store's CDC surface (the same
+    // mutation rows readMutationStream yields, A9) feeds cohort retention
+    // directly — twin lifecycle events become (user=dt_id, ts=activity)
+    // and the cohort table falls out of two keyed aggregations. Proves
+    // the streaming-log schema and the analytics operators actually join,
+    // not merely coexist.
+    "q_mutlog_retention" -> ((s, d) => {
+      val dir = buildLifecycleStore(s, d)
+      val st = TableTwinStore.openQueryOnly(s, dir, () => "2026-01-09T00:00:00Z")
+      graft.operators.TimeSeries.cohortRetention(
+        st.mutationsDf.filter(col("entity_kind") === "Twin"),
+        "entity_id", "ts")
+        .orderBy(col("cohort"), col("day_offset"))
     })
   )
 
@@ -135,6 +196,20 @@ object StoreQueries {
 
     "q_store_timetravel" ->
       """SELECT 'N' || n_nationkey AS dt_id, n_name AS name
-        |FROM nation ORDER BY dt_id""".stripMargin
+        |FROM nation ORDER BY dt_id""".stripMargin,
+
+    // Recompute the deterministic lifecycle schedule in SQL: activity
+    // days (k%3) and (k%3 + 1 + k%2) per customer k < 300, cohort = the
+    // first, n_users per (cohort, offset).
+    "q_mutlog_retention" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 300),
+        |acts AS (
+        |  SELECT k, k % 3 AS d0, 0 AS off FROM c
+        |  UNION ALL
+        |  SELECT k, k % 3 AS d0, 1 + (k % 2) AS off FROM c)
+        |SELECT strftime(DATE '2026-01-01' + CAST(d0 AS INT), '%Y-%m-%d') AS cohort,
+        |       CAST(off AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM acts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

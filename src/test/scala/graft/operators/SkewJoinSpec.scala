@@ -61,4 +61,55 @@ class SkewJoinSpec extends AnyFunSuite {
     val b = rows(SkewJoin.join(probe, build, "k", "j", Seq(1L).toDF("k"), 4))
     assert(a == b)
   }
+
+  // ---- the graph consumer: TwinGraph.hop with a hot-key spec ----
+
+  /** A hub-shaped twin graph: every floor points at one site twin ("hub"),
+    * so both hop legs funnel through a single join key — the shape AQE's
+    * split can't rescue once one key exceeds a partition. */
+  lazy val hubGraph: graft.graph.TwinGraph = {
+    val twins = (Seq(("hub", "dtmi:t:Site;1")) ++
+      (1 to 30).map(i => (s"f$i", "dtmi:t:Floor;1")))
+      .map { case (id, m) =>
+        (id, m, null: String, "2026-01-01T00:00:00Z", s"""{"$$dtId":"$id"}""") }
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val rels = ((1 to 30).map(i => (s"r$i", s"f$i", "hub", "located_in")) ++
+      Seq(("rx", "hub", "f1", "manages"), ("ry", "f2", "f3", "adjacent")))
+      .map { case (rid, s, t, n) => (rid, s, t, n, null: String, "{}") }
+      .toDF("relationship_id", "source_id", "target_id",
+        "relationship_name", "etag", "properties")
+    val models = Seq(
+      ("dtmi:t:Site;1", Seq.empty[String], Seq.empty[String], "Site"),
+      ("dtmi:t:Floor;1", Seq.empty[String], Seq.empty[String], "Floor"))
+      .toDF("id", "bases", "descendants", "display_name")
+    graft.graph.TwinGraph(twins, rels, models)
+  }
+
+  private def hopRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("src_dt_id", "rel_relationship_id", "dst_dt_id").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("skew-aware hop: row- and column-identical to the plain hop") {
+    val plain = hopRows(hubGraph.hop(Nil))
+    val hot = hubGraph.hubTwinIds(minDegree = 10L)
+    assert(hot.collect().map(_.getString(0)).toSeq == Seq("hub"),
+      "only the site twin is a measured hub (degree 31)")
+    val salted = hubGraph.hop(Nil, hot, salts = 4)
+    assert(salted.columns.toSeq == hubGraph.hop(Nil).columns.toSeq,
+      "the skew overload must be a drop-in: same columns, same order")
+    assert(hopRows(salted) == plain)
+    // filtered rel-name variant stays identical too
+    assert(hopRows(hubGraph.hop(Seq("located_in"), hot, 4)) ==
+      hopRows(hubGraph.hop(Seq("located_in"))))
+    // and a stale/wrong hub list only moves rows between paths
+    assert(hopRows(hubGraph.hop(Nil, Seq("f2", "nope").toDF("id"), 4)) == plain)
+  }
+
+  test("skew-aware hop plan: hub list broadcast, salt on both legs") {
+    val df = hubGraph.hop(Nil, hubGraph.hubTwinIds(10L), salts = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salted key missing:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      s"hot list must broadcast, not shuffle:\n$plan")
+  }
 }

@@ -657,6 +657,50 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(dlq.count() == 4 && DistributedSinkRecorder.deliveredSeq.size == 8)
     assert(dlq.select("dlq_error").collect()(0).getString(0).contains("503"))
   }
+
+  test("CDC stream composes with cohort retention (§2.E feeds §2.F)") {
+    // Twin lifecycle across three distinct days through the REAL A9
+    // surface: mutation log → readMutationStream → landed micro-batches →
+    // TimeSeries.cohortRetention — the gate (q_mutlog_retention) covers
+    // the batch frame; this proves the streaming reader yields rows the
+    // time-series operators consume unchanged.
+    val dir = Files.createTempDirectory("graft-cdc-ts").toString
+    var today = "2026-01-01T00:00:00Z"
+    val store = new TwinStore(() => today)
+    store.createModels(Seq(model))
+    def doc(t: Double) = s"""{"$$metadata":{"$$model":"dtmi:m;1"},"temperature":$t}"""
+    store.createOrReplaceTwin("a", doc(1.0)) // day 1 cohort
+    store.createOrReplaceTwin("b", doc(1.0))
+    today = "2026-01-02T00:00:00Z"
+    store.createOrReplaceTwin("c", doc(1.0)) // day 2 cohort
+    store.createOrReplaceTwin("a", doc(2.0)) // a active on day 2
+    today = "2026-01-03T00:00:00Z"
+    store.createOrReplaceTwin("b", doc(2.0)) // b, c active on day 3
+    store.createOrReplaceTwin("c", doc(2.0))
+    store.mutationsDf(spark).write.parquet(s"$dir/mutations")
+
+    val stream = EventPipeline.readMutationStream(spark, s"$dir/mutations")
+    val q = stream.toDF().writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .format("parquet").option("path", s"$dir/landed").start()
+    q.awaitTermination(60000)
+
+    val landed = spark.read.parquet(s"$dir/landed")
+      .select(coalesce(
+          get_json_object(col("newJson"), "$['$dtId']"),
+          get_json_object(col("oldJson"), "$['$dtId']")).as("twin_id"),
+        col("ts"))
+    val got = graft.operators.TimeSeries.cohortRetention(landed, "twin_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2026-01-01", 0L, 2L), // a, b created day 1
+      ("2026-01-01", 1L, 1L), // a active day 2
+      ("2026-01-01", 2L, 1L), // b active day 3
+      ("2026-01-02", 0L, 1L), // c created day 2
+      ("2026-01-02", 1L, 1L)  // c active day 3
+    ), s"retention over the CDC stream diverged: $got")
+  }
 }
 
 /** JVM-static recorder for executor-side delivery closures: a captured
