@@ -71,10 +71,25 @@ case class MapSchema(value: DtdlSchema) extends DtdlSchema {
   }
 }
 
-case class EnumSchema(values: Set[String]) extends DtdlSchema {
-  def validate(v: JsonNode): Either[String, Unit] =
-    if (values.isEmpty || values.contains(v.asText())) Right(())
+/** DTDL Enum: a closed value set with a declared `valueSchema` (integer |
+  * string, DTDL v2+). An instance value must BOTH be of the valueSchema's
+  * JSON type and match a member — DTDLParser semantics (the reference
+  * delegates enum checking to it via Validation/,
+  * /root/reference/src/AgeDigitalTwins/AgeDigitalTwinsClient.cs:71), so a
+  * string "1" does not satisfy an integer enum and 1 does not satisfy a
+  * string enum of "1". */
+case class EnumSchema(valueSchema: String, values: Set[String]) extends DtdlSchema {
+  def validate(v: JsonNode): Either[String, Unit] = {
+    val typeOk = valueSchema match {
+      case "integer" => v.isIntegralNumber
+      case "string"  => v.isTextual
+      case _         => true // lenient on exotic valueSchemas (fwd compat)
+    }
+    if (!typeOk)
+      Left(s"enum value $v is not of valueSchema '$valueSchema'")
+    else if (values.isEmpty || values.contains(v.asText())) Right(())
     else Left(s"value '${v.asText()}' not in enum")
+  }
 }
 
 /** DTDL standard geospatial schema (`dtmi:standard:schema:geospatial:*`,
@@ -260,7 +275,11 @@ object Dtdl {
         val vals = Option(n.get("enumValues")).map(_.elements().asScala
           .flatMap(ev => Option(ev.get("enumValue")).map(_.asText())).toSet)
           .getOrElse(Set.empty[String])
-        EnumSchema(vals)
+        // valueSchema is required by the spec (integer | string); parse
+        // leniently with the string default, validate strictly by type.
+        val vs = Option(n.get("valueSchema")).filter(_.isTextual)
+          .map(_.asText()).getOrElse("string")
+        EnumSchema(vs, vals)
       } else AnySchema
     } else AnySchema
   }

@@ -411,6 +411,72 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(reg.validateTwin(bad).isLeft)
   }
 
+  test("an integer Enum enforces BOTH membership and the valueSchema type") {
+    // DTDLParser semantics (the reference delegates enum checking to it,
+    // Validation/ + AgeDigitalTwinsClient.cs:71): valueSchema integer
+    // means the instance must be an integral JSON number in the value
+    // set — the string "1" and the double 1.5 both fail.
+    val m = parse(
+      """{"@id":"dtmi:g:sev;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":"Property","name":"severity",
+        |     "schema":{"@type":"Enum","valueSchema":"integer",
+        |       "enumValues":[
+        |         {"name":"low","enumValue":1},
+        |         {"name":"high","enumValue":3}]}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:sev;1" -> m.toOption.get))
+    def twin(v: String) = Json.parse(
+      s"""{"$$dtId":"d","$$metadata":{"$$model":"dtmi:g:sev;1"},"severity":$v}""")
+    assert(reg.validateTwin(twin("1")).isRight)
+    assert(reg.validateTwin(twin("3")).isRight)
+    assert(reg.validateTwin(twin("2")).isLeft, "2 is not a member")
+    assert(reg.validateTwin(twin("\"1\"")).isLeft,
+      "a STRING '1' does not satisfy an integer enum")
+    assert(reg.validateTwin(twin("1.5")).isLeft,
+      "a non-integral number does not satisfy an integer enum")
+  }
+
+  test("a string Enum rejects a numeric instance even when digits match") {
+    val m = parse(
+      """{"@id":"dtmi:g:lvl;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":"Property","name":"level",
+        |     "schema":{"@type":"Enum","valueSchema":"string",
+        |       "enumValues":[
+        |         {"name":"one","enumValue":"1"},
+        |         {"name":"two","enumValue":"2"}]}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:lvl;1" -> m.toOption.get))
+    val okT = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:lvl;1"},"level":"1"}""")
+    assert(reg.validateTwin(okT).isRight)
+    val num = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:lvl;1"},"level":1}""")
+    assert(reg.validateTwin(num).isLeft,
+      "the NUMBER 1 does not satisfy a string enum containing \"1\"")
+  }
+
+  test("a unit-carrying property validates values end-to-end on the twin") {
+    // The co-typed property keeps its declared schema for instance
+    // checking — the unit qualifies the semantics, not the value type
+    // (reference: Temperature sample in Validation/ via DTDLParser).
+    val m = parse(
+      """{"@id":"dtmi:g:th;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":["Property","Temperature"],"name":"temp",
+        |     "schema":"double","unit":"degreeCelsius"}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:th;1" -> m.toOption.get))
+    val ok = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:th;1"},"temp":21.5}""")
+    assert(reg.validateTwin(ok).isRight)
+    val bad = Json.parse(
+      """{"$dtId":"d","$metadata":{"$model":"dtmi:g:th;1"},"temp":"warm"}""")
+    assert(reg.validateTwin(bad).isLeft,
+      "the declared double schema still gates the value")
+  }
+
   test("Command contents parse through without affecting instance validation") {
     // Commands are service-invocation surface, not twin state — DTDLParser
     // accepts them and twin validation ignores them; a parser that chokes
