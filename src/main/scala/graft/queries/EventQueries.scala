@@ -175,6 +175,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
         .filter(col("n") >= 2)
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Stream-stream interval join (view→purchase attribution): each view
+    // paired with the same user's purchases within 2 hours. The batch run
+    // here is plan-identical to the streaming execution (watermarks are
+    // batch no-ops); EventPipelineSpec drives the same operator through
+    // readStream on both sides and asserts row parity with this frame.
+    "q_stream_interval_join" -> ((s, d) => {
+      val ev = Td.events(s, d)
+      graft.streaming.StreamJoin.intervalJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "ts", window = "2 hours", watermark = "1 hour")
+        .select(col("l_event_id").as("view_id"),
+          col("r_event_id").as("purchase_id"),
+          (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
+            .as("lag_s"))
+        .orderBy(col("view_id"), col("purchase_id"))
     })
   )
 
@@ -314,6 +332,18 @@ object EventQueries {
         |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
         |  count(*) AS n_users
         |FROM days JOIN f USING (u)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // lag_s parity: both engines truncate each timestamp to whole epoch
+    // seconds before differencing (Spark unix_timestamp = floor), which
+    // equals DuckDB's second-boundary count since purchase >= view.
+    "q_stream_interval_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_s
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin
   )
 }

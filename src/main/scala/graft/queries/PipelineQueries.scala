@@ -124,6 +124,28 @@ object PipelineQueries {
         .orderBy(col("shuffle_rank"))
     }),
 
+    // Training-output sharding through its real disk round-trip: the
+    // corpus lands as 8 deterministic hash shards (directory per shard,
+    // files internally sorted), is read back, and per-shard stats are
+    // value-checked against the oracle's recomputed membership.
+    "q_pipeline_shards" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_shards_" + java.lang.Integer.toHexString(d.hashCode))
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      rmrf(root)
+      Sharding.writeShards(Td.documents(s, d), "doc_id", "doc_id",
+        numShards = 8, root.getAbsolutePath)
+      s.read.parquet(root.getAbsolutePath)
+        .groupBy(col("shard_id").cast("int").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("shard_id"))
+    }),
+
     // Streaming near-dup dedup, bounded case: fold the incremental
     // MinHash-LSH pass over 4 id-ordered micro-batches. With id-ordered
     // arrival the any-seen drop rule equals "doc survives iff it never
@@ -804,6 +826,13 @@ object PipelineQueries {
         |          AS BIGINT) k
         |      FROM documents)
         |ORDER BY shuffle_rank""".stripMargin,
+
+    "q_pipeline_shards" ->
+      """SELECT CAST(CAST(('0x'||substr(md5('graft-shard'||CAST(doc_id AS VARCHAR)),1,15))
+        |    AS BIGINT) % 8 AS INT) AS shard_id,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_neardedup" ->
       s"""WITH $shingleIdsSql,

@@ -658,6 +658,46 @@ class EventPipelineSpec extends AnyFunSuite {
     assert(dlq.select("dlq_error").collect()(0).getString(0).contains("503"))
   }
 
+  test("stream-stream interval join: streaming run matches the batch frame") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    def evs(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", to_timestamp(col("ts")))
+    val views = evs(Seq((1L, "2026-01-01 10:00:00", 7L),
+      (2L, "2026-01-01 11:00:00", 7L), (3L, "2026-01-01 10:30:00", 8L)))
+    val buys = evs(Seq((10L, "2026-01-01 11:30:00", 7L),
+      (11L, "2026-01-01 14:30:00", 7L), // > 2h after both of user 7's views
+      (12L, "2026-01-01 10:45:00", 8L),
+      (13L, "2026-01-01 09:00:00", 8L))) // BEFORE the view: never attributed
+    views.write.parquet(s"$dir/views")
+    buys.write.parquet(s"$dir/buys")
+
+    val joined = StreamJoin.intervalJoin(
+      spark.readStream.schema(views.schema).parquet(s"$dir/views"),
+      spark.readStream.schema(buys.schema).parquet(s"$dir/buys"),
+      "user_id", "ts", window = "2 hours", watermark = "1 hour")
+      .select(col("l_event_id").as("view_id"), col("r_event_id").as("purchase_id"))
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .format("parquet").option("path", s"$dir/out").start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 12L)),
+      s"attribution set wrong: $got")
+    // parity with the batch execution of the IDENTICAL operator — the
+    // q_stream_interval_join oracle gate checks the batch side, so this
+    // equality closes the loop to the streaming side
+    val batch = StreamJoin.intervalJoin(views, buys,
+      "user_id", "ts", "2 hours", "1 hour")
+      .select(col("l_event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+  }
+
   test("CDC stream composes with cohort retention (§2.E feeds §2.F)") {
     // Twin lifecycle across three distinct days through the REAL A9
     // surface: mutation log → readMutationStream → landed micro-batches →
