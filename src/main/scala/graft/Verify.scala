@@ -19,7 +19,16 @@ object Verify {
     // compare, never as a silent absence (r8/r9 shipped all-green
     // artifacts while 10 queries errored).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Builder-side iteration aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the
+    // dump to named queries. The driver never sets it, so the full-run
+    // manifest contract is unchanged there.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       Verify.writeQueryOutput(spark, sfDir, outDir, name, fn)
         .foreach(failures(name) = _)
       // Inter-query hygiene (same rationale as Bench): queries are

@@ -193,6 +193,21 @@ object EventQueries {
           (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts")))
             .as("lag_s"))
         .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
+    // Misra-Gries heavy hitters: bounded (≤k counters) mergeable sketch.
+    // Capacity 32 > the 5 distinct event types, so the state never
+    // truncates and IS the exact count map on any partitioning — the
+    // deterministic regime the oracle pins; the ε-bound regime (capacity
+    // < distinct) is HeavyHittersSpec's job.
+    "q_sketch_heavyhitters" -> ((s, d) => {
+      Td.events(s, d)
+        .agg(graft.functions.HeavyHitters.heavyHitters(32)(col("event_type"))
+          .as("sk"))
+        .select(explode(col("sk")))
+        .toDF("key", "est")
+        .orderBy(col("est").desc, col("key"))
+        .limit(5)
     })
   )
 
@@ -344,6 +359,11 @@ object EventQueries {
         |  ON p.user_id = v.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
-        |ORDER BY view_id, purchase_id""".stripMargin
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // exact-regime MG state = the true count map; top-5 by count desc
+    "q_sketch_heavyhitters" ->
+      """SELECT event_type AS key, count(*) AS est FROM events
+        |WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY est DESC, key LIMIT 5""".stripMargin
   )
 }

@@ -168,6 +168,34 @@ object GraphQueries {
         .select(col("p1").as("src"), col("p2").as("dst"))
       graft.graph.KCore.peel(edges, "src", "dst", k = 15, rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // Deterministic DeepWalk corpus over the undirected place graph —
+    // O(1) work per walk-step (indexed-adjacency pick, never a
+    // per-neighbor argmin); the oracle replays the identical md5-nibble
+    // arithmetic step by step.
+    "q_graph_walks" -> ((s, d) => {
+      graft.graph.RandomWalk.walks(
+          GraphViews.graph(s, d).relationships, length = 4)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
+    // Skip-gram (center, context) pair counts from the same walks —
+    // the node2vec-style training-pair extraction (window 2).
+    "q_graph_walk_pairs" -> ((s, d) => {
+      val w = graft.graph.RandomWalk.walks(
+        GraphViews.graph(s, d).relationships, length = 4)
+      graft.graph.RandomWalk.skipGramPairs(w, window = 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    // Weighted single-source shortest paths (bounded Bellman-Ford, 6
+    // relaxation rounds ≥ the place-forest diameter) from region R0;
+    // id-derived integer weights so the oracle rebuilds the same graph.
+    "q_graph_sssp" -> ((s, d) => {
+      graft.graph.Sssp.distances(
+          GraphViews.graph(s, d).relationships, source = "R0", rounds = 6)
+        .orderBy(col("node"))
     })
   )
 
@@ -351,6 +379,76 @@ object GraphQueries {
          |         WHERE q.start_id = p1.start_id AND q.end_id = e.target_id)),
          |allp AS (SELECT * FROM p1 UNION SELECT DISTINCT * FROM p2),
          |minp AS (SELECT start_id, end_id, min(depth) AS depth FROM allp GROUP BY 1,2)
-         |SELECT depth, count(*) AS n FROM minp GROUP BY 1 ORDER BY 1""".stripMargin
+         |SELECT depth, count(*) AS n FROM minp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_graph_walks" ->
+      s"""WITH ${walkCtes(4)}
+         |${walkRowsSql(4)}
+         |SELECT walk_id, step, node FROM wr ORDER BY walk_id, step""".stripMargin,
+    "q_graph_walk_pairs" ->
+      s"""WITH ${walkCtes(4)}
+         |${walkRowsSql(4)}
+         |SELECT a.node AS center, b.node AS context, count(*) AS n
+         |FROM wr a JOIN wr b ON a.walk_id = b.walk_id
+         |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_graph_sssp" ->
+      s"""WITH ${ssspCtes(6)}
+         |SELECT node, dist FROM d6 ORDER BY node""".stripMargin
   )
+
+  /** The walk recurrence, unrolled: CTEs w0..w`length` where w_k holds
+    * (walk_id, node after k steps). Mirrors [[graft.graph.RandomWalk
+    * .walks]] expression for expression (same md5-nibble pick). */
+  private def walkCtes(length: Int): String = {
+    val nib = graft.graph.RandomWalk.nibbleValueSql("p.h")
+    val base =
+      s"""fwd AS (SELECT source_id AS src, target_id AS dst FROM $relsSql r),
+         |edges AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)),
+         |adj AS (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |w0 AS (SELECT DISTINCT src || '#0' AS walk_id, src AS node
+         |       FROM edges)""".stripMargin
+    val steps = (1 to length).map { k =>
+      s"""h$k AS (SELECT w.walk_id, w.node, d.deg,
+         |  md5(w.walk_id || ':$k:' || w.node) AS h
+         |  FROM w${k - 1} w JOIN deg d ON w.node = d.src),
+         |w$k AS (SELECT p.walk_id, a.dst AS node FROM h$k p JOIN adj a
+         |  ON a.src = p.node AND a.idx = ($nib % p.deg))""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** `, wr AS (...)` — all walk rows (walk_id, step, node) unioned. */
+  private def walkRowsSql(length: Int): String = {
+    val unions = (1 to length)
+      .map(k => s"UNION ALL SELECT walk_id, CAST($k AS BIGINT), node FROM w$k")
+      .mkString("\n")
+    s""", wr AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+       |$unions)""".stripMargin
+  }
+
+  /** Bounded Bellman-Ford, unrolled: d0..d`rounds` over the id-weighted
+    * undirected edge view — mirrors [[graft.graph.Sssp.distances]]. */
+  private def ssspCtes(rounds: Int): String = {
+    val w = graft.graph.Sssp.weightSql("relationship_id")
+    val base =
+      s"""r0 AS (SELECT relationship_id, source_id, target_id FROM $relsSql r),
+         |ew AS (SELECT DISTINCT src, dst, w FROM (
+         |  SELECT source_id AS src, target_id AS dst, CAST($w AS BIGINT) AS w
+         |  FROM r0
+         |  UNION ALL
+         |  SELECT target_id, source_id, CAST($w AS BIGINT) FROM r0)),
+         |d0 AS (SELECT 'R0' AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d.dist + e.w FROM d${k - 1} d JOIN ew e ON d.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 }
