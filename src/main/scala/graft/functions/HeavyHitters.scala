@@ -28,28 +28,36 @@ object HeavyHitters {
   private def spend(m: Map[String, Long], d: Long): Map[String, Long] =
     m.flatMap { case (key, c) => if (c > d) Some(key -> (c - d)) else None }
 
+  /** One MG arrival (nulls skipped by the callers). Shared by the batch
+    * Aggregator and [[graft.pipeline.StreamingTopK]]'s per-shard state. */
+  private[graft] def mgReduce(b: Map[String, Long], key: String,
+                              k: Int): Map[String, Long] =
+    b.get(key) match {
+      case Some(c) => b.updated(key, c + 1)
+      case None if b.size < k => b.updated(key, 1L)
+      case None => spend(b, 1L) // the arriving key and one unit of
+      // every counter annihilate (classic MG step)
+    }
+
+  /** Mergeable-summaries combine (Agarwal et al., PODS 2012): sum, then
+    * subtract the (k+1)-th largest counter from all. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                             k: Int): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (key, c)) =>
+      m.updated(key, m.getOrElse(key, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else spend(sum, sum.valuesIterator.toVector.sorted(Ordering[Long].reverse)(k))
+  }
+
   case class MisraGries(k: Int)
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(k >= 1, s"k $k must be >= 1")
     def zero: Map[String, Long] = Map.empty
     def reduce(b: Map[String, Long], key: String): Map[String, Long] =
-      if (key == null) b
-      else b.get(key) match {
-        case Some(c) => b.updated(key, c + 1)
-        case None if b.size < k => b.updated(key, 1L)
-        case None => spend(b, 1L) // the arriving key and one unit of
-        // every counter annihilate (classic MG step)
-      }
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (key, c)) =>
-        m.updated(key, m.getOrElse(key, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else { // subtract the (k+1)-th largest counter from all (PODS'12)
-        val cut = sum.valuesIterator.toVector.sorted(Ordering[Long].reverse)(k)
-        spend(sum, cut)
-      }
-    }
+      if (key == null) b else mgReduce(b, key, k)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, k)
     def finish(b: Map[String, Long]): Map[String, Long] = b
     def bufferEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()

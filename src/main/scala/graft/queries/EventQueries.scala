@@ -208,6 +208,18 @@ object EventQueries {
         .toDF("key", "est")
         .orderBy(col("est").desc, col("key"))
         .limit(5)
+    }),
+
+    // Streaming heavy hitters: the same sketch fed 4 id-range
+    // micro-batches through per-shard bounded state (8 shards × 32
+    // counters; only sketches reach the driver, never rows). Exact
+    // regime again → the incremental fold must land on the identical
+    // count map, proving batch/stream sketch parity.
+    "q_stream_topk" -> ((s, d) => {
+      graft.pipeline.StreamingTopK.topKBatches(Td.events(s, d),
+          "event_id", "event_type", numBatches = 4, capacity = 32, shards = 8)
+        .orderBy(col("est").desc, col("key"))
+        .limit(5)
     })
   )
 
@@ -362,6 +374,11 @@ object EventQueries {
         |ORDER BY view_id, purchase_id""".stripMargin,
     // exact-regime MG state = the true count map; top-5 by count desc
     "q_sketch_heavyhitters" ->
+      """SELECT event_type AS key, count(*) AS est FROM events
+        |WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY est DESC, key LIMIT 5""".stripMargin,
+    // incremental sharded fold, exact regime → same exact count map
+    "q_stream_topk" ->
       """SELECT event_type AS key, count(*) AS est FROM events
         |WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY est DESC, key LIMIT 5""".stripMargin
