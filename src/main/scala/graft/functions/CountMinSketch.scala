@@ -25,10 +25,20 @@ object CountMinSketch {
     * step would collapse every depth row onto bucket h1 for that key,
     * voiding the depth-wise independence behind the 1-2^-depth bound. */
   private[graft] def hashPair(key: String, width: Int): (Long, Long) = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width,
-      java.lang.Long.parseLong(hex.substring(15, 30), 16) % (width - 1) + 1)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    // Bit-identical to parsing hex digits [0,15) and [15,30) of the md5
+    // hex string — i.e. digest bits [0,60) and [60,120) big-endian —
+    // without materializing the hex string (the "%02x".format round-trip
+    // was ~3µs/row, the dominant cost of a sketch update).
+    var h1 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    h1 >>>= 4 // drop hex digit 15 → digits [0,15)
+    var h2 = d(7) & 0xfL // hex digit 15 leads digits [15,30)
+    i = 8
+    while (i < 15) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    (h1 % width, h2 % (width - 1) + 1)
   }
 
   case class CmAgg(width: Int, depth: Int)

@@ -55,4 +55,20 @@ class CountMinSketchSpec extends AnyFunSuite {
       .head.getSeq[Long](0)
     assert(withNulls == a, "null keys must not touch the grid")
   }
+
+  test("byte-arithmetic hashPair is bit-identical to the hex-parse formulation") {
+    // the grid state is an oracle-checked contract — the fast path must
+    // reproduce exactly what parsing hex digits [0,15)/[15,30) produced
+    def hexParse(key: String, width: Int): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width,
+        java.lang.Long.parseLong(hex.substring(15, 30), 16) % (width - 1) + 1)
+    }
+    val keys = (1 to 3000).map(i => s"key-$i-${"x" * (i % 17)}") ++
+      Seq("", "a", "élève", "日本語キー")
+    for (key <- keys; width <- Seq(2, 7, 1024, 8192))
+      assert(CountMinSketch.hashPair(key, width) == hexParse(key, width),
+        s"mismatch for '$key' width $width")
+  }
 }
