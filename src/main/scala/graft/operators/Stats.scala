@@ -88,6 +88,58 @@ object Stats {
       .select(col("q_bp"), col("v").as("value"))
   }
 
+  /** ONE-PASS approximate quantiles over a non-negative numeric column
+    * via a decimal-prefix histogram: values (in the house fixed-point
+    * cents) bucket by their first `prefixLen` decimal digits + digit
+    * count, one map-side-combinable groupBy produces a BOUNDED bucket
+    * table (≤ 9·10^(prefixLen-1) buckets per decimal magnitude — a few
+    * thousand rows for any input size), and each requested quantile is
+    * answered with the bucket bracketing its rank. Relative bracket
+    * width ≤ 10^(1-prefixLen) (≤1% at the default 3), values below
+    * 10^prefixLen cents land in singleton buckets (exact).
+    *
+    * This is the profile-scan form: [[exactQuantiles]] needs a probe
+    * pass + a per-bucket sort; this needs ONE scan and is mergeable
+    * (bucket counts are plain integer sums), which is what a 100-TB
+    * table profiler runs. All bucket arithmetic is integer/string ops
+    * with identical semantics in DuckDB, so the bracket output is
+    * hash-comparable cross-engine. Only the bounded bucket table
+    * reaches the driver. Output: (q_bp, lo_c, hi_c). */
+  def decHistQuantiles(df: DataFrame, valueCol: String, qsBp: Seq[Long],
+      prefixLen: Int = 3): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 6,
+      s"prefixLen $prefixLen out of [1,6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df
+      .select(expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)").as("c"))
+      .filter(col("c").isNotNull)
+    val mn = v.agg(min(col("c"))).collect()(0)
+    if (mn.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)].toDF("q_bp", "lo_c", "hi_c")
+    require(mn.getLong(0) >= 0L,
+      "decHistQuantiles: negative values unsupported (sign would corrupt " +
+        "the decimal-prefix bucket key)")
+    // 10^k is exact in binary64 up to 10^22, so the power() round-trip
+    // through double is deterministic for every reachable scale (≤ 17)
+    val buckets = v
+      .withColumn("d", length(col("c").cast("string")))
+      .withColumn("divd",
+        expr(s"CAST(power(10, greatest(d - $prefixLen, 0)) AS BIGINT)"))
+      .groupBy(expr("(c div divd) * divd").as("lo_c"),
+        expr("(c div divd) * divd + divd - 1").as("hi_c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = buckets.iterator.map(_._3).sum
+    val cums = buckets.scanLeft(0L)(_ + _._3).tail
+    qsBp.distinct.sorted.map { q =>
+      val rank = math.max(1L, (q * total + 9999L) / 10000L)
+      val i = cums.indexWhere(_ >= rank)
+      (q, buckets(i)._1, buckets(i)._2)
+    }.toDF("q_bp", "lo_c", "hi_c")
+  }
+
   /** Per-group exact quantiles: the stratified form of
     * [[exactQuantiles]] — value at 1-based rank `max(1, ceil(q·n_g))`
     * inside each group. One count aggregate + one window PARTITIONED BY

@@ -189,6 +189,16 @@ object GraphQueries {
         .orderBy(col("center"), col("context"))
     }),
 
+    // HITS hub/authority scores (2 synchronous rounds, integer
+    // micro-units, overflow-safe two-step normalization) on the directed
+    // place graph — customers/suppliers are hubs, nations/regions are
+    // authorities.
+    "q_graph_hits" -> ((s, d) => {
+      graft.graph.Hits.scores(
+          GraphViews.graph(s, d).relationships, iterations = 2)
+        .orderBy(col("node"))
+    }),
+
     // Weighted single-source shortest paths (bounded Bellman-Ford, 6
     // relaxation rounds ≥ the place-forest diameter) from region R0;
     // id-derived integer weights so the oracle rebuilds the same graph.
@@ -393,8 +403,39 @@ object GraphQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_graph_sssp" ->
       s"""WITH ${ssspCtes(6)}
-         |SELECT node, dist FROM d6 ORDER BY node""".stripMargin
+         |SELECT node, dist FROM d6 ORDER BY node""".stripMargin,
+    "q_graph_hits" ->
+      s"""WITH ${hitsCtes(2)}
+         |SELECT h.node, h.x AS hub_m, a.x AS auth_m
+         |FROM h2 h JOIN a2 a USING (node) ORDER BY node""".stripMargin
   )
+
+  /** HITS unrolled: per iteration an authority half-step from h{k-1} and
+    * a hub half-step from a{k}, each sum-normalized with the identical
+    * two-step integer arithmetic as [[graft.graph.Hits.scores]]. */
+  private def hitsCtes(iterations: Int): String = {
+    val base =
+      s"""e AS (SELECT DISTINCT source_id, target_id FROM $relsSql r),
+         |nodes AS (SELECT source_id AS node FROM e
+         |          UNION SELECT target_id FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes)""".stripMargin
+    def half(out: String, in: String, joinEdge: String, groupEdge: String) =
+      s"""${out}r AS (SELECT e.$groupEdge AS node, sum(i.x) AS x
+         |  FROM e JOIN $in i ON i.node = e.$joinEdge GROUP BY 1),
+         |${out}f AS (SELECT n.node, coalesce(x, 0) AS x
+         |  FROM nodes n LEFT JOIN ${out}r USING (node)),
+         |${out}t AS (SELECT CASE WHEN sum(x) = 0 THEN 1 ELSE sum(x) END AS t
+         |  FROM ${out}f),
+         |${out}s AS (SELECT t, t // 1000000 + 1 AS s FROM ${out}t),
+         |$out AS (SELECT node,
+         |  CAST(((x // s) * 1000000) // (t // s) AS BIGINT) AS x
+         |  FROM ${out}f, ${out}s)""".stripMargin
+    val steps = (1 to iterations).map { k =>
+      half(s"a$k", s"h${k - 1}", "source_id", "target_id") + ",\n" +
+        half(s"h$k", s"a$k", "target_id", "source_id")
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** The walk recurrence, unrolled: CTEs w0..w`length` where w_k holds
     * (walk_id, node after k steps). Mirrors [[graft.graph.RandomWalk

@@ -228,6 +228,17 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("q_bp"))
     }),
 
+    // One-pass decimal-histogram quantiles: the single-scan mergeable
+    // profile form (exactQuantiles needs a probe pass + per-bucket
+    // sort); bucket brackets are integer/string arithmetic identical in
+    // DuckDB, ≤1%-relative-width at prefixLen 3 — here prefixLen 2 to
+    // keep multi-magnitude bucketing exercised.
+    "q_stats_histquant" -> ((s, d) => {
+      graft.operators.Stats.decHistQuantiles(Td.lineitem(s, d),
+        "l_extendedprice", Seq(2500L, 5000L, 9000L, 9900L), prefixLen = 2)
+        .orderBy(col("q_bp"))
+    }),
+
     // ANALYZE-style column profile: the one-scan statistics pass behind
     // layout/skew decisions (exact NDV via a single expand).
     "q_stats_profile" -> ((s, d) => {
@@ -281,6 +292,25 @@ object RelationalQueries {
         |SELECT r.g AS l_returnflag, r.q_bp, v.value
         |FROM r JOIN v ON v.g = r.g AND v.rn = r.rk
         |ORDER BY 1, 2""".stripMargin,
+    // identical decimal-prefix bucketing + rank walk, pure SQL
+    "q_stats_histquant" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |k AS (SELECT c, CAST(power(10,
+        |    greatest(length(CAST(c AS VARCHAR)) - 2, 0)) AS BIGINT) AS divd
+        |  FROM v),
+        |g AS (SELECT (c // divd) * divd AS lo_c,
+        |    (c // divd) * divd + divd - 1 AS hi_c, count(*) AS n
+        |  FROM k GROUP BY 1, 2),
+        |o AS (SELECT lo_c, hi_c, sum(n) OVER (ORDER BY lo_c) AS cum FROM g),
+        |n AS (SELECT count(*) AS total FROM v),
+        |t(q_bp) AS (VALUES (2500),(5000),(9000),(9900)),
+        |r AS (SELECT CAST(q_bp AS BIGINT) AS q_bp,
+        |    greatest(1, (q_bp * total + 9999) // 10000) AS rk FROM t, n),
+        |sel AS (SELECT q_bp, min(lo_c) AS lo_c
+        |  FROM r JOIN o ON o.cum >= r.rk GROUP BY 1)
+        |SELECT q_bp, lo_c, hi_c FROM sel JOIN o USING (lo_c)
+        |ORDER BY q_bp""".stripMargin,
     "q_stats_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

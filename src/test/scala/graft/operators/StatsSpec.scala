@@ -114,4 +114,50 @@ class StatsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"rank selection must not globally sort:\n$plan")
   }
+
+  test("decHistQuantiles: bracket contains the exact quantile, width within bound") {
+    val s = spark; import s.implicits._
+    // multi-magnitude positive values: 0.01 .. ~90k cents
+    val vals = (1 to 5000).map(i => (i.toDouble * i / 277.0) % 900.0 + 0.01)
+    val df = vals.toDF("v")
+    val probs = Seq(1000L, 5000L, 9000L, 9900L)
+    val got = Stats.decHistQuantiles(df, "v", probs, prefixLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cents = vals.map(x => math.floor(x * 100 + 0.5).toLong).sorted
+    probs.foreach { q =>
+      val exact = cents(math.max(1L, (q * cents.size + 9999L) / 10000L).toInt - 1)
+      val (lo, hi) = got(q)
+      assert(lo <= exact && exact <= hi, s"q=$q exact $exact outside [$lo,$hi]")
+      // relative width ≤ 10^(1-prefixLen) = 1%
+      assert(hi - lo <= math.max(1L, lo / 100L), s"q=$q bracket [$lo,$hi] too wide")
+    }
+  }
+
+  test("decHistQuantiles: small values land in singleton (exact) buckets") {
+    val s = spark; import s.implicits._
+    val df = Seq(0.01, 0.02, 0.02, 0.03, 0.05).toDF("v")
+    val got = Stats.decHistQuantiles(df, "v", Seq(5000L), prefixLen = 3)
+      .collect()(0)
+    assert(got.getLong(1) == got.getLong(2), "sub-prefix cents must be exact")
+    assert(got.getLong(1) == 2L) // median of (1,2,2,3,5) cents
+  }
+
+  test("decHistQuantiles: negative values refuse loudly; empty returns no rows") {
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException] {
+      Stats.decHistQuantiles(Seq(-1.0, 2.0).toDF("v"), "v", Seq(5000L))
+    }
+    assert(Stats.decHistQuantiles(Seq.empty[Double].toDF("v"), "v",
+      Seq(5000L)).count() == 0L)
+  }
+
+  test("decHistQuantiles: partitioning does not change the histogram answer") {
+    val s = spark; import s.implicits._
+    val vals = (1 to 2000).map(i => (i * 37 % 997).toDouble + 0.5)
+    val a = Stats.decHistQuantiles(vals.toDF("v").repartition(1), "v",
+      Seq(2500L, 7500L)).collect().toSeq
+    val b = Stats.decHistQuantiles(vals.toDF("v").repartition(13), "v",
+      Seq(2500L, 7500L)).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
 }
