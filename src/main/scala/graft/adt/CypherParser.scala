@@ -143,7 +143,25 @@ object CypherParser {
       }
       expectKw("RETURN")
       val distinct = if (isKw(cur, "DISTINCT")) { pos += 1; true } else false
-      val items = parseReturnItems()
+      // RETURN *: every NAMED binding (nodes, then relationships, in
+      // pattern order; anonymous `__cnode` aliases and path variables
+      // stay internal). After a WITH/UNWIND horizon the in-scope set is
+      // the horizon's — not implemented; error loudly.
+      val items = if (cur == Sym("*")) {
+        pos += 1
+        if (pipeline.nonEmpty) throw new AdtParseException(
+          "RETURN * after a WITH/UNWIND stage is not supported")
+        val named = collection.mutable.LinkedHashSet[String]()
+        loneNodes.foreach(named += _)
+        edges.foreach { e =>
+          Seq(e.src, e.dst).filterNot(_.startsWith("__cnode"))
+            .foreach(named += _)
+          e.relAlias.foreach(named += _)
+        }
+        if (named.isEmpty) throw new AdtParseException(
+          "RETURN * with no named bindings in the pattern")
+        named.toList.map(SelectEntity)
+      } else parseReturnItems()
       val orderBy = parseOrderBy()
       val skip = if (isKw(cur, "SKIP")) { pos += 1; Some(num()) } else None
       val limit = if (isKw(cur, "LIMIT")) { pos += 1; Some(num()) } else None
@@ -671,15 +689,26 @@ object CypherParser {
         pos += 1; Cmp(op, l, valueExpr())
       case Ident(s) if s.equalsIgnoreCase("IN") =>
         pos += 1
-        expectSym("[")
-        val vals = collection.mutable.ListBuffer[Lit]()
-        var more = cur != Sym("]")
-        while (more) {
-          vals += literal()
-          if (cur == Sym(",")) pos += 1 else more = false
+        if (cur != Sym("[")) {
+          // `'tag1' IN t.tags` — membership in a LIST PROPERTY, which is
+          // exactly ARRAY_CONTAINS(t.tags, 'tag1') (the ADT spelling)
+          val arr = propRef()
+          l match {
+            case lit: Lit => FnCall("ARRAY_CONTAINS", List(arr, lit))
+            case other => throw new AdtParseException(
+              s"IN over a list property needs a literal left operand, got $other")
+          }
+        } else {
+          expectSym("[")
+          val vals = collection.mutable.ListBuffer[Lit]()
+          var more = cur != Sym("]")
+          while (more) {
+            vals += literal()
+            if (cur == Sym(",")) pos += 1 else more = false
+          }
+          expectSym("]")
+          In(l, vals.toList)
         }
-        expectSym("]")
-        In(l, vals.toList)
       case Ident(s) if s.equalsIgnoreCase("STARTS") =>
         pos += 1; expectKw("WITH"); FnCall("STARTSWITH", List(l, literal()))
       case Ident(s) if s.equalsIgnoreCase("ENDS") =>

@@ -55,6 +55,28 @@ class CypherSpec extends AnyFunSuite {
     assert(count("MATCH (t:Twin) WHERE t.`$dtId` IN ['sun','earth'] RETURN t") == 2)
   }
 
+  test("RETURN * expands to named bindings in pattern order") {
+    val df = planner.run("MATCH (a:Twin)-[r:orbits]->(b:Twin) RETURN *")
+    assert(df.count() == 3)
+    for (p <- Seq("a_", "r_", "b_"))
+      assert(df.columns.exists(_.startsWith(p)), s"missing $p columns: ${df.columns.toSeq}")
+    // anonymous endpoints stay internal — only the rel binding is named
+    val onlyRel = planner.run("MATCH (:Twin)-[r:orbits]->(:Twin) RETURN *")
+    assert(onlyRel.columns.forall(_.startsWith("r_")), onlyRel.columns.toSeq)
+    assert(onlyRel.count() == 3)
+    // no named binding at all → loud error, like openCypher
+    intercept[AdtParseException] {
+      CypherParser.parse("MATCH (:Twin)-[]->(:Twin) RETURN *")
+    }
+  }
+
+  test("literal IN list-property is ARRAY_CONTAINS membership") {
+    assert(count("MATCH (t:Twin) WHERE 'rocky' IN t.tags RETURN t") == 1)
+    assert(count("MATCH (t:Twin) WHERE 'molten' IN t.tags RETURN t") == 0)
+    // literal-list IN keeps its original meaning alongside
+    assert(count("MATCH (t:Twin) WHERE t.`$dtId` IN ['earth'] AND 'wet' IN t.tags RETURN t") == 1)
+  }
+
   test("collect() list aggregation: grouped, ungrouped, DISTINCT") {
     val df = planner.run(
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
