@@ -170,6 +170,28 @@ object Profile {
       ords.withColumn("o_orderkey", col("o_orderkey") + lit(k * okSpan))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // the place graph amplifies along the LEAF dimension: customers/
+    // suppliers get offset keys but KEEP their nation, so nation hubs
+    // gain factor× degree — the direction a real twin graph grows, and
+    // the shape that stresses the hub claims (walks' O(1) pick, hop's
+    // skew salting) rather than handing each copy its own island.
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ckSpan = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * ckSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val skSpan = supp.agg(max(col("s_suppkey"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(k * skSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // interior levels copy through unchanged
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println(s"[scale] corpus x$factor at $out")
     def best(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val ts = (1 to 2).map { _ =>
