@@ -189,6 +189,25 @@ object GraphQueries {
         .orderBy(col("center"), col("context"))
     }),
 
+    // Composition: the node-embedding corpus end-to-end — walks →
+    // skip-gram pairs → typed summary (pair counts by the model pair of
+    // the endpoints), i.e. the sanity profile a training run reads
+    // before consuming the pair corpus.
+    "q_graph_embed_corpus" -> ((s, d) => {
+      val g = GraphViews.graph(s, d)
+      val w = graft.graph.RandomWalk.walks(g.relationships, length = 4)
+      val pairs = graft.graph.RandomWalk.skipGramPairs(w, window = 2)
+      val models = g.twins.select(col("dt_id"), col("model_id"))
+      pairs
+        .join(models.select(col("dt_id").as("center"),
+          col("model_id").as("center_model")), Seq("center"))
+        .join(models.select(col("dt_id").as("context"),
+          col("model_id").as("context_model")), Seq("context"))
+        .groupBy(col("center_model"), col("context_model"))
+        .agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("center_model"), col("context_model"))
+    }),
+
     // HITS hub/authority scores (2 synchronous rounds, integer
     // micro-units, overflow-safe two-step normalization) on the directed
     // place graph — customers/suppliers are hubs, nations/regions are
@@ -407,7 +426,20 @@ object GraphQueries {
     "q_graph_hits" ->
       s"""WITH ${hitsCtes(2)}
          |SELECT h.node, h.x AS hub_m, a.x AS auth_m
-         |FROM h2 h JOIN a2 a USING (node) ORDER BY node""".stripMargin
+         |FROM h2 h JOIN a2 a USING (node) ORDER BY node""".stripMargin,
+    "q_graph_embed_corpus" ->
+      s"""WITH ${walkCtes(4)}
+         |${walkRowsSql(4)},
+         |pairs AS (SELECT a.node AS center, b.node AS context, count(*) AS n
+         |  FROM wr a JOIN wr b ON a.walk_id = b.walk_id
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |  GROUP BY 1, 2)
+         |SELECT tc.model_id AS center_model, tx.model_id AS context_model,
+         |  CAST(sum(n) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN $twinsSql tc ON tc.dt_id = p.center
+         |JOIN $twinsSql tx ON tx.dt_id = p.context
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** HITS unrolled: per iteration an authority half-step from h{k-1} and

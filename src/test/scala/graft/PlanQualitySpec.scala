@@ -457,4 +457,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"thinning must not shuffle (only the output sort may range-partition):\n$p")
   }
+
+  test("random walks: every step is an equi-join — no cartesian, no nested loop") {
+    // the O(1)-per-step claim: the pick joins (node, idx) against the
+    // indexed adjacency; a BNLJ/cartesian would mean the argmin shape
+    // (O(degree) per step) sneaked back in
+    val p = plan("q_graph_walks")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop appeared:\n$p")
+  }
+
+  test("heavy hitters: one partial-aggregated pass, no shuffle of raw rows") {
+    val p = plan("q_sketch_heavyhitters")
+    // typed MG Aggregator must combine map-side (ObjectHashAggregate
+    // partial) so only sketches cross the exchange
+    assert(p.contains("ObjectHashAggregate"),
+      s"MG must aggregate as an object buffer:\n$p")
+    assert(p.contains("partial_misragries"), s"map-side combine missing:\n$p")
+  }
+
+  test("histogram quantiles: single scan, bucket counts partial-aggregated") {
+    val df = graft.operators.Stats.decHistQuantiles(
+      graft.core.Td.lineitem(spark, sf), "l_extendedprice", Seq(5000L))
+    // the operator runs its jobs eagerly; assert the bucket-count shape
+    // on a fresh frame with the same expression
+    val buckets = graft.core.Td.lineitem(spark, sf)
+      .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c")
+      .selectExpr("c", "CAST(power(10, greatest(length(CAST(c AS STRING)) - 3, 0)) AS BIGINT) AS divd")
+      .groupBy(org.apache.spark.sql.functions.expr("(c div divd) * divd").as("lo_c"))
+      .count()
+    val p = buckets.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$p")
+    assert(df.count() == 1L)
+  }
 }
