@@ -130,6 +130,34 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Referential-integrity audit of the graph — the invariants the
+    * reference's delete path protects (DETACH DELETE removes edges with
+    * the twin, JobService.cs delete jobs sweep relationships first):
+    * dangling endpoints (edge references a twin id that does not exist),
+    * duplicate relationship ids, and self-loops. One anti-join per
+    * endpoint + two combinable aggregations; output is a fixed metric →
+    * count table, all-zeros (beyond n_rels) on a healthy graph. */
+  def integrityReport(): DataFrame = {
+    val spark = twins.sparkSession
+    import spark.implicits._
+    val ids = twins.select(col("dt_id"))
+    def cnt(df: DataFrame): Long = df.count()
+    val nRels = cnt(relationships)
+    val danglingSrc = cnt(relationships
+      .join(ids.withColumnRenamed("dt_id", "source_id"), Seq("source_id"),
+        "left_anti"))
+    val danglingTgt = cnt(relationships
+      .join(ids.withColumnRenamed("dt_id", "target_id"), Seq("target_id"),
+        "left_anti"))
+    val selfLoops = cnt(relationships
+      .filter(col("source_id") === col("target_id")))
+    val dupIds = relationships.groupBy(col("relationship_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    Seq(("n_rels", nRels), ("n_dangling_source", danglingSrc),
+      ("n_dangling_target", danglingTgt), ("n_self_loops", selfLoops),
+      ("n_duplicate_ids", dupIds)).toDF("metric", "n")
+  }
+
   // -------- C1: IS_OF_MODEL --------
 
   /** Twins whose model equals `modelId` or (unless exact) inherits from it.

@@ -170,6 +170,12 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Referential-integrity audit: dangling endpoints / duplicate ids /
+    // self-loops — the DETACH-DELETE invariants, as one metric table.
+    "q_graph_integrity" -> ((s, d) => {
+      GraphViews.graph(s, d).integrityReport().orderBy(col("metric"))
+    }),
+
     // Deterministic DeepWalk corpus over the undirected place graph —
     // O(1) work per walk-step (indexed-adjacency pick, never a
     // per-neighbor argmin); the oracle replays the identical md5-nibble
@@ -409,6 +415,21 @@ object GraphQueries {
          |allp AS (SELECT * FROM p1 UNION SELECT DISTINCT * FROM p2),
          |minp AS (SELECT start_id, end_id, min(depth) AS depth FROM allp GROUP BY 1,2)
          |SELECT depth, count(*) AS n FROM minp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_graph_integrity" ->
+      s"""WITH r AS (SELECT * FROM $relsSql rr),
+         |t AS (SELECT dt_id FROM $twinsSql tt),
+         |m(metric, n) AS (
+         |  SELECT 'n_rels', count(*) FROM r
+         |  UNION ALL SELECT 'n_dangling_source',
+         |    (SELECT count(*) FROM r WHERE source_id NOT IN (SELECT dt_id FROM t))
+         |  UNION ALL SELECT 'n_dangling_target',
+         |    (SELECT count(*) FROM r WHERE target_id NOT IN (SELECT dt_id FROM t))
+         |  UNION ALL SELECT 'n_self_loops',
+         |    (SELECT count(*) FROM r WHERE source_id = target_id)
+         |  UNION ALL SELECT 'n_duplicate_ids',
+         |    (SELECT count(*) FROM (SELECT relationship_id FROM r
+         |       GROUP BY 1 HAVING count(*) > 1)))
+         |SELECT metric, CAST(n AS BIGINT) AS n FROM m ORDER BY metric""".stripMargin,
     "q_graph_walks" ->
       s"""WITH ${walkCtes(4)}
          |${walkRowsSql(4)}
