@@ -152,7 +152,7 @@ object CypherParser {
         if (pipeline.nonEmpty) throw new AdtParseException(
           "RETURN * after a WITH/UNWIND stage is not supported")
         val named = collection.mutable.LinkedHashSet[String]()
-        loneNodes.foreach(named += _)
+        loneNodes.filterNot(_.startsWith("__cnode")).foreach(named += _)
         edges.foreach { e =>
           Seq(e.src, e.dst).filterNot(_.startsWith("__cnode"))
             .foreach(named += _)

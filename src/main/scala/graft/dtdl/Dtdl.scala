@@ -275,10 +275,13 @@ object Dtdl {
         val vals = Option(n.get("enumValues")).map(_.elements().asScala
           .flatMap(ev => Option(ev.get("enumValue")).map(_.asText())).toSet)
           .getOrElse(Set.empty[String])
-        // valueSchema is required by the spec (integer | string); parse
-        // leniently with the string default, validate strictly by type.
+        // valueSchema is required by the spec (integer | string). When a
+        // spec-sloppy model omits it, defaulting to "string" would start
+        // rejecting integer-valued enums that validated before typed
+        // checking landed — so an ABSENT valueSchema stays untyped
+        // (membership-only), and only a DECLARED one enforces its type.
         val vs = Option(n.get("valueSchema")).filter(_.isTextual)
-          .map(_.asText()).getOrElse("string")
+          .map(_.asText()).getOrElse("")
         EnumSchema(vs, vals)
       } else AnySchema
     } else AnySchema

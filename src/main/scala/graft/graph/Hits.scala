@@ -43,8 +43,10 @@ object Hits {
       * overflow once Σx > ~9e12). Both divisions truncate
       * deterministically, and the oracle replays the same two steps. */
     def normalize(df: DataFrame): DataFrame = {
-      val total = df.agg(sum(col("x"))).collect()(0).getLong(0)
-      // an all-zero vector (possible only on an empty edge set) stays zero
+      val row = df.agg(sum(col("x"))).collect()(0)
+      // empty frame sums to NULL, an all-zero vector to 0 — both degrade
+      // to divisor 1 (scores stay zero / no rows)
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
       val t = if (total == 0L) 1L else total
       val s = t / 1000000L + 1L
       val ts = t / s

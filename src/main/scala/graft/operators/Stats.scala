@@ -109,17 +109,13 @@ object Stats {
       prefixLen: Int = 3): DataFrame = {
     require(prefixLen >= 1 && prefixLen <= 6,
       s"prefixLen $prefixLen out of [1,6]")
+    require(qsBp.forall(q => q >= 1L && q <= 10000L),
+      s"quantiles must be basis points in [1,10000], got $qsBp")
     val spark = df.sparkSession
     import spark.implicits._
     val v = df
       .select(expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)").as("c"))
       .filter(col("c").isNotNull)
-    val mn = v.agg(min(col("c"))).collect()(0)
-    if (mn.isNullAt(0))
-      return Seq.empty[(Long, Long, Long)].toDF("q_bp", "lo_c", "hi_c")
-    require(mn.getLong(0) >= 0L,
-      "decHistQuantiles: negative values unsupported (sign would corrupt " +
-        "the decimal-prefix bucket key)")
     // 10^k is exact in binary64 up to 10^22, so the power() round-trip
     // through double is deterministic for every reachable scale (≤ 17)
     val buckets = v
@@ -128,9 +124,17 @@ object Stats {
         expr(s"CAST(power(10, greatest(d - $prefixLen, 0)) AS BIGINT)"))
       .groupBy(expr("(c div divd) * divd").as("lo_c"),
         expr("(c div divd) * divd + divd - 1").as("hi_c"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("mn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    if (buckets.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("q_bp", "lo_c", "hi_c")
+    // the negativity guard rides the SAME scan (a per-bucket min(c) on
+    // the one aggregation) — no separate min() pass, keeping the
+    // one-scan contract honest
+    require(buckets.iterator.map(_._4).min >= 0L,
+      "decHistQuantiles: negative values unsupported (sign would corrupt " +
+        "the decimal-prefix bucket key)")
     val total = buckets.iterator.map(_._3).sum
     val cums = buckets.scanLeft(0L)(_ + _._3).tail
     qsBp.distinct.sorted.map { q =>

@@ -79,14 +79,23 @@ object StreamingTopK {
       max(col(idCol)).cast("long")).collect()(0)
     if (bounds.isNullAt(0)) return Seq.empty[(String, Long)].toDF("key", "est")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = hi - lo + 1
-    val cuts = (0 to numBatches).map(i => lo + span * i / numBatches)
+    // BigInt arithmetic: ids spanning most of the Long range (epoch-nano
+    // ids) overflow `span * i`, which would silently produce empty
+    // batches and an empty sketch
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val cuts = (0 to numBatches)
+      .map(i => BigInt(lo) + span * i / numBatches)
     val shardExpr = expr(
       s"${graft.graph.RandomWalk.nibbleValueSql("__h")} % $shards")
     var stateByShard = Map.empty[Int, Map[String, Long]]
     for (i <- 0 until numBatches) {
+      // the last upper cut is hi+1, which has no Long representation when
+      // hi == Long.MaxValue — the final batch closes with <= hi instead
+      val upper =
+        if (i == numBatches - 1) col(idCol) <= lit(hi)
+        else col(idCol) < lit(cuts(i + 1).toLong)
       val batch = df
-        .filter(col(idCol) >= cuts(i) && col(idCol) < cuts(i + 1))
+        .filter(col(idCol) >= lit(cuts(i).toLong) && upper)
         .filter(col(keyCol).isNotNull)
         .withColumn("__h", md5(col(keyCol)))
         .withColumn("__shard", shardExpr)

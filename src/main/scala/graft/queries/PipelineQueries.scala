@@ -129,16 +129,10 @@ object PipelineQueries {
     // files internally sorted), is read back, and per-shard stats are
     // value-checked against the oracle's recomputed membership.
     "q_pipeline_shards" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_shards_" + java.lang.Integer.toHexString(d.hashCode))
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-        f.delete(): Unit
-      }
-      rmrf(root)
+      val dir = graft.core.Scratch.dir("graft_shards_", d)
       Sharding.writeShards(Td.documents(s, d), "doc_id", "doc_id",
-        numShards = 8, root.getAbsolutePath)
-      s.read.parquet(root.getAbsolutePath)
+        numShards = 8, dir)
+      s.read.parquet(dir)
         .groupBy(col("shard_id").cast("int").as("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
@@ -334,16 +328,10 @@ object PipelineQueries {
         dim = 64, m = 16, size = 32)
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfpq_" + java.lang.Integer.toHexString(d.hashCode))
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-        f.delete(): Unit
-      }
-      rmrf(root)
+      val dir = graft.core.Scratch.dir("graft_ivfpq_", d)
       Similarity.writeIvfPqIndex(emb, centroids, cb, "vec_id", "embedding",
-        root.getAbsolutePath, dim = 64, m = 16)
-      val index = s.read.parquet(root.getAbsolutePath)
+        dir, dim = 64, m = 16)
+      val index = s.read.parquet(dir)
       Similarity.ivfpqTopKIndexed(index, emb.filter(col("vec_id") < 10),
         emb, centroids, cb, "vec_id", "embedding", k = 5, dim = 64, m = 16,
         nprobe = 4, rerank = 4)

@@ -26,15 +26,7 @@ object StoreQueries {
     * Rebuilt from scratch on every call so repeated Verify/Bench runs are
     * idempotent. */
   private def buildRoundtripStore(s: SparkSession, d: String): String = {
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_store_rt_" + java.lang.Integer.toHexString(d.hashCode))
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(): Unit
-    }
-    rmrf(root)
-    val dir = root.getAbsolutePath
+    val dir = graft.core.Scratch.dir("graft_store_rt_", d)
     val clock = () => "2026-01-01T00:00:00Z"
     val st = TableTwinStore.open(s, dir, clock)
     st.createModels(Seq(
@@ -67,15 +59,7 @@ object StoreQueries {
     * (seqs N+1..), retain-checkpoint again. Returns (dir, N) — N is the
     * seq at which the store held exactly the unmodified nation set. */
   private def buildTimeTravelStore(s: SparkSession, d: String): (String, Long) = {
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_store_tt_" + java.lang.Integer.toHexString(d.hashCode))
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(): Unit
-    }
-    rmrf(root)
-    val dir = root.getAbsolutePath
+    val dir = graft.core.Scratch.dir("graft_store_tt_", d)
     val clock = () => "2026-01-01T00:00:00Z"
     val st = TableTwinStore.open(s, dir, clock)
     st.createModels(Seq(
@@ -110,15 +94,7 @@ object StoreQueries {
     * real per-day timestamps — the same rows the A9 CDC stream yields —
     * which the time-series operators (§2.F) consume directly. */
   private def buildLifecycleStore(s: SparkSession, d: String): String = {
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_store_lc_" + java.lang.Integer.toHexString(d.hashCode))
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(): Unit
-    }
-    rmrf(root)
-    val dir = root.getAbsolutePath
+    val dir = graft.core.Scratch.dir("graft_store_lc_", d)
     var today = "2026-01-01T00:00:00Z"
     val st = TableTwinStore.open(s, dir, () => today)
     st.createModels(Seq(

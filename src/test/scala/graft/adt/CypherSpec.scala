@@ -64,9 +64,14 @@ class CypherSpec extends AnyFunSuite {
     val onlyRel = planner.run("MATCH (:Twin)-[r:orbits]->(:Twin) RETURN *")
     assert(onlyRel.columns.forall(_.startsWith("r_")), onlyRel.columns.toSeq)
     assert(onlyRel.count() == 3)
-    // no named binding at all → loud error, like openCypher
+    // no named binding at all → loud error, like openCypher — including
+    // the anonymous LONE-node form (its internal __cnode alias must not
+    // leak as a result column)
     intercept[AdtParseException] {
       CypherParser.parse("MATCH (:Twin)-[]->(:Twin) RETURN *")
+    }
+    intercept[AdtParseException] {
+      CypherParser.parse("MATCH (:Twin) RETURN *")
     }
   }
 

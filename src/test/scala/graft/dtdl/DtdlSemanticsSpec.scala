@@ -437,6 +437,28 @@ class DtdlSemanticsSpec extends AnyFunSuite {
       "a non-integral number does not satisfy an integer enum")
   }
 
+  test("an Enum WITHOUT a declared valueSchema stays membership-only") {
+    // spec-sloppy model (valueSchema is required by DTDL) that was
+    // accepted before typed checking landed: defaulting the absent
+    // valueSchema to "string" would reject the integer values it has
+    // always validated — absence must mean untyped, not string
+    val m = parse(
+      """{"@id":"dtmi:g:untyped;1","@type":"Interface",
+        |  "contents":[
+        |    {"@type":"Property","name":"severity",
+        |     "schema":{"@type":"Enum",
+        |       "enumValues":[
+        |         {"name":"low","enumValue":1},
+        |         {"name":"high","enumValue":3}]}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map("dtmi:g:untyped;1" -> m.toOption.get))
+    def twin(v: String) = Json.parse(
+      s"""{"$$dtId":"d","$$metadata":{"$$model":"dtmi:g:untyped;1"},"severity":$v}""")
+    assert(reg.validateTwin(twin("1")).isRight,
+      "integer member must keep validating with no declared valueSchema")
+    assert(reg.validateTwin(twin("2")).isLeft, "membership still enforced")
+  }
+
   test("a string Enum rejects a numeric instance even when digits match") {
     val m = parse(
       """{"@id":"dtmi:g:lvl;1","@type":"Interface",

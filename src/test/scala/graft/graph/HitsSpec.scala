@@ -55,6 +55,13 @@ class HitsSpec extends AnyFunSuite {
     assert(sc.values.map(_._2).toSet.size == 1, "auth scores must be uniform")
   }
 
+  test("empty relationship set yields an empty frame, not a crash") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(String, String, String)]
+      .toDF("relationship_id", "source_id", "target_id")
+    assert(Hits.scores(empty, 2).count() == 0L)
+  }
+
   test("every endpoint appears exactly once in the output") {
     val g = rels(("a", "b"), ("c", "b"), ("c", "d"))
     val rows = Hits.scores(g, 2).collect()

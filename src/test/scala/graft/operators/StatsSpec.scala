@@ -147,6 +147,17 @@ class StatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Stats.decHistQuantiles(Seq(-1.0, 2.0).toDF("v"), "v", Seq(5000L))
     }
+    // single-digit negative at prefixLen 1: its bucket floor divides to
+    // zero, so the guard must ride min(c), not the bucket floor
+    intercept[IllegalArgumentException] {
+      Stats.decHistQuantiles(Seq(-0.05, 2.0).toDF("v"), "v", Seq(5000L),
+        prefixLen = 1)
+    }
+    // quantile outside basis points is a loud argument error, not an
+    // ArrayIndexOutOfBounds deep in the rank walk
+    intercept[IllegalArgumentException] {
+      Stats.decHistQuantiles(Seq(1.0).toDF("v"), "v", Seq(10001L))
+    }
     assert(Stats.decHistQuantiles(Seq.empty[Double].toDF("v"), "v",
       Seq(5000L)).count() == 0L)
   }

@@ -120,4 +120,16 @@ class StreamingTopKSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("x" -> 33L, "y" -> 34L, "z" -> 33L))
   }
+
+  test("id ranges spanning most of Long do not overflow the batch cuts") {
+    val s = spark; import s.implicits._
+    // lo near Long.MinValue, hi near Long.MaxValue: span and span*i
+    // overflow 64-bit — the cuts must still cover every row
+    val df = Seq((Long.MinValue + 3, "a"), (-7L, "a"), (0L, "b"),
+      (42L, "a"), (Long.MaxValue - 5, "b")).toDF("id", "k")
+    val got = StreamingTopK.topKBatches(df, "id", "k",
+      numBatches = 4, capacity = 8, shards = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L), s"got $got")
+  }
 }
