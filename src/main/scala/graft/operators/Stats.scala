@@ -144,6 +144,53 @@ object Stats {
     }.toDF("q_bp", "lo_c", "hi_c")
   }
 
+  /** Stratified [[decHistQuantiles]]: the same one-scan decimal-prefix
+    * histogram PER GROUP — one map-side-combinable groupBy on
+    * (group, bucket), bounded bucket count per group, rank walk per
+    * group on the driver over only the bucket table. The per-source
+    * length/score profile a corpus report runs without a per-group
+    * sort. Output: (group, q_bp, lo_c, hi_c). */
+  def decHistQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qsBp: Seq[Long], prefixLen: Int = 3): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 6,
+      s"prefixLen $prefixLen out of [1,6]")
+    require(qsBp.forall(q => q >= 1L && q <= 10000L),
+      s"quantiles must be basis points in [1,10000], got $qsBp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df
+      .select(col(groupCol).cast("string").as("g"),
+        expr(s"CAST(floor($valueCol * 100 + 0.5) AS BIGINT)").as("c"))
+      .filter(col("c").isNotNull && col("g").isNotNull)
+    val buckets = v
+      .withColumn("d", length(col("c").cast("string")))
+      .withColumn("divd",
+        expr(s"CAST(power(10, greatest(d - $prefixLen, 0)) AS BIGINT)"))
+      .groupBy(col("g"), expr("(c div divd) * divd").as("lo_c"),
+        expr("(c div divd) * divd + divd - 1").as("hi_c"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("mn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    if (buckets.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("g", "q_bp", "lo_c", "hi_c")
+        .withColumnRenamed("g", groupCol)
+    require(buckets.iterator.map(_._5).min >= 0L,
+      "decHistQuantilesByGroup: negative values unsupported")
+    val out = buckets.groupBy(_._1).toSeq.flatMap { case (g, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val total = sorted.iterator.map(_._4).sum
+      val cums = sorted.scanLeft(0L)(_ + _._4).tail
+      qsBp.distinct.sorted.map { q =>
+        val rank = math.max(1L, (q * total + 9999L) / 10000L)
+        val i = cums.indexWhere(_ >= rank)
+        (g, q, sorted(i)._2, sorted(i)._3)
+      }
+    }
+    out.toDF("g", "q_bp", "lo_c", "hi_c").withColumnRenamed("g", groupCol)
+  }
+
   /** Per-group exact quantiles: the stratified form of
     * [[exactQuantiles]] — value at 1-based rank `max(1, ceil(q·n_g))`
     * inside each group. One count aggregate + one window PARTITIONED BY

@@ -239,6 +239,14 @@ object RelationalQueries {
         .orderBy(col("q_bp"))
     }),
 
+    // Stratified one-pass histogram quantiles: per-group brackets from
+    // ONE (group, bucket) aggregation — the per-source profile report.
+    "q_stats_histquant_grouped" -> ((s, d) => {
+      graft.operators.Stats.decHistQuantilesByGroup(Td.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", Seq(5000L, 9900L), prefixLen = 2)
+        .orderBy(col("l_returnflag"), col("q_bp"))
+    }),
+
     // ANALYZE-style column profile: the one-scan statistics pass behind
     // layout/skew decisions (exact NDV via a single expand).
     "q_stats_profile" -> ((s, d) => {
@@ -311,6 +319,28 @@ object RelationalQueries {
         |  FROM r JOIN o ON o.cum >= r.rk GROUP BY 1)
         |SELECT q_bp, lo_c, hi_c FROM sel JOIN o USING (lo_c)
         |ORDER BY q_bp""".stripMargin,
+    // identical bucketing, stratified by l_returnflag
+    "q_stats_histquant_grouped" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |k AS (SELECT g, c, CAST(power(10,
+        |    greatest(length(CAST(c AS VARCHAR)) - 2, 0)) AS BIGINT) AS divd
+        |  FROM v),
+        |gb AS (SELECT g, (c // divd) * divd AS lo_c,
+        |    (c // divd) * divd + divd - 1 AS hi_c, count(*) AS n
+        |  FROM k GROUP BY 1, 2, 3),
+        |o AS (SELECT g, lo_c, hi_c,
+        |    sum(n) OVER (PARTITION BY g ORDER BY lo_c) AS cum FROM gb),
+        |tot AS (SELECT g, count(*) AS total FROM v GROUP BY 1),
+        |t(q_bp) AS (VALUES (5000),(9900)),
+        |r AS (SELECT tot.g, CAST(q_bp AS BIGINT) AS q_bp,
+        |    greatest(1, (q_bp * total + 9999) // 10000) AS rk FROM t, tot),
+        |sel AS (SELECT r.g, q_bp, min(lo_c) AS lo_c
+        |  FROM r JOIN o ON o.g = r.g AND o.cum >= r.rk GROUP BY 1, 2)
+        |SELECT sel.g AS l_returnflag, q_bp, o.lo_c, o.hi_c
+        |FROM sel JOIN o ON o.g = sel.g AND o.lo_c = sel.lo_c
+        |ORDER BY 1, 2""".stripMargin,
     "q_stats_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -162,6 +162,29 @@ class StatsSpec extends AnyFunSuite {
       Seq(5000L)).count() == 0L)
   }
 
+  test("decHistQuantilesByGroup: per-group brackets contain each group's exact quantile") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 3000).map { i =>
+      val g = s"g${i % 3}"
+      (g, ((i * 7919) % 5000).toDouble / 10.0 + 0.01)
+    }
+    val df = rows.toDF("g", "v")
+    val got = Stats.decHistQuantilesByGroup(df, "g", "v",
+      Seq(2500L, 7500L), prefixLen = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val cents = members.map(m => math.floor(m._2 * 100 + 0.5).toLong).sorted
+      Seq(2500L, 7500L).foreach { q =>
+        val exact = cents(
+          math.max(1L, (q * cents.size + 9999L) / 10000L).toInt - 1)
+        val (lo, hi) = got((g, q))
+        assert(lo <= exact && exact <= hi, s"$g q=$q: $exact not in [$lo,$hi]")
+      }
+    }
+  }
+
   test("decHistQuantiles: partitioning does not change the histogram answer") {
     val s = spark; import s.implicits._
     val vals = (1 to 2000).map(i => (i * 37 % 997).toDouble + 0.5)
