@@ -330,10 +330,19 @@ object AdtParser {
       case t => throw new AdtParseException(s"expected literal, found $t")
     }
 
+    // recursion guard: pathological nesting must fail as a parse error,
+    // not a StackOverflowError that kills the serving thread (found by
+    // ParserFuzzSpec with 5000 nested parens)
+    private var parenDepth = 0
+
     private def operand(): Expr = cur match {
       case Sym("(") =>
         pos += 1
+        parenDepth += 1
+        if (parenDepth > 200)
+          throw new AdtParseException("expression nesting too deep (> 200)")
         val e = orExpr()
+        parenDepth -= 1
         expectSym(")")
         e
       case Str(_) | Num(_) => literal()

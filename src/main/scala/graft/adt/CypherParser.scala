@@ -407,8 +407,19 @@ object CypherParser {
       case _ => atomExpr()
     }
 
+    // recursion guard shared by the two paren-grouping sites: deep
+    // nesting must throw AdtParseException, never StackOverflowError
+    private var parenDepth = 0
+    private def enterParen(): Unit = {
+      parenDepth += 1
+      if (parenDepth > 200)
+        throw new AdtParseException("expression nesting too deep (> 200)")
+    }
+
     private def atomExpr(): Expr = cur match {
-      case Sym("(") => pos += 1; val e = valueExpr(); expectSym(")"); e
+      case Sym("(") =>
+        pos += 1; enterParen()
+        val e = valueExpr(); parenDepth -= 1; expectSym(")"); e
       case Str(_) | Num(_) => literal()
       // `[x IN src ...]` list comprehension vs `[lit, ...]` list literal —
       // disambiguated by the `ident IN` prefix
@@ -583,7 +594,9 @@ object CypherParser {
         // expression heading a comparison (`(t.x + 1) * 2 > 3`): parse the
         // group, then continue into a comparison suffix if one follows
         pos += 1
+        enterParen()
         val e = orExpr()
+        parenDepth -= 1
         expectSym(")")
         return cmpSuffix(cur match {
           case Sym("*" | "/" | "%" | "+") => arithTail(e)
