@@ -141,10 +141,25 @@ final class QueryService(graph: TwinGraph,
 
     val (effectiveQuery, skip, pinId) = continuationToken match {
       case Some(tok) =>
-        val node = Json.parse(new String(Base64.getDecoder.decode(tok), "UTF-8"))
-        val query = node.get("query").asText()
-        val pin = Option(node.get("pin")).map(_.asText()).getOrElse(query)
-        (query, node.get("rowNumber").asLong(), pin)
+        // a malformed token (truncated base64, non-JSON, missing fields)
+        // is a CLIENT error: decode failures of any shape become the
+        // typed 400, never a NullPointerException → 500
+        try {
+          val node = Json.parse(
+            new String(Base64.getDecoder.decode(tok), "UTF-8"))
+          val qn = node.get("query")
+          val rn = node.get("rowNumber")
+          if (qn == null || !qn.isTextual || rn == null || !rn.isNumber)
+            throw new IllegalArgumentException("missing/mistyped fields")
+          val query = qn.asText()
+          val pin = Option(node.get("pin")).map(_.asText()).getOrElse(query)
+          (query, rn.asLong(), pin)
+        } catch {
+          case _: AdtPlanException => throw new AdtPlanException(
+            "invalid continuation token")
+          case scala.util.control.NonFatal(_) => throw new AdtPlanException(
+            "invalid continuation token")
+        }
       case None => (q, 0L, java.util.UUID.randomUUID().toString)
     }
 

@@ -149,4 +149,21 @@ class QueryServiceSpec extends AnyFunSuite {
       .collect()(0).getInt(2)
     assert(d == 24)
   }
+
+  test("malformed continuation tokens are a typed client error, never a 500") {
+    val bad = Seq(
+      "not-base64!!",                                            // decode fails
+      java.util.Base64.getEncoder.encodeToString(
+        "this is not json".getBytes("UTF-8")),                   // parse fails
+      java.util.Base64.getEncoder.encodeToString(
+        "{}".getBytes("UTF-8")),                                 // fields missing
+      java.util.Base64.getEncoder.encodeToString(
+        """{"query": null, "rowNumber": "NaN"}""".getBytes("UTF-8")))
+    bad.foreach { tok =>
+      val e = intercept[AdtPlanException] {
+        svc.query("SELECT T FROM DIGITALTWINS T", 10, Some(tok))
+      }
+      assert(e.getMessage.contains("continuation token"), s"token $tok: $e")
+    }
+  }
 }
