@@ -201,9 +201,24 @@ object JsonPatch {
     val n = Json.parse(patchJson)
     require(n.isArray, "patch must be a JSON array")
     n.elements().asScala.map { op =>
+      // malformed ops (non-object element, missing/mistyped op or path)
+      // must surface as the IllegalArgumentException the HTTP layer maps
+      // to 400 — not a NullPointerException 500
+      require(op.isObject, s"patch op must be an object, got $op")
+      val opName = op.get("op")
+      val path = op.get("path")
+      require(opName != null && opName.isTextual, s"missing/mistyped 'op' in $op")
+      require(path != null && path.isTextual, s"missing/mistyped 'path' in $op")
+      val needsValue = Set("add", "replace", "test")(opName.asText())
+      require(!needsValue || op.has("value"),
+        s"'${opName.asText()}' op requires a 'value' member")
+      val needsFrom = Set("copy", "move")(opName.asText())
+      require(!needsFrom ||
+          (op.get("from") != null && op.get("from").isTextual),
+        s"'${opName.asText()}' op requires a textual 'from' member")
       PatchOp(
-        op = op.get("op").asText(),
-        path = op.get("path").asText(),
+        op = opName.asText(),
+        path = path.asText(),
         value = if (op.has("value")) op.get("value") else null,
         from = if (op.has("from")) op.get("from").asText() else null)
     }.toSeq

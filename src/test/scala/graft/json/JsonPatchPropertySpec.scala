@@ -61,4 +61,39 @@ class JsonPatchPropertySpec extends AnyFunSuite {
     assert(patch.map(_.path) == Seq("/x~1y"))
     assert(JsonPatch.apply(oldDoc, patch) == newDoc)
   }
+
+  test("malformed patch documents are typed client errors, never NPEs") {
+    // the PATCH route maps IllegalArgumentException to 400; any other
+    // escape (NPE on a missing member) would be a 500
+    val bad = Seq(
+      """[1]""",                                      // non-object op
+      """[{"path": "/x"}]""",                         // missing op
+      """[{"op": 3, "path": "/x"}]""",                // mistyped op
+      """[{"op": "add"}]""",                          // missing path
+      """[{"op": "add", "path": "/x"}]""",            // add without value
+      """[{"op": "replace", "path": "/x"}]""",        // replace without value
+      """[{"op": "test", "path": "/x"}]""",           // test without value
+      """[{"op": "move", "path": "/x"}]""",           // move without from
+      """[{"op": "copy", "path": "/x", "from": 1}]""" // mistyped from
+    )
+    bad.foreach { p =>
+      intercept[IllegalArgumentException](JsonPatch.parseOps(p))
+    }
+    // a remove needs no value and still parses
+    assert(JsonPatch.parseOps("""[{"op":"remove","path":"/x"}]""").size == 1)
+  }
+
+  test("fuzz: parseOps over op-shaped soup is parse-or-IllegalArgument") {
+    val opSoup: org.scalacheck.Gen[String] = for {
+      op <- Gen.oneOf("\"add\"", "\"remove\"", "\"move\"", "\"test\"",
+        "\"frobnicate\"", "1", "null")
+      path <- Gen.oneOf("\"/a\"", "\"\"", "\"nope\"", "3", "null")
+      extra <- Gen.oneOf("", ",\"value\":1", ",\"from\":\"/b\"",
+        ",\"value\":null,\"from\":7")
+    } yield s"""[{"op":$op,"path":$path$extra}]"""
+    check(Prop.forAll(opSoup) { p =>
+      try { JsonPatch.parseOps(p); true }
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
 }
