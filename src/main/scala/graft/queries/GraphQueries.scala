@@ -231,6 +231,16 @@ object GraphQueries {
       graft.graph.Sssp.distances(
           GraphViews.graph(s, d).relationships, source = "R0", rounds = 6)
         .orderBy(col("node"))
+    }),
+
+    // Label-propagation communities: 3 deterministic mode-label rounds
+    // (most frequent neighbor label, min-value tie-break) over the
+    // undirected place graph — the dense-core split one level past
+    // connected components; the oracle replays each round in SQL.
+    "q_graph_lpa" -> ((s, d) => {
+      graft.graph.LabelPropagation.communities(
+          GraphViews.graph(s, d).relationships, rounds = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -460,8 +470,30 @@ object GraphQueries {
          |FROM pairs p
          |JOIN $twinsSql tc ON tc.dt_id = p.center
          |JOIN $twinsSql tx ON tx.dt_id = p.context
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_graph_lpa" ->
+      s"""WITH ${lpaCtes(3)}
+         |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin
   )
+
+  /** LPA unrolled: per round a neighbor-label vote count and a
+    * (count desc, label asc) argmax — the identical deterministic
+    * mode-with-min-tie-break as [[graft.graph.LabelPropagation]]. */
+  private def lpaCtes(rounds: Int): String = {
+    val base =
+      s"""e AS (SELECT source_id AS node, target_id AS nbr FROM $relsSql r
+         |      UNION SELECT target_id, source_id FROM $relsSql r2),
+         |l0 AS (SELECT DISTINCT node,
+         |  CAST(('0x'||substr(md5(node),1,15)) AS BIGINT) AS lab FROM e)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""v$k AS (SELECT e.node, l.lab, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON l.node = e.nbr GROUP BY 1, 2),
+         |l$k AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
+         |  FROM v$k) WHERE rn = 1)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** HITS unrolled: per iteration an authority half-step from h{k-1} and
     * a hub half-step from a{k}, each sum-normalized with the identical
