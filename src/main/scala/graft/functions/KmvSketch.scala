@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{array_intersect, array_sort,
+  array_union, size, slice, udaf}
+import org.apache.spark.sql.types.LongType
 
 /** KMV (k-minimum-values) distinct-count sketch as a typed Spark
   * [[Aggregator]] — the brief "custom aggregate" case: the state is the
@@ -51,6 +53,41 @@ object KmvSketch {
   /** DataFrame-facing aggregate column: `kmv(16)(hashCol)`. */
   def kmv(k: Int)(hashes: Column): Column =
     udaf(Kmv(k), Encoders.LONG).apply(hashes)
+
+  /** KMV set-operation surface — the reason KMV beats HLL for corpus
+    * overlap audits: because the state is the bottom-k HASH SET itself,
+    * sketches compose under set algebra. `bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) = bottom-k(A ∪ B)` (any hash excluded from both
+    * bottom-k's exceeds both k-th minima, hence exceeds the union's),
+    * so a union sketch — and from it union cardinality, Jaccard, and
+    * intersection estimates (Beyer et al., "On synopses for
+    * distinct-value estimation under multiset operations", SIGMOD 2007)
+    * — is computed from two finished sketches without re-touching the
+    * data. Engine-exact and order-independent like the sketch itself. */
+  def merge(k: Int)(a: Column, b: Column): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Jaccard numerator: merged-sketch hashes seen in BOTH inputs —
+    * `|A ∩ B ∩ U_k|` for the estimator `J ≈ |A∩B∩U_k| / |U_k|`. */
+  def commonInMerged(merged: Column, a: Column, b: Column): Column =
+    size(array_intersect(merged, array_intersect(a, b))).cast(LongType)
+
+  /** Jaccard estimate from two finished sketches. */
+  def jaccardEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    val merged = (a ++ b).distinct.sorted.take(k)
+    if (merged.isEmpty) 0.0
+    else {
+      val as = a.toSet; val bs = b.toSet
+      merged.count(h => as(h) && bs(h)).toDouble / merged.size
+    }
+  }
+
+  /** Intersection-cardinality estimate: `J · |A ∪ B|` with the union
+    * cardinality taken from the merged sketch. */
+  def intersectionEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    val merged = (a ++ b).distinct.sorted.take(k)
+    jaccardEstimate(a, b, k) * estimate(merged, k)
+  }
 
   /** Distinct-count estimate from a finished sketch: exact below k
     * (the sketch saw every distinct hash), (k-1)/u_k above it, where

@@ -112,6 +112,32 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // KMV set operations: pairwise audience-overlap between event types
+    // from finished sketches alone — union sketch (bottom-k of the two
+    // hash sets), its k-th minimum (→ union cardinality), and the
+    // Jaccard numerator |A∩B∩U_k|. The sketch table is per-type tiny, so
+    // the pair join is a broadcast; the raw events are touched exactly
+    // once to build the sketches.
+    "q_sketch_kmv_setops" -> ((s, d) => {
+      val sk = Td.events(s, d)
+        .select(col("event_type"), graft.pipeline.TextAnalysis
+          .stableId(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.kmv(16)(col("h")).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      val merged = graft.functions.KmvSketch.merge(16)(col("ska"), col("skb"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), merged.as("u"),
+          col("ska"), col("skb"))
+        .select(col("type_a"), col("type_b"),
+          size(col("u")).cast("long").as("n_union"),
+          element_at(col("u"), -1).as("kth_union"),
+          graft.functions.KmvSketch
+            .commonInMerged(col("u"), col("ska"), col("skb")).as("n_common"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Count-Min frequency sketch: bounded depth×width counter grid whose
     // STATE is deterministic (md5 double hashing + commutative adds, vs
     // count_min_sketch's opaque binary) — the oracle rebuilds the exact
@@ -325,6 +351,33 @@ object EventQueries {
         |SELECT event_type, CAST(least(n, 16) AS BIGINT) AS n_sketch,
         |  hv AS kth_hash
         |FROM r WHERE rn = least(n, 16) ORDER BY event_type""".stripMargin,
+    "q_sketch_kmv_setops" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+        |    AS hv FROM events),
+        |r AS (SELECT event_type, hv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hv) rn FROM h),
+        |sk AS (SELECT event_type, hv FROM r WHERE rn <= 16),
+        |p AS (SELECT a.event_type ta, b.event_type tb
+        |  FROM (SELECT DISTINCT event_type FROM h) a
+        |  JOIN (SELECT DISTINCT event_type FROM h) b
+        |    ON a.event_type < b.event_type),
+        |uu AS (SELECT p.ta, p.tb, s.hv FROM p JOIN sk s ON s.event_type = p.ta
+        |       UNION
+        |       SELECT p.ta, p.tb, s.hv FROM p JOIN sk s ON s.event_type = p.tb),
+        |ur AS (SELECT ta, tb, hv,
+        |  row_number() OVER (PARTITION BY ta, tb ORDER BY hv) rn FROM uu),
+        |us AS (SELECT * FROM ur WHERE rn <= 16),
+        |i AS (SELECT u.ta, u.tb, count(*) c FROM us u
+        |      JOIN sk a ON a.event_type = u.ta AND a.hv = u.hv
+        |      JOIN sk b ON b.event_type = u.tb AND b.hv = u.hv
+        |      GROUP BY 1, 2)
+        |SELECT us.ta AS type_a, us.tb AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  max(us.hv) AS kth_union,
+        |  CAST(coalesce(any_value(i.c), 0) AS BIGINT) AS n_common
+        |FROM us LEFT JOIN i ON i.ta = us.ta AND i.tb = us.tb
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_e10_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
         |  count(*) AS n,

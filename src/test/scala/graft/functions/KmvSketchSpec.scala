@@ -52,4 +52,44 @@ class KmvSketchSpec extends AnyFunSuite {
         .agg(kmv(16)(col("h"))).collect()(0).getSeq[Long](0)
     assert(sketchOf(1) == sketchOf(7), "merge order must not matter")
   }
+
+  test("merge of two sketches equals the sketch of the concatenated data") {
+    def sketchOf(lo: Int, hi: Int, k: Int): Seq[Long] =
+      (lo to hi).toDF("v")
+        .select(graft.pipeline.TextAnalysis.stableId(col("v").cast("string")).as("h"))
+        .agg(kmv(k)(col("h"))).collect()(0).getSeq[Long](0)
+    val whole = sketchOf(1, 3000, 32)
+    // overlapping halves: 1..2000 and 1500..3000
+    val a = sketchOf(1, 2000, 32)
+    val b = sketchOf(1500, 3000, 32)
+    val mergedDf = Seq((a, b)).toDF("ska", "skb")
+      .select(merge(32)(col("ska"), col("skb")).as("u"))
+    val merged = mergedDf.collect()(0).getSeq[Long](0)
+    assert(merged == whole, "bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A∪B)")
+    // commonInMerged counts only hashes present in BOTH sketches
+    val nCommon = Seq((a, b)).toDF("ska", "skb")
+      .select(commonInMerged(merge(32)(col("ska"), col("skb")),
+        col("ska"), col("skb")).as("c")).collect()(0).getLong(0)
+    assert(nCommon >= 0 && nCommon <= 32)
+    assert(nCommon == merged.count(h => a.contains(h) && b.contains(h)))
+  }
+
+  test("jaccard/intersection estimates land near truth on a known overlap") {
+    // |A| = 4000 (1..4000), |B| = 4000 (2001..6000), |A∩B| = 2000,
+    // |A∪B| = 6000 → J = 1/3
+    def sketchOf(lo: Int, hi: Int): Seq[Long] =
+      (lo to hi).toDF("v")
+        .select(graft.pipeline.TextAnalysis.stableId(col("v").cast("string")).as("h"))
+        .agg(kmv(256)(col("h"))).collect()(0).getSeq[Long](0)
+    val a = sketchOf(1, 4000)
+    val b = sketchOf(2001, 6000)
+    val j = jaccardEstimate(a, b, 256)
+    assert(math.abs(j - 1.0 / 3) < 0.1, s"jaccard $j vs 1/3")
+    val inter = intersectionEstimate(a, b, 256)
+    assert(math.abs(inter - 2000) / 2000.0 < 0.3, s"intersection $inter vs 2000")
+    // degenerate: disjoint sketches estimate zero overlap
+    assert(jaccardEstimate(Seq(1L, 2L), Seq(5L, 6L), 4) == 0.0)
+    assert(intersectionEstimate(Seq(1L, 2L), Seq(5L, 6L), 4) == 0.0)
+    assert(jaccardEstimate(Nil, Nil, 4) == 0.0)
+  }
 }
