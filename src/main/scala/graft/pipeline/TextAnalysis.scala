@@ -192,6 +192,54 @@ object TextAnalysis {
         coalesce(col("bits_sum"), lit(0L)).as("bits_sum"))
   }
 
+  /** DSIR-style importance score (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): rank raw
+    * documents by how target-like their HASHED n-gram bag looks —
+    * per-token importance is the log-ratio of the token's hashed-bucket
+    * frequency under the target slice vs the whole corpus, and a doc's
+    * score is the sum over its token occurrences. The hashing is the
+    * paper's core scaling trick: both "LMs" collapse to `buckets`
+    * integers, so scoring is one broadcast join per token, no vocabulary
+    * shuffle.
+    *
+    * Arithmetic is the house integer bit-score (`ilog2(c_tgt(b)+1) −
+    * ilog2(c_raw(b)+1)` per bucket, `ilog2 = length(bin(x))−1`) — exact
+    * on any engine, same trade as [[unigramLmScore]]: a monotone
+    * integer proxy for the float log-ratio, which preserves the ranking
+    * signal resampling actually consumes. Add-one keeps empty buckets
+    * finite. Output `(id, n_tokens, dsir_bits)`; resample by weighting
+    * docs ∝ 2^(dsir_bits/n_tokens) or just take top-k by normalized
+    * bits.
+    *
+    * Scale shape: one token explode over the corpus (the target slice is
+    * a filter of the same pass, not a second scan), two
+    * map-side-combinable bucket counts of ≤ `buckets` rows each, one
+    * broadcast join of occurrences against the ≤ `buckets`-row weight
+    * table, one per-doc rollup. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tok = df.select(col(idCol).as("doc"), isTarget.as("tgt"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("doc"), col("tgt"),
+        pmod(stableId(col("t")), lit(buckets.toLong)).as("bkt"))
+    val counts = tok.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast(LongType)
+    val weights = counts.select(col("bkt"),
+      (ilog2(col("c_tgt") + 1) - ilog2(col("c_raw") + 1)).as("w"))
+    val scored = tok
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("dsir_bits"))
+    df.select(col(idCol))
+      .join(scored.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
+  }
+
   /** Tiny per-language marker dictionaries for the n-gram/stopword language
     * ID heuristic. Deliberately small: the operator's value is the
     * scalable argmax-join shape, not lexicon quality. */

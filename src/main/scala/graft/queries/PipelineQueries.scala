@@ -176,6 +176,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance scores (hashed-bucket log-ratio vs the en slice):
+    // the data-selection signal for "sample raw docs that look like the
+    // target corpus" — integer bit-scores, broadcast weight table.
+    "q_pipeline_dsir" -> ((s, d) => {
+      TextAnalysis.dsirScore(Td.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocklist screening: ONE Aho-Corasick pass per doc over the whole
     // phrase list (vs one contains-scan per phrase) — membership witness
     // joined '|' so the oracle compares a plain string column.
@@ -639,6 +648,23 @@ object PipelineQueries {
         |        CAST(sum(bits) AS BIGINT) bits_sum FROM w GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
         |  coalesce(bits_sum, 0) AS bits_sum
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pipeline_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+        |  CAST(('0x'||substr(md5(unnest(string_split(text,' '))),1,15))
+        |    AS BIGINT) % 256 AS bkt FROM documents),
+        |cnt AS (SELECT bkt, count(*) c_raw,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) c_tgt
+        |        FROM tok GROUP BY 1),
+        |w AS (SELECT bkt, (length(bin(c_tgt + 1)) - 1)
+        |             - (length(bin(c_raw + 1)) - 1) AS w FROM cnt),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+        |        CAST(sum(w.w) AS BIGINT) dsir_bits
+        |        FROM tok JOIN w USING (bkt) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(dsir_bits, 0) AS dsir_bits
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

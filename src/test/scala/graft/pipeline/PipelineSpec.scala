@@ -1016,6 +1016,23 @@ class PipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("dsirScore: hand-computed hashed-bucket bit-ratios vs the target slice") {
+    // vocab {aa, bb} lands in distinct buckets at 4096 (md5-derived).
+    // c_raw(aa)=4, c_tgt(aa)=3 → w = fl2(5)-fl2(5) = 0... computed below:
+    // w(aa) = fl2(3+1) - fl2(4+1) = 2 - 2 = 0
+    // w(bb) = fl2(0+1) - fl2(2+1) = 0 - 1 = -1
+    // doc1 "aa aa aa" → (3, 0); doc2 "bb" → (1, -1); doc3 "aa bb" → (2, -1)
+    val d = Seq((1L, "aa aa aa", "en"), (2L, "bb", "fr"), (3L, "aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirScore(d, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 1L, -1L), (3L, 2L, -1L)), s"got $got")
+    // ranking signal: the target-like doc scores strictly higher per token
+    val norm = got.map { case (id, n, b) => id -> b.toDouble / n }.toMap
+    assert(norm(1L) > norm(2L))
+  }
+
   test("splitLeakage surfaces exactly the cross-boundary near-dup pairs") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
