@@ -219,4 +219,102 @@ object Multimodal {
         (crc32(concat(bytesCol, i.cast("string").cast("binary"))) % 1000)
           .cast("double") / 1000.0).as("feature"))
   }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint over REAL decoded
+    * pixels — the image-side analogue of SimHash for near-duplicate
+    * screening of an image corpus: re-encodes, minor recompression, and
+    * small edits move few bits, so Hamming distance ranks perceptual
+    * similarity. The pixel decode is genuine (`ImageIO.read`, every
+    * JDK-registered format); the hash arithmetic is pure integers —
+    * Rec.601 luma in milli-units (`299·R + 587·G + 114·B`), an 8×8 block
+    * grid with pixel→block mapping `bi = x·8/w`, and bit `i` set iff
+    * block mean > global mean compared by exact cross-multiplication
+    * (BigInt, so a gigapixel image cannot overflow) — so the same pixels
+    * hash identically on any engine. Bit layout: block (bi, bj) → bit
+    * `bj·8+bi`. Images smaller than the 8×8 grid (or undecodable
+    * payloads) yield None. */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) return None
+      val w = img.getWidth; val h = img.getHeight
+      val bs = new Array[Long](64); val bc = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val bj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          val gray = ((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+            (v & 0xff) * 114L
+          val idx = bj * 8 + x * 8 / w
+          bs(idx) += gray; bc(idx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val ts = BigInt(bs.sum); val tc = BigInt(w.toLong * h)
+      var hash = 0L; var i = 0
+      while (i < 64) {
+        if (BigInt(bs(i)) * tc > ts * BigInt(bc(i))) hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType)))
+
+  /** Batch perceptual hashing: (media_id, phash) with NULL for
+    * undecodable/too-small payloads; same per-partition batch shape as
+    * [[decode]] — scan-speed over an image corpus, no shuffle. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0),
+          aHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+      })
+    spark.createDataFrame(rows, phashSchema)
+  }
+
+  /** Perceptual near-duplicate pairs by banded Hamming LSH: the 64-bit
+    * hash splits into `maxHamming + 1` contiguous bit bands, so any pair
+    * within the Hamming budget collides on at least one intact band
+    * (pigeonhole — the same recall argument as MinHash banding), the
+    * band-equality equi-join proposes candidates, and an exact
+    * `bit_count(a XOR b)` verify keeps precision. No all-pairs stage:
+    * cost is O(corpus + collisions), the banded-dedup discipline of
+    * [[Dedup]]. Output (id_a, id_b, hamming), id_a < id_b, distinct. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val bands = maxHamming + 1
+    val hashed = perceptualHash(media).filter(col("phash").isNotNull)
+    val banded = hashed.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map { b =>
+        val lo = b * 64 / bands; val hi = (b + 1) * 64 / bands
+        struct(lit(b).as("band"),
+          // sign-safe: unsigned shift then mask to the band's width
+          shiftrightunsigned(col("phash"), lo)
+            .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -395,6 +395,41 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Perceptual hash over a REAL pixel decode (ImageIO) of the
+    // deterministic PNG gradient fixtures — the oracle replays the same
+    // integer aHash arithmetic from the generator formula, never touching
+    // a codec. Split into unsigned 32-bit halves (a 64-bit hash with bit
+    // 63 set would be sign-mangled in a BIGINT compare).
+    "q_multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].map(id => (id, Multimodal.pngFixture(
+          (8 + id % 24).toInt, (8 + id % 16).toInt)))
+        .toDF("media_id", "content")
+      Multimodal.perceptualHash(media)
+        .select(col("media_id"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("phash_lo"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Banded-Hamming perceptual near-dup: the fixture corpus plants
+    // exact repeats (ids 48..59 regenerate ids 0..11's dimensions, hence
+    // identical gradients); the banded join + bit_count verify must
+    // return exactly the Hamming≤2 pairs the oracle finds by replaying
+    // every hash.
+    "q_multimodal_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].map(id => (id, Multimodal.pngFixture(
+          (8 + id % 24).toInt, (8 + id % 16).toInt)))
+        .toDF("media_id", "content")
+      Multimodal.phashNearDup(media, maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // End-to-end curation verdict: language + quality + exact-dedup
     // survivor election composed in one plan, per-doc reject reason.
     "q_pipeline_curate" -> ((s, d) => {
@@ -589,6 +624,36 @@ object PipelineQueries {
       |          ORDER BY list_distance(sub_vec::DOUBLE[], cb_vec::DOUBLE[]), cb_id) rn
       |        FROM sub JOIN cb USING (subspace)),
       |codes AS (SELECT vec_id, subspace, cb_id code FROM asg WHERE rn = 1)""".stripMargin
+
+  /** aHash oracle prefix: replay the PNG-gradient fixture's pixels from
+    * the generator formula and fold them through the exact integer aHash
+    * arithmetic of [[graft.pipeline.Multimodal.aHash64]], ending in
+    * unsigned 32-bit halves (hl). */
+  private val phashCtes =
+    """ids AS (SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) w,
+      |        CAST(8 + doc_id % 16 AS BIGINT) h
+      |        FROM documents ORDER BY doc_id LIMIT 60),
+      |xs AS (SELECT unnest(generate_series(0, 31)) AS x),
+      |ys AS (SELECT unnest(generate_series(0, 23)) AS y),
+      |g AS (SELECT doc_id, w, h, x, y,
+      |        ((x*31 + y*17) // 256 % 256) * 587
+      |          + ((x*31 + y*17) % 256) * 114 AS gray,
+      |        (y*8)//h*8 + (x*8)//w AS idx
+      |      FROM ids, xs, ys WHERE x < w AND y < h),
+      |b AS (SELECT doc_id, idx, sum(gray) s, count(*) c
+      |      FROM g GROUP BY 1, 2),
+      |t AS (SELECT doc_id, sum(gray) ts, count(*) tc FROM g GROUP BY 1),
+      |bits AS (SELECT b.doc_id, idx,
+      |         CASE WHEN b.s * t.tc > t.ts * b.c THEN 1 ELSE 0 END bt
+      |         FROM b JOIN t USING (doc_id)),
+      |hl AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN idx < 32
+      |          THEN CAST(bt AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+      |          AS phash_lo,
+      |        CAST(sum(CASE WHEN idx >= 32
+      |          THEN CAST(bt AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT)
+      |          AS phash_hi
+      |       FROM bits GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = {
     val base = Map(
@@ -1437,7 +1502,27 @@ object PipelineQueries {
         |    WHEN 1 THEN 100 + doc_id % 900
         |    ELSE octet_length(encode('text-' || CAST(doc_id AS VARCHAR))) % 30 + 1
         |    END AS INT) n_frames
-        |FROM ids ORDER BY media_id""".stripMargin
+        |FROM ids ORDER BY media_id""".stripMargin,
+
+    // aHash replayed closed-form: the PNG fixture pixel is
+    // rgb = x·31+y·17 (< 2^16, so R = 0), Rec.601 milli-luma, 8×8 block
+    // grid bi = x·8/w, bit = block mean > global mean by exact
+    // cross-multiplication. Shared CTE prefix for the hash and near-dup
+    // oracles.
+    "q_multimodal_phash" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id AS media_id, phash_lo, phash_hi
+         |FROM hl ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      s"""WITH $phashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+         |     + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+         |FROM hl a JOIN hl b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+         |    + bit_count(xor(a.phash_hi, b.phash_hi)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
     )
     // The at-rest IVF+PQ gate answers the SAME question as q_pq_ivf (the
     // parquet round-trip of the codes index must be semantically

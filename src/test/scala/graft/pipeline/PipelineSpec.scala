@@ -193,6 +193,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getLong(4) == wav.length.toLong)
   }
 
+  test("aHash64: real pixel decode matches the closed-form reference") {
+    // independent reimplementation straight from the fixture formula
+    def refHash(w: Int, h: Int): Long = {
+      val bs = new Array[Long](64); val bc = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        val gray = ((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+          (v & 0xff) * 114L
+        val idx = y * 8 / h * 8 + x * 8 / w
+        bs(idx) += gray; bc(idx) += 1
+      }
+      val ts = BigInt(bs.sum); val tc = BigInt(w.toLong * h)
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (BigInt(bs(i)) * tc > ts * BigInt(bc(i))) acc | (1L << i) else acc
+      }
+    }
+    for ((w, h) <- Seq((8, 8), (31, 23), (17, 9)))
+      assert(Multimodal.aHash64(Multimodal.pngFixture(w, h))
+        .contains(refHash(w, h)), s"($w,$h)")
+    // container-invariance: identical pixels re-encoded as BMP hash the same
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngFixture(16, 12)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(Multimodal.aHash64(bos.toByteArray) ==
+      Multimodal.aHash64(Multimodal.pngFixture(16, 12)))
+    // an inverted gradient is perceptually far
+    val inv = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      inv.setRGB(x, y, 0xffffff - ((x * 31 + y * 17) & 0xffffff))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(inv, "png", bos2)
+    val d = java.lang.Long.bitCount(
+      Multimodal.aHash64(bos2.toByteArray).get ^
+        Multimodal.aHash64(Multimodal.pngFixture(16, 12)).get)
+    assert(d > 16, s"inverted image should be far, hamming $d")
+    // degenerate payloads yield None, never throw
+    assert(Multimodal.aHash64(Multimodal.pngFixture(7, 12)).isEmpty, "sub-grid")
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.aHash64(null).isEmpty)
+    assert(Multimodal.aHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  test("phashNearDup returns exactly the brute-force Hamming pairs") {
+    // corpus: two exact perceptual dups (same gradient, different
+    // container), a lightly perturbed copy, and unrelated sizes
+    val base = Multimodal.pngFixture(24, 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val dup = bos.toByteArray
+    val pert = {
+      // whiten a 2×2 patch: brightens block (0,0) decisively while
+      // barely moving the global mean, so few OTHER bits flip (aHash
+      // bits are mean-relative — a large bright patch would shift every
+      // block's comparison)
+      val p = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 2; x <- 0 until 2) p.setRGB(x, y, 0xffffff)
+      val b2 = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(p, "png", b2); b2.toByteArray
+    }
+    val corpus = Seq(
+      (1L, base), (2L, dup), (3L, pert),
+      (4L, Multimodal.pngFixture(30, 20)), (5L, Multimodal.pngFixture(9, 21)),
+      (6L, "corrupt".getBytes)) // undecodable rows are skipped, not fatal
+    val media = corpus.toDF("media_id", "content")
+    val hashes = corpus.flatMap { case (id, b) =>
+      Multimodal.aHash64(b).map(id -> _) }.toMap
+    def brute(t: Int) = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= t
+    } yield (a, b, d.toLong)).toSet
+    for (t <- Seq(0, 2, 6)) {
+      val got = Multimodal.phashNearDup(media, maxHamming = t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(t), s"t=$t: got $got expected ${brute(t)}")
+    }
+    // the exact-dup pair is present at t=0; the perturbed copy sits at a
+    // small positive distance
+    assert(brute(0).map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // the linear-gradient fixture puts every block mean CLOSE to the
+    // global mean, so even a tiny mean shift flips several borderline
+    // bits — the perturbed copy lands at a middling distance on this
+    // worst-case image, while still well under the ~32 expected of an
+    // unrelated image (cf. the inverted-gradient assertion above)
+    val d13 = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    assert(d13 > 0 && d13 < 20,
+      s"perturbed copy should be nearer than unrelated, got $d13")
+    intercept[IllegalArgumentException](Multimodal.phashNearDup(media, 16))
+  }
+
   test("minhash banding rejects a numHashes/bands remainder") {
     val ex = intercept[IllegalArgumentException](
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 12, 0.5))
