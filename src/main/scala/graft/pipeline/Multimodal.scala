@@ -265,6 +265,84 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit audio energy fingerprint over REAL decoded PCM — the audio
+    * analogue of [[aHash64]]: the stream decodes through
+    * `AudioSystem.getAudioInputStream` (WAV/AIFF/AU, 8- or 16-bit PCM),
+    * frames fold into 64 time windows (`w = frame·64/n`), each window's
+    * summed amplitude deviation compares against the global mean by
+    * exact cross-multiplication, and bit `w` is set iff the window is
+    * louder than average. Re-containering and constant-gain-preserving
+    * edits keep bits stable; silence insertion and re-cuts move few.
+    * Multi-channel frames sum |deviation| across channels (no division —
+    * stays integer). Streams shorter than 64 frames, non-PCM encodings,
+    * and undecodable payloads yield None. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed &&
+            enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return None
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None
+        val ch = fmt.getChannels
+        val frameBytes = (bits / 8) * ch
+        val data = in.readAllBytes()
+        val n = data.length / frameBytes
+        if (n < 64) return None
+        val ws = new Array[Long](64); val wc = new Array[Long](64)
+        var f = 0
+        while (f < n) {
+          val w = (f.toLong * 64 / n).toInt
+          var amp = 0L
+          var c = 0
+          while (c < ch) {
+            val off = f * frameBytes + c * (bits / 8)
+            val dev =
+              if (bits == 8) {
+                val u = data(off) & 0xff
+                if (signed) math.abs(data(off).toLong) else math.abs(u - 128L)
+              } else {
+                val lo = data(off) & 0xff; val hi = data(off + 1) & 0xff
+                val raw = if (fmt.isBigEndian) (data(off) << 8) | hi
+                  else (data(off + 1) << 8) | lo
+                if (signed) math.abs(raw.toLong)
+                else math.abs(((raw & 0xffff).toLong) - 32768L)
+              }
+            amp += dev
+            c += 1
+          }
+          ws(w) += amp; wc(w) += 1
+          f += 1
+        }
+        val ts = BigInt(ws.sum); val tc = BigInt(n)
+        var hash = 0L; var i = 0
+        while (i < 64) {
+          if (BigInt(ws(i)) * tc > ts * BigInt(wc(i))) hash |= 1L << i
+          i += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch audio fingerprinting: (media_id, phash) — same shape and
+    * NULL degradation as [[perceptualHash]]; feed to [[hashNearDup]]. */
+  def audioHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0),
+          audioHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+      })
+    spark.createDataFrame(rows, phashSchema)
+  }
+
   val phashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("phash", LongType)))
@@ -282,19 +360,25 @@ object Multimodal {
     spark.createDataFrame(rows, phashSchema)
   }
 
-  /** Perceptual near-duplicate pairs by banded Hamming LSH: the 64-bit
-    * hash splits into `maxHamming + 1` contiguous bit bands, so any pair
-    * within the Hamming budget collides on at least one intact band
-    * (pigeonhole — the same recall argument as MinHash banding), the
-    * band-equality equi-join proposes candidates, and an exact
-    * `bit_count(a XOR b)` verify keeps precision. No all-pairs stage:
-    * cost is O(corpus + collisions), the banded-dedup discipline of
-    * [[Dedup]]. Output (id_a, id_b, hamming), id_a < id_b, distinct. */
-  def phashNearDup(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+  /** Perceptual near-duplicate pairs over image payloads: [[aHash64]]
+    * then [[hashNearDup]]. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 2): DataFrame =
+    hashNearDup(perceptualHash(media), maxHamming)
+
+  /** Near-duplicate pairs for ANY 64-bit fingerprint table
+    * (media_id, phash) by banded Hamming LSH: the 64-bit hash splits
+    * into `maxHamming + 1` contiguous bit bands, so any pair within the
+    * Hamming budget collides on at least one intact band (pigeonhole —
+    * the same recall argument as MinHash banding), the band-equality
+    * equi-join proposes candidates, and an exact `bit_count(a XOR b)`
+    * verify keeps precision. No all-pairs stage: cost is
+    * O(corpus + collisions), the banded-dedup discipline of [[Dedup]].
+    * Output (id_a, id_b, hamming), id_a < id_b, distinct. */
+  def hashNearDup(fingerprints: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     val bands = maxHamming + 1
-    val hashed = perceptualHash(media).filter(col("phash").isNotNull)
+    val hashed = fingerprints.filter(col("phash").isNotNull)
     val banded = hashed.select(col("media_id"), col("phash"),
       explode(array((0 until bands).map { b =>
         val lo = b * 64 / bands; val hi = (b + 1) * 64 / bands

@@ -430,6 +430,24 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Audio energy fingerprint over a REAL PCM decode (AudioSystem) of
+    // the deterministic WAV fixtures — the oracle replays the window
+    // arithmetic from the sample formula ((i·7) mod 256 − 128 as
+    // unsigned 8-bit → deviation m or 256−m), codec untouched.
+    "q_multimodal_audiohash" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].map(id =>
+          (id, Multimodal.wavFixture((100 + id % 900).toInt)))
+        .toDF("media_id", "content")
+      Multimodal.audioHash(media)
+        .select(col("media_id"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("phash_lo"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"))
+        .orderBy(col("media_id"))
+    }),
+
     // End-to-end curation verdict: language + quality + exact-dedup
     // survivor election composed in one plan, per-doc reject reason.
     "q_pipeline_curate" -> ((s, d) => {
@@ -1522,7 +1540,36 @@ object PipelineQueries {
          |FROM hl a JOIN hl b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
          |    + bit_count(xor(a.phash_hi, b.phash_hi)) <= 2
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // audioHash64 replayed closed-form: the WAV fixture's 8-bit unsigned
+    // sample i deviates from center by m when m < 128 else 256−m
+    // (m = (i·7) mod 256); 64 time windows w = i·64/n, window-vs-global
+    // mean by exact cross-multiplication — identical bit packing to the
+    // image hash.
+    "q_multimodal_audiohash" ->
+      """WITH ids AS (SELECT doc_id, CAST(100 + doc_id % 900 AS BIGINT) n
+        |        FROM documents ORDER BY doc_id LIMIT 60),
+        |fr AS (SELECT unnest(generate_series(0, 998)) AS i),
+        |a AS (SELECT doc_id, n, (i*64)//n AS w,
+        |        CASE WHEN (i*7) % 256 < 128 THEN (i*7) % 256
+        |             ELSE 256 - (i*7) % 256 END AS amp
+        |      FROM ids, fr WHERE i < n),
+        |b AS (SELECT doc_id, w, sum(amp) s, count(*) c FROM a GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(amp) ts, count(*) tc FROM a GROUP BY 1),
+        |bits AS (SELECT b.doc_id, w AS idx,
+        |         CASE WHEN b.s * t.tc > t.ts * b.c THEN 1 ELSE 0 END bt
+        |         FROM b JOIN t USING (doc_id)),
+        |hl AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN idx < 32
+        |          THEN CAST(bt AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+        |          AS phash_lo,
+        |        CAST(sum(CASE WHEN idx >= 32
+        |          THEN CAST(bt AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT)
+        |          AS phash_hi
+        |       FROM bits GROUP BY 1)
+        |SELECT doc_id AS media_id, phash_lo, phash_hi
+        |FROM hl ORDER BY media_id""".stripMargin
     )
     // The at-rest IVF+PQ gate answers the SAME question as q_pq_ivf (the
     // parquet round-trip of the codes index must be semantically

@@ -285,6 +285,51 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.phashNearDup(media, 16))
   }
 
+  test("audioHash64: real PCM decode matches the closed-form reference") {
+    def refHash(n: Int): Long = {
+      val ws = new Array[Long](64); val wc = new Array[Long](64)
+      for (i <- 0 until n) {
+        val m = (i * 7) % 256
+        val amp = if (m < 128) m.toLong else 256L - m
+        val w = i * 64 / n
+        ws(w) += amp; wc(w) += 1
+      }
+      val ts = BigInt(ws.sum); val tc = BigInt(n)
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (BigInt(ws(i)) * tc > ts * BigInt(wc(i))) acc | (1L << i) else acc
+      }
+    }
+    for (n <- Seq(64, 100, 999))
+      assert(Multimodal.audioHash64(Multimodal.wavFixture(n))
+        .contains(refHash(n)), s"n=$n")
+    // 16-bit signed stereo goes through the same window fold: a DC-offset
+    // alternating pattern has all windows equal → no bit strictly above
+    // the mean → hash 0 (deterministic, format-specific path exercised)
+    val fmt16 = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm16 = Array.tabulate[Byte](256 * 4)(i => if (i % 2 == 0) 1 else 0)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm16), fmt16, 256L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioHash64(bos.toByteArray).contains(0L))
+    // degenerate payloads yield None, never throw
+    assert(Multimodal.audioHash64(Multimodal.wavFixture(63)).isEmpty, "short")
+    assert(Multimodal.audioHash64("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioHash64(null).isEmpty)
+    // hashNearDup generalizes: audio fingerprints feed the same banded
+    // join; the repeated fixture is found at Hamming 0
+    val media = Seq(
+      (1L, Multimodal.wavFixture(500)), (2L, Multimodal.wavFixture(500)),
+      (3L, Multimodal.wavFixture(730))).toDF("media_id", "content")
+    val pairs = Multimodal.hashNearDup(Multimodal.audioHash(media), 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._2 == 3L && p._3 == 0L && p._1 == 1L) ||
+      Multimodal.audioHash64(Multimodal.wavFixture(730)) ==
+        Multimodal.audioHash64(Multimodal.wavFixture(500)))
+  }
+
   test("minhash banding rejects a numHashes/bands remainder") {
     val ex = intercept[IllegalArgumentException](
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 12, 0.5))
