@@ -491,4 +491,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucket counts must combine map-side:\n$p")
     assert(df.count() == 1L)
   }
+
+  test("q_pipeline_dsir: bucket-weight table broadcasts, counts combine map-side") {
+    val p = plan("q_pipeline_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=256-row weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must combine map-side:\n$p")
+  }
+
+  test("q_graph_lpa: every round is equi-join + combinable aggregate") {
+    val p = plan("q_graph_lpa")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"vote rounds must stay equi-joins:\n$p")
+    // the argmax is one min-of-struct aggregate, never a window sort
+    assert(!p.contains("Window"), s"no per-node window sort:\n$p")
+  }
+
+  test("phashNearDup: banded candidates via equi-join, no all-pairs stage") {
+    import spark.implicits._
+    val media = (1L to 6L).map(i =>
+        (i, graft.pipeline.Multimodal.pngFixture(8 + i.toInt, 8 + i.toInt)))
+      .toDF("media_id", "content")
+    val p = graft.pipeline.Multimodal.phashNearDup(media, maxHamming = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH must propose candidates by equi-join:\n$p")
+  }
 }
