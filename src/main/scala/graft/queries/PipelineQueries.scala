@@ -430,6 +430,22 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Composition: perceptual near-dup pairs feed the SAME star-contraction
+    // components machinery the text corpus uses — image dup GROUPS, not
+    // just pairs, which is what a curation survivor rule consumes. Proves
+    // the multimodal surface plugs into the dedup layer unchanged.
+    "q_multimodal_dupgroups" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].map(id => (id, Multimodal.pngFixture(
+          (8 + id % 24).toInt, (8 + id % 16).toInt)))
+        .toDF("media_id", "content")
+      val pairs = Multimodal.phashNearDup(media, maxHamming = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.components(pairs).orderBy(col("doc"))
+    }),
+
     // Audio energy fingerprint over a REAL PCM decode (AudioSystem) of
     // the deterministic WAV fixtures — the oracle replays the window
     // arithmetic from the sample formula ((i·7) mod 256 − 128 as
@@ -1541,6 +1557,21 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
          |    + bit_count(xor(a.phash_hi, b.phash_hi)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_dupgroups" ->
+      s"""WITH RECURSIVE $phashCtes,
+         |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM hl a JOIN hl b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+         |      + bit_count(xor(a.phash_hi, b.phash_hi)) <= 2),
+         |sym AS (SELECT doc_a a, doc_b b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc, min(b) AS component FROM reach
+         |GROUP BY a ORDER BY doc""".stripMargin,
 
     // audioHash64 replayed closed-form: the WAV fixture's 8-bit unsigned
     // sample i deviates from center by m when m < 128 else 256−m
