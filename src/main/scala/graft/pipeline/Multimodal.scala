@@ -265,6 +265,66 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint — the
+    * standard complement to [[aHash64]]: a 9×8 grid of block means
+    * (`ci = x·9/w`, `rj = y·8/h`) and bit `rj·8+ci` set iff block
+    * (ci, rj) is brighter than its RIGHT neighbor (ci+1, rj), compared
+    * by exact cross-multiplication. Because every comparison is LOCAL,
+    * dHash is robust exactly where aHash is brittle: on smooth-gradient
+    * images whose block means all hug the global mean, a small edit
+    * flips many aHash bits (each is mean-relative) but only the dHash
+    * bits of blocks the edit touches. Same decode path, same integer
+    * contract; images narrower than 9 or shorter than 8 yield None. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
+      val w = img.getWidth; val h = img.getHeight
+      val bs = Array.ofDim[Long](8, 9); val bc = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val rj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          val gray = ((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+            (v & 0xff) * 114L
+          val ci = x * 9 / w
+          bs(rj)(ci) += gray; bc(rj)(ci) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var rj = 0
+      while (rj < 8) {
+        var ci = 0
+        while (ci < 8) {
+          if (BigInt(bs(rj)(ci)) * BigInt(bc(rj)(ci + 1)) >
+              BigInt(bs(rj)(ci + 1)) * BigInt(bc(rj)(ci)))
+            hash |= 1L << (rj * 8 + ci)
+          ci += 1
+        }
+        rj += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Batch difference-hashing: (media_id, phash) — same shape and NULL
+    * degradation as [[perceptualHash]]; feed to [[hashNearDup]]. */
+  def differenceHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0),
+          dHash64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+      })
+    spark.createDataFrame(rows, phashSchema)
+  }
+
   /** 64-bit audio energy fingerprint over REAL decoded PCM — the audio
     * analogue of [[aHash64]]: the stream decodes through
     * `AudioSystem.getAudioInputStream` (WAV/AIFF/AU, 8- or 16-bit PCM),

@@ -430,6 +430,23 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Difference hash over the same REAL pixel decode — neighbor-local
+    // comparisons where aHash is global-mean-relative; fixtures start at
+    // width 9 (dHash's 9-column grid minimum).
+    "q_multimodal_dhash" -> ((s, d) => {
+      import s.implicits._
+      val ids = Td.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(60)
+      val media = ids.as[Long].map(id => (id, Multimodal.pngFixture(
+          (9 + id % 23).toInt, (8 + id % 16).toInt)))
+        .toDF("media_id", "content")
+      Multimodal.differenceHash(media)
+        .select(col("media_id"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("phash_lo"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"))
+        .orderBy(col("media_id"))
+    }),
+
     // Composition: perceptual near-dup pairs feed the SAME star-contraction
     // components machinery the text corpus uses — image dup GROUPS, not
     // just pairs, which is what a curation survivor rule consumes. Proves
@@ -1557,6 +1574,38 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
          |    + bit_count(xor(a.phash_hi, b.phash_hi)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // dHash replayed closed-form: same pixel formula, 9×8 block-mean
+    // grid, bit = block brighter than its right neighbor by exact
+    // cross-multiplication.
+    "q_multimodal_dhash" ->
+      """WITH ids AS (SELECT doc_id, CAST(9 + doc_id % 23 AS BIGINT) w,
+        |        CAST(8 + doc_id % 16 AS BIGINT) h
+        |        FROM documents ORDER BY doc_id LIMIT 60),
+        |xs AS (SELECT unnest(generate_series(0, 31)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 23)) AS y),
+        |g AS (SELECT doc_id, w, h, x, y,
+        |        ((x*31 + y*17) // 256 % 256) * 587
+        |          + ((x*31 + y*17) % 256) * 114 AS gray,
+        |        (x*9)//w AS ci, (y*8)//h AS rj
+        |      FROM ids, xs, ys WHERE x < w AND y < h),
+        |b AS (SELECT doc_id, rj, ci, sum(gray) s, count(*) c
+        |      FROM g GROUP BY 1, 2, 3),
+        |bits AS (SELECT l.doc_id, l.rj*8 + l.ci AS idx,
+        |         CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END bt
+        |         FROM b l JOIN b r ON r.doc_id = l.doc_id
+        |           AND r.rj = l.rj AND r.ci = l.ci + 1
+        |         WHERE l.ci < 8),
+        |hl AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN idx < 32
+        |          THEN CAST(bt AS BIGINT) << idx ELSE 0 END) AS BIGINT)
+        |          AS phash_lo,
+        |        CAST(sum(CASE WHEN idx >= 32
+        |          THEN CAST(bt AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT)
+        |          AS phash_hi
+        |       FROM bits GROUP BY 1)
+        |SELECT doc_id AS media_id, phash_lo, phash_hi
+        |FROM hl ORDER BY media_id""".stripMargin,
 
     "q_multimodal_dupgroups" ->
       s"""WITH RECURSIVE $phashCtes,

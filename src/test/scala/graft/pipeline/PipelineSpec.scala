@@ -285,6 +285,44 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.phashNearDup(media, 16))
   }
 
+  test("dHash64: closed-form reference; neighbor-local bits resist gradients") {
+    def refHash(w: Int, h: Int): Long = {
+      val bs = Array.ofDim[Long](8, 9); val bc = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        val gray = ((v >> 16) & 0xff) * 299L + ((v >> 8) & 0xff) * 587L +
+          (v & 0xff) * 114L
+        bs(y * 8 / h)(x * 9 / w) += gray; bc(y * 8 / h)(x * 9 / w) += 1
+      }
+      var hash = 0L
+      for (rj <- 0 until 8; ci <- 0 until 8)
+        if (BigInt(bs(rj)(ci)) * BigInt(bc(rj)(ci + 1)) >
+            BigInt(bs(rj)(ci + 1)) * BigInt(bc(rj)(ci)))
+          hash |= 1L << (rj * 8 + ci)
+      hash
+    }
+    for ((w, h) <- Seq((9, 8), (31, 23), (24, 16)))
+      assert(Multimodal.dHash64(Multimodal.pngFixture(w, h))
+        .contains(refHash(w, h)), s"($w,$h)")
+    // the aHash spec showed a 2x2 whitened patch flips ~10 mean-relative
+    // bits on this gradient; dHash's neighbor comparisons localize the
+    // damage to the touched blocks
+    val base = Multimodal.pngFixture(27, 16)
+    val pert = {
+      val p = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 2; x <- 0 until 2) p.setRGB(x, y, 0xffffff)
+      val b2 = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(p, "png", b2); b2.toByteArray
+    }
+    val dD = java.lang.Long.bitCount(
+      Multimodal.dHash64(base).get ^ Multimodal.dHash64(pert).get)
+    assert(dD > 0 && dD <= 4, s"dHash damage should stay local, got $dD")
+    // width-9 minimum: an 8-wide image cannot fill the 9-column grid
+    assert(Multimodal.dHash64(Multimodal.pngFixture(8, 16)).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    assert(Multimodal.dHash64(null).isEmpty)
+  }
+
   test("audioHash64: real PCM decode matches the closed-form reference") {
     def refHash(n: Int): Long = {
       val ws = new Array[Long](64); val wc = new Array[Long](64)
