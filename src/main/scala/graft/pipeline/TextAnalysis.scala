@@ -192,6 +192,32 @@ object TextAnalysis {
         coalesce(col("bits_sum"), lit(0L)).as("bits_sum"))
   }
 
+  /** Token-entropy score — Shannon diversity of the document's token
+    * histogram in exact integer bit-units: `n·ilog2(n) − Σ_tok
+    * c_tok·ilog2(c_tok)` (the integer-floor analogue of `n·H` via
+    * `H = log n − (1/n)Σ c·log c`, `ilog2 = length(bin(x))−1`). Low
+    * entropy relative to length flags keyword stuffing, boilerplate
+    * loops, and template spam — the diversity complement to the
+    * repetition score (which detects ADJACENT repeats; entropy sees
+    * global token reuse regardless of position). Integer-exact on any
+    * engine, same contract as [[unigramLmScore]].
+    *
+    * Scale shape: one explode, one combinable (doc, token) count, one
+    * per-doc rollup — no windows, no joins, scan-bound at corpus
+    * scale. */
+  def tokenEntropyBits(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val flog2 = (c: Column) => (length(bin(c)) - 1).cast(LongType)
+    val cnt = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * flog2(col("c"))).as("s1"))
+      .select(col("doc").as(idCol), col("n").as("n_tokens"),
+        (col("n") * flog2(col("n")) - col("s1")).as("entropy_bits"))
+  }
+
   /** DSIR-style importance score (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): rank raw
     * documents by how target-like their HASHED n-gram bag looks —

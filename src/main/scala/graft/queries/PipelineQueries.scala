@@ -176,6 +176,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-entropy diversity (integer bit-units): global token-reuse
+    // signal complementing the adjacent-repeat detector.
+    "q_text_entropy" -> ((s, d) => {
+      TextAnalysis.tokenEntropyBits(Td.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance scores (hashed-bucket log-ratio vs the en slice):
     // the data-selection signal for "sample raw docs that look like the
     // target corpus" — integer bit-scores, broadcast weight table.
@@ -766,6 +773,17 @@ object PipelineQueries {
         |  coalesce(bits_sum, 0) AS bits_sum
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n,
+        |      CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) s1
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(n * (length(bin(n)) - 1) - s1 AS BIGINT) AS entropy_bits
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_dsir" ->
       """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,

@@ -1191,6 +1191,19 @@ class PipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("tokenEntropyBits: hand-computed; stuffing scores below diverse text") {
+    // doc 1 "a b c d": n=4, all c=1 → bits = 4·2 − 0 = 8
+    // doc 2 "a a a a": n=4, c=4 → bits = 8 − 4·2 = 0 (pure stuffing)
+    // doc 3 "a a b b": n=4, two c=2 → bits = 8 − (2·1 + 2·1) = 4
+    // doc 4 "solo": n=1 → 0
+    val d = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a b b"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyBits(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 8L), (2L, 4L, 0L), (3L, 4L, 4L), (4L, 1L, 0L)),
+      s"got $got")
+  }
+
   test("dsirScore: hand-computed hashed-bucket bit-ratios vs the target slice") {
     // vocab {aa, bb} lands in distinct buckets at 4096 (md5-derived).
     // c_raw(aa)=4, c_tgt(aa)=3 → w = fl2(5)-fl2(5) = 0... computed below:
