@@ -241,6 +241,19 @@ object GraphQueries {
       graft.graph.LabelPropagation.communities(
           GraphViews.graph(s, d).relationships, rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    // Personalized PageRank from region seeds over the REVERSED place
+    // graph (trust flows root→leaf; the forward graph would strand all
+    // teleport mass at the sink regions) — the TrustRank curation
+    // pattern, integer micro-units, oracle replays every round.
+    "q_graph_ppr" -> ((s, d) => {
+      val rels = GraphViews.graph(s, d).relationships
+        .select(col("target_id").as("source_id"),
+          col("source_id").as("target_id"))
+      graft.graph.PageRank.personalizedRanks(rels, Seq("R0", "R1"),
+          iterations = 3)
+        .orderBy(col("node"))
     })
   )
 
@@ -473,7 +486,38 @@ object GraphQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_graph_lpa" ->
       s"""WITH ${lpaCtes(3)}
-         |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin
+         |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin,
+    "q_graph_ppr" ->
+      s"""WITH edges AS (SELECT DISTINCT target_id AS source_id,
+         |               source_id AS target_id FROM $relsSql r),
+         |nodes AS (SELECT source_id AS node FROM edges
+         |          UNION SELECT target_id FROM edges),
+         |nc AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT source_id, count(*) AS od FROM edges GROUP BY 1),
+         |ew AS (SELECT e.source_id, e.target_id, od
+         |       FROM edges e JOIN outdeg o USING (source_id)),
+         |pr0 AS (SELECT node, CAST(CASE WHEN node IN ('R0','R1')
+         |        THEN 1000000 * (SELECT n FROM nc) // 2 ELSE 0 END
+         |        AS BIGINT) AS r FROM nodes),
+         |c1 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr0 ON pr0.node = ew.source_id GROUP BY 1),
+         |pr1 AS (SELECT n.node, CAST(CASE WHEN n.node IN ('R0','R1')
+         |        THEN 150000 * (SELECT n FROM nc) // 2 ELSE 0 END
+         |        + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c1 USING (node)),
+         |c2 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr1 ON pr1.node = ew.source_id GROUP BY 1),
+         |pr2 AS (SELECT n.node, CAST(CASE WHEN n.node IN ('R0','R1')
+         |        THEN 150000 * (SELECT n FROM nc) // 2 ELSE 0 END
+         |        + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c2 USING (node)),
+         |c3 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr2 ON pr2.node = ew.source_id GROUP BY 1),
+         |pr3 AS (SELECT n.node, CAST(CASE WHEN n.node IN ('R0','R1')
+         |        THEN 150000 * (SELECT n FROM nc) // 2 ELSE 0 END
+         |        + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c3 USING (node))
+         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a

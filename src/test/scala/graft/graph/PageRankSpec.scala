@@ -60,4 +60,26 @@ class PageRankSpec extends AnyFunSuite {
     assert(once == Map("a" -> 1127500L, "b" -> 1108375L,
       "c" -> 1614125L, "d" -> 150000L), s"got $once")
   }
+
+  test("personalized: mass stays near the seed, off-seed islands score zero") {
+    // chain s -> m -> f plus a disconnected island x -> y; seed = {s}.
+    // N = 5, so seed init = 5,000,000 and per-round seed teleport 750,000.
+    val g = edges(("s", "m"), ("m", "f"), ("x", "y"))
+    def ppr(k: Int) = PageRank.personalizedRanks(g, Seq("s"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val r1 = ppr(1)
+    // round 1: m gets 85% of s's 5,000,000; f and the island get nothing
+    assert(r1("s") == 750000L, s"got $r1")
+    assert(r1("m") == 85L * 5000000L / 100L)
+    assert(r1("f") == 0L && r1("x") == 0L && r1("y") == 0L)
+    val r2 = ppr(2)
+    // round 2: the pulse reaches f (85% of m's round-1 mass); the island
+    // still holds zero — self-endorsing spam cannot manufacture trust
+    assert(r2("f") == 85L * r1("m") / 100L, s"got $r2")
+    assert(r2("x") == 0L && r2("y") == 0L)
+    // determinism + seed validation
+    assert(ppr(2) == ppr(2))
+    intercept[IllegalArgumentException](
+      PageRank.personalizedRanks(g, Nil, 1))
+  }
 }
