@@ -443,6 +443,28 @@ object CypherParser {
       case _ => propRef()
     }
 
+    private val listPredFns = Set("ANY", "ALL", "NONE", "SINGLE")
+
+    /** `any/all/none/single(x IN src WHERE p)` → a size comparison over
+      * `[x IN src WHERE p]` (NOT p for `all`, which asserts zero
+      * counterexamples). */
+    private def parseListPredicate(kind: String): Expr = {
+      pos += 2 // fn (
+      val v = ident()
+      expectKw("IN")
+      val src = valueExpr()
+      expectKw("WHERE")
+      val pred = orExpr()
+      expectSym(")")
+      def kept(p: Expr) = FnCall("SIZE", List(ListComp(v, src, Some(p), None)))
+      kind match {
+        case "ANY"    => Cmp(">", kept(pred), NumLit(0, isInt = true))
+        case "ALL"    => Cmp("=", kept(Not(pred)), NumLit(0, isInt = true))
+        case "NONE"   => Cmp("=", kept(pred), NumLit(0, isInt = true))
+        case "SINGLE" => Cmp("=", kept(pred), NumLit(1, isInt = true))
+      }
+    }
+
     /** `[x IN src (WHERE pred)? (| out)?]` — filter and projection both
       * optional per openCypher. */
     private def parseListComp(): ListComp = {
@@ -645,6 +667,15 @@ object CypherParser {
         if (edge.vle.isDefined) throw new AdtParseException(
           "variable-length edges inside EXISTS patterns are not supported")
         return ExistsPattern(edge)
+      }
+      // any/all/none/single(x IN src WHERE p) list predicates — desugared
+      // at parse into SIZE over the equivalent list comprehension, so the
+      // planner sees only shapes it already compiles (openCypher 9 §4.2
+      // quantifier semantics over the comprehension's kept elements)
+      cur match {
+        case Ident(f) if listPredFns(f.toUpperCase) && nxt == Sym("(") =>
+          return parseListPredicate(f.toUpperCase)
+        case _ =>
       }
       // [graphname.]is_of_model(alias, 'model' | graphname.model_and_descendants('m'))
       // — the AGE function surface (docs/concepts/querying.mdx:33,

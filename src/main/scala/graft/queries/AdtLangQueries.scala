@@ -284,6 +284,23 @@ object AdtLangQueries {
           "ORDER BY id")
     }),
 
+    // openCypher list-predicate quantifiers any/all/none/single —
+    // desugared at parse into SIZE over list comprehensions; the WHERE
+    // keeps customers whose bucket lands strictly inside 1..6 via
+    // single(), and the projected flags exercise the other three.
+    "q_cypher_listpred" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "AND t.acctbal >= 0 " +
+          "WITH t.`$dtId` AS id, toInteger(t.acctbal) % 7 AS n " +
+          "WHERE single(x IN range(1, 6) WHERE x = n) " +
+          "RETURN id, toInteger(n) AS n, " +
+          "toInteger(CASE WHEN any(x IN range(1, n) WHERE x % 3 = 0) THEN 1 ELSE 0 END) AS has3, " +
+          "toInteger(CASE WHEN all(x IN range(1, n) WHERE x < 4) THEN 1 ELSE 0 END) AS below4, " +
+          "toInteger(CASE WHEN none(x IN range(1, n) WHERE x > 4) THEN 1 ELSE 0 END) AS none5 " +
+          "ORDER BY id")
+    }),
+
     // openCypher statistics aggregates (AGE executes these natively):
     // stdev/stdevP on exact integer cents, percentileDisc (smallest value
     // at cumulative ≥ q, row_number oracle), percentileCont (linear
@@ -490,6 +507,18 @@ object AdtLangQueries {
         |SELECT id, n*(n+1)//2 AS tri, CAST((n+1)//2 AS INT) AS odds,
         |  CAST(1 AS BIGINT) AS first_v, n AS last_v
         |FROM b ORDER BY id""".stripMargin,
+
+    // quantifier truth tables over range(1, n), n in 1..6:
+    // any x%3=0 ⇔ n>=3; all x<4 ⇔ n<=3; none x>4 ⇔ n<=4
+    "q_cypher_listpred" ->
+      """WITH b AS (SELECT 'C' || c_custkey AS id,
+        |  CAST(trunc(c_acctbal) AS BIGINT) % 7 AS n
+        |  FROM customer WHERE c_acctbal >= 0)
+        |SELECT id, n,
+        |  CAST(CASE WHEN n >= 3 THEN 1 ELSE 0 END AS BIGINT) AS has3,
+        |  CAST(CASE WHEN n <= 3 THEN 1 ELSE 0 END AS BIGINT) AS below4,
+        |  CAST(CASE WHEN n <= 4 THEN 1 ELSE 0 END AS BIGINT) AS none5
+        |FROM b WHERE n BETWEEN 1 AND 6 ORDER BY id""".stripMargin,
 
     "q_cypher_nodes" ->
       """SELECT 'N' || n_nationkey AS src,

@@ -824,4 +824,23 @@ class CypherSpec extends AnyFunSuite {
     assert(rows(0).getSeq[String](0).toList == List("a", "x", "b"))
     assert(rows(0).getSeq[String](1).toList == List("e1", "e2"))
   }
+
+  test("any/all/none/single list predicates (openCypher quantifiers)") {
+    // fixture twins: earth, moon1, kepler, sun
+    assert(count("MATCH (t:Twin) WHERE any(x IN ['earth','nope'] " +
+      "WHERE x = t.`$dtId`) RETURN t") == 1)
+    // all: every element of range(1,3) below the twin count ⇔ always true
+    assert(count("MATCH (t:Twin) WHERE all(x IN range(1, 3) WHERE x <= 3) " +
+      "RETURN t") == 4)
+    assert(count("MATCH (t:Twin) WHERE all(x IN range(1, 4) WHERE x <= 3) " +
+      "RETURN t") == 0)
+    assert(count("MATCH (t:Twin) WHERE none(x IN range(1, 3) WHERE x > 5) " +
+      "RETURN t") == 4)
+    assert(count("MATCH (t:Twin) WHERE single(x IN range(1, 5) " +
+      "WHERE x % 4 = 0) RETURN t") == 4)
+    // composes under NOT, with the bound entity feeding the source list
+    // (list literals hold literals only, so derive the list from a prop)
+    assert(count("MATCH (t:Twin) WHERE NOT any(x IN split(t.`$dtId`, ',') " +
+      "WHERE x = 'earth') RETURN t") == 3)
+  }
 }
