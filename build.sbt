@@ -18,6 +18,12 @@ run / fork := true
 // the forked process's final line last; task success still lands in the exit
 // code, which is what the driver checks.
 Global / showSuccess := false
+// ...but suppressing the epilogue is only half: sbt routes forked-process
+// stdout through its logger, which prefixes every line with "[info] " —
+// so the tail line became `[info] {"metric":...}` (the r12 artifact).
+// StdoutOutput passes the forked JVM's stdout through verbatim, making the
+// bare JSON record the literal last captured line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not by any task, so the
 // unused-key lint can't see the usage.
 Global / excludeLintKeys += showSuccess

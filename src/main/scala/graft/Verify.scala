@@ -53,10 +53,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Loud-failure manifest: every registered query name plus per-query
+    // Loud-failure manifest: every EXECUTED query name plus per-query
     // error text, so any compare (or human) can detect a shrunken run by
-    // diffing |manifest| against |green rows|.
-    val manifest = SparkEntry.queries.keys.map(q).mkString("[", ",", "]")
+    // diffing |manifest| against |green rows|. Under SPARK_GRAFT_ONLY the
+    // manifest lists only the selected queries AND stale outputs of
+    // unselected queries are deleted — otherwise a prior full run's
+    // parquet would validate green for queries this run never executed,
+    // masking regressions during builder iteration.
+    if (only.isDefined) {
+      val keep = selected.keySet
+      SparkEntry.queries.keys.filterNot(keep).foreach { name =>
+        val dir = new java.io.File(outDir, s"$name.parquet")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
+      }
+    }
+    val manifest = selected.keys.map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")

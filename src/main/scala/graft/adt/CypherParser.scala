@@ -58,9 +58,17 @@ object CypherParser {
       case t => throw new AdtParseException(s"expected '$s', found $t")
     }
     private def ident(): String = advance() match {
-      case Ident(s) => s
+      case Ident(s) => checkNotReserved(s)
       case t => throw new AdtParseException(s"expected identifier, found $t")
     }
+    /** User identifiers may not collide with the internal anonymous-node
+      * prefix: RETURN * (and other places) filter `__cnode*` as
+      * planner-internal, so a user binding with that name would be
+      * silently dropped instead of projected — reject it at parse time. */
+    private def checkNotReserved(s: String): String =
+      if (s.startsWith("__cnode")) throw new AdtParseException(
+        s"identifier '$s' uses the reserved internal prefix __cnode")
+      else s
 
     private var anon = 0
     private def freshAnon(): String = { anon += 1; s"__cnode$anon" }
@@ -151,6 +159,11 @@ object CypherParser {
         pos += 1
         if (pipeline.nonEmpty) throw new AdtParseException(
           "RETURN * after a WITH/UNWIND stage is not supported")
+        // openCypher RETURN * means ALL named variables in scope — a bound
+        // path variable silently disappearing would diverge; error loudly
+        // like the pipeline case until path projection lands here.
+        if (edges.exists(_.pathAlias.isDefined)) throw new AdtParseException(
+          "RETURN * with a path variable is not supported; RETURN the path explicitly")
         val named = collection.mutable.LinkedHashSet[String]()
         loneNodes.filterNot(_.startsWith("__cnode")).foreach(named += _)
         edges.foreach { e =>
@@ -249,7 +262,7 @@ object CypherParser {
         var shortest = false
         (cur, nxt) match {
           case (Ident(p), Sym("=")) =>
-            pathAlias = Some(p); pos += 2
+            pathAlias = Some(checkNotReserved(p)); pos += 2
             if (isKw(cur, "shortestPath")) { shortest = true; pos += 1; expectSym("(") }
           case _ =>
         }
@@ -299,7 +312,7 @@ object CypherParser {
     private def parseNode(): String = {
       expectSym("(")
       val alias = cur match {
-        case Ident(s) => pos += 1; s
+        case Ident(s) => pos += 1; checkNotReserved(s)
         case _ => freshAnon()
       }
       if (cur == Sym(":")) { pos += 1; ident() } // swallow label
@@ -445,9 +458,16 @@ object CypherParser {
 
     private val listPredFns = Set("ANY", "ALL", "NONE", "SINGLE")
 
-    /** `any/all/none/single(x IN src WHERE p)` → a size comparison over
-      * `[x IN src WHERE p]` (NOT p for `all`, which asserts zero
-      * counterexamples). */
+    /** `any/all/none/single(x IN src WHERE p)` → size comparisons over
+      * `[x IN src WHERE p]`. NULL-predicate contract (a comprehension
+      * DROPS elements whose predicate is NULL, exactly like a WHERE row):
+      * each desugaring counts only definite matches, so an element whose
+      * predicate is NULL can never satisfy `all`/`none`/`single` — the
+      * quantifier yields false where openCypher ternary logic yields NULL.
+      * In the WHERE position (the only place the planner accepts these),
+      * false and NULL both filter the row, so observable semantics match
+      * AGE/openCypher. Pre-r13, `all` counted NULLs as non-counterexamples
+      * (size([x WHERE NOT p])=0) and diverged: all-NULL predicates passed. */
     private def parseListPredicate(kind: String): Expr = {
       pos += 2 // fn (
       val v = ident()
@@ -457,11 +477,19 @@ object CypherParser {
       val pred = orExpr()
       expectSym(")")
       def kept(p: Expr) = FnCall("SIZE", List(ListComp(v, src, Some(p), None)))
+      val total = FnCall("SIZE", List(src))
       kind match {
+        // ∃ definite true
         case "ANY"    => Cmp(">", kept(pred), NumLit(0, isInt = true))
-        case "ALL"    => Cmp("=", kept(Not(pred)), NumLit(0, isInt = true))
-        case "NONE"   => Cmp("=", kept(pred), NumLit(0, isInt = true))
-        case "SINGLE" => Cmp("=", kept(pred), NumLit(1, isInt = true))
+        // every element definitely true (a NULL shrinks the kept count)
+        case "ALL"    => Cmp("=", kept(pred), total)
+        // every element definitely false
+        case "NONE"   => Cmp("=", kept(Not(pred)), total)
+        // exactly one definite true, all others definitely false
+        case "SINGLE" => And(
+          Cmp("=", kept(pred), NumLit(1, isInt = true)),
+          Cmp("=", kept(Not(pred)),
+            Arith("-", total, NumLit(1, isInt = true))))
       }
     }
 

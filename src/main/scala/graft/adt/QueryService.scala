@@ -152,7 +152,14 @@ final class QueryService(graph: TwinGraph,
           if (qn == null || !qn.isTextual || rn == null || !rn.isNumber)
             throw new IllegalArgumentException("missing/mistyped fields")
           val query = qn.asText()
-          val pin = Option(node.get("pin")).map(_.asText()).getOrElse(query)
+          // pin is optional but, when present, must be textual like the
+          // other fields: Jackson's asText() on an object/array returns ""
+          // — a mistyped pin would silently degrade to an empty snapshot
+          // key instead of the typed 400
+          val pinNode = node.get("pin")
+          if (pinNode != null && !pinNode.isTextual)
+            throw new IllegalArgumentException("mistyped pin")
+          val pin = Option(pinNode).map(_.asText()).getOrElse(query)
           (query, rn.asLong(), pin)
         } catch {
           case _: AdtPlanException => throw new AdtPlanException(

@@ -41,17 +41,27 @@ object Hits {
       * pre-shrink by s = t div 1e6 + 1 so the ·1e6 product never
       * overflows a long (raw sums are ≤ 1e6·degree; x·1e6 alone would
       * overflow once Σx > ~9e12). Both divisions truncate
-      * deterministically, and the oracle replays the same two steps. */
+      * deterministically, and the oracle replays the same two steps.
+      * The RAW frame is checkpointed first, so the half-step's join+agg
+      * executes exactly once: the scalar-sum collect and the normalized
+      * output both read the materialized blocks (pre-r13 the collect ran
+      * the un-checkpointed join+agg and the caller's checkpoint re-ran
+      * it — doubling every half-step). Returns an eagerly-checkpointed
+      * frame; the raw intermediate's blocks are freed before returning. */
     def normalize(df: DataFrame): DataFrame = {
-      val row = df.agg(sum(col("x"))).collect()(0)
+      val raw = df.localCheckpoint(eager = true)
+      val row = raw.agg(sum(col("x"))).collect()(0)
       // empty frame sums to NULL, an all-zero vector to 0 — both degrade
       // to divisor 1 (scores stay zero / no rows)
       val total = if (row.isNullAt(0)) 0L else row.getLong(0)
       val t = if (total == 0L) 1L else total
       val s = t / 1000000L + 1L
       val ts = t / s
-      df.select(col("node"),
+      val out = raw.select(col("node"),
         expr(s"((x div ${s}L) * 1000000L) div ${ts}L").as("x"))
+        .localCheckpoint(eager = true)
+      Blocks.free(raw)
+      out
     }
 
     var hubs = nodes.withColumn("x", lit(1000000L))
@@ -63,9 +73,8 @@ object Hits {
         .join(hubs.select(col("node").as("source_id"), col("x")), Seq("source_id"))
         .groupBy(col("target_id").as("node")).agg(sum(col("x")).as("x"))
       val aNext = normalize(
-          nodes.join(aRaw, Seq("node"), "left_outer")
-            .select(col("node"), coalesce(col("x"), lit(0L)).as("x")))
-        .localCheckpoint(eager = true)
+        nodes.join(aRaw, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("x"), lit(0L)).as("x")))
       if (auths != null) Blocks.free(auths)
       auths = aNext
       // hub step: h(u) = Σ a(v) over edges u→v
@@ -73,9 +82,8 @@ object Hits {
         .join(auths.select(col("node").as("target_id"), col("x")), Seq("target_id"))
         .groupBy(col("source_id").as("node")).agg(sum(col("x")).as("x"))
       val hNext = normalize(
-          nodes.join(hRaw, Seq("node"), "left_outer")
-            .select(col("node"), coalesce(col("x"), lit(0L)).as("x")))
-        .localCheckpoint(eager = true)
+        nodes.join(hRaw, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("x"), lit(0L)).as("x")))
       Blocks.free(hubs)
       hubs = hNext
     }

@@ -36,13 +36,30 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(best == 1.1 && n == 3 && !noisy)
   }
 
-  test("deliberately loaded host: every sample inflated -> noisy flag fires") {
-    // base best-of-2 plus BOTH extra resamples, all still >3x the prior —
-    // flagged so a round-over-round reader doesn't call this a code
-    // regression
-    val (best, _, n, noisy) =
-      BenchNoise.sampleQuery(scripted(9.0, 8.0, 8.5, 9.1), prior = Some(1.0))
-    assert(best == 8.0 && n == 4 && noisy)
+  test("deliberately loaded host: every sample inflated -> settle phase runs, noisy flag fires") {
+    // base best-of-2, BOTH immediate resamples, then all 3 settle samples
+    // (each preceded by an escalating sleep), all still >3x the prior —
+    // only then flagged, so a round-over-round reader doesn't call this a
+    // code regression
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (best, _, n, noisy) = BenchNoise.sampleQuery(
+      scripted(9.0, 8.0, 8.5, 9.1, 8.2, 8.7, 9.3), prior = Some(1.0),
+      sleeper = slept += _)
+    assert(best == 8.0 && n == 7 && noisy)
+    assert(slept.toSeq == BenchNoise.SettleSleepsMs,
+      "each settle sample waits out the burst with an escalating sleep")
+  }
+
+  test("burst that passes mid-settle: clean sample lands, no flag, no further sleeps") {
+    // 4 inflated samples (base 2 + 2 immediate resamples), then the first
+    // settle sample catches the host post-burst — the artifact records the
+    // clean time unflagged and stops sampling immediately
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (best, _, n, noisy) = BenchNoise.sampleQuery(
+      scripted(9.0, 8.0, 8.5, 9.1, 1.1), prior = Some(1.0),
+      sleeper = slept += _)
+    assert(best == 1.1 && n == 5 && !noisy)
+    assert(slept.toSeq == Seq(500L), "settle stops at the first clean sample")
   }
 
   test("no prior record: plain best-of-N, never noisy") {

@@ -843,4 +843,50 @@ class CypherSpec extends AnyFunSuite {
     assert(count("MATCH (t:Twin) WHERE NOT any(x IN split(t.`$dtId`, ',') " +
       "WHERE x = 'earth') RETURN t") == 3)
   }
+
+  test("quantifiers with NULL predicates filter like openCypher (ADVICE r12)") {
+    // t.nosuch is undefined on every twin, so `t.nosuch = x` is NULL per
+    // element. openCypher ternary logic makes the quantifier NULL, which in
+    // WHERE filters the row — the pre-r13 all() desugaring counted NULLs as
+    // non-counterexamples and passed all 4 rows.
+    assert(count("MATCH (t:Twin) WHERE all(x IN range(1, 3) " +
+      "WHERE t.nosuch = x) RETURN t") == 0)
+    assert(count("MATCH (t:Twin) WHERE none(x IN range(1, 3) " +
+      "WHERE t.nosuch = x) RETURN t") == 0)
+    // mixed: one definite true, the rest NULL — all()/single() are NULL in
+    // openCypher (no false counterexample, but unresolved elements), so
+    // the row is filtered
+    assert(count("MATCH (t:Twin) WHERE all(x IN range(1, 3) " +
+      "WHERE x = 1 OR t.nosuch = x) RETURN t") == 0)
+    assert(count("MATCH (t:Twin) WHERE single(x IN range(1, 3) " +
+      "WHERE x = 1 OR t.nosuch = x) RETURN t") == 0)
+    // any() needs one definite true regardless of NULL siblings — passes
+    assert(count("MATCH (t:Twin) WHERE any(x IN range(1, 3) " +
+      "WHERE x = 1 OR t.nosuch = x) RETURN t") == 4)
+    // positive controls: fully-definite predicates still satisfy
+    assert(count("MATCH (t:Twin) WHERE all(x IN range(1, 3) WHERE x >= 1) " +
+      "RETURN t") == 4)
+    assert(count("MATCH (t:Twin) WHERE none(x IN range(1, 3) WHERE x > 5) " +
+      "RETURN t") == 4)
+    assert(count("MATCH (t:Twin) WHERE single(x IN range(1, 3) WHERE x = 2) " +
+      "RETURN t") == 4)
+  }
+
+  test("RETURN * with a path variable errors loudly (ADVICE r12)") {
+    val e = intercept[AdtParseException] {
+      planner.run("MATCH p = (a:Twin)-[r:orbits]->(b:Twin) RETURN *")
+    }
+    assert(e.getMessage.contains("path variable"))
+  }
+
+  test("user identifiers with the internal __cnode prefix are rejected (ADVICE r12)") {
+    // a binding named __cnode1 would collide with the anonymous-node pool
+    // and be silently dropped from RETURN * — reject at parse time instead
+    intercept[AdtParseException] {
+      planner.run("MATCH (__cnode1:Twin) RETURN *")
+    }
+    intercept[AdtParseException] {
+      planner.run("MATCH (t:Twin) RETURN t.`$dtId` AS __cnode9")
+    }
+  }
 }

@@ -158,7 +158,15 @@ class QueryServiceSpec extends AnyFunSuite {
       java.util.Base64.getEncoder.encodeToString(
         "{}".getBytes("UTF-8")),                                 // fields missing
       java.util.Base64.getEncoder.encodeToString(
-        """{"query": null, "rowNumber": "NaN"}""".getBytes("UTF-8")))
+        """{"query": null, "rowNumber": "NaN"}""".getBytes("UTF-8")),
+      // present-but-non-textual pin: Jackson asText() on an object yields
+      // "" — must be the typed 400, not a silent empty snapshot key
+      java.util.Base64.getEncoder.encodeToString(
+        """{"query": "MATCH (t:Twin) RETURN t", "rowNumber": 1, "pin": {"a": 1}}"""
+          .getBytes("UTF-8")),
+      java.util.Base64.getEncoder.encodeToString(
+        """{"query": "MATCH (t:Twin) RETURN t", "rowNumber": 1, "pin": [1, 2]}"""
+          .getBytes("UTF-8")))
     bad.foreach { tok =>
       val e = intercept[AdtPlanException] {
         svc.query("SELECT T FROM DIGITALTWINS T", 10, Some(tok))
