@@ -50,7 +50,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Under SPARK_GRAFT_ONLY the oracle map shrinks with the run too, so
+    // check.py compares exactly the queries this run executed.
+    val oracleDump =
+      if (only.isDefined) SparkEntry.oracleSql.filter(kv => selected.contains(kv._1))
+      else SparkEntry.oracleSql
+    val json = oracleDump
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Loud-failure manifest: every EXECUTED query name plus per-query

@@ -119,6 +119,29 @@ object GraphQueries {
         .orderBy(col("depth"))
     }),
 
+    // B7 UNBOUNDED variable-length path `-[*]` (reference accepts the bare
+    // star pass-through, Query.cs:122-129): run-to-fixpoint reachability
+    // over a graph that is deliberately CYCLIC — a directed ring per
+    // region over the nation table — so termination comes from the
+    // visited-set anti-join emptying the frontier, never from a depth cap.
+    // Output: minimal-depth histogram (ring of size m ⇒ depths 1..m, m
+    // pairs each; the self-pair closes the cycle at depth m).
+    "q_b7_vle_unbounded" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      val ring = graft.core.Td.nation(s, d)
+        .select(col("n_regionkey"), col("n_nationkey"))
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(
+          concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"),
+          lit("ring").as("relationship_name"))
+      graft.graph.Vle.reachability(ring, maxIter = Int.MaxValue)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+        .orderBy(col("depth"))
+    }),
+
     // Per-node triangle counts on the part co-purchase graph (parts that
     // share an order, high-quantity lines only — keeps the graph sparse
     // enough for a 3-way SQL oracle while still forming real triangles).
@@ -438,6 +461,20 @@ object GraphQueries {
          |allp AS (SELECT * FROM p1 UNION SELECT DISTINCT * FROM p2),
          |minp AS (SELECT start_id, end_id, min(depth) AS depth FROM allp GROUP BY 1,2)
          |SELECT depth, count(*) AS n FROM minp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ring positions via window; minimal depth in a simple cycle is pure
+    // modular arithmetic — ((pos_y - pos_x - 1 + m) mod m) + 1, the
+    // self-pair landing at m (full cycle)
+    "q_b7_vle_unbounded" ->
+      """WITH ring AS (
+        |  SELECT n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+        |    count(*) OVER (PARTITION BY n_regionkey) AS m
+        |  FROM nation),
+        |pairs AS (
+        |  SELECT ((y.pos - x.pos - 1 + x.m) % x.m) + 1 AS depth
+        |  FROM ring x JOIN ring y ON x.rk = y.rk)
+        |SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_graph_integrity" ->
       s"""WITH r AS (SELECT * FROM $relsSql rr),
          |t AS (SELECT dt_id FROM $twinsSql tt),

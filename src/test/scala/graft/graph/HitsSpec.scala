@@ -67,4 +67,45 @@ class HitsSpec extends AnyFunSuite {
     val rows = Hits.scores(g, 2).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c", "d"))
   }
+
+  test("each half-step's join+agg executes exactly once (r12 verdict #3)") {
+    // Count executed actions whose physical plan contains a join: the
+    // normalize contract is checkpoint-the-raw-frame FIRST, so the
+    // scalar-sum collect and the normalized-output checkpoint both read
+    // materialized blocks. Per half-step exactly ONE join-bearing action
+    // (the raw checkpoint) may run; the pre-r13 shape ran the join+agg
+    // twice per half-step (collect + re-computed checkpoint).
+    val joinActions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        total.incrementAndGet()
+        if (qe.executedPlan.toString.contains("Join")) joinActions.incrementAndGet()
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val g = rels(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      val iters = 3
+      Hits.scores(g, iters)
+      // listener dispatch is async: poll until the count stabilizes
+      var last = -1
+      var spins = 0
+      while (total.get() != last && spins < 40) {
+        last = total.get(); Thread.sleep(250); spins += 1
+      }
+      // 2 half-steps per iteration, each ONE join-bearing action, plus the
+      // final hub⋈auth output checkpoint. Setup (edges/nodes/init) has no
+      // joins. Doubled half-steps would measure 2·iters·2 + 1 = 13.
+      val expected = 2 * iters + 1
+      assert(joinActions.get() == expected,
+        s"join-bearing actions: got ${joinActions.get()}, want $expected " +
+          s"(double-compute would be ${4 * iters + 1}); total actions ${total.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
 }

@@ -23,6 +23,27 @@ class VleSpec extends AnyFunSuite {
     rows.toDF("source_id", "target_id", "relationship_name")
   }
 
+  test("unbounded -[*] on a cyclic graph terminates at the fixpoint (r12 verdict #5)") {
+    // 4-cycle a->b->c->d->a plus a tail t->a: maxIter = Int.MaxValue must
+    // stop when the visited anti-join empties the frontier, NOT spin on
+    // the cycle. Cycle pairs: every (x,y) on the ring incl. self at depth
+    // 4; the tail node reaches all ring nodes at depths 1..4 and nothing
+    // reaches it. 4*4 + 4 = 20 pairs, max depth 4.
+    val g = edges(("a", "b", "e"), ("b", "c", "e"), ("c", "d", "e"),
+      ("d", "a", "e"), ("t", "a", "e"))
+    val m = new Vle.Metrics
+    val out = Vle.withMetrics(m) {
+      Vle.reachability(g, maxIter = Int.MaxValue).collect()
+    }
+    assert(out.length == 20, s"pair count: ${out.length}")
+    assert(out.map(_.getInt(2)).max == 4, "minimal depths cap at the cycle length")
+    assert(out.count(r => r.getString(0) == r.getString(1)) == 4,
+      "each ring node closes on itself at depth 4")
+    // budget guard: the fixpoint was reached after cycle-length rounds
+    // (+1 emptiness probe), not anywhere near an unbounded spin
+    assert(m.iterations <= 5, s"iterations ran to ${m.iterations}")
+  }
+
   test("range(2,3): target also reachable at depth 1 is NOT excluded") {
     // a->b direct, plus a->c->d->b: (a,b) has paths of length 1 and 3.
     val e = edges(("a", "b", "x"), ("a", "c", "x"), ("c", "d", "x"), ("d", "b", "x"))
