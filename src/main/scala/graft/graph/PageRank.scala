@@ -33,6 +33,20 @@ object PageRank {
   /** (node, rank_m) after `iterations` synchronous rounds, nodes = every
     * endpoint of `relationships` (source_id/target_id columns). */
   def ranks(relationships: DataFrame, iterations: Int = 3): DataFrame = {
+    import graft.core.Blocks
+    val hist = ranksHistory(relationships, iterations)
+    hist.dropRight(1).foreach(Blocks.free)
+    hist.last
+  }
+
+  /** Like [[ranks]] but returns EVERY iteration's rank table r¹..r^K
+    * (each an eager localCheckpoint; the caller frees them) — the
+    * maintained state an incremental refresh
+    * ([[IncrementalAnalytics.refreshRanks]]) splices unaffected nodes
+    * from. Same loop, same integer arithmetic: `ranksHistory(e, k).last`
+    * is bit-identical to `ranks(e, k)`. */
+  def ranksHistory(relationships: DataFrame, iterations: Int)
+      : IndexedSeq[DataFrame] = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     import graft.core.Blocks
     val edges = relationships.select(col("source_id"), col("target_id"))
@@ -46,8 +60,10 @@ object PageRank {
     // edge list annotated with its source's out-degree, materialized once:
     // every iteration re-reads it
     val e = edges.join(outdeg, Seq("source_id")).localCheckpoint(eager = true)
-    var ranks = nodes.withColumn("rank_m", lit(1000000L))
+    val init = nodes.withColumn("rank_m", lit(1000000L))
       .localCheckpoint(eager = true)
+    var ranks = init
+    val hist = Vector.newBuilder[DataFrame]
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.select(col("node").as("source_id"), col("rank_m")),
@@ -60,12 +76,13 @@ object PageRank {
           (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))
             .as("rank_m"))
         .localCheckpoint(eager = true)
-      Blocks.free(ranks)
+      hist += next
       ranks = next
     }
+    Blocks.free(init)
     Blocks.free(e)
     Blocks.free(nodes)
-    ranks
+    hist.result()
   }
 
   /** Personalized PageRank — teleports land on a SEED SET instead of

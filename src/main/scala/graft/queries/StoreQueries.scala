@@ -123,7 +123,113 @@ object StoreQueries {
     dir
   }
 
+  private val RegionModel = "dtmi:graft:Region;1"
+
+  /** Store for the incremental-analytics gates: a base place/trade graph
+    * (nations→regions `in_region`, a nation `trades_with` ring), then
+    * three mutation batches (deletes, chord creates, re-creates + an
+    * endpoint-preserving Update + a new twin). Returns the FROZEN base
+    * frames (twins, rels — checkpointed before the mutations landed) and
+    * the post-base slice of the mutation log, i.e. exactly what a
+    * continuously-maintained analytics consumer holds: last full result's
+    * inputs + the CDC rows since. */
+  private def buildIncrementalGraphStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = graft.core.Scratch.dir("graft_store_incr_", d)
+    val st = TableTwinStore.open(s, dir, () => "2026-02-01T00:00:00Z")
+    st.createModels(Seq(
+      s"""{"@id":"$RegionModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin,
+      s"""{"@id":"$NationModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"},
+         |{"@type":"Relationship","name":"in_region","target":"$RegionModel"},
+         |{"@type":"Relationship","name":"trades_with"}]}""".stripMargin))
+    val regions = graft.core.Td.region(s, d)
+      .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0)).sorted
+    val nations = graft.core.Td.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val m = nations.length
+    def relDoc(name: String, target: String) =
+      s"""{"$$relationshipName":"$name","$$targetId":"$target"}"""
+    st.batch {
+      regions.foreach(r => st.createOrReplaceTwin(s"R$r",
+        s"""{"$$dtId":"R$r","$$metadata":{"$$model":"$RegionModel"},"name":"r$r"}"""))
+      nations.foreach { case (k, _) => st.createOrReplaceTwin(s"N$k",
+        s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"n$k"}""") }
+    }
+    st.batch {
+      nations.foreach { case (k, r) =>
+        st.createOrReplaceRelationship(s"N$k", s"ir$k", relDoc("in_region", s"R$r")) }
+      nations.foreach { case (k, _) =>
+        st.createOrReplaceRelationship(s"N$k", s"tw$k",
+          relDoc("trades_with", s"N${(k + 1) % m}")) }
+    }
+    // freeze the base state: this is "the last full recompute's input"
+    val baseGraph = st.graph
+    val baseTwins = baseGraph.twins.localCheckpoint(eager = true)
+    val baseRels = baseGraph.relationships.localCheckpoint(eager = true)
+    val baseSeq = st.mutationsDf.agg(max(col("seq"))).collect()(0).getLong(0)
+    // batch 1: a third of the nations leave their region
+    st.batch {
+      nations.collect { case (k, _) if k % 3 == 0 =>
+        st.deleteRelationship(s"N$k", s"ir$k") }
+    }
+    // batch 2: trade chords 5 ring-positions ahead for every 4th nation
+    st.batch {
+      nations.collect { case (k, _) if k % 4 == 0 =>
+        st.createOrReplaceRelationship(s"N$k", s"ch$k",
+          relDoc("trades_with", s"N${(k + 5) % m}")) }
+    }
+    // batch 3: half the leavers rejoin, half the chords unwind, one ring
+    // edge gets an endpoint-preserving Update (no pair change — the
+    // refresh must treat it as a no-op), and a rel-free twin appears
+    st.batch {
+      nations.collect { case (k, r) if k % 6 == 0 =>
+        st.createOrReplaceRelationship(s"N$k", s"ir$k", relDoc("in_region", s"R$r")) }
+      nations.collect { case (k, _) if k % 8 == 0 =>
+        st.deleteRelationship(s"N$k", s"ch$k") }
+      st.patchRelationship("N1", "tw1", """[{"op":"add","path":"/weight","value":1}]""")
+      st.createOrReplaceTwin("X0",
+        s"""{"$$dtId":"X0","$$metadata":{"$$model":"$NationModel"},"name":"x0"}""")
+    }
+    (baseTwins, baseRels, st.mutationsDf.filter(col("seq") > baseSeq))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.F incremental maintenance × §2.A9 CDC: degrees kept continuously
+    // correct by folding mutation-log deltas into the previous result —
+    // the oracle recomputes the FINAL graph's degrees from scratch, so a
+    // green row IS the incremental==batch equality after 3 mutation
+    // batches (reference analogue: the replication consumer feeding a
+    // continuously-correct graph, AgeDigitalTwinsReplication.cs:194-573).
+    "q_incr_degrees" -> ((s, d) => {
+      val (baseTwins, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      val baseDeg = graft.graph.TwinGraph(baseTwins, baseRels, baseTwins)
+        .degrees()
+      graft.graph.IncrementalAnalytics
+        .refreshDegrees(baseDeg, baseRels, muts)
+        .orderBy(col("dt_id"))
+    }),
+
+    // Same composition for fixed-K PageRank: affected-cone refresh spliced
+    // with the previous run's per-iteration history; the oracle is a full
+    // unrolled 3-iteration batch recompute over the final edge set, so
+    // hash equality proves the splice is bit-identical to recomputing.
+    "q_incr_pagerank" -> ((s, d) => {
+      val (_, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      val hist = graft.graph.PageRank.ranksHistory(baseRels, 3)
+      val newRels = graft.graph.IncrementalAnalytics
+        .applyRelationshipMutations(baseRels, muts)
+      val changed = graft.graph.IncrementalAnalytics
+        .changedPairs(baseRels, muts)
+      val out = graft.graph.IncrementalAnalytics
+        .refreshRanks(newRels, changed, hist)
+        .orderBy(col("node"))
+      hist.foreach(graft.core.Blocks.free)
+      out
+    }),
+
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
@@ -162,7 +268,69 @@ object StoreQueries {
     })
   )
 
+  /** Final edge set after the three mutation batches, reconstructed in
+    * SQL from the deterministic schedule in buildIncrementalGraphStore. */
+  private val incrEdgesSql =
+    """  SELECT 'N' || n_nationkey AS src, 'R' || n_regionkey AS tgt
+      |  FROM nation WHERE n_nationkey % 3 <> 0 OR n_nationkey % 6 = 0
+      |  UNION ALL
+      |  SELECT 'N' || n_nationkey,
+      |         'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) FROM nation
+      |  UNION ALL
+      |  SELECT 'N' || n_nationkey,
+      |         'N' || ((n_nationkey + 5) % (SELECT m FROM mm))
+      |  FROM nation WHERE n_nationkey % 4 = 0 AND n_nationkey % 8 <> 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // batch recompute of the final graph's degrees — a green row proves
+    // the incremental fold equals recomputing from scratch
+    "q_incr_degrees" ->
+      s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+         |e AS (
+         |$incrEdgesSql),
+         |t AS (SELECT 'R' || r_regionkey AS dt_id FROM region
+         |      UNION ALL SELECT 'N' || n_nationkey FROM nation
+         |      UNION ALL SELECT 'X0'),
+         |o AS (SELECT src AS dt_id, count(*) AS od FROM e GROUP BY 1),
+         |i AS (SELECT tgt AS dt_id, count(*) AS ind FROM e GROUP BY 1)
+         |SELECT t.dt_id,
+         |  CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
+         |  CAST(coalesce(ind, 0) AS BIGINT) AS in_degree,
+         |  CAST(coalesce(od, 0) + coalesce(ind, 0) AS BIGINT) AS degree
+         |FROM t LEFT JOIN o USING (dt_id) LEFT JOIN i USING (dt_id)
+         |ORDER BY t.dt_id""".stripMargin,
+
+    // unrolled 3-iteration integer PageRank over the FINAL edge set (the
+    // q_graph_pagerank formulation) — the batch recompute the affected-
+    // cone refresh must match bit-for-bit
+    "q_incr_pagerank" ->
+      s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+         |e0 AS (
+         |$incrEdgesSql),
+         |edges AS (SELECT DISTINCT src AS source_id, tgt AS target_id FROM e0),
+         |nodes AS (SELECT source_id AS node FROM edges
+         |          UNION SELECT target_id FROM edges),
+         |outdeg AS (SELECT source_id, count(*) AS od FROM edges GROUP BY 1),
+         |ew AS (SELECT e.source_id, e.target_id, od
+         |       FROM edges e JOIN outdeg o USING (source_id)),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |c1 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr0 ON pr0.node = ew.source_id GROUP BY 1),
+         |pr1 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c1 USING (node)),
+         |c2 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr1 ON pr1.node = ew.source_id GROUP BY 1),
+         |pr2 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c2 USING (node)),
+         |c3 AS (SELECT target_id AS node, sum(r // od) AS c
+         |       FROM ew JOIN pr2 ON pr2.node = ew.source_id GROUP BY 1),
+         |pr3 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c3 USING (node))
+         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
+
     "q_store_roundtrip" ->
       s"""SELECT 'N' || n_nationkey AS dt_id, '$NationModel' AS model_id,
          |  CASE WHEN n_nationkey % 5 = 0 THEN n_name || '-patched'
