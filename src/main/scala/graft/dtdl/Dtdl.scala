@@ -302,6 +302,12 @@ object Dtdl {
     }
     if (byId.map(_._1).distinct.size != byId.size)
       return Left("duplicate schema definition @id")
+    byId.foreach { case (id, d) =>
+      validateSchemaNode(d) match {
+        case Left(err) => return Left(s"schema definition $id: $err")
+        case Right(()) =>
+      }
+    }
     // fixpoint: each pass parses definitions whose references all resolve
     var resolved = Map.empty[String, DtdlSchema]
     var pending = byId
@@ -341,6 +347,41 @@ object Dtdl {
     else if (t.isArray) t.elements().asScala.map(_.asText()).toSeq
     else Nil
 
+  /** Structural well-formedness of an inline schema node, recursing into
+    * Object fields / Array elements / Map values. DTDL (v2 §Map, v3 §Map)
+    * requires a Map to declare BOTH mapKey and mapValue, and the mapKey
+    * schema MUST be string — DTDLParser rejects models violating either;
+    * the lenient parseSchema fallback (missing mapValue → AnySchema) is
+    * reserved for instance validation of legacy stored models, never for
+    * model upload. */
+  private[dtdl] def validateSchemaNode(n: JsonNode): Either[String, Unit] = {
+    if (n == null || !n.isObject) return Right(())
+    val t = Option(n.get("@type")).map(typeNames).getOrElse(Nil)
+    if (t.contains("Map")) {
+      val mk = n.get("mapKey")
+      val mv = n.get("mapValue")
+      if (mk == null || mv == null)
+        return Left("Map schema requires both mapKey and mapValue")
+      val keySchema = Option(mk.get("schema")).filter(_.isTextual).map(_.asText())
+      if (!keySchema.contains("string"))
+        return Left(s"Map mapKey schema must be 'string', got " +
+          s"${keySchema.getOrElse("<missing>")}")
+      if (mv.get("schema") == null)
+        return Left("Map mapValue requires a schema")
+      validateSchemaNode(mv.get("schema"))
+    } else if (t.contains("Array")) {
+      if (n.get("elementSchema") == null)
+        Left("Array schema requires elementSchema")
+      else validateSchemaNode(n.get("elementSchema"))
+    } else if (t.contains("Object")) {
+      val fields = Option(n.get("fields"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      fields.foldLeft[Either[String, Unit]](Right(())) { (acc, f) =>
+        acc.flatMap(_ => validateSchemaNode(f.get("schema")))
+      }
+    } else Right(())
+  }
+
   def parseInterface(dtdlJson: String): Either[String, DtdlInterface] = {
     val n = Json.tryParse(dtdlJson).getOrElse(return Left("invalid JSON"))
     val id = Option(n.get("@id")).map(_.asText())
@@ -368,6 +409,10 @@ object Dtdl {
         schemaRefs(c.get("schema")).filterNot(defs.contains).headOption
           .foreach(r => return Left(
             s"model $id: content '$name' references undefined schema '$r'"))
+        validateSchemaNode(c.get("schema")) match {
+          case Left(err) => return Left(s"model $id: content '$name': $err")
+          case Right(()) =>
+        }
         validateSemanticType(id, name, ts, c) match {
           case Left(err) => return Left(err)
           case Right(()) =>

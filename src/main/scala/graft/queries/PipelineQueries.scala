@@ -295,6 +295,48 @@ object PipelineQueries {
           .cast("long").as("recall_m"))
     }),
 
+    // Recall@5 vs nprobe SWEEP for IVF+PQ — the quality dial of the
+    // 100-TB ANN layout: each row measures how much of the exact L2
+    // top-5 the cell-pruned ADC+rerank search recovers when probing
+    // 1/2/4/8 cells. Monotonicity + the ≥0.9 floor at the default probe
+    // width are spec-asserted (SimilaritySpec); the oracle replays the
+    // whole sweep in SQL so the numbers themselves are hash-gated.
+    "q_sim_recall_sweep" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 16, size = 32)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val queries = emb.filter(col("vec_id") < 10)
+      // exact L2 ground truth: broadcast the 10 queries over the corpus
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+      val exact = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        .crossJoin(broadcast(q)).filter(col("q_id") =!= col("n_id"))
+        .withColumn("d2", Similarity.l2sq(col("q_vec"), col("n_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select(col("q_id"), col("n_id"))
+        .localCheckpoint(eager = true)
+      val total = exact.count()
+      // the shortlist widens WITH the probe count (rerank = 4·nprobe):
+      // probing more cells under a fixed shortlist lets ADC-distorted
+      // candidates crowd out true neighbors and recall can regress —
+      // the dial must open the candidate budget and the rerank budget
+      // together for monotone quality
+      Seq(1, 2, 4, 8).map { np =>
+        val ivf = Similarity.ivfpqTopK(queries, emb, centroids, cb,
+          "vec_id", "embedding", k = 5, dim = 64, m = 16, nprobe = np,
+          rerank = 4 * np).select(col("q_id"), col("n_id"))
+        exact.join(ivf, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            lit(total).as("n_total"),
+            floor(col("n_hits") * lit(1000.0) / lit(total) + lit(0.5))
+              .cast("long").as("recall_m"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }),
+
     // PQ codes: every vector's m=4 codebook indices (byte-parity gate for
     // the compressed at-rest layout).
     "q_pq_codes" -> ((s, d) => {
@@ -1431,6 +1473,68 @@ object PipelineQueries {
       s"""WITH $pqCodesSql
          |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY subspace) codes_str
          |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // the q_pq_ivf pipeline parameterized over nprobe, scored against the
+    // exact L2 top-5
+    "q_sim_recall_sweep" ->
+      s"""WITH $pqCodesSql,
+         |cents AS (SELECT vec_id cell_id, embedding cell_vec
+         |          FROM embeddings WHERE vec_id < 8),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |ncell AS (SELECT vec_id n_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]),
+         |      c.cell_id) rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |qcells AS (SELECT e.vec_id, c.cell_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]),
+         |      c.cell_id) rn
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
+         |probes AS (SELECT np.nprobe, qc.vec_id q_id, qc.cell_id
+         |  FROM qcells qc CROSS JOIN np WHERE qc.rn <= np.nprobe),
+         |lut AS (SELECT q.vec_id q_id, c.subspace, c.cb_id code,
+         |        POWER(list_distance(
+         |          q.embedding[c.subspace*4+1:(c.subspace+1)*4]::DOUBLE[],
+         |          c.cb_vec::DOUBLE[]), 2) d2
+         |        FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |adc AS (SELECT p.nprobe, l.q_id, co.vec_id n_id, sum(l.d2) adc
+         |        FROM codes co
+         |        JOIN ncell nc ON nc.n_id = co.vec_id
+         |        JOIN probes p ON p.cell_id = nc.cell_id
+         |        JOIN lut l ON l.q_id = p.q_id
+         |          AND l.subspace = co.subspace AND l.code = co.code
+         |        WHERE l.q_id <> co.vec_id GROUP BY 1,2,3),
+         |short AS (SELECT nprobe, q_id, n_id FROM (
+         |  SELECT nprobe, q_id, n_id, row_number() OVER (
+         |    PARTITION BY nprobe, q_id ORDER BY adc, n_id) rn
+         |  FROM adc) WHERE rn <= 20 * nprobe),
+         |ex AS (SELECT s.nprobe, s.q_id, s.n_id,
+         |       list_distance(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) d
+         |       FROM short s JOIN embeddings q ON q.vec_id = s.q_id
+         |                    JOIN embeddings n ON n.vec_id = s.n_id),
+         |ivf AS (SELECT nprobe, q_id, n_id FROM (
+         |  SELECT nprobe, q_id, n_id, row_number() OVER (
+         |    PARTITION BY nprobe, q_id ORDER BY d, n_id) rank FROM ex)
+         |  WHERE rank <= 5),
+         |exact AS (SELECT q_id, n_id FROM (
+         |  SELECT a.vec_id q_id, b.vec_id n_id, row_number() OVER (
+         |    PARTITION BY a.vec_id ORDER BY
+         |      list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+         |      b.vec_id) rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10) WHERE rank <= 5),
+         |tot AS (SELECT count(*) n_total FROM exact)
+         |SELECT CAST(np.nprobe AS INT) AS nprobe,
+         |  CAST(count(i.n_id) AS BIGINT) AS n_hits,
+         |  (SELECT CAST(n_total AS BIGINT) FROM tot) AS n_total,
+         |  CAST(floor(count(i.n_id) * 1000.0 /
+         |    (SELECT n_total FROM tot) + 0.5) AS BIGINT) AS recall_m
+         |FROM np CROSS JOIN exact e
+         |LEFT JOIN ivf i ON i.nprobe = np.nprobe
+         |  AND i.q_id = e.q_id AND i.n_id = e.n_id
+         |GROUP BY np.nprobe ORDER BY nprobe""".stripMargin,
 
     "q_pq_topk" ->
       s"""WITH $pqCodesSql,

@@ -88,6 +88,23 @@ final class TwinStore(
     if (unresolved.nonEmpty)
       throw StoreException(400,
         s"failed to resolve model dependencies: ${unresolved.mkString(",")}")
+    // DTDL forbids nested components: the interface a Component's schema
+    // names may not itself declare Components, directly or via extends
+    // (DTDL v2/v3 §Component; DTDLParser's reference behavior, exercised
+    // by the reference's model validation in Validation/). Checked over
+    // request ∪ store so a new model can't nest through a stored one.
+    val combined = registry.models ++ parsed.map(m => m.id -> m)
+    val basesAll = Dtdl.computeBases(combined)
+    def declaresComponents(mid: String): Boolean =
+      (mid +: basesAll.getOrElse(mid, Nil))
+        .flatMap(combined.get).exists(_.components.nonEmpty)
+    val nested = parsed.flatMap(m => m.components.collect {
+      case (name, target) if declaresComponents(target) =>
+        s"${m.id}: component '$name' -> $target"
+    })
+    if (nested.nonEmpty)
+      throw StoreException(400,
+        s"component schemas may not declare components: ${nested.mkString(",")}")
     registry = ModelRegistry(registry.models ++ parsed.map(m => m.id -> m))
     parsed
   }

@@ -510,6 +510,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no per-node window sort:\n$p")
   }
 
+  test("q_sim_recall_sweep: recall monotone in nprobe; full probe+shortlist is exact") {
+    val rows = SparkEntry.queries("q_sim_recall_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(rows.toSeq.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall@5 must be monotone non-decreasing in nprobe: ${rows.toSeq}")
+    // the quality dial closes: probing every cell with a shortlist wider
+    // than the corpus degenerates IVF+PQ to exact search — recall 1.0
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Td.embeddings(spark, sf)
+    val cb = graft.pipeline.Similarity.pqCodebook(emb, "vec_id", "embedding",
+      dim = 64, m = 16, size = 32)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val full = graft.pipeline.Similarity.ivfpqTopK(queries, emb, cents, cb,
+      "vec_id", "embedding", k = 5, dim = 64, m = 16, nprobe = 8,
+      rerank = n / 5 + 1).select(col("q_id"), col("n_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val exact = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(q)).filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2",
+        graft.pipeline.Similarity.l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 5).select(col("q_id"), col("n_id"))
+    val nExact = exact.count()
+    val nHit = exact.join(full, Seq("q_id", "n_id")).count()
+    assert(nHit == nExact,
+      s"full-width IVF+PQ must recover the exact top-5: $nHit/$nExact")
+  }
+
   test("phashNearDup: banded candidates via equi-join, no all-pairs stage") {
     import spark.implicits._
     val media = (1L to 6L).map(i =>

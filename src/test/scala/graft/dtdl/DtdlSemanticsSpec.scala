@@ -391,6 +391,79 @@ class DtdlSemanticsSpec extends AnyFunSuite {
     assert(reg.validateTwin(notObject).isLeft, "a Map instance is an object")
   }
 
+  test("malformed Map schemas are model errors, not lenient AnySchema (r12 verdict #6)") {
+    // DTDL v2/v3 §Map: mapKey AND mapValue are required, and the mapKey
+    // schema MUST be string — DTDLParser rejects each of these
+    def mapModel(schema: String) = parse(
+      s"""{"@id":"dtmi:g:dev;1","@type":"Interface","contents":[
+         |  {"@type":"Property","name":"m","schema":$schema}]}""".stripMargin)
+    assert(mapModel(
+      """{"@type":"Map","mapValue":{"name":"v","schema":"double"}}""").isLeft,
+      "missing mapKey must fail")
+    assert(mapModel(
+      """{"@type":"Map","mapKey":{"name":"k","schema":"string"}}""").isLeft,
+      "missing mapValue must fail")
+    assert(mapModel(
+      """{"@type":"Map","mapKey":{"name":"k","schema":"integer"},
+        |"mapValue":{"name":"v","schema":"double"}}""".stripMargin).isLeft,
+      "non-string mapKey must fail")
+    assert(mapModel(
+      """{"@type":"Map","mapKey":{"name":"k","schema":"string"},
+        |"mapValue":{"name":"v"}}""".stripMargin).isLeft,
+      "mapValue without a schema must fail")
+    // nested positions are checked too: a bad Map inside an Array
+    assert(mapModel(
+      """{"@type":"Array","elementSchema":{
+        |"@type":"Map","mapValue":{"name":"v","schema":"double"}}}""".stripMargin)
+      .isLeft, "malformed Map nested in an Array must fail")
+    // ...and inside the interface-level schemas registry
+    assert(parse(
+      """{"@id":"dtmi:g:dev;1","@type":"Interface",
+        |  "schemas":[{"@id":"dtmi:g:badmap;1","@type":"Map",
+        |    "mapValue":{"name":"v","schema":"double"}}],
+        |  "contents":[
+        |    {"@type":"Property","name":"m","schema":"dtmi:g:badmap;1"}]}""".stripMargin)
+      .isLeft, "malformed Map in schemas registry must fail")
+    // the well-formed shape still parses and validates (existing test
+    // covers instance semantics)
+    assert(mapModel(
+      """{"@type":"Map","mapKey":{"name":"k","schema":"string"},
+        |"mapValue":{"name":"v","schema":"double"}}""".stripMargin).isRight)
+  }
+
+  test("component-in-component is rejected at model upload (r12 verdict #6)") {
+    // DTDL §Component: the interface a Component's schema names may not
+    // itself declare Components — directly or via extends
+    val leaf =
+      """{"@id":"dtmi:g:leaf;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"p","schema":"double"}]}""".stripMargin
+    val mid =
+      """{"@id":"dtmi:g:mid;1","@type":"Interface","contents":[
+        |  {"@type":"Component","name":"inner","schema":"dtmi:g:leaf;1"}]}""".stripMargin
+    val outer =
+      """{"@id":"dtmi:g:outer;1","@type":"Interface","contents":[
+        |  {"@type":"Component","name":"nested","schema":"dtmi:g:mid;1"}]}""".stripMargin
+    val st = new graft.store.TwinStore(() => "2026-01-01T00:00:00Z")
+    st.createModels(Seq(leaf, mid)) // one level of components is fine
+    val e = intercept[graft.store.StoreException] {
+      st.createModels(Seq(outer))
+    }
+    assert(e.status == 400 && e.msg.contains("component"), e)
+    // via extends: a component target inheriting a component-bearing base
+    val viaExtends =
+      """{"@id":"dtmi:g:mid2;1","@type":"Interface",
+        |  "extends":"dtmi:g:mid;1","contents":[
+        |  {"@type":"Property","name":"q","schema":"double"}]}""".stripMargin
+    val outer2 =
+      """{"@id":"dtmi:g:outer2;1","@type":"Interface","contents":[
+        |  {"@type":"Component","name":"nested","schema":"dtmi:g:mid2;1"}]}""".stripMargin
+    st.createModels(Seq(viaExtends))
+    val e2 = intercept[graft.store.StoreException] {
+      st.createModels(Seq(outer2))
+    }
+    assert(e2.status == 400 && e2.msg.contains("component"), e2)
+  }
+
   test("a reused Enum schema validates membership") {
     val m = parse(
       """{"@id":"dtmi:g:s;1","@type":"Interface",
