@@ -216,6 +216,80 @@ object IncrementalAnalytics {
     blend
   }
 
+  // ---------------- streaming maintenance (§2.A9 composition) ----------------
+
+  /** Initialize the at-rest maintenance state: version 0 holds the base
+    * relationship table (4 analytic columns) and its degrees. */
+  def initDegreesState(stateDir: String, baseDegrees: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseDegrees.write.mode("overwrite").parquet(s"$stateDir/v0/degrees")
+    writePointer(stateDir, 0L)
+  }
+
+  private def pointerPath(stateDir: String) =
+    java.nio.file.Paths.get(stateDir, "LATEST")
+
+  private def writePointer(stateDir: String, v: Long): Unit = {
+    // temp-write + atomic move so a reader never sees a torn pointer
+    val tmp = java.nio.file.Paths.get(stateDir, s".LATEST.tmp$v")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, pointerPath(stateDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private def readPointer(stateDir: String): Long =
+    new String(java.nio.file.Files.readAllBytes(pointerPath(stateDir))).trim.toLong
+
+  /** The maintained degrees table as of the last committed batch. */
+  def currentDegrees(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/degrees")
+
+  /** Continuously-maintained degrees over the mutation-log STREAM (A9):
+    * `foreachBatch` folds each micro-batch of CDC rows into the at-rest
+    * state — refreshDegrees for the analytics, applyRelationshipMutations
+    * for the carried relationship table — written as version v(batch+1)
+    * and committed by an atomic pointer move. Crash contract: a batch
+    * replayed after a crash either finds the pointer still at its
+    * predecessor (recompute, same deterministic output, overwrite) or
+    * already advanced (skip — the fold is NOT applied twice). Restart
+    * resumes from the streaming checkpoint; state versions are keyed by
+    * batch id, so resume and replay compose. */
+  def maintainDegreesStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseDeg = spark2.read.parquet(s"$stateDir/v$v/degrees")
+          // materialize before writing: the outputs read the SAME paths a
+          // concurrent version could overwrite, and parquet self-reads
+          // during overwrite are illegal anyway
+          val m = batch.localCheckpoint(true)
+          refreshDegrees(baseDeg, baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/degrees")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+        }
+      }
+      .start()
+  }
+
   /** The changed (source,target) pair set a mutation batch induces,
     * computed against the BASE relationship table but touching only the
     * touched keys / touched pairs — a pair is "changed" when its

@@ -203,13 +203,51 @@ object Profile {
       }
       ts.min
     }
-    names.foreach { name =>
+    val results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val t1 = best(fn, sfDir)
       val tN = best(fn, out)
       println(f"[scale] $name%-22s 1x=$t1%7.2fs  ${factor}x=$tN%7.2fs  " +
         f"ratio=${tN / t1}%5.2f (linear would be <= $factor)")
+      (name, t1, tN)
     }
+    writeScalingJson(sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+      "scaling_probe.json"), sfDir, factor, results)
+  }
+
+  /** Machine-readable scaling artifact: one file accumulating every probe
+    * run, `{"sf":…,"cpus":…,"factors":{"8":{query:{"t1":…,"tN":…,
+    * "ratio":…}},…}}` — so the driver/judge can diff rounds mechanically
+    * instead of reading SCALING.md prose. Re-running a factor overwrites
+    * that factor's map; other factors merge through. */
+  private def writeScalingJson(path: String, sfDir: String, factor: Int,
+      results: Seq[(String, Double, Double)]): Unit = {
+    import graft.json.Json
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val root = scala.util.Try(
+        Json.parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)))
+      .toOption.filter(_.isObject)
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(Json.obj())
+    root.put("sf", sfDir)
+    root.put("cpus", Runtime.getRuntime.availableProcessors())
+    val factors =
+      if (root.get("factors") != null && root.get("factors").isObject)
+        root.get("factors").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else { val f = Json.obj(); root.set[com.fasterxml.jackson.databind.JsonNode]("factors", f); f }
+    val fObj = Json.obj()
+    results.foreach { case (name, t1, tN) =>
+      val q = Json.obj()
+      q.put("t1", r3(t1)); q.put("tN", r3(tN))
+      q.put("ratio", if (t1 > 0) r3(tN / t1) else -1.0)
+      q.put("linear_bound", factor)
+      fObj.set[com.fasterxml.jackson.databind.JsonNode](name, q)
+    }
+    factors.set[com.fasterxml.jackson.databind.JsonNode](factor.toString, fObj)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      Json.render(root) + "\n")
+    println(s"[scale] wrote $path (factor $factor, ${results.size} queries)")
   }
 
   /** LSH pairs → connected components, stage-timed. */
