@@ -236,7 +236,13 @@ object Profile {
       if (root.get("factors") != null && root.get("factors").isObject)
         root.get("factors").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       else { val f = Json.obj(); root.set[com.fasterxml.jackson.databind.JsonNode]("factors", f); f }
-    val fObj = Json.obj()
+    // merge into any existing per-factor map so chunked runs accumulate
+    val fObj =
+      if (factors.get(factor.toString) != null &&
+          factors.get(factor.toString).isObject)
+        factors.get(factor.toString)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else Json.obj()
     results.foreach { case (name, t1, tN) =>
       val q = Json.obj()
       q.put("t1", r3(t1)); q.put("tN", r3(tN))
