@@ -1,0 +1,167 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Blocks
+
+/** Strongly connected components over the directed relationship graph —
+  * the Forward-Backward-Trim coloring algorithm (Orzan 2004; the same
+  * shape as Spark GraphX's `StronglyConnectedComponents`), expressed as
+  * DataFrame rounds so Catalyst plans every step.
+  *
+  * The reference exposes the digraph through AGE (openCypher over
+  * directed edges, src/AgeDigitalTwins/AgeDigitalTwinsClient.Query.cs);
+  * cycle structure — "which twins form a mutually-reachable cluster" —
+  * is the natural digraph analytics companion to the undirected
+  * components used by dedup ([[graft.pipeline.Dedup]]).
+  *
+  * Per outer pass:
+  *   1. TRIM — iteratively peel nodes with no incoming or no outgoing
+  *      edge among the remaining subgraph; each is its own singleton
+  *      SCC. This resolves DAG tails/chains in O(longest chain) cheap
+  *      anti-join rounds instead of one coloring pass per node (the
+  *      classic FW-BW pathology on path graphs).
+  *   2. FW — propagate the lexicographic-min node id FORWARD to
+  *      fixpoint: fwd(v) = min id over {u : u ⇝ v} ∪ {v}.
+  *   3. BW — the same against edge direction:
+  *      bwd(v) = min id over {u : v ⇝ u} ∪ {v}.
+  *   4. Nodes with fwd(v) == bwd(v) == m are exactly the SCC containing
+  *      node m (m ⇝ v and v ⇝ m ⇒ mutual reachability), and every
+  *      member of that SCC resolves in the same pass with label m =
+  *      the SCC's min member id (an external smaller-id ancestor of any
+  *      member reaches all members, so it would lower ALL their fwd
+  *      labels equally). Resolved nodes and their edges leave the
+  *      subgraph; the remainder repeats.
+  *
+  * Scale shape: every round is one equi-join of a (node, label) table
+  * against the edge list plus a map-side-combinable `min` — the
+  * [[PageRank]] discipline. Lineage is truncated per round via eager
+  * `localCheckpoint` with superseded blocks freed ([[graft.core.Blocks]]);
+  * convergence checks are bounded driver-side scalar counts over already
+  * materialized blocks. Labels are node-id strings, so `min` is
+  * order-independent ⇒ bit-identical output on any partitioning.
+  */
+object Scc {
+
+  /** (node, scc) for every node appearing as an endpoint in `edges`
+    * (columns `src`, `dst`; direction matters). `scc` is the
+    * lexicographic-min member id of the node's strongly connected
+    * component.
+    *
+    * @param maxOuter  cap on FW-BW peel passes; each pass resolves ≥1
+    *                  SCC (always the one holding a bidirectional
+    *                  running minimum), so this bounds work on
+    *                  adversarial inputs. Exceeding it throws — a
+    *                  truncated SCC labeling is silently wrong.
+    * @param maxInner  cap on label-propagation rounds per fixpoint;
+    *                  needs to reach the remaining subgraph's diameter.
+    */
+  def components(edges: DataFrame, maxOuter: Int = 50,
+                 maxInner: Int = 200): DataFrame = {
+    val e0 = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .distinct().localCheckpoint(eager = true)
+    var rem = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    var e = e0
+    var resolvedParts = List.empty[DataFrame] // each a checkpoint
+    var pass = 0
+    var remCount = rem.count()
+    while (remCount > 0 && pass < maxOuter) {
+      pass += 1
+
+      // 1. Trim: peel in-degree-0 / out-degree-0 nodes iteratively.
+      var trimming = true
+      while (trimming) {
+        val hasIn = e.select(col("dst").as("node")).distinct()
+        val hasOut = e.select(col("src").as("node")).distinct()
+        val interior = rem.join(hasIn, Seq("node"), "left_semi")
+          .join(hasOut, Seq("node"), "left_semi")
+          .localCheckpoint(eager = true)
+        val interiorCount = interior.count()
+        if (interiorCount == remCount) {
+          Blocks.free(interior)
+          trimming = false
+        } else {
+          val peeled = rem.join(interior, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"))
+            .localCheckpoint(eager = true)
+          resolvedParts ::= peeled
+          val nextE = e.join(interior.withColumnRenamed("node", "src"),
+              Seq("src"), "left_semi")
+            .join(interior.withColumnRenamed("node", "dst"),
+              Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint(eager = true)
+          Blocks.free(rem); Blocks.free(e)
+          rem = interior; e = nextE
+          remCount = interiorCount
+        }
+      }
+      if (remCount == 0) {
+        pass = maxOuter // nothing cyclic left; exit outer loop
+      } else {
+        // 2./3. Min-label fixpoints in both directions.
+        val fwd = minLabelFixpoint(rem, e, maxInner)
+        val bwd = minLabelFixpoint(rem,
+          e.select(col("dst").as("src"), col("src").as("dst")), maxInner)
+        val joined = fwd.withColumnRenamed("lab", "f")
+          .join(bwd.withColumnRenamed("lab", "b"), "node")
+        val resolved = joined.filter(col("f") === col("b"))
+          .select(col("node"), col("f").as("scc"))
+          .localCheckpoint(eager = true)
+        resolvedParts ::= resolved
+        val nextRem = joined.filter(col("f") =!= col("b"))
+          .select(col("node")).localCheckpoint(eager = true)
+        val nextE = e.join(nextRem.withColumnRenamed("node", "src"),
+            Seq("src"), "left_semi")
+          .join(nextRem.withColumnRenamed("node", "dst"),
+            Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(eager = true)
+        Blocks.free(fwd); Blocks.free(bwd); Blocks.free(rem); Blocks.free(e)
+        rem = nextRem; e = nextE
+        remCount = rem.count()
+      }
+    }
+    if (remCount > 0)
+      throw new IllegalStateException(
+        s"SCC did not converge within $maxOuter FW-BW passes " +
+          s"($remCount nodes unresolved) — raise maxOuter")
+    Blocks.free(rem); Blocks.free(e)
+    resolvedParts match {
+      case Nil => e0.sparkSession.emptyDataFrame
+        .withColumn("node", lit(null).cast("string"))
+        .withColumn("scc", lit(null).cast("string"))
+        .limit(0)
+      case parts => parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** Propagate the min label along `edges` (src → dst) until no label
+    * changes. Returns (node, lab); every input node keeps a row. */
+  private def minLabelFixpoint(nodes: DataFrame, edges: DataFrame,
+                               maxInner: Int): DataFrame = {
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      if (round > maxInner)
+        throw new IllegalStateException(
+          s"SCC label fixpoint exceeded $maxInner rounds — raise maxInner")
+      val prop = lab.join(edges, lab("node") === edges("src"))
+        .select(edges("dst").as("node"), lab("lab").as("lab"))
+      val next = lab.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(eager = true)
+      changed = next.join(lab.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).count()
+      Blocks.free(lab)
+      lab = next
+    }
+    lab
+  }
+}

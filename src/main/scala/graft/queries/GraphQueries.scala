@@ -277,6 +277,34 @@ object GraphQueries {
       graft.graph.PageRank.personalizedRanks(rels, Seq("R0", "R1"),
           iterations = 3)
         .orderBy(col("node"))
+    }),
+
+    // Strongly connected components (FW-BW-Trim coloring, Scc.scala)
+    // over a deterministic digraph: each nation's suppliers chopped
+    // into rings of <=5 (the SCCs), plus a one-way star from supplier
+    // S1 to every ring's lex-min member — cross edges that exercise
+    // the peel (S1's ring resolves pass 1, the rest pass 2) without
+    // changing the component structure. scc = lex-min member id.
+    "q_graph_scc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = graft.core.Td.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))
+      val grouped = sup.withColumn("grp",
+        floor((row_number().over(w) - lit(1)) / lit(5.0)).cast("long"))
+      val gw = Window.partitionBy(col("s_nationkey"), col("grp"))
+        .orderBy(col("s_suppkey"))
+      val ring = grouped
+        .withColumn("nxt", lead(col("s_suppkey"), 1).over(gw))
+        .withColumn("wrap", first(col("s_suppkey")).over(gw))
+        .select(concat(lit("S"), col("s_suppkey")).as("src"),
+          concat(lit("S"), coalesce(col("nxt"), col("wrap"))).as("dst"))
+      val star = grouped.groupBy(col("s_nationkey"), col("grp"))
+        .agg(min(concat(lit("S"), col("s_suppkey"))).as("dst"))
+        .select(lit("S1").as("src"), col("dst"))
+      graft.graph.Scc.components(ring.unionByName(star))
+        .select(col("node").as("node_id"), col("scc"))
+        .orderBy(col("node_id"))
     })
   )
 
@@ -554,7 +582,19 @@ object GraphQueries {
          |        THEN 150000 * (SELECT n FROM nc) // 2 ELSE 0 END
          |        + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
          |        FROM nodes n LEFT JOIN c3 USING (node))
-         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin
+         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
+    // SCC ground truth on the ring fixture is structural: the one-way
+    // star edges never merge components, so each (nation, grp-of-5)
+    // ring is one SCC and the label is its lexicographic-min member.
+    "q_graph_scc" ->
+      """WITH s AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(floor((row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_suppkey) - 1) / 5.0) AS BIGINT) AS grp
+        |  FROM supplier)
+        |SELECT 'S' || s_suppkey AS node_id,
+        |       MIN('S' || s_suppkey) OVER (PARTITION BY s_nationkey, grp) AS scc
+        |FROM s ORDER BY node_id""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a
