@@ -216,6 +216,78 @@ object IncrementalAnalytics {
     blend
   }
 
+  /** Affected-component refresh of [[TwinGraph.components]] (weakly
+    * connected components, label = lexicographic-min member): recompute
+    * ONLY the components a mutation batch can change, splice every other
+    * label through verbatim.
+    *
+    * Affected set (exact over-approximation, closed in one step): the
+    * base components of every node touched by the batch — endpoints of
+    * created/deleted/updated relationships and created/deleted twins. An
+    * added edge can only merge the components of its own endpoints (both
+    * touched ⇒ both comps affected); a dropped edge can only split its
+    * own component; so the subgraph induced on affected-component members
+    * (plus created twins) contains every node whose label can move, and
+    * an untouched edge never crosses out of it (its endpoints share a
+    * base component). Labels are canonical (min member), so recomputing
+    * the subgraph with the same star-contraction operator reproduces
+    * exactly what a full batch recompute would assign — bit-equal splice.
+    *
+    * Cost: ∝ the touched components' sizes + one linear anti-join pass
+    * over the base label table, never a full-graph contraction.
+    *
+    * Log-consistency contract: a deleted twin's relationships must carry
+    * their own delete rows in the batch (the store's DETACH discipline —
+    * reference JobService delete jobs sweep relationships first); a
+    * dangling edge would otherwise keep the dead id as a component
+    * member on the batch side too. */
+  def refreshComponents(baseComponents: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame): DataFrame = {
+    val latest = latestRelMutations(mutations).localCheckpoint(eager = true)
+    val twinDelta = latestTwinMutations(mutations).localCheckpoint(eager = true)
+    val oldTouched = baseRels
+      .select(col("source_id"), col("relationship_id"), col("target_id"))
+      .join(latest.select(RelKey.map(col): _*), RelKey, "left_semi")
+      .select(col("source_id"), col("target_id"))
+    val newTouched = latest.filter(col("alive"))
+      .select(col("source_id"), col("target_id"))
+    val touchedNodes = oldTouched.unionByName(newTouched)
+      .select(explode(array(col("source_id"), col("target_id"))).as("dt_id"))
+      .unionByName(twinDelta.select(col("dt_id")))
+      .distinct()
+    val affected = baseComponents
+      .join(touchedNodes, Seq("dt_id"), "left_semi")
+      .select(col("component")).distinct()
+      .localCheckpoint(eager = true)
+    val deadTwins = twinDelta.filter(!col("alive")).select(col("dt_id"))
+    val subNodes = baseComponents
+      .join(affected, Seq("component"), "left_semi").select(col("dt_id"))
+      .unionByName(twinDelta.filter(col("alive")).select(col("dt_id")))
+      .unionByName(newTouched.select(
+        explode(array(col("source_id"), col("target_id"))).as("dt_id")))
+      .distinct()
+      .join(deadTwins, Seq("dt_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    // maintained edges with source inside the subgraph — for untouched
+    // edges "source in" implies "both in" (same base component), for
+    // touched edges both endpoints were added explicitly
+    val subPairs = applyRelationshipMutations(baseRels, mutations)
+      .join(subNodes.withColumnRenamed("dt_id", "source_id"),
+        Seq("source_id"), "left_semi")
+      .select(col("source_id").as("doc_a"), col("target_id").as("doc_b"))
+    val recomputed = subNodes
+      .join(graft.pipeline.Dedup.components(subPairs)
+        .withColumnRenamed("doc", "dt_id"), Seq("dt_id"), "left_outer")
+      .select(col("dt_id"),
+        coalesce(col("component"), col("dt_id")).as("component"))
+    val out = baseComponents
+      .join(affected, Seq("component"), "left_anti")
+      .select(col("dt_id"), col("component"))
+      .unionByName(recomputed)
+    Blocks.free(latest); Blocks.free(twinDelta)
+    out
+  }
+
   // ---------------- streaming maintenance (§2.A9 composition) ----------------
 
   /** Initialize the at-rest maintenance state: version 0 holds the base

@@ -130,6 +130,25 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Weakly connected components over the twin graph — every twin is a
+    * node, every relationship an undirected edge: (dt_id, component)
+    * with component = the lexicographic-min member id (canonical, so any
+    * correct algorithm produces the identical labeling). Isolated twins
+    * are their own singleton component. Runs the star-contraction
+    * components ([[graft.pipeline.Dedup.components]]) — O(log n)
+    * contraction rounds of equi-joins + combinable mins, no n² stage —
+    * then one left join reattaches edge-free twins. */
+  def components(): DataFrame = {
+    val pairs = relationships.select(col("source_id").as("doc_a"),
+      col("target_id").as("doc_b"))
+    val comp = graft.pipeline.Dedup.components(pairs)
+      .withColumnRenamed("doc", "dt_id")
+    twins.select(col("dt_id"))
+      .join(comp, Seq("dt_id"), "left_outer")
+      .select(col("dt_id"),
+        coalesce(col("component"), col("dt_id")).as("component"))
+  }
+
   /** Referential-integrity audit of the graph — the invariants the
     * reference's delete path protects (DETACH DELETE removes edges with
     * the twin, JobService.cs delete jobs sweep relationships first):

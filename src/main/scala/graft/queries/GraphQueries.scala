@@ -305,6 +305,16 @@ object GraphQueries {
       graft.graph.Scc.components(ring.unionByName(star))
         .select(col("node").as("node_id"), col("scc"))
         .orderBy(col("node_id"))
+    }),
+
+    // Weakly connected components over the full twin graph view — the
+    // C→N→R / S→N topology makes each region's closure one component,
+    // so the oracle is structural (min lex member per region) while the
+    // engine runs the real star-contraction operator over ~16k nodes.
+    "q_graph_wcc" -> ((s, d) => {
+      GraphViews.graph(s, d).components()
+        .select(col("dt_id").as("node_id"), col("component"))
+        .orderBy(col("node_id"))
     })
   )
 
@@ -594,7 +604,19 @@ object GraphQueries {
         |  FROM supplier)
         |SELECT 'S' || s_suppkey AS node_id,
         |       MIN('S' || s_suppkey) OVER (PARTITION BY s_nationkey, grp) AS scc
-        |FROM s ORDER BY node_id""".stripMargin
+        |FROM s ORDER BY node_id""".stripMargin,
+    // every twin connects to its region through nation edges, so the
+    // component of a node is the lex-min id among its region's members
+    "q_graph_wcc" ->
+      """WITH memb AS (
+        |  SELECT n_regionkey AS rk, 'N' || n_nationkey AS id FROM nation
+        |  UNION ALL SELECT r_regionkey, 'R' || r_regionkey FROM region
+        |  UNION ALL SELECT n.n_regionkey, 'C' || c_custkey
+        |    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL SELECT n.n_regionkey, 'S' || s_suppkey
+        |    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT id AS node_id, MIN(id) OVER (PARTITION BY rk) AS component
+        |FROM memb ORDER BY node_id""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a

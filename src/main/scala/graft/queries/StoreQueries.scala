@@ -230,6 +230,21 @@ object StoreQueries {
       out
     }),
 
+    // Affected-component WCC refresh over the same CDC composition: the
+    // deletes in batch 1 can split region components, the chords in
+    // batch 2 merge ring segments, batch 3 rejoins + adds an isolated
+    // twin — the oracle recomputes the FINAL graph's components from
+    // scratch (recursive closure), so a green row proves the
+    // splice-only-affected refresh is bit-identical to full recompute.
+    "q_incr_wcc" -> ((s, d) => {
+      val (baseTwins, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      val baseComp = graft.graph.TwinGraph(baseTwins, baseRels, baseTwins)
+        .components()
+      graft.graph.IncrementalAnalytics
+        .refreshComponents(baseComp, baseRels, muts)
+        .orderBy(col("dt_id"))
+    }),
+
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
@@ -330,6 +345,24 @@ object StoreQueries {
          |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
          |        FROM nodes n LEFT JOIN c3 USING (node))
          |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
+
+    // full-recompute WCC of the final graph via recursive closure (31
+    // nodes): component = min id mutually reachable over undirected edges
+    "q_incr_wcc" ->
+      s"""WITH RECURSIVE mm AS (SELECT count(*) AS m FROM nation),
+         |e0 AS (
+         |$incrEdgesSql),
+         |sym AS (SELECT src AS a, tgt AS b FROM e0
+         |        UNION SELECT tgt, src FROM e0),
+         |t AS (SELECT 'R' || r_regionkey AS n FROM region
+         |      UNION SELECT 'N' || n_nationkey FROM nation
+         |      UNION SELECT 'X0'),
+         |reach(a, b) AS (
+         |  SELECT n AS a, n AS b FROM t
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS dt_id, MIN(b) AS component
+         |FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
     "q_store_roundtrip" ->
       s"""SELECT 'N' || n_nationkey AS dt_id, '$NationModel' AS model_id,

@@ -237,4 +237,97 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       s"refresh output must read spliced checkpointed state:\n$p")
     hist.foreach(graft.core.Blocks.free)
   }
+
+  // ---- refreshComponents: incremental WCC == full recompute ----
+
+  private def compMap(df: DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def batchComponents(r: DataFrame, twins: DataFrame): Map[String, String] =
+    compMap(TwinGraph(twins, r, spark.emptyDataFrame).components())
+
+  private def twinMuts(rows: (Long, String, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.map { case (seq, kind, id) =>
+      (seq, s"2026-01-01T00:00:0${seq % 10}Z", "Twin", id,
+        if (kind == "C") "TwinCreate" else "TwinDelete",
+        if (kind == "D") s"""{"$$dtId":"$id"}""" else null,
+        if (kind == "C") s"""{"$$dtId":"$id"}""" else null)
+    }.toDF("seq", "ts", "entity_kind", "entity_id", "event_type",
+      "old_json", "new_json")
+  }
+
+  private def checkComponents(base: DataFrame, m: DataFrame,
+      finalTwins: DataFrame): Unit = {
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components().localCheckpoint(true)
+    val incr = compMap(
+      IncrementalAnalytics.refreshComponents(baseComp, base, m))
+    val finalRels = IncrementalAnalytics.applyRelationshipMutations(base, m)
+    val batch = batchComponents(finalRels, finalTwins)
+    assert(incr == batch)
+  }
+
+  test("refreshComponents == batch: bridge delete splits a component") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "x", "y"))
+    val m = muts((1L, "D", "r2", "b", "c"))
+    val s = spark; import s.implicits._
+    val finalTwins = Seq("a", "b", "c", "d", "x", "y").toDF("dt_id")
+    checkComponents(base, m, finalTwins)
+  }
+
+  test("refreshComponents == batch: add merges two components, one untouched") {
+    val base = rels(("r1", "a", "b"), ("r2", "c", "d"), ("r3", "x", "y"))
+    val m = muts((1L, "C", "r9", "b", "c"))
+    val s = spark; import s.implicits._
+    val finalTwins = Seq("a", "b", "c", "d", "x", "y").toDF("dt_id")
+    checkComponents(base, m, finalTwins)
+    // and the untouched x-y component's label must splice through without
+    // entering the recompute subgraph (its base label is canonical anyway;
+    // this asserts the affected-set restriction at the value level)
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components()
+    val out = compMap(IncrementalAnalytics.refreshComponents(
+      baseComp, base, m))
+    assert(out("x") == "x" && out("y") == "x")
+  }
+
+  test("refreshComponents == batch: twin delete with DETACH'd edges") {
+    // hub b connects a-c; deleting b (and its edges, DETACH discipline)
+    // splits {a,b,c} into singletons {a}, {c}
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "x", "y"))
+    val m = muts((1L, "D", "r1", "a", "b"), (2L, "D", "r2", "b", "c"))
+      .unionByName(twinMuts((3L, "D", "b")))
+    val s = spark; import s.implicits._
+    val finalTwins = Seq("a", "c", "x", "y").toDF("dt_id")
+    checkComponents(base, m, finalTwins)
+  }
+
+  test("refreshComponents == batch: new isolated twin and flip-flop edge") {
+    val base = rels(("r1", "a", "b"))
+    val m = muts(
+      (1L, "D", "r1", "a", "b"),
+      (2L, "C", "r1", "a", "b"),   // flip-flop back: no net change
+      (3L, "C", "r2", "b", "c"))   // new node c via edge
+      .unionByName(twinMuts((4L, "C", "c"), (5L, "C", "z")))
+    val s = spark; import s.implicits._
+    val finalTwins = Seq("a", "b", "c", "z").toDF("dt_id")
+    checkComponents(base, m, finalTwins)
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components()
+    val out = compMap(IncrementalAnalytics.refreshComponents(
+      baseComp, base, m))
+    assert(out("z") == "z", "edge-free created twin is its own component")
+  }
+
+  test("refreshComponents: empty batch passes every label through") {
+    val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components().localCheckpoint(true)
+    val m = muts().limit(0)
+    val out = compMap(IncrementalAnalytics.refreshComponents(
+      baseComp, base, m))
+    assert(out == compMap(baseComp))
+  }
 }
