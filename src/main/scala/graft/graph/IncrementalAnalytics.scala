@@ -362,6 +362,56 @@ object IncrementalAnalytics {
       .start()
   }
 
+  /** Initialize the components maintenance state: version 0 holds the
+    * base relationship table and its WCC labels. */
+  def initComponentsState(stateDir: String, baseComponents: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseComponents.write.mode("overwrite").parquet(s"$stateDir/v0/components")
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained component labeling as of the last committed batch. */
+  def currentComponents(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/components")
+
+  /** Continuously-maintained WCC labels over the mutation-log STREAM —
+    * the [[maintainDegreesStream]] machinery with [[refreshComponents]]
+    * as the fold: each micro-batch recomputes only its affected
+    * components against the carried state, commits v(batch+1) via the
+    * same atomic pointer move, and replays idempotently after a crash
+    * (pointer behind → deterministic recompute; ahead → skip). */
+  def maintainComponentsStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseComp = spark2.read.parquet(s"$stateDir/v$v/components")
+          val m = batch.localCheckpoint(true)
+          refreshComponents(baseComp, baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/components")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+        }
+      }
+      .start()
+  }
+
   /** The changed (source,target) pair set a mutation batch induces,
     * computed against the BASE relationship table but touching only the
     * touched keys / touched pairs — a pair is "changed" when its

@@ -193,7 +193,10 @@ object StoreQueries {
       st.createOrReplaceTwin("X0",
         s"""{"$$dtId":"X0","$$metadata":{"$$model":"$NationModel"},"name":"x0"}""")
     }
-    (baseTwins, baseRels, st.mutationsDf.filter(col("seq") > baseSeq))
+    // the post-base log slice feeds many joins across the incremental
+    // refreshes — materialize once instead of re-scanning the journal
+    (baseTwins, baseRels,
+      st.mutationsDf.filter(col("seq") > baseSeq).localCheckpoint(eager = true))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

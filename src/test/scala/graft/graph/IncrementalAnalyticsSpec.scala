@@ -321,6 +321,37 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assert(out("z") == "z", "edge-free created twin is its own component")
   }
 
+  test("streaming WCC maintenance: split then merge across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wcc-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    // one chain a-b-c-d plus a separate x-y
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "x", "y"))
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components()
+    IncrementalAnalytics.initComponentsState(stateDir, baseComp, base)
+    // batch 1: cut the chain in the middle — {a,b} and {c,d} split
+    muts((1L, "D", "r2", "b", "c")).write.mode("append").parquet(mutDir)
+    val q1 = IncrementalAnalytics.maintainComponentsStream(
+      spark, mutDir, stateDir, cpDir)
+    q1.awaitTermination(60000)
+    val mid = compMap(IncrementalAnalytics.currentComponents(spark, stateDir))
+    assert(mid == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c",
+      "x" -> "x", "y" -> "x"), s"after split: $mid")
+    // batch 2 lands while the maintainer is down: bridge the x-y island
+    // into {c,d}; a fresh query on the same checkpoint folds just it
+    muts((2L, "C", "r9", "d", "x")).write.mode("append").parquet(mutDir)
+    val q2 = IncrementalAnalytics.maintainComponentsStream(
+      spark, mutDir, stateDir, cpDir)
+    q2.awaitTermination(60000)
+    val fin = compMap(IncrementalAnalytics.currentComponents(spark, stateDir))
+    assert(fin == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c",
+      "x" -> "c", "y" -> "c"), s"after merge: $fin")
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
