@@ -1,0 +1,132 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Blocks
+
+/** K-source betweenness centrality — Brandes' dependency accumulation
+  * (Brandes 2001, "A faster algorithm for betweenness centrality"),
+  * batched over all sources at once: every BFS round and every backward
+  * accumulation round is ONE equi-join + combinable aggregate keyed by
+  * (source, node), so k sources cost the same number of Spark stages as
+  * one. Sampling sources is the standard scale path (Brandes/Pich 2007
+  * approximation); with sources = all nodes this is exact betweenness.
+  *
+  * Forward: unweighted BFS by depth rounds; sigma(s,v) = number of
+  * shortest s→v paths = sum of predecessor sigmas (exact integers).
+  * Backward: depth layers processed deepest-first;
+  *   delta(v) = Σ_{w ∈ succ(v)} (sigma_v · (SCALE + delta_w)) div sigma_w
+  * in micro-unit integers — each term is an integer division computed
+  * per (v,w) pair and the sum is order-independent, so results are
+  * bit-identical on any partitioning and mirrorable in oracle SQL.
+  * bc(v) = Σ_sources delta(s,v) over rows with dist > 0 (a source never
+  * accumulates its own dependency, Brandes' v ≠ s rule).
+  *
+  * Scale shape: per-round lineage truncated via eager localCheckpoint
+  * (layer tables are kept — the backward pass re-reads them — and freed
+  * at the end); frontier emptiness probes are driver-side counts over
+  * materialized blocks. Rounds = eccentricity of the source set, the
+  * [[Sssp]] discipline.
+  */
+object Betweenness {
+
+  val Scale = 1000000L
+
+  /** (node, bc_m) for every endpoint in `relationships` — micro-unit
+    * betweenness accumulated from `sources`. Undirected, unweighted.
+    *
+    * @param maxDepth BFS round cap; with `strict` (default) a frontier
+    *                 still alive at the cap throws — a silently
+    *                 truncated accumulation is wrong, not approximate.
+    */
+  def centrality(relationships: DataFrame, sources: Seq[String],
+                 maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    val spark = relationships.sparkSession
+    import spark.implicits._
+    val e = relationships
+      .select(col("source_id").as("a"), col("target_id").as("b"))
+      .unionByName(relationships
+        .select(col("target_id").as("a"), col("source_id").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(eager = true)
+
+    // ---- forward BFS: layers(d) = (s, node, sigma) at dist d ----
+    var frontier = sources.distinct.map(s => (s, s, 1L))
+      .toDF("s", "node", "sigma").localCheckpoint(eager = true)
+    val layers = scala.collection.mutable.Buffer(frontier)
+    var visited = frontier.select(col("s"), col("node"))
+      .localCheckpoint(eager = true)
+    var d = 0
+    var alive = frontier.count()
+    while (alive > 0 && d < maxDepth) {
+      d += 1
+      val nxt = frontier.join(e, frontier("node") === e("a"))
+        .select(col("s"), e("b").as("node"), col("sigma"))
+        .join(visited, Seq("s", "node"), "left_anti")
+        .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(eager = true)
+      alive = nxt.count()
+      if (alive > 0) {
+        layers += nxt
+        val nv = visited.unionByName(nxt.select(col("s"), col("node")))
+          .localCheckpoint(eager = true)
+        Blocks.free(visited)
+        visited = nv
+        frontier = nxt
+      }
+    }
+    if (strict && alive > 0)
+      throw new IllegalStateException(
+        s"betweenness BFS still expanding at maxDepth=$maxDepth — " +
+          "raise maxDepth or pass strict=false")
+    Blocks.free(visited)
+
+    // ---- backward accumulation, deepest layer first ----
+    // delta(v) over the deepest layer is 0 (no successors); each shallower
+    // layer joins successors-at-depth+1 with their deltas
+    var delta = layers.last.select(col("s"), col("node"), lit(0L).as("delta"))
+      .localCheckpoint(eager = true)
+    // frames holding dist>0 deltas feed the final aggregate and must stay
+    // materialized; only the dist-0 frame (sources, excluded by Brandes'
+    // v ≠ s rule) is freeable
+    val contributions = scala.collection.mutable.Buffer.empty[DataFrame]
+    if (layers.size > 1) contributions += delta // deepest layer, dist > 0
+    for (dep <- (layers.size - 2) to 0 by -1) {
+      val lv = layers(dep)
+        .select(col("s").as("vs"), col("node").as("v"), col("sigma").as("sv"))
+      val lw = layers(dep + 1)
+        .select(col("s"), col("node").as("w"), col("sigma").as("sw"))
+        .join(delta.select(col("s"), col("node").as("w"),
+          col("delta").as("dw")), Seq("s", "w"))
+      val dv = lv
+        .join(e, col("v") === e("a"))
+        .join(lw, e("b") === lw("w") && col("vs") === lw("s"))
+        .select(col("vs"), col("v"),
+          expr("(sv * (1000000 + dw)) div sw").as("term"))
+        .groupBy(col("vs").as("s"), col("v").as("node"))
+        .agg(sum(col("term")).as("delta"))
+      val full = lv.select(col("vs").as("s"), col("v").as("node"))
+        .join(dv, Seq("s", "node"), "left_outer")
+        .select(col("s"), col("node"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(eager = true)
+      delta = full
+      if (dep > 0) contributions += full
+    }
+    Blocks.free(delta) // the dist-0 frame (never added to contributions)
+
+    val nodes = e.select(col("a").as("node")).distinct()
+    val bc =
+      if (contributions.isEmpty)
+        nodes.select(col("node"), lit(0L).as("bc_m"))
+      else
+        nodes.join(
+          contributions.reduce(_ unionByName _)
+            .groupBy(col("node")).agg(sum(col("delta")).as("bc_m")),
+          Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("bc_m"), lit(0L)).as("bc_m"))
+    layers.foreach(Blocks.free)
+    bc
+  }
+}

@@ -315,6 +315,29 @@ object GraphQueries {
       GraphViews.graph(s, d).components()
         .select(col("dt_id").as("node_id"), col("component"))
         .orderBy(col("node_id"))
+    }),
+
+    // K-source Brandes betweenness (Betweenness.scala) over the nation
+    // ring + region-attachment graph: rich sigma counts (ring chords
+    // through shared regions create multiple equal shortest paths), 5
+    // sampled sources, eccentricity 4 — the oracle replays the same
+    // integer micro-unit dependency accumulation unrolled per depth.
+    "q_graph_betweenness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_nationkey"))
+      val nat = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val ring = nat
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"))
+      val reg = nat.select(
+        concat(lit("N"), col("n_nationkey")).as("source_id"),
+        concat(lit("R"), col("n_regionkey")).as("target_id"))
+      graft.graph.Betweenness.centrality(ring.unionByName(reg),
+          Seq("N0", "N5", "N10", "N15", "N20"), maxDepth = 8)
+        .orderBy(col("node"))
     })
   )
 
@@ -616,7 +639,69 @@ object GraphQueries {
         |  UNION ALL SELECT n.n_regionkey, 'S' || s_suppkey
         |    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
         |SELECT id AS node_id, MIN(id) OVER (PARTITION BY rk) AS component
-        |FROM memb ORDER BY node_id""".stripMargin
+        |FROM memb ORDER BY node_id""".stripMargin,
+    // Brandes unrolled: forward frontiers f0..f4 (sigma = sum of
+    // predecessor sigmas, visited-set anti-join), then backward deltas
+    // d4..d1 with the identical (sigma_v*(1e6+delta_w)) // sigma_w
+    // per-successor integer term; dist-0 rows are excluded (v != s)
+    "q_graph_betweenness" ->
+      """WITH mm AS (SELECT count(*) AS m FROM nation),
+        |ring AS (SELECT 'N' || n_nationkey AS a,
+        |    'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS b FROM nation
+        |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+        |sym AS (SELECT a, b FROM ring UNION SELECT b, a FROM ring),
+        |src(s) AS (VALUES ('N0'), ('N5'), ('N10'), ('N15'), ('N20')),
+        |f0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM src),
+        |v0 AS (SELECT s, node FROM f0),
+        |f1 AS (SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f0 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v0 x WHERE x.s = f.s AND x.node = e.b)
+        |  GROUP BY 1, 2),
+        |v1 AS (SELECT s, node FROM v0 UNION ALL SELECT s, node FROM f1),
+        |f2 AS (SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f1 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 x WHERE x.s = f.s AND x.node = e.b)
+        |  GROUP BY 1, 2),
+        |v2 AS (SELECT s, node FROM v1 UNION ALL SELECT s, node FROM f2),
+        |f3 AS (SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f2 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 x WHERE x.s = f.s AND x.node = e.b)
+        |  GROUP BY 1, 2),
+        |v3 AS (SELECT s, node FROM v2 UNION ALL SELECT s, node FROM f3),
+        |f4 AS (SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f3 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v3 x WHERE x.s = f.s AND x.node = e.b)
+        |  GROUP BY 1, 2),
+        |d4 AS (SELECT s, node, CAST(0 AS BIGINT) AS delta FROM f4),
+        |t3 AS (SELECT v.s, v.node,
+        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |  FROM f3 v JOIN sym e ON v.node = e.a
+        |  JOIN f4 fw ON fw.s = v.s AND fw.node = e.b
+        |  JOIN d4 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
+        |d3 AS (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
+        |  FROM f3 v LEFT JOIN t3 t ON t.s = v.s AND t.node = v.node),
+        |t2 AS (SELECT v.s, v.node,
+        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |  FROM f2 v JOIN sym e ON v.node = e.a
+        |  JOIN f3 fw ON fw.s = v.s AND fw.node = e.b
+        |  JOIN d3 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
+        |d2 AS (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
+        |  FROM f2 v LEFT JOIN t2 t ON t.s = v.s AND t.node = v.node),
+        |t1 AS (SELECT v.s, v.node,
+        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |  FROM f1 v JOIN sym e ON v.node = e.a
+        |  JOIN f2 fw ON fw.s = v.s AND fw.node = e.b
+        |  JOIN d2 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
+        |d1 AS (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
+        |  FROM f1 v LEFT JOIN t1 t ON t.s = v.s AND t.node = v.node),
+        |allv AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+        |bc AS (SELECT node, CAST(sum(delta) AS BIGINT) AS bc_m FROM (
+        |    SELECT s, node, delta FROM d4
+        |    UNION ALL SELECT s, node, delta FROM d3
+        |    UNION ALL SELECT s, node, delta FROM d2
+        |    UNION ALL SELECT s, node, delta FROM d1) GROUP BY 1)
+        |SELECT v.node, CAST(coalesce(bc.bc_m, 0) AS BIGINT) AS bc_m
+        |FROM allv v LEFT JOIN bc USING (node) ORDER BY node""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a

@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batched Brandes betweenness: exact micro-unit values on analytic
+  * fixtures (path, cycle, star), bit-equality with a JVM-side Brandes
+  * replay (same integer div formula) on a seeded pseudo-random graph,
+  * k-source sampling, and the strict depth guard. */
+class BetweennessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rels(rows: (String, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.map { case (a, b) => (s"$a-$b", a, b, "link") }
+      .toDF("relationship_id", "source_id", "target_id", "relationship_name")
+  }
+
+  private def run(g: DataFrame, sources: Seq[String],
+      maxDepth: Int = 16): Map[String, Long] =
+    Betweenness.centrality(g, sources, maxDepth).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+
+  /** JVM Brandes with the identical integer fixed-point accumulation. */
+  private def oracle(edges: Seq[(String, String)],
+      sources: Seq[String]): Map[String, Long] = {
+    val adj = (edges.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet
+    val bc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (s <- sources.distinct if nodes.contains(s)) {
+      // forward BFS
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Set(s)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val nextSigma = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for (v <- frontier; w <- adj(v) if !dist.contains(w))
+          nextSigma(w) += sigma(v)
+        nextSigma.keys.foreach(w => dist(w) = d)
+        nextSigma.foreach { case (w, sg) => sigma(w) = sg }
+        frontier = nextSigma.keySet.toSet
+      }
+      // backward accumulation
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val byDepth = dist.keys.toSeq.sortBy(v => -dist(v))
+      for (v <- byDepth) {
+        var acc = 0L
+        for (w <- adj(v) if dist.contains(w) && dist(w) == dist(v) + 1)
+          acc += (sigma(v) * (1000000L + delta(w))) / sigma(w)
+        delta(v) = acc
+        if (dist(v) > 0) bc(v) += acc
+      }
+    }
+    nodes.map(v => v -> bc(v)).toMap
+  }
+
+  test("path a-b-c: middle carries the a<->c dependency") {
+    val g = rels(("a", "b"), ("b", "c"))
+    val got = run(g, Seq("a", "b", "c"))
+    assert(got == Map("a" -> 0L, "b" -> 2000000L, "c" -> 0L))
+  }
+
+  test("4-cycle: two equal shortest paths split the dependency") {
+    // from each source the opposite node has sigma 2; each middle gets
+    // (1e6)/2 per source-opposite pair
+    val g = rels(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val got = run(g, Seq("a", "b", "c", "d"))
+    assert(got == oracle(
+      Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")),
+      Seq("a", "b", "c", "d")))
+    assert(got.values.toSet == Set(1000000L),
+      "symmetry: every node carries the same split dependency")
+  }
+
+  test("star: the hub carries every peripheral pair") {
+    val edges = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"))
+    val got = run(rels(edges: _*), Seq("h", "x1", "x2", "x3", "x4"))
+    assert(got == oracle(edges, Seq("h", "x1", "x2", "x3", "x4")))
+    assert(got("h") == 4L * 3L * 1000000L,
+      "hub mediates all 12 ordered peripheral pairs")
+    assert(Seq("x1", "x2", "x3", "x4").forall(got(_) == 0L))
+  }
+
+  test("seeded pseudo-random graph matches the JVM Brandes replay") {
+    val n = 14
+    val edges = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (i * 29 + j * 13 + i * j) % 5 == 0
+    } yield (f"n$i%02d", f"n$j%02d")
+    val names = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(run(rels(edges: _*), names) == oracle(edges, names))
+  }
+
+  test("k-source sampling: subset of sources, exact for that subset") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("b", "e"), ("c", "f"))
+    val srcs = Seq("a", "d")
+    assert(run(rels(edges: _*), srcs) == oracle(edges, srcs))
+  }
+
+  test("disconnected part never accumulates from an unreachable source") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    assert(run(rels(edges: _*), Seq("a")) == oracle(edges, Seq("a")))
+  }
+
+  test("strict depth guard throws instead of truncating") {
+    val g = rels(("a", "b"), ("b", "c"), ("c", "d"))
+    val ex = intercept[IllegalStateException](
+      Betweenness.centrality(g, Seq("a"), maxDepth = 1))
+    assert(ex.getMessage.contains("maxDepth"))
+  }
+}
