@@ -382,18 +382,60 @@ object Dtdl {
     } else Right(())
   }
 
+  /** One DTMI path segment: starts with a letter, ends with a letter or
+    * digit, interior may add digits/underscores (public DTDL spec,
+    * "Digital Twin Model Identifier"). */
+  private val DtmiSegment = "[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?"
+
+  /** Full user DTMI: `dtmi:` scheme (case-sensitive), ≥1 colon-separated
+    * segments, `;version` with major 1..999999999 (no leading zero) and
+    * an optional DTDL-v3 `.minor`. */
+  private val DtmiRe =
+    (s"dtmi:$DtmiSegment(?::$DtmiSegment)*" +
+      ";[1-9][0-9]{0,8}(?:\\.(?:0|[1-9][0-9]{0,8}))?").r
+
+  /** DTMI well-formedness — the check DTDLParser applies to every model
+    * identifier before resolution (reference
+    * Validation/ParserDtmiResolverAsync.cs consumes parsed `Dtmi` values,
+    * so a malformed id is rejected at parse time there; here it is a
+    * typed model error). An Interface `@id` is additionally capped at 128
+    * characters per the DTDL spec; other references use the 2048-char
+    * general limit. */
+  def validateDtmi(id: String, what: String,
+      maxLen: Int = 2048): Either[String, Unit] =
+    if (id.length > maxLen)
+      Left(s"$what '${id.take(64)}…' exceeds $maxLen characters")
+    else if (DtmiRe.matches(id)) Right(())
+    else Left(s"$what '$id' is not a well-formed DTMI")
+
   def parseInterface(dtdlJson: String): Either[String, DtdlInterface] = {
     val n = Json.tryParse(dtdlJson).getOrElse(return Left("invalid JSON"))
     val id = Option(n.get("@id")).map(_.asText())
       .getOrElse(return Left("missing @id"))
+    validateDtmi(id, "model @id", maxLen = 128) match {
+      case Left(err) => return Left(err)
+      case Right(()) =>
+    }
     if (!Option(n.get("@type")).exists(t => typeNames(t).contains("Interface")))
       return Left(s"model $id: @type must be Interface")
     val ext = Option(n.get("extends")).map { e =>
       if (e.isTextual) Seq(e.asText()) else e.elements().asScala.map(_.asText()).toSeq
     }.getOrElse(Nil)
+    ext.foreach { e =>
+      validateDtmi(e, s"model $id: extends reference") match {
+        case Left(err) => return Left(err)
+        case Right(()) =>
+      }
+    }
     val defs = parseSchemaDefs(n.get("schemas")) match {
       case Right(d) => d
       case Left(err) => return Left(s"model $id: $err")
+    }
+    defs.keys.foreach { k =>
+      validateDtmi(k, s"model $id: schema definition @id") match {
+        case Left(err) => return Left(err)
+        case Right(()) =>
+      }
     }
     var props = Map.empty[String, DtdlSchema]
     var rels = Map.empty[String, Option[String]]
@@ -420,10 +462,24 @@ object Dtdl {
       }
       if (ts.contains("Property"))
         props += name -> parseSchema(c.get("schema"), defs)
-      else if (ts.contains("Relationship"))
-        rels += name -> Option(c.get("target")).map(_.asText())
-      else if (ts.contains("Component"))
-        comps += name -> Option(c.get("schema")).map(_.asText()).getOrElse("")
+      else if (ts.contains("Relationship")) {
+        val target = Option(c.get("target")).map(_.asText())
+        target.foreach { t =>
+          validateDtmi(t, s"model $id: relationship '$name' target") match {
+            case Left(err) => return Left(err)
+            case Right(()) =>
+          }
+        }
+        rels += name -> target
+      } else if (ts.contains("Component")) {
+        val schema = Option(c.get("schema")).map(_.asText()).getOrElse("")
+        if (schema.nonEmpty)
+          validateDtmi(schema, s"model $id: component '$name' schema") match {
+            case Left(err) => return Left(err)
+            case Right(()) =>
+          }
+        comps += name -> schema
+      }
       else if (ts.contains("Telemetry")) telem += name
     })
     Right(DtdlInterface(id, ext, props, rels, comps, telem,

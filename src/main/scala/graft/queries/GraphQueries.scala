@@ -338,6 +338,28 @@ object GraphQueries {
       graft.graph.Betweenness.centrality(ring.unionByName(reg),
           Seq("N0", "N5", "N10", "N15", "N20"), maxDepth = 8)
         .orderBy(col("node"))
+    }),
+
+    // Node2vec second-order walks (RandomWalk.node2vecWalks) over the
+    // same ring + region fixture: weights (return 1, common 2, far 4) —
+    // an outward q<1 bias — with the full cumulative-range pick replayed
+    // in the oracle step by step.
+    "q_graph_node2vec" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_nationkey"))
+      val nat = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val ring = nat
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"))
+      val reg = nat.select(
+        concat(lit("N"), col("n_nationkey")).as("source_id"),
+        concat(lit("R"), col("n_regionkey")).as("target_id"))
+      graft.graph.RandomWalk.node2vecWalks(ring.unionByName(reg),
+          length = 4, wReturn = 1, wCommon = 2, wFar = 4)
+        .orderBy(col("walk_id"), col("step"))
     })
   )
 
@@ -701,7 +723,15 @@ object GraphQueries {
         |    UNION ALL SELECT s, node, delta FROM d2
         |    UNION ALL SELECT s, node, delta FROM d1) GROUP BY 1)
         |SELECT v.node, CAST(coalesce(bc.bc_m, 0) AS BIGINT) AS bc_m
-        |FROM allv v LEFT JOIN bc USING (node) ORDER BY node""".stripMargin
+        |FROM allv v LEFT JOIN bc USING (node) ORDER BY node""".stripMargin,
+    "q_graph_node2vec" ->
+      s"""WITH ${n2vCtes(4, 1, 2, 4)},
+         |wrows AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+         |  UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM w1
+         |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM w2
+         |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM w3
+         |  UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM w4)
+         |SELECT walk_id, step, node FROM wrows ORDER BY walk_id, step""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a
@@ -753,6 +783,56 @@ object GraphQueries {
   /** The walk recurrence, unrolled: CTEs w0..w`length` where w_k holds
     * (walk_id, node after k steps). Mirrors [[graft.graph.RandomWalk
     * .walks]] expression for expression (same md5-nibble pick). */
+  /** Node2vec unrolled: transition table with CASE weight classes +
+    * windowed cumulative ranges, first-order step 1, then per-step
+    * (prev,cur)-keyed cumulative-range picks — mirrors
+    * [[graft.graph.RandomWalk.node2vecWalks]] over the nation ring +
+    * region attachment graph. */
+  private def n2vCtes(length: Int, wr: Long, wc: Long, wf: Long): String = {
+    val nib = graft.graph.RandomWalk.nibbleValueSql("p.h")
+    val base =
+      s"""mm AS (SELECT count(*) AS m FROM nation),
+         |fwd AS (SELECT 'N' || n_nationkey AS src,
+         |    'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS dst FROM nation
+         |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+         |edges AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)),
+         |adj AS (SELECT src, dst,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |tr AS (SELECT e.src AS prev, e.dst AS cur, a.idx, a.dst AS nxt,
+         |  CASE WHEN a.dst = e.src THEN $wr
+         |       WHEN EXISTS (SELECT 1 FROM edges e2
+         |                    WHERE e2.src = e.src AND e2.dst = a.dst) THEN $wc
+         |       ELSE $wf END AS w
+         |  FROM edges e JOIN adj a ON a.src = e.dst),
+         |trc AS (SELECT prev, cur, idx, nxt, w,
+         |  CAST(sum(w) OVER (PARTITION BY prev, cur ORDER BY idx)
+         |    AS BIGINT) AS cum_hi,
+         |  CAST(sum(w) OVER (PARTITION BY prev, cur) AS BIGINT) AS total
+         |  FROM tr),
+         |w0 AS (SELECT DISTINCT src || '#0' AS walk_id, src AS node FROM edges),
+         |h1 AS (SELECT w.walk_id, w.node, d.deg,
+         |  md5(w.walk_id || ':1:' || w.node) AS h
+         |  FROM w0 w JOIN deg d ON w.node = d.src),
+         |w1 AS (SELECT p.walk_id, p.node AS prev, a.dst AS node
+         |  FROM h1 p JOIN adj a
+         |  ON a.src = p.node AND a.idx = ($nib % p.deg))""".stripMargin
+    val steps = (2 to length).map { k =>
+      s"""h$k AS (SELECT w.walk_id, w.prev, w.node, t.total,
+         |  md5(w.walk_id || ':$k:' || w.node) AS h
+         |  FROM w${k - 1} w JOIN (SELECT DISTINCT prev, cur, total FROM trc
+         |    WHERE total > 0) t ON t.prev = w.prev AND t.cur = w.node),
+         |w$k AS (SELECT p.walk_id, p.node AS prev, c.nxt AS node
+         |  FROM h$k p JOIN trc c ON c.prev = p.prev AND c.cur = p.node
+         |  AND c.w > 0
+         |  AND ($nib % p.total) >= c.cum_hi - c.w
+         |  AND ($nib % p.total) < c.cum_hi)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private def walkCtes(length: Int): String = {
     val nib = graft.graph.RandomWalk.nibbleValueSql("p.h")
     val base =

@@ -693,4 +693,71 @@ class DtdlSemanticsSpec extends AnyFunSuite {
         |  "fence":{"name":"yard","area":{"type":"Point","coordinates":[0,0]}}}""".stripMargin)
     assert(reg.validateTwin(bad).isLeft, "nested geospatial kind mismatch")
   }
+
+  // ---------- DTMI well-formedness (DTDLParser parse-time checks) ----------
+
+  private def interfaceWithId(id: String) =
+    parse(s"""{"@id":"$id","@type":"Interface","contents":[]}""")
+
+  test("DTMI format: valid shapes parse") {
+    for (id <- Seq(
+      "dtmi:a;1",
+      "dtmi:com:contoso:Thing_1;1",
+      "dtmi:a:b:c:d:e;999999999",
+      "dtmi:v3:Thing;1.5",        // DTDL v3 two-part version
+      "dtmi:v3:Thing;2.0"))
+      assert(interfaceWithId(id).isRight, id)
+  }
+
+  test("DTMI format: malformed ids are typed model errors") {
+    for (id <- Seq(
+      "DTMI:a;1",            // scheme is case-sensitive
+      "dtmi:a",              // missing version
+      "dtmi:a;0",            // major must be >= 1
+      "dtmi:a;01",           // leading zero
+      "dtmi:a;1.01",         // leading zero in minor
+      "dtmi:1a;1",           // segment starts with a digit
+      "dtmi:_a;1",           // segment starts with underscore
+      "dtmi:a_;1",           // segment ends with underscore
+      "dtmi:a..b;1",         // bad separator
+      "dtmi:a:;1",           // empty segment
+      "dtmi:a b;1",          // whitespace
+      "urn:a:b;1"))          // wrong scheme
+    {
+      val r = interfaceWithId(id)
+      assert(r.isLeft && r.swap.toOption.get.contains("DTMI"), s"$id -> $r")
+    }
+  }
+
+  test("interface @id caps at 128 characters; references at 2048") {
+    val long = "dtmi:" + ("a" * 121) + ";1" // exactly 128 characters
+    assert(long.length == 128)
+    assert(interfaceWithId(long).isRight)
+    val over = "dtmi:" + ("a" * 122) + ";1"
+    assert(interfaceWithId(over).isLeft)
+    // a relationship target may exceed 128 (general 2048 limit applies)
+    val m = parse(
+      s"""{"@id":"dtmi:g:r;1","@type":"Interface","contents":[
+         |  {"@type":"Relationship","name":"to","target":"$over"}]}""".stripMargin)
+    assert(m.isRight, m)
+  }
+
+  test("malformed extends / target / component schema references reject") {
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface",
+        |  "extends":"not-a-dtmi","contents":[]}""".stripMargin).isLeft)
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Relationship","name":"to","target":"dtmi:bad_;1"}]}""".stripMargin)
+      .isLeft)
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Component","name":"c","schema":"dtmi:comp;0"}]}""".stripMargin)
+      .isLeft)
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface",
+        |  "schemas":[{"@id":"bogus","@type":"Object",
+        |    "fields":[{"name":"f","schema":"string"}]}],
+        |  "contents":[]}""".stripMargin).isLeft)
+  }
 }
