@@ -555,4 +555,71 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"banded LSH must propose candidates by equi-join:\n$p")
   }
+
+  // The iterative graph operators checkpoint per round, so their gate
+  // plans collapse to LogicalRDD unions — assert the ROUND plans on
+  // representative frames built with the operators' exact join shapes.
+
+  test("scc round: min-label propagation is an equi-join + partial-aggregated min") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+      .localCheckpoint(true)
+    val lab = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("node", "lab")
+      .localCheckpoint(true)
+    val round = lab.join(edges, lab("node") === edges("src"))
+      .select(edges("dst").as("node"), lab("lab").as("lab"))
+      .unionByName(lab)
+      .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"round must equi-join:\n$p")
+    assert(p.contains("partial_min"), s"min must combine map-side:\n$p")
+  }
+
+  test("betweenness rounds: BFS sigma and backward delta combine map-side, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Seq(("a", "b"), ("b", "c")).toDF("a", "b").localCheckpoint(true)
+    val frontier = Seq(("s1", "a", 1L)).toDF("s", "node", "sigma")
+      .localCheckpoint(true)
+    val bfs = frontier.join(e, frontier("node") === e("a"))
+      .select(col("s"), e("b").as("node"), col("sigma"))
+      .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
+    val pb = bfs.queryExecution.executedPlan.toString
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"), s"BFS round:\n$pb")
+    assert(pb.contains("partial_sum"), s"sigma must combine map-side:\n$pb")
+    val lw = Seq(("s1", "b", 1L, 0L)).toDF("s", "w", "sw", "dw")
+      .localCheckpoint(true)
+    val back = Seq(("s1", "a", 1L)).toDF("vs", "v", "sv").localCheckpoint(true)
+      .join(e, col("v") === e("a"))
+      .join(lw, e("b") === lw("w") && col("vs") === lw("s"))
+      .select(col("vs"), col("v"),
+        expr("(sv * (1000000 + dw)) div sw").as("term"))
+      .groupBy(col("vs").as("s"), col("v").as("node"))
+      .agg(sum(col("term")).as("delta"))
+    val pd = back.queryExecution.executedPlan.toString
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"), s"backward round:\n$pd")
+    assert(pd.contains("partial_sum"), s"delta must combine map-side:\n$pd")
+  }
+
+  test("node2vec step: cumulative-range pick stays a (prev,cur) equi-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val trans = Seq(("a", "b", "c", 0L, 2L, 4L))
+      .toDF("t_prev", "t_cur", "t_nxt", "cum_lo", "cum_hi", "total")
+      .localCheckpoint(true)
+    val drawn = Seq(("w0", "a", "b", 1L)).toDF("walk_id", "prev", "node", "r")
+      .localCheckpoint(true)
+    val pick = drawn.join(trans,
+      col("prev") === col("t_prev") && col("node") === col("t_cur") &&
+        col("r") >= col("cum_lo") && col("r") < col("cum_hi"))
+      .select(col("walk_id"), col("t_nxt").as("node"))
+    val p = pick.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the range condition must ride an equi-join, not a nested loop:\n$p")
+  }
 }
