@@ -140,27 +140,43 @@ object Scc {
   }
 
   /** Propagate the min label along `edges` (src → dst) until no label
-    * changes. Returns (node, lab); every input node keeps a row. */
+    * changes. Returns (node, lab); every input node keeps a row.
+    *
+    * Delta propagation: only the rows whose label DROPPED last round are
+    * joined against the edge list (the frontier), so per-round join work
+    * tracks the wave of still-moving labels, not the node set — on a
+    * 100 TB graph most labels settle in a few rounds and later rounds
+    * touch a vanishing frontier. Change detection is folded into the
+    * same round plan as a `chg` flag; the convergence probe is a narrow
+    * count over the already-materialized checkpoint, not a second
+    * shuffle. */
   private def minLabelFixpoint(nodes: DataFrame, edges: DataFrame,
                                maxInner: Int): DataFrame = {
     var lab = nodes.select(col("node"), col("node").as("lab"))
       .localCheckpoint(eager = true)
-    var changed = 1L
+    var frontier = lab // every label is "new" in round 1
+    var moving = 1L
     var round = 0
-    while (changed > 0) {
+    while (moving > 0) {
       round += 1
       if (round > maxInner)
         throw new IllegalStateException(
           s"SCC label fixpoint exceeded $maxInner rounds — raise maxInner")
-      val prop = lab.join(edges, lab("node") === edges("src"))
-        .select(edges("dst").as("node"), lab("lab").as("lab"))
-      val next = lab.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node"), frontier("lab").as("lab"))
+        .groupBy(col("node")).agg(min(col("lab")).as("cand"))
+      val next = lab.join(cand, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"),
+          (col("cand") < col("lab")).as("chg"))
         .localCheckpoint(eager = true)
-      changed = next.join(lab.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") =!= col("old")).count()
+      val newFrontier = next.filter(col("chg"))
+        .select(col("node"), col("lab"))
+      moving = newFrontier.count()
+      if (frontier ne lab) Blocks.free(frontier)
       Blocks.free(lab)
-      lab = next
+      lab = next.select(col("node"), col("lab"))
+      frontier = newFrontier
     }
     lab
   }
