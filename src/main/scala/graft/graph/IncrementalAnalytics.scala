@@ -154,6 +154,17 @@ object IncrementalAnalytics {
     * join-aggregate. */
   def refreshRanks(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): DataFrame = {
+    val hist = refreshRanksHistory(newRels, changedPairs, history)
+    hist.dropRight(1).foreach(Blocks.free)
+    hist.last
+  }
+
+  /** [[refreshRanks]] returning EVERY refreshed iteration (the new
+    * per-iteration history) — what a continuously-maintained PageRank
+    * needs to carry forward so the NEXT batch can splice against it. The
+    * caller owns the returned checkpoints. */
+  def refreshRanksHistory(newRels: DataFrame, changedPairs: DataFrame,
+      history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
     require(history.nonEmpty, "need the previous run's per-iteration ranks")
     val iterations = history.size
     val newPairs = pairs(newRels)
@@ -184,6 +195,7 @@ object IncrementalAnalytics {
     // r⁰ is the constant init — exact for every node, including new ones
     var blend = nodes.withColumn("rank_m", lit(1000000L))
       .localCheckpoint(eager = true)
+    val outHist = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to iterations) {
       val contribs = e
         .join(affected.select(col("node").as("target_id")),
@@ -202,8 +214,9 @@ object IncrementalAnalytics {
         .join(affected, Seq("node"), "left_anti") // affected: recomputed
         .unionByName(recomputed)
         .localCheckpoint(eager = true)
-      Blocks.free(blend)
+      if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
+      outHist += spliced
       if (i < iterations) {
         val grown = affected.unionByName(outNeighbors(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -213,7 +226,7 @@ object IncrementalAnalytics {
     }
     Blocks.free(affected); Blocks.free(e); Blocks.free(nodes)
     Blocks.free(changed)
-    blend
+    outHist.result()
   }
 
   /** Affected-component refresh of [[TwinGraph.components]] (weakly
@@ -406,6 +419,67 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+        }
+      }
+      .start()
+  }
+
+  /** Initialize the PageRank maintenance state: version 0 holds the base
+    * relationship table and the per-iteration rank history of the last
+    * full run ([[PageRank.ranksHistory]]). */
+  def initRanksState(stateDir: String, history: IndexedSeq[DataFrame],
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    history.zipWithIndex.foreach { case (h, i) =>
+      h.write.mode("overwrite").parquet(s"$stateDir/v0/hist/i=$i")
+    }
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained final ranks as of the last committed batch. */
+  def currentRanks(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, iterations: Int): DataFrame =
+    spark.read.parquet(
+      s"$stateDir/v${readPointer(stateDir)}/hist/i=${iterations - 1}")
+
+  /** Continuously-maintained fixed-K PageRank over the mutation-log
+    * STREAM — the affected-cone refresh ([[refreshRanksHistory]]) as the
+    * per-batch fold, carrying the full per-iteration history forward so
+    * every batch splices against its predecessor exactly the way the
+    * batch operator would recompute. Same versioned-state + atomic
+    * pointer machinery as [[maintainDegreesStream]]; crash replay is
+    * idempotent. */
+  def maintainRanksStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String,
+      iterations: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val hist = (0 until iterations).map(i =>
+            spark2.read.parquet(s"$stateDir/v$v/hist/i=$i"))
+          val m = batch.localCheckpoint(true)
+          val newRels = applyRelationshipMutations(baseRels, m)
+            .localCheckpoint(true)
+          val changed = changedPairs(baseRels, m)
+          val newHist = refreshRanksHistory(newRels, changed, hist)
+          newHist.zipWithIndex.foreach { case (h, i) =>
+            h.write.mode("overwrite").parquet(s"$stateDir/v$target/hist/i=$i")
+          }
+          newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          newHist.foreach(graft.core.Blocks.free)
+          graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
           writePointer(stateDir, target)
         }
       }

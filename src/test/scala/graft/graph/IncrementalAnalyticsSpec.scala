@@ -352,6 +352,39 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       "x" -> "c", "y" -> "c"), s"after merge: $fin")
   }
 
+  test("streaming PageRank maintenance: history carries across restart, == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "x", "y"))
+    val hist0 = PageRank.ranksHistory(base, 3)
+    IncrementalAnalytics.initRanksState(stateDir, hist0, base)
+    hist0.foreach(graft.core.Blocks.free)
+    // batch 1 drains, maintainer stops (the kill)
+    muts((1L, "D", "r2", "b", "c"), (2L, "C", "r5", "a", "c"))
+      .write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainRanksStream(
+      spark, mutDir, stateDir, cpDir, iterations = 3).awaitTermination(60000)
+    // batch 2 lands while down; a fresh query resumes from the checkpoint
+    muts((3L, "C", "r6", "y", "a"), (4L, "D", "r4", "x", "y"))
+      .write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainRanksStream(
+      spark, mutDir, stateDir, cpDir, iterations = 3).awaitTermination(60000)
+    val got = ranksMap(IncrementalAnalytics.currentRanks(spark, stateDir, 3))
+    val all = muts((1L, "D", "r2", "b", "c"), (2L, "C", "r5", "a", "c"),
+      (3L, "C", "r6", "y", "a"), (4L, "D", "r4", "x", "y"))
+    val finalRels = IncrementalAnalytics.applyRelationshipMutations(base, all)
+      .localCheckpoint(true)
+    val batchHist = PageRank.ranksHistory(finalRels, 3)
+    val expect = ranksMap(batchHist.last)
+    batchHist.dropRight(1).foreach(graft.core.Blocks.free)
+    assert(got == expect,
+      s"two-batch streaming fold != batch recompute\ngot: $got\nexp: $expect")
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
