@@ -130,6 +130,63 @@ final case class TwinGraph(twins: DataFrame, relationships: DataFrame, models: D
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** The model graph the reference materializes alongside the twin graph
+    * (AgeDigitalTwinsClient.Models.cs:402-425 creates `_extends` and
+    * `_hasComponent` edges between `:Model` nodes; GraphInitialization.cs:31-38
+    * provisions and indexes the `_extends` label): models become nodes in
+    * the twin-graph SHAPE, so the ADT/Cypher executor, VLE expansion and
+    * the graph analytics run over model inheritance unchanged —
+    * `MATCH (m:Model)-[e:_extends]->(parent:Model) RETURN m, parent` is
+    * the reference's own inheritance query (QueryTests.cs:1201).
+    *
+    * Direct `extends` and component references come from each stored DTDL
+    * doc; models without a stored doc fall back to `bases`, whose head is
+    * the direct parent by construction. The catalog pass is driver-side
+    * and bounded: a model catalog is small by design — the reference
+    * loads it whole into its ModelCache — so this is a point read, not a
+    * data scan. */
+  def modelGraph: TwinGraph = {
+    val spark = twins.sparkSession
+    import spark.implicits._
+    val have = models.columns.toSet
+    val padded = Seq("display_name" -> "string", "decommissioned" -> "boolean",
+      "upload_time" -> "string", "dtdl" -> "string")
+      .foldLeft(models) { case (df, (c, t)) =>
+        if (have(c)) df else df.withColumn(c, lit(null).cast(t))
+      }
+    val rows = padded.select(col("id"), col("bases"), col("display_name"),
+      col("decommissioned"), col("upload_time"), col("dtdl")).collect()
+    val nodes = rows.toSeq.map { r =>
+      val id = r.getString(0)
+      val doc = graft.json.Json.obj()
+      doc.put("$dtId", id)
+      doc.put("id", id)
+      if (!r.isNullAt(2)) doc.put("displayName", r.getString(2))
+      doc.put("decommissioned", !r.isNullAt(3) && r.getBoolean(3))
+      if (!r.isNullAt(4)) doc.put("uploadTime", r.getString(4))
+      (id, "Model", null: String,
+        if (r.isNullAt(4)) null else r.getString(4),
+        graft.json.Json.render(doc))
+    }.toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val edges = rows.toSeq.flatMap { r =>
+      val id = r.getString(0)
+      val parsed = Option(if (r.isNullAt(5)) null else r.getString(5))
+        .flatMap(j => graft.dtdl.Dtdl.parseInterface(j).toOption)
+      val ext: Seq[String] = parsed.map(_.extendsIds).getOrElse {
+        val bases = if (r.isNullAt(1)) Nil else r.getSeq[String](1).toSeq
+        bases.headOption.toList
+      }
+      val comps: Seq[String] = parsed
+        .map(_.components.values.toSeq.filter(_.nonEmpty).distinct)
+        .getOrElse(Nil)
+      ext.map(b => (s"$id-_extends-$b", id, b, "_extends")) ++
+        comps.map(c => (s"$id-_hasComponent-$c", id, c, "_hasComponent"))
+    }.map { case (rid, s0, t0, n0) => (rid, s0, t0, n0, null: String, "{}") }
+      .toDF("relationship_id", "source_id", "target_id",
+        "relationship_name", "etag", "properties")
+    TwinGraph(nodes, edges, models)
+  }
+
   /** Weakly connected components over the twin graph — every twin is a
     * node, every relationship an undirected edge: (dt_id, component)
     * with component = the lexicographic-min member id (canonical, so any

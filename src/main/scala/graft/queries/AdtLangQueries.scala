@@ -350,6 +350,25 @@ object AdtLangQueries {
         .select(concat_ws(">", col("pnodes")).as("path_nodes"),
           concat_ws(">", col("prels")).as("path_rels"))
         .orderBy(col("path_nodes"), col("path_rels"))
+    }),
+
+    // The reference's own model-inheritance Cypher (QueryTests.cs:1201,
+    // Models.cs:402-425): `_extends` edges between :Model nodes, run by
+    // the SAME executor over the model-graph view.
+    "q_cypher_model_extends" -> ((s, d) => {
+      new AdtPlanner(GraphViews.graph(s, d).modelGraph).run(
+        "MATCH (m:Model)-[e:_extends]->(p:Model) " +
+          "RETURN m.id AS model, p.id AS parent")
+        .orderBy(col("model"))
+    }),
+
+    // Ancestor closure = VLE over the model graph — reconstructs the
+    // stored `bases` transitively from direct extends edges.
+    "q_cypher_model_ancestors" -> ((s, d) => {
+      new AdtPlanner(GraphViews.graph(s, d).modelGraph).run(
+        "MATCH (m:Model)-[e:_extends*1..]->(a:Model) " +
+          "RETURN m.id AS model, a.id AS ancestor")
+        .orderBy(col("model"), col("ancestor"))
     })
   )
 
@@ -575,6 +594,29 @@ object AdtLangQueries {
         |  SELECT 'S' || s_suppkey, CAST(2 AS BIGINT)
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_regionkey = 1)
-        |ORDER BY src""".stripMargin
+        |ORDER BY src""".stripMargin,
+    // the model catalog is code-defined (GraphViews.models), so the
+    // oracle is its literal direct-extends edge list
+    "q_cypher_model_extends" ->
+      """SELECT model, parent FROM (VALUES
+        |  ('dtmi:graft:Customer;1', 'dtmi:graft:Nation;1'),
+        |  ('dtmi:graft:Nation;1',   'dtmi:graft:Region;1'),
+        |  ('dtmi:graft:Region;1',   'dtmi:graft:Place;1'),
+        |  ('dtmi:graft:Supplier;1', 'dtmi:graft:Nation;1'))
+        |  AS t(model, parent)
+        |ORDER BY model""".stripMargin,
+    "q_cypher_model_ancestors" ->
+      """SELECT model, ancestor FROM (VALUES
+        |  ('dtmi:graft:Customer;1', 'dtmi:graft:Nation;1'),
+        |  ('dtmi:graft:Customer;1', 'dtmi:graft:Place;1'),
+        |  ('dtmi:graft:Customer;1', 'dtmi:graft:Region;1'),
+        |  ('dtmi:graft:Nation;1',   'dtmi:graft:Place;1'),
+        |  ('dtmi:graft:Nation;1',   'dtmi:graft:Region;1'),
+        |  ('dtmi:graft:Region;1',   'dtmi:graft:Place;1'),
+        |  ('dtmi:graft:Supplier;1', 'dtmi:graft:Nation;1'),
+        |  ('dtmi:graft:Supplier;1', 'dtmi:graft:Place;1'),
+        |  ('dtmi:graft:Supplier;1', 'dtmi:graft:Region;1'))
+        |  AS t(model, ancestor)
+        |ORDER BY model, ancestor""".stripMargin
   )
 }

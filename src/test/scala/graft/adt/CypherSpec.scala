@@ -889,4 +889,48 @@ class CypherSpec extends AnyFunSuite {
       planner.run("MATCH (t:Twin) RETURN t.`$dtId` AS __cnode9")
     }
   }
+
+  test("model graph: the reference's inheritance Cypher runs over :Model nodes") {
+    // MATCH (m:Model)-[e:_extends]->(parent:Model) — QueryTests.cs:1201
+    val mg = new AdtPlanner(host.graph.modelGraph)
+    val out = mg.run(
+      "MATCH (m:Model)-[e:_extends]->(p:Model) " +
+        "RETURN m.id AS model, p.id AS parent")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"),
+      ("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Planet;1"),
+      ("dtmi:com:contoso:Moon;1", "dtmi:com:contoso:CelestialBody;1")))
+  }
+
+  test("model graph: stored DTDL docs drive _extends and _hasComponent edges") {
+    val s = host.spark; import s.implicits._
+    val models = Seq(
+      ("dtmi:g:base;1", Seq.empty[String],
+        """{"@id":"dtmi:g:base;1","@type":"Interface","contents":[]}"""),
+      ("dtmi:g:thermo;1", Seq.empty[String],
+        """{"@id":"dtmi:g:thermo;1","@type":"Interface","contents":[]}"""),
+      ("dtmi:g:room;1", Seq("dtmi:g:base;1"),
+        """{"@id":"dtmi:g:room;1","@type":"Interface",
+          |"extends":["dtmi:g:base;1"],"contents":[
+          |{"@type":"Component","name":"t","schema":"dtmi:g:thermo;1"}]}"""
+          .stripMargin)
+    ).toDF("id", "bases", "dtdl")
+    val empty = Seq.empty[(String, String, String, String, String)]
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    val emptyRels = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("relationship_id", "source_id", "target_id",
+        "relationship_name", "etag", "properties")
+    val mg = graft.graph.TwinGraph(empty, emptyRels, models).modelGraph
+    val edges = mg.relationships.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(edges == Set(
+      ("dtmi:g:room;1", "dtmi:g:base;1", "_extends"),
+      ("dtmi:g:room;1", "dtmi:g:thermo;1", "_hasComponent")))
+    // and the component edge is Cypher-reachable like any relationship
+    val comp = new AdtPlanner(mg).run(
+      "MATCH (m:Model)-[c:_hasComponent]->(s:Model) RETURN s.id AS sid")
+      .collect().map(_.getString(0)).toSeq
+    assert(comp == Seq("dtmi:g:thermo;1"))
+  }
 }
