@@ -360,6 +360,21 @@ object GraphQueries {
       graft.graph.RandomWalk.node2vecWalks(ring.unionByName(reg),
           length = 4, wReturn = 1, wCommon = 2, wFar = 4)
         .orderBy(col("walk_id"), col("step"))
+    }),
+
+    // K-truss (KTruss.peel): 2 peel rounds at k=4 over the co-purchase
+    // graph — the tighter-than-k-core cohesion filter; wedge equi-join +
+    // combinable count per round, unrolled identically in the oracle.
+    "q_graph_ktruss" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.graph.KTruss.peel(edges, k = 4, rounds = 2)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -731,7 +746,27 @@ object GraphQueries {
          |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM w2
          |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM w3
          |  UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM w4)
-         |SELECT walk_id, step, node FROM wrows ORDER BY walk_id, step""".stripMargin
+         |SELECT walk_id, step, node FROM wrows ORDER BY walk_id, step""".stripMargin,
+    // two unrolled peel rounds: support = common-neighbor count via the
+    // same wedge join; k=4 keeps support >= 2
+    "q_graph_ktruss" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey
+        |  FROM lineitem WHERE l_quantity >= 30),
+        |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok WHERE x.l_partkey < y.l_partkey),
+        |sym0 AS (SELECT a AS u, b AS x FROM e0 UNION ALL SELECT b, a FROM e0),
+        |sup1 AS (SELECT e.a, e.b, count(*) AS c FROM e0 e
+        |  JOIN sym0 n1 ON n1.u = e.a
+        |  JOIN sym0 n2 ON n2.u = e.b AND n2.x = n1.x
+        |  GROUP BY e.a, e.b),
+        |e1 AS (SELECT a, b FROM sup1 WHERE c >= 2),
+        |sym1 AS (SELECT a AS u, b AS x FROM e1 UNION ALL SELECT b, a FROM e1),
+        |sup2 AS (SELECT e.a, e.b, count(*) AS c FROM e1 e
+        |  JOIN sym1 n1 ON n1.u = e.a
+        |  JOIN sym1 n2 ON n2.u = e.b AND n2.x = n1.x
+        |  GROUP BY e.a, e.b),
+        |e2 AS (SELECT a, b FROM sup2 WHERE c >= 2)
+        |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a
