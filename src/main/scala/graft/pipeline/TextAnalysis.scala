@@ -192,6 +192,47 @@ object TextAnalysis {
         coalesce(col("bits_sum"), lit(0L)).as("bits_sum"))
   }
 
+  /** PMI-ranked collocations (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): top-K adjacent
+    * bigrams by pointwise mutual information over the corpus — the
+    * standard multi-word-expression extractor for tokenizer vocab
+    * curation and boilerplate phrase mining. PMI = log p(a,b)/(p(a)p(b))
+    * is monotone in the integer cross-ratio, so the rank score is the
+    * exact fixed-point `(c_ab · N · 1e6) div (c_a · c_b)` — no float
+    * log, bit-identical on any engine. `minCount` floors away the
+    * unstable low-frequency tail (the standard guard: a hapax pair
+    * maximizes raw PMI). Marginals are the bigram table's own (left,
+    * right) counts, self-normalized by the same N.
+    *
+    * Scale shape: one corpus pass explodes positional bigrams; three
+    * combinable count aggregations (pair + two marginals, each
+    * observed-vocabulary-sized); two equi-joins; the corpus total rides
+    * a broadcast 1-row frame; final ranking is a global
+    * TakeOrderedAndProject (top-K, never a full sort materialized). */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    val bg = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__t"))
+      .select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("a"),
+            element_at(col("__t"), i + 1).as("b"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val total = bg.agg(count(lit(1)).as("n_total"))
+    cab.filter(col("n_ab") >= minCount)
+      .join(ca, Seq("a"))
+      .join(cb, Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"),
+        expr("(n_ab * n_total * 1000000L) div (c_a * c_b)").as("score_m"))
+      .orderBy(col("score_m").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Token-entropy score — Shannon diversity of the document's token
     * histogram in exact integer bit-units: `n·ilog2(n) − Σ_tok
     * c_tok·ilog2(c_tok)` (the integer-floor analogue of `n·H` via

@@ -176,6 +176,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocations: top-50 adjacent bigrams by the integer PMI
+    // cross-ratio, min-count 5 — multi-word-expression mining for
+    // tokenizer vocab curation.
+    "q_text_pmi" -> ((s, d) => {
+      TextAnalysis.pmiCollocations(Td.documents(s, d), "doc_id", "text",
+        minCount = 5L, topK = 50)
+    }),
+
     // Token-entropy diversity (integer bit-units): global token-reuse
     // signal complementing the adjacent-repeat detector.
     "q_text_entropy" -> ((s, d) => {
@@ -815,6 +823,22 @@ object PipelineQueries {
         |  coalesce(bits_sum, 0) AS bits_sum
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+        |bg AS (SELECT x.doc_id, x.tok a, y.tok b
+        |       FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1),
+        |cab AS (SELECT a, b, count(*) c FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) c FROM bg GROUP BY a),
+        |cb AS (SELECT b, count(*) c FROM bg GROUP BY b),
+        |n AS (SELECT count(*) n FROM bg)
+        |SELECT cab.a, cab.b, CAST(cab.c AS BIGINT) AS n_ab,
+        |  CAST((cab.c * (SELECT n FROM n) * 1000000) // (ca.c * cb.c)
+        |    AS BIGINT) AS score_m
+        |FROM cab JOIN ca ON ca.a = cab.a JOIN cb ON cb.b = cab.b
+        |WHERE cab.c >= 5
+        |ORDER BY score_m DESC, cab.a, cab.b LIMIT 50""".stripMargin,
 
     "q_text_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok

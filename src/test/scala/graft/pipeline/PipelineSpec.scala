@@ -1204,6 +1204,25 @@ class PipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("pmiCollocations: hand-computed cross-ratios; hapax floor; tie order") {
+    // corpus bigrams (positional, per doc):
+    //   doc1 "x y x y"  -> (x,y) (y,x) (x,y)
+    //   doc2 "x y z"    -> (x,y) (y,z)
+    //   doc3 "q r q r"  -> (q,r) (r,q) (q,r)
+    // N = 8; pair (x,y): c=3, left c_x=3, right c_y=3 → 3·8·1e6/9 = 2666666
+    // pair (q,r): c=2, c_q=2, c_r=2 → 2·8·1e6/4 = 4000000
+    val d = Seq((1L, "x y x y"), (2L, "x y z"), (3L, "q r q r"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(d, "doc_id", "text",
+        minCount = 2L, topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("q", "r", 2L, 4000000L), ("x", "y", 3L, 2666666L)),
+      s"got $got")
+    // hapax pairs ((y,x),(y,z),(r,q)) maximize raw PMI but the floor
+    // screens them; raising it screens everything
+    assert(TextAnalysis.pmiCollocations(d, "doc_id", "text", 4L, 10).count() == 0)
+  }
+
   test("dsirScore: hand-computed hashed-bucket bit-ratios vs the target slice") {
     // vocab {aa, bb} lands in distinct buckets at 4096 (md5-derived).
     // c_raw(aa)=4, c_tgt(aa)=3 → w = fl2(5)-fl2(5) = 0... computed below:
