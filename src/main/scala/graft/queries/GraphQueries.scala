@@ -375,6 +375,27 @@ object GraphQueries {
         .select(col("p1").as("src"), col("p2").as("dst"))
       graft.graph.KTruss.peel(edges, k = 4, rounds = 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Luby MIS (Mis.independentSet) over the supplier-ring fixture (the
+    // SCC rings without the star): deterministic md5 priorities, so the
+    // oracle replays the identical round structure (2 rounds settle at
+    // either scale factor; the oracle unrolls 3, the last a no-op).
+    "q_graph_mis" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = graft.core.Td.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))
+      val grouped = sup.withColumn("grp",
+        floor((row_number().over(w) - lit(1)) / lit(5.0)).cast("long"))
+      val gw = Window.partitionBy(col("s_nationkey"), col("grp"))
+        .orderBy(col("s_suppkey"))
+      val ring = grouped
+        .withColumn("nxt", lead(col("s_suppkey"), 1).over(gw))
+        .withColumn("wrap", first(col("s_suppkey")).over(gw))
+        .select(concat(lit("S"), col("s_suppkey")).as("src"),
+          concat(lit("S"), coalesce(col("nxt"), col("wrap"))).as("dst"))
+      graft.graph.Mis.independentSet(ring).orderBy(col("node"))
     })
   )
 
@@ -766,7 +787,46 @@ object GraphQueries {
         |  JOIN sym1 n2 ON n2.u = e.b AND n2.x = n1.x
         |  GROUP BY e.a, e.b),
         |e2 AS (SELECT a, b FROM sup2 WHERE c >= 2)
-        |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin
+        |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin,
+    // three unrolled Luby rounds with (md5, id) priorities — round
+    // winners are undominated nodes; winners + neighbors leave
+    "q_graph_mis" ->
+      """WITH s AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(floor((row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_suppkey) - 1) / 5.0) AS BIGINT) AS grp
+        |  FROM supplier),
+        |ring AS (SELECT 'S' || s_suppkey AS a,
+        |    'S' || coalesce(lead(s_suppkey) OVER w,
+        |                    first_value(s_suppkey) OVER w) AS b
+        |  FROM s WINDOW w AS (PARTITION BY s_nationkey, grp ORDER BY s_suppkey)),
+        |e0 AS (SELECT DISTINCT u, v FROM (
+        |    SELECT a AS u, b AS v FROM ring
+        |    UNION ALL SELECT b, a FROM ring) WHERE u <> v),
+        |r0 AS (SELECT DISTINCT u AS node FROM e0),
+        |dom1 AS (SELECT DISTINCT v AS node FROM e0
+        |  WHERE md5(u) < md5(v) OR (md5(u) = md5(v) AND u < v)),
+        |win1 AS (SELECT node FROM r0 WHERE node NOT IN (SELECT node FROM dom1)),
+        |drop1 AS (SELECT node FROM win1 UNION
+        |  SELECT e.v FROM e0 e JOIN win1 w ON e.u = w.node),
+        |r1 AS (SELECT node FROM r0 WHERE node NOT IN (SELECT node FROM drop1)),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM r1)
+        |  AND v IN (SELECT node FROM r1)),
+        |dom2 AS (SELECT DISTINCT v AS node FROM e1
+        |  WHERE md5(u) < md5(v) OR (md5(u) = md5(v) AND u < v)),
+        |win2 AS (SELECT node FROM r1 WHERE node NOT IN (SELECT node FROM dom2)),
+        |drop2 AS (SELECT node FROM win2 UNION
+        |  SELECT e.v FROM e1 e JOIN win2 w ON e.u = w.node),
+        |r2 AS (SELECT node FROM r1 WHERE node NOT IN (SELECT node FROM drop2)),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM r2)
+        |  AND v IN (SELECT node FROM r2)),
+        |dom3 AS (SELECT DISTINCT v AS node FROM e2
+        |  WHERE md5(u) < md5(v) OR (md5(u) = md5(v) AND u < v)),
+        |win3 AS (SELECT node FROM r2 WHERE node NOT IN (SELECT node FROM dom3))
+        |SELECT node FROM (SELECT node FROM win1
+        |  UNION ALL SELECT node FROM win2
+        |  UNION ALL SELECT node FROM win3)
+        |ORDER BY node""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a
