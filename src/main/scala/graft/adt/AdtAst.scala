@@ -138,4 +138,6 @@ final case class AdtQuery(
     orderBy: List[(Expr, Boolean)] = Nil, // (expr, ascending)
     distinct: Boolean = false,
     pipeline: List[PipeClause] = Nil,        // Cypher WITH / UNWIND stages
-    loneNodes: List[String] = Nil)           // Cypher `MATCH (a), (b)` bare bindings
+    loneNodes: List[String] = Nil,           // Cypher `MATCH (a), (b)` bare bindings
+    nodeLabels: Map[String, String] = Map.empty) // alias -> node label as written
+                                            // (`:Model` routes to the model graph)

@@ -76,8 +76,23 @@ final class AdtPlanner(graph: TwinGraph) {
       lambdaVars: Map[String, Column] = Map.empty)
 
   /** Parse + plan with language detection (ADT vs raw Cypher), like the
-    * reference endpoint (Query.cs:44-55). */
-  def run(query: String): DataFrame = plan(QueryLanguage.parse(query))
+    * reference endpoint (Query.cs:44-55). In the reference's unified AGE
+    * graph, `:Twin` and `:Model` nodes share one property graph and the
+    * label selects the node set (QueryTests.cs:1096,1201) — here a
+    * `:Model`-labeled pattern routes the plan onto the model-graph view
+    * ([[graft.graph.TwinGraph.modelGraph]]); mixed Twin/Model patterns
+    * in one query are rejected loudly rather than silently joined across
+    * node sets. */
+  def run(query: String): DataFrame = {
+    val q = QueryLanguage.parse(query)
+    val labels = q.nodeLabels.values.toSet
+    if (labels.contains("Model")) {
+      if (labels.exists(_ != "Model"))
+        throw new AdtPlanException(
+          "cannot mix :Model and non-Model node labels in one query")
+      new AdtPlanner(graph.modelGraph).plan(q)
+    } else plan(q)
+  }
 
   /** Flatten an AND-conjunction into its conjuncts. */
   private def conjuncts(e: Expr): List[Expr] = e match {

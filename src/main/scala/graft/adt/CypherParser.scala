@@ -73,6 +73,7 @@ object CypherParser {
     private var anon = 0
     private def freshAnon(): String = { anon += 1; s"__cnode$anon" }
     private val propFilters = collection.mutable.ListBuffer[Expr]()
+    private val nodeLabels = collection.mutable.Map[String, String]()
 
     def query(): AdtQuery = {
       val edges = collection.mutable.ListBuffer[MatchEdge]()
@@ -193,7 +194,8 @@ object CypherParser {
         if (!hadMatch) FromUnit
         else FromTwins(loneNodes.headOption)
       AdtQuery(limit, items, from, edges.toList, Nil, allWhere,
-        skip, orderBy, distinct, pipeline.toList, loneNodes.toList)
+        skip, orderBy, distinct, pipeline.toList, loneNodes.toList,
+        nodeLabels.toMap)
     }
 
     /** `[ORDER BY expr [ASC|DESC], ...]` — shared by RETURN and WITH;
@@ -315,7 +317,10 @@ object CypherParser {
         case Ident(s) => pos += 1; checkNotReserved(s)
         case _ => freshAnon()
       }
-      if (cur == Sym(":")) { pos += 1; ident() } // swallow label
+      if (cur == Sym(":")) { // record the label; `:Model` routes planning
+        pos += 1
+        nodeLabels(alias) = ident()
+      }
       if (cur == Sym("{")) {
         pos += 1
         var more = cur != Sym("}")

@@ -353,10 +353,12 @@ object AdtLangQueries {
     }),
 
     // The reference's own model-inheritance Cypher (QueryTests.cs:1201,
-    // Models.cs:402-425): `_extends` edges between :Model nodes, run by
-    // the SAME executor over the model-graph view.
+    // Models.cs:402-425): `_extends` edges between :Model nodes. The
+    // :Model label ROUTES the plan onto the model-graph view — same
+    // planner, same entry point the twin queries use (the reference's
+    // unified AGE graph holds both node sets behind one endpoint).
     "q_cypher_model_extends" -> ((s, d) => {
-      new AdtPlanner(GraphViews.graph(s, d).modelGraph).run(
+      run(s, d,
         "MATCH (m:Model)-[e:_extends]->(p:Model) " +
           "RETURN m.id AS model, p.id AS parent")
         .orderBy(col("model"))
@@ -365,7 +367,7 @@ object AdtLangQueries {
     // Ancestor closure = VLE over the model graph — reconstructs the
     // stored `bases` transitively from direct extends edges.
     "q_cypher_model_ancestors" -> ((s, d) => {
-      new AdtPlanner(GraphViews.graph(s, d).modelGraph).run(
+      run(s, d,
         "MATCH (m:Model)-[e:_extends*1..]->(a:Model) " +
           "RETURN m.id AS model, a.id AS ancestor")
         .orderBy(col("model"), col("ancestor"))

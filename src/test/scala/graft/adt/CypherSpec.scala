@@ -890,10 +890,10 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
-  test("model graph: the reference's inheritance Cypher runs over :Model nodes") {
-    // MATCH (m:Model)-[e:_extends]->(parent:Model) — QueryTests.cs:1201
-    val mg = new AdtPlanner(host.graph.modelGraph)
-    val out = mg.run(
+  test("model graph: :Model label routes the shared planner onto model nodes") {
+    // MATCH (m:Model)-[e:_extends]->(parent:Model) — QueryTests.cs:1201 —
+    // through the SAME planner instance the twin queries use
+    val out = planner.run(
       "MATCH (m:Model)-[e:_extends]->(p:Model) " +
         "RETURN m.id AS model, p.id AS parent")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -901,6 +901,14 @@ class CypherSpec extends AnyFunSuite {
       ("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1"),
       ("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Planet;1"),
       ("dtmi:com:contoso:Moon;1", "dtmi:com:contoso:CelestialBody;1")))
+    // :Twin patterns stay on the twin graph (4 twins, not 4 models by id)
+    assert(planner.run("MATCH (t:Twin) RETURN t.`$dtId` AS id")
+      .collect().map(_.getString(0)).toSet ==
+      Set("sun", "moon1", "earth", "kepler"))
+    // mixing node sets in one query is a loud plan error
+    intercept[AdtPlanException] {
+      planner.run("MATCH (m:Model), (t:Twin) RETURN m.id, t.`$dtId`")
+    }
   }
 
   test("model graph: stored DTDL docs drive _extends and _hasComponent edges") {
@@ -921,14 +929,14 @@ class CypherSpec extends AnyFunSuite {
     val emptyRels = Seq.empty[(String, String, String, String, String, String)]
       .toDF("relationship_id", "source_id", "target_id",
         "relationship_name", "etag", "properties")
-    val mg = graft.graph.TwinGraph(empty, emptyRels, models).modelGraph
-    val edges = mg.relationships.collect()
+    val base = graft.graph.TwinGraph(empty, emptyRels, models)
+    val edges = base.modelGraph.relationships.collect()
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(edges == Set(
       ("dtmi:g:room;1", "dtmi:g:base;1", "_extends"),
       ("dtmi:g:room;1", "dtmi:g:thermo;1", "_hasComponent")))
-    // and the component edge is Cypher-reachable like any relationship
-    val comp = new AdtPlanner(mg).run(
+    // and the component edge is Cypher-reachable via label routing
+    val comp = new AdtPlanner(base).run(
       "MATCH (m:Model)-[c:_hasComponent]->(s:Model) RETURN s.id AS sid")
       .collect().map(_.getString(0)).toSeq
     assert(comp == Seq("dtmi:g:thermo;1"))
