@@ -375,6 +375,62 @@ object IncrementalAnalytics {
       .start()
   }
 
+  /** Affected-cone refresh of [[Triangles.perNode]]: a mutation batch can
+    * change the triangle count ONLY of (a) endpoints of changed pairs and
+    * (b) their base-or-final neighbors — every created or destroyed
+    * triangle contains a changed pair, and each of its corners is either
+    * an endpoint of that pair or adjacent to both endpoints. That closes
+    * the affected set in one step. Counts for affected nodes are
+    * recomputed exactly by running the batch operator on the 2-hop cone
+    * (all triangles of an affected node live inside its closed
+    * neighborhood, so cone edges suffice); every other node's count
+    * splices through verbatim. Cost ∝ the changed pairs' neighborhood
+    * volume, never the graph.
+    *
+    * Same DETACH log-consistency contract as [[refreshComponents]]: a
+    * deleted twin's relationships carry their own delete rows, so the
+    * dead node leaves the endpoint universe on both the incremental and
+    * batch sides. */
+  def refreshTriangles(baseTriangles: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame): DataFrame = {
+    def sym(rels: DataFrame): DataFrame =
+      rels.select(col("source_id").as("u"), col("target_id").as("v"))
+        .unionByName(rels.select(col("target_id").as("u"),
+          col("source_id").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    val newRels = applyRelationshipMutations(baseRels, mutations)
+      .localCheckpoint(eager = true)
+    val changed = changedPairs(baseRels, mutations)
+      .localCheckpoint(eager = true)
+    val basePairs = sym(baseRels)
+    val newPairs = sym(newRels).localCheckpoint(eager = true)
+    val ends = changed
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct()
+    def neighborsOf(pairs: DataFrame, of: DataFrame): DataFrame =
+      pairs.join(of.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .select(col("v").as("node"))
+    val affected = ends
+      .unionByName(neighborsOf(basePairs, ends))
+      .unionByName(neighborsOf(newPairs, ends))
+      .distinct().localCheckpoint(eager = true)
+    val cone = affected
+      .unionByName(neighborsOf(newPairs, affected))
+      .distinct().localCheckpoint(eager = true)
+    val coneEdges = newPairs
+      .join(cone.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(cone.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+    val recomputed = Triangles.perNode(coneEdges, "u", "v")
+      .join(affected, Seq("node"), "left_semi")
+    val out = baseTriangles
+      .join(affected, Seq("node"), "left_anti")
+      .select(col("node"), col("triangles"))
+      .unionByName(recomputed)
+    Blocks.free(changed); Blocks.free(newRels)
+    out
+  }
+
   /** Initialize the components maintenance state: version 0 holds the
     * base relationship table and its WCC labels. */
   def initComponentsState(stateDir: String, baseComponents: DataFrame,

@@ -248,6 +248,18 @@ object StoreQueries {
         .orderBy(col("dt_id"))
     }),
 
+    // Second-order incremental maintenance: per-node triangle counts
+    // refreshed from the changed pairs' neighborhood cone only; oracle
+    // is the full batch recompute over the final edge set.
+    "q_incr_triangles" -> ((s, d) => {
+      val (_, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      val baseTri = graft.graph.Triangles.perNode(
+        baseRels, "source_id", "target_id")
+      graft.graph.IncrementalAnalytics
+        .refreshTriangles(baseTri, baseRels, muts)
+        .orderBy(col("node"))
+    }),
+
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
@@ -366,6 +378,23 @@ object StoreQueries {
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS dt_id, MIN(b) AS component
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
+
+    // batch triangle recompute of the final graph (a<b<c enumeration)
+    "q_incr_triangles" ->
+      s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+         |e0 AS (
+         |$incrEdgesSql),
+         |und AS (SELECT DISTINCT least(src, tgt) AS a, greatest(src, tgt) AS b
+         |        FROM e0 WHERE src <> tgt),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+         |cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY 1),
+         |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+         |SELECT n.node, CAST(coalesce(c, 0) AS BIGINT) AS triangles
+         |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin,
 
     "q_store_roundtrip" ->
       s"""SELECT 'N' || n_nationkey AS dt_id, '$NationModel' AS model_id,

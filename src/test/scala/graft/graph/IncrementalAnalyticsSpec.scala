@@ -385,6 +385,63 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       s"two-batch streaming fold != batch recompute\ngot: $got\nexp: $expect")
   }
 
+  // ---- refreshTriangles: incremental per-node triangle counts ----
+
+  private def triMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  private def checkTriangles(base: DataFrame, m: DataFrame): Unit = {
+    val baseTri = Triangles.perNode(base, "source_id", "target_id")
+      .localCheckpoint(true)
+    val incr = triMap(
+      IncrementalAnalytics.refreshTriangles(baseTri, base, m))
+    val finalRels = IncrementalAnalytics.applyRelationshipMutations(base, m)
+    val batch = triMap(
+      Triangles.perNode(finalRels, "source_id", "target_id"))
+    assert(incr == batch, s"\nincr:  $incr\nbatch: $batch")
+  }
+
+  test("refreshTriangles == batch: edge add closes a triangle") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"),
+      ("r3", "x", "y"), ("r4", "y", "z"), ("r5", "z", "x")) // distant triangle
+    checkTriangles(base, muts((1L, "C", "r9", "c", "a")))
+  }
+
+  test("refreshTriangles == batch: edge delete opens a triangle") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "c", "d"), ("r5", "d", "a")) // two triangles sharing edge c-a? (a,c,d) needs d-a and c-d: yes
+    checkTriangles(base, muts((1L, "D", "r3", "c", "a")))
+  }
+
+  test("refreshTriangles == batch: flip-flop and new node") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"))
+    val m = muts(
+      (1L, "D", "r3", "c", "a"),
+      (2L, "C", "r3", "c", "a"),   // flip-flop: no net change
+      (3L, "C", "r4", "a", "d"), (4L, "C", "r5", "b", "d")) // d joins a triangle
+    checkTriangles(base, m)
+  }
+
+  test("refreshTriangles == batch: DETACH'd twin drops from the universe") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "x", "y"))
+    val m = muts((1L, "D", "r1", "a", "b"), (2L, "D", "r3", "c", "a"))
+      .unionByName(twinMuts((3L, "D", "a")))
+    checkTriangles(base, m)
+  }
+
+  test("refreshTriangles: untouched counts splice without recompute") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "x", "y"), ("r5", "y", "z"), ("r6", "z", "x"))
+    val baseTri = Triangles.perNode(base, "source_id", "target_id")
+      .localCheckpoint(true)
+    val out = triMap(IncrementalAnalytics.refreshTriangles(
+      baseTri, base, muts((1L, "D", "r2", "b", "c"))))
+    // the x-y-z triangle is untouched; a/b/c recompute to 0
+    assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
