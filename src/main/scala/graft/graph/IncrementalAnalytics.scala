@@ -542,6 +542,54 @@ object IncrementalAnalytics {
       .start()
   }
 
+  /** Initialize the triangle maintenance state: version 0 holds the base
+    * relationship table and its per-node triangle counts. */
+  def initTrianglesState(stateDir: String, baseTriangles: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseTriangles.write.mode("overwrite").parquet(s"$stateDir/v0/triangles")
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained triangle counts as of the last committed batch. */
+  def currentTriangles(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/triangles")
+
+  /** Continuously-maintained per-node triangle counts over the
+    * mutation-log STREAM — [[refreshTriangles]] as the per-batch fold on
+    * the shared versioned-state + atomic-pointer machinery; crash replay
+    * is idempotent like the other maintainers. */
+  def maintainTrianglesStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseTri = spark2.read.parquet(s"$stateDir/v$v/triangles")
+          val m = batch.localCheckpoint(true)
+          refreshTriangles(baseTri, baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/triangles")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+        }
+      }
+      .start()
+  }
+
   /** The changed (source,target) pair set a mutation batch induces,
     * computed against the BASE relationship table but touching only the
     * touched keys / touched pairs — a pair is "changed" when its

@@ -442,6 +442,32 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       "x" -> 1L, "y" -> 1L, "z" -> 1L))
   }
 
+  test("streaming triangle maintenance: close then open across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"),
+      ("r3", "x", "y"), ("r4", "y", "z"), ("r5", "z", "x"))
+    IncrementalAnalytics.initTrianglesState(stateDir,
+      Triangles.perNode(base, "source_id", "target_id"), base)
+    // batch 1: close the a-b-c triangle
+    muts((1L, "C", "r9", "c", "a")).write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainTrianglesStream(
+      spark, mutDir, stateDir, cpDir).awaitTermination(60000)
+    val mid = triMap(IncrementalAnalytics.currentTriangles(spark, stateDir))
+    assert(mid == Map("a" -> 1L, "b" -> 1L, "c" -> 1L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L), s"after close: $mid")
+    // batch 2 lands while down: open the x-y-z triangle
+    muts((2L, "D", "r4", "y", "z")).write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainTrianglesStream(
+      spark, mutDir, stateDir, cpDir).awaitTermination(60000)
+    val fin = triMap(IncrementalAnalytics.currentTriangles(spark, stateDir))
+    assert(fin == Map("a" -> 1L, "b" -> 1L, "c" -> 1L,
+      "x" -> 0L, "y" -> 0L, "z" -> 0L), s"after open: $fin")
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
