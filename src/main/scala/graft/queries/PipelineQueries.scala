@@ -106,6 +106,18 @@ object PipelineQueries {
         .orderBy(col("doc"), col("rank"))
     }),
 
+    // FastSS-blocked edit-distance near-match pairs (entity-resolution
+    // dedup): deletion-neighborhood equi-join candidates verified with
+    // codegen'd levenshtein; the oracle brute-forces the same exact
+    // integer distances.
+    "q_pipeline_editdist" -> ((s, d) => {
+      graft.pipeline.EditDistance.nearPairs(
+        Td.supplier(s, d).select(col("s_suppkey").as("id"),
+          col("s_name").as("name")),
+        "id", "name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Contrastive negative sampling: 4 deterministic pseudo-uniform
     // corpus partners per doc via salted-hash rank probes — one rank
     // assignment + one equi-join, never a self cross-join.
@@ -1014,6 +1026,13 @@ object PipelineQueries {
         |      FROM s)
         |SELECT doc, rank, tok AS term FROM r WHERE rank <= 3
         |ORDER BY doc, rank""".stripMargin,
+
+    "q_pipeline_editdist" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_pipeline_negpairs" ->
       """WITH r AS (SELECT doc_id,
