@@ -66,6 +66,43 @@ object TimeSeries {
           .as("filled_c"))
   }
 
+  /** Rolling k-sigma anomaly flags over the trailing `window` events per
+    * key — the standard telemetry spike detector, in EXACT integer
+    * arithmetic: values go to fixed-point cents, the rolling mean/variance
+    * ride one window pass as (count, sum, sum-of-squares), and the
+    * k-sigma test cross-multiplies instead of taking a square root:
+    *   (v·n − Σ)² > k² · (n·Σx² − Σ²)
+    * (both sides in cents²·n² — no float, no sqrt, bit-identical on any
+    * engine, so the oracle replays it verbatim). Rows without a full
+    * trailing window report `is_anomaly = false` (cold start — matching
+    * the detector a streaming consumer would run).
+    *
+    * Scale shape: ONE window pass partitioned by key (count/sum/sumsq
+    * share the frame), no self-join; per-key skew is ordinary window
+    * skew. */
+  def rollingAnomaly(events: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, window: Int, kSigma: Int,
+      tiebreakCol: String): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2")
+    require(kSigma >= 1, s"kSigma $kSigma must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col(tiebreakCol).asc)
+      .rowsBetween(-window, -1)
+    val dev = col("__vc") * col("n_prev") - col("__sum")
+    events
+      .withColumn("__vc",
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
+      .withColumn("n_prev", count(col("__vc")).over(w))
+      .withColumn("__sum", coalesce(sum(col("__vc")).over(w), lit(0L)))
+      .withColumn("__ssq",
+        coalesce(sum(col("__vc") * col("__vc")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        col("n_prev") === window &&
+          dev * dev > lit(kSigma.toLong * kSigma) *
+            (col("n_prev") * col("__ssq") - col("__sum") * col("__sum")))
+      .drop("__vc", "__sum", "__ssq")
+  }
+
   /** Cohort retention: users bucketed by their first-activity day, then
     * counted per (cohort day, day offset) — `n_users` distinct actives at
     * each offset. Two keyed aggregations + one broadcast-size join per

@@ -185,6 +185,19 @@ object EventQueries {
         .orderBy(col("user_id"), col("slot"))
     }),
 
+    // Rolling k-sigma spike detector over the trailing 5 events per
+    // user — exact integer cross-multiplied variance test, one window
+    // pass (operators/TimeSeries.rollingAnomaly). Output: the flagged
+    // anomalies only.
+    "q_ts_anomaly" -> ((s, d) => {
+      graft.operators.TimeSeries.rollingAnomaly(
+          Td.events(s, d), "user_id", "ts", "value",
+          window = 5, kSigma = 3, tiebreakCol = "event_id")
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("user_id"), col("n_prev"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cohort retention: users bucketed by first-seen day × activity-day
     // offset — the engagement-decay table, two keyed aggregations.
     "q_events_retention" -> ((s, d) => {
@@ -404,6 +417,20 @@ object EventQueries {
         |    PARTITION BY user_id ORDER BY slot
         |    ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS filled_c
         |FROM j ORDER BY 1, 2""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |  count(*) OVER w AS n_prev,
+        |  coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w, 0) AS s,
+        |  coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w, 0) AS ssq
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, CAST(n_prev AS BIGINT) AS n_prev
+        |FROM b WHERE n_prev = 5
+        |  AND (vc*5 - s)*(vc*5 - s) > 9*(5*ssq - s*s)
+        |ORDER BY event_id""".stripMargin,
     "q_events_retention" ->
       """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),

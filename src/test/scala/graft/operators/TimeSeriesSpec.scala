@@ -72,4 +72,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2026-01-01", 2L, 1L), // u1 two days later
       ("2026-01-02", 0L, 1L))) // u3's own cohort
   }
+
+  test("rollingAnomaly: spike flags, cold start stays quiet, flat window safe") {
+    // user 1: five 10.00 readings then a 100.00 spike, then back to 10.00
+    // (the post-spike reading's window CONTAINS the spike — inflated
+    // variance swallows the deviation, so it must not flag)
+    val rows = (1 to 5).map(i => (i.toLong, ts(s"2026-01-01 10:0$i:00"), 1L, 10.0)) ++
+      Seq((6L, ts("2026-01-01 10:06:00"), 1L, 100.0),
+        (7L, ts("2026-01-01 10:07:00"), 1L, 10.0)) ++
+      // user 2: only 3 events — never a full window, never flags
+      (1 to 3).map(i => (100L + i, ts(s"2026-01-01 11:0$i:00"), 2L, 50.0 * i))
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = TimeSeries.rollingAnomaly(df, "user_id", "ts", "value",
+        window = 5, kSigma = 3, tiebreakCol = "event_id")
+      .select(col("event_id"), col("is_anomaly"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out(6L), "the 100.00 spike after five flat 10.00s must flag")
+    assert((1 to 5).forall(i => !out(i.toLong)), "cold start must not flag")
+    // flat window has zero variance: event 7 deviates from the spiked
+    // window mean but 9*variance is large because the spike is IN the
+    // window — exact integer check, either way it must not throw
+    assert(!out(101L) && !out(102L) && !out(103L), "partial windows quiet")
+  }
 }
