@@ -88,4 +88,26 @@ object Triangles {
   /** Total distinct triangles in the graph. */
   def total(edges: DataFrame, srcCol: String, dstCol: String): Long =
     enumerate(edges, srcCol, dstCol).count()
+
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998) in
+    * micro-units: `lcc_m = (2·tri(v)·1e6) div (deg(v)·(deg(v)−1))` — the
+    * closed share of the wedges centered at v, the standard
+    * tight-clique-vs-organic-structure signal; deg < 2 reports 0 (no
+    * wedge to close). Exact integers end to end: the triangle counts are
+    * exact, the degree product is exact, and the single `div` matches
+    * the oracle's `//`. One [[perNode]] pass + one degree aggregation +
+    * one equi-join. */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    perNode(edges, srcCol, dstCol)
+      .join(deg, Seq("node"))
+      .select(col("node"), col("triangles"), col("deg"),
+        when(col("deg") >= 2,
+          expr("(2 * triangles * 1000000L) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_m"))
+  }
 }

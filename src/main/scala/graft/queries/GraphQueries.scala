@@ -396,6 +396,20 @@ object GraphQueries {
         .select(concat(lit("S"), col("s_suppkey")).as("src"),
           concat(lit("S"), coalesce(col("nxt"), col("wrap"))).as("dst"))
       graft.graph.Mis.independentSet(ring).orderBy(col("node"))
+    }),
+
+    // Local clustering coefficient over the co-purchase graph — closed
+    // wedge share per node in exact micro-units (Triangles.localClustering).
+    "q_graph_clustering" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val edges = li.select(col("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      graft.graph.Triangles.localClustering(edges, "src", "dst")
+        .orderBy(col("node"))
     })
   )
 
@@ -826,7 +840,28 @@ object GraphQueries {
         |SELECT node FROM (SELECT node FROM win1
         |  UNION ALL SELECT node FROM win2
         |  UNION ALL SELECT node FROM win3)
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+    // per-node triangles + degree + micro-unit closed-wedge share
+    "q_graph_clustering" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey
+        |  FROM lineitem WHERE l_quantity >= 30),
+        |und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok WHERE x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+        |SELECT d.node, CAST(coalesce(c, 0) AS BIGINT) AS triangles,
+        |  CAST(deg AS BIGINT) AS deg,
+        |  CAST(CASE WHEN deg >= 2
+        |    THEN (2 * coalesce(c, 0) * 1000000) // (deg * (deg - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_m
+        |FROM deg d LEFT JOIN cnt ON cnt.node = d.node
+        |ORDER BY d.node""".stripMargin
   )
 
   /** LPA unrolled: per round a neighbor-label vote count and a
