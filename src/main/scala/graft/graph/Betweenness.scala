@@ -32,15 +32,48 @@ object Betweenness {
 
   val Scale = 1000000L
 
-  /** (node, bc_m) for every endpoint in `relationships` — micro-unit
-    * betweenness accumulated from `sources`. Undirected, unweighted.
-    *
-    * @param maxDepth BFS round cap; with `strict` (default) a frontier
-    *                 still alive at the cap throws — a silently
-    *                 truncated accumulation is wrong, not approximate.
-    */
-  def centrality(relationships: DataFrame, sources: Seq[String],
-                 maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+  /** K-source harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * centrality"): `hc_m(v) = Σ_sources (1e6 div d(s,v))` over reachable
+    * source-node pairs with d > 0 — the distance-based centrality that
+    * stays well-defined on disconnected graphs (unreachable pairs
+    * contribute 0, where closeness degenerates). Same batched BFS as
+    * [[centrality]] — one (source,node)-keyed equi-join + combinable
+    * aggregate per depth round — with per-term integer division summed
+    * order-independently, so results are bit-identical anywhere. */
+  /** K-source harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * centrality"): `hc_m(v) = Σ_sources (1e6 div d(s,v))` over reachable
+    * source-node pairs with d > 0 — the distance-based centrality that
+    * stays well-defined on disconnected graphs (unreachable pairs
+    * contribute 0, where closeness degenerates). Same batched BFS as
+    * [[centrality]] — one (source,node)-keyed equi-join + combinable
+    * aggregate per depth round — with per-term integer division summed
+    * order-independently, so results are bit-identical anywhere. */
+  def harmonic(relationships: DataFrame, sources: Seq[String],
+               maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+    val (e, layers) = forward(relationships, sources, maxDepth, strict)
+    val all = e.select(col("a").as("node")).distinct()
+    val agg = layers.zipWithIndex.drop(1).map { case (l, d) =>
+        l.select(col("node"), lit(Scale / d).as("h"))
+      } match {
+      case Seq() => None
+      case parts => Some(parts.reduce(_ unionByName _)
+        .groupBy(col("node")).agg(sum(col("h")).as("hc_m"))
+        .localCheckpoint(eager = true))
+    }
+    layers.foreach(Blocks.free)
+    agg match {
+      case None => all.select(col("node"), lit(0L).as("hc_m"))
+      case Some(a) => all.join(a, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("hc_m"), lit(0L)).as("hc_m"))
+    }
+  }
+
+  /** Shared forward machinery: the undirected edge checkpoint plus the
+    * BFS layers (s, node, sigma) per depth; layers(0) = the sources.
+    * Caller owns (and frees) the returned checkpoints. */
+  private def forward(relationships: DataFrame, sources: Seq[String],
+      maxDepth: Int, strict: Boolean)
+      : (DataFrame, IndexedSeq[DataFrame]) = {
     require(sources.nonEmpty, "need at least one source")
     val spark = relationships.sparkSession
     import spark.implicits._
@@ -50,8 +83,6 @@ object Betweenness {
         .select(col("target_id").as("a"), col("source_id").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(eager = true)
-
-    // ---- forward BFS: layers(d) = (s, node, sigma) at dist d ----
     var frontier = sources.distinct.map(s => (s, s, 1L))
       .toDF("s", "node", "sigma").localCheckpoint(eager = true)
     val layers = scala.collection.mutable.Buffer(frontier)
@@ -78,9 +109,23 @@ object Betweenness {
     }
     if (strict && alive > 0)
       throw new IllegalStateException(
-        s"betweenness BFS still expanding at maxDepth=$maxDepth — " +
+        s"BFS still expanding at maxDepth=$maxDepth — " +
           "raise maxDepth or pass strict=false")
     Blocks.free(visited)
+    (e, layers.toIndexedSeq)
+  }
+
+  /** (node, bc_m) for every endpoint in `relationships` — micro-unit
+    * betweenness accumulated from `sources`. Undirected, unweighted.
+    *
+    * @param maxDepth BFS round cap; with `strict` (default) a frontier
+    *                 still alive at the cap throws — a silently
+    *                 truncated accumulation is wrong, not approximate.
+    */
+  def centrality(relationships: DataFrame, sources: Seq[String],
+                 maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+    val (e, layers0) = forward(relationships, sources, maxDepth, strict)
+    val layers = scala.collection.mutable.Buffer(layers0: _*)
 
     // ---- backward accumulation, deepest layer first ----
     // delta(v) over the deepest layer is 0 (no successors); each shallower

@@ -340,6 +340,26 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // K-source harmonic centrality over the same fixture — inverse-
+    // distance sums in micro-units, robust to disconnection.
+    "q_graph_harmonic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_nationkey"))
+      val nat = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val ring = nat
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"))
+      val reg = nat.select(
+        concat(lit("N"), col("n_nationkey")).as("source_id"),
+        concat(lit("R"), col("n_regionkey")).as("target_id"))
+      graft.graph.Betweenness.harmonic(ring.unionByName(reg),
+          Seq("N0", "N5", "N10", "N15", "N20"), maxDepth = 8)
+        .orderBy(col("node"))
+    }),
+
     // Node2vec second-order walks (RandomWalk.node2vecWalks) over the
     // same ring + region fixture: weights (return 1, common 2, far 4) —
     // an outward q<1 bias — with the full cumulative-range pick replayed
@@ -774,6 +794,40 @@ object GraphQueries {
         |    UNION ALL SELECT s, node, delta FROM d1) GROUP BY 1)
         |SELECT v.node, CAST(coalesce(bc.bc_m, 0) AS BIGINT) AS bc_m
         |FROM allv v LEFT JOIN bc USING (node) ORDER BY node""".stripMargin,
+    // harmonic: the same BFS frontiers, summed as 1e6 // depth per
+    // (source, node) reach
+    "q_graph_harmonic" ->
+      """WITH mm AS (SELECT count(*) AS m FROM nation),
+        |ring AS (SELECT 'N' || n_nationkey AS a,
+        |    'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS b FROM nation
+        |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+        |sym AS (SELECT a, b FROM ring UNION SELECT b, a FROM ring),
+        |src(s) AS (VALUES ('N0'), ('N5'), ('N10'), ('N15'), ('N20')),
+        |f0 AS (SELECT s, s AS node FROM src),
+        |v0 AS (SELECT s, node FROM f0),
+        |f1 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f0 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v0 x WHERE x.s = f.s AND x.node = e.b)),
+        |v1 AS (SELECT s, node FROM v0 UNION ALL SELECT s, node FROM f1),
+        |f2 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f1 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 x WHERE x.s = f.s AND x.node = e.b)),
+        |v2 AS (SELECT s, node FROM v1 UNION ALL SELECT s, node FROM f2),
+        |f3 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f2 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 x WHERE x.s = f.s AND x.node = e.b)),
+        |v3 AS (SELECT s, node FROM v2 UNION ALL SELECT s, node FROM f3),
+        |f4 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f3 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v3 x WHERE x.s = f.s AND x.node = e.b)),
+        |allv AS (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+        |hc AS (SELECT node, CAST(sum(h) AS BIGINT) AS hc_m FROM (
+        |  SELECT node, 1000000 AS h FROM f1
+        |  UNION ALL SELECT node, 500000 FROM f2
+        |  UNION ALL SELECT node, 333333 FROM f3
+        |  UNION ALL SELECT node, 250000 FROM f4) GROUP BY 1)
+        |SELECT v.node, CAST(coalesce(hc.hc_m, 0) AS BIGINT) AS hc_m
+        |FROM allv v LEFT JOIN hc USING (node) ORDER BY node""".stripMargin,
     "q_graph_node2vec" ->
       s"""WITH ${n2vCtes(4, 1, 2, 4)},
          |wrows AS (SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0

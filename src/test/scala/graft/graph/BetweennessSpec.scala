@@ -115,6 +115,21 @@ class BetweennessSpec extends AnyFunSuite {
     assert(run(rels(edges: _*), Seq("a")) == oracle(edges, Seq("a")))
   }
 
+  test("harmonic: exact micro-unit inverse-distance sums; unreachable adds 0") {
+    // path a-b-c-d plus island x-y; sources a, c, x
+    val g = rels(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    val got = Betweenness.harmonic(g, Seq("a", "c", "x")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // hc(b) = 1e6/1 (from a) + 1e6/1 (from c) = 2_000_000
+    // hc(d) = 1e6/3 (a) + 1e6/1 (c) = 333333 + 1000000
+    // hc(a) = hc(c) = 1e6/2 (from the other source, self excluded)
+    // island: hc(y) = 1e6 (x); hc(x) = 0 (own source only)
+    assert(got == Map(
+      "a" -> 500000L, "b" -> 2000000L,
+      "c" -> 500000L, "d" -> 1333333L,
+      "x" -> 0L, "y" -> 1000000L))
+  }
+
   test("strict depth guard throws instead of truncating") {
     val g = rels(("a", "b"), ("b", "c"), ("c", "d"))
     val ex = intercept[IllegalStateException](
