@@ -85,6 +85,51 @@ object PageRank {
     hist.result()
   }
 
+  /** Weighted PageRank — rank flows in proportion to edge weight
+    * (Xing & Ghorbani, "Weighted PageRank Algorithm", CNSR 2004): the
+    * per-edge contribution is `(rank_m · w) div sw` with `sw` the
+    * source's total out-weight, every other step identical to [[ranks]].
+    * Weights are the [[Sssp.weightSql]] id-derived 1..8 integers so the
+    * oracle rebuilds the exact weighted multigraph (parallel
+    * relationships each carry their own weight); a caller with a real
+    * weight column projects it as `w` on the input instead. Same integer
+    * determinism and per-iteration checkpoint discipline as [[ranks]]. */
+  def weightedRanks(relationships: DataFrame, iterations: Int = 3)
+      : DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import graft.core.Blocks
+    val hasW = relationships.columns.contains("w")
+    val edges = (if (hasW) relationships
+        .select(col("source_id"), col("target_id"), col("w").cast("long").as("w"))
+      else relationships.select(col("source_id"), col("target_id"),
+        expr(Sssp.weightSql("relationship_id")).cast("long").as("w")))
+      .distinct()
+    val nodes = edges.select(col("source_id").as("node"))
+      .unionByName(edges.select(col("target_id").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    val outw = edges.groupBy(col("source_id")).agg(sum(col("w")).as("sw"))
+    val e = edges.join(outw, Seq("source_id")).localCheckpoint(eager = true)
+    var ranks = nodes.withColumn("rank_m", lit(1000000L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("source_id"), col("rank_m")),
+          Seq("source_id"))
+        .select(col("target_id").as("node"),
+          expr("(rank_m * w) div sw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("rank_m"))
+        .localCheckpoint(eager = true)
+      Blocks.free(ranks)
+      ranks = next
+    }
+    Blocks.free(e); Blocks.free(nodes)
+    ranks
+  }
+
   /** Personalized PageRank — teleports land on a SEED SET instead of
     * uniformly (Haveliwala, "Topic-Sensitive PageRank", WWW 2002; the
     * TrustRank corpus-curation pattern of Gyöngyi et al., VLDB 2004):

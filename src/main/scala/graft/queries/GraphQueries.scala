@@ -418,6 +418,15 @@ object GraphQueries {
       graft.graph.Mis.independentSet(ring).orderBy(col("node"))
     }),
 
+    // Weighted PageRank: rank flow proportional to the id-derived 1..8
+    // integer edge weights (Sssp.weightSql — the oracle replays the
+    // exact weighted multigraph).
+    "q_graph_wpagerank" -> ((s, d) => {
+      graft.graph.PageRank.weightedRanks(
+          GraphViews.graph(s, d).relationships, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Local clustering coefficient over the co-purchase graph — closed
     // wedge share per node in exact micro-units (Triangles.localClustering).
     "q_graph_clustering" -> ((s, d) => {
@@ -895,6 +904,32 @@ object GraphQueries {
         |  UNION ALL SELECT node FROM win2
         |  UNION ALL SELECT node FROM win3)
         |ORDER BY node""".stripMargin,
+    "q_graph_wpagerank" ->
+      s"""WITH edges AS (SELECT DISTINCT source_id, target_id,
+         |  CAST(${graft.graph.Sssp.weightSql("relationship_id")} AS BIGINT) AS w
+         |  FROM $relsSql r),
+         |nodes AS (SELECT source_id AS node FROM edges
+         |          UNION SELECT target_id FROM edges),
+         |outw AS (SELECT source_id, sum(w) AS sw FROM edges GROUP BY 1),
+         |ew AS (SELECT e.source_id, e.target_id, e.w, sw
+         |       FROM edges e JOIN outw o USING (source_id)),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |c1 AS (SELECT target_id AS node, sum((r * w) // sw) AS c
+         |       FROM ew JOIN pr0 ON pr0.node = ew.source_id GROUP BY 1),
+         |pr1 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c1 USING (node)),
+         |c2 AS (SELECT target_id AS node, sum((r * w) // sw) AS c
+         |       FROM ew JOIN pr1 ON pr1.node = ew.source_id GROUP BY 1),
+         |pr2 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c2 USING (node)),
+         |c3 AS (SELECT target_id AS node, sum((r * w) // sw) AS c
+         |       FROM ew JOIN pr2 ON pr2.node = ew.source_id GROUP BY 1),
+         |pr3 AS (SELECT n.node,
+         |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n LEFT JOIN c3 USING (node))
+         |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
     // per-node triangles + degree + micro-unit closed-wedge share
     "q_graph_clustering" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey
