@@ -542,6 +542,68 @@ object IncrementalAnalytics {
       .start()
   }
 
+  /** Affected-cone refresh of [[LabelPropagation.communities]]: round-1
+    * perturbation reaches only changed-pair endpoints (the r⁰ labels are
+    * pure node-id functions, exact for every node including new ones);
+    * each later round grows the affected set one undirected hop, exactly
+    * the [[refreshRanks]] cone discipline. Affected nodes re-vote over
+    * the blended previous round (history splice + recomputed), so the
+    * result is bit-identical to a full batch rerun of the same
+    * deterministic argmax. */
+  def refreshCommunities(newRels: DataFrame, changedPairs: DataFrame,
+      history: IndexedSeq[DataFrame]): DataFrame = {
+    require(history.nonEmpty, "need the previous run's per-round labels")
+    val rounds = history.size
+    val fwd = newRels.select(col("source_id").as("node"),
+      col("target_id").as("nbr"))
+    val edges = fwd
+      .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().localCheckpoint(eager = true)
+    val nodes = edges.select(col("node")).distinct()
+      .localCheckpoint(eager = true)
+    def nbrsOf(a: DataFrame): DataFrame =
+      edges.join(a.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+        .select(col("node")).distinct()
+    val changed = changedPairs.select(col("source_id"), col("target_id"))
+      .distinct().localCheckpoint(eager = true)
+    var affected = changed
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint(eager = true)
+    var blend = nodes
+      .select(col("node"),
+        graft.pipeline.TextAnalysis.stableId(col("node")).as("lab"))
+      .localCheckpoint(eager = true)
+    for (i <- 1 to rounds) {
+      val votes = edges
+        .join(affected, Seq("node"), "left_semi")
+        .join(blend.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
+        .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("c"))
+      val recomputed = votes.groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("m"))
+        .select(col("node"), col("m.lab").as("lab"))
+      val spliced = history(i - 1)
+        .join(nodes, Seq("node"), "left_semi")
+        .join(affected, Seq("node"), "left_anti")
+        .unionByName(recomputed)
+        .localCheckpoint(eager = true)
+      Blocks.free(blend)
+      blend = spliced
+      if (i < rounds) {
+        val grown = affected.unionByName(nbrsOf(affected)).distinct()
+          .localCheckpoint(eager = true)
+        Blocks.free(affected)
+        affected = grown
+      }
+    }
+    val out = blend.select(col("node"), col("lab").as("community"))
+      .localCheckpoint(eager = true)
+    Blocks.free(blend); Blocks.free(affected)
+    Blocks.free(edges); Blocks.free(nodes); Blocks.free(changed)
+    out
+  }
+
   /** Initialize the triangle maintenance state: version 0 holds the base
     * relationship table and its per-node triangle counts. */
   def initTrianglesState(stateDir: String, baseTriangles: DataFrame,

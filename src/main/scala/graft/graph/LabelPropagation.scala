@@ -41,6 +41,20 @@ object LabelPropagation {
     * the UNDIRECTED (symmetrized, deduplicated) edge set; nodes = every
     * edge endpoint; community = 60-bit label value. */
   def communities(relationships: DataFrame, rounds: Int = 3): DataFrame = {
+    val hist = communitiesHistory(relationships, rounds)
+    val out = hist.last.select(col("node"), col("lab").as("community"))
+      .localCheckpoint(eager = true)
+    hist.foreach(Blocks.free)
+    out
+  }
+
+  /** Like [[communities]] but returns EVERY round's (node, lab) table —
+    * the maintained state [[IncrementalAnalytics.refreshCommunities]]
+    * splices unaffected nodes from. The caller frees the returned
+    * checkpoints; `communitiesHistory(r, k).last` carries the labels
+    * `communities(r, k)` renames. */
+  def communitiesHistory(relationships: DataFrame, rounds: Int)
+      : IndexedSeq[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val fwd = relationships.select(col("source_id").as("node"),
       col("target_id").as("nbr"))
@@ -51,6 +65,8 @@ object LabelPropagation {
     var labels = edges.select(col("node")).distinct()
       .select(col("node"), TextAnalysis.stableId(col("node")).as("lab"))
       .localCheckpoint(eager = true)
+    val init = labels
+    val hist = Vector.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
       val votes = edges
         .join(labels.select(col("node").as("nbr"), col("lab")), Seq("nbr"))
@@ -63,12 +79,10 @@ object LabelPropagation {
         .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("m"))
         .select(col("node"), col("m.lab").as("lab"))
         .localCheckpoint(eager = true)
-      Blocks.free(labels)
+      hist += next
       labels = next
     }
-    val out = labels.select(col("node"), col("lab").as("community"))
-      .localCheckpoint(eager = true)
-    Blocks.free(labels); Blocks.free(edges)
-    out
+    Blocks.free(init); Blocks.free(edges)
+    hist.result()
   }
 }

@@ -248,6 +248,23 @@ object StoreQueries {
         .orderBy(col("dt_id"))
     }),
 
+    // Incremental LPA communities: affected-cone re-vote spliced with
+    // the previous run's per-round labels; oracle = full 3-round batch
+    // over the final graph.
+    "q_incr_lpa" -> ((s, d) => {
+      val (_, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      val hist = graft.graph.LabelPropagation.communitiesHistory(baseRels, 3)
+      val newRels = graft.graph.IncrementalAnalytics
+        .applyRelationshipMutations(baseRels, muts)
+      val changed = graft.graph.IncrementalAnalytics
+        .changedPairs(baseRels, muts)
+      val out = graft.graph.IncrementalAnalytics
+        .refreshCommunities(newRels, changed, hist)
+        .orderBy(col("node"))
+      hist.foreach(graft.core.Blocks.free)
+      out
+    }),
+
     // Second-order incremental maintenance: per-node triangle counts
     // refreshed from the changed pairs' neighborhood cone only; oracle
     // is the full batch recompute over the final edge set.
@@ -378,6 +395,33 @@ object StoreQueries {
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS dt_id, MIN(b) AS component
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
+
+    // 3-round LPA batch recompute over the final graph — the
+    // q_graph_lpa formulation with the same deterministic argmax
+    "q_incr_lpa" ->
+      s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+         |e0 AS (
+         |$incrEdgesSql),
+         |e AS (SELECT src AS node, tgt AS nbr FROM e0
+         |      UNION SELECT tgt, src FROM e0),
+         |l0 AS (SELECT DISTINCT node,
+         |  CAST(('0x'||substr(md5(node),1,15)) AS BIGINT) AS lab FROM e),
+         |v1 AS (SELECT e.node, l.lab, count(*) AS c
+         |  FROM e JOIN l0 l ON l.node = e.nbr GROUP BY 1, 2),
+         |l1 AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
+         |  FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.node, l.lab, count(*) AS c
+         |  FROM e JOIN l1 l ON l.node = e.nbr GROUP BY 1, 2),
+         |l2 AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
+         |  FROM v2) WHERE rn = 1),
+         |v3 AS (SELECT e.node, l.lab, count(*) AS c
+         |  FROM e JOIN l2 l ON l.node = e.nbr GROUP BY 1, 2),
+         |l3 AS (SELECT node, lab FROM (SELECT node, lab,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
+         |  FROM v3) WHERE rn = 1)
+         |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin,
 
     // batch triangle recompute of the final graph (a<b<c enumeration)
     "q_incr_triangles" ->

@@ -468,6 +468,41 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       "x" -> 0L, "y" -> 0L, "z" -> 0L), s"after open: $fin")
   }
 
+  // ---- refreshCommunities: incremental LPA == batch ----
+
+  private def checkCommunities(base: DataFrame, m: DataFrame,
+      rounds: Int = 3): Unit = {
+    val hist = LabelPropagation.communitiesHistory(base, rounds)
+    val finalRels = IncrementalAnalytics.applyRelationshipMutations(base, m)
+      .localCheckpoint(true)
+    val changed = IncrementalAnalytics.changedPairs(base, m)
+    val incr = compMap2(IncrementalAnalytics.refreshCommunities(
+      finalRels, changed, hist))
+    val batch = compMap2(LabelPropagation.communities(finalRels, rounds))
+    hist.foreach(graft.core.Blocks.free)
+    assert(incr == batch, s"\nincr:  $incr\nbatch: $batch")
+  }
+
+  private def compMap2(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  test("refreshCommunities == batch: chord add re-votes the dense core") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "d", "a"), ("r5", "x", "y"), ("r6", "y", "z"))
+    checkCommunities(base, muts((1L, "C", "r9", "a", "c")))
+  }
+
+  test("refreshCommunities == batch: edge drop, new node, flip-flop") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "x", "y"))
+    val m = muts(
+      (1L, "D", "r2", "b", "c"),
+      (2L, "C", "r5", "c", "e"),   // new node e
+      (3L, "D", "r4", "x", "y"),
+      (4L, "C", "r4", "x", "y"))   // flip-flop: x-y unchanged
+    checkCommunities(base, m)
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
