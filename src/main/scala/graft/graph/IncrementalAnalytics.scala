@@ -552,6 +552,18 @@ object IncrementalAnalytics {
     * deterministic argmax. */
   def refreshCommunities(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): DataFrame = {
+    val hist = refreshCommunitiesHistory(newRels, changedPairs, history)
+    val out = hist.last.select(col("node"), col("lab").as("community"))
+      .localCheckpoint(eager = true)
+    hist.foreach(Blocks.free)
+    out
+  }
+
+  /** [[refreshCommunities]] returning EVERY refreshed round's (node, lab)
+    * table — the new history a continuously-maintained LPA carries
+    * forward. Caller owns the returned checkpoints. */
+  def refreshCommunitiesHistory(newRels: DataFrame, changedPairs: DataFrame,
+      history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
     require(history.nonEmpty, "need the previous run's per-round labels")
     val rounds = history.size
     val fwd = newRels.select(col("source_id").as("node"),
@@ -575,6 +587,7 @@ object IncrementalAnalytics {
       .select(col("node"),
         graft.pipeline.TextAnalysis.stableId(col("node")).as("lab"))
       .localCheckpoint(eager = true)
+    val outHist = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
       val votes = edges
         .join(affected, Seq("node"), "left_semi")
@@ -588,8 +601,9 @@ object IncrementalAnalytics {
         .join(affected, Seq("node"), "left_anti")
         .unionByName(recomputed)
         .localCheckpoint(eager = true)
-      Blocks.free(blend)
+      if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
+      outHist += spliced
       if (i < rounds) {
         val grown = affected.unionByName(nbrsOf(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -597,11 +611,9 @@ object IncrementalAnalytics {
         affected = grown
       }
     }
-    val out = blend.select(col("node"), col("lab").as("community"))
-      .localCheckpoint(eager = true)
-    Blocks.free(blend); Blocks.free(affected)
+    Blocks.free(affected)
     Blocks.free(edges); Blocks.free(nodes); Blocks.free(changed)
-    out
+    outHist.result()
   }
 
   /** Initialize the triangle maintenance state: version 0 holds the base
@@ -646,6 +658,65 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+        }
+      }
+      .start()
+  }
+
+  /** Initialize the LPA maintenance state: version 0 holds the base
+    * relationship table and the per-round label history. */
+  def initCommunitiesState(stateDir: String, history: IndexedSeq[DataFrame],
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    history.zipWithIndex.foreach { case (h, i) =>
+      h.write.mode("overwrite").parquet(s"$stateDir/v0/lpa/i=$i")
+    }
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained community labels as of the last committed batch. */
+  def currentCommunities(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, rounds: Int): DataFrame =
+    spark.read.parquet(
+        s"$stateDir/v${readPointer(stateDir)}/lpa/i=${rounds - 1}")
+      .select(col("node"), col("lab").as("community"))
+
+  /** Continuously-maintained LPA communities over the mutation-log
+    * STREAM — [[refreshCommunities]] needs the NEW per-round history to
+    * carry forward, so the fold recomputes each round's spliced label
+    * table and persists all of them per version (the
+    * [[maintainRanksStream]] shape). Crash replay idempotent. */
+  def maintainCommunitiesStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String,
+      rounds: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val hist = (0 until rounds).map(i =>
+            spark2.read.parquet(s"$stateDir/v$v/lpa/i=$i"))
+          val m = batch.localCheckpoint(true)
+          val newRels = applyRelationshipMutations(baseRels, m)
+            .localCheckpoint(true)
+          val changed = changedPairs(baseRels, m)
+          val newHist = refreshCommunitiesHistory(newRels, changed, hist)
+          newHist.zipWithIndex.foreach { case (h, i) =>
+            h.write.mode("overwrite").parquet(s"$stateDir/v$target/lpa/i=$i")
+          }
+          newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          newHist.foreach(graft.core.Blocks.free)
+          graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
           writePointer(stateDir, target)
         }
       }

@@ -503,6 +503,35 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     checkCommunities(base, m)
   }
 
+  test("streaming LPA maintenance: history carries across restart, == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "d", "a"), ("r5", "x", "y"))
+    val hist0 = LabelPropagation.communitiesHistory(base, 3)
+    IncrementalAnalytics.initCommunitiesState(stateDir, hist0, base)
+    hist0.foreach(graft.core.Blocks.free)
+    muts((1L, "C", "r9", "a", "c")).write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainCommunitiesStream(
+      spark, mutDir, stateDir, cpDir, rounds = 3).awaitTermination(60000)
+    muts((2L, "D", "r5", "x", "y"), (3L, "C", "r6", "y", "d"))
+      .write.mode("append").parquet(mutDir)
+    IncrementalAnalytics.maintainCommunitiesStream(
+      spark, mutDir, stateDir, cpDir, rounds = 3).awaitTermination(60000)
+    val got = compMap2(
+      IncrementalAnalytics.currentCommunities(spark, stateDir, 3))
+    val all = muts((1L, "C", "r9", "a", "c"), (2L, "D", "r5", "x", "y"),
+      (3L, "C", "r6", "y", "d"))
+    val finalRels = IncrementalAnalytics.applyRelationshipMutations(base, all)
+      .localCheckpoint(true)
+    val expect = compMap2(LabelPropagation.communities(finalRels, 3))
+    assert(got == expect,
+      s"two-batch streaming fold != batch recompute\ngot: $got\nexp: $expect")
+  }
+
   test("refreshComponents: empty batch passes every label through") {
     val base = rels(("r1", "a", "b"), ("r2", "c", "d"))
     val baseComp = TwinGraph(twinsOf(base), base,
