@@ -68,6 +68,24 @@ object Betweenness {
     }
   }
 
+  /** Per-source eccentricity + reach over the undirected graph: (source,
+    * ecc, n_reached) from the same batched BFS — the sampled-diameter
+    * probe (max ecc over sampled sources lower-bounds the diameter) and
+    * the connectivity sanity check (n_reached < component size flags a
+    * depth cap or a split). */
+  def eccentricity(relationships: DataFrame, sources: Seq[String],
+                   maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+    val (e, layers) = forward(relationships, sources, maxDepth, strict)
+    val out = layers.zipWithIndex.map { case (l, d) =>
+        l.select(col("s"), lit(d.toLong).as("depth"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("s").as("source"))
+      .agg(max(col("depth")).as("ecc"), count(lit(1)).as("n_reached"))
+      .localCheckpoint(eager = true)
+    layers.foreach(Blocks.free); Blocks.free(e)
+    out
+  }
+
   /** Shared forward machinery: the undirected edge checkpoint plus the
     * BFS layers (s, node, sigma) per depth; layers(0) = the sources.
     * Caller owns (and frees) the returned checkpoints. */

@@ -427,6 +427,37 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Per-source eccentricity + reach from the shared batched BFS —
+    // sampled-diameter probe over the ring + region fixture.
+    "q_graph_eccentricity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_nationkey"))
+      val nat = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val ring = nat
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"))
+      val reg = nat.select(
+        concat(lit("N"), col("n_nationkey")).as("source_id"),
+        concat(lit("R"), col("n_regionkey")).as("target_id"))
+      graft.graph.Betweenness.eccentricity(ring.unionByName(reg),
+          Seq("N0", "N5", "N10", "N15", "N20"), maxDepth = 8)
+        .orderBy(col("source"))
+    }),
+
+    // Weighted bipartite projection (Projection.bipartite): the
+    // co-purchase construction promoted to an operator — pairs through
+    // shared orders only, weight = shared-order count >= 2.
+    "q_graph_projection" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("item"))
+      graft.graph.Projection.bipartite(li, "k", "item", minWeight = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Local clustering coefficient over the co-purchase graph — closed
     // wedge share per node in exact micro-units (Triangles.localClustering).
     "q_graph_clustering" -> ((s, d) => {
@@ -930,6 +961,47 @@ object GraphQueries {
          |        CAST(150000 + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
          |        FROM nodes n LEFT JOIN c3 USING (node))
          |SELECT node, r AS rank_m FROM pr3 ORDER BY node""".stripMargin,
+    // same BFS frontiers as harmonic; ecc = deepest frontier per source
+    "q_graph_eccentricity" ->
+      """WITH mm AS (SELECT count(*) AS m FROM nation),
+        |ring AS (SELECT 'N' || n_nationkey AS a,
+        |    'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS b FROM nation
+        |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+        |sym AS (SELECT a, b FROM ring UNION SELECT b, a FROM ring),
+        |src(s) AS (VALUES ('N0'), ('N5'), ('N10'), ('N15'), ('N20')),
+        |f0 AS (SELECT s, s AS node FROM src),
+        |v0 AS (SELECT s, node FROM f0),
+        |f1 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f0 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v0 x WHERE x.s = f.s AND x.node = e.b)),
+        |v1 AS (SELECT s, node FROM v0 UNION ALL SELECT s, node FROM f1),
+        |f2 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f1 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 x WHERE x.s = f.s AND x.node = e.b)),
+        |v2 AS (SELECT s, node FROM v1 UNION ALL SELECT s, node FROM f2),
+        |f3 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f2 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 x WHERE x.s = f.s AND x.node = e.b)),
+        |v3 AS (SELECT s, node FROM v2 UNION ALL SELECT s, node FROM f3),
+        |f4 AS (SELECT DISTINCT f.s, e.b AS node
+        |  FROM f3 f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v3 x WHERE x.s = f.s AND x.node = e.b))
+        |SELECT s AS source, CAST(max(depth) AS BIGINT) AS ecc,
+        |  CAST(count(*) AS BIGINT) AS n_reached FROM (
+        |  SELECT s, node, 0 AS depth FROM f0
+        |  UNION ALL SELECT s, node, 1 FROM f1
+        |  UNION ALL SELECT s, node, 2 FROM f2
+        |  UNION ALL SELECT s, node, 3 FROM f3
+        |  UNION ALL SELECT s, node, 4 FROM f4)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_graph_projection" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS item
+        |  FROM lineitem WHERE l_quantity >= 30)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM li a JOIN li b ON a.k = b.k AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     // per-node triangles + degree + micro-unit closed-wedge share
     "q_graph_clustering" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey
