@@ -48,4 +48,28 @@ object Projection {
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)
   }
+
+  /** "Related items": the top `k` co-occurrence partners per item by
+    * (weight desc, partner asc) — the classic recommender shortlist over
+    * the [[bipartite]] projection. Symmetrizes the canonical pair list
+    * and ranks with ONE window partitioned by the item (per-item groups
+    * are bounded by the item's co-occurrence degree — distributed by
+    * item key, never a global sort). */
+  def relatedItems(df: DataFrame, keyCol: String, itemCol: String,
+      k: Int, minWeight: Long = 1L,
+      maxItemsPerKey: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val proj = bipartite(df, keyCol, itemCol, minWeight, maxItemsPerKey)
+    val sym = proj
+      .select(col("item_a").as("item"), col("item_b").as("related"),
+        col("weight"))
+      .unionByName(proj.select(col("item_b").as("item"),
+        col("item_a").as("related"), col("weight")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("weight").desc, col("related").asc)
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("related"), col("weight"))
+  }
 }

@@ -458,6 +458,17 @@ object GraphQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // Related items: top-3 co-occurrence partners per part over the
+    // weight>=2 projection — the recommender shortlist composition.
+    "q_graph_related" -> ((s, d) => {
+      val li = graft.core.Td.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("item"))
+      graft.graph.Projection.relatedItems(li, "k", "item",
+          k = 3, minWeight = 2L)
+        .orderBy(col("item"), col("rank"))
+    }),
+
     // Local clustering coefficient over the co-purchase graph — closed
     // wedge share per node in exact micro-units (Triangles.localClustering).
     "q_graph_clustering" -> ((s, d) => {
@@ -1002,6 +1013,20 @@ object GraphQueries {
         |FROM li a JOIN li b ON a.k = b.k AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+    "q_graph_related" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS item
+        |  FROM lineitem WHERE l_quantity >= 30),
+        |proj AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS weight
+        |  FROM li a JOIN li b ON a.k = b.k AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT item_a AS item, item_b AS related, weight FROM proj
+        |  UNION ALL SELECT item_b, item_a, weight FROM proj),
+        |r AS (SELECT item, related, weight,
+        |  CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY weight DESC, related) AS BIGINT) AS rank FROM sym)
+        |SELECT item, rank, related, weight FROM r WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin,
     // per-node triangles + degree + micro-unit closed-wedge share
     "q_graph_clustering" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey

@@ -40,6 +40,22 @@ class ProjectionSpec extends AnyFunSuite {
     assert(capped == Map(("a", "b") -> 1L))
   }
 
+  test("relatedItems: top-k by weight desc then partner asc, per item") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"), // a-b weight 2
+      ("k3", "a"), ("k3", "c"),                           // a-c weight 1
+      ("k4", "a"), ("k4", "d")                            // a-d weight 1
+    ).toDF("k", "item")
+    val got = Projection.relatedItems(df, "k", "item", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got.filter(_._1 == "a") == Set(
+      ("a", 1L, "b", 2L), ("a", 2L, "c", 1L)),
+      s"a's shortlist wrong: ${got.filter(_._1 == "a")}")
+    assert(got.filter(_._1 == "b") == Set(("b", 1L, "a", 2L)))
+  }
+
   test("eccentricity: exact per-source depth and reach on a path + island") {
     val s = spark; import s.implicits._
     val rels = Seq(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
