@@ -32,14 +32,15 @@ object Betweenness {
 
   val Scale = 1000000L
 
-  /** K-source harmonic centrality (Boldi & Vigna 2014, "Axioms for
-    * centrality"): `hc_m(v) = Σ_sources (1e6 div d(s,v))` over reachable
-    * source-node pairs with d > 0 — the distance-based centrality that
-    * stays well-defined on disconnected graphs (unreachable pairs
-    * contribute 0, where closeness degenerates). Same batched BFS as
-    * [[centrality]] — one (source,node)-keyed equi-join + combinable
-    * aggregate per depth round — with per-term integer division summed
-    * order-independently, so results are bit-identical anywhere. */
+  /** Loud cap on per-(source,node) shortest-path counts. Sigma is summed
+    * in Long during the forward BFS: with max degree Δ the next round's
+    * sum is ≤ Δ·max(sigma), so capping sigma at 1e12 keeps the Long sum
+    * exact up to Δ ≈ 9.2e6 — any realistic hub. The backward term widens
+    * to DECIMAL(38,0) (sigma·(1e6+delta) reaches ~1e12·1e6·n², past Long
+    * but far under 1e38), so the forward sum is the one place a dense
+    * equal-path structure could silently wrap; it throws instead. */
+  val SigmaBound = 1000000000000L
+
   /** K-source harmonic centrality (Boldi & Vigna 2014, "Axioms for
     * centrality"): `hc_m(v) = Σ_sources (1e6 div d(s,v))` over reachable
     * source-node pairs with d > 0 — the distance-based centrality that
@@ -61,11 +62,17 @@ object Betweenness {
         .localCheckpoint(eager = true))
     }
     layers.foreach(Blocks.free)
-    agg match {
+    // materialize the (node-sized) result so every upstream checkpoint —
+    // the edge table included — can be freed before returning, the
+    // eccentricity discipline: a lazy return would pin e's blocks until
+    // driver GC
+    val out = (agg match {
       case None => all.select(col("node"), lit(0L).as("hc_m"))
       case Some(a) => all.join(a, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("hc_m"), lit(0L)).as("hc_m"))
-    }
+    }).localCheckpoint(eager = true)
+    Blocks.free(e); agg.foreach(Blocks.free)
+    out
   }
 
   /** Per-source eccentricity + reach over the undirected graph: (source,
@@ -115,7 +122,19 @@ object Betweenness {
         .join(visited, Seq("s", "node"), "left_anti")
         .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint(eager = true)
-      alive = nxt.count()
+      // one probe job over the materialized blocks carries BOTH the
+      // emptiness test and the overflow guard: sigma counts equal
+      // shortest paths and grow combinatorially on grid-like graphs —
+      // past SigmaBound the NEXT round's Long sum could wrap silently
+      // (ANSI off), so fail loudly instead of accumulating garbage
+      val probe = nxt.agg(count(lit(1)).as("n"), max(col("sigma")).as("mx"))
+        .collect()(0)
+      alive = probe.getLong(0)
+      if (alive > 0 && probe.getLong(1) > SigmaBound)
+        throw new IllegalStateException(
+          s"shortest-path count sigma=${probe.getLong(1)} exceeds " +
+            s"$SigmaBound at depth $d — equal-path structure too dense " +
+            "for 64-bit accumulation; sample fewer/other sources")
       if (alive > 0) {
         layers += nxt
         val nv = visited.unionByName(nxt.select(col("s"), col("node")))
@@ -166,7 +185,11 @@ object Betweenness {
         .join(e, col("v") === e("a"))
         .join(lw, e("b") === lw("w") && col("vs") === lw("s"))
         .select(col("vs"), col("v"),
-          expr("(sv * (1000000 + dw)) div sw").as("term"))
+          // DECIMAL(38,0) product: sigma (≤ SigmaBound) times micro-unit
+          // deltas overflows Long on dense equal-path graphs; `div`
+          // narrows the exact decimal quotient back to Long
+          expr("(CAST(sv AS DECIMAL(38,0)) * (1000000 + dw)) div sw")
+            .as("term"))
         .groupBy(col("vs").as("s"), col("v").as("node"))
         .agg(sum(col("term")).as("delta"))
       val full = lv.select(col("vs").as("s"), col("v").as("node"))
@@ -180,7 +203,11 @@ object Betweenness {
     Blocks.free(delta) // the dist-0 frame (never added to contributions)
 
     val nodes = e.select(col("a").as("node")).distinct()
-    val bc =
+    // materialize the node-sized result, then free EVERY upstream
+    // checkpoint (edge table, layers, backward contributions) — returning
+    // a lazy frame would pin all of them in the BlockManager until
+    // driver GC
+    val bc = (
       if (contributions.isEmpty)
         nodes.select(col("node"), lit(0L).as("bc_m"))
       else
@@ -189,7 +216,10 @@ object Betweenness {
             .groupBy(col("node")).agg(sum(col("delta")).as("bc_m")),
           Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("bc_m"), lit(0L)).as("bc_m"))
+      ).localCheckpoint(eager = true)
     layers.foreach(Blocks.free)
+    contributions.foreach(Blocks.free)
+    Blocks.free(e)
     bc
   }
 }

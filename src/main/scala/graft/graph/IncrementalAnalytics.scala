@@ -330,6 +330,32 @@ object IncrementalAnalytics {
   private def readPointer(stateDir: String): Long =
     new String(java.nio.file.Files.readAllBytes(pointerPath(stateDir))).trim.toLong
 
+  /** Retention: after the pointer commits to `committed`, every older
+    * `v<k>` directory is dead weight — a crash-replayed batch either
+    * recomputes FROM the committed version or skips, it never reads
+    * further back — so delete them. Without this each micro-batch would
+    * leave a full copy of the carried state behind (the rels
+    * carry-forward is a full-width rewrite per batch by design: parquet
+    * is immutable, and rewriting keeps reads one-path simple), growing
+    * storage by O(state) per batch forever. Best-effort: a crash between
+    * pointer move and prune leaves at most a transient extra version,
+    * swept by the next committed batch's prune. */
+  private def pruneVersions(stateDir: String, committed: Long): Unit = {
+    val dir = java.nio.file.Paths.get(stateDir)
+    val vs = java.nio.file.Files.list(dir).iterator()
+    val dead = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    while (vs.hasNext) {
+      val p = vs.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.drop(1).toLongOption.exists(_ < committed))
+        dead += p
+    }
+    dead.foreach { p =>
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+  }
+
   /** The maintained degrees table as of the last committed batch. */
   def currentDegrees(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
@@ -370,6 +396,7 @@ object IncrementalAnalytics {
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
           writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
         }
       }
       .start()
@@ -476,6 +503,7 @@ object IncrementalAnalytics {
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
           writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
         }
       }
       .start()
@@ -537,6 +565,7 @@ object IncrementalAnalytics {
           newHist.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
           writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
         }
       }
       .start()
@@ -659,6 +688,7 @@ object IncrementalAnalytics {
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
           writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
         }
       }
       .start()
@@ -718,6 +748,7 @@ object IncrementalAnalytics {
           newHist.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
           writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
         }
       }
       .start()

@@ -199,10 +199,16 @@ object TextAnalysis {
     * curation and boilerplate phrase mining. PMI = log p(a,b)/(p(a)p(b))
     * is monotone in the integer cross-ratio, so the rank score is the
     * exact fixed-point `(c_ab · N · 1e6) div (c_a · c_b)` — no float
-    * log, bit-identical on any engine. `minCount` floors away the
-    * unstable low-frequency tail (the standard guard: a hapax pair
-    * maximizes raw PMI). Marginals are the bigram table's own (left,
-    * right) counts, self-normalized by the same N.
+    * log, bit-identical on any engine. Numerator and denominator are
+    * widened to DECIMAL(38,0) before the products: in 64-bit the
+    * numerator overflows once `c_ab · N` passes ~9.2e12 (any pair seen
+    * 9,200+ times in a 1e9-bigram corpus), and Spark would wrap silently
+    * (ANSI off) while the oracle engine raises — decimal keeps both
+    * engines exact up to 1e38, far past any real corpus (N ≤ 1e16 ⇒
+    * products ≤ 1e38). `minCount` floors away the unstable low-frequency
+    * tail (the standard guard: a hapax pair maximizes raw PMI).
+    * Marginals are the bigram table's own (left, right) counts,
+    * self-normalized by the same N.
     *
     * Scale shape: one corpus pass explodes positional bigrams; three
     * combinable count aggregations (pair + two marginals, each
@@ -228,7 +234,8 @@ object TextAnalysis {
       .join(cb, Seq("b"))
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("n_ab"),
-        expr("(n_ab * n_total * 1000000L) div (c_a * c_b)").as("score_m"))
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000000) div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b)").as("score_m"))
       .orderBy(col("score_m").desc, col("a"), col("b"))
       .limit(topK)
   }

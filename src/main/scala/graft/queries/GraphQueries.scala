@@ -817,21 +817,21 @@ object GraphQueries {
         |  GROUP BY 1, 2),
         |d4 AS (SELECT s, node, CAST(0 AS BIGINT) AS delta FROM f4),
         |t3 AS (SELECT v.s, v.node,
-        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |    sum((CAST(v.sigma AS HUGEINT) * (1000000 + w.delta)) // fw.sigma) AS delta
         |  FROM f3 v JOIN sym e ON v.node = e.a
         |  JOIN f4 fw ON fw.s = v.s AND fw.node = e.b
         |  JOIN d4 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
         |d3 AS (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
         |  FROM f3 v LEFT JOIN t3 t ON t.s = v.s AND t.node = v.node),
         |t2 AS (SELECT v.s, v.node,
-        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |    sum((CAST(v.sigma AS HUGEINT) * (1000000 + w.delta)) // fw.sigma) AS delta
         |  FROM f2 v JOIN sym e ON v.node = e.a
         |  JOIN f3 fw ON fw.s = v.s AND fw.node = e.b
         |  JOIN d3 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
         |d2 AS (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
         |  FROM f2 v LEFT JOIN t2 t ON t.s = v.s AND t.node = v.node),
         |t1 AS (SELECT v.s, v.node,
-        |    sum((v.sigma * (1000000 + w.delta)) // fw.sigma) AS delta
+        |    sum((CAST(v.sigma AS HUGEINT) * (1000000 + w.delta)) // fw.sigma) AS delta
         |  FROM f1 v JOIN sym e ON v.node = e.a
         |  JOIN f2 fw ON fw.s = v.s AND fw.node = e.b
         |  JOIN d2 w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),

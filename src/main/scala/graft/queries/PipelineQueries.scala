@@ -846,8 +846,8 @@ object PipelineQueries {
         |cb AS (SELECT b, count(*) c FROM bg GROUP BY b),
         |n AS (SELECT count(*) n FROM bg)
         |SELECT cab.a, cab.b, CAST(cab.c AS BIGINT) AS n_ab,
-        |  CAST((cab.c * (SELECT n FROM n) * 1000000) // (ca.c * cb.c)
-        |    AS BIGINT) AS score_m
+        |  CAST((CAST(cab.c AS HUGEINT) * (SELECT n FROM n) * 1000000)
+        |    // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_m
         |FROM cab JOIN ca ON ca.a = cab.a JOIN cb ON cb.b = cab.b
         |WHERE cab.c >= 5
         |ORDER BY score_m DESC, cab.a, cab.b LIMIT 50""".stripMargin,
