@@ -207,7 +207,20 @@ object Bench {
     val prior = BenchNoise.priorTimes(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outFile0))
     val loadBefore = BenchNoise.loadPerCore()
-    val runs = SparkEntry.queries.map { case (name, fn) =>
+    // Optional gate subset (comma-separated names): the sf1 scaling bench
+    // times the expensive families only — a full 181-gate pass at 10x the
+    // data is wall-clock the evidence doesn't need. Unknown names fail
+    // loudly rather than silently shrinking the subset.
+    val gateSet = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None => SparkEntry.queries
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = names.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${missing.mkString(",")}")
+        names.map(n => n -> SparkEntry.queries(n)).toMap
+    }
+    val runs = gateSet.map { case (name, fn) =>
       // A query only counts as failed when NO attempt succeeded: if
       // attempt 0 timed and attempt 1 threw, the valid timing stands.
       val (best, err, samples, noisy) = BenchNoise.sampleQuery(() => {
@@ -337,7 +350,7 @@ object Bench {
           Some(sib.getPath) else None
       }
     val runs2 = sf2Dir.map { d =>
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      gateSet.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

@@ -10,9 +10,9 @@ import graft.json.Json
   * GraphInitialization.cs:186-235), which sniff agtype values.
   *
   * `get_json_object` erases the distinction between `"1"` and `1`, so the
-  * type checks parse the doc with Jackson in a UDF. The UDF is only
-  * evaluated on rows surviving pushed-down columnar predicates; promote to a
-  * codegen `Expression` if it ever shows up hot.
+  * type checks parse the doc with Jackson inside the native [[JsonTypeOf]]
+  * expression — codegen'd, no ScalaUDF serialization, and the filter above
+  * it still prunes columns/rows first.
   */
 object JsonFunctions {
 
@@ -40,10 +40,11 @@ object JsonFunctions {
     }
   }
 
-  private lazy val jsonTypeOfUdf = udf(jsonTypeOf)
-
-  def json_type_of(doc: Column, path: String): Column =
-    jsonTypeOfUdf(doc, lit(path))
+  def json_type_of(doc: Column, path: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(JsonTypeOf(ColumnBridge.expression(doc),
+      ColumnBridge.expression(lit(path))))
+  }
 
   // Total booleans, never SQL NULL: the reference's plpgsql helpers
   // RETURN false on null/missing agtype values (EXCEPTION ... RETURN

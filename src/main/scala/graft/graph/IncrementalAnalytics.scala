@@ -760,7 +760,17 @@ object IncrementalAnalytics {
     * existence flips between base and final state. Over-approximation
     * (e.g. a pair both dropped and re-added via different rel ids) is
     * harmless for [[refreshRanks]]. */
-  def changedPairs(baseRels: DataFrame, mutations: DataFrame): DataFrame = {
+  def changedPairs(baseRels: DataFrame, mutations: DataFrame): DataFrame =
+    changedPairsSigned(baseRels, mutations)
+      .select(col("source_id"), col("target_id"))
+
+  /** [[changedPairs]] with the flip direction kept: `added` is true for
+    * pairs absent in the base edge set and present after the batch, false
+    * for the reverse. Directed-graph maintenance ([[refreshScc]]) needs
+    * the sign — an added edge can only MERGE strongly connected
+    * components, a removed one can only SPLIT its own. */
+  def changedPairsSigned(baseRels: DataFrame,
+      mutations: DataFrame): DataFrame = {
     val latest = latestRelMutations(mutations)
     val base4 = baseRels.select(col("source_id"), col("relationship_id"),
       col("target_id"))
@@ -782,6 +792,208 @@ object IncrementalAnalytics {
       .select(col("source_id"), col("target_id"))
       .unionByName(newTouched))
     before.join(after, pairCols, "left_anti")
-      .unionByName(after.join(before, pairCols, "left_anti"))
+      .withColumn("added", lit(false))
+      .unionByName(after.join(before, pairCols, "left_anti")
+        .withColumn("added", lit(true)))
+  }
+
+  // ---------------- incremental SCC (the last fixpoint operator) --------
+
+  /** Affected-region refresh of [[Scc.components]] — the one maintainer
+    * whose affected set is NOT local to the mutation cone: an added edge
+    * u→v can merge SCCs arbitrarily far apart in the condensation (every
+    * SCC on any v ⇝ u path joins the new cycle). The exact region is
+    * still computable without touching the whole graph:
+    *
+    *  1. Contract every base SCC to a supernode (its label), EXCEPT
+    *     "dirty" SCCs — those that lost an internal edge, the only ones
+    *     that can split — whose members stay individual nodes. Sound
+    *     because a clean SCC lost no internal edge, so it is still
+    *     strongly connected in the new graph.
+    *  2. Region = fwdReach(T ∪ D) ∩ bwdReach(S ∪ D) over the NEW edge
+    *     set at supernode granularity, where T/S are the groups of added
+    *     edges' targets/sources and D the dirty members. Any cycle that
+    *     merges two groups either uses an added edge (so every group on
+    *     it is reachable from T and reaches S) or witnesses mutual
+    *     reachability inside a dirty SCC (so every group on it is
+    *     reachable from and reaches a dirty member) — the region is
+    *     cycle-closed, and groups outside it provably keep their label.
+    *  3. Re-run the batch FW-BW-Trim on the region-induced quotient and
+    *     splice every other node's label through verbatim. Labels stay
+    *     bit-identical to full recompute: a clean supernode's id IS its
+    *     SCC's min member id, so a min over merged group ids equals the
+    *     min over all merged members.
+    *
+    * Cost: the pair delta and dirty probe are batch-keyed lookups; the
+    * two reachability BFS runs touch only the frontier's members and
+    * their edges per round (the [[Sssp]] shape); the quotient recompute
+    * is region-sized. The only full-width operations are the one-pass
+    * group-table build and the final splice — linear merges, the same
+    * class every other maintainer pays.
+    *
+    * @param maxRounds loud cap on each reachability BFS (condensation
+    *                  diameter); a frontier still alive past it throws —
+    *                  a truncated region could splice stale labels. */
+  def refreshScc(baseScc: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame, maxRounds: Int = 200): DataFrame = {
+    val newRels = applyRelationshipMutations(baseRels, mutations)
+      .localCheckpoint(eager = true)
+    val delta = changedPairsSigned(baseRels, mutations)
+      .filter(col("source_id") =!= col("target_id")) // self-loops are inert
+      .localCheckpoint(eager = true)
+    val added = delta.filter(col("added"))
+    val removed = delta.filter(!col("added"))
+    // dirty SCCs: lost an internal (same-label) edge — the only splits
+    val dirty = removed
+      .join(baseScc.select(col("node").as("source_id"), col("scc").as("ls")),
+        Seq("source_id"))
+      .join(baseScc.select(col("node").as("target_id"), col("scc").as("lt")),
+        Seq("target_id"))
+      .filter(col("ls") === col("lt"))
+      .select(col("ls").as("scc")).distinct()
+      .localCheckpoint(eager = true)
+    // group(n): base label for clean members, the node itself for dirty
+    // members and for nodes the base labeling never saw (created now)
+    val universe = endpoints(pairs(newRels)
+      .filter(col("source_id") =!= col("target_id")))
+      .localCheckpoint(eager = true)
+    val grpAll = baseScc
+      .join(dirty.withColumn("__dirty", lit(true)), Seq("scc"), "left_outer")
+      .select(col("node"),
+        when(col("__dirty"), col("node")).otherwise(col("scc")).as("grp"))
+      .unionByName(universe.join(baseScc, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("grp")))
+      .localCheckpoint(eager = true)
+    val dirtyMembers = baseScc.join(dirty, Seq("scc"), "left_semi")
+      .select(col("node"))
+    def seedGroups(nodes: DataFrame): DataFrame =
+      nodes.unionByName(dirtyMembers)
+        .join(grpAll, Seq("node")).select(col("grp")).distinct()
+        .localCheckpoint(eager = true)
+    val fwdSeeds = seedGroups(added.select(col("target_id").as("node")))
+    val bwdSeeds = seedGroups(added.select(col("source_id").as("node")))
+    // frontier BFS at group granularity over the new edges: per round the
+    // join touches only the frontier groups' members and THEIR out-edges
+    def reach(seeds: DataFrame, reversed: Boolean): DataFrame = {
+      val e =
+        if (reversed) newRels.select(col("target_id").as("source_id"),
+          col("source_id").as("target_id"))
+        else newRels.select(col("source_id"), col("target_id"))
+      var visited = seeds.localCheckpoint(eager = true)
+      var frontier = visited
+      var alive = frontier.count()
+      var round = 0
+      while (alive > 0) {
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"SCC region reachability still expanding after $maxRounds " +
+              "rounds — raise maxRounds")
+        val members = grpAll.join(frontier, Seq("grp"), "left_semi")
+          .select(col("node").as("source_id"))
+        val nxt = e.join(members, Seq("source_id"), "left_semi")
+          .select(col("target_id").as("node"))
+          .join(grpAll, Seq("node")).select(col("grp")).distinct()
+          .join(visited, Seq("grp"), "left_anti")
+          .localCheckpoint(eager = true)
+        alive = nxt.count()
+        val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
+        if (frontier ne visited) Blocks.free(frontier)
+        Blocks.free(visited)
+        visited = nv; frontier = nxt
+      }
+      visited
+    }
+    val fwd = reach(fwdSeeds, reversed = false)
+    val bwd = reach(bwdSeeds, reversed = true)
+    val region = fwd.join(bwd, Seq("grp"), "left_semi")
+      .localCheckpoint(eager = true)
+    val regionNodes = grpAll.join(region, Seq("grp"), "left_semi")
+      .localCheckpoint(eager = true) // (node, grp)
+    // quotient recompute: new edges with both endpoint groups in-region
+    val q = newRels
+      .join(regionNodes.select(col("node").as("source_id"),
+        col("grp").as("gs")), Seq("source_id"))
+      .join(regionNodes.select(col("node").as("target_id"),
+        col("grp").as("gt")), Seq("target_id"))
+      .filter(col("gs") =!= col("gt"))
+      .select(col("gs").as("src"), col("gt").as("dst"))
+    val resolved = Scc.components(q)
+    val regionLabels = region
+      .join(resolved.withColumnRenamed("node", "grp"), Seq("grp"),
+        "left_outer")
+      .select(col("grp"), coalesce(col("scc"), col("grp")).as("scc"))
+    // splice: base labels for clean out-of-region nodes still in the edge
+    // universe; recomputed labels for region nodes; fresh singletons for
+    // first-edge nodes the region didn't touch
+    val out = baseScc
+      .join(universe, Seq("node"), "left_semi")
+      .join(regionNodes.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("scc"))
+      .unionByName(regionNodes
+        .join(universe, Seq("node"), "left_semi")
+        .join(regionLabels, Seq("grp"))
+        .select(col("node"), col("scc")))
+      .unionByName(universe
+        .join(baseScc, Seq("node"), "left_anti")
+        .join(regionNodes.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc")))
+    // out references only checkpointed frames (universe, regionNodes,
+    // region, Scc's internal resolved parts) + the caller's baseScc —
+    // everything else is freeable now
+    Blocks.free(delta); Blocks.free(dirty)
+    Blocks.free(fwdSeeds); Blocks.free(bwdSeeds)
+    Blocks.free(fwd); Blocks.free(bwd)
+    Blocks.free(grpAll); Blocks.free(newRels)
+    out
+  }
+
+  /** Initialize the SCC maintenance state: version 0 holds the base
+    * relationship table and its SCC labeling. */
+  def initSccState(stateDir: String, baseScc: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseScc.write.mode("overwrite").parquet(s"$stateDir/v0/scc")
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained SCC labeling as of the last committed batch. */
+  def currentScc(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/scc")
+
+  /** Continuously-maintained SCC labels over the mutation-log STREAM —
+    * the [[maintainComponentsStream]] machinery with [[refreshScc]] as
+    * the fold: same versioned at-rest state, atomic pointer commit,
+    * idempotent crash replay, post-commit version pruning. */
+  def maintainSccStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseScc = spark2.read.parquet(s"$stateDir/v$v/scc")
+          val m = batch.localCheckpoint(true)
+          refreshScc(baseScc, baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/scc")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
+        }
+      }
+      .start()
   }
 }

@@ -199,6 +199,86 @@ object StoreQueries {
       st.mutationsDf.filter(col("seq") > baseSeq).localCheckpoint(eager = true))
   }
 
+  /** Store for the incremental-SCC gate: a directed trade RING over the
+    * nations (one big SCC) with a back-edge inside each 5-block, then
+    * three mutation batches that SPLIT the ring into five 5-cycles
+    * (deleting the block-boundary ring edges), MERGE two blocks back
+    * (chords both ways), and FLIP-FLOP (the merge chord deleted again, a
+    * boundary edge restored, an endpoint-preserving Update, a rel-free
+    * twin, and a brand-new twin gaining its first — acyclic — edge).
+    * Returns the frozen base relationship table and the post-base
+    * mutation-log slice. */
+  private def buildSccGraphStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val dir = graft.core.Scratch.dir("graft_store_scc_", d)
+    val st = TableTwinStore.open(s, dir, () => "2026-02-01T00:00:00Z")
+    st.createModels(Seq(
+      s"""{"@id":"$RegionModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin,
+      s"""{"@id":"$NationModel","@type":"Interface","contents":[
+         |{"@type":"Property","name":"name","schema":"string"},
+         |{"@type":"Relationship","name":"in_region","target":"$RegionModel"},
+         |{"@type":"Relationship","name":"trades_with"}]}""".stripMargin))
+    val regions = graft.core.Td.region(s, d)
+      .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0)).sorted
+    val nations = graft.core.Td.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val m = nations.length
+    def relDoc(name: String, target: String) =
+      s"""{"$$relationshipName":"$name","$$targetId":"$target"}"""
+    st.batch {
+      regions.foreach(r => st.createOrReplaceTwin(s"R$r",
+        s"""{"$$dtId":"R$r","$$metadata":{"$$model":"$RegionModel"},"name":"r$r"}"""))
+      nations.foreach { case (k, _) => st.createOrReplaceTwin(s"N$k",
+        s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"n$k"}""") }
+    }
+    st.batch {
+      nations.foreach { case (k, r) =>
+        st.createOrReplaceRelationship(s"N$k", s"ir$k", relDoc("in_region", s"R$r")) }
+      // the full trade ring: one graph-wide SCC
+      nations.foreach { case (k, _) =>
+        st.createOrReplaceRelationship(s"N$k", s"tw$k",
+          relDoc("trades_with", s"N${(k + 1) % m}")) }
+      // a back-edge inside each block of 5: N(k+4) -> Nk
+      nations.collect { case (k, _) if k % 5 == 0 =>
+        st.createOrReplaceRelationship(s"N${k + 4}", s"bk$k",
+          relDoc("trades_with", s"N$k")) }
+    }
+    val baseRels = st.graph.relationships.localCheckpoint(eager = true)
+    val baseSeq = st.mutationsDf.agg(max(col("seq"))).collect()(0).getLong(0)
+    // batch 1 — SPLIT: drop the ring edge leaving each 5-block; the one
+    // SCC becomes five 5-cycles
+    st.batch {
+      nations.collect { case (k, _) if k % 5 == 4 =>
+        st.deleteRelationship(s"N$k", s"tw$k") }
+    }
+    // batch 2 — MERGE: chords both ways between blocks 0 and 1
+    st.batch {
+      st.createOrReplaceRelationship("N4", "c1", relDoc("trades_with", "N5"))
+      st.createOrReplaceRelationship("N9", "c2", relDoc("trades_with", "N0"))
+    }
+    // batch 3 — FLIP-FLOP + noise: the return chord unwinds (blocks 0/1
+    // split again), the k=m-1 boundary edge is restored (inter-block now),
+    // one rel gets an endpoint-preserving Update (must be a no-op), a
+    // rel-free twin appears (outside the edge universe), and a new twin
+    // gains its first edge (fresh acyclic singleton)
+    st.batch {
+      st.deleteRelationship("N9", "c2")
+      st.createOrReplaceRelationship(s"N${m - 1}", s"tw${m - 1}",
+        relDoc("trades_with", "N0"))
+      st.patchRelationship("N1", "tw1",
+        """[{"op":"add","path":"/weight","value":1}]""")
+      st.createOrReplaceTwin("X0",
+        s"""{"$$dtId":"X0","$$metadata":{"$$model":"$NationModel"},"name":"x0"}""")
+      st.createOrReplaceTwin("Y0",
+        s"""{"$$dtId":"Y0","$$metadata":{"$$model":"$NationModel"},"name":"y0"}""")
+      st.createOrReplaceRelationship("N2", "ny", relDoc("trades_with", "Y0"))
+    }
+    (baseRels,
+      st.mutationsDf.filter(col("seq") > baseSeq).localCheckpoint(eager = true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.F incremental maintenance × §2.A9 CDC: degrees kept continuously
     // correct by folding mutation-log deltas into the previous result —
@@ -263,6 +343,23 @@ object StoreQueries {
         .orderBy(col("node"))
       hist.foreach(graft.core.Blocks.free)
       out
+    }),
+
+    // Incremental SCC — the last fixpoint operator in the maintainer
+    // family: dirty-SCC expansion (intra-SCC deletes), added-edge /
+    // dirty-member region reachability, quotient FW-BW recompute,
+    // verbatim splice for everything else. The folded three-batch log
+    // exercises splits (three ring edges gone), flip-flops (a chord and
+    // a boundary edge that net out), and a first-edge node; the oracle
+    // recomputes the FINAL digraph's SCCs from scratch via recursive
+    // mutual reachability, so a green row IS incremental == batch.
+    "q_incr_scc" -> ((s, d) => {
+      val (baseRels, muts) = buildSccGraphStore(s, d)
+      val baseScc = graft.graph.Scc.components(
+        baseRels.select(col("source_id").as("src"),
+          col("target_id").as("dst")))
+      graft.graph.IncrementalAnalytics.refreshScc(baseScc, baseRels, muts)
+        .orderBy(col("node"))
     }),
 
     // Second-order incremental maintenance: per-node triangle counts
@@ -422,6 +519,33 @@ object StoreQueries {
          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
          |  FROM v3) WHERE rn = 1)
          |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin,
+
+    // full-recompute SCC of the final digraph via recursive closure:
+    // scc(a) = min b with a ⇝ b AND b ⇝ a (reflexive) — the batch truth
+    // the affected-region refresh must match bit-for-bit
+    "q_incr_scc" ->
+      s"""WITH RECURSIVE mm AS (SELECT count(*) AS m FROM nation),
+         |e AS (
+         |  SELECT 'N' || n_nationkey AS src,
+         |         'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS dst
+         |  FROM nation WHERE n_nationkey % 5 <> 4
+         |  UNION ALL
+         |  SELECT 'N' || ((SELECT m FROM mm) - 1), 'N0'
+         |  UNION ALL
+         |  SELECT 'N' || (n_nationkey + 4), 'N' || n_nationkey
+         |  FROM nation WHERE n_nationkey % 5 = 0
+         |  UNION ALL SELECT 'N4', 'N5'
+         |  UNION ALL
+         |  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+         |  UNION ALL SELECT 'N2', 'Y0'),
+         |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+         |reach(a, b) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+         |SELECT r1.a AS node, MIN(r1.b) AS scc
+         |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // batch triangle recompute of the final graph (a<b<c enumeration)
     "q_incr_triangles" ->

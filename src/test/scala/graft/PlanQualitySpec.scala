@@ -100,6 +100,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probes/LUT must broadcast into the codes scan:\n$p")
   }
 
+  test("q_adt_typeof: native JSON type kernel — no ScalaUDF in the typed-filter plan") {
+    val df = SparkEntry.queries("q_adt_typeof")(spark, sf)
+    // collect() executes THIS QueryExecution (count() would plan a new
+    // one), finalizing AQE so codegen stage markers are visible
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF"),
+      s"ScalaUDF crept back into the C8-C12 type-filter path:\n$p")
+    assert(p.toLowerCase.contains("jsontypeof"),
+      s"expected the native JsonTypeOf kernel in:\n$p")
+    // the kernel generates code (no CodegenFallback): the type filter must
+    // sit INSIDE a whole-stage-codegen span (the `*(n) Filter` marker) —
+    // a fallback expression would split the stage and print a bare Filter
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(p).nonEmpty,
+      s"type filter fell out of whole-stage codegen:\n$p")
+  }
+
   test("q_dedup_minhash: no cartesian products anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"),
