@@ -152,11 +152,19 @@ case object AnySchema extends DtdlSchema {
   def validate(v: JsonNode): Either[String, Unit] = Right(())
 }
 
+/** A Relationship declaration: optional target model plus the schema of
+  * every property declared ON the relationship (DTDL `properties` array —
+  * the reference's Planet.satellites carries a `Distance` double,
+  * AgeDigitalTwins.Test/SampleData.cs). */
+final case class RelationshipDef(
+    target: Option[String],
+    properties: Map[String, DtdlSchema])
+
 final case class DtdlInterface(
     id: String,
     extendsIds: Seq[String],
     properties: Map[String, DtdlSchema],
-    relationships: Map[String, Option[String]], // name -> target model (if any)
+    relationships: Map[String, RelationshipDef],
     components: Map[String, String],            // name -> component model id
     telemetry: Set[String],
     displayName: Option[String],
@@ -438,7 +446,7 @@ object Dtdl {
       }
     }
     var props = Map.empty[String, DtdlSchema]
-    var rels = Map.empty[String, Option[String]]
+    var rels = Map.empty[String, RelationshipDef]
     var comps = Map.empty[String, String]
     var telem = Set.empty[String]
     Option(n.get("contents")).foreach(_.elements().asScala.foreach { c =>
@@ -470,7 +478,28 @@ object Dtdl {
             case Right(()) =>
           }
         }
-        rels += name -> target
+        // DTDL `properties`: Property declarations scoped to the
+        // relationship itself — same schema validation as twin-level
+        // Property contents (dangling refs and malformed schemas are
+        // model errors here too)
+        var relProps = Map.empty[String, DtdlSchema]
+        Option(c.get("properties")).foreach(_.elements().asScala.foreach { p =>
+          val pts = Option(p.get("@type")).map(typeNames).getOrElse(Nil)
+          val pname = Option(p.get("name")).map(_.asText()).getOrElse("")
+          if (!pts.contains("Property"))
+            return Left(s"model $id: relationship '$name' properties may " +
+              s"only hold Property contents, got '${pts.mkString(",")}'")
+          schemaRefs(p.get("schema")).filterNot(defs.contains).headOption
+            .foreach(r => return Left(s"model $id: relationship '$name' " +
+              s"property '$pname' references undefined schema '$r'"))
+          validateSchemaNode(p.get("schema")) match {
+            case Left(err) => return Left(
+              s"model $id: relationship '$name' property '$pname': $err")
+            case Right(()) =>
+          }
+          relProps += pname -> parseSchema(p.get("schema"), defs)
+        })
+        rels += name -> RelationshipDef(target, relProps)
       } else if (ts.contains("Component")) {
         val schema = Option(c.get("schema")).map(_.asText()).getOrElse("")
         if (schema.nonEmpty)
@@ -601,6 +630,45 @@ final case class ModelRegistry(models: Map[String, DtdlInterface]) {
     chain(modelId).iterator.flatMap(_.components.get(comp)).nextOption()
   def hasRelationship(modelId: String, name: String): Boolean =
     chain(modelId).exists(_.relationships.contains(name))
+  def relationshipDef(modelId: String, name: String): Option[RelationshipDef] =
+    chain(modelId).iterator.flatMap(_.relationships.get(name)).nextOption()
+
+  /** Validate a relationship DOCUMENT's user properties against the
+    * source model's declaration of that relationship: every non-`$` key
+    * must be a declared relationship Property and type-check against its
+    * schema (the reference validates twin props per model,
+    * DigitalTwins.cs:266-457, and rel writes at Relationships.cs:260-420;
+    * this closes the property-level corner of that parity). The target
+    * constraint is also enforced here when the declaration names one:
+    * `targetModelOf` supplies the target twin's model id (inheritance
+    * counts — IS_OF_MODEL semantics). Errors accumulate, like
+    * [[validateTwin]]. */
+  def validateRelationship(srcModelId: String, name: String, doc: JsonNode,
+      targetModelOf: => Option[String] = None): Either[String, Unit] = {
+    val defn = relationshipDef(srcModelId, name).getOrElse(
+      return Left(s"Relationship '$name' is not defined in model $srcModelId"))
+    val propErrors = doc.properties().asScala.toSeq.flatMap { e =>
+      val k = e.getKey
+      if (k.startsWith("$")) Nil
+      else defn.properties.get(k) match {
+        case Some(schema) => schema.validate(e.getValue).left.toSeq
+          .map(m => s"Relationship property '$k': $m")
+        case None => Seq(s"Relationship property '$k' is not defined on " +
+          s"'$name' in model $srcModelId")
+      }
+    }
+    val targetErrors = (defn.target, targetModelOf) match {
+      case (Some(required), Some(actual)) =>
+        val ok = actual == required ||
+          bases.getOrElse(actual, Nil).contains(required)
+        if (ok) Nil
+        else Seq(s"Relationship '$name' requires target model $required; " +
+          s"target twin has model $actual")
+      case _ => Nil
+    }
+    val errors = propErrors ++ targetErrors
+    if (errors.isEmpty) Right(()) else Left(errors.mkString("; "))
+  }
   def isTelemetry(modelId: String, name: String): Boolean =
     chain(modelId).exists(_.telemetry.contains(name))
 

@@ -75,6 +75,39 @@ object Betweenness {
     out
   }
 
+  /** Sampled approximate betweenness — the 100 TB path (Brandes & Pich
+    * 2007, "Centrality estimation in large networks"; Riondato &
+    * Kornaropoulos 2014 for the sample-size/ε analysis): run the exact
+    * batched accumulation from k DETERMINISTIC hash-ranked sources
+    * (md5(seed ‖ node) order — reproducible on any engine, so the result
+    * stays oracle-able, unlike an RNG sample) and scale each node's
+    * accumulated dependency by n/k, the unbiased Brandes-Pich estimator.
+    * With k = n the sample is every node and the estimate IS exact
+    * betweenness — the degeneracy the spec asserts. The scaled product
+    * widens to DECIMAL(38,0): bc_m reaches ~n²·1e6 and another ·n factor
+    * overflows Long well inside realistic graph sizes.
+    *
+    * Scale shape: identical to [[centrality]] (k batched BFS sources cost
+    * the same stages as one) plus one hash-ranked top-k over the node set
+    * (TakeOrderedAndProject — no full sort) and a bounded k-row collect. */
+  def approximate(relationships: DataFrame, k: Int, seed: String,
+                  maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
+    require(k > 0, "need a positive sample size")
+    val nodes = relationships
+      .select(col("source_id").as("node"))
+      .unionByName(relationships.select(col("target_id").as("node")))
+      .distinct()
+    val n = nodes.count()
+    val sources = nodes
+      .orderBy(md5(concat(lit(seed), col("node"))), col("node"))
+      .limit(k)
+      .collect().map(_.getString(0)).toSeq // bounded: k rows
+    centrality(relationships, sources, maxDepth, strict)
+      .select(col("node"),
+        expr(s"(CAST(bc_m AS DECIMAL(38,0)) * ${n}L) div ${math.min(k, n)}L")
+          .as("bc_est_m"))
+  }
+
   /** Per-source eccentricity + reach over the undirected graph: (source,
     * ecc, n_reached) from the same batched BFS — the sampled-diameter
     * probe (max ecc over sampled sources lower-bounds the diameter) and

@@ -164,6 +164,42 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // The SAME 30-min gap sessionization, actually DRAINED through
+    // Structured Streaming (A9/E10 composition): events land as a file
+    // stream, session_window holds/merges per-user session state across
+    // micro-batches, a far-future sentinel advances the watermark so
+    // Append mode flushes every session, and the collected output is
+    // hash-verified against the batch gap-sessionization oracle — the
+    // parity StreamingSessionizeSpec asserts, upgraded to an oracle gate.
+    "q_stream_sessions" -> ((s, d) => {
+      val dir = graft.core.Scratch.dir("graft_stream_sess_", d)
+      val ev = Td.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      ev.write.mode("overwrite").parquet(s"$dir/in")
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingSessionize.sessions(
+            s.readStream.schema(ev.schema).parquet(s"$dir/in"),
+            Seq("user_id"), "ts", gapMs = 1800000L, lateness = "1 second")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$dir/cp")
+          .format("parquet").option("path", s"$dir/out").start()
+        q.awaitTermination(300000): Unit
+      }
+      drain() // all real events in one backlog
+      // sentinel batch: pushes the watermark past every real session
+      s.range(1).select(lit(-1L).as("event_id"),
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("user_id"))
+        .write.mode("append").parquet(s"$dir/in")
+      drain() // restart from the checkpoint; flushes the held sessions
+      s.read.parquet(s"$dir/out").filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("duration_us"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // Ordered-step funnel: how far each user travels along
     // view → click → purchase, greedy earliest-completion semantics.
     "q_events_funnel" -> ((s, d) => {
@@ -354,6 +390,24 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the drained streaming rollup must equal the batch gap
+    // sessionization: same strictly-greater 30-min split, micro-second
+    // start/end keys
+    "q_stream_sessions" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  THEN 1 ELSE 0 END AS head FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(head) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx ORDER BY 1, 2""".stripMargin,
+
     "q_sketch_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)

@@ -360,6 +360,30 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Sampled approximate betweenness — the at-scale estimator (nobody
+    // runs all-sources Brandes on 100 TB): 8 deterministic hash-ranked
+    // sources, dependencies scaled by n/k (Brandes-Pich). The oracle
+    // replays the same accumulation from the same md5-ranked sample,
+    // unrolled past the true eccentricity (deeper empty frontiers
+    // contribute zero), so the estimate itself is hash-verified.
+    "q_graph_betweenness_approx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_nationkey"))
+      val nat = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val ring = nat
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .withColumn("wrap", first(col("n_nationkey")).over(w))
+        .select(concat(lit("N"), col("n_nationkey")).as("source_id"),
+          concat(lit("N"), coalesce(col("nxt"), col("wrap"))).as("target_id"))
+      val reg = nat.select(
+        concat(lit("N"), col("n_nationkey")).as("source_id"),
+        concat(lit("R"), col("n_regionkey")).as("target_id"))
+      graft.graph.Betweenness.approximate(ring.unionByName(reg),
+          k = 8, seed = "r14", maxDepth = 8)
+        .orderBy(col("node"))
+    }),
+
     // Node2vec second-order walks (RandomWalk.node2vecWalks) over the
     // same ring + region fixture: weights (return 1, common 2, far 4) —
     // an outward q<1 bias — with the full cumulative-range pick replayed
@@ -502,7 +526,66 @@ object GraphQueries {
       | SELECT 'S' || s_suppkey || '-N' || s_nationkey, 'S' || s_suppkey,
       |        'N' || s_nationkey, 'located_in' FROM supplier)""".stripMargin
 
+  /** Unrolled Brandes accumulation over the nation ring+region fixture,
+    * parameterized on the source CTE and the final SELECT — generated
+    * rather than hand-written so the approx gate can unroll PAST the true
+    * eccentricity (an empty deeper frontier contributes exactly zero, so
+    * extra levels keep the oracle exact instead of risking truncation). */
+  private def brandesUnrolledSql(depth: Int, srcSql: String,
+      select: String): String = {
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and this
+    // chain references each level 2-3 times — plain CTEs expand (and
+    // re-open the parquet) exponentially in depth, which at depth 6
+    // exhausts the file-descriptor budget before it exhausts patience
+    val sb = new StringBuilder
+    sb ++= s"""WITH mm AS MATERIALIZED (SELECT count(*) AS m FROM nation),
+      |ring AS MATERIALIZED (SELECT 'N' || n_nationkey AS a,
+      |    'N' || ((n_nationkey + 1) % (SELECT m FROM mm)) AS b FROM nation
+      |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+      |sym AS MATERIALIZED (SELECT a, b FROM ring UNION SELECT b, a FROM ring),
+      |allv AS MATERIALIZED (SELECT a AS node FROM sym UNION SELECT b FROM sym),
+      |src AS MATERIALIZED ($srcSql),
+      |f0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM src),
+      |v0 AS MATERIALIZED (SELECT s, node FROM f0),
+      |""".stripMargin
+    for (i <- 1 to depth) {
+      sb ++= s"""f$i AS MATERIALIZED (SELECT f.s, e.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        |  FROM f${i - 1} f JOIN sym e ON f.node = e.a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x WHERE x.s = f.s AND x.node = e.b)
+        |  GROUP BY 1, 2),
+        |v$i AS MATERIALIZED (SELECT s, node FROM v${i - 1} UNION ALL SELECT s, node FROM f$i),
+        |""".stripMargin
+    }
+    sb ++= s"d$depth AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS delta FROM f$depth),\n"
+    for (i <- (depth - 1) to 1 by -1) {
+      sb ++= s"""t$i AS MATERIALIZED (SELECT v.s, v.node,
+        |    sum((CAST(v.sigma AS HUGEINT) * (1000000 + w.delta)) // fw.sigma) AS delta
+        |  FROM f$i v JOIN sym e ON v.node = e.a
+        |  JOIN f${i + 1} fw ON fw.s = v.s AND fw.node = e.b
+        |  JOIN d${i + 1} w ON w.s = v.s AND w.node = e.b GROUP BY 1, 2),
+        |d$i AS MATERIALIZED (SELECT v.s, v.node, CAST(coalesce(t.delta, 0) AS BIGINT) AS delta
+        |  FROM f$i v LEFT JOIN t$i t ON t.s = v.s AND t.node = v.node),
+        |""".stripMargin
+    }
+    val unions = (1 to depth)
+      .map(i => s"SELECT s, node, delta FROM d$i")
+      .mkString("\n    UNION ALL ")
+    sb ++= s"""bc AS (SELECT node, CAST(sum(delta) AS BIGINT) AS bc_m FROM (
+      |    $unions) GROUP BY 1)
+      |$select""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    // sampled Brandes from the md5-ranked 8-source sample, scaled n/k —
+    // unrolled to depth 6 (> the fixture's eccentricity; deeper levels
+    // are empty and contribute zero)
+    "q_graph_betweenness_approx" -> brandesUnrolledSql(6,
+      "SELECT node AS s FROM allv ORDER BY md5('r14' || node), node LIMIT 8",
+      """SELECT v.node,
+        |  CAST((CAST(coalesce(bc.bc_m, 0) AS HUGEINT) *
+        |    (SELECT count(*) FROM allv)) // 8 AS BIGINT) AS bc_est_m
+        |FROM allv v LEFT JOIN bc USING (node) ORDER BY node""".stripMargin),
     // the same five fixed model embeddings (GraphViews.models), squared-L2
     // ranked against [2.5, 0.5, 0.25]; dyadic values → exact doubles
     "q_model_semantic" ->

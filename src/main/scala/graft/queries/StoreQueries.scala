@@ -143,7 +143,8 @@ object StoreQueries {
       s"""{"@id":"$NationModel","@type":"Interface","contents":[
          |{"@type":"Property","name":"name","schema":"string"},
          |{"@type":"Relationship","name":"in_region","target":"$RegionModel"},
-         |{"@type":"Relationship","name":"trades_with"}]}""".stripMargin))
+         |{"@type":"Relationship","name":"trades_with","properties":[
+         |  {"@type":"Property","name":"weight","schema":"integer"}]}]}""".stripMargin))
     val regions = graft.core.Td.region(s, d)
       .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0)).sorted
     val nations = graft.core.Td.nation(s, d)
@@ -218,7 +219,8 @@ object StoreQueries {
       s"""{"@id":"$NationModel","@type":"Interface","contents":[
          |{"@type":"Property","name":"name","schema":"string"},
          |{"@type":"Relationship","name":"in_region","target":"$RegionModel"},
-         |{"@type":"Relationship","name":"trades_with"}]}""".stripMargin))
+         |{"@type":"Relationship","name":"trades_with","properties":[
+         |  {"@type":"Property","name":"weight","schema":"integer"}]}]}""".stripMargin))
     val regions = graft.core.Td.region(s, d)
       .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0)).sorted
     val nations = graft.core.Td.nation(s, d)

@@ -393,6 +393,15 @@ final class TwinStore(
     val srcModel = Json.get(twins(sourceId), "/$metadata/$model").get.asText()
     if (registry.models.nonEmpty && !registry.hasRelationship(srcModel, name))
       throw StoreException(400, s"Relationship '$name' is not defined in model $srcModel")
+    // property-level + target-model validation against the relationship's
+    // declaration (reference parity: rel writes validated like twin
+    // writes, Relationships.cs:260-420 × DigitalTwins.cs:266-457)
+    if (registry.models.nonEmpty)
+      registry.validateRelationship(srcModel, name, doc,
+        Json.get(twins(targetId), "/$metadata/$model").map(_.asText())) match {
+        case Left(err) => throw StoreException(400, err)
+        case Right(()) =>
+      }
     val old = rels.get((sourceId, relId)).orNull
     if (ifNoneMatchStar && old != null)
       throw StoreException(412, s"relationship $relId already exists")
@@ -435,6 +444,16 @@ final class TwinStore(
     val old = getRelationship(sourceId, relId).asInstanceOf[ObjectNode]
     val patched = JsonPatch.apply(old, JsonPatch.parseOps(patchJson))
       .asInstanceOf[ObjectNode]
+    // a patch must not move the document outside its declared property
+    // schema either (same rule as patchTwin's re-validation)
+    if (registry.models.nonEmpty && twins.contains(sourceId)) {
+      val srcModel = Json.get(twins(sourceId), "/$metadata/$model").get.asText()
+      val name = Option(patched.get("$relationshipName")).map(_.asText()).getOrElse("")
+      registry.validateRelationship(srcModel, name, patched) match {
+        case Left(err) => throw StoreException(400, err)
+        case Right(()) =>
+      }
+    }
     val now = clock()
     patched.put("$etag", ETag.generate(s"$sourceId|$relId", now))
     rels((sourceId, relId)) = patched

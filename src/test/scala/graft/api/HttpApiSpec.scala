@@ -34,7 +34,8 @@ class HttpApiSpec extends AnyFunSuite {
     """{"@id":"dtmi:api:Room;1","@type":"Interface","@context":"dtmi:dtdl:context;3",
       |"displayName":"Room","contents":[
       |{"@type":"Property","name":"temperature","schema":"double"},
-      |{"@type":"Relationship","name":"adjacent_to"}]}""".stripMargin
+      |{"@type":"Relationship","name":"adjacent_to","properties":[
+      |  {"@type":"Property","name":"weight","schema":"integer"}]}]}""".stripMargin
 
   private def withApi[T](limiter: Option[RateLimiter] = None)(f: String => T): T = {
     val api = new HttpApi(new TwinStore(), () => spark, limiter)

@@ -760,4 +760,87 @@ class DtdlSemanticsSpec extends AnyFunSuite {
         |    "fields":[{"name":"f","schema":"string"}]}],
         |  "contents":[]}""".stripMargin).isLeft)
   }
+
+  // ---------- relationship-property validation (reference
+  // Relationships.cs:260-420 × DigitalTwins.cs:266-457: relationship
+  // writes validated against the model like twin writes; the Planet's
+  // `satellites` carries a double `Distance`, SampleData.cs) ----------
+
+  private def satelliteReg: ModelRegistry = {
+    val planet = parse(
+      """{"@id":"dtmi:g:planet;1","@type":"Interface","contents":[
+        |  {"@type":"Relationship","name":"satellites",
+        |   "target":"dtmi:g:moon;1",
+        |   "properties":[
+        |     {"@type":"Property","name":"Distance","schema":"double"},
+        |     {"@type":"Property","name":"label","schema":"string"}]},
+        |  {"@type":"Relationship","name":"near"}]}""".stripMargin)
+    val moon = parse(
+      """{"@id":"dtmi:g:moon;1","@type":"Interface","contents":[]}""".stripMargin)
+    val iceMoon = parse(
+      """{"@id":"dtmi:g:icemoon;1","@type":"Interface",
+        |  "extends":"dtmi:g:moon;1"}""".stripMargin)
+    val rock = parse(
+      """{"@id":"dtmi:g:rock;1","@type":"Interface","contents":[]}""".stripMargin)
+    assert(Seq(planet, moon, iceMoon, rock).forall(_.isRight))
+    ModelRegistry(Seq(planet, moon, iceMoon, rock)
+      .map(_.toOption.get).map(i => i.id -> i).toMap)
+  }
+
+  private def relDoc(json: String) = graft.json.Json.parse(json)
+
+  test("relationship properties parse into the declaration, inherited lookups work") {
+    val reg = satelliteReg
+    val d = reg.relationshipDef("dtmi:g:planet;1", "satellites").get
+    assert(d.target.contains("dtmi:g:moon;1"))
+    assert(d.properties.keySet == Set("Distance", "label"))
+    // a relationship with no properties block declares none
+    assert(reg.relationshipDef("dtmi:g:planet;1", "near").get.properties.isEmpty)
+  }
+
+  test("declared rel properties type-check; undeclared ones reject; errors accumulate") {
+    val reg = satelliteReg
+    assert(reg.validateRelationship("dtmi:g:planet;1", "satellites",
+      relDoc("""{"$relationshipName":"satellites","Distance":3.5,"label":"x"}""")).isRight)
+    // wrong type
+    val t = reg.validateRelationship("dtmi:g:planet;1", "satellites",
+      relDoc("""{"$relationshipName":"satellites","Distance":"far"}"""))
+    assert(t.isLeft && t.left.toOption.get.contains("Distance"))
+    // undeclared property — the reference rejects undefined properties on
+    // writes; both offenders must be named in ONE message
+    val u = reg.validateRelationship("dtmi:g:planet;1", "satellites",
+      relDoc("""{"$relationshipName":"satellites","bogus":1,"Distance":"x"}"""))
+    assert(u.isLeft)
+    val msg = u.left.toOption.get
+    assert(msg.contains("bogus") && msg.contains("Distance"), msg)
+  }
+
+  test("declared target model enforces IS_OF_MODEL semantics on the target twin") {
+    val reg = satelliteReg
+    def v(target: String) =
+      reg.validateRelationship("dtmi:g:planet;1", "satellites",
+        relDoc("""{"$relationshipName":"satellites"}"""),
+        Some(target))
+    assert(v("dtmi:g:moon;1").isRight)       // exact target
+    assert(v("dtmi:g:icemoon;1").isRight)    // inherited target
+    val bad = v("dtmi:g:rock;1")
+    assert(bad.isLeft && bad.left.toOption.get.contains("dtmi:g:moon;1"))
+    // untargeted relationships accept anything
+    assert(reg.validateRelationship("dtmi:g:planet;1", "near",
+      relDoc("""{"$relationshipName":"near"}"""), Some("dtmi:g:rock;1")).isRight)
+  }
+
+  test("relationship properties holding non-Property contents are model errors") {
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Relationship","name":"to","properties":[
+        |    {"@type":"Telemetry","name":"t","schema":"double"}]}]}""".stripMargin)
+      .isLeft)
+    // dangling schema reference inside a rel property is a model error too
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Relationship","name":"to","properties":[
+        |    {"@type":"Property","name":"p","schema":"dtmi:g:missing;1"}]}]}""".stripMargin)
+      .isLeft)
+  }
 }

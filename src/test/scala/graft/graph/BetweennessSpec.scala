@@ -136,4 +136,43 @@ class BetweennessSpec extends AnyFunSuite {
       Betweenness.centrality(g, Seq("a"), maxDepth = 1))
     assert(ex.getMessage.contains("maxDepth"))
   }
+
+  test("approximate: k = n degenerates to exact betweenness") {
+    // 6-cycle + a chord: nontrivial sigma structure
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "a"), ("b", "e"))
+    val g = rels(edges: _*)
+    val all = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val exact = run(g, all)
+    val approx = Betweenness.approximate(g, k = all.size, seed = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // (bc_m * n) div n == bc_m: the estimator collapses to the exact value
+    assert(approx == exact, s"approx $approx != exact $exact")
+  }
+
+  test("approximate: estimate == (n/k)-scaled JVM replay over the same md5 sample") {
+    // 8-cycle with two chords; k = 4 of 8 sources. The estimator's
+    // deterministic contract: hash-ranked sample, exact batched Brandes
+    // over it, every dependency scaled by n/k with integer div — so the
+    // whole thing must equal the JVM oracle replayed on the same sample,
+    // bit for bit. (Unbiasedness is statistical and belongs to the
+    // Brandes-Pich analysis, not to a single-seed assertion; the oracle
+    // GATE hash-verifies the same estimator against DuckDB.)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "g"), ("g", "h"), ("h", "a"), ("a", "e"), ("c", "g"))
+    val g = rels(edges: _*)
+    val all = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = all.size
+    val k = 4
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s"s14$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val sample = all.sortBy(v => (hex(v), v)).take(k)
+    val expect = oracle(edges, sample)
+      .map { case (v, bc) => v -> bc * n / k } // bc*n exact in Long here
+    val approx = Betweenness.approximate(g, k = k, seed = "s14")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expectFull = all.map(v => v -> expect.getOrElse(v, 0L)).toMap
+    assert(approx == expectFull, s"approx $approx != scaled replay $expectFull")
+  }
 }

@@ -541,4 +541,94 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       baseComp, base, m))
     assert(out == compMap(baseComp))
   }
+
+  // ---------------- incremental SCC ----------------
+
+  private def batchScc(r: DataFrame): DataFrame =
+    Scc.components(r.select(col("source_id").as("src"),
+      col("target_id").as("dst")))
+
+  private def sccMap(df: DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def assertSccEqual(base: DataFrame, m: DataFrame): Unit = {
+    val incr = sccMap(IncrementalAnalytics.refreshScc(
+      batchScc(base), base, m))
+    val batch = sccMap(batchScc(
+      IncrementalAnalytics.applyRelationshipMutations(base, m)
+        .localCheckpoint(true)))
+    assert(incr == batch, s"incremental $incr != batch $batch")
+  }
+
+  test("refreshScc == batch: intra-SCC delete splits a cycle, island splices") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "x", "y"), ("r5", "y", "x"))
+    assertSccEqual(base, muts((1L, "D", "r2", "b", "c")))
+  }
+
+  test("refreshScc == batch: added edge merges SCCs across a condensation path") {
+    // {a,b} and {c,d} are distinct SCCs joined by the condensation edge
+    // b→c; adding d→a closes a cycle through BOTH — the merge the region
+    // reachability (not any local cone) must discover
+    val base = rels(("r1", "a", "b"), ("r2", "b", "a"),
+      ("r3", "c", "d"), ("r4", "d", "c"), ("r5", "b", "c"))
+    assertSccEqual(base, muts((1L, "C", "r6", "d", "a")))
+  }
+
+  test("refreshScc == batch: flip-flop, parallel edge, new node") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "a"), ("p1", "a", "b"))
+    assertSccEqual(base, muts(
+      (1L, "D", "r1", "a", "b"), // parallel edge drops, pair survives
+      (2L, "C", "r7", "b", "z"), // brand-new node, acyclic
+      (3L, "C", "r8", "z", "a"), // z completes a 3-cycle...
+      (4L, "D", "r8", "z", "a"))) // ...and flips back out
+  }
+
+  test("refreshScc == batch: DETACH'd twin leaves the universe") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"))
+    val s2 = spark; import s2.implicits._
+    val m = muts((1L, "D", "r2", "b", "c"), (2L, "D", "r3", "c", "a"))
+      .unionByName(Seq((3L, "2026-01-01T00:00:03Z", "Twin", "c",
+        "TwinDelete", """{"$dtId":"c"}""", null: String))
+        .toDF("seq", "ts", "entity_kind", "entity_id", "event_type",
+          "old_json", "new_json"))
+    assertSccEqual(base, m)
+  }
+
+  test("refreshScc: empty batch splices every label verbatim") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "a"), ("r3", "b", "c"))
+    assertSccEqual(base, muts().limit(0))
+  }
+
+  test("streaming SCC maintenance: split, then merge across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    // two 2-cycles joined by a condensation edge
+    val base = rels(("r1", "a", "b"), ("r2", "b", "a"),
+      ("r3", "c", "d"), ("r4", "d", "c"), ("r5", "b", "c"))
+    IncrementalAnalytics.initSccState(stateDir, batchScc(base), base)
+    // batch 1: cut {a,b} — a and b become singletons (a SPLIT)
+    muts((1L, "D", "r2", "b", "a")).write.mode("append").parquet(mutDir)
+    val q1 = IncrementalAnalytics.maintainSccStream(
+      spark, mutDir, stateDir, cpDir)
+    q1.awaitTermination(60000)
+    val mid = sccMap(IncrementalAnalytics.currentScc(spark, stateDir))
+    assert(mid == Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "c"),
+      s"after split: $mid")
+    // batch 2 lands while the maintainer is down: d→a closes the big
+    // cycle a→b→c→d→a — a MERGE of everything, folded on restart
+    muts((2L, "C", "r9", "d", "a")).write.mode("append").parquet(mutDir)
+    val q2 = IncrementalAnalytics.maintainSccStream(
+      spark, mutDir, stateDir, cpDir)
+    q2.awaitTermination(60000)
+    val fin = sccMap(IncrementalAnalytics.currentScc(spark, stateDir))
+    assert(fin == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"),
+      s"after merge: $fin")
+    // retention: only the committed version remains on disk
+    val vs = new java.io.File(stateDir).list().filter(_.startsWith("v")).sorted
+    assert(vs.toSeq == Seq("v2"), s"stale state versions not pruned: ${vs.toSeq}")
+  }
 }
