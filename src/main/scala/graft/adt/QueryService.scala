@@ -43,6 +43,21 @@ final case class QueryPage(
 
 final class QueryThrottledException(msg: String) extends RuntimeException(msg)
 
+/** Store-version anchor for pagination snapshots. When supplied, a fresh
+  * pagination records the store version it started at in the continuation
+  * token (`"v"`), and a continuation whose pin was EVICTED (LRU pressure)
+  * or lost to a service restart rebuilds the snapshot AS OF that version —
+  * full snapshot isolation for the whole pagination, matching the
+  * reference's hold-a-transaction-snapshot behavior (Query.cs), not just
+  * for the lifetime of one in-memory pin. Backed by the store's
+  * time-travel read ([[graft.store.TableTwinStore.graphAt]]); without one,
+  * a rebuilt pin degrades to current data (the prior behavior, same as the
+  * reference's re-execute-with-SKIP fallback). */
+trait VersionedGraphSource {
+  def currentVersion: Long
+  def graphAt(version: Long): TwinGraph
+}
+
 /** Pinned sorted snapshots keyed by an opaque pagination id carried in the
   * continuation token (access-ordered LRU). Keying by id — not query text —
   * means a fresh arrival of the same query text can never yank a pin out
@@ -104,7 +119,8 @@ final class SnapshotCache(graceMs: Long = 120000L, capacity: Int = 32) {
 
 final class QueryService(graph: TwinGraph,
     limiter: Option[RateLimiter] = None,
-    snapshots: SnapshotCache = new SnapshotCache()) {
+    snapshots: SnapshotCache = new SnapshotCache(),
+    versioned: Option[VersionedGraphSource] = None) {
 
   private val planner = new AdtPlanner(graph)
 
@@ -117,15 +133,24 @@ final class QueryService(graph: TwinGraph,
   def freeAllSnapshots(): Unit = snapshots.freeAll()
 
   /** Get-or-build the pinned sorted snapshot for a pagination id; a miss
-    * (evicted pin or restarted service) rebuilds from the query text — the
-    * continuation stays valid, merely losing snapshot isolation from that
-    * point on, same as the reference's re-execute-with-SKIP behavior. */
-  private[graft] def sortedSnapshot(pinId: String, query: String): DataFrame =
-    snapshots.get(pinId).getOrElse(buildSnapshot(pinId, query))
+    * (evicted pin or restarted service) rebuilds from the query text — AS
+    * OF the token's pinned store version when a [[VersionedGraphSource]]
+    * is wired (isolation survives the rebuild), against current data
+    * otherwise (the continuation stays valid, merely losing snapshot
+    * isolation from that point on, same as the reference's
+    * re-execute-with-SKIP behavior). */
+  private[graft] def sortedSnapshot(pinId: String, query: String,
+      version: Option[Long] = None): DataFrame =
+    snapshots.get(pinId).getOrElse(buildSnapshot(pinId, query, version))
 
   /** Build (outside the lock — materialization can be slow) and pin. */
-  private def buildSnapshot(pinId: String, query: String): DataFrame = {
-    val df = planner.plan(QueryLanguage.parse(query))
+  private def buildSnapshot(pinId: String, query: String,
+      version: Option[Long] = None): DataFrame = {
+    val ast = QueryLanguage.parse(query)
+    val df = version.flatMap(v => versioned.map(_.graphAt(v))) match {
+      case Some(g) => new AdtPlanner(g).plan(ast)
+      case None => planner.plan(ast)
+    }
     val snap = df.orderBy(df.columns.map(col): _*)
       .localCheckpoint(eager = true)
     snapshots.put(pinId, snap)
@@ -139,7 +164,7 @@ final class QueryService(graph: TwinGraph,
     if (forbidden.exists(upper.contains))
       throw new AdtPlanException("query endpoint is read-only")
 
-    val (effectiveQuery, skip, pinId) = continuationToken match {
+    val (effectiveQuery, skip, pinId, pinnedVersion) = continuationToken match {
       case Some(tok) =>
         // a malformed token (truncated base64, non-JSON, missing fields)
         // is a CLIENT error: decode failures of any shape become the
@@ -160,14 +185,19 @@ final class QueryService(graph: TwinGraph,
           if (pinNode != null && !pinNode.isTextual)
             throw new IllegalArgumentException("mistyped pin")
           val pin = Option(pinNode).map(_.asText()).getOrElse(query)
-          (query, rn.asLong(), pin)
+          // optional pinned store version — same typed-400 rule
+          val vNode = node.get("v")
+          if (vNode != null && !vNode.isNumber)
+            throw new IllegalArgumentException("mistyped version")
+          (query, rn.asLong(), pin, Option(vNode).map(_.asLong()))
         } catch {
           case _: AdtPlanException => throw new AdtPlanException(
             "invalid continuation token")
           case scala.util.control.NonFatal(_) => throw new AdtPlanException(
             "invalid continuation token")
         }
-      case None => (q, 0L, java.util.UUID.randomUUID().toString)
+      case None => (q, 0L, java.util.UUID.randomUUID().toString,
+        versioned.map(_.currentVersion))
     }
 
     val ast = QueryLanguage.parse(effectiveQuery)
@@ -186,12 +216,15 @@ final class QueryService(graph: TwinGraph,
         if (probe.length > maxItemsPerPage) {
           // pagination starts: pin FIRST, then slice page 1 from the pinned
           // snapshot, so page 1 and pages 2..N reflect the same store state
-          // even if a mutation lands between the probe and the pin
-          val snap = buildSnapshot(pinId, effectiveQuery)
+          // even if a mutation lands between the probe and the pin. With a
+          // versioned source the pin is built AS OF the recorded version,
+          // so the token's "v" and the pinned frame can never disagree
+          // (a write between version capture and pin would otherwise skew)
+          val snap = buildSnapshot(pinId, effectiveQuery, pinnedVersion)
           (snap, snap.limit(maxItemsPerPage + 1).collect())
         } else (planned, probe)
       case Some(_) =>
-        val snap = sortedSnapshot(pinId, effectiveQuery)
+        val snap = sortedSnapshot(pinId, effectiveQuery, pinnedVersion)
         (snap, snap.offset(skip.toInt).limit(maxItemsPerPage + 1).collect())
       }
     }
@@ -199,8 +232,9 @@ final class QueryService(graph: TwinGraph,
     val rows = page.take(maxItemsPerPage).toSeq
     val nextToken =
       if (hasMore) {
+        val vPart = pinnedVersion.map(v => s""","v":$v""").getOrElse("")
         val t = s"""{"rowNumber":${skip + maxItemsPerPage},""" +
-          s""""query":${quote(effectiveQuery)},"pin":${quote(pinId)}}"""
+          s""""query":${quote(effectiveQuery)},"pin":${quote(pinId)}$vPart}"""
         Some(Base64.getEncoder.encodeToString(t.getBytes("UTF-8")))
       } else None
 

@@ -248,6 +248,9 @@ final class TableTwinStore private (
       .isEmpty
 
   def models: ModelRegistry = mem.models
+  /** Latest mutation seq — the store version a pagination pins against
+    * ([[graft.adt.VersionedGraphSource]] over [[graphAt]]). */
+  def currentSeq: Long = mem.currentSeq
 
   /** Id enumeration. Lazy opens answer from the folded table (an
     * ids-only distributed scan — enumerating every id IS a corpus scan;

@@ -174,4 +174,58 @@ class QueryServiceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("continuation token"), s"token $tok: $e")
     }
   }
+
+  test("version-pinned continuation: page 2 survives writes AND pin eviction") {
+    // a table-backed store so graphAt(seq) is available
+    val dir = graft.core.Scratch.dir("graft_qs_verpin_", "a")
+    val st = graft.store.TableTwinStore.open(spark, dir,
+      () => "2026-01-01T00:00:00Z")
+    st.createModels(Seq(
+      """{"@id":"dtmi:p;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"name","schema":"string"},
+        |  {"@type":"Property","name":"idx","schema":"integer"}]}""".stripMargin))
+    for (i <- 0 until 12)
+      st.createOrReplaceTwin(f"t$i%03d",
+        s"""{"$$metadata":{"$$model":"dtmi:p;1"},"name":"N$i","idx":$i}""")
+    def versionedOf(s: graft.store.TableTwinStore) = new VersionedGraphSource {
+      def currentVersion: Long = s.currentSeq
+      def graphAt(v: Long): TwinGraph = s.graphAt(v)
+    }
+    val qs1 = new QueryService(st.graph, None, new SnapshotCache(),
+      Some(versionedOf(st)))
+    val q = "SELECT T.$dtId AS id FROM DIGITALTWINS T"
+    val page1 = qs1.query(q, maxItemsPerPage = 8)
+    assert(page1.rows.size == 8 && page1.continuationToken.isDefined)
+    // the token carries the pinned store version
+    val tokJson = Json.parse(new String(java.util.Base64.getDecoder
+      .decode(page1.continuationToken.get), "UTF-8"))
+    assert(tokJson.get("v") != null && tokJson.get("v").isNumber,
+      s"token must carry the pinned version: $tokJson")
+    val pinnedV = tokJson.get("v").asLong()
+    // writes land between pages: new twins that WOULD sort into page 2
+    st.createOrReplaceTwin("t0aa",
+      s"""{"$$metadata":{"$$model":"dtmi:p;1"},"name":"X","idx":99}""")
+    st.createOrReplaceTwin("t999",
+      s"""{"$$metadata":{"$$model":"dtmi:p;1"},"name":"Y","idx":98}""")
+    assert(st.currentSeq > pinnedV)
+    // the pin is LOST: a restarted service over the post-write graph with
+    // a cold cache — the worst case (eviction + restart at once)
+    val qs2 = new QueryService(st.graph, None, new SnapshotCache(),
+      Some(versionedOf(st)))
+    val page2 = qs2.query("ignored", 8, page1.continuationToken)
+    val ids = (page1.rows ++ page2.rows)
+      .map(r => Json.get(Json.parse(r), "/id").get.asText())
+    assert(ids.toSet == (0 until 12).map(i => f"t$i%03d").toSet,
+      s"pages must reflect the PINNED version, got $ids")
+    assert(page2.continuationToken.isEmpty)
+    // negative control: without a versioned source the rebuilt pin sees
+    // current data — the new twins leak into page 2 (the degraded mode
+    // this feature removes)
+    val qs3 = new QueryService(st.graph, None, new SnapshotCache(), None)
+    val page2cur = qs3.query("ignored", 8, page1.continuationToken)
+    val idsCur = page2cur.rows
+      .map(r => Json.get(Json.parse(r), "/id").get.asText())
+    assert(idsCur.contains("t999") || idsCur.contains("t0aa"),
+      s"control: current-data rebuild should see the writes, got $idsCur")
+  }
 }
