@@ -196,6 +196,18 @@ object PipelineQueries {
         minCount = 5L, topK = 50)
     }),
 
+    // BPE merge-rule TRAINING (Sennrich 2016) — the learning half of the
+    // tokenizer pipeline: 8 merge rounds over the corpus word-frequency
+    // table, each one combinable pair count + a 1-row argmax + a map-only
+    // fold. The oracle unrolls the identical rounds in SQL (run-parity
+    // marks == left-to-right fold), so the learned rule table itself is
+    // hash-verified.
+    "q_bpe_train" -> ((s, d) => {
+      graft.pipeline.BpeTrain.train(Td.documents(s, d), "text",
+          numMerges = 8)
+        .orderBy(col("step"))
+    }),
+
     // Token-entropy diversity (integer bit-units): global token-reuse
     // signal complementing the adjacent-repeat detector.
     "q_text_entropy" -> ((s, d) => {
@@ -775,8 +787,61 @@ object PipelineQueries {
       |          AS phash_hi
       |       FROM bits GROUP BY 1)""".stripMargin
 
+  /** Unrolled BPE-training oracle: `k` merge rounds over the corpus
+    * word-frequency table. Each round materializes the weighted
+    * adjacent-pair argmax (count DESC, lhs, rhs), marks its occurrences,
+    * keeps alternate marks inside runs (gaps-and-islands row parity ==
+    * the trainer's left-to-right fold), merges and renumbers. Rounds
+    * whose pair table is empty contribute no rule and pass the symbol
+    * table through — matching the trainer's early stop. MATERIALIZED:
+    * the CTE chain references each level several times. */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wf AS MATERIALIZED (SELECT tok AS word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1),
+      |t1 AS MATERIALIZED (SELECT word, freq,
+      |  unnest(string_split(word, '')) AS sym,
+      |  generate_subscripts(string_split(word, ''), 1) AS pos FROM wf),
+      |""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s"""p$i AS MATERIALIZED (SELECT a, b, c FROM (
+        |  SELECT s1.sym a, s2.sym b, CAST(sum(s1.freq) AS BIGINT) c
+        |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+        |  GROUP BY 1, 2) ORDER BY c DESC, a, b LIMIT 1),
+        |m$i AS MATERIALIZED (SELECT s1.word, s1.pos
+        |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+        |  JOIN p$i p ON s1.sym = p.a AND s2.sym = p.b),
+        |k$i AS MATERIALIZED (SELECT word, pos FROM (
+        |  SELECT word, pos,
+        |    row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) rr
+        |  FROM (SELECT word, pos,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) rn FROM m$i))
+        |  WHERE rr % 2 = 1),
+        |t${i + 1} AS MATERIALIZED (SELECT word, freq, sym,
+        |  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos FROM (
+        |  SELECT t.word, t.freq, t.pos,
+        |    CASE WHEN kk.pos IS NOT NULL THEN t.sym || nxt.sym ELSE t.sym END sym
+        |  FROM t$i t
+        |  LEFT JOIN k$i kk ON kk.word = t.word AND kk.pos = t.pos
+        |  LEFT JOIN t$i nxt ON nxt.word = t.word AND nxt.pos = t.pos + 1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM k$i x WHERE x.word = t.word AND x.pos = t.pos - 1))),
+        |""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) step, a lhs, b rhs, c cnt FROM p$i")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"""rules AS (
+      |  $unions)
+      |SELECT step, lhs, rhs, cnt FROM rules ORDER BY step""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = {
     val base = Map(
+
+    "q_bpe_train" -> bpeTrainOracleSql(8),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
