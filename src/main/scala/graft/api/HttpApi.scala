@@ -76,8 +76,17 @@ final class HttpApi(
     cachedQs match {
       case Some((k, qs)) if k == key => qs
       case _ =>
+        // versioned source: continuation tokens carry the store seq they
+        // started at, and a pin that outlived both its cache entry AND
+        // this service generation rebuilds AS OF that seq — pagination
+        // isolation across interleaved writers no longer depends on the
+        // pin staying resident
+        val versioned = new graft.adt.VersionedGraphSource {
+          def currentVersion: Long = store.currentSeq
+          def graphAt(v: Long) = store.graphAt(sparkSession(), v)
+        }
         val qs = new QueryService(store.toGraph(sparkSession()), limiter,
-          snapshotCache)
+          snapshotCache, Some(versioned))
         cachedQs = Some((key, qs))
         qs
     }

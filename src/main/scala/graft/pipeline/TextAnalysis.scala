@@ -633,18 +633,42 @@ object TextAnalysis {
     * kernel and aggregates vocabulary-sized pair counts — the corpus is
     * never rescanned. The driver holds only the merge list (K pairs). */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L): Seq[(String, String)] = {
+      minFreq: Long = 2L): Seq[(String, String)] =
+    bpeTrainCore(df, textCol, numMerges, minFreq).map(r => (r._2, r._3))
+
+  /** [[bpeTrain]] with the full learned rule TABLE surfaced — (step, lhs,
+    * rhs, cnt): 1-based merge rank, the merged pair, and its weighted
+    * count at selection time. This is the oracle-gated form
+    * (`q_bpe_train`): the DuckDB side unrolls the identical rounds
+    * (run-parity island marks == the kernel's left-to-right
+    * non-overlapping application), so the whole training loop — not just
+    * round 1's pair count — is hash-verified. `minFreq = 1` by default:
+    * rule-table equality with an engine that stops only on exhaustion. */
+  def bpeTrainRules(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrainCore(df, textCol, numMerges, minFreq)
+      .toDF("step", "lhs", "rhs", "cnt")
+      .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"),
+        col("cnt"))
+  }
+
+  private def bpeTrainCore(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long): Seq[(Int, String, String, Long)] = {
     val words = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint(true)
     try {
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val merges = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, String, String, Long)]
       var exhausted = false
       while (merges.size < numMerges && !exhausted) {
         val top = words
           .select(col("f"),
-            graft.functions.BpeSegment.segment(array(col("w")), merges.toSeq).as("s"))
+            graft.functions.BpeSegment.segment(array(col("w")),
+              merges.toSeq.map(r => (r._2, r._3))).as("s"))
           .filter(size(col("s")) >= 2)
           .select(col("f"), explode(expr(
             "transform(sequence(1, size(s)-1), " +
@@ -654,7 +678,8 @@ object TextAnalysis {
           .orderBy(col("weight").desc, col("a"), col("b"))
           .limit(1).collect()
         if (top.isEmpty || top(0).getLong(2) < minFreq) exhausted = true
-        else merges += ((top(0).getString(0), top(0).getString(1)))
+        else merges += ((merges.size + 1, top(0).getString(0),
+          top(0).getString(1), top(0).getLong(2)))
       }
       merges.toSeq
     } finally graft.core.Blocks.free(words)

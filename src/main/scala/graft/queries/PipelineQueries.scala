@@ -203,8 +203,7 @@ object PipelineQueries {
     // marks == left-to-right fold), so the learned rule table itself is
     // hash-verified.
     "q_bpe_train" -> ((s, d) => {
-      graft.pipeline.BpeTrain.train(Td.documents(s, d), "text",
-          numMerges = 8)
+      TextAnalysis.bpeTrainRules(Td.documents(s, d), "text", numMerges = 8)
         .orderBy(col("step"))
     }),
 

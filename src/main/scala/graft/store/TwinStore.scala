@@ -485,15 +485,53 @@ final class TwinStore(
 
   // ---------------- projections to DataFrames ----------------
 
-  def toGraph(spark: SparkSession): TwinGraph = {
+  def toGraph(spark: SparkSession): TwinGraph =
+    buildGraph(spark, twins, rels)
+
+  /** Time-travel read over the in-memory mutation log: fold every event
+    * with seq ≤ `asOfSeq` into twin/relationship maps and materialize the
+    * same frames [[toGraph]] builds — the in-memory analogue of
+    * [[TableTwinStore.graphAt]], and the [[graft.adt.VersionedGraphSource]]
+    * backing for this store. O(log) driver-side, which is the store's own
+    * scale class (the whole store is driver-resident; the table-backed
+    * store does this fold set-wise). Models are not versioned — the
+    * returned graph carries the current registry, same caveat as the
+    * table store. */
+  def graphAt(spark: SparkSession, asOfSeq: Long): TwinGraph = {
+    val t = collection.mutable.LinkedHashMap[String, ObjectNode]()
+    val r = collection.mutable.LinkedHashMap[(String, String), ObjectNode]()
+    mutationLog.iterator.takeWhile(_.seq <= asOfSeq).foreach { e =>
+      def doc = Json.parse(
+        if (e.newJson != null) e.newJson else e.oldJson).asInstanceOf[ObjectNode]
+      e.eventType match {
+        case "TwinCreate" | "TwinUpdate" =>
+          val d = doc; t(d.get("$dtId").asText()) = d
+        case "TwinDelete" =>
+          t.remove(doc.get("$dtId").asText()): Unit
+        case "RelationshipCreate" | "RelationshipUpdate" =>
+          val d = doc
+          r((d.get("$sourceId").asText(), d.get("$relationshipId").asText())) = d
+        case "RelationshipDelete" =>
+          val d = doc
+          r.remove((d.get("$sourceId").asText(),
+            d.get("$relationshipId").asText())): Unit
+        case _ => // model events are unversioned; telemetry carries no state
+      }
+    }
+    buildGraph(spark, t, r)
+  }
+
+  private def buildGraph(spark: SparkSession,
+      twinMap: collection.Map[String, ObjectNode],
+      relMap: collection.Map[(String, String), ObjectNode]): TwinGraph = {
     import org.apache.spark.sql.Row
-    val twinRows = twins.map { case (id, doc) =>
+    val twinRows = twinMap.map { case (id, doc) =>
       Row(id, Json.get(doc, "/$metadata/$model").map(_.asText()).orNull,
         Option(doc.get("$etag")).map(_.asText()).orNull,
         Json.get(doc, "/$metadata/$lastUpdateTime").map(_.asText()).orNull,
         Json.render(doc))
     }.toSeq
-    val relRows = rels.map { case ((src, rid), doc) =>
+    val relRows = relMap.map { case ((src, rid), doc) =>
       Row(rid, src, doc.get("$targetId").asText(),
         doc.get("$relationshipName").asText(),
         Option(doc.get("$etag")).map(_.asText()).orNull,

@@ -175,6 +175,35 @@ class QueryServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("in-memory TwinStore.graphAt: log replay reproduces a past version") {
+    val st = new graft.store.TwinStore()
+    st.createModels(Seq(
+      """{"@id":"dtmi:gq;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"name","schema":"string"},
+        |  {"@type":"Relationship","name":"next"}]}""".stripMargin))
+    def twin(id: String, nm: String) =
+      s"""{"$$metadata":{"$$model":"dtmi:gq;1"},"name":"$nm"}"""
+    st.createOrReplaceTwin("a", twin("a", "A"))
+    st.createOrReplaceTwin("b", twin("b", "B"))
+    st.createOrReplaceRelationship("a", "r1",
+      """{"$relationshipName":"next","$targetId":"b"}""")
+    val v = st.currentSeq
+    // post-version writes: a new twin, a rel delete, a patch
+    st.createOrReplaceTwin("c", twin("c", "C"))
+    st.deleteRelationship("a", "r1")
+    st.patchTwin("a", """[{"op":"replace","path":"/name","value":"A2"}]""")
+    val past = st.graphAt(spark, v)
+    assert(past.twins.select("dt_id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b"))
+    assert(past.relationships.count() == 1)
+    assert(Json.get(Json.parse(past.twins
+        .filter(org.apache.spark.sql.functions.col("dt_id") === "a")
+        .select("properties").collect()(0).getString(0)), "/name")
+      .get.asText() == "A")
+    val now = st.toGraph(spark)
+    assert(now.twins.count() == 3 && now.relationships.count() == 0)
+  }
+
   test("version-pinned continuation: page 2 survives writes AND pin eviction") {
     // a table-backed store so graphAt(seq) is available
     val dir = graft.core.Scratch.dir("graft_qs_verpin_", "a")

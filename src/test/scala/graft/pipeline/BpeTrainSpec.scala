@@ -49,7 +49,7 @@ class BpeTrainSpec extends AnyFunSuite {
 
   private def run(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
     val s = spark; import s.implicits._
-    BpeTrain.train(texts.toDF("text"), "text", k).collect()
+    TextAnalysis.bpeTrainRules(texts.toDF("text"), "text", k).collect()
       .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
         r.getLong(3))).toSeq.sortBy(_._1)
   }
