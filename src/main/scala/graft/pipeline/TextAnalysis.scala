@@ -654,8 +654,43 @@ object TextAnalysis {
         col("cnt"))
   }
 
+  /** WordPiece merge training (Schuster & Nakajima 2012, "Japanese and
+    * Korean voice search"): same loop as [[bpeTrainRules]], but each
+    * round merges the pair maximizing the LIKELIHOOD criterion
+    * cnt(ab) / (cnt(a)·cnt(b)) over the current segmentation — the merge
+    * that most increases corpus likelihood under a unigram model —
+    * instead of BPE's raw count. The rank score is the integer
+    * cross-ratio `(cnt_ab · 1e12) div (cnt_a · cnt_b)` (DECIMAL(38,0)
+    * products; the quotient is ≤ 1e12 because cnt_ab ≤ min(cnt_a,
+    * cnt_b)), ties break on count DESC then lexicographically — exact on
+    * any engine, so the learned rule table is oracle-hashable
+    * (`q_wp_train`). Returns (step, lhs, rhs, score_m).
+    *
+    * Scale shape adds one unigram aggregation per round over the same
+    * re-segmented vocabulary frame (checkpointed per round, freed after
+    * both aggregates consume it). */
+  def wordPieceTrainRules(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    mergeTrainCore(df, textCol, numMerges, minFreq, likelihood = true)
+      .toDF("step", "lhs", "rhs", "score_m")
+      .select(col("step").cast("long").as("step"), col("lhs"), col("rhs"),
+        col("score_m"))
+  }
+
   private def bpeTrainCore(df: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long): Seq[(Int, String, String, Long)] = {
+      minFreq: Long): Seq[(Int, String, String, Long)] =
+    mergeTrainCore(df, textCol, numMerges, minFreq, likelihood = false)
+
+  /** Shared merge-training loop: per round, re-segment the vocabulary
+    * with the learned merges (the native [[graft.functions.BpeSegment]]
+    * kernel), aggregate pair weights (+ unigram counts for the
+    * likelihood criterion), take the deterministic argmax, repeat. The
+    * 4th tuple element is the selection metric — raw weight for BPE, the
+    * 1e12-scaled likelihood cross-ratio for WordPiece. */
+  private def mergeTrainCore(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long, likelihood: Boolean): Seq[(Int, String, String, Long)] = {
     val words = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -665,21 +700,43 @@ object TextAnalysis {
         .ArrayBuffer.empty[(Int, String, String, Long)]
       var exhausted = false
       while (merges.size < numMerges && !exhausted) {
-        val top = words
+        val seg = words
           .select(col("f"),
             graft.functions.BpeSegment.segment(array(col("w")),
               merges.toSeq.map(r => (r._2, r._3))).as("s"))
+        val pairsOf = (sg: DataFrame) => sg
           .filter(size(col("s")) >= 2)
           .select(col("f"), explode(expr(
             "transform(sequence(1, size(s)-1), " +
               "i -> struct(element_at(s, i) AS a, element_at(s, i+1) AS b))")).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("f")).as("weight"))
-          .orderBy(col("weight").desc, col("a"), col("b"))
-          .limit(1).collect()
+        val top =
+          if (!likelihood)
+            pairsOf(seg).orderBy(col("weight").desc, col("a"), col("b"))
+              .limit(1).collect()
+          else {
+            // both aggregates read the same re-segmentation — materialize
+            // it once, free after
+            val segM = seg.localCheckpoint(eager = true)
+            val uni = segM.select(col("f"), explode(col("s")).as("sym"))
+              .groupBy(col("sym")).agg(sum(col("f")).as("c"))
+            val out = pairsOf(segM)
+              .join(uni.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+              .join(uni.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+              .select(col("a"), col("b"), col("weight"),
+                expr("(CAST(weight AS DECIMAL(38,0)) * 1000000000000) div " +
+                  "(CAST(ca AS DECIMAL(38,0)) * cb)").as("score_m"))
+              .orderBy(col("score_m").desc, col("weight").desc, col("a"),
+                col("b"))
+              .limit(1).collect()
+            graft.core.Blocks.free(segM)
+            out
+          }
         if (top.isEmpty || top(0).getLong(2) < minFreq) exhausted = true
         else merges += ((merges.size + 1, top(0).getString(0),
-          top(0).getString(1), top(0).getLong(2)))
+          top(0).getString(1),
+          if (likelihood) top(0).getLong(3) else top(0).getLong(2)))
       }
       merges.toSeq
     } finally graft.core.Blocks.free(words)

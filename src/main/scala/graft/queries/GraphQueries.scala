@@ -34,6 +34,15 @@ object GraphQueries {
         .select(col("dt_id"), col("model_id"))
     }),
 
+    // A4 relationship point lookup by (source, relationship id) — the
+    // GET /digitaltwins/{id}/relationships/{relationshipId} read path;
+    // pushdown is plan-asserted in spec, the VALUE is oracle-checked here.
+    "q_a4_rel_lookup" -> ((s, d) => {
+      GraphViews.graph(s, d).relationshipById("N3", "N3-R3")
+        .select(col("relationship_id"), col("source_id"), col("target_id"),
+          col("relationship_name"))
+    }),
+
     // A3/A5 point lookup + outgoing edges of one twin.
     "q_a5_outgoing" -> ((s, d) => {
       GraphViews.graph(s, d).outgoing("N0")
@@ -609,6 +618,10 @@ object GraphQueries {
     "q_a3_twin_lookup" ->
       s"""SELECT dt_id, model_id FROM $twinsSql t
          |WHERE dt_id = 'N3'""".stripMargin,
+    "q_a4_rel_lookup" ->
+      s"""SELECT relationship_id, source_id, target_id, relationship_name
+         |FROM $relsSql r
+         |WHERE source_id = 'N3' AND relationship_id = 'N3-R3'""".stripMargin,
     // three unrolled synchronous rounds (aggregates are not allowed in a
     // recursive CTE term), integer micro-unit arithmetic throughout —
     // bit-identical to the Spark loop on any summation order

@@ -207,6 +207,16 @@ object PipelineQueries {
         .orderBy(col("step"))
     }),
 
+    // WordPiece merge training — the likelihood-criterion sibling
+    // (Schuster & Nakajima 2012): merges ranked by the 1e12-scaled
+    // cnt(ab)/(cnt(a)·cnt(b)) cross-ratio instead of raw count; same
+    // unrolled-SQL hash verification of the full 8-round loop.
+    "q_wp_train" -> ((s, d) => {
+      TextAnalysis.wordPieceTrainRules(Td.documents(s, d), "text",
+          numMerges = 8)
+        .orderBy(col("step"))
+    }),
+
     // Token-entropy diversity (integer bit-units): global token-reuse
     // signal complementing the adjacent-repeat detector.
     "q_text_entropy" -> ((s, d) => {
@@ -715,13 +725,17 @@ object PipelineQueries {
   // ---------------- oracle SQL ----------------
 
   /** Shared fragments: 3-gram shingle ids per doc (md5-derived, mod P). */
+  // MATERIALIZED throughout: DuckDB inlines plain CTEs per reference, and
+  // most dedup oracles read `ids` 2-4 times — at sf1 the re-inlined
+  // 3-way positional self-join plus the 64-hash cross join spilled past
+  // the disk before MATERIALIZED pinned each stage to one evaluation
   private val shingleIdsSql =
-    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-       |pos AS (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
-       |sh AS (SELECT DISTINCT a.doc_id doc, a.tok||' '||b.tok||' '||c.tok shingle
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks FROM documents),
+       |pos AS MATERIALIZED (SELECT doc_id, unnest(toks) tok, generate_subscripts(toks,1) p FROM t),
+       |sh AS MATERIALIZED (SELECT DISTINCT a.doc_id doc, a.tok||' '||b.tok||' '||c.tok shingle
        |       FROM pos a JOIN pos b ON a.doc_id=b.doc_id AND b.p=a.p+1
        |                  JOIN pos c ON a.doc_id=c.doc_id AND c.p=a.p+2),
-       |ids AS (SELECT DISTINCT doc,
+       |ids AS MATERIALIZED (SELECT DISTINCT doc,
        |        CAST(('0x'||substr(md5(shingle),1,15)) AS BIGINT) % $P AS sid FROM sh)""".stripMargin
 
   private val jaccardVerifySql =
@@ -794,7 +808,15 @@ object PipelineQueries {
     * whose pair table is empty contribute no rule and pass the symbol
     * table through — matching the trainer's early stop. MATERIALIZED:
     * the CTE chain references each level several times. */
-  private def bpeTrainOracleSql(k: Int): String = {
+  private def bpeTrainOracleSql(k: Int): String =
+    mergeTrainOracleSql(k, likelihood = false)
+
+  /** [[bpeTrainOracleSql]] with the WordPiece likelihood argmax: each
+    * round's pair is ranked by the 1e12-scaled integer cross-ratio
+    * cnt(ab)·1e12 // (cnt(a)·cnt(b)) over per-round unigram counts,
+    * ties on count DESC then lex — mirroring
+    * [[graft.pipeline.TextAnalysis.wordPieceTrainRules]]. */
+  private def mergeTrainOracleSql(k: Int, likelihood: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH wf AS MATERIALIZED (SELECT tok AS word, count(*) AS freq
       |  FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)
@@ -804,11 +826,28 @@ object PipelineQueries {
       |  generate_subscripts(string_split(word, ''), 1) AS pos FROM wf),
       |""".stripMargin
     for (i <- 1 to k) {
-      sb ++= s"""p$i AS MATERIALIZED (SELECT a, b, c FROM (
-        |  SELECT s1.sym a, s2.sym b, CAST(sum(s1.freq) AS BIGINT) c
-        |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
-        |  GROUP BY 1, 2) ORDER BY c DESC, a, b LIMIT 1),
-        |m$i AS MATERIALIZED (SELECT s1.word, s1.pos
+      if (!likelihood)
+        sb ++= s"""p$i AS MATERIALIZED (SELECT a, b, c FROM (
+          |  SELECT s1.sym a, s2.sym b, CAST(sum(s1.freq) AS BIGINT) c
+          |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+          |  GROUP BY 1, 2) ORDER BY c DESC, a, b LIMIT 1),
+          |""".stripMargin
+      else
+        sb ++= s"""u$i AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) c
+          |  FROM t$i GROUP BY 1),
+          |pc$i AS MATERIALIZED (SELECT s1.sym a, s2.sym b,
+          |    CAST(sum(s1.freq) AS BIGINT) c
+          |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+          |  GROUP BY 1, 2),
+          |p$i AS MATERIALIZED (SELECT a, b, c, sc FROM (
+          |  SELECT pc.a, pc.b, pc.c,
+          |    CAST((CAST(pc.c AS HUGEINT) * 1000000000000)
+          |      // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) sc
+          |  FROM pc$i pc JOIN u$i ua ON ua.sym = pc.a
+          |  JOIN u$i ub ON ub.sym = pc.b)
+          |  ORDER BY sc DESC, c DESC, a, b LIMIT 1),
+          |""".stripMargin
+      sb ++= s"""m$i AS MATERIALIZED (SELECT s1.word, s1.pos
         |  FROM t$i s1 JOIN t$i s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
         |  JOIN p$i p ON s1.sym = p.a AND s2.sym = p.b),
         |k$i AS MATERIALIZED (SELECT word, pos FROM (
@@ -828,12 +867,14 @@ object PipelineQueries {
         |    SELECT 1 FROM k$i x WHERE x.word = t.word AND x.pos = t.pos - 1))),
         |""".stripMargin
     }
+    val metric = if (likelihood) "sc score_m" else "c cnt"
     val unions = (1 to k)
-      .map(i => s"SELECT CAST($i AS BIGINT) step, a lhs, b rhs, c cnt FROM p$i")
+      .map(i => s"SELECT CAST($i AS BIGINT) step, a lhs, b rhs, $metric FROM p$i")
       .mkString("\n  UNION ALL ")
+    val outCol = if (likelihood) "score_m" else "cnt"
     sb ++= s"""rules AS (
       |  $unions)
-      |SELECT step, lhs, rhs, cnt FROM rules ORDER BY step""".stripMargin
+      |SELECT step, lhs, rhs, $outCol FROM rules ORDER BY step""".stripMargin
     sb.toString
   }
 
@@ -841,6 +882,7 @@ object PipelineQueries {
     val base = Map(
 
     "q_bpe_train" -> bpeTrainOracleSql(8),
+    "q_wp_train" -> mergeTrainOracleSql(8, likelihood = true),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
@@ -1025,12 +1067,12 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""WITH $shingleIdsSql,
          |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |mh AS MATERIALIZED (SELECT doc, h, min((a*sid+b) % $P) mh
          |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |sigs AS MATERIALIZED (SELECT doc, CAST(floor(h/4.0) AS INT) band,
          |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
          |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |cand AS MATERIALIZED (SELECT DISTINCT l.doc doc_a, r.doc doc_b
          |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |           AND l.doc < r.doc),
          |$jaccardVerifySql
@@ -1052,12 +1094,12 @@ object PipelineQueries {
          |                JOIN sizes sb ON sb.doc = doc_b)
          |  WHERE j4 >= 5000),
          |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |mh AS MATERIALIZED (SELECT doc, h, min((a*sid+b) % $P) mh
          |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |sigs AS MATERIALIZED (SELECT doc, CAST(floor(h/4.0) AS INT) band,
          |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
          |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |cand AS MATERIALIZED (SELECT DISTINCT l.doc doc_a, r.doc doc_b
          |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |           AND l.doc < r.doc),
          |c_inter AS (SELECT c.doc_a, c.doc_b, count(*) i
@@ -1134,12 +1176,12 @@ object PipelineQueries {
     "q_stream_neardedup" ->
       s"""WITH $shingleIdsSql,
          |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |mh AS MATERIALIZED (SELECT doc, h, min((a*sid+b) % $P) mh
          |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |sigs AS MATERIALIZED (SELECT doc, CAST(floor(h/4.0) AS INT) band,
          |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
          |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |cand AS MATERIALIZED (SELECT DISTINCT l.doc doc_a, r.doc doc_b
          |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |           AND l.doc < r.doc),
          |$jaccardVerifySql
@@ -1150,12 +1192,12 @@ object PipelineQueries {
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shingleIdsSql,
          |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |mh AS MATERIALIZED (SELECT doc, h, min((a*sid+b) % $P) mh
          |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |sigs AS MATERIALIZED (SELECT doc, CAST(floor(h/4.0) AS INT) band,
          |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
          |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |cand AS MATERIALIZED (SELECT DISTINCT l.doc doc_a, r.doc doc_b
          |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |           AND l.doc < r.doc),
          |$jaccardVerifySql,
@@ -1480,12 +1522,12 @@ object PipelineQueries {
     "q_split_leakage" ->
       s"""WITH $shingleIdsSql,
          |params(h, a, b) AS (VALUES $minhashParamsSql),
-         |mh AS (SELECT doc, h, min((a*sid+b) % $P) mh
+         |mh AS MATERIALIZED (SELECT doc, h, min((a*sid+b) % $P) mh
          |       FROM ids CROSS JOIN params GROUP BY 1,2),
-         |sigs AS (SELECT doc, CAST(floor(h/4.0) AS INT) band,
+         |sigs AS MATERIALIZED (SELECT doc, CAST(floor(h/4.0) AS INT) band,
          |         string_agg(mh::VARCHAR, '-' ORDER BY h) sig
          |         FROM mh GROUP BY 1,2),
-         |cand AS (SELECT DISTINCT l.doc doc_a, r.doc doc_b
+         |cand AS MATERIALIZED (SELECT DISTINCT l.doc doc_a, r.doc doc_b
          |         FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |           AND l.doc < r.doc),
          |$jaccardVerifySql,

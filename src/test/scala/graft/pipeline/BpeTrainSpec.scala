@@ -86,6 +86,63 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  /** Classic WordPiece criterion: argmax of cnt(ab)/(cnt(a)·cnt(b)) via
+    * the same 1e12-scaled integer cross-ratio, ties (score, -count, lhs,
+    * rhs). */
+  private def jvmWordPiece(wf: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words = wf.map { case (w, f) => (w.map(_.toString).toVector, f) }.toSeq
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < k && !done) {
+      step += 1
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- words) {
+        for (s <- syms) uc(s) += f
+        for (i <- 0 until syms.size - 1) pc((syms(i), syms(i + 1))) += f
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val scored = pc.toSeq.map { case ((a, b), c) =>
+          val sc = (BigInt(c) * BigInt(1000000000000L) /
+            (BigInt(uc(a)) * BigInt(uc(b)))).toLong
+          ((a, b), c, sc)
+        }
+        val ((a, b), _, sc) = scored
+          .sortBy { case ((x, y), c, s) => (-s, -c, x, y) }.head
+        out += ((step, a, b, sc))
+        words = words.map { case (syms, f) =>
+          val acc = scala.collection.mutable.Buffer.empty[String]
+          for (s <- syms)
+            if (acc.nonEmpty && acc.last == a && s == b)
+              acc(acc.size - 1) = a + b
+            else acc += s
+          (acc.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("WordPiece criterion: likelihood argmax differs from raw count and matches the JVM replay") {
+    // (x,y) is the most frequent pair but its symbols are common; (q,z)
+    // is rarer with rare parts — the likelihood criterion picks qz where
+    // raw BPE picks xy
+    val texts = Seq("xy xy xy xy xz yx qz")
+    val s2 = spark; import s2.implicits._
+    val wp = TextAnalysis.wordPieceTrainRules(texts.toDF("text"), "text", 3)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+    assert(wp == jvmWordPiece(wfOf(texts), 3), s"got $wp")
+    val bpe = run(texts, 1)
+    assert(wp.head._2 -> wp.head._3 != bpe.head._2 -> bpe.head._3,
+      "fixture must separate the two criteria")
+  }
+
   test("learned rules compose with the Bpe applier kernel") {
     val texts = Seq("low low low lower lowest")
     val rules = run(texts, 4).map(r => (r._2, r._3))

@@ -11,7 +11,10 @@ sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver trees ship one file per table; GenData trees (target/sf1,
+    # target/sf10) are Spark parquet DIRECTORIES of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 ok = fail = 0
