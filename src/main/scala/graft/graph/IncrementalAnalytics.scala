@@ -948,6 +948,130 @@ object IncrementalAnalytics {
     out
   }
 
+  // ---------------- incremental k-core ----------------
+
+  /** Affected-component refresh of the exact k-core survivor set
+    * ([[KCore.kcore]]): peeling never crosses connected components, so
+    * the k-core of the new graph is the union of per-component k-cores —
+    * recompute ONLY the components a mutation touched and splice every
+    * other node's survivor status verbatim.
+    *
+    * The affected region is the undirected reach of the changed pairs'
+    * endpoints over the UNION of old and new edges: a node is affected
+    * iff its old-or-new component contains a touched node (the union
+    * closure covers both splits and merges), and everything outside the
+    * region sits in a component whose edge set is bit-identical before
+    * and after — its peeling replays unchanged. Region reach is a
+    * frontier BFS (per round: the frontier's edges only, the [[Sssp]]
+    * shape); the recompute runs the batch operator on the region-induced
+    * new edges; the splice is one anti-join. Cost ∝ the touched
+    * components, never the graph.
+    *
+    * An endpoint-preserving relationship Update yields no changed pair
+    * and passes the base set through untouched. */
+  def refreshKcore(baseCore: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    val newRels = applyRelationshipMutations(baseRels, mutations)
+      .localCheckpoint(eager = true)
+    val touched = changedPairs(baseRels, mutations)
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct().localCheckpoint(eager = true)
+    if (touched.count() == 0) {
+      Blocks.free(newRels); Blocks.free(touched)
+      return baseCore
+    }
+    // undirected union edge set: old ∪ new pairs, both directions
+    val unionPairs = pairs(baseRels).unionByName(pairs(newRels)).distinct()
+    val e = unionPairs
+      .select(col("source_id").as("u"), col("target_id").as("v"))
+      .unionByName(unionPairs.select(col("target_id").as("u"),
+        col("source_id").as("v")))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint(eager = true)
+    var visited = touched
+    var frontier = visited
+    var alive = frontier.count()
+    var round = 0
+    while (alive > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"k-core region reachability still expanding after $maxRounds " +
+            "rounds — raise maxRounds")
+      val nxt = e.join(frontier.withColumnRenamed("node", "u"),
+          Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      alive = nxt.count()
+      val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
+      if (frontier ne visited) Blocks.free(frontier)
+      Blocks.free(visited)
+      visited = nv; frontier = nxt
+    }
+    val region = visited
+    // region is component-closed in the new graph, so restricting the
+    // source endpoint restricts both — keep both semi-joins for shape
+    val regionEdges = newRels
+      .join(region.withColumnRenamed("node", "source_id"),
+        Seq("source_id"), "left_semi")
+      .join(region.withColumnRenamed("node", "target_id"),
+        Seq("target_id"), "left_semi")
+    val recomputed = KCore.kcore(regionEdges, "source_id", "target_id", k)
+    val out = baseCore.join(region, Seq("node"), "left_anti")
+      .unionByName(recomputed)
+    Blocks.free(newRels); Blocks.free(e)
+    out
+  }
+
+  /** Initialize the k-core maintenance state: version 0 holds the base
+    * relationship table and the k-core survivor set. */
+  def initKcoreState(stateDir: String, baseCore: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseCore.write.mode("overwrite").parquet(s"$stateDir/v0/kcore")
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained k-core survivor set as of the last committed batch. */
+  def currentKcore(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/kcore")
+
+  /** Continuously-maintained k-core over the mutation-log STREAM — the
+    * [[maintainComponentsStream]] machinery with [[refreshKcore]] as the
+    * fold. */
+  def maintainKcoreStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseCore = spark2.read.parquet(s"$stateDir/v$v/kcore")
+          val m = batch.localCheckpoint(true)
+          refreshKcore(baseCore, baseRels, m, k)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/kcore")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
+        }
+      }
+      .start()
+  }
+
   /** Initialize the SCC maintenance state: version 0 holds the base
     * relationship table and its SCC labeling. */
   def initSccState(stateDir: String, baseScc: DataFrame,

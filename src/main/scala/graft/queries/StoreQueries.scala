@@ -347,6 +347,27 @@ object StoreQueries {
       out
     }),
 
+    // Incremental k-core: affected-component recompute + verbatim splice
+    // (peeling never crosses components). The in_region deletes drop four
+    // nations to degree 2, whose peel CASCADES around the trade ring —
+    // the oracle replays the peel to fixpoint over the final edge set, so
+    // a green row proves the touched-component recompute equals the
+    // batch k-core.
+    "q_incr_kcore" -> ((s, d) => {
+      val (_, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      def at(k: Int) = {
+        val baseCore = graft.graph.KCore.kcore(
+          baseRels, "source_id", "target_id", k)
+        graft.graph.IncrementalAnalytics
+          .refreshKcore(baseCore, baseRels, muts, k)
+          .select(lit(k.toLong).as("k"), col("node"))
+      }
+      // k=2: the ring holds, every edge-bearing node survives (the splice
+      // path); k=3: the in_region deletes cascade the peel around the
+      // ENTIRE ring — the refresh must reproduce the empty core exactly
+      at(2).unionByName(at(3)).orderBy(col("k"), col("node"))
+    }),
+
     // Incremental SCC — the last fixpoint operator in the maintainer
     // family: dirty-SCC expansion (intra-SCC deletes), added-edge /
     // dirty-member region reachability, quotient FW-BW recompute,
@@ -427,7 +448,40 @@ object StoreQueries {
       |         'N' || ((n_nationkey + 5) % (SELECT m FROM mm))
       |  FROM nation WHERE n_nationkey % 4 = 0 AND n_nationkey % 8 <> 0""".stripMargin
 
+  /** Unrolled synchronous k-core peel over the incremental fixture's
+    * FINAL edge set: round i keeps nodes with ≥ k surviving neighbors.
+    * Unrolled past the cascade length (a converged round is a no-op), so
+    * the bounded unroll IS the fixpoint. MATERIALIZED: each round
+    * references the previous twice. */
+  private def kcorePeelOracle(ks: Seq[Int], rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+       |e0 AS (
+       |$incrEdgesSql),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, tgt) AS a,
+       |  greatest(src, tgt) AS b FROM e0 WHERE src <> tgt),
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+       |""".stripMargin
+    for (k <- ks; i <- 1 to rounds) {
+      val prev = if (i == 1) "n0" else s"k${k}_n${i - 1}"
+      sb ++= s"""k${k}_n$i AS MATERIALIZED (SELECT u AS node FROM sym
+        |  WHERE u IN (SELECT node FROM $prev)
+        |    AND v IN (SELECT node FROM $prev)
+        |  GROUP BY u HAVING count(*) >= $k),
+        |""".stripMargin
+    }
+    val unions = ks.map(k =>
+      s"SELECT CAST($k AS BIGINT) k, node FROM k${k}_n$rounds")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"sel AS (\n  $unions)\nSELECT k, node FROM sel ORDER BY k, node"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    // peel to fixpoint (30 rounds covers any cascade on a 31-node graph)
+    "q_incr_kcore" -> kcorePeelOracle(Seq(2, 3), 30),
     // batch recompute of the final graph's degrees — a green row proves
     // the incremental fold equals recomputing from scratch
     "q_incr_degrees" ->

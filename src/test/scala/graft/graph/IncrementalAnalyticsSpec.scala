@@ -600,6 +600,84 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assertSccEqual(base, muts().limit(0))
   }
 
+  // ---------------- incremental k-core ----------------
+
+  private def batchKcore(r: DataFrame, k: Int): Set[String] =
+    KCore.kcore(r, "source_id", "target_id", k)
+      .collect().map(_.getString(0)).toSet
+
+  private def assertKcoreEqual(base: DataFrame, m: DataFrame, k: Int): Unit = {
+    val baseCore = KCore.kcore(base, "source_id", "target_id", k)
+    val incr = IncrementalAnalytics.refreshKcore(baseCore, base, m, k)
+      .collect().map(_.getString(0)).toSet
+    val batch = batchKcore(
+      IncrementalAnalytics.applyRelationshipMutations(base, m)
+        .localCheckpoint(true), k)
+    assert(incr == batch, s"incremental $incr != batch $batch")
+  }
+
+  test("refreshKcore == batch: edge delete cascades a peel through the component") {
+    // 4-cycle a-b-c-d (2-core) + separate triangle x-y-z (untouched)
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "d", "a"), ("r5", "x", "y"), ("r6", "y", "z"), ("r7", "z", "x"))
+    // cutting one cycle edge drops BOTH endpoints to degree 1 — the whole
+    // 4-cycle cascades out of the 2-core; the triangle splices through
+    assertKcoreEqual(base, muts((1L, "D", "r2", "b", "c")), k = 2)
+  }
+
+  test("refreshKcore == batch: edge add promotes a component into the core") {
+    // path a-b-c (no 2-core) + triangle x-y-z
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"),
+      ("r5", "x", "y"), ("r6", "y", "z"), ("r7", "z", "x"))
+    assertKcoreEqual(base, muts((1L, "C", "r9", "c", "a")), k = 2)
+  }
+
+  test("refreshKcore == batch: cross-component bridge merges regions") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r5", "x", "y"), ("r6", "y", "z"), ("r7", "z", "x"))
+    // two bridges merge the triangles into one region; every node ends
+    // with degree >= 2, so the merged component joins the 2-core whole
+    assertKcoreEqual(base,
+      muts((1L, "C", "r8", "a", "x"), (2L, "C", "r9", "y", "b")), k = 2)
+  }
+
+  test("refreshKcore: empty batch splices the survivor set verbatim") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"))
+    val baseCore = KCore.kcore(base, "source_id", "target_id", 2)
+      .localCheckpoint(true)
+    val out = IncrementalAnalytics.refreshKcore(baseCore, base,
+      muts().limit(0), 2)
+    assert(out.collect().map(_.getString(0)).toSet ==
+      baseCore.collect().map(_.getString(0)).toSet)
+  }
+
+  test("streaming k-core maintenance: demote then promote across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r5", "x", "y"))
+    IncrementalAnalytics.initKcoreState(stateDir,
+      KCore.kcore(base, "source_id", "target_id", 2), base)
+    // batch 1: cut the triangle — 2-core empties
+    muts((1L, "D", "r2", "b", "c")).write.mode("append").parquet(mutDir)
+    val q1 = IncrementalAnalytics.maintainKcoreStream(
+      spark, mutDir, stateDir, cpDir, k = 2)
+    q1.awaitTermination(60000)
+    assert(IncrementalAnalytics.currentKcore(spark, stateDir).count() == 0)
+    // batch 2 while down: rebuild a 4-cycle a-b-?-c-a via x
+    muts((2L, "C", "r8", "b", "x"), (3L, "C", "r9", "x", "c"))
+      .write.mode("append").parquet(mutDir)
+    val q2 = IncrementalAnalytics.maintainKcoreStream(
+      spark, mutDir, stateDir, cpDir, k = 2)
+    q2.awaitTermination(60000)
+    val fin = IncrementalAnalytics.currentKcore(spark, stateDir)
+      .collect().map(_.getString(0)).toSet
+    assert(fin == Set("a", "b", "c", "x"), s"after promote: $fin")
+  }
+
   test("streaming SCC maintenance: split, then merge across restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scc-stream").toString
     val mutDir = s"$dir/mutations"
