@@ -137,6 +137,19 @@ class BetweennessSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxDepth"))
   }
 
+  test("sigma guard: combinatorial equal-path growth throws instead of wrapping") {
+    // a chain of 41 diamond gadgets doubles the shortest-path count per
+    // gadget: sigma at the far end is 2^41 ≈ 2.2e12 > SigmaBound — the
+    // forward pass must throw loudly, not let the Long sum wrap
+    val edges = (0 until 41).flatMap { k =>
+      val a = s"n$k"; val b = s"n${k + 1}"
+      Seq((a, s"u$k"), (a, s"d$k"), (s"u$k", b), (s"d$k", b))
+    }
+    val ex = intercept[IllegalStateException](
+      Betweenness.centrality(rels(edges: _*), Seq("n0"), maxDepth = 200))
+    assert(ex.getMessage.contains("sigma"), ex.getMessage)
+  }
+
   test("approximate: k = n degenerates to exact betweenness") {
     // 6-cycle + a chord: nontrivial sigma structure
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
