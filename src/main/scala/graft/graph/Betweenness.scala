@@ -141,6 +141,20 @@ object Betweenness {
         .select(col("target_id").as("a"), col("source_id").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(eager = true)
+    // Soundness of the per-round sigma probe: each round's Long sum per
+    // (s,node) has at most in-degree(node) terms, each ≤ SigmaBound by the
+    // PREVIOUS round's probe (round 0: sigma = 1). The sum itself executes
+    // before the probe can see it, so the probe alone is a heuristic — to
+    // make it a guarantee, bound the term count once on the edge
+    // checkpoint: maxInDeg * SigmaBound must fit in a Long, i.e. no node
+    // may have more than ~9.2e6 in-frontier predecessors.
+    val maxInDeg = e.groupBy(col("b")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    if (maxInDeg > Long.MaxValue / SigmaBound)
+      throw new IllegalStateException(
+        s"max in-degree $maxInDeg × sigma bound $SigmaBound exceeds Long " +
+          "range — a single round's path-count sum could wrap before the " +
+          "overflow probe runs; reduce SigmaBound or densify-split hubs")
     var frontier = sources.distinct.map(s => (s, s, 1L))
       .toDF("s", "node", "sigma").localCheckpoint(eager = true)
     val layers = scala.collection.mutable.Buffer(frontier)

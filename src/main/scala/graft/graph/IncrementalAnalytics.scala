@@ -339,20 +339,30 @@ object IncrementalAnalytics {
     * is immutable, and rewriting keeps reads one-path simple), growing
     * storage by O(state) per batch forever. Best-effort: a crash between
     * pointer move and prune leaves at most a transient extra version,
-    * swept by the next committed batch's prune. */
+    * swept by the next committed batch's prune. The committed version's
+    * immediate PREDECESSOR is retained one extra commit: a lazy DataFrame
+    * handed out by currentDegrees/currentScc/... before this commit still
+    * points at the prior pointer's files — deleting only `v < committed-1`
+    * lets such an in-flight reader survive one concurrent commit instead
+    * of dying with FileNotFoundException mid-query. */
   private def pruneVersions(stateDir: String, committed: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateDir)
-    val vs = java.nio.file.Files.list(dir).iterator()
     val dead = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-    while (vs.hasNext) {
-      val p = vs.next()
-      val n = p.getFileName.toString
-      if (n.startsWith("v") && n.drop(1).toLongOption.exists(_ < committed))
-        dead += p
-    }
+    val ls = java.nio.file.Files.list(dir)
+    try {
+      val vs = ls.iterator()
+      while (vs.hasNext) {
+        val p = vs.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).toLongOption.exists(_ < committed - 1))
+          dead += p
+      }
+    } finally ls.close() // Files.list holds a directory fd until closed
     dead.foreach { p =>
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
     }
   }
 

@@ -31,7 +31,17 @@ final case class MutationEvent(seq: Long, ts: String, eventType: String,
   * relationship_id) (SURVEY §2 B15).
   */
 final class TwinStore(
-    val clock: () => String = () => java.time.Instant.now().toString) {
+    val clock: () => String = () => java.time.Instant.now().toString,
+    /** Schema-level relationship validation is a DELIBERATE SUPERSET of
+      * the reference: AgeDigitalTwins validates twin properties against
+      * the model but performs no model-based validation of relationship
+      * documents (its create path checks only the identity fields, and
+      * `UpdateRelationshipAsync` carries an explicit "TODO: Add
+      * validation logic" — Relationships.cs:260-420). We validate
+      * declared relationship properties and the declared target model on
+      * write by default; set false for reference-exact leniency (e.g. a
+      * migration replaying documents that predate their schemas). */
+    val validateRelationshipSchemas: Boolean = true) {
 
   private val twins = collection.mutable.LinkedHashMap[String, ObjectNode]()
   private val rels = collection.mutable.LinkedHashMap[(String, String), ObjectNode]()
@@ -394,9 +404,11 @@ final class TwinStore(
     if (registry.models.nonEmpty && !registry.hasRelationship(srcModel, name))
       throw StoreException(400, s"Relationship '$name' is not defined in model $srcModel")
     // property-level + target-model validation against the relationship's
-    // declaration (reference parity: rel writes validated like twin
-    // writes, Relationships.cs:260-420 × DigitalTwins.cs:266-457)
-    if (registry.models.nonEmpty)
+    // declaration — a deliberate SUPERSET of the reference (which skips
+    // model-based rel-document validation entirely; see the
+    // validateRelationshipSchemas scaladoc), applying the twin-write
+    // rules (DigitalTwins.cs:266-457) to relationship documents too
+    if (validateRelationshipSchemas && registry.models.nonEmpty)
       registry.validateRelationship(srcModel, name, doc,
         Json.get(twins(targetId), "/$metadata/$model").map(_.asText())) match {
         case Left(err) => throw StoreException(400, err)
@@ -442,14 +454,29 @@ final class TwinStore(
   def patchRelationship(sourceId: String, relId: String, patchJson: String)
       : JsonNode = {
     val old = getRelationship(sourceId, relId).asInstanceOf[ObjectNode]
-    val patched = JsonPatch.apply(old, JsonPatch.parseOps(patchJson))
-      .asInstanceOf[ObjectNode]
+    val ops = JsonPatch.parseOps(patchJson)
+    // identity/reserved fields ($relationshipId, $sourceId, $targetId,
+    // $relationshipName, $etag) are immutable through PATCH — otherwise a
+    // patch replacing /$targetId would silently bypass the target-model
+    // constraint enforced on create
+    ops.find(op => op.path.startsWith("/$") ||
+        Option(op.from).exists(_.startsWith("/$"))).foreach { op =>
+      throw StoreException(400,
+        s"patch path '${op.path}' targets a reserved relationship field")
+    }
+    val patched = JsonPatch.apply(old, ops).asInstanceOf[ObjectNode]
     // a patch must not move the document outside its declared property
-    // schema either (same rule as patchTwin's re-validation)
-    if (registry.models.nonEmpty && twins.contains(sourceId)) {
+    // schema either (same rule as patchTwin's re-validation); the target
+    // model is re-resolved from the (immutable) $targetId so the declared
+    // target constraint is re-checked with the same strength as create
+    if (validateRelationshipSchemas && registry.models.nonEmpty &&
+        twins.contains(sourceId)) {
       val srcModel = Json.get(twins(sourceId), "/$metadata/$model").get.asText()
       val name = Option(patched.get("$relationshipName")).map(_.asText()).getOrElse("")
-      registry.validateRelationship(srcModel, name, patched) match {
+      val targetModel = Option(patched.get("$targetId")).map(_.asText())
+        .flatMap(twins.get)
+        .flatMap(t => Json.get(t, "/$metadata/$model").map(_.asText()))
+      registry.validateRelationship(srcModel, name, patched, targetModel) match {
         case Left(err) => throw StoreException(400, err)
         case Right(()) =>
       }

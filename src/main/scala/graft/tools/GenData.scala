@@ -219,13 +219,18 @@ object GenData {
     // documents: word-salad over the sf0.1 corpus' exact 31-token
     // vocabulary, 8..110 tokens. Deterministic duplicate structure so the
     // dedup family has work at every scale: id%100==99 ⇒ exact copy of
-    // id-10's text; id%100 in {97,98} ⇒ near-dup of id-1 (last token
-    // swapped) — ~1% exact, ~2% near, like a lightly-deduped web crawl.
+    // id-10's text; id%100 in {97,98} ⇒ near-dups of the SAME normal base
+    // doc (97→id-1, 98→id-2, both ≡96 mod 100: last token swapped, swap
+    // token keyed by own id so 97/98 also near-dup each other) — ~1%
+    // exact, ~2% near, like a lightly-deduped web crawl. (98 must NOT
+    // point at id-1: doc id-1 is itself the 97-variant rendering a
+    // different stream, which would make 98 a near-dup of no real doc.)
     val vocab = vocabFor(sf)
     val vocabCol = array(vocab.map(lit): _*)
     val docs0 = range(n("documents")).select(col("id"),
       when(col("id") % 100 === 99, col("id") - 10)
-        .when(col("id") % 100 === 97 || col("id") % 100 === 98, col("id") - 1)
+        .when(col("id") % 100 === 97, col("id") - 1)
+        .when(col("id") % 100 === 98, col("id") - 2)
         .otherwise(col("id")).as("tid"),
       (col("id") % 100).isin(97, 98).as("near"))
     val toks = transform(

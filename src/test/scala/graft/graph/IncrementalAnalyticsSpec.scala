@@ -705,8 +705,11 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     val fin = sccMap(IncrementalAnalytics.currentScc(spark, stateDir))
     assert(fin == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"),
       s"after merge: $fin")
-    // retention: only the committed version remains on disk
+    // retention: committed version + its predecessor (kept one extra
+    // commit so a lazy reader of the prior pointer survives one
+    // concurrent commit); everything older is pruned
     val vs = new java.io.File(stateDir).list().filter(_.startsWith("v")).sorted
-    assert(vs.toSeq == Seq("v2"), s"stale state versions not pruned: ${vs.toSeq}")
+    assert(vs.toSeq == Seq("v1", "v2"),
+      s"stale state versions not pruned to {committed-1, committed}: ${vs.toSeq}")
   }
 }

@@ -201,6 +201,59 @@ class TwinStoreSpec extends AnyFunSuite {
     assert(Json.get(ok, "/$sourceId").get.asText() == "room1")
   }
 
+  test("relationship patch: reserved $-fields immutable, schema re-checked") {
+    val s = freshStore()
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    s.createOrReplaceTwin("sensor1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:tempsensor;1"},"name":"S"}""")
+    s.createOrReplaceRelationship("room1", "rel1",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"sensor1"}""")
+    // replacing /$targetId via PATCH would bypass the target constraint
+    // enforced on create — reserved fields are immutable through PATCH
+    val e = intercept[StoreException](s.patchRelationship("room1", "rel1",
+      """[{"op":"replace","path":"/$targetId","value":"room1"}]"""))
+    assert(e.status == 400 && e.msg.contains("reserved"), e.msg)
+    // copy/move FROM a reserved path is equally rejected
+    val e2 = intercept[StoreException](s.patchRelationship("room1", "rel1",
+      """[{"op":"copy","from":"/$etag","path":"/weight"}]"""))
+    assert(e2.status == 400, e2.msg)
+    // an undeclared property still rejects through PATCH (rel_has_sensors
+    // declares no properties)
+    val e3 = intercept[StoreException](s.patchRelationship("room1", "rel1",
+      """[{"op":"add","path":"/bogus","value":1}]"""))
+    assert(e3.status == 400 && e3.msg.contains("bogus"), e3.msg)
+  }
+
+  test("validateRelationshipSchemas=false restores reference-exact leniency") {
+    // the reference performs NO model-based validation of relationship
+    // documents (UpdateRelationshipAsync: 'TODO: Add validation logic') —
+    // the lenient store accepts undeclared rel properties, for migrations
+    // replaying documents that predate their schemas
+    val s = new TwinStore(validateRelationshipSchemas = false)
+    s.createModels(Seq(roomModel, sensorModel))
+    s.createOrReplaceTwin("room1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:room;1"},"name":"A"}""")
+    s.createOrReplaceTwin("sensor1",
+      """{"$metadata":{"$model":"dtmi:com:adt:dtsample:tempsensor;1"},"name":"S"}""")
+    val ok = s.createOrReplaceRelationship("room1", "rel1",
+      """{"$relationshipName":"rel_has_sensors","$targetId":"sensor1",
+        |"undeclared_prop":42}""".stripMargin)
+    assert(Json.get(ok, "/undeclared_prop").get.asInt() == 42)
+    s.patchRelationship("room1", "rel1",
+      """[{"op":"add","path":"/another","value":"x"}]""")
+    // the declared-name check still applies (pre-r14 behavior, kept):
+    // an unknown relationship NAME is rejected in both modes
+    val e = intercept[StoreException](s.createOrReplaceRelationship(
+      "room1", "r2", """{"$relationshipName":"ghost_rel","$targetId":"sensor1"}"""))
+    assert(e.msg.contains("not defined in model"))
+    // reserved-field immutability is identity protection, not schema
+    // validation — it applies in lenient mode too
+    val e2 = intercept[StoreException](s.patchRelationship("room1", "rel1",
+      """[{"op":"replace","path":"/$targetId","value":"room1"}]"""))
+    assert(e2.status == 400 && e2.msg.contains("reserved"))
+  }
+
   test("batch upsert caps at 100 and reports per-item results") {
     val s = freshStore()
     val results = s.createOrReplaceTwins(Seq(
