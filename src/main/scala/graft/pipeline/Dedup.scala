@@ -200,13 +200,29 @@ object Dedup {
     * numHashes), bucket-join on (band, banded signature), verify candidates
     * with exact Jaccard. Band signatures concatenate minima in hash-index
     * order, so they are bit-identical to the former long-form (sort by h)
-    * implementation and to the generated oracle SQL. */
+    * implementation and to the generated oracle SQL.
+    *
+    * @param waves process the bands in `waves` sequential groups instead of
+    *              one monolithic bucket join. The result is identical (the
+    *              union of per-band collisions does not depend on which wave
+    *              a band ran in; cross-wave duplicates are distinct-ed away)
+    *              but the LIVE shuffle footprint divides by `waves`: each
+    *              wave shuffles docs × bands/waves bucket rows, checkpoints
+    *              its (small) candidate set, and releases the join's
+    *              lineage before the next wave starts. The price is `waves`
+    *              narrow re-scans of the once-aggregated wide signature
+    *              table — numHashes longs per doc, trivial next to the
+    *              bucket shuffle. waves=1 recovers the single-pass plan; at
+    *              the 100 TB tier pick waves so one wave's bucket rows fit
+    *              the cluster's shuffle tier (this is what let the sf100
+    *              point run on a single host whose disk the 16-band
+    *              monolith exceeded). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, waves: Int = 1): DataFrame = {
     val ids = shingleIds(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try minhashLshPairsFrom(ids, numHashes, bands, threshold)
+    try minhashLshPairsFrom(ids, numHashes, bands, threshold, waves)
     finally ids.unpersist(false)
   }
 
@@ -214,23 +230,54 @@ object Dedup {
     * [[shingleJaccardPairsFrom]] for the contract (caller materializes and
     * owns `ids`; the eagerly-checkpointed result outlives it). */
   def minhashLshPairsFrom(ids: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5, waves: Int = 1): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
         "a remainder would silently drop hash functions from the banding")
-    // materialized once: sigs feeds BOTH sides of the bucket self-join —
-    // left lazy, the 64-min signature aggregation would run twice
-    val sigs = bandSignaturesFrom(ids, numHashes, bands)
+    require(waves >= 1 && waves <= bands,
+      s"waves ($waves) must be in [1, bands=$bands]")
+    val rowsPerBand = numHashes / bands
+    // ONE signature aggregation feeds every wave: the wide (doc,
+    // mh0..mh{n-1}) frame is numHashes longs per doc — re-aggregating the
+    // shingle table per wave would multiply the operator's only required
+    // shuffle by `waves`
+    val wide = minhashSignaturesFrom(ids, numHashes)
       .localCheckpoint(eager = true)
-    val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
-    val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
-    val candidates = l.join(r, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    def bandRows(bnds: Seq[Int]): DataFrame = {
+      val structs = bnds.map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("-", (0 until rowsPerBand).map(r =>
+            col(s"mh${bnd * rowsPerBand + r}").cast("string")): _*).as("sig"))
+      }
+      wide.select(col("doc"), explode(array(structs: _*)).as("bs"))
+        .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    }
+    val waveGroups = (0 until bands)
+      .grouped(math.ceil(bands.toDouble / waves).toInt).toSeq
+    val waveCands = waveGroups.map { bnds =>
+      val sigs = bandRows(bnds) // narrow explode over checkpointed blocks
+      val l = sigs.select(col("doc").as("doc_a"), col("band"), col("sig"))
+      val r = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
+      val c = l.join(r, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // checkpointing c cuts the lineage to this wave's bucket-join
+      // shuffle; nudge the ContextCleaner so its temp files are gone
+      // before the next wave allocates its own (the whole point of waving)
+      if (waveGroups.size > 1) System.gc()
+      c
+    }
+    val candidates =
+      if (waveCands.size == 1) waveCands.head
+      else waveCands.reduce(_ unionByName _).distinct() // cross-wave dups
+        .localCheckpoint(eager = true)
     val out = verifyJaccard(candidates, ids, threshold)
       .localCheckpoint(eager = true)
-    graft.core.Blocks.free(sigs)
+    waveCands.foreach(graft.core.Blocks.free)
+    graft.core.Blocks.free(candidates)
+    graft.core.Blocks.free(wide)
     out
   }
 

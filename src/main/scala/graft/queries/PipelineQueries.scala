@@ -18,6 +18,13 @@ object PipelineQueries {
 
   private val P = Dedup.P
 
+  /** Wave count for the LSH bucket join (identical results at any value;
+    * live shuffle temp divides by it — see Dedup.minhashLshPairs). The
+    * env knob exists so the big-scale bench runs (sf10/sf100 on a single
+    * host) can cap the shuffle footprint without forking the gate. */
+  private def lshWaves: Int =
+    sys.env.get("SPARK_GRAFT_LSH_WAVES").map(_.toInt).getOrElse(1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_dedup_exact" -> ((s, d) => {
@@ -33,7 +40,8 @@ object PipelineQueries {
 
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        waves = lshWaves)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -51,7 +59,8 @@ object PipelineQueries {
     // one gate, one LSH pairing, instead of paying the pairing twice.
     "q_dedup_components" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(Td.documents(s, d), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        waves = lshWaves)
       Dedup.components(pairs).orderBy(col("doc"))
     }),
 

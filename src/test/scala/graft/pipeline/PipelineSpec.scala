@@ -79,6 +79,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("wave-sliced LSH is bit-identical to the monolithic bucket join") {
+    // waving only schedules the per-band bucket joins into sequential
+    // groups — the collision union is band-order-independent, so every
+    // wave count must produce the same verified pair set (incl. the
+    // jaccard_4 scores) as the one-pass plan. 16 bands: waves=4 (even
+    // split), waves=3 (uneven: ceil groups of 6,6,4), waves=16 (one band
+    // per wave — the minimal-footprint extreme).
+    val mono = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    for (w <- Seq(3, 4, 16)) {
+      val waved = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16,
+        0.5, waves = w)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(waved == mono, s"waves=$w diverged: $waved vs $mono")
+    }
+  }
+
   test("simhash hamming 0 for exact dup, small for near dup") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
