@@ -1082,6 +1082,134 @@ object IncrementalAnalytics {
       .start()
   }
 
+  // ---------------- incremental k-truss ----------------
+
+  /** Affected-component refresh of the k-truss edge set ([[KTruss.peel]])
+    * — the maintainer family's eighth operator. Truss peeling, like
+    * k-core peeling, never crosses connected components: an edge's
+    * triangle support counts common neighbors, all of which live in its
+    * own component, and removing an edge can only lower supports inside
+    * that component. So the k-truss of the new graph is the union of
+    * per-component k-trusses, and the [[refreshKcore]] recipe applies
+    * verbatim at edge granularity: affected region = undirected reach of
+    * the changed pairs' endpoints over old ∪ new edges (component-closed
+    * in BOTH graphs, covering splits and merges); recompute the batch
+    * peel on the region-induced NEW edges only; splice every base truss
+    * edge whose component the mutations never touched (an edge is inside
+    * the region iff its canonical `a` endpoint is — closure makes the
+    * two endpoint tests equivalent). Cost ∝ the touched components'
+    * wedge counts, never the graph's.
+    *
+    * `rounds` must cover the longest peel cascade, exactly as in the
+    * batch operator (a converged round is a no-op, so overshooting is
+    * safe, undershooting is wrong — same contract both sides of the
+    * splice). */
+  def refreshKtruss(baseTruss: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame, k: Int, rounds: Int,
+      maxReachRounds: Int = 200): DataFrame = {
+    val newRels = applyRelationshipMutations(baseRels, mutations)
+      .localCheckpoint(eager = true)
+    val touched = changedPairs(baseRels, mutations)
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct().localCheckpoint(eager = true)
+    if (touched.count() == 0) {
+      Blocks.free(newRels); Blocks.free(touched)
+      return baseTruss
+    }
+    val unionPairs = pairs(baseRels).unionByName(pairs(newRels)).distinct()
+    val e = unionPairs
+      .select(col("source_id").as("u"), col("target_id").as("v"))
+      .unionByName(unionPairs.select(col("target_id").as("u"),
+        col("source_id").as("v")))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint(eager = true)
+    var visited = touched
+    var frontier = visited
+    var alive = frontier.count()
+    var round = 0
+    while (alive > 0) {
+      round += 1
+      if (round > maxReachRounds)
+        throw new IllegalStateException(
+          s"k-truss region reachability still expanding after " +
+            s"$maxReachRounds rounds — raise maxReachRounds")
+      val nxt = e.join(frontier.withColumnRenamed("node", "u"),
+          Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      alive = nxt.count()
+      val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
+      if (frontier ne visited) Blocks.free(frontier)
+      Blocks.free(visited)
+      visited = nv; frontier = nxt
+    }
+    val region = visited
+    val regionEdges = newRels
+      .join(region.withColumnRenamed("node", "source_id"),
+        Seq("source_id"), "left_semi")
+      .join(region.withColumnRenamed("node", "target_id"),
+        Seq("target_id"), "left_semi")
+      .select(col("source_id").as("src"), col("target_id").as("dst"))
+    val recomputed = KTruss.peel(regionEdges, k, rounds)
+    // base truss edges are canonical (a < b) and the region is
+    // component-closed, so a ∈ region ⟺ b ∈ region — one anti-join
+    val out = baseTruss
+      .join(region.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+      .unionByName(recomputed)
+    Blocks.free(newRels); Blocks.free(e)
+    out
+  }
+
+  /** Initialize the k-truss maintenance state: version 0 holds the base
+    * relationship table and the k-truss edge set. */
+  def initKtrussState(stateDir: String, baseTruss: DataFrame,
+      baseRels: DataFrame): Unit = {
+    val cols4 = Seq("relationship_id", "source_id", "target_id",
+      "relationship_name").map(col)
+    baseRels.select(cols4: _*).write.mode("overwrite")
+      .parquet(s"$stateDir/v0/rels")
+    baseTruss.write.mode("overwrite").parquet(s"$stateDir/v0/ktruss")
+    writePointer(stateDir, 0L)
+  }
+
+  /** The maintained k-truss edge set as of the last committed batch. */
+  def currentKtruss(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/ktruss")
+
+  /** Continuously-maintained k-truss over the mutation-log STREAM — the
+    * [[maintainKcoreStream]] machinery with [[refreshKtruss]] as the
+    * fold: versioned at-rest state, atomic pointer commit, idempotent
+    * crash replay, post-commit version pruning. */
+  def maintainKtrussStream(spark: org.apache.spark.sql.SparkSession,
+      mutationsDir: String, stateDir: String, checkpointDir: String,
+      k: Int, rounds: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .parquet(mutationsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = batchId + 1
+        if (readPointer(stateDir) < target) {
+          val spark2 = batch.sparkSession
+          val v = readPointer(stateDir)
+          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
+          val baseTruss = spark2.read.parquet(s"$stateDir/v$v/ktruss")
+          val m = batch.localCheckpoint(true)
+          refreshKtruss(baseTruss, baseRels, m, k, rounds)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/ktruss")
+          applyRelationshipMutations(baseRels, m)
+            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          graft.core.Blocks.free(m)
+          writePointer(stateDir, target)
+          pruneVersions(stateDir, target)
+        }
+      }
+      .start()
+  }
+
   /** Initialize the SCC maintenance state: version 0 holds the base
     * relationship table and its SCC labeling. */
   def initSccState(stateDir: String, baseScc: DataFrame,

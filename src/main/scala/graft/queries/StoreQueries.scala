@@ -368,6 +368,31 @@ object StoreQueries {
       at(2).unionByName(at(3)).orderBy(col("k"), col("node"))
     }),
 
+    // Incremental k-truss — the maintainer family's eighth operator:
+    // affected-component recompute + verbatim splice at EDGE granularity
+    // (truss peeling, like k-core, never crosses connected components —
+    // an edge's triangle support lives entirely inside its component).
+    // The in_region deletes destroy region-wedge triangles, the chords
+    // add non-triangle edges (support 0, peeled immediately), batch 3's
+    // rejoins restore two triangles — the oracle replays the unrolled
+    // wedge-join peel over the FINAL edge set, so a green row proves the
+    // touched-component recompute equals the batch truss.
+    "q_incr_ktruss" -> ((s, d) => {
+      val (_, baseRels, muts) = buildIncrementalGraphStore(s, d)
+      def at(k: Int) = {
+        val baseTruss = graft.graph.KTruss.peel(
+          baseRels.select(col("source_id").as("src"),
+            col("target_id").as("dst")), k, rounds = 4)
+        graft.graph.IncrementalAnalytics
+          .refreshKtruss(baseTruss, baseRels, muts, k, rounds = 4)
+          .select(lit(k.toLong).as("k"), col("a"), col("b"))
+      }
+      // k=3: region-wedge triangles survive (the splice + recompute mix);
+      // k=4: the shared region edge's support cascades to an EMPTY truss —
+      // the refresh must reproduce emptiness exactly
+      at(3).unionByName(at(4)).orderBy(col("k"), col("a"), col("b"))
+    }),
+
     // Incremental SCC — the last fixpoint operator in the maintainer
     // family: dirty-SCC expansion (intra-SCC deletes), added-edge /
     // dirty-member region reachability, quotient FW-BW recompute,
@@ -479,9 +504,40 @@ object StoreQueries {
     sb.toString
   }
 
+  /** Unrolled synchronous k-truss peel over the incremental fixture's
+    * FINAL edge set: round i keeps edges with ≥ k−2 surviving triangles
+    * (wedge join, the q_graph_ktruss shape). MATERIALIZED everywhere —
+    * each round references the previous three times. */
+  private def ktrussPeelOracle(ks: Seq[Int], rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH mm AS (SELECT count(*) AS m FROM nation),
+       |ef AS (
+       |$incrEdgesSql),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, tgt) AS a,
+       |  greatest(src, tgt) AS b FROM ef WHERE src <> tgt),
+       |""".stripMargin
+    for (k <- ks; i <- 1 to rounds) {
+      val prev = if (i == 1) "und" else s"t${k}_e${i - 1}"
+      sb ++= s"""t${k}_s$i AS MATERIALIZED (SELECT a AS u, b AS x FROM $prev
+        |  UNION ALL SELECT b, a FROM $prev),
+        |t${k}_e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+        |  JOIN t${k}_s$i n1 ON n1.u = e.a
+        |  JOIN t${k}_s$i n2 ON n2.u = e.b AND n2.x = n1.x
+        |  GROUP BY e.a, e.b HAVING count(*) >= ${k - 2}),
+        |""".stripMargin
+    }
+    val unions = ks.map(k =>
+      s"SELECT CAST($k AS BIGINT) k, a, b FROM t${k}_e$rounds")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"sel AS (\n  $unions)\nSELECT k, a, b FROM sel ORDER BY k, a, b"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     // peel to fixpoint (30 rounds covers any cascade on a 31-node graph)
     "q_incr_kcore" -> kcorePeelOracle(Seq(2, 3), 30),
+    // truss peel to fixpoint (4 rounds covers the k=4 support cascade)
+    "q_incr_ktruss" -> ktrussPeelOracle(Seq(3, 4), 4),
     // batch recompute of the final graph's degrees — a green row proves
     // the incremental fold equals recomputing from scratch
     "q_incr_degrees" ->

@@ -678,6 +678,92 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assert(fin == Set("a", "b", "c", "x"), s"after promote: $fin")
   }
 
+  // ---------------- incremental k-truss ----------------
+
+  private def edgeSet(df: DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def assertKtrussEqual(base: DataFrame, m: DataFrame, k: Int,
+      rounds: Int = 4): Unit = {
+    def asEdges(r: DataFrame) =
+      r.select(col("source_id").as("src"), col("target_id").as("dst"))
+    val baseTruss = KTruss.peel(asEdges(base), k, rounds)
+    val incr = edgeSet(
+      IncrementalAnalytics.refreshKtruss(baseTruss, base, m, k, rounds))
+    val batch = edgeSet(KTruss.peel(asEdges(
+      IncrementalAnalytics.applyRelationshipMutations(base, m)
+        .localCheckpoint(true)), k, rounds))
+    assert(incr == batch, s"incremental $incr != batch $batch")
+  }
+
+  test("refreshKtruss == batch: edge delete destroys a triangle, splice keeps the rest") {
+    // bowtie triangle a-b-c + independent triangle x-y-z
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r5", "x", "y"), ("r6", "y", "z"), ("r7", "z", "x"))
+    // cutting one edge of abc removes ALL its edges from the 3-truss
+    // (supports drop to 0); xyz is outside the region and splices verbatim
+    assertKtrussEqual(base, muts((1L, "D", "r2", "b", "c")), k = 3)
+  }
+
+  test("refreshKtruss == batch: edge add closes a triangle and promotes it") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"),
+      ("r5", "x", "y"), ("r6", "y", "z"), ("r7", "z", "x"))
+    assertKtrussEqual(base, muts((1L, "C", "r9", "c", "a")), k = 3)
+  }
+
+  test("refreshKtruss == batch: k=4 support cascade through shared edges") {
+    // two triangles sharing edge b-c (support 2) + a pendant triangle:
+    // deleting a-b drops b-c's support below 2 and the 4-truss cascades
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r4", "b", "d"), ("r5", "c", "d"),
+      ("r6", "x", "y"), ("r7", "y", "z"), ("r8", "z", "x"))
+    assertKtrussEqual(base, muts((1L, "D", "r1", "a", "b")), k = 4)
+    // and the merge direction: a second wedge-closing edge re-densifies
+    assertKtrussEqual(base,
+      muts((1L, "C", "r9", "a", "d")), k = 4)
+  }
+
+  test("refreshKtruss: empty batch splices the edge set verbatim") {
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"))
+    val baseTruss = KTruss.peel(
+      base.select(col("source_id").as("src"), col("target_id").as("dst")),
+      3, 2).localCheckpoint(true)
+    val out = IncrementalAnalytics.refreshKtruss(baseTruss, base,
+      muts().limit(0), 3, 2)
+    assert(edgeSet(out) == edgeSet(baseTruss))
+  }
+
+  test("streaming k-truss maintenance: demolish then rebuild across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ktruss-stream").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    val cpDir = s"$dir/cp"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "a"),
+      ("r5", "x", "y"))
+    IncrementalAnalytics.initKtrussState(stateDir,
+      KTruss.peel(base.select(col("source_id").as("src"),
+        col("target_id").as("dst")), 3, 2), base)
+    // batch 1: cut the triangle — the 3-truss empties
+    muts((1L, "D", "r2", "b", "c")).write.mode("append").parquet(mutDir)
+    val q1 = IncrementalAnalytics.maintainKtrussStream(
+      spark, mutDir, stateDir, cpDir, k = 3, rounds = 2)
+    q1.awaitTermination(60000)
+    assert(IncrementalAnalytics.currentKtruss(spark, stateDir).count() == 0)
+    // batch 2 lands while the maintainer is down: close triangle b-x-y —
+    // folded on restart through the streaming checkpoint
+    muts((2L, "C", "r8", "b", "x"), (3L, "C", "r9", "y", "b"))
+      .write.mode("append").parquet(mutDir)
+    val q2 = IncrementalAnalytics.maintainKtrussStream(
+      spark, mutDir, stateDir, cpDir, k = 3, rounds = 2)
+    q2.awaitTermination(60000)
+    val fin = edgeSet(IncrementalAnalytics.currentKtruss(spark, stateDir))
+    assert(fin == Set(("b", "x"), ("b", "y"), ("x", "y")), s"after rebuild: $fin")
+    // retention: committed version + one predecessor, older pruned
+    val vs = new java.io.File(stateDir).list().filter(_.startsWith("v")).sorted
+    assert(vs.toSeq == Seq("v1", "v2"), s"versions after prune: ${vs.toSeq}")
+  }
+
   test("streaming SCC maintenance: split, then merge across restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scc-stream").toString
     val mutDir = s"$dir/mutations"
