@@ -367,7 +367,14 @@ final class AdtPlanner(graph: TwinGraph) {
 
   /** Shared EXISTS preamble: which endpoints are bound + the pruned
     * relationship scan (used by both the semi/anti fast path and the
-    * marker-join path, so their semantics can't drift). */
+    * marker-join path, so their semantics can't drift). Inline property
+    * maps of the EXISTS pattern (parser: edge.optWhere) constrain the
+    * PROBE, not the outer rows: a rel-alias predicate filters the
+    * relationship scan directly; an endpoint predicate semi-joins the
+    * scan against the filtered twin scan on that endpoint's id — uniform
+    * for bound and unbound endpoints, because the bound-key join the
+    * callers add afterwards correlates bound rows anyway. Both stay
+    * single hash joins (broadcast-able filtered dimensions) at scale. */
   private def existsProbe(scope: Scope, edge: MatchEdge)
       : (Boolean, Boolean, DataFrame) = {
     val srcBound = scope.twins(edge.src)
@@ -375,9 +382,33 @@ final class AdtPlanner(graph: TwinGraph) {
     if (!srcBound && !dstBound) throw new AdtPlanException(
       s"EXISTS pattern must reference at least one bound node: " +
         s"(${edge.src})-->(${edge.dst})")
-    val rels0 =
+    var rels0 =
       if (edge.relNames.isEmpty) graph.relationships
       else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    edge.optWhere.toList.flatMap(conjuncts).foreach { pred =>
+      val alias = pred match {
+        case Cmp(_, PropRef(Some(a), _), _) => a
+        case other => throw new AdtPlanException(
+          s"unsupported predicate inside EXISTS pattern: $other")
+      }
+      if (edge.relAlias.contains(alias)) {
+        // property of the relationship document itself — compile against
+        // the namespaced rel scan with the standard JSON semantics, then
+        // un-namespace so the callers' column expectations hold
+        val plainCols = rels0.columns.toSeq
+        rels0 = AdtPlanner.ns(rels0, alias)
+          .filter(compile(pred, Scope(Set.empty, Set(alias), alias)))
+          .select(plainCols.map(c => col(s"${alias}__$c").as(c)): _*)
+      } else if (alias == edge.src || alias == edge.dst) {
+        val side = if (alias == edge.src) "source_id" else "target_id"
+        val tw = AdtPlanner.ns(graph.twins, alias)
+          .filter(compile(pred, Scope(Set(alias), Set.empty, alias)))
+          .select(col(s"${alias}__dt_id").as(side))
+        rels0 = rels0.join(tw, Seq(side), "left_semi")
+      } else throw new AdtPlanException(
+        s"EXISTS pattern predicate references '$alias', " +
+          "which is not bound by the pattern")
+    }
     (srcBound, dstBound, rels0)
   }
 

@@ -155,14 +155,27 @@ object CypherParser {
       // RETURN *: every NAMED binding (nodes, then relationships, in
       // pattern order; anonymous `__cnode` aliases and path variables
       // stay internal). After a WITH/UNWIND horizon the in-scope set is
-      // the horizon's — not implemented; error loudly.
+      // the horizon's — deferred to the planner via SelectStar.
       val items = if (cur == Sym("*")) {
         pos += 1
-        if (pipeline.nonEmpty) throw new AdtParseException(
-          "RETURN * after a WITH/UNWIND stage is not supported")
+        if (pipeline.nonEmpty) {
+          // after a WITH/UNWIND/MATCH pipeline the in-scope set is the
+          // LAST horizon's, which only the planner knows — emit
+          // SelectStar and let it expand the live scope (retained
+          // entities + flat columns, name-sorted: the Neo4j RETURN *
+          // order). A pre-pipeline path variable is only safe when a
+          // WITH horizon re-projected the scope (paths don't survive a
+          // horizon); without one, stay loud rather than silently
+          // dropping the path from the star.
+          if (edges.exists(_.pathAlias.isDefined) &&
+              !pipeline.exists(_.isInstanceOf[WithClause]))
+            throw new AdtParseException(
+              "RETURN * with a path variable is not supported; RETURN the path explicitly")
+          List(SelectStar)
+        } else {
         // openCypher RETURN * means ALL named variables in scope — a bound
         // path variable silently disappearing would diverge; error loudly
-        // like the pipeline case until path projection lands here.
+        // until path projection lands here.
         if (edges.exists(_.pathAlias.isDefined)) throw new AdtParseException(
           "RETURN * with a path variable is not supported; RETURN the path explicitly")
         val named = collection.mutable.LinkedHashSet[String]()
@@ -175,6 +188,7 @@ object CypherParser {
         if (named.isEmpty) throw new AdtParseException(
           "RETURN * with no named bindings in the pattern")
         named.toList.map(SelectEntity)
+        }
       } else parseReturnItems()
       val orderBy = parseOrderBy()
       val skip = if (isKw(cur, "SKIP")) { pos += 1; Some(num()) } else None
@@ -366,6 +380,31 @@ object CypherParser {
           }
           Some((lo, hi))
         case _ => None
+      }
+      // inline relationship property map `[r:name {k: v}]` — lowered to
+      // equality predicates on the rel alias, exactly like node maps
+      // (openCypher pattern-map semantics). The alias is required: the
+      // anonymous-rel aliases are planner-internal (`__rel$i`, assigned
+      // at plan time), so there is nothing stable to hang the predicate
+      // on at parse time — stay loud instead of inventing a binding that
+      // RETURN * would then leak.
+      if (cur == Sym("{")) {
+        val a = alias.getOrElse(throw new AdtParseException(
+          "a property map on a relationship requires a rel alias " +
+            "(`[r:name {k: v}]`)"))
+        if (vle.isDefined) throw new AdtParseException(
+          "a property map on a variable-length edge is not supported " +
+            "(the alias binds a path's edge SET, not one relationship)")
+        pos += 1
+        var more = cur != Sym("}")
+        while (more) {
+          val key = ident()
+          expectSym(":")
+          val v = literal()
+          propFilters += Cmp("=", PropRef(Some(a), List(key)), v)
+          if (cur == Sym(",")) pos += 1 else more = false
+        }
+        expectSym("}")
       }
       expectSym("]")
       (alias, names.toList, vle)
@@ -695,11 +734,18 @@ object CypherParser {
           case t => throw new AdtParseException(s"expected edge pattern in EXISTS, found $t")
         }
         expectSym(")")
-        if (propFilters.size != before) throw new AdtParseException(
-          "property maps inside EXISTS patterns are not supported")
+        // inline property maps scope to the EXISTS pattern itself (they
+        // constrain the existential match, not the outer rows) — carry
+        // them on the edge; the planner folds them into the probe scan
+        val mapFilters = propFilters.drop(before).toList
+        propFilters.remove(before, propFilters.size - before)
+        // VLE stays a loud error: an EXISTS probe is a single (semi-)join
+        // against the relationship scan, while a VLE needs a per-row
+        // fixpoint expansion — silently planning the 1-hop approximation
+        // would answer a different query
         if (edge.vle.isDefined) throw new AdtParseException(
           "variable-length edges inside EXISTS patterns are not supported")
-        return ExistsPattern(edge)
+        return ExistsPattern(edge.copy(optWhere = mapFilters.reduceOption(And)))
       }
       // any/all/none/single(x IN src WHERE p) list predicates — desugared
       // at parse into SIZE over the equivalent list comprehension, so the

@@ -167,6 +167,41 @@ object AdtLangQueries {
         .select(col("region_id"), concat_ws(",", col("nations")).as("nations"))
     }),
 
+    // Cypher DISTINCT aggregates: count(DISTINCT) and collect(DISTINCT)
+    // over a fan-out join (members → nation → region), where the
+    // duplicate-sensitive and duplicate-insensitive answers genuinely
+    // differ — AGE executes these natively; Spark maps them to
+    // count_distinct / collect_set.
+    "q_cypher_count_distinct" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:located_in]->(n:Twin)-[r2:in_region]->(g:Twin) " +
+          "RETURN g.`$dtId` AS region_id, " +
+          "count(DISTINCT n.`$dtId`) AS n_nations, count(*) AS n_members, " +
+          "collect(DISTINCT n.`$dtId`) AS nations ORDER BY region_id")
+        .select(col("region_id"), col("n_nations"), col("n_members"),
+          concat_ws(",", col("nations")).as("nations"))
+    }),
+
+    // Cypher RETURN * after a WITH horizon: the star projects the LIVE
+    // horizon scope (retained entity bindings + flat columns), not the
+    // pre-pipeline pattern bindings.
+    "q_cypher_with_star" -> ((s, d) => {
+      run(s, d,
+        "MATCH (n:Twin)-[r:in_region]->(g:Twin) " +
+          "WITH n, g.`$dtId` AS region_id " +
+          "RETURN * ORDER BY n.`$dtId`")
+        .select(col("n_dt_id"), col("n_model_id"), col("region_id"))
+    }),
+
+    // EXISTS pattern with an inline property map: the map constrains the
+    // existential probe (semi-join against the filtered twin scan), not
+    // the outer rows — members located in the nation named CHINA.
+    "q_cypher_exists_props" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE EXISTS((t)-[:located_in]->(n {name: 'NATION_7'})) " +
+          "RETURN t.`$dtId` AS id ORDER BY id")
+    }),
+
     // Cypher shortestPath + length(p): minimal in-range hop count per
     // source reaching region R1 — the VLE pair set's depth column.
     "q_cypher_shortest" -> ((s, d) => {
@@ -447,6 +482,32 @@ object AdtLangQueries {
       """SELECT 'R' || n_regionkey AS region_id,
         |  string_agg('N' || n_nationkey, ',' ORDER BY 'N' || n_nationkey) AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cypher_count_distinct" ->
+      """WITH m2 AS (
+        |  SELECT m.k, 'N' || n_nationkey AS nation_id,
+        |    'R' || n_regionkey AS region_id
+        |  FROM (SELECT c_nationkey AS k FROM customer
+        |        UNION ALL SELECT s_nationkey FROM supplier) m
+        |  JOIN nation ON m.k = n_nationkey),
+        |agg AS (SELECT region_id,
+        |    CAST(count(DISTINCT nation_id) AS BIGINT) AS n_nations,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM m2 GROUP BY 1),
+        |lists AS (SELECT region_id,
+        |    string_agg(nation_id, ',' ORDER BY nation_id) AS nations
+        |  FROM (SELECT DISTINCT region_id, nation_id FROM m2) GROUP BY 1)
+        |SELECT region_id, n_nations, n_members, nations
+        |FROM agg JOIN lists USING (region_id) ORDER BY region_id""".stripMargin,
+    "q_cypher_with_star" ->
+      """SELECT 'N' || n_nationkey AS n_dt_id,
+        |  'dtmi:graft:Nation;1' AS n_model_id,
+        |  'R' || n_regionkey AS region_id
+        |FROM nation ORDER BY n_dt_id""".stripMargin,
+    "q_cypher_exists_props" ->
+      """WITH chn AS (SELECT n_nationkey AS k FROM nation WHERE n_name = 'NATION_7'),
+        |members AS (SELECT 'C' || c_custkey AS id, c_nationkey AS k FROM customer
+        |  UNION ALL SELECT 'S' || s_suppkey, s_nationkey FROM supplier)
+        |SELECT id FROM members JOIN chn USING (k) ORDER BY id""".stripMargin,
     "q_cypher_pipeline_match" ->
       """SELECT 'N' || n_nationkey AS nation, CAST(cnt AS BIGINT) AS members,
         |  'R' || n_regionkey AS region

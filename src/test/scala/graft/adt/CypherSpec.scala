@@ -319,6 +319,67 @@ class CypherSpec extends AnyFunSuite {
     assert(ids == Seq("earth", "sun"))
   }
 
+  test("EXISTS patterns with inline property maps constrain the probe") {
+    // node map on the unbound endpoint: who orbits something named Sun
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:orbits]->(x {name: 'Sun'})) RETURN t") == 2)
+    // ... and the negation (sun itself + moon1, which orbits earth)
+    assert(count(
+      "MATCH (t:Twin) WHERE NOT EXISTS((t)-[:orbits]->(x {name: 'Sun'})) RETURN t") == 2)
+    // map on the BOUND endpoint: pattern matches only when the bound row
+    // satisfies it — only earth both orbits something and is named Earth
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t {name: 'Earth'})-[:orbits]->(x)) RETURN t") == 1)
+    // unbound SOURCE with a map: what does the Moon orbit
+    val ids = planner.run(
+      "MATCH (t:Twin) WHERE EXISTS((y {name: 'Moon'})-[:orbits]->(t)) " +
+        "RETURN t.`$dtId` AS id ORDER BY id").collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("earth"))
+    // relationship property map inside EXISTS
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[r:satellites {Distance: 384400.0}]->(x)) RETURN t") == 1)
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[r:satellites {Distance: 1.0}]->(x)) RETURN t") == 0)
+    // under OR (the marker-join path shares the probe)
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:orbits]->(x {name: 'Sun'})) " +
+        "OR t.`$dtId` = 'moon1' RETURN t") == 3)
+  }
+
+  test("relationship property maps in top-level patterns lower to WHERE") {
+    assert(count(
+      "MATCH (a:Twin)-[r:satellites {Distance: 384400.0}]->(b:Twin) RETURN a") == 1)
+    assert(count(
+      "MATCH (a:Twin)-[r:satellites {Distance: 99.0}]->(b:Twin) RETURN a") == 0)
+    // anonymous rel + map stays a loud parse error (no stable binding)
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (a:Twin)-[:satellites {Distance: 1.0}]->(b:Twin) RETURN a"))
+    // VLE + map stays a loud parse error (alias binds an edge SET)
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (a:Twin)-[r:orbits*1..2 {w: 1}]->(b:Twin) RETURN a"))
+  }
+
+  test("RETURN * after WITH/UNWIND projects the live horizon scope") {
+    // WITH horizon: retained entity + flat column, name-sorted columns
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WITH a, b.`$dtId` AS tgt RETURN *")
+    assert(df.count() == 3)
+    assert(df.columns.contains("a_dt_id") && df.columns.contains("tgt"),
+      df.columns.mkString(","))
+    // UNWIND-only pipeline: the flat column alone
+    val u = planner.run("UNWIND [1, 2, 3] AS x RETURN *")
+    assert(u.columns.toSeq == Seq("x") && u.count() == 3)
+    // a MATCH stage after the horizon extends the star's scope
+    val m = planner.run(
+      "MATCH (a:Twin) WITH a MATCH (a)-[r2:orbits]->(c:Twin) RETURN *")
+    assert(m.count() == 3)
+    assert(m.columns.contains("a_dt_id") && m.columns.contains("c_dt_id") &&
+      m.columns.contains("r2_relationship_id"), m.columns.mkString(","))
+    // path variable + pipeline WITHOUT a horizon re-projection stays loud
+    assertThrows[AdtParseException](planner.run(
+      "MATCH p = (a:Twin)-[r:orbits*1..2]->(b:Twin) UNWIND [1] AS x RETURN *"))
+  }
+
   test("EXISTS under OR/NOT plans as a no-fan-out marker join") {
     // orbits sources = {moon1, earth, kepler}; OR adds sun → all 4
     assert(count(
