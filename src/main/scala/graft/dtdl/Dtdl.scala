@@ -160,6 +160,14 @@ final case class RelationshipDef(
     target: Option[String],
     properties: Map[String, DtdlSchema])
 
+/** A Command declaration: request/response payload names (payload schemas
+  * are validated at upload like Property schemas, but commands carry no
+  * runtime semantics here — the reference stores and validates them
+  * without executing anything either). */
+final case class CommandDef(
+    request: Option[String],
+    response: Option[String])
+
 final case class DtdlInterface(
     id: String,
     extendsIds: Seq[String],
@@ -168,7 +176,13 @@ final case class DtdlInterface(
     components: Map[String, String],            // name -> component model id
     telemetry: Set[String],
     displayName: Option[String],
-    raw: String)
+    raw: String,
+    commands: Map[String, CommandDef] = Map.empty,
+    // declared `writable` flags on Property/Relationship contents (DTDL
+    // metadata; the reference's write path — like Azure DT — accepts
+    // writes regardless, so this is parsed/validated/exposed, not
+    // enforced as a write guard)
+    writable: Map[String, Boolean] = Map.empty)
 
 object Dtdl {
 
@@ -449,9 +463,34 @@ object Dtdl {
     var rels = Map.empty[String, RelationshipDef]
     var comps = Map.empty[String, String]
     var telem = Set.empty[String]
+    var cmds = Map.empty[String, CommandDef]
+    var writables = Map.empty[String, Boolean]
+    val seenNames = scala.collection.mutable.Set.empty[String]
     Option(n.get("contents")).foreach(_.elements().asScala.foreach { c =>
       val ts = Option(c.get("@type")).map(typeNames).getOrElse(Nil)
       val name = Option(c.get("name")).map(_.asText()).getOrElse("")
+      // DTDL: every content needs a name, unique within the interface —
+      // DTDLParser rejects duplicates; silently last-wins would let a
+      // Command shadow a Property (or vice versa) without a trace
+      if (ts.exists(StructuralContentTypes.contains)) {
+        if (name.isEmpty)
+          return Left(s"model $id: content of type " +
+            s"'${ts.mkString(",")}' is missing a name")
+        if (!seenNames.add(name))
+          return Left(s"model $id: duplicate content name '$name'")
+      }
+      // `writable` is DTDL metadata on Property/Relationship — parsed and
+      // type-checked at upload (DTDLParser rejects non-boolean), exposed
+      // via the interface, not enforced as a write guard (the reference
+      // accepts writes to non-writable properties, like Azure DT)
+      if (ts.contains("Property") || ts.contains("Relationship")) {
+        Option(c.get("writable")).foreach { w =>
+          if (!w.isBoolean)
+            return Left(s"model $id: content '$name': writable must be a " +
+              s"boolean, got ${w.getNodeType.toString.toLowerCase}")
+          writables += name -> w.asBoolean()
+        }
+      }
       if (ts.contains("Property") || ts.contains("Telemetry")) {
         // every `schemas` @id reference — top-level OR nested inside an
         // inline Object/Array/Map — must resolve; a dangling reference is
@@ -510,9 +549,47 @@ object Dtdl {
         comps += name -> schema
       }
       else if (ts.contains("Telemetry")) telem += name
+      else if (ts.contains("Command")) {
+        // request/response: optional CommandPayload objects. Payload
+        // schemas get the same upload-time validation as Property schemas
+        // (dangling refs and malformed shapes are model errors); no
+        // runtime semantics — the reference's validator does the same.
+        def payload(field: String): Either[String, Option[String]] =
+          Option(c.get(field)) match {
+            case None => Right(None)
+            case Some(p) if !p.isObject =>
+              Left(s"model $id: command '$name' $field must be an object")
+            case Some(p) =>
+              val pn = Option(p.get("name")).map(_.asText()).getOrElse("")
+              if (pn.isEmpty)
+                Left(s"model $id: command '$name' $field is missing a name")
+              else if (p.get("schema") == null)
+                Left(s"model $id: command '$name' $field is missing a schema")
+              else schemaRefs(p.get("schema")).filterNot(defs.contains)
+                .headOption match {
+                case Some(r) => Left(s"model $id: command '$name' $field " +
+                  s"references undefined schema '$r'")
+                case None => validateSchemaNode(p.get("schema")) match {
+                  case Left(err) =>
+                    Left(s"model $id: command '$name' $field: $err")
+                  case Right(()) => Right(Some(pn))
+                }
+              }
+          }
+        val req = payload("request") match {
+          case Left(err) => return Left(err)
+          case Right(r) => r
+        }
+        val resp = payload("response") match {
+          case Left(err) => return Left(err)
+          case Right(r) => r
+        }
+        cmds += name -> CommandDef(req, resp)
+      }
     })
     Right(DtdlInterface(id, ext, props, rels, comps, telem,
-      Option(n.get("displayName")).map(_.asText()), dtdlJson))
+      Option(n.get("displayName")).map(_.asText()), dtdlJson,
+      commands = cmds, writable = writables))
   }
 
   /** Semantic (quantitative) co-type checks for a Property/Telemetry
@@ -671,6 +748,14 @@ final case class ModelRegistry(models: Map[String, DtdlInterface]) {
   }
   def isTelemetry(modelId: String, name: String): Boolean =
     chain(modelId).exists(_.telemetry.contains(name))
+  /** Command surface incl. inheritance (parsed + validated at upload; no
+    * runtime semantics — parity with the reference's stored-only view). */
+  def commandDef(modelId: String, name: String): Option[CommandDef] =
+    chain(modelId).iterator.flatMap(_.commands.get(name)).nextOption()
+  /** Declared `writable` flag on a Property/Relationship content, if any
+    * ancestor declared one (DTDL metadata — not a write guard). */
+  def writableFlag(modelId: String, name: String): Option[Boolean] =
+    chain(modelId).iterator.flatMap(_.writable.get(name)).nextOption()
 
   /** Validate a twin document against its declared model: every
     * non-`$` property must be a defined Property (type-checked) or

@@ -170,7 +170,16 @@ object Dedup {
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$i")
     }
-    ids.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    // Hash-partition by doc BEFORE the wide aggregation. Left to its own
+    // devices Spark plans partial→shuffle→final, and the partial output is
+    // the shuffle payload: with ~2 shingles of a doc per input partition,
+    // each (doc, partition) emits a 64-min row (~520 B) where the raw rows
+    // it summarizes are ~30 B — map-side combine inflates this particular
+    // shuffle ~18× (it sank the sf100 run: >80 GB of partial rows vs ~6 GB
+    // raw). Repartitioning first makes the shuffle carry the raw 16-byte
+    // (doc, sid) rows and the partial+final aggregates fuse into the
+    // post-shuffle stage, so the wide rows never hit disk.
+    ids.repartition(col("doc")).groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band-signature rows (doc, band, sig) from exploded shingle ids:
@@ -577,10 +586,15 @@ object Dedup {
       .withColumn("hv", (lit(a0) * col("sid") + lit(b0)) % P)
     // single-pass: 32 conditional sums per doc (one shuffle, no ×32
     // explode). Bit k of hv via literal-shift (codegen'd shiftright).
+    // repartition-by-doc first for the same reason as
+    // [[minhashSignaturesFrom]]: with ~2 shingles per doc per partition,
+    // shuffling 32-long partial rows costs ~8× the raw (doc, hv) rows —
+    // partition first and the wide partials never hit disk.
     val sums = (0 until 32).map(k =>
       sum(when(shiftright(col("hv"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$k"))
-    val agged = ids.groupBy(col("doc")).agg(sums.head, sums.tail: _*)
+    val agged = ids.repartition(col("doc"))
+      .groupBy(col("doc")).agg(sums.head, sums.tail: _*)
     val sim = (0 until 32).map(k =>
       when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
       .reduce(_ + _)

@@ -422,6 +422,72 @@ object StoreQueries {
         .orderBy(col("node"))
     }),
 
+    // B18 continuation-token version pinning, oracle-gated end to end:
+    // page 1 starts a pagination (token records the store version), a
+    // mutation batch lands BETWEEN pages (patch + create + delete, all
+    // chosen to shift page boundaries), the pin is then LOST (fresh
+    // service, cold snapshot cache — eviction and restart at once), and
+    // pages 2..N are served from a pin REBUILT as of the token's version
+    // via graphAt. The oracle reconstructs the pristine pre-mutation
+    // pagination from the raw nation table, so a green row proves full
+    // snapshot isolation across the rebuild: any leak of the new twin,
+    // the patched name, or the delete into later pages breaks the hash.
+    "q_b18_pinned_pages" -> ((s, d) => {
+      val dir = graft.core.Scratch.dir("graft_store_pin_", d)
+      val clock = () => "2026-01-01T00:00:00Z"
+      val st = TableTwinStore.open(s, dir, clock)
+      st.createModels(Seq(
+        s"""{"@id":"$NationModel","@type":"Interface","contents":[
+           |{"@type":"Property","name":"name","schema":"string"}]}""".stripMargin))
+      val nations = graft.core.Td.nation(s, d)
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      st.createOrReplaceTwins(nations.toSeq.map { case (k, name) =>
+        s"""{"$$dtId":"N$k","$$metadata":{"$$model":"$NationModel"},"name":"$name"}"""
+      })
+      def versioned = new graft.adt.VersionedGraphSource {
+        def currentVersion: Long = st.currentSeq
+        def graphAt(v: Long): graft.graph.TwinGraph = st.graphAt(v)
+      }
+      val q = "SELECT T.$dtId AS id, T.name AS name FROM DIGITALTWINS T"
+      val qs1 = new graft.adt.QueryService(st.graph, None,
+        new graft.adt.SnapshotCache(), Some(versioned))
+      val pageSize = 10
+      val first = qs1.query(q, pageSize)
+      // the interleaved batch: a rename that would change page-2 content,
+      // a new twin that would shift every later page boundary, a delete
+      // that would shrink the result — all must stay invisible
+      st.batch {
+        st.patchTwin("N3",
+          """[{"op":"replace","path":"/name","value":"RENAMED"}]""")
+        st.createOrReplaceTwin("N0a",
+          s"""{"$$dtId":"N0a","$$metadata":{"$$model":"$NationModel"},"name":"intruder"}""")
+        st.deleteTwin("N9")
+      }
+      // pin lost: fresh service over the CURRENT graph with a cold cache
+      val qs2 = new graft.adt.QueryService(st.graph, None,
+        new graft.adt.SnapshotCache(), Some(versioned))
+      // materialize the page chain driver-side (page assembly is the
+      // service layer's driver-side surface by design, B18)
+      val rows = collection.mutable.ListBuffer.empty[(Long, String, String)]
+      var page = first
+      var idx = 1L
+      var continue = true
+      while (continue) {
+        page.rows.foreach { r =>
+          val n = graft.json.Json.parse(r)
+          rows += ((idx, n.get("id").asText(), n.get("name").asText()))
+        }
+        page.continuationToken match {
+          case Some(t) =>
+            page = qs2.query("ignored", pageSize, Some(t)); idx += 1
+          case None => continue = false
+        }
+      }
+      import s.implicits._
+      rows.toSeq.toDF("page", "id", "name").orderBy(col("page"), col("id"))
+    }),
+
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
@@ -538,6 +604,13 @@ object StoreQueries {
     "q_incr_kcore" -> kcorePeelOracle(Seq(2, 3), 30),
     // truss peel to fixpoint (4 rounds covers the k=4 support cascade)
     "q_incr_ktruss" -> ktrussPeelOracle(Seq(3, 4), 4),
+    // pristine pre-mutation pagination (sorted by id, 10-row pages): the
+    // interleaved patch/create/delete must be invisible to every page
+    "q_b18_pinned_pages" ->
+      """WITH t AS (SELECT 'N' || n_nationkey AS id, n_name AS name FROM nation),
+        |r AS (SELECT id, name, row_number() OVER (ORDER BY id) AS rn FROM t)
+        |SELECT CAST((rn - 1) // 10 + 1 AS BIGINT) AS page, id, name
+        |FROM r ORDER BY page, id""".stripMargin,
     // batch recompute of the final graph's degrees — a green row proves
     // the incremental fold equals recomputing from scratch
     "q_incr_degrees" ->

@@ -830,6 +830,109 @@ class DtdlSemanticsSpec extends AnyFunSuite {
       relDoc("""{"$relationshipName":"near"}"""), Some("dtmi:g:rock;1")).isRight)
   }
 
+  // ---------- Command contents + writable flags (reference Validation/,
+  // SampleData.cs — commands are stored and validated at upload, never
+  // executed; `writable` is metadata Azure DT accepts but does not
+  // enforce on writes, and the reference follows suit) ----------
+
+  test("Command contents parse: name + request/response payloads") {
+    val m = parse(
+      """{"@id":"dtmi:g:thermo;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"setpoint","schema":"double"},
+        |  {"@type":"Command","name":"reboot"},
+        |  {"@type":"Command","name":"setTarget",
+        |   "request":{"name":"target","schema":"double"},
+        |   "response":{"name":"accepted","schema":"boolean"}}]}""".stripMargin)
+    assert(m.isRight, m)
+    val i = m.toOption.get
+    assert(i.commands.keySet == Set("reboot", "setTarget"))
+    assert(i.commands("reboot") == CommandDef(None, None))
+    assert(i.commands("setTarget") ==
+      CommandDef(Some("target"), Some("accepted")))
+    // inherited lookup through the registry
+    val reg = ModelRegistry(Map(i.id -> i))
+    assert(reg.commandDef("dtmi:g:thermo;1", "setTarget").isDefined)
+    assert(reg.commandDef("dtmi:g:thermo;1", "nope").isEmpty)
+  }
+
+  test("malformed Commands are model errors: payload shape, name, dangling schema") {
+    // request must be an object
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Command","name":"c","request":"double"}]}""".stripMargin).isLeft)
+    // payload needs a name
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Command","name":"c",
+        |   "request":{"schema":"double"}}]}""".stripMargin).isLeft)
+    // payload needs a schema
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Command","name":"c",
+        |   "request":{"name":"r"}}]}""".stripMargin).isLeft)
+    // dangling schema reference inside a payload
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Command","name":"c",
+        |   "response":{"name":"r","schema":"dtmi:missing;1"}}]}""".stripMargin).isLeft)
+  }
+
+  test("content names are required and unique across ALL content kinds") {
+    // a Command shadowing a Property (or vice versa) must reject, not
+    // silently last-win
+    val dup = parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"reboot","schema":"string"},
+        |  {"@type":"Command","name":"reboot"}]}""".stripMargin)
+    assert(dup.isLeft && dup.left.toOption.get.contains("duplicate"), dup)
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"a","schema":"string"},
+        |  {"@type":"Property","name":"a","schema":"double"}]}""".stripMargin).isLeft)
+    // a content with no name at all
+    assert(parse(
+      """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
+        |  {"@type":"Property","schema":"string"}]}""".stripMargin).isLeft)
+  }
+
+  test("a twin document cannot write a field named like a Command") {
+    val i = parse(
+      """{"@id":"dtmi:g:dev;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"p","schema":"double"},
+        |  {"@type":"Command","name":"reboot"}]}""".stripMargin).toOption.get
+    val reg = ModelRegistry(Map(i.id -> i))
+    val bad = reg.validateTwin(graft.json.Json.parse(
+      """{"$metadata":{"$model":"dtmi:g:dev;1"},"p":1.5,"reboot":true}"""))
+    // commands are not writable state — the reference rejects undefined
+    // properties, and a command name is not a property
+    assert(bad.isLeft && bad.left.toOption.get.contains("reboot"), bad)
+  }
+
+  test("writable flags parse on Property/Relationship; non-boolean rejects") {
+    val m = parse(
+      """{"@id":"dtmi:g:w;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"ro","schema":"string","writable":false},
+        |  {"@type":"Property","name":"rw","schema":"string","writable":true},
+        |  {"@type":"Property","name":"unmarked","schema":"string"},
+        |  {"@type":"Relationship","name":"owns","writable":false}]}""".stripMargin)
+    assert(m.isRight, m)
+    val reg = ModelRegistry(Map(m.toOption.get.id -> m.toOption.get))
+    assert(reg.writableFlag("dtmi:g:w;1", "ro").contains(false))
+    assert(reg.writableFlag("dtmi:g:w;1", "rw").contains(true))
+    assert(reg.writableFlag("dtmi:g:w;1", "unmarked").isEmpty)
+    assert(reg.writableFlag("dtmi:g:w;1", "owns").contains(false))
+    // type-checked at upload, like DTDLParser
+    assert(parse(
+      """{"@id":"dtmi:g:w;1","@type":"Interface","contents":[
+        |  {"@type":"Property","name":"p","schema":"string",
+        |   "writable":"yes"}]}""".stripMargin).isLeft)
+    // metadata, not a write guard: a twin may still write a
+    // writable:false property (Azure DT + reference behavior)
+    val regW = reg
+    assert(regW.validateTwin(graft.json.Json.parse(
+      """{"$metadata":{"$model":"dtmi:g:w;1"},"ro":"x"}""")).isRight)
+  }
+
   test("relationship properties holding non-Property contents are model errors") {
     assert(parse(
       """{"@id":"dtmi:g:x;1","@type":"Interface","contents":[
