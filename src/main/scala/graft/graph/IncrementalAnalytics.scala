@@ -366,6 +366,48 @@ object IncrementalAnalytics {
     }
   }
 
+  /** Small-file hygiene for a freshly-written state version (every
+    * maintainer commit calls this before the pointer move): each
+    * parquet leaf under the version dir — incl. partitioned history
+    * subdirs like `hist/i=N` — gets coalesced to ceil(bytes/target)
+    * files when it fragmented past `maxSmallFiles`. At 100 TB cadence
+    * the FILE COUNT, not the byte count, is what kills a long-running
+    * maintainer (every downstream open lists the directory; metadata
+    * stores charge per object), and a refresh output's partition count
+    * reflects its join topology, not its size — a 2 KB degrees table can
+    * land as 32 half-empty files. Crash-safe: the pointer has not moved
+    * yet, so a crash anywhere in the rewrite/swap is repaired by the
+    * idempotent batch replay (recompute + overwrite of the whole
+    * uncommitted version). */
+  private[graft] def compactVersion(
+      spark: org.apache.spark.sql.SparkSession, versionDir: String,
+      targetBytes: Long = 128L << 20, maxSmallFiles: Int = 4): Unit = {
+    def leafTables(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      if (kids.exists(k => k.isFile && k.getName.startsWith("part-"))) Seq(f)
+      else kids.filter(_.isDirectory).flatMap(leafTables)
+    }
+    leafTables(new java.io.File(versionDir)).foreach { t =>
+      val parts = t.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      if (parts.length > maxSmallFiles) {
+        val want = math.max(1,
+          math.ceil(parts.map(_.length).sum.toDouble / targetBytes).toInt)
+        if (want < parts.length) {
+          val tmp = new java.io.File(t.getParentFile, t.getName + ".compact")
+          spark.read.parquet(t.getPath).coalesce(want)
+            .write.mode("overwrite").parquet(tmp.getPath)
+          val walk = java.nio.file.Files.walk(t.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+          if (!tmp.renameTo(t))
+            throw new IllegalStateException(s"compaction swap failed for $t")
+        }
+      }
+    }
+  }
+
   /** The maintained degrees table as of the last committed batch. */
   def currentDegrees(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
@@ -405,6 +447,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -512,6 +555,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -574,6 +618,7 @@ object IncrementalAnalytics {
           newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           newHist.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -697,6 +742,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -757,6 +803,7 @@ object IncrementalAnalytics {
           newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           newHist.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -1075,6 +1122,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -1203,6 +1251,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }
@@ -1252,6 +1301,7 @@ object IncrementalAnalytics {
           applyRelationshipMutations(baseRels, m)
             .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
           graft.core.Blocks.free(m)
+          compactVersion(spark2, s"$stateDir/v$target")
           writePointer(stateDir, target)
           pruneVersions(stateDir, target)
         }

@@ -188,4 +188,45 @@ class BetweennessSpec extends AnyFunSuite {
     val expectFull = all.map(v => v -> expect.getOrElse(v, 0L)).toMap
     assert(approx == expectFull, s"approx $approx != scaled replay $expectFull")
   }
+
+  test("approximate: Brandes-Pich error bound holds and tightens with k") {
+    // The QUALITY contract the estimator exists for (the q_sim_recall_sweep
+    // pattern, applied to centrality): on a 24-node pseudo-random graph,
+    // sweep the sample size and assert the worst-node absolute error
+    // against the Brandes-Pich/Riondato Hoeffding bound. Per-source
+    // dependency mass at a node is in [0, (n-1)·1e6] micro-units, the
+    // estimator averages k such terms and rescales by n, so
+    //   |est − exact| ≤ n·(n−1)·1e6 · sqrt(ln(2n/δ)/(2k))   w.p. ≥ 1−δ.
+    // The md5 sample is deterministic — the assertion is that THIS sample
+    // behaves like the uniform one the analysis assumes (δ = 0.01), which
+    // either holds forever or fails loudly; plus the two hard endpoint
+    // facts: error is 0 at k = n, and the swept error never worsens from
+    // the smallest k to the largest.
+    val n = 24
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (i * 29 + j * 13 + i * j) % 7 == 0
+    } yield (f"n$i%02d", f"n$j%02d")).toSeq
+    val g = rels(edges: _*)
+    val names = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val nn = names.size
+    val exact = run(g, names)
+    def maxErr(k: Int): Long = {
+      val approx = Betweenness.approximate(g, k = k, seed = "bound")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      names.map(v => math.abs(approx.getOrElse(v, 0L) - exact(v))).max
+    }
+    def bound(k: Int): Long =
+      (nn.toDouble * (nn - 1) * 1e6 *
+        math.sqrt(math.log(2.0 * nn / 0.01) / (2.0 * k))).toLong
+    val ks = Seq(4, 8, 16, nn)
+    val errs = ks.map(k => k -> maxErr(k))
+    errs.foreach { case (k, err) =>
+      assert(err <= bound(k),
+        s"k=$k: max error $err exceeds the Hoeffding bound ${bound(k)}")
+    }
+    assert(errs.last._2 == 0L, s"k=n must be exact, got ${errs.last._2}")
+    assert(errs.last._2 <= errs.head._2,
+      s"error must not worsen from k=${ks.head} to k=${ks.last}: $errs")
+  }
 }

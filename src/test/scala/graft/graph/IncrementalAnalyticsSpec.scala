@@ -678,6 +678,37 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assert(fin == Set("a", "b", "c", "x"), s"after promote: $fin")
   }
 
+  test("compactVersion: fragmented state leaves coalesce to size-targeted files") {
+    // a refresh output's partition count reflects its join topology, not
+    // its size — the commit-path compaction must fold a 32-half-empty-file
+    // version back to ceil(bytes/target) files, recursing into partitioned
+    // history subdirs, without changing a row
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val s = spark; import s.implicits._
+    val df = (1 to 1000).map(i => (s"n$i", i.toLong)).toDF("node", "degree")
+    df.repartition(8).write.parquet(s"$dir/v1/degrees")
+    df.repartition(8).write.parquet(s"$dir/v1/hist/i=0")
+    def parts(p: String) = new java.io.File(p).listFiles
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts(s"$dir/v1/degrees") == 8, "fixture must be fragmented")
+    IncrementalAnalytics.compactVersion(spark, s"$dir/v1")
+    assert(parts(s"$dir/v1/degrees") == 1,
+      s"tiny table must compact to one file, got ${parts(s"$dir/v1/degrees")}")
+    assert(parts(s"$dir/v1/hist/i=0") == 1, "history leaves compact too")
+    val back = spark.read.parquet(s"$dir/v1/degrees")
+      .as[(String, Long)].collect().toSet
+    assert(back == (1 to 1000).map(i => (s"n$i", i.toLong)).toSet,
+      "compaction must not change a row")
+    // idempotent: a second pass finds nothing fragmented and leaves the
+    // single file (and its mtime-bearing name) alone
+    val before = new java.io.File(s"$dir/v1/degrees").listFiles
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    IncrementalAnalytics.compactVersion(spark, s"$dir/v1")
+    val after = new java.io.File(s"$dir/v1/degrees").listFiles
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSeq
+    assert(before == after, "already-compact leaves must not be rewritten")
+  }
+
   // ---------------- incremental k-truss ----------------
 
   private def edgeSet(df: DataFrame): Set[(String, String)] =
