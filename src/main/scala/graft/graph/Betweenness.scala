@@ -142,19 +142,24 @@ object Betweenness {
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(eager = true)
     // Soundness of the per-round sigma probe: each round's Long sum per
-    // (s,node) has at most in-degree(node) terms, each ≤ SigmaBound by the
-    // PREVIOUS round's probe (round 0: sigma = 1). The sum itself executes
+    // (s,node) has at most in-degree(node) terms, each ≤ the PREVIOUS
+    // round's observed max (round 0: sigma = 1). The sum itself executes
     // before the probe can see it, so the probe alone is a heuristic — to
-    // make it a guarantee, bound the term count once on the edge
-    // checkpoint: maxInDeg * SigmaBound must fit in a Long, i.e. no node
-    // may have more than ~9.2e6 in-frontier predecessors.
-    val maxInDeg = e.groupBy(col("b")).agg(count(lit(1)).as("d"))
+    // make it a guarantee, bound the term count. Tiered so the guarantee
+    // is (almost always) free: the edge COUNT m bounds every in-degree,
+    // so while prevMax ≤ Long.Max/m no sum can wrap (one cheap count over
+    // the checkpointed blocks); only if path counts grow past that does
+    // the exact max-in-degree aggregation run, once.
+    val m = math.max(1L, e.count())
+    lazy val maxInDeg = e.groupBy(col("b")).agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).collect()(0).getLong(0)
-    if (maxInDeg > Long.MaxValue / SigmaBound)
-      throw new IllegalStateException(
-        s"max in-degree $maxInDeg × sigma bound $SigmaBound exceeds Long " +
-          "range — a single round's path-count sum could wrap before the " +
-          "overflow probe runs; reduce SigmaBound or densify-split hubs")
+    def checkNoWrap(prevMax: Long, depth: Int): Unit =
+      if (prevMax > Long.MaxValue / m && prevMax > Long.MaxValue / maxInDeg)
+        throw new IllegalStateException(
+          s"max sigma $prevMax × max in-degree $maxInDeg could wrap a " +
+            s"Long at depth $depth — equal-path structure too dense for " +
+            "64-bit accumulation; sample fewer/other sources")
+    var prevMaxSigma = 1L
     var frontier = sources.distinct.map(s => (s, s, 1L))
       .toDF("s", "node", "sigma").localCheckpoint(eager = true)
     val layers = scala.collection.mutable.Buffer(frontier)
@@ -164,6 +169,9 @@ object Betweenness {
     var alive = frontier.count()
     while (alive > 0 && d < maxDepth) {
       d += 1
+      // BEFORE this round's Long sums execute: certify they cannot wrap
+      // (term count ≤ in-degree ≤ m, each term ≤ prevMaxSigma)
+      checkNoWrap(prevMaxSigma, d)
       val nxt = frontier.join(e, frontier("node") === e("a"))
         .select(col("s"), e("b").as("node"), col("sigma"))
         .join(visited, Seq("s", "node"), "left_anti")
@@ -182,6 +190,7 @@ object Betweenness {
           s"shortest-path count sigma=${probe.getLong(1)} exceeds " +
             s"$SigmaBound at depth $d — equal-path structure too dense " +
             "for 64-bit accumulation; sample fewer/other sources")
+      if (alive > 0) prevMaxSigma = probe.getLong(1)
       if (alive > 0) {
         layers += nxt
         val nv = visited.unionByName(nxt.select(col("s"), col("node")))
