@@ -461,6 +461,21 @@ object PipelineQueries {
         .orderBy(col("v_id"))
     }),
 
+    // The SCALE parametrization of the same operator: numCells ∝ n (one
+    // metadata-cheap count), per-cell population pinned at ~500 so the
+    // in-cell self-join is LINEAR in n at every scale factor — this is
+    // the production sizing the fixed-8-cell gate above can't show (that
+    // one goes quadratic per cell by construction and is excluded from
+    // the sf10 sweep for exactly that reason). The oracle computes the
+    // identical cell count from its own count(*).
+    "q_embed_nn_scaled" -> ((s, d) => {
+      val emb = Td.embeddings(s, d)
+      val cells = math.max(8L, emb.count() / 500L).toInt
+      Similarity.nearestNeighbor(emb, "vec_id", "embedding",
+        numCells = cells)
+        .orderBy(col("v_id"))
+    }),
+
     // Semantic dedup (SemDeDup shape): keep-first-occurrence within each
     // coarse cell at cosine ≥ 0.4.
     "q_embed_dedup" -> ((s, d) => {
@@ -1400,6 +1415,26 @@ object PipelineQueries {
     "q_embed_nn" ->
       """WITH cells AS (SELECT vec_id cell_id, embedding cell_vec
         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assign AS (SELECT v_id, cell_id FROM (
+        |  SELECT e.vec_id v_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_distance(e.embedding::DOUBLE[], c.cell_vec::DOUBLE[]), c.cell_id) rn
+        |  FROM embeddings e CROSS JOIN cells c) WHERE rn = 1),
+        |p AS (SELECT a.v_id, b.v_id n_id,
+        |  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) cs
+        |  FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.v_id <> b.v_id
+        |  JOIN embeddings ea ON ea.vec_id = a.v_id
+        |  JOIN embeddings eb ON eb.vec_id = b.v_id),
+        |r AS (SELECT v_id, n_id, row_number() OVER (PARTITION BY v_id
+        |      ORDER BY cs DESC, n_id) rk FROM p)
+        |SELECT e.vec_id AS v_id, r.n_id AS nn_id
+        |FROM embeddings e LEFT JOIN r ON r.v_id = e.vec_id AND r.rk = 1
+        |ORDER BY v_id""".stripMargin,
+
+    "q_embed_nn_scaled" ->
+      """WITH cells AS (SELECT vec_id cell_id, embedding cell_vec
+        |  FROM embeddings ORDER BY vec_id
+        |  LIMIT greatest(8, (SELECT count(*) FROM embeddings) // 500)),
         |assign AS (SELECT v_id, cell_id FROM (
         |  SELECT e.vec_id v_id, c.cell_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

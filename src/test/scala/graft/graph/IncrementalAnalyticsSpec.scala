@@ -709,6 +709,39 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assert(before == after, "already-compact leaves must not be rewritten")
   }
 
+  test("10-batch maintainer run: file count and version count stay bounded") {
+    // the at-scale failure mode is files, not bytes: every commit writes
+    // a full state version, so an unbounded run must neither accrete
+    // versions (prune keeps {committed-1, committed}) nor fragment each
+    // version (compactVersion folds topology-shaped partition counts)
+    val dir = java.nio.file.Files.createTempDirectory("graft-files").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r0", "a", "b"))
+    IncrementalAnalytics.initDegreesState(stateDir, batchDegrees(base), base)
+    for (b <- 1 to 10) {
+      // alternate adds/drops so every batch changes the state
+      val kind = if (b % 2 == 0) "D" else "C"
+      muts((b.toLong, kind, s"rx$b", "a", s"n$b"))
+        .write.mode("append").parquet(mutDir)
+      val q = IncrementalAnalytics.maintainDegreesStream(
+        spark, mutDir, stateDir, s"$dir/cp")
+      q.awaitTermination(60000)
+    }
+    val versions = new java.io.File(stateDir).list()
+      .filter(_.startsWith("v")).sorted
+    assert(versions.toSeq == Seq("v10", "v9"),
+      s"after 10 batches only {committed-1, committed} may remain: ${versions.toSeq}")
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    for (leaf <- Seq("degrees", "rels")) {
+      val n = files(s"$stateDir/v10/$leaf")
+      assert(n >= 1 && n <= 4,
+        s"v10/$leaf fragmented to $n files after 10 commits")
+    }
+  }
+
   // ---------------- incremental k-truss ----------------
 
   private def edgeSet(df: DataFrame): Set[(String, String)] =

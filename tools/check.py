@@ -24,6 +24,10 @@ digest_mode = "--digest" in flags
 fallback_rows = int(os.environ.get("CHECK_FALLBACK_ROWS", "5000000"))
 
 con = duckdb.connect()
+# let big-sweep oracles spill instead of dying on a bad allocation; the
+# limit leaves headroom for the OS page cache holding the parquet trees
+con.sql("SET temp_directory='/tmp/duckdb_spill'")
+con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
     # driver trees ship one file per table; GenData trees (target/sf1,
