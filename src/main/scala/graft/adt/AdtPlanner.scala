@@ -199,7 +199,19 @@ final class AdtPlanner(graph: TwinGraph) {
       else {
         val cols = q.items.flatMap {
           case SelectStar =>
-            (scope.twins ++ scope.rels).toSeq.sorted.flatMap(a => entityCols(df1, a)) ++
+            // openCypher RETURN * covers NAMED variables only: drop
+            // planner-internal anonymous aliases (__cnode from the parser,
+            // __rel/__srel from un-aliased relationships) before expanding.
+            // A live path binding can't be star-projected yet — stay loud
+            // here (plan time knows the exact surviving scope; parse time
+            // could only guess whether a WITH horizon kept the path).
+            if (scope.paths.nonEmpty) throw new AdtPlanException(
+              s"RETURN * with path variable(s) ${scope.paths.keys.mkString(", ")} " +
+                "in scope is not supported; RETURN the path explicitly")
+            val named = (scope.twins ++ scope.rels)
+              .filterNot(a => a.startsWith("__cnode") || a.startsWith("__rel") ||
+                a.startsWith("__srel"))
+            named.toSeq.sorted.flatMap(a => entityCols(df1, a)) ++
               scope.flat.toSeq.sorted.map(col)
           case SelectEntity(a) if scope.twins(a) || scope.rels(a) =>
             entityCols(df1, a)
@@ -322,19 +334,59 @@ final class AdtPlanner(graph: TwinGraph) {
       // (q = 0 answers the minimum). Emulated via a sorted collect; exact
       // and deterministic, but materializes the group — fine for the
       // grouped-aggregate shapes Cypher queries produce.
-      case ("PERCENTILEDISC", false) =>
+      case ("PERCENTILEDISC", distinct) =>
         val q = a.param.getOrElse(
           throw new AdtPlanException("percentileDisc needs a quantile"))
         // try_element_at: a group whose values are all null/non-numeric
         // collects an empty list — answer null (agtype-style), don't
         // ANSI-crash the aggregate
-        val sorted = sort_array(collect_list(num.get))
+        val sorted = sort_array(
+          if (distinct) collect_set(num.get) else collect_list(num.get))
         try_element_at(sorted,
           greatest(ceil(lit(q) * size(sorted)), lit(1)).cast("int"))
-      case (fn, true) => throw new AdtPlanException(s"$fn(DISTINCT ...) is not supported")
-      case (fn, false) => throw new AdtPlanException(s"unknown aggregate $fn")
+      // DISTINCT variants of the statistics aggregates: evaluate over the
+      // group's distinct numeric value set (collect_set skips nulls, like
+      // the plain aggregates skip them). Spark has no stddev_distinct /
+      // percentile(DISTINCT ...), so compute from the sorted distinct
+      // array with higher-order functions — stays inside codegen, no UDF.
+      case ("STDEV", true) => distinctStddev(num.get, sample = true)
+      case ("STDEVP", true) => distinctStddev(num.get, sample = false)
+      case ("PERCENTILECONT", true) =>
+        val q = a.param.getOrElse(
+          throw new AdtPlanException("percentileCont needs a quantile"))
+        // linear interpolation at rank q·(n−1) over the sorted distinct set
+        val arr = sort_array(collect_set(num.get))
+        val n = size(arr)
+        val rank = lit(q) * (n - lit(1)).cast("double")
+        val lo = floor(rank).cast("int")
+        val frac = rank - lo.cast("double")
+        val vLo = try_element_at(arr, lo + lit(1))
+        val vHi = try_element_at(arr, least(lo + lit(2), n))
+        vLo + (vHi - vLo) * frac
+      case (fn, _) => throw new AdtPlanException(s"unknown aggregate $fn")
     }
     c.as(a.as.getOrElse(a.fn))
+  }
+
+  /** stDev/stDevP over a group's DISTINCT numeric values. Spark has no
+    * stddev(DISTINCT); aggregate the distinct set (collect_set skips
+    * nulls) with higher-order functions — sum and sum-of-squares in one
+    * struct fold, then the textbook formula. Matches the plain-aggregate
+    * convention of answering 0 (not NULL) when the group has at least one
+    * numeric value but not enough for a deviation. */
+  private def distinctStddev(v: Column, sample: Boolean): Column = {
+    val arr = collect_set(v)
+    val n = size(arr).cast("double")
+    val acc = aggregate(arr,
+      struct(lit(0.0).as("s"), lit(0.0).as("ss")),
+      (a, x) => struct((a("s") + x).as("s"), (a("ss") + x * x).as("ss")))
+    val mean = acc("s") / n
+    val denom = if (sample) n - lit(1.0) else n
+    val variance = (acc("ss") - n * mean * mean) / denom
+    // max(0): guard float cancellation from producing a tiny negative
+    when(n === 0, lit(null).cast("double"))
+      .when(denom <= 0, lit(0.0))
+      .otherwise(sqrt(greatest(variance, lit(0.0))))
   }
 
   /** EXISTS patterns nested under OR/NOT (e.g. `WHERE EXISTS(...) OR x`)

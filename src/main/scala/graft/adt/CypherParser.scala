@@ -163,14 +163,11 @@ object CypherParser {
           // LAST horizon's, which only the planner knows — emit
           // SelectStar and let it expand the live scope (retained
           // entities + flat columns, name-sorted: the Neo4j RETURN *
-          // order). A pre-pipeline path variable is only safe when a
-          // WITH horizon re-projected the scope (paths don't survive a
-          // horizon); without one, stay loud rather than silently
-          // dropping the path from the star.
-          if (edges.exists(_.pathAlias.isDefined) &&
-              !pipeline.exists(_.isInstanceOf[WithClause]))
-            throw new AdtParseException(
-              "RETURN * with a path variable is not supported; RETURN the path explicitly")
+          // order). Whether a pre-pipeline path variable survived the
+          // horizons is only known at plan time (planWith keeps a path
+          // alive exactly when its rel alias is retained) — the planner's
+          // SelectStar branch errors loudly when scope.paths is non-empty,
+          // so no guess is needed here.
           List(SelectStar)
         } else {
         // openCypher RETURN * means ALL named variables in scope — a bound

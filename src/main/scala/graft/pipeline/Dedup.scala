@@ -273,9 +273,13 @@ object Dedup {
         .distinct()
         .localCheckpoint(eager = true)
       // checkpointing c cuts the lineage to this wave's bucket-join
-      // shuffle; nudge the ContextCleaner so its temp files are gone
-      // before the next wave allocates its own (the whole point of waving)
-      if (waveGroups.size > 1) System.gc()
+      // shuffle; ContextCleaner reclaims its temp files once the upstream
+      // frames are freed below. A full System.gc() here would be a
+      // stop-the-world pause inflicted on every co-tenant of the JVM for a
+      // only-probabilistic cleaner nudge — offer it strictly opt-in for
+      // single-purpose batch hosts that are genuinely shuffle-disk-bound.
+      if (waveGroups.size > 1 &&
+          sys.env.get("SPARK_GRAFT_LSH_GC").contains("1")) System.gc()
       c
     }
     val candidates =
@@ -285,7 +289,9 @@ object Dedup {
     val out = verifyJaccard(candidates, ids, threshold)
       .localCheckpoint(eager = true)
     waveCands.foreach(graft.core.Blocks.free)
-    graft.core.Blocks.free(candidates)
+    // single-wave: candidates IS waveCands.head, already freed above
+    if (!waveCands.headOption.exists(_ eq candidates))
+      graft.core.Blocks.free(candidates)
     graft.core.Blocks.free(wide)
     out
   }

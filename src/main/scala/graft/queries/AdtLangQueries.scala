@@ -182,6 +182,27 @@ object AdtLangQueries {
           concat_ws(",", col("nations")).as("nations"))
     }),
 
+    // Numeric DISTINCT aggregates: avg/min/max/stDev over the distinct
+    // value set, on a grouping where values genuinely repeat (acctbal
+    // bucketed to hundreds, per nation) so avg(DISTINCT) differs from
+    // avg. min/max(DISTINCT) are semantically identical to plain min/max
+    // (AGE executes them; rejecting was pure friction — r16). Averages
+    // are integer-valued-double ratios, rendered via the same
+    // floor(x*1000 + 0.5) formula on both engines for bit parity.
+    "q_cypher_avg_distinct" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin)-[r:located_in]->(n:Twin) " +
+          "WHERE m.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "WITH n.`$dtId` AS nation_id, toInteger(floor(m.acctbal / 100)) AS buck " +
+          "WITH nation_id, avg(buck) AS a_all, avg(DISTINCT buck) AS a_dist, " +
+          "min(DISTINCT buck) AS mn, max(DISTINCT buck) AS mx, " +
+          "stdev(DISTINCT buck) AS sd " +
+          "RETURN nation_id, toInteger(floor(a_all * 1000 + 0.5)) AS a_all_i, " +
+          "toInteger(floor(a_dist * 1000 + 0.5)) AS a_dist_i, " +
+          "toInteger(mn) AS mn, toInteger(mx) AS mx, " +
+          "toInteger(floor(sd * 1000 + 0.5)) AS sd_i ORDER BY nation_id")
+    }),
+
     // Cypher RETURN * after a WITH horizon: the star projects the LIVE
     // horizon scope (retained entity bindings + flat columns), not the
     // pre-pipeline pattern bindings.
@@ -498,6 +519,18 @@ object AdtLangQueries {
         |  FROM (SELECT DISTINCT region_id, nation_id FROM m2) GROUP BY 1)
         |SELECT region_id, n_nations, n_members, nations
         |FROM agg JOIN lists USING (region_id) ORDER BY region_id""".stripMargin,
+    "q_cypher_avg_distinct" ->
+      """WITH m2 AS (
+        |  SELECT 'N' || c_nationkey AS nation_id,
+        |    CAST(floor(c_acctbal / 100) AS BIGINT) AS buck
+        |  FROM customer)
+        |SELECT nation_id,
+        |  CAST(floor(avg(buck) * 1000 + 0.5) AS BIGINT) AS a_all_i,
+        |  CAST(floor(avg(DISTINCT buck) * 1000 + 0.5) AS BIGINT) AS a_dist_i,
+        |  CAST(min(buck) AS BIGINT) AS mn,
+        |  CAST(max(buck) AS BIGINT) AS mx,
+        |  CAST(floor(stddev_samp(DISTINCT buck) * 1000 + 0.5) AS BIGINT) AS sd_i
+        |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cypher_with_star" ->
       """SELECT 'N' || n_nationkey AS n_dt_id,
         |  'dtmi:graft:Nation;1' AS n_model_id,

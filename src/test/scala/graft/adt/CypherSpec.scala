@@ -375,9 +375,33 @@ class CypherSpec extends AnyFunSuite {
     assert(m.count() == 3)
     assert(m.columns.contains("a_dt_id") && m.columns.contains("c_dt_id") &&
       m.columns.contains("r2_relationship_id"), m.columns.mkString(","))
-    // path variable + pipeline WITHOUT a horizon re-projection stays loud
-    assertThrows[AdtParseException](planner.run(
+    // anonymous rel/node after the horizon: the planner's internal
+    // aliases (__srel/__cnode) must NOT leak into the star — openCypher
+    // RETURN * covers named variables only
+    val anon = planner.run(
+      "MATCH (a:Twin) WITH a MATCH (a)-[:orbits]->(b:Twin) RETURN *")
+    assert(anon.count() == 3)
+    assert(!anon.columns.exists(c => c.startsWith("__")),
+      anon.columns.mkString(","))
+    assert(anon.columns.contains("a_dt_id") && anon.columns.contains("b_dt_id"))
+    val anonNode = planner.run(
+      "MATCH (a:Twin) WITH a MATCH (a)-[r2:orbits]->(:Twin) RETURN *")
+    assert(!anonNode.columns.exists(_.startsWith("__")),
+      anonNode.columns.mkString(","))
+    assert(anonNode.columns.contains("r2_relationship_id"))
+    // path variable live at the RETURN horizon stays loud — now decided
+    // at PLAN time (the planner knows the exact surviving scope), both
+    // when no horizon re-projected and when a WITH deliberately kept the
+    // path alive by retaining its rel alias
+    assertThrows[AdtPlanException](planner.run(
       "MATCH p = (a:Twin)-[r:orbits*1..2]->(b:Twin) UNWIND [1] AS x RETURN *"))
+    assertThrows[AdtPlanException](planner.run(
+      "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) WITH a, r RETURN *"))
+    // ...but a horizon that DROPS the path makes the star legal again
+    val dropped = planner.run(
+      "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) WITH a RETURN *")
+    assert(dropped.columns.contains("a_dt_id") &&
+      !dropped.columns.exists(_.startsWith("__")))
   }
 
   test("EXISTS under OR/NOT plans as a no-fan-out marker join") {
@@ -463,6 +487,35 @@ class CypherSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - (earth + sun + sun) / 3) < 1e15)
     assert(math.abs(r.getDouble(1) - (earth + sun) / 2) < 1e15)
     assert(r.getDouble(2) == earth && r.getDouble(3) == sun)
+  }
+
+  test("stDev/percentile accept DISTINCT (over the distinct value set)") {
+    // orbits fan-out repeats sun's mass: distinct set {earth, sun} vs
+    // multiset {earth, sun, sun} — brute-force JVM oracle per aggregate
+    val vals = Seq(5.97e24, 1.989e30, 1.989e30)
+    val dist = vals.distinct
+    def sd(xs: Seq[Double], samp: Boolean): Double = {
+      val m = xs.sum / xs.size
+      val ss = xs.map(x => (x - m) * (x - m)).sum
+      math.sqrt(ss / (if (samp) xs.size - 1 else xs.size))
+    }
+    val df = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN stdev(DISTINCT b.mass) AS sd, stdevP(DISTINCT b.mass) AS sdp, " +
+        "percentileDisc(DISTINCT b.mass, 0.5) AS p50d, " +
+        "percentileCont(DISTINCT b.mass, 0.5) AS p50c")
+    val r = df.collect()(0)
+    assert(math.abs(r.getDouble(0) - sd(dist, samp = true)) / sd(dist, samp = true) < 1e-9)
+    assert(math.abs(r.getDouble(1) - sd(dist, samp = false)) / sd(dist, samp = false) < 1e-9)
+    // percentileDisc(0.5) over {earth, sun}: ceil(0.5*2)=1st sorted → earth
+    assert(r.getDouble(2) == 5.97e24)
+    // percentileCont(0.5): midpoint interpolation over the distinct pair
+    assert(math.abs(r.getDouble(3) - (5.97e24 + 1.989e30) / 2) < 1e15)
+    // single-distinct-value group: stdev(DISTINCT) answers 0, Neo4j-style
+    val one = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) WHERE b.`$dtId` = 'sun' " +
+        "RETURN stdev(DISTINCT b.mass) AS sd").collect()(0)
+    assert(one.getDouble(0) == 0.0)
   }
 
   test("multiple bare MATCH bindings form a cartesian product") {

@@ -37,16 +37,28 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 
 def digest(rel_sql):
-    """(row_count, order-independent hash, sorted cols) of a relation."""
+    """(row_count, (sum-hash, xor-hash), sorted cols) of a relation.
+
+    Order-independent combine of per-row hashes. Two hardening choices
+    (vs the naive sum-of-hash over '|'-joined varchars): the column
+    separator is the non-printable chr(2), so a data value containing the
+    separator can't shift column boundaries into a colliding rendering;
+    and TWO independently-salted row hashes are combined with different
+    operators (SUM and BIT_XOR) — compensating row differences would have
+    to cancel simultaneously in an additive group and in GF(2) under an
+    unrelated hash, shrinking the collision surface from 2^-64-ish-per-
+    structured-pattern to negligible."""
     cols = con.sql(f"SELECT * FROM ({rel_sql}) LIMIT 0").columns
     scols = sorted(cols)
     # chr(1) NULL sentinel: concat with NULL would null the whole row
-    expr = " || '|' || ".join(
+    expr = " || chr(2) || ".join(
         f"coalesce(cast(\"{c}\" as varchar), chr(1))" for c in scols)
-    q = (f"SELECT count(*), coalesce(sum(cast(hash({expr}) as hugeint)), 0) "
+    q = (f"SELECT count(*), "
+         f"coalesce(sum(cast(hash({expr}) as hugeint)), 0), "
+         f"coalesce(bit_xor(hash(chr(3) || ({expr}))), 0) "
          f"FROM ({rel_sql})")
-    n, h = con.sql(q).fetchone()
-    return n, h, scols
+    n, hs, hx = con.sql(q).fetchone()
+    return n, (hs, hx), scols
 
 
 def pandas_compare(name, sql, files):
