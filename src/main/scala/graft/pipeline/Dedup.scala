@@ -170,16 +170,57 @@ object Dedup {
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$i")
     }
-    // Hash-partition by doc BEFORE the wide aggregation. Left to its own
-    // devices Spark plans partial→shuffle→final, and the partial output is
-    // the shuffle payload: with ~2 shingles of a doc per input partition,
-    // each (doc, partition) emits a 64-min row (~520 B) where the raw rows
-    // it summarizes are ~30 B — map-side combine inflates this particular
-    // shuffle ~18× (it sank the sf100 run: >80 GB of partial rows vs ~6 GB
-    // raw). Repartitioning first makes the shuffle carry the raw 16-byte
-    // (doc, sid) rows and the partial+final aggregates fuse into the
-    // post-shuffle stage, so the wide rows never hit disk.
-    ids.repartition(col("doc")).groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    partitionForWideAgg(ids).groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Hash-partition by doc BEFORE a WIDE aggregation — adaptively.
+    *
+    * Left to its own devices Spark plans partial→shuffle→final, and the
+    * partial output is the shuffle payload: with ~2 shingles of a doc per
+    * input partition, each (doc, partition) emits one wide partial row
+    * (~520 B at 64 minima) where the raw rows it summarizes are ~30 B —
+    * map-side combine inflates this particular shuffle up to ~18× (it sank
+    * the sf100 run: >80 GB of partial rows vs ~6 GB raw; SCALING.md §r15).
+    * Repartitioning first makes the shuffle carry the raw 16-byte
+    * (doc, sid) rows and the partial+final aggregates fuse into the
+    * post-shuffle stage, so the wide rows never hit disk.
+    *
+    * But the pre-shuffle is pure cost at small inputs: the extra stage
+    * barrier (~0.3–1 s of scheduling + materialization) outweighs shuffle
+    * bytes that fit the page cache either way — r15 paid +50% on
+    * `q_dedup_components` at sf0.1 for a fix that only matters from
+    * roughly sf10 up. Decide from plan statistics (no job): repartition
+    * when the estimated input size reaches the threshold
+    * (`spark.graft.wideagg.repartBytes` conf, or env
+    * `SPARK_GRAFT_WIDEAGG_REPART_BYTES`). The estimate Catalyst propagates
+    * through the shingle projection is ~0.3× the compressed parquet bytes
+    * (measured: 170 KB at sf0.1, 2.0 MB at sf1, 21 MB at sf10), so the
+    * default of 8 MB lands between the sf1 and sf10 trees — i.e. skip
+    * where the r15 bench paid, keep from the tier where inflation is
+    * multi-GB. Eagerly-checkpointed inputs (incl. streaming micro-batch
+    * state) report their ACTUAL materialized size, so small batches skip
+    * too; a genuinely unknown plan reports the `defaultSizeInBytes`
+    * sentinel and chooses repartition — the safe side at scale.
+    * `spark.graft.wideagg.repart` / `SPARK_GRAFT_WIDEAGG_REPART` = `1`|`0`
+    * forces either plan. */
+  private def partitionForWideAgg(ids: DataFrame): DataFrame = {
+    def knob(confKey: String, envKey: String): Option[String] =
+      ids.sparkSession.conf.getOption(confKey).orElse(sys.env.get(envKey))
+    val repartition =
+      knob("spark.graft.wideagg.repart", "SPARK_GRAFT_WIDEAGG_REPART") match {
+        case Some("1") => true
+        case Some("0") => false
+        case _ =>
+          val bytes = ids.queryExecution.optimizedPlan.stats.sizeInBytes
+          val thr = knob("spark.graft.wideagg.repartBytes",
+              "SPARK_GRAFT_WIDEAGG_REPART_BYTES")
+            .map(BigInt(_)).getOrElse(BigInt(8L << 20))
+          if (sys.env.get("SPARK_GRAFT_DEBUG_STATS").contains("1"))
+            println(s"[wideagg] input stats=$bytes threshold=$thr " +
+              s"repartition=${bytes >= thr}")
+          bytes >= thr
+      }
+    if (repartition) ids.repartition(col("doc")) else ids
   }
 
   /** LSH band-signature rows (doc, band, sig) from exploded shingle ids:
@@ -592,14 +633,13 @@ object Dedup {
       .withColumn("hv", (lit(a0) * col("sid") + lit(b0)) % P)
     // single-pass: 32 conditional sums per doc (one shuffle, no ×32
     // explode). Bit k of hv via literal-shift (codegen'd shiftright).
-    // repartition-by-doc first for the same reason as
-    // [[minhashSignaturesFrom]]: with ~2 shingles per doc per partition,
-    // shuffling 32-long partial rows costs ~8× the raw (doc, hv) rows —
-    // partition first and the wide partials never hit disk.
+    // repartition-by-doc first (adaptively — see [[partitionForWideAgg]]):
+    // with ~2 shingles per doc per partition, shuffling 32-long partial
+    // rows costs ~8× the raw (doc, hv) rows at scale.
     val sums = (0 until 32).map(k =>
       sum(when(shiftright(col("hv"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$k"))
-    val agged = ids.repartition(col("doc"))
+    val agged = partitionForWideAgg(ids)
       .groupBy(col("doc")).agg(sums.head, sums.tail: _*)
     val sim = (0 until 32).map(k =>
       when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))

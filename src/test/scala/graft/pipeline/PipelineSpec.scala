@@ -96,6 +96,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive wide-agg repartition: both plan shapes agree bit-for-bit") {
+    // the signature aggregation's pre-shuffle is a plan-statistics
+    // decision (repartition when the input estimate crosses the
+    // threshold; RDD-backed plans with unknown stats always repartition).
+    // Drive BOTH shapes through the public API — scan-backed ids (tiny
+    // estimate → map-side partials) vs the same ids localCheckpoint'ed
+    // (defaultSizeInBytes sentinel → repartition-first) — and assert the
+    // verified pair sets are identical.
+    val ids = Dedup.shingleIds(docs, "doc_id", "text", 3)
+    def pairs() = Dedup.minhashLshPairsFrom(ids, 64, 16, 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    val conf = spark.conf
+    conf.set("spark.graft.wideagg.repart", "0")
+    val mapSidePartials = try pairs() finally conf.unset("spark.graft.wideagg.repart")
+    conf.set("spark.graft.wideagg.repart", "1")
+    val repartFirst = try pairs() finally conf.unset("spark.graft.wideagg.repart")
+    val auto = pairs() // tiny scan estimate → same plan as forced-0
+    assert(mapSidePartials == repartFirst && auto == repartFirst,
+      s"plan shapes diverged: $mapSidePartials vs $repartFirst vs $auto")
+    // an eagerly-checkpointed input reports its ACTUAL materialized size
+    // (not the unknown sentinel), so small streaming batches skip the
+    // pre-shuffle too
+    val cp = ids.localCheckpoint(true)
+    assert(cp.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(8L << 20))
+    assert(Dedup.minhashLshPairsFrom(cp, 64, 16, 0.5)
+      .as[(Long, Long, Long)].collect().toSet == repartFirst)
+  }
+
   test("simhash hamming 0 for exact dup, small for near dup") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
