@@ -535,9 +535,11 @@ object IncrementalAnalytics {
     * same atomic pointer move, and replays idempotently after a crash
     * (pointer behind → deterministic recompute; ahead → skip). */
   def maintainComponentsStream(spark: org.apache.spark.sql.SparkSession,
-      mutationsDir: String, stateDir: String, checkpointDir: String)
+      mutationsDir: String, stateDir: String, checkpointDir: String,
+      readOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .options(readOptions)
       .parquet(mutationsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -593,8 +595,10 @@ object IncrementalAnalytics {
     * idempotent. */
   def maintainRanksStream(spark: org.apache.spark.sql.SparkSession,
       mutationsDir: String, stateDir: String, checkpointDir: String,
-      iterations: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+      iterations: Int, readOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(graft.core.Tables.mutationsSchema)
+      .options(readOptions)
       .parquet(mutationsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -48,9 +48,20 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingNearDedup {
 
-  /** Shingle/LSH parameters, matching [[Dedup.minhashLshPairs]] defaults. */
+  /** Shingle/LSH parameters, matching [[Dedup.minhashLshPairs]] defaults.
+    *
+    * `waves`: like the batch pass's wave-sliced banding — process the
+    * candidate probe in `waves` sequential band groups instead of one
+    * monolithic (band, sig) join against the WHOLE at-rest index. The
+    * index is band-partitioned parquet, so a wave's filter prunes to
+    * bands/waves of the index files: the live shuffle footprint of one
+    * increment divides by `waves`, which is what keeps a micro-batch
+    * probe against a 100 TB-corpus index inside one executor tier's
+    * shuffle capacity. Results are identical for every wave count (the
+    * collision union is band-order-independent; cross-wave duplicate
+    * pairs are distinct-ed away). waves=1 recovers the single-join plan. */
   case class Params(n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, waves: Int = 1)
 
   /** The at-rest seen-index: band signatures (doc, band, sig) for candidate
     * generation and full shingle-id sets (doc, sid) for exact verification. */
@@ -85,12 +96,34 @@ object StreamingNearDedup {
         .unionByName(sigs.withColumn("__prior", lit(false)))
       case None => sigs.withColumn("__prior", lit(false))
     }
-    val cand = left.select(col("doc").as("doc_a"), col("band"), col("sig"),
-        col("__prior"))
-      .join(sigs.select(col("doc").as("doc_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("__prior") || col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val probeL = left.select(col("doc").as("doc_a"), col("band"), col("sig"),
+      col("__prior"))
+    val probeR = sigs.select(col("doc").as("doc_b"), col("band"), col("sig"))
+    def probe(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, Seq("band", "sig"))
+        .filter(col("__prior") || col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    require(p.waves >= 1 && p.waves <= p.bands,
+      s"waves (${p.waves}) must be in [1, bands=${p.bands}]")
+    val cand =
+      if (p.waves == 1) probe(probeL, probeR)
+      else {
+        // sequential band-group joins: each wave reads only its bands of
+        // the band-partitioned index (partition prune) and checkpoints its
+        // (small) pair set, so only one wave's bucket join is live at a
+        // time — the live shuffle footprint divides by `waves`
+        val waveGroups = (0 until p.bands)
+          .grouped(math.ceil(p.bands.toDouble / p.waves).toInt).toSeq
+        val waveCands = waveGroups.map { bnds =>
+          probe(probeL.filter(col("band").isin(bnds: _*)),
+              probeR.filter(col("band").isin(bnds: _*)))
+            .localCheckpoint(eager = true)
+        }
+        val merged = waveCands.reduce(_ unionByName _).distinct()
+          .localCheckpoint(eager = true)
+        waveCands.foreach(graft.core.Blocks.free)
+        merged
+      }
     // Verify on exact Jaccard over full shingle sets, restricted to docs
     // that actually appear in a candidate pair — per-batch verify cost is
     // O(candidates), not O(history).

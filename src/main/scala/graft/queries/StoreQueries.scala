@@ -488,6 +488,65 @@ object StoreQueries {
       rows.toSeq.toDF("page", "id", "name").orderBy(col("page"), col("id"))
     }),
 
+    // §2 A8/D13 serving-path scale leg 1 — bulk ingest + restart + serve:
+    // the reference's headline capacity claim ("millions of twins",
+    // README.md:35) is about the STORE, not the operator library. Ingest
+    // the whole tree's derived twin graph through importGraph (the
+    // WAL-bypassing bulk-load path, one set-wise merge per table), REOPEN
+    // query-only (a real restart — meta + models only, O(small files)),
+    // and serve per-model counts plus rel-traversal member counts from
+    // the at-rest snapshot. Runs at any sf; the ≥1M-twin wall-times live
+    // in SCALING.md (tools/StoreScale at target/sf10: 1.6 M twins).
+    "q_store_bulk_counts" -> ((s, d) => {
+      val dir = graft.core.Scratch.dir("graft_store_bulk_", d)
+      val clock = () => "2026-01-01T00:00:00Z"
+      val st = TableTwinStore.open(s, dir, clock)
+      val g = graft.graph.GraphViews.graph(s, d)
+      st.importGraph(g.twins, g.relationships)
+      val gg = TableTwinStore.openQueryOnly(s, dir, clock).graph
+      val byModel = gg.twins.groupBy(col("model_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("model").as("kind"), col("model_id").as("k"), col("n"))
+      val members = gg.relationships
+        .filter(col("relationship_name") === "located_in")
+        .groupBy(col("target_id")).agg(count(lit(1)).as("n"))
+        .select(lit("nation_members").as("kind"), col("target_id").as("k"),
+          col("n"))
+      byModel.unionByName(members).orderBy(col("kind"), col("k"))
+    }),
+
+    // Serving-path scale leg 2 — full pagination of a large result
+    // through QueryService with BOUNDED driver memory: every page is
+    // folded to a (page_no, n, min_id, max_id) summary the moment it
+    // arrives, so the driver never holds more than one page of rows no
+    // matter how many pages the corpus yields (750 pages at sf10). The
+    // oracle reconstructs the same page boundaries from the lex-sorted
+    // id list (the service sorts its pinned snapshot by all output
+    // columns), so a green row value-checks page CONTENT and boundary
+    // placement across the whole chain, reference paging semantics
+    // (Query.cs:90-120, page size 2000).
+    "q_store_paged_serve" -> ((s, d) => {
+      val dir = graft.core.Scratch.dir("graft_store_page_", d)
+      val clock = () => "2026-01-01T00:00:00Z"
+      val st = TableTwinStore.open(s, dir, clock)
+      val g = graft.graph.GraphViews.graph(s, d)
+      st.importGraph(g.twins, g.relationships)
+      val gg = TableTwinStore.openQueryOnly(s, dir, clock).graph
+      val qs = new graft.adt.QueryService(gg, None,
+        new graft.adt.SnapshotCache(), None)
+      val pageSize = 2000
+      val sums = qs.queryAll(
+        "SELECT T.$dtId AS id FROM DIGITALTWINS T " +
+          "WHERE IS_OF_MODEL(T, 'dtmi:graft:Customer;1', exact)", pageSize)
+        .zipWithIndex.map { case (p, i) =>
+          val ids = p.rows.map(r => graft.json.Json.parse(r).get("id").asText())
+          (i.toLong, ids.size.toLong, ids.min, ids.max)
+        }.toSeq
+      qs.freeAllSnapshots()
+      import s.implicits._
+      sums.toDF("page_no", "n", "min_id", "max_id").orderBy("page_no")
+    }),
+
     "q_store_roundtrip" -> ((s, d) => {
       val dir = buildRoundtripStore(s, d)
       // restart: a fresh store instance re-reads meta/models/snapshot/journal
@@ -748,6 +807,28 @@ object StoreQueries {
          |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
          |SELECT n.node, CAST(coalesce(c, 0) AS BIGINT) AS triangles
          |FROM nodes n LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin,
+
+    "q_store_bulk_counts" ->
+      """SELECT kind, k, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'model' AS kind, m AS k, n FROM (
+        |    SELECT 'dtmi:graft:Customer;1' AS m, count(*) AS n FROM customer
+        |    UNION ALL SELECT 'dtmi:graft:Supplier;1', count(*) FROM supplier
+        |    UNION ALL SELECT 'dtmi:graft:Nation;1', count(*) FROM nation
+        |    UNION ALL SELECT 'dtmi:graft:Region;1', count(*) FROM region)
+        |  UNION ALL
+        |  SELECT 'nation_members', 'N' || n_nationkey, cnt FROM (
+        |    SELECT n_nationkey, count(*) AS cnt FROM (
+        |      SELECT c_nationkey AS nk FROM customer
+        |      UNION ALL SELECT s_nationkey FROM supplier) mm
+        |    JOIN nation ON mm.nk = n_nationkey GROUP BY 1))
+        |ORDER BY kind, k""".stripMargin,
+
+    "q_store_paged_serve" ->
+      """WITH ids AS (SELECT 'C' || c_custkey AS id FROM customer),
+        |r AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM ids)
+        |SELECT rn // 2000 AS page_no, CAST(count(*) AS BIGINT) AS n,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_store_roundtrip" ->
       s"""SELECT 'N' || n_nationkey AS dt_id, '$NationModel' AS model_id,

@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Tables
 import graft.graph.TwinGraph
 
 /** Bulk storage layout + merge semantics for cluster scale — the columnar
@@ -36,13 +37,20 @@ object GraphStore {
   }
 
   def read(spark: SparkSession, dir: String): TwinGraph = {
-    // restore the canonical column order (partitionBy moves model_id last)
-    val twins = spark.read.parquet(s"$dir/twins")
+    // explicit schemas, not inference: an EMPTY table (e.g. a bulk-imported
+    // store with no models, or a twins-only graph) writes a parquet dir
+    // with no data files, and schema inference over it throws — the
+    // canonical Tables schemas make empty reads well-typed
+    // (UNABLE_TO_INFER_SCHEMA found by q_store_bulk_counts, r16).
+    // Column order restored explicitly (partitionBy moves model_id last).
+    val twins = spark.read.schema(Tables.twinsSchema)
+      .parquet(s"$dir/twins")
       .select("dt_id", "model_id", "etag", "last_update_time", "properties")
     TwinGraph(
       twins,
-      spark.read.parquet(s"$dir/relationships"),
-      spark.read.parquet(s"$dir/models"))
+      spark.read.schema(Tables.relationshipsSchema)
+        .parquet(s"$dir/relationships"),
+      spark.read.schema(Tables.modelsSchema).parquet(s"$dir/models"))
   }
 
   /** Bucketed catalog tables — the layout that makes traversal joins

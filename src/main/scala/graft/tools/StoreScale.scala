@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.graph.GraphViews
+import graft.store.TableTwinStore
+
+/** Serving-path scale measurement — the reference's "millions of twins"
+  * capacity claim (reference README.md:35) exercised against OUR store,
+  * end to end, at a tree whose derived twin graph crosses 1 M twins
+  * (target/sf10: 1.5 M customers + 100 k suppliers + nations + regions =
+  * 1.6 M twins, 1.6 M relationships):
+  *
+  *  1. bulk ingest through [[TableTwinStore.importGraph]] (set-wise merge,
+  *     never driver-resident);
+  *  2. restart (query-only reopen: meta + models, O(small files));
+  *  3. point lookups against the at-rest snapshot (sorted layout →
+  *     row-group skipping);
+  *  4. full pagination of the ≥1 M-row customer scan through
+  *     [[graft.adt.QueryService]] at the reference page size (2000),
+  *     folding each page to a summary so driver memory stays one-page
+  *     bounded;
+  *  5. a mutation batch through the interactive CRUD path + checkpoint
+  *     (journal fold into a new snapshot version).
+  *
+  * Prints one JSON line with the wall time of each leg. Usage:
+  *   SPARK_GRAFT_SF_DIR=target/sf10 sbt "runMain graft.tools.StoreScale"
+  */
+object StoreScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val lookups = sys.env.getOrElse("SPARK_GRAFT_STORE_LOOKUPS", "100").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, lookups)
+    finally spark.stop()
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def run(spark: SparkSession, sfDir: String, lookups: Int): Unit = {
+    val dir = graft.core.Scratch.dir("graft_store_scale_", sfDir)
+    val clock = () => "2026-01-01T00:00:00Z"
+    val g = GraphViews.graph(spark, sfDir)
+    val nTwins = g.twins.count()
+    val nRels = g.relationships.count()
+
+    // 1. bulk ingest
+    val st0 = TableTwinStore.open(spark, dir, clock)
+    val (_, ingestSec) = timed(st0.importGraph(g.twins, g.relationships))
+
+    // 2. restart, query-only
+    val (st, reopenSec) = timed(TableTwinStore.openQueryOnly(spark, dir, clock))
+    val gg = st.graph
+
+    // 3. point lookups: every 137th customer id (spread across the sorted
+    //    snapshot's files), one dt_id-filtered read each
+    val ids = (0 until lookups).map(i => s"C${1 + i.toLong * 137}")
+    val (hits, lookupSec) = timed(ids.count(id =>
+      gg.twins.filter(col("dt_id") === id).count() == 1))
+    require(hits == lookups, s"point lookups found $hits of $lookups")
+
+    // 4. full pagination, one-page-bounded driver
+    val qs = new graft.adt.QueryService(gg, None,
+      new graft.adt.SnapshotCache(), None)
+    val ((pages, rows), pageSec) = timed {
+      var p = 0L; var r = 0L
+      qs.queryAll(
+        "SELECT T.$dtId AS id FROM DIGITALTWINS T " +
+          "WHERE IS_OF_MODEL(T, 'dtmi:graft:Customer;1', exact)", 2000)
+        .foreach { page => p += 1; r += page.rows.size }
+      (p, r)
+    }
+    qs.freeAllSnapshots()
+
+    // 5. mutation batch + checkpoint fold on top of the bulk snapshot
+    val stRw = TableTwinStore.open(spark, dir, clock)
+    val (_, mutateSec) = timed {
+      stRw.batch {
+        (0 until 100).foreach { j =>
+          stRw.createOrReplaceRelationship(s"C${1 + j.toLong * 137}",
+            s"scale_rel_$j",
+            s"""{"$$relationshipName":"located_in","$$targetId":"N${j % 25}"}""")
+        }
+      }
+      stRw.checkpoint()
+    }
+
+    println(s"""{"tool":"store_scale","sf_dir":"$sfDir",""" +
+      s""""twins":$nTwins,"rels":$nRels,""" +
+      s""""ingest_sec":${f"$ingestSec%.1f"},""" +
+      s""""reopen_sec":${f"$reopenSec%.2f"},""" +
+      s""""lookups":$lookups,"lookup_sec":${f"$lookupSec%.1f"},""" +
+      s""""lookup_ms_each":${f"${lookupSec * 1000 / lookups}%.0f"},""" +
+      s""""pages":$pages,"paged_rows":$rows,""" +
+      s""""page_sec":${f"$pageSec%.1f"},""" +
+      s""""mutate100_checkpoint_sec":${f"$mutateSec%.1f"}}""")
+  }
+}

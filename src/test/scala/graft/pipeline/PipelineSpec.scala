@@ -929,6 +929,38 @@ class PipelineSpec extends AnyFunSuite {
       "replay must not grow the index")
   }
 
+  test("wave-sliced streaming near-dup probe drains identically to the monolith") {
+    // the per-increment candidate probe in W sequential band groups must
+    // drop exactly the docs the single-join plan drops — drain the SAME
+    // feed through both wave counts and compare survivors end-to-end
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog today"),
+      Doc(1L, "the quick brown fox jumps over the lazy dog today"),
+      Doc(2L, "completely different words about spark and scala engines"),
+      Doc(3L, "the quick brown fox jumps over the lazy cat today"),
+      Doc(4L, "completely different words about spark and scala engines"),
+      Doc(5L, "unrelated text mentioning neither animals nor engines at all"))
+    def drain(p: StreamingNearDedup.Params): Set[Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("sndw").toString
+      val input = MemoryStream[Doc]
+      val q = StreamingNearDedup.foreachBatchSink(
+        input.toDS(), s"$tmp/state", s"$tmp/out", p).start()
+      try {
+        input.addData(corpus(0), corpus(1), corpus(2)); q.processAllAvailable()
+        input.addData(corpus(3), corpus(4)); q.processAllAvailable()
+        input.addData(corpus(5)); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$tmp/out").select("doc_id").as[Long].collect().toSet
+    }
+    val mono = drain(StreamingNearDedup.Params())
+    val waved = drain(StreamingNearDedup.Params(waves = 4))
+    assert(mono == waved, s"waves=4 diverged: $waved vs $mono")
+    assert(mono == Set(0L, 2L, 5L))
+  }
+
   test("near-dup replay of a half-committed batch reproduces the clean run") {
     // The failure the commit protocol must survive: batch 1's first attempt
     // dies AFTER writing its shingles (and after the committer created the
