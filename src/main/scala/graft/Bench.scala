@@ -220,7 +220,13 @@ object Bench {
           s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${missing.mkString(",")}")
         names.map(n => n -> SparkEntry.queries(n)).toMap
     }
-    val runs = gateSet.map { case (name, fn) =>
+    // Deterministic name-sorted run order. gateSet is a hash Map: its
+    // iteration order reshuffles wholesale whenever a gate is ADDED, so
+    // round-over-round per-gate comparisons silently compared different
+    // JVM/GC/page-cache states — the r15 "drift" on job-count-bound gates
+    // tracked exactly this (r16 autopsy, SCALING.md). Sorted order makes
+    // each gate's predecessor stable across rounds.
+    val runs = gateSet.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A query only counts as failed when NO attempt succeeded: if
       // attempt 0 timed and attempt 1 threw, the valid timing stands.
       val (best, err, samples, noisy) = BenchNoise.sampleQuery(() => {

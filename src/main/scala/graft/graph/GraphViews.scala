@@ -112,6 +112,49 @@ object GraphViews {
       .withColumn("properties", lit("{}"))
   }
 
+  /** Rewrite view-shaped twin rows (bare `{props...}` in `properties`)
+    * into the STORE's canonical form, where `properties` holds the FULL
+    * twin document (`$dtId` + `$metadata` + `$etag` + properties at top
+    * level) — the shape every CRUD fault-in and journal fold parses.
+    * The envelope is built with `to_json(struct(...))` so ids/timestamps
+    * are JSON-escaped correctly; the props object (already valid JSON,
+    * emitted by this object's `to_json`) is spliced in textually. Use
+    * before [[graft.store.TableTwinStore.importGraph]] when bulk-loading
+    * a derived view. */
+  def storeCanonicalTwins(twins: DataFrame): DataFrame = {
+    val envelope = to_json(struct(
+      col("dt_id").as("$dtId"),
+      struct(col("model_id").as("$model"),
+        col("last_update_time").as("$lastUpdateTime")).as("$metadata"),
+      col("etag").as("$etag")))
+    val doc = when(col("properties").isNull || col("properties") === "{}",
+        envelope)
+      .otherwise(concat(
+        expr("substring(__env, 1, length(__env) - 1)"),
+        lit(","), expr("substring(properties, 2)")))
+    twins.withColumn("__env", envelope)
+      .withColumn("properties", doc).drop("__env")
+  }
+
+  /** Store-canonical relationship rows: `properties` becomes the full
+    * relationship document (`$relationshipId`/`$sourceId`/`$targetId`/
+    * `$relationshipName` + properties). Companion of
+    * [[storeCanonicalTwins]] for bulk imports. */
+  def storeCanonicalRels(rels: DataFrame): DataFrame = {
+    val envelope = to_json(struct(
+      col("relationship_id").as("$relationshipId"),
+      col("source_id").as("$sourceId"),
+      col("target_id").as("$targetId"),
+      col("relationship_name").as("$relationshipName")))
+    val doc = when(col("properties").isNull || col("properties") === "{}",
+        envelope)
+      .otherwise(concat(
+        expr("substring(__env, 1, length(__env) - 1)"),
+        lit(","), expr("substring(properties, 2)")))
+    rels.withColumn("__env", envelope)
+      .withColumn("properties", doc).drop("__env")
+  }
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), TwinGraph]()
 

@@ -502,7 +502,9 @@ object StoreQueries {
       val clock = () => "2026-01-01T00:00:00Z"
       val st = TableTwinStore.open(s, dir, clock)
       val g = graft.graph.GraphViews.graph(s, d)
-      st.importGraph(g.twins, g.relationships)
+      st.importGraph(
+        graft.graph.GraphViews.storeCanonicalTwins(g.twins),
+        graft.graph.GraphViews.storeCanonicalRels(g.relationships))
       val gg = TableTwinStore.openQueryOnly(s, dir, clock).graph
       val byModel = gg.twins.groupBy(col("model_id"))
         .agg(count(lit(1)).as("n"))
@@ -530,7 +532,9 @@ object StoreQueries {
       val clock = () => "2026-01-01T00:00:00Z"
       val st = TableTwinStore.open(s, dir, clock)
       val g = graft.graph.GraphViews.graph(s, d)
-      st.importGraph(g.twins, g.relationships)
+      st.importGraph(
+        graft.graph.GraphViews.storeCanonicalTwins(g.twins),
+        graft.graph.GraphViews.storeCanonicalRels(g.relationships))
       val gg = TableTwinStore.openQueryOnly(s, dir, clock).graph
       val qs = new graft.adt.QueryService(gg, None,
         new graft.adt.SnapshotCache(), None)

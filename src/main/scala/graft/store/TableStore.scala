@@ -694,6 +694,20 @@ final class TableTwinStore private (
     * same pattern as pre-retention pruning) instead of silently folding a
     * pre-import base into a state that omits the bulk-loaded data. */
   def importGraph(twins: DataFrame, relationships: DataFrame): Unit = {
+    // Canonical-form probe (one row, not a scan): the snapshot's
+    // `properties` column must hold the FULL twin document — every CRUD
+    // fault-in and journal fold parses `$dtId`/`$metadata` out of it. A
+    // bulk import of view-shaped rows (bare props objects) would pass
+    // every graph-path read and then break the first interactive write
+    // that faults an imported key in. Fail here, loudly, instead.
+    twins.select("properties").limit(1).collect().headOption.foreach { r =>
+      val d = Json.parse(r.getString(0))
+      if (d.get("$dtId") == null || d.get("$metadata") == null)
+        throw StoreException(400, "importGraph twins must carry FULL twin " +
+          "documents in `properties` ($dtId + $metadata + props at top " +
+          "level) — wrap view-shaped frames with " +
+          "GraphViews.storeCanonicalTwins/storeCanonicalRels first")
+    }
     checkpoint() // journal tail first, so the bulk merge sees current state
     val (t0, r0) = snapshotFrames
     val newVersion = version + 1

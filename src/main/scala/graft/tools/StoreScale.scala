@@ -58,7 +58,9 @@ object StoreScale {
 
     // 1. bulk ingest
     val st0 = TableTwinStore.open(spark, dir, clock)
-    val (_, ingestSec) = timed(st0.importGraph(g.twins, g.relationships))
+    val (_, ingestSec) = timed(st0.importGraph(
+      graft.graph.GraphViews.storeCanonicalTwins(g.twins),
+      graft.graph.GraphViews.storeCanonicalRels(g.relationships)))
 
     // 2. restart, query-only
     val (st, reopenSec) = timed(TableTwinStore.openQueryOnly(spark, dir, clock))

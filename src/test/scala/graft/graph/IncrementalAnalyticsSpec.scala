@@ -862,4 +862,66 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     assert(vs.toSeq == Seq("v1", "v2"),
       s"stale state versions not pruned to {committed-1, committed}: ${vs.toSeq}")
   }
+
+  test("maintainer SLO: 50 batches, bounded files and bounded latency drift") {
+    // The steady-state contract a platform operator relies on: after 50
+    // consecutive mutation batches through ONE long-lived maintainer
+    // query (maxFilesPerTrigger=1 slices one committed file per trigger),
+    // (a) the pointer reached batch 50, (b) exactly TWO versions are
+    // retained ({committed-1, committed}), (c) every retained leaf table
+    // holds a bounded file count (compaction hygiene — without it each
+    // version fragments by join topology and listings grow per commit),
+    // and (d) per-batch latency does NOT grow with batch index: state is
+    // pruned + compacted each commit, so batch ~50 folds against the
+    // same-shaped state as batch ~5. Bound is 3x medians — a leak that
+    // accumulates files or versions blows far past that over 45 batches.
+    val dir = java.nio.file.Files.createTempDirectory("graft-slo-spec").toString
+    val mutDir = s"$dir/mutations"
+    val stateDir = s"$dir/state"
+    new java.io.File(stateDir).mkdirs()
+    val base = rels(("r1", "a", "b"), ("r2", "b", "c"), ("r3", "c", "d"),
+      ("r4", "x", "y"))
+    val baseComp = TwinGraph(twinsOf(base), base,
+      spark.emptyDataFrame).components()
+    IncrementalAnalytics.initComponentsState(stateDir, baseComp, base)
+    // batch i: create edge d->z{i}, delete edge d->z{i-1} — constant-size
+    // graph, fresh cone each batch; one coalesced file per batch so the
+    // file-source slices exactly 50 triggers
+    for (i <- 1 to 50) {
+      val rows = Seq((i * 2L - 1, "C", s"rz$i", "d", s"z$i")) ++
+        (if (i > 1) Seq((i * 2L, "D", s"rz${i - 1}", "d", s"z${i - 1}"))
+         else Nil)
+      muts(rows: _*).coalesce(1).write.mode("append").parquet(mutDir)
+    }
+    val q = IncrementalAnalytics.maintainComponentsStream(
+      spark, mutDir, stateDir, s"$dir/cp", Map("maxFilesPerTrigger" -> "1"))
+    q.awaitTermination(600000)
+    val lat = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.durationMs.get("triggerExecution").toLong))
+      .sortBy(_._1).map(_._2)
+    assert(lat.size == 50, s"expected 50 non-empty triggers, got ${lat.size}")
+    // (a) all 50 committed; final state correct: z50 joined to the chain,
+    // z1..z49 edge-less but their twins never deleted — singletons (the
+    // same universe a batch recompute over the surviving twins yields)
+    val fin = compMap(IncrementalAnalytics.currentComponents(spark, stateDir))
+    assert(fin("z50") == fin("a"), s"final: $fin")
+    assert(fin("z49") == "z49" && fin("z1") == "z1", s"final: $fin")
+    // (b) two retained versions
+    val vs = new java.io.File(stateDir).list().filter(_.startsWith("v")).sorted
+    assert(vs.toSeq == Seq("v49", "v50"), s"retained: ${vs.toSeq}")
+    // (c) bounded files per leaf table (compacted: tiny tables => few files)
+    for (v <- vs; leaf <- Seq("components", "rels")) {
+      val n = Option(new java.io.File(s"$stateDir/$v/$leaf").listFiles())
+        .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
+        .getOrElse(0)
+      assert(n >= 1 && n <= 8, s"$v/$leaf fragmented to $n files")
+    }
+    // (d) no monotone latency growth across the run
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val early = median(lat.slice(2, 12))
+    val late = median(lat.takeRight(10))
+    assert(late <= early * 3,
+      s"per-batch latency drifted: early median ${early}ms -> late median " +
+        s"${late}ms over ${lat.size} batches (${lat.mkString(",")})")
+  }
 }
