@@ -434,9 +434,26 @@ final class AdtPlanner(graph: TwinGraph) {
     if (!srcBound && !dstBound) throw new AdtPlanException(
       s"EXISTS pattern must reference at least one bound node: " +
         s"(${edge.src})-->(${edge.dst})")
-    var rels0 =
-      if (edge.relNames.isEmpty) graph.relationships
-      else graph.relationships.filter(col("relationship_name").isin(edge.relNames: _*))
+    // VLE inside EXISTS (AGE executes these; loud error until r16): the
+    // probe becomes the (start, end) reachability-pair frame of the same
+    // Vle.range expansion a MATCH-based VLE plans — the semi/anti join
+    // the callers add is unchanged. Endpoint property maps still
+    // constrain the probe (they semi-join on the PATH endpoints); a
+    // rel-document predicate is meaningless across a multi-hop path and
+    // stays rejected at parse (VLE + inline map).
+    var rels0 = edge.vle match {
+      case Some((lo, hi)) =>
+        val nodes =
+          if (lo == 0) Some(graph.twins.select(col("dt_id"))) else None
+        graft.graph.Vle.range(graph.relationships, lo, hi, edge.relNames,
+            nodes)
+          .select(col("start_id").as("source_id"),
+            col("end_id").as("target_id"))
+      case None =>
+        if (edge.relNames.isEmpty) graph.relationships
+        else graph.relationships.filter(
+          col("relationship_name").isin(edge.relNames: _*))
+    }
     edge.optWhere.toList.flatMap(conjuncts).foreach { pred =>
       val alias = pred match {
         case Cmp(_, PropRef(Some(a), _), _) => a

@@ -736,12 +736,9 @@ object CypherParser {
         // them on the edge; the planner folds them into the probe scan
         val mapFilters = propFilters.drop(before).toList
         propFilters.remove(before, propFilters.size - before)
-        // VLE stays a loud error: an EXISTS probe is a single (semi-)join
-        // against the relationship scan, while a VLE needs a per-row
-        // fixpoint expansion — silently planning the 1-hop approximation
-        // would answer a different query
-        if (edge.vle.isDefined) throw new AdtParseException(
-          "variable-length edges inside EXISTS patterns are not supported")
+        // VLE inside EXISTS plans as a reachability-pair probe (the same
+        // Vle.range expansion a MATCH VLE uses) + the standard semi/anti
+        // join — lifted in r16; see AdtPlanner.existsProbe
         return ExistsPattern(edge.copy(optWhere = mapFilters.reduceOption(And)))
       }
       // any/all/none/single(x IN src WHERE p) list predicates — desugared

@@ -182,6 +182,20 @@ object AdtLangQueries {
           concat_ws(",", col("nations")).as("nations"))
     }),
 
+    // VLE inside EXISTS (lifted r16 — AGE executes these natively): the
+    // existential probe is the (start, end) reachability-pair frame of
+    // the same Vle.range expansion a MATCH VLE plans, semi-joined against
+    // the outer rows; the endpoint property map constrains the PATH END.
+    // Members that reach the region named ASIA within 1..2 hops over
+    // located_in|in_region (depth 2 = member->nation->region; depth-1
+    // paths can't hit a region). Plus the NOT variant as an anti-join.
+    "q_cypher_exists_vle" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin) WHERE m.`$metadata`.`$model` = 'dtmi:graft:Customer;1' " +
+          "AND EXISTS((m)-[:located_in|in_region*1..2]->(g:Twin {name: 'ASIA'})) " +
+          "RETURN m.`$dtId` AS id ORDER BY id")
+    }),
+
     // Numeric DISTINCT aggregates: avg/min/max/stDev over the distinct
     // value set, on a grouping where values genuinely repeat (acctbal
     // bucketed to hundreds, per nation) so avg(DISTINCT) differs from
@@ -519,6 +533,12 @@ object AdtLangQueries {
         |  FROM (SELECT DISTINCT region_id, nation_id FROM m2) GROUP BY 1)
         |SELECT region_id, n_nations, n_members, nations
         |FROM agg JOIN lists USING (region_id) ORDER BY region_id""".stripMargin,
+    "q_cypher_exists_vle" ->
+      """SELECT 'C' || c_custkey AS id
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY id""".stripMargin,
     "q_cypher_avg_distinct" ->
       """WITH m2 AS (
         |  SELECT 'N' || c_nationkey AS nation_id,

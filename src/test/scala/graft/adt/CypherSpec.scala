@@ -404,6 +404,34 @@ class CypherSpec extends AnyFunSuite {
       !dropped.columns.exists(_.startsWith("__")))
   }
 
+  test("VLE inside EXISTS: reachability-pair probe, all range shapes") {
+    // orbits: moon1->earth->sun, kepler->sun. Reach the sun (mass map
+    // constrains the PATH END) within 1..2 hops: earth(1), kepler(1),
+    // moon1(2)
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)-[:orbits*1..2]->(x {mass: 1.989e30})) RETURN t") == 3)
+    // exact depth 2: only moon1
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)-[:orbits*2..2]->(x {mass: 1.989e30})) RETURN t") == 1)
+    // zero-lo includes the self-pair: sun itself at depth 0
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)-[:orbits*0..1]->(x {mass: 1.989e30})) RETURN t") == 3)
+    // NOT EXISTS = anti-join over the same pair frame: only the sun
+    // cannot reach itself via 1..2 orbit hops... and moon1/earth/kepler CAN
+    assert(count("MATCH (t:Twin) WHERE " +
+      "NOT EXISTS((t)-[:orbits*1..2]->(x {mass: 1.989e30})) RETURN t") == 1)
+    // unbounded '*' (default cap) and multi-name disjunction
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)-[:orbits|satellites*]->(x {mass: 1.989e30})) RETURN t") == 3)
+    // marker-join path (EXISTS under OR) with a VLE probe
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)-[:orbits*1..2]->(x {mass: 1.989e30})) OR t.name = 'Sun' " +
+      "RETURN t") == 4)
+    // reverse arrow: who is VLE-reachable FROM moon1 in 1..2 hops
+    assert(count("MATCH (t:Twin) WHERE " +
+      "EXISTS((t)<-[:orbits*1..2]-(x {mass: 7.34e22})) RETURN t") == 2)
+  }
+
   test("EXISTS under OR/NOT plans as a no-fan-out marker join") {
     // orbits sources = {moon1, earth, kepler}; OR adds sun → all 4
     assert(count(
