@@ -61,13 +61,14 @@ object CypherParser {
       case Ident(s) => checkNotReserved(s)
       case t => throw new AdtParseException(s"expected identifier, found $t")
     }
-    /** User identifiers may not collide with the internal anonymous-node
-      * prefix: RETURN * (and other places) filter `__cnode*` as
-      * planner-internal, so a user binding with that name would be
-      * silently dropped instead of projected — reject it at parse time. */
+    /** User identifiers may not collide with the internal anonymous
+      * prefixes: RETURN * (and other places) filter `__cnode*`/`__rel*`/
+      * `__srel*` as planner-internal, so a user binding with such a name
+      * would be silently dropped instead of projected — reject at parse. */
     private def checkNotReserved(s: String): String =
-      if (s.startsWith("__cnode")) throw new AdtParseException(
-        s"identifier '$s' uses the reserved internal prefix __cnode")
+      if (s.startsWith("__cnode") || s.startsWith("__rel") ||
+          s.startsWith("__srel")) throw new AdtParseException(
+        s"identifier '$s' uses a reserved internal prefix (__cnode/__rel/__srel)")
       else s
 
     private var anon = 0
@@ -180,7 +181,9 @@ object CypherParser {
         edges.foreach { e =>
           Seq(e.src, e.dst).filterNot(_.startsWith("__cnode"))
             .foreach(named += _)
-          e.relAlias.foreach(named += _)
+          // synthesized map aliases (__srelmap$n) are internal — a user
+          // never named them, so the star must not project them
+          e.relAlias.filterNot(_.startsWith("__")).foreach(named += _)
         }
         if (named.isEmpty) throw new AdtParseException(
           "RETURN * with no named bindings in the pattern")
@@ -351,7 +354,7 @@ object CypherParser {
     private def parseRelBody(): (Option[String], List[String], Option[(Int, Int)]) = {
       expectSym("[")
       val alias = cur match {
-        case Ident(s) => pos += 1; Some(s)
+        case Ident(s) => pos += 1; Some(checkNotReserved(s))
         case _ => None
       }
       val names = collection.mutable.ListBuffer[String]()
@@ -380,15 +383,17 @@ object CypherParser {
       }
       // inline relationship property map `[r:name {k: v}]` — lowered to
       // equality predicates on the rel alias, exactly like node maps
-      // (openCypher pattern-map semantics). The alias is required: the
-      // anonymous-rel aliases are planner-internal (`__rel$i`, assigned
-      // at plan time), so there is nothing stable to hang the predicate
-      // on at parse time — stay loud instead of inventing a binding that
-      // RETURN * would then leak.
+      // (openCypher pattern-map semantics). An ANONYMOUS rel with a map
+      // (`[:name {k: v}]`, AGE-legal) gets a parse-time internal alias
+      // (`__srelmap$n`) to hang the predicates on — internal prefixes are
+      // reserved at the identifier level and filtered from every RETURN *
+      // expansion, so the synthesized binding cannot leak (r16; the prior
+      // loud error predated that filtering).
+      var outAlias = alias
       if (cur == Sym("{")) {
-        val a = alias.getOrElse(throw new AdtParseException(
-          "a property map on a relationship requires a rel alias " +
-            "(`[r:name {k: v}]`)"))
+        val a = alias.getOrElse { anon += 1; s"__srelmap$anon" }
+        outAlias = Some(a) // the synthesized binding must BE the edge's
+                           // rel alias, or the predicates resolve nothing
         if (vle.isDefined) throw new AdtParseException(
           "a property map on a variable-length edge is not supported " +
             "(the alias binds a path's edge SET, not one relationship)")
@@ -404,7 +409,7 @@ object CypherParser {
         expectSym("}")
       }
       expectSym("]")
-      (alias, names.toList, vle)
+      (outAlias, names.toList, vle)
     }
 
     private val aggFns = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",

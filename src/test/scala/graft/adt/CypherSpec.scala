@@ -351,9 +351,23 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Twin)-[r:satellites {Distance: 384400.0}]->(b:Twin) RETURN a") == 1)
     assert(count(
       "MATCH (a:Twin)-[r:satellites {Distance: 99.0}]->(b:Twin) RETURN a") == 0)
-    // anonymous rel + map stays a loud parse error (no stable binding)
+    // anonymous rel + map (AGE-legal, lifted r16): a parse-time internal
+    // alias carries the predicates; semantics identical to the aliased form
+    assert(count(
+      "MATCH (a:Twin)-[:satellites {Distance: 384400.0}]->(b:Twin) RETURN a") == 1)
+    assert(count(
+      "MATCH (a:Twin)-[:satellites {Distance: 1.0}]->(b:Twin) RETURN a") == 0)
+    // ...and the synthesized binding never leaks into RETURN *
+    val star = planner.run(
+      "MATCH (a:Twin)-[:satellites {Distance: 384400.0}]->(b:Twin) RETURN *")
+    assert(!star.columns.exists(_.startsWith("__")), star.columns.mkString(","))
+    assert(star.columns.contains("a_dt_id") && star.columns.contains("b_dt_id"))
+    // anonymous rel map inside EXISTS too
+    assert(count(
+      "MATCH (t:Twin) WHERE EXISTS((t)-[:satellites {Distance: 384400.0}]->(x)) RETURN t") == 1)
+    // the internal prefixes are reserved at the identifier level
     assertThrows[AdtParseException](planner.run(
-      "MATCH (a:Twin)-[:satellites {Distance: 1.0}]->(b:Twin) RETURN a"))
+      "MATCH (a:Twin)-[__srel9:orbits]->(b:Twin) RETURN a"))
     // VLE + map stays a loud parse error (alias binds an edge SET)
     assertThrows[AdtParseException](planner.run(
       "MATCH (a:Twin)-[r:orbits*1..2 {w: 1}]->(b:Twin) RETURN a"))
