@@ -13,6 +13,18 @@ package graft.adt
   *     [JOIN tgt RELATED src.relName [relAlias]]...
   *     [WHERE expr]
   */
+/** The planner's internal anonymous-alias namespace, shared by the parse-
+  * time reservation check and the plan-time RETURN-* filter so the two
+  * stay in lockstep. Internal shapes are exactly `__cnode<n>` (anonymous
+  * pattern nodes), `__rel<n>` / `__srel<n>_<m>` (un-aliased
+  * relationships), and `__srelmap<n>` (anonymous-rel property maps) — a
+  * digit always follows the prefix, so previously-legal user identifiers
+  * like `__related` or `__srelevant` are NOT reserved. */
+object InternalAlias {
+  private val Shape = "__(?:cnode|srelmap|srel|rel)\\d.*".r
+  def is(s: String): Boolean = Shape.pattern.matcher(s).matches()
+}
+
 sealed trait SelectItem
 case object SelectStar extends SelectItem
 case object SelectCount extends SelectItem

@@ -209,8 +209,7 @@ final class AdtPlanner(graph: TwinGraph) {
               s"RETURN * with path variable(s) ${scope.paths.keys.mkString(", ")} " +
                 "in scope is not supported; RETURN the path explicitly")
             val named = (scope.twins ++ scope.rels)
-              .filterNot(a => a.startsWith("__cnode") || a.startsWith("__rel") ||
-                a.startsWith("__srel"))
+              .filterNot(InternalAlias.is)
             named.toSeq.sorted.flatMap(a => entityCols(df1, a)) ++
               scope.flat.toSeq.sorted.map(col)
           case SelectEntity(a) if scope.twins(a) || scope.rels(a) =>
@@ -354,15 +353,19 @@ final class AdtPlanner(graph: TwinGraph) {
       case ("PERCENTILECONT", true) =>
         val q = a.param.getOrElse(
           throw new AdtPlanException("percentileCont needs a quantile"))
-        // linear interpolation at rank q·(n−1) over the sorted distinct set
+        // linear interpolation at rank q·(n−1) over the sorted distinct set.
+        // n == 0 (all values null/non-numeric): answer null like
+        // distinctStddev / PERCENTILEDISC — rank would be −q, lo −1, and
+        // try_element_at(arr, 0) ANSI-crashes rather than suppressing.
         val arr = sort_array(collect_set(num.get))
         val n = size(arr)
         val rank = lit(q) * (n - lit(1)).cast("double")
         val lo = floor(rank).cast("int")
         val frac = rank - lo.cast("double")
-        val vLo = try_element_at(arr, lo + lit(1))
-        val vHi = try_element_at(arr, least(lo + lit(2), n))
-        vLo + (vHi - vLo) * frac
+        val vLo = try_element_at(arr, greatest(lo + lit(1), lit(1)))
+        val vHi = try_element_at(arr, least(greatest(lo + lit(2), lit(1)), n))
+        when(n === 0, lit(null).cast("double"))
+          .otherwise(vLo + (vHi - vLo) * frac)
       case (fn, _) => throw new AdtPlanException(s"unknown aggregate $fn")
     }
     c.as(a.as.getOrElse(a.fn))

@@ -62,13 +62,15 @@ object CypherParser {
       case t => throw new AdtParseException(s"expected identifier, found $t")
     }
     /** User identifiers may not collide with the internal anonymous
-      * prefixes: RETURN * (and other places) filter `__cnode*`/`__rel*`/
-      * `__srel*` as planner-internal, so a user binding with such a name
-      * would be silently dropped instead of projected — reject at parse. */
+      * namespace: RETURN * (and other places) filter [[InternalAlias]]
+      * shapes as planner-internal, so a user binding with such a name
+      * would be silently dropped instead of projected — reject at parse.
+      * Scoped to the exact shapes (prefix + digit), so identifiers like
+      * `__related` stay legal. */
     private def checkNotReserved(s: String): String =
-      if (s.startsWith("__cnode") || s.startsWith("__rel") ||
-          s.startsWith("__srel")) throw new AdtParseException(
-        s"identifier '$s' uses a reserved internal prefix (__cnode/__rel/__srel)")
+      if (InternalAlias.is(s)) throw new AdtParseException(
+        s"identifier '$s' matches a reserved internal alias shape " +
+          "(__cnode<n>/__rel<n>/__srel<n>/__srelmap<n>)")
       else s
 
     private var anon = 0
@@ -177,13 +179,13 @@ object CypherParser {
         if (edges.exists(_.pathAlias.isDefined)) throw new AdtParseException(
           "RETURN * with a path variable is not supported; RETURN the path explicitly")
         val named = collection.mutable.LinkedHashSet[String]()
-        loneNodes.filterNot(_.startsWith("__cnode")).foreach(named += _)
+        loneNodes.filterNot(InternalAlias.is).foreach(named += _)
         edges.foreach { e =>
-          Seq(e.src, e.dst).filterNot(_.startsWith("__cnode"))
-            .foreach(named += _)
-          // synthesized map aliases (__srelmap$n) are internal — a user
-          // never named them, so the star must not project them
-          e.relAlias.filterNot(_.startsWith("__")).foreach(named += _)
+          Seq(e.src, e.dst).filterNot(InternalAlias.is).foreach(named += _)
+          // synthesized aliases (__rel$i/__srelmap$n) are internal — a
+          // user never named them, so the star must not project them;
+          // exact-shape matching keeps e.g. `__srelevant` projectable
+          e.relAlias.filterNot(InternalAlias.is).foreach(named += _)
         }
         if (named.isEmpty) throw new AdtParseException(
           "RETURN * with no named bindings in the pattern")

@@ -314,13 +314,17 @@ object Dedup {
         .distinct()
         .localCheckpoint(eager = true)
       // checkpointing c cuts the lineage to this wave's bucket-join
-      // shuffle; ContextCleaner reclaims its temp files once the upstream
-      // frames are freed below. A full System.gc() here would be a
-      // stop-the-world pause inflicted on every co-tenant of the JVM for a
-      // only-probabilistic cleaner nudge — offer it strictly opt-in for
-      // single-purpose batch hosts that are genuinely shuffle-disk-bound.
+      // shuffle, but ContextCleaner only reclaims the shuffle files after
+      // a GC collects the dropped ShuffleDependency (or the ~30-min
+      // periodic GC fires) — without a collection, a multi-wave run
+      // accumulates ALL waves' shuffle files, defeating the disk bound
+      // waving exists to provide. So in multi-wave runs the GC nudge is ON
+      // by default (a caller who asked for waves>1 declared themselves
+      // shuffle-disk-bound; the pause is the lesser evil); opt out with
+      // SPARK_GRAFT_LSH_GC=0 on latency-sensitive co-tenanted JVMs, or
+      // lower spark.cleaner.periodicGC.interval session-wide instead.
       if (waveGroups.size > 1 &&
-          sys.env.get("SPARK_GRAFT_LSH_GC").contains("1")) System.gc()
+          !sys.env.get("SPARK_GRAFT_LSH_GC").contains("0")) System.gc()
       c
     }
     val candidates =

@@ -701,13 +701,36 @@ final class TableTwinStore private (
     // every graph-path read and then break the first interactive write
     // that faults an imported key in. Fail here, loudly, instead.
     twins.select("properties").limit(1).collect().headOption.foreach { r =>
-      val d = Json.parse(r.getString(0))
+      val raw = r.getString(0)
+      if (raw == null)
+        throw StoreException(400, "importGraph twins carry a NULL " +
+          "`properties` document — every row must hold the full twin JSON")
+      val d = Json.parse(raw)
       if (d.get("$dtId") == null || d.get("$metadata") == null)
         throw StoreException(400, "importGraph twins must carry FULL twin " +
           "documents in `properties` ($dtId + $metadata + props at top " +
           "level) — wrap view-shaped frames with " +
           "GraphViews.storeCanonicalTwins/storeCanonicalRels first")
     }
+    // Same one-row probe on the relationship side: view-shaped rel rows
+    // (bare props missing $relationshipId/$sourceId/$targetId) pass every
+    // graph read but break the first relationship fault-in.
+    relationships.select("properties").limit(1).collect().headOption
+      .foreach { r =>
+        val raw = r.getString(0)
+        if (raw == null)
+          throw StoreException(400, "importGraph relationships carry a " +
+            "NULL `properties` document — every row must hold the full " +
+            "relationship JSON")
+        val d = Json.parse(raw)
+        if (d.get("$relationshipId") == null || d.get("$sourceId") == null ||
+            d.get("$targetId") == null)
+          throw StoreException(400, "importGraph relationships must carry " +
+            "FULL relationship documents in `properties` ($relationshipId " +
+            "+ $sourceId + $targetId + $relationshipName at top level) — " +
+            "wrap view-shaped frames with GraphViews.storeCanonicalRels " +
+            "first")
+      }
     checkpoint() // journal tail first, so the bulk merge sees current state
     val (t0, r0) = snapshotFrames
     val newVersion = version + 1

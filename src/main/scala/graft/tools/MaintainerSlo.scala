@@ -38,6 +38,11 @@ object MaintainerSlo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress is a ring buffer (default 100 entries); the
+      // early-median window lat.slice(2,12) needs batch 2..11 to still be
+      // present after the run, so retain every batch's progress event
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(batches * 2 + 16, 100))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, sfDir, batches, mutsPerBatch, iterations)

@@ -368,6 +368,15 @@ class CypherSpec extends AnyFunSuite {
     // the internal prefixes are reserved at the identifier level
     assertThrows[AdtParseException](planner.run(
       "MATCH (a:Twin)-[__srel9:orbits]->(b:Twin) RETURN a"))
+    assertThrows[AdtParseException](planner.run(
+      "MATCH (a:Twin)-[__srelmap2:orbits]->(b:Twin) RETURN a"))
+    // ...but the reservation is scoped to the EXACT internal shapes
+    // (prefix + digit): `__related` / `__srelevant` stay legal user aliases
+    assert(count("MATCH (a:Twin)-[__related:orbits]->(b:Twin) RETURN a") == 3)
+    val legal = planner.run(
+      "MATCH (a:Twin)-[__srelevant:orbits]->(b:Twin) RETURN *")
+    assert(legal.columns.contains("__srelevant_relationship_id"),
+      legal.columns.mkString(","))
     // VLE + map stays a loud parse error (alias binds an edge SET)
     assertThrows[AdtParseException](planner.run(
       "MATCH (a:Twin)-[r:orbits*1..2 {w: 1}]->(b:Twin) RETURN a"))
@@ -558,6 +567,15 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Twin)-[r:orbits]->(b:Twin) WHERE b.`$dtId` = 'sun' " +
         "RETURN stdev(DISTINCT b.mass) AS sd").collect()(0)
     assert(one.getDouble(0) == 0.0)
+    // all-null group (missing property): every DISTINCT statistic answers
+    // null — in particular percentileCont(DISTINCT) must not ANSI-crash
+    // on try_element_at(arr, 0) when the distinct set is empty
+    val empty = planner.run(
+      "MATCH (a:Twin)-[r:orbits]->(b:Twin) " +
+        "RETURN stdev(DISTINCT b.noSuchProp) AS sd, " +
+        "percentileCont(DISTINCT b.noSuchProp, 0.5) AS pc, " +
+        "percentileDisc(DISTINCT b.noSuchProp, 0.5) AS pd").collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
   test("multiple bare MATCH bindings form a cartesian product") {

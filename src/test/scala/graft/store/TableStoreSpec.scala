@@ -215,6 +215,42 @@ class TableStoreSpec extends AnyFunSuite {
     assert(g.twins.filter(col("dt_id") === "crud1").count() == 1)
   }
 
+  test("importGraph canonical-form probe rejects view-shaped and null docs") {
+    val dir = tempDir()
+    val s = TableTwinStore.open(spark, dir, fixedClock())
+    import spark.implicits._
+    def twinsDf(doc: String) = Seq(
+        ("v1", "dtmi:bulk:Thing;1", null: String, "2026-01-01T00:00:00Z", doc))
+      .toDF("dt_id", "model_id", "etag", "last_update_time", "properties")
+    def relsDf(doc: String) = Seq(
+        ("r1", "v1", "v2", "links", null: String, doc))
+      .toDF("relationship_id", "source_id", "target_id", "relationship_name",
+        "etag", "properties")
+    val goodTwin =
+      """{"$dtId":"v1","$metadata":{"$model":"dtmi:bulk:Thing;1"},"n":1}"""
+    val goodRel = """{"$relationshipId":"r1","$sourceId":"v1",""" +
+      """"$targetId":"v2","$relationshipName":"links"}"""
+    // view-shaped twin doc (bare props, no $dtId/$metadata): loud 400
+    val e1 = intercept[StoreException](
+      s.importGraph(twinsDf("""{"n":1}"""), relsDf(goodRel)))
+    assert(e1.status == 400 && e1.msg.contains("FULL twin"), e1.msg)
+    // NULL twin doc: the intended 400, not an NPE from Json.parse(null)
+    val e2 = intercept[StoreException](
+      s.importGraph(twinsDf(null), relsDf(goodRel)))
+    assert(e2.status == 400 && e2.msg.contains("NULL"), e2.msg)
+    // view-shaped relationship doc: same loud 400 on the rel side
+    val e3 = intercept[StoreException](
+      s.importGraph(twinsDf(goodTwin), relsDf("""{"w":2}""")))
+    assert(e3.status == 400 && e3.msg.contains("FULL relationship"), e3.msg)
+    // NULL relationship doc
+    val e4 = intercept[StoreException](
+      s.importGraph(twinsDf(goodTwin), relsDf(null)))
+    assert(e4.status == 400 && e4.msg.contains("NULL"), e4.msg)
+    // canonical both sides: accepted
+    s.importGraph(twinsDf(goodTwin), relsDf(goodRel))
+    assert(s.graph.relationships.count() == 1)
+  }
+
   test("query-only open: graph reads work, CRUD/point reads guarded, checkpoint compacts") {
     val dir = tempDir()
     val s1 = TableTwinStore.open(spark, dir, fixedClock())
