@@ -42,6 +42,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JDK 17 derives file.encoding from the locale, and this container runs
+  // POSIX (= ASCII) — any String<->bytes hop that uses the default charset
+  // (e.g. the variant builder's JSON ingestion) silently mangles non-ASCII
+  // document text. Pin UTF-8 like JEP 400 does from JDK 18 on.
+  "-Dfile.encoding=UTF-8",
   // local[32] with 32-way shuffles over sf0.1 needs more Spark memory than
   // the 8g default (~4.6 GiB for storage+execution) — that evicts and
   // spills across a 60+-query session, inflating unrelated queries. 16g is

@@ -62,8 +62,26 @@ final class AdtPlanner(graph: TwinGraph) {
       case _ => ()
     }
     walk(q)
+    // RETURN * expands every surviving path as (nodes, rels, depth)
+    // columns, so a star query observes every interior
+    if (q.items.contains(SelectStar))
+      q.matches.flatMap(_.pathAlias).foreach(acc += _)
     acc.toSet
   }
+
+  /** A path binding's (nodes, rels, depth) columns — shared by the
+    * nodes()/relationships()/length() accessors and the RETURN * path
+    * expansion, so their semantics can't drift. */
+  private def pathCols(pb: PathBinding): (Column, Column, Column) =
+    if (pb.isVle) {
+      def oriented(c: Column) = if (pb.forward) c else reverse(c)
+      (oriented(col(s"${pb.rel}__node_ids")),
+        oriented(col(s"${pb.rel}__rel_ids")),
+        col(s"${pb.rel}__depth").cast("long"))
+    } else
+      (array(col(s"${pb.src}__dt_id"), col(s"${pb.dst}__dt_id")),
+        array(col(s"${pb.rel}__relationship_id")),
+        lit(1L))
 
   /** Resolution context: which aliases are twins vs relationships, the
     * default entity for unqualified properties, flat columns introduced
@@ -202,16 +220,31 @@ final class AdtPlanner(graph: TwinGraph) {
             // openCypher RETURN * covers NAMED variables only: drop
             // planner-internal anonymous aliases (__cnode from the parser,
             // __rel/__srel from un-aliased relationships) before expanding.
-            // A live path binding can't be star-projected yet — stay loud
-            // here (plan time knows the exact surviving scope; parse time
-            // could only guess whether a WITH horizon kept the path).
-            if (scope.paths.nonEmpty) throw new AdtPlanException(
-              s"RETURN * with path variable(s) ${scope.paths.keys.mkString(", ")} " +
-                "in scope is not supported; RETURN the path explicitly")
+            // A live path binding expands as its (nodes, rels, depth)
+            // columns — the value surface nodes(p)/relationships(p)/
+            // length(p) expose, which is what a path IS here (r17; the
+            // r16 loud error retired).
             val named = (scope.twins ++ scope.rels)
               .filterNot(InternalAlias.is)
+            val pathColumns = scope.paths.toSeq.sortBy(_._1).flatMap {
+              case (p, pb) =>
+                val required =
+                  if (pb.isVle) Seq(s"${pb.rel}__node_ids",
+                    s"${pb.rel}__rel_ids", s"${pb.rel}__depth")
+                  else Seq(s"${pb.src}__dt_id", s"${pb.dst}__dt_id",
+                    s"${pb.rel}__relationship_id")
+                if (!required.forall(df1.columns.contains))
+                  throw new AdtPlanException(
+                    s"RETURN * cannot project path $p: its endpoint/edge " +
+                      "columns did not survive the WITH horizon — retain " +
+                      "both endpoints or RETURN nodes()/relationships() " +
+                      "explicitly before the horizon")
+                val (n, r, d) = pathCols(pb)
+                Seq(n.as(s"${p}_nodes"), r.as(s"${p}_rels"),
+                  d.as(s"${p}_depth"))
+            }
             named.toSeq.sorted.flatMap(a => entityCols(df1, a)) ++
-              scope.flat.toSeq.sorted.map(col)
+              scope.flat.toSeq.sorted.map(col) ++ pathColumns
           case SelectEntity(a) if scope.twins(a) || scope.rels(a) =>
             entityCols(df1, a)
           case SelectEntity(p) => // bare identifier: flat column or property
@@ -430,7 +463,7 @@ final class AdtPlanner(graph: TwinGraph) {
     * for bound and unbound endpoints, because the bound-key join the
     * callers add afterwards correlates bound rows anyway. Both stay
     * single hash joins (broadcast-able filtered dimensions) at scale. */
-  private def existsProbe(scope: Scope, edge: MatchEdge)
+  private def existsProbe(scope: Scope, edge: MatchEdge, outer: DataFrame)
       : (Boolean, Boolean, DataFrame) = {
     val srcBound = scope.twins(edge.src)
     val dstBound = scope.twins(edge.dst)
@@ -444,12 +477,31 @@ final class AdtPlanner(graph: TwinGraph) {
     // constrain the probe (they semi-join on the PATH endpoints); a
     // rel-document predicate is meaningless across a multi-hop path and
     // stays rejected at parse (VLE + inline map).
+    //
+    // FRONTIER SEEDING (r17): the expansion is seeded with the OUTER
+    // frame's bound-side distinct ids — pure WHERE conjuncts are planned
+    // before EXISTS, so `outer` already carries the selective filter and
+    // the expansion does O(cone-of-the-bound-set) work instead of
+    // O(graph) (AGE executes VLE seeded from bound pattern nodes,
+    // reference Query.cs:122-129). Seeding restricts only which pairs the
+    // probe produces; the callers' semi/anti join consumes a subset of
+    // the seeded pairs, so results are unchanged — including NOT EXISTS,
+    // where a bound row reaching nothing matches no probe pair and the
+    // anti-join keeps it, exactly as with the unseeded probe.
     var rels0 = edge.vle match {
       case Some((lo, hi)) =>
         val nodes =
           if (lo == 0) Some(graph.twins.select(col("dt_id"))) else None
+        val seed =
+          if (srcBound)
+            Some(outer.select(col(s"${edge.src}__dt_id")).distinct())
+          else None
+        val tgtSeed =
+          if (!srcBound && dstBound)
+            Some(outer.select(col(s"${edge.dst}__dt_id")).distinct())
+          else None
         graft.graph.Vle.range(graph.relationships, lo, hi, edge.relNames,
-            nodes)
+            nodes, sourceDf = seed, targetDf = tgtSeed)
           .select(col("start_id").as("source_id"),
             col("end_id").as("target_id"))
       case None =>
@@ -486,7 +538,7 @@ final class AdtPlanner(graph: TwinGraph) {
 
   private def attachExistsMarker(df: DataFrame, scope: Scope, edge: MatchEdge,
       name: String): DataFrame = {
-    val (srcBound, dstBound, rels0) = existsProbe(scope, edge)
+    val (srcBound, dstBound, rels0) = existsProbe(scope, edge, df)
     val keyCols =
       (if (srcBound) Seq(col("source_id").as(s"${name}_src")) else Nil) ++
         (if (dstBound) Seq(col("target_id").as(s"${name}_dst")) else Nil)
@@ -506,7 +558,7 @@ final class AdtPlanner(graph: TwinGraph) {
     * purely existential. */
   private def planExists(df: DataFrame, scope: Scope, edge: MatchEdge,
       negated: Boolean): DataFrame = {
-    val (srcBound, dstBound, rels0) = existsProbe(scope, edge)
+    val (srcBound, dstBound, rels0) = existsProbe(scope, edge, df)
     val probe = rels0.select(col("source_id").as("__ex_src"),
       col("target_id").as("__ex_dst"))
     val conds =
@@ -638,10 +690,21 @@ final class AdtPlanner(graph: TwinGraph) {
     val entityAliases = w.items.collect {
       case SelectEntity(a) if scope.twins(a) || scope.rels(a) => a
     }
+    // VARIANT is neither groupable nor comparable, so the dual-written
+    // `__properties_v` column can't ride through a groupBy/distinct
+    // horizon — drop it here and RE-DERIVE it after (it is a pure
+    // function of the retained `properties` string; the re-parse runs
+    // once per surviving group/row, not per input row).
+    val variantEnt = entityAliases
+      .map(a => s"${a}__properties_v").filter(df.columns.contains)
     val entCols = entityAliases.flatMap { a =>
       val prefix = s"${a}__"
-      df.columns.filter(_.startsWith(prefix)).toSeq.map(col)
+      df.columns.filter(c => c.startsWith(prefix) &&
+        c != s"${prefix}properties_v").toSeq.map(col)
     }
+    def reattachVariant(d: DataFrame): DataFrame =
+      variantEnt.foldLeft(d)((acc, n) => acc.withColumn(n,
+        try_parse_json(col(n.stripSuffix("_v")))))
     val propCols = w.items.collect {
       case SelectProp(ent, path, as) =>
         val (entOpt, realPath) = resolvePropRef(ent, path, scope)
@@ -662,10 +725,12 @@ final class AdtPlanner(graph: TwinGraph) {
         val grouped =
           if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-        (grouped, propCols.map(_._1) ++ aggItems.map(a => a.as.getOrElse(a.fn)))
+        (reattachVariant(grouped),
+          propCols.map(_._1) ++ aggItems.map(a => a.as.getOrElse(a.fn)))
       } else {
         val projected = df.select(entCols ++ propCols.map(_._2): _*)
-        (if (w.distinct) projected.distinct() else projected,
+        (reattachVariant(
+            if (w.distinct) projected.distinct() else projected),
           propCols.map(_._1))
       }
 
@@ -741,6 +806,43 @@ final class AdtPlanner(graph: TwinGraph) {
         if (ids.nonEmpty) Some(ids) else None
       }
 
+      // Non-literal seed (r17): WHERE conjuncts that reference ONLY alias
+      // `a` (and contain no EXISTS pattern) compile against the bare twin
+      // scan into a distinct-id frame — a SUPERSET of the ids that can
+      // survive the final join + WHERE, so seeding the expansion with it
+      // is sound: the pairs it omits belong to rows the WHERE filter
+      // removes later anyway (including through an OPTIONAL MATCH, where
+      // the src-only predicate kills the row whether it matched or
+      // null-extended). The conjuncts are NOT consumed — they still
+      // filter the joined frame, so seeding stays a pure optimization.
+      def seedDf(a: String): Option[DataFrame] = {
+        def eligible(p: Expr): Boolean = {
+          var refs = 0
+          var ok = true
+          def walk(x: Any): Unit = x match {
+            case PropRef(ent, _) =>
+              if (ent.contains(a)) refs += 1 else ok = false
+            case _: ExistsPattern => ok = false
+            case pr: Product => pr.productIterator.foreach(walk)
+            case it: Iterable[_] => it.foreach(walk)
+            case _ =>
+          }
+          walk(p)
+          ok && refs > 0
+        }
+        val preds = q.where.toList.flatMap(conjuncts).filter(eligible)
+        if (preds.isEmpty) None
+        else Some(ns(graph.twins, a)
+          .filter(compile(preds.reduce(And), Scope(Set(a), Set.empty, a)))
+          .select(col(s"${a}__dt_id")))
+      }
+      // literal $dtId seeds win (no extra scan); else the filtered frame
+      def srcSeeds(a: String): (Option[Seq[String]], Option[DataFrame]) =
+        pointIds(a) match {
+          case some @ Some(_) => (some, None)
+          case None => (None, seedDf(a))
+        }
+
       if (edges.isEmpty) {
         // one or more bare node bindings: `MATCH (a), (b)` is a cross
         // product of independent twin scans (openCypher cartesian pattern)
@@ -794,15 +896,17 @@ final class AdtPlanner(graph: TwinGraph) {
               val nodes =
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
+              val (srcIds, srcDf) = srcSeeds(e.src)
+              val (dstIds, dstDf) = srcSeeds(e.dst)
               val enumerated =
                 if (e.shortest)
                   graft.graph.Vle.shortestPaths(graph.relationships, lo, hi,
-                    e.relNames, nodes,
-                    sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                    e.relNames, nodes, sourceIds = srcIds,
+                    targetIds = dstIds, sourceDf = srcDf, targetDf = dstDf)
                 else
                   graft.graph.Vle.trails(graph.relationships, lo, hi,
-                    e.relNames, nodes,
-                    sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                    e.relNames, nodes, sourceIds = srcIds,
+                    targetIds = dstIds, sourceDf = srcDf, targetDf = dstDf)
               ns(enumerated.select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth"),
                   col("node_ids"), col("rel_ids")), relAlias)
@@ -813,9 +917,11 @@ final class AdtPlanner(graph: TwinGraph) {
               val nodes =
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
+              val (srcIds, srcDf) = srcSeeds(e.src)
+              val (dstIds, dstDf) = srcSeeds(e.dst)
               ns(graft.graph.Vle.range(graph.relationships, lo, hi,
-                  e.relNames, nodes,
-                  sourceIds = pointIds(e.src), targetIds = pointIds(e.dst))
+                  e.relNames, nodes, sourceIds = srcIds,
+                  targetIds = dstIds, sourceDf = srcDf, targetDf = dstDf)
                 .select(col("start_id").as("source_id"),
                   col("end_id").as("target_id"), col("depth")), relAlias)
             case None =>
@@ -1376,12 +1482,32 @@ final class AdtPlanner(graph: TwinGraph) {
       case List("$targetId") if isRel => col(s"${a}__target_id")
       case List("$relationshipName") if isRel => col(s"${a}__relationship_name")
       case List("depth") if isRel => col(s"${a}__depth") // VLE pair-set column
-      case p => TwinGraph.prop(docCol(a), p)
+      case p => jsonProp(a, p)
     }
   }
 
+  /** Document property extraction. When the graph carries a pre-parsed
+    * `properties_v` variant column (GraphViews dual-writes it onto the
+    * persisted frames), property access is an O(1) `variant_get` against
+    * cached variant binary — the JSON parse was paid ONCE at cache fill.
+    * The JSON-string route re-parses the full document once PER property
+    * per operator (filters don't subexpression-eliminate, measured in
+    * Profile propscan), which at 100 TB is k full passes over the scan's
+    * heaviest column for a k-property predicate. String-rendering parity
+    * between the routes is spec-pinned (VariantPropSpec); the one
+    * divergence — whole-OBJECT extraction renders fields name-sorted —
+    * is documented there. `spark.graft.props.variant=false` forces the
+    * get_json_object route (byte-identical raw-object echo). */
+  private val variantProps: Boolean = // strict: conf read at construction
+    graph.twins.columns.contains("properties_v") &&
+      graph.relationships.columns.contains("properties_v") &&
+      graph.twins.sparkSession.conf
+        .get("spark.graft.props.variant", "true").toBoolean
   private def jsonProp(entity: String, path: List[String]): Column =
-    TwinGraph.prop(docCol(entity), path)
+    if (variantProps)
+      variant_get(col(s"${entity}__properties_v"),
+        "$" + path.map(p => s"['$p']").mkString, "string")
+    else TwinGraph.prop(docCol(entity), path)
 
   private def docCol(alias: String): Column = col(s"${alias}__properties")
 }
@@ -1397,10 +1523,14 @@ object AdtPlanner {
   def ns(df: DataFrame, alias: String): DataFrame =
     df.select(df.columns.map(c => col(c).as(s"${alias}__$c")): _*)
 
-  /** Selected entity columns, unprefixed when the entity is unambiguous. */
+  /** Selected entity columns, unprefixed when the entity is unambiguous.
+    * `properties_v` is the dual-written PARSED form of `properties` — an
+    * internal scan-layer column, never part of an entity's document
+    * surface (and its VariantType would change result schemas). */
   def entityCols(df: DataFrame, alias: String): Seq[Column] = {
     val prefix = s"${alias}__"
     df.columns.filter(_.startsWith(prefix)).toSeq
+      .filterNot(_ == s"${prefix}properties_v")
       .map(c => col(c).as(s"${alias}_${c.stripPrefix(prefix)}"))
   }
 }

@@ -173,11 +173,12 @@ object CypherParser {
           // so no guess is needed here.
           List(SelectStar)
         } else {
-        // openCypher RETURN * means ALL named variables in scope — a bound
-        // path variable silently disappearing would diverge; error loudly
-        // until path projection lands here.
-        if (edges.exists(_.pathAlias.isDefined)) throw new AdtParseException(
-          "RETURN * with a path variable is not supported; RETURN the path explicitly")
+        // A bound path variable expands in the star as its
+        // (nodes, rels, depth) columns — the planner knows the binding's
+        // shape (single edge vs VLE interior), so defer like the
+        // pipeline case does.
+        if (edges.exists(_.pathAlias.isDefined)) List(SelectStar)
+        else {
         val named = collection.mutable.LinkedHashSet[String]()
         loneNodes.filterNot(InternalAlias.is).foreach(named += _)
         edges.foreach { e =>
@@ -190,6 +191,7 @@ object CypherParser {
         if (named.isEmpty) throw new AdtParseException(
           "RETURN * with no named bindings in the pattern")
         named.toList.map(SelectEntity)
+        }
         }
       } else parseReturnItems()
       val orderBy = parseOrderBy()

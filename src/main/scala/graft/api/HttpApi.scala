@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import graft.adt.{AdtParseException, AdtPlanException, QueryService, QueryThrottledException, RateLimiter}
 import graft.jobs.{ImportJob, JobRecord, JobService}
 import graft.json.Json
-import graft.store.{StoreException, TwinStore}
+import graft.store.{DigitalTwinStore, StoreException}
 
 /** The HTTP binding — the reference's primary consumption path
   * (ApiService/Extensions/DigitalTwinsEndpoints.cs:39-66,
@@ -35,7 +35,7 @@ import graft.store.{StoreException, TwinStore}
   * query rate limiter rejects, and the query response page shape
   * `{"value":[...], "continuationToken":...}`. */
 final class HttpApi(
-    store: TwinStore,
+    store: DigitalTwinStore,
     sparkSession: () => SparkSession,
     limiter: Option[RateLimiter] = None,
     jobService: JobService = new JobService(),

@@ -168,9 +168,22 @@ object GraphViews {
   def graph(spark: SparkSession, dir: String): TwinGraph = {
     import org.apache.spark.storage.StorageLevel
     val g = memo.computeIfAbsent((spark, dir), { _ =>
+      // Dual-written variant column (r17, SURVEY §1.2/§1.3): the parsed
+      // form of `properties` rides the SAME persisted frame, so the JSON
+      // parse is paid once at cache fill — every property the planner
+      // touches afterwards is an O(1) variant_get against cached binary,
+      // where the JSON-string route re-parses the full document once PER
+      // property per operator (filters don't subexpression-eliminate, so
+      // an expression-level parse_json would re-parse k times too —
+      // measured, Profile propscan). At the 100 TB tier the same column
+      // is what a store would shred into parquet at write time.
       TwinGraph(
-        twins(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
-        relationships(spark, dir).persist(StorageLevel.MEMORY_AND_DISK),
+        twins(spark, dir)
+          .withColumn("properties_v", try_parse_json(col("properties")))
+          .persist(StorageLevel.MEMORY_AND_DISK),
+        relationships(spark, dir)
+          .withColumn("properties_v", try_parse_json(col("properties")))
+          .persist(StorageLevel.MEMORY_AND_DISK),
         models(spark))
     })
     if (g.twins.storageLevel == StorageLevel.NONE)

@@ -339,4 +339,20 @@ object TwinGraph {
     * `$`-prefixed system keys are promoted columns when available. */
   def prop(docCol: Column, path: Seq[String]): Column =
     get_json_object(docCol, "$" + path.map(p => s"['$p']").mkString)
+
+  /** Variant-backed property access (r17; SURVEY §1.2/§1.3 names
+    * VariantType as the target mapping): `parse_json` once, `variant_get`
+    * per property. A query touching k properties of one document pays ONE
+    * parse per row per operator — identical deterministic `parse_json`
+    * subtrees are subexpression-eliminated inside whole-stage codegen —
+    * where k `get_json_object`s re-parse the full document k times.
+    * String-rendering parity with get_json_object is spec-verified for
+    * every scalar/array shape (VariantPropSpec); whole-OBJECT extraction
+    * renders keys name-sorted (the variant binary form orders fields), so
+    * callers that must echo raw object text verbatim keep [[prop]]. */
+  def propVariant(docCol: Column, path: Seq[String]): Column =
+    // try_parse_json: a malformed document answers null, like
+    // get_json_object — parse_json would ANSI-throw mid-scan
+    variant_get(try_parse_json(docCol),
+      "$" + path.map(p => s"['$p']").mkString, "string")
 }

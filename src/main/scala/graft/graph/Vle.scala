@@ -79,6 +79,23 @@ object Vle {
     e0.select(col("source_id"), col("target_id")).distinct()
   }
 
+  /** Restrict the DEPTH-1 start set of an expansion: literal ids filter in
+    * place; a DataFrame seed semi-joins on its first column (the planner's
+    * frontier-seeded form, used when the bound side is a filtered frame
+    * rather than literals — r16 VERDICT #1: expansion work must be O(cone
+    * of the bound set), not O(graph)). Only the first hop is restricted;
+    * later hops traverse the full edge set, as the cone's interior
+    * requires. The semi-join is AQE-broadcastable when the seed is small —
+    * the selective-filter case this exists for. */
+  private def seedStarts(e: DataFrame, sourceIds: Option[Seq[String]],
+      seed: Option[DataFrame]): DataFrame = {
+    val s1 = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    seed.fold(s1) { sd =>
+      val ids = sd.select(col(sd.columns.head).as("__seed_id")).distinct()
+      s1.join(ids, s1("source_id") === col("__seed_id"), "left_semi")
+    }
+  }
+
   /** Transitive reachability (start_id, end_id, depth = minimal hops).
     * `maxIter` bounds pathological cycles; Int.MaxValue = run to fixpoint.
     * Minimal-depth pruning (the visited anti-join) is sound here because a
@@ -100,10 +117,12 @@ object Vle {
     * frees each superseded checkpoint instead of waiting for a driver GC. */
   def reachability(edges: DataFrame, relNames: Seq[String] = Nil,
       maxIter: Int = 100, checkpointEvery: Int = 3,
-      sourceIds: Option[Seq[String]] = None): DataFrame = {
+      sourceIds: Option[Seq[String]] = None,
+      sourceDf: Option[DataFrame] = None): DataFrame = {
     val chainCap = edges.sparkSession.conf
       .get("spark.graft.vle.joinChainMaxDepth", "3").toInt
-    if (maxIter <= chainCap) return joinChain(edges, relNames, maxIter, sourceIds)
+    if (maxIter <= chainCap)
+      return joinChain(edges, relNames, maxIter, sourceIds, sourceDf)
 
     import graft.core.Blocks
     val e = filtered(edges, relNames).persist(StorageLevel.MEMORY_AND_DISK)
@@ -111,7 +130,7 @@ object Vle {
     // A bound start set prunes the whole expansion to the reachable cone —
     // at scale, the difference between scanning a 100 TB edge set once per
     // hop and touching only the frontier's neighborhoods.
-    val seed = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    val seed = seedStarts(e, sourceIds, sourceDf)
     var visited = seed.select(col("source_id").as("start_id"),
       col("target_id").as("end_id"), lit(1).as("depth"))
       .localCheckpoint(eager = true)
@@ -187,13 +206,14 @@ object Vle {
     * aggregation. Reads the edge frame up to `maxDepth` times, which for
     * maxDepth ≤ 3 is cheaper than materializing it, locally and at scale. */
   private def joinChain(edges: DataFrame, relNames: Seq[String],
-      maxDepth: Int, sourceIds: Option[Seq[String]]): DataFrame = {
+      maxDepth: Int, sourceIds: Option[Seq[String]],
+      sourceDf: Option[DataFrame] = None): DataFrame = {
     // declarative regime: the chain depth is the iteration count; frontier
     // sizes are not observable without forcing the lazy plan, so only the
     // depth is recorded (enough to reproduce the VLE surcharge)
     record(maxDepth, 0L)
     val e = filtered(edges, relNames)
-    val seed = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    val seed = seedStarts(e, sourceIds, sourceDf)
     var level = seed.select(col("source_id").as("start_id"),
       col("target_id").as("end_id")).distinct()
     var acc = level.withColumn("depth", lit(1))
@@ -231,10 +251,13 @@ object Vle {
   def range(edges: DataFrame, minDepth: Int, maxDepth: Int,
       relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
       sourceIds: Option[Seq[String]] = None,
-      targetIds: Option[Seq[String]] = None): DataFrame = {
+      targetIds: Option[Seq[String]] = None,
+      sourceDf: Option[DataFrame] = None,
+      targetDf: Option[DataFrame] = None): DataFrame = {
     require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
     require(minDepth >= 0, s"VLE range lower bound must be >= 0, got $minDepth")
-    if (sourceIds.isEmpty && targetIds.isDefined) {
+    if (sourceIds.isEmpty && sourceDf.isEmpty &&
+        (targetIds.isDefined || targetDf.isDefined)) {
       // bound TARGET, unbound source: expand backward from the targets over
       // the reversed edge set (same trail semantics — reversing preserves
       // edge identity), then swap endpoints back
@@ -243,7 +266,7 @@ object Vle {
         .withColumnRenamed("target_id", "source_id")
         .withColumnRenamed("__vle_tmp", "target_id")
       return range(rev, minDepth, maxDepth, relNames, nodes,
-          sourceIds = targetIds)
+          sourceIds = targetIds, sourceDf = targetDf)
         .select(col("end_id").as("start_id"), col("start_id").as("end_id"),
           col("depth"))
     }
@@ -261,14 +284,16 @@ object Vle {
         lit(0).as("depth"))
       if (maxDepth == 0) self
       else self.unionByName(
-        range(edges, 1, maxDepth, relNames, sourceIds = sourceIds)
+        range(edges, 1, maxDepth, relNames, sourceIds = sourceIds,
+            sourceDf = sourceDf)
           .filter(col("start_id") =!= col("end_id")))
     } else if (minDepth <= 1)
-      reachability(edges, relNames, maxIter = maxDepth, sourceIds = sourceIds)
+      reachability(edges, relNames, maxIter = maxDepth,
+          sourceIds = sourceIds, sourceDf = sourceDf)
         .filter(col("depth") <= maxDepth)
     else {
       val bfs = reachability(edges, relNames, maxIter = maxDepth,
-          sourceIds = sourceIds)
+          sourceIds = sourceIds, sourceDf = sourceDf)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val inRange = bfs.filter(col("depth") >= minDepth && col("depth") <= maxDepth)
       val shortPairs = bfs.filter(col("depth") < minDepth)
@@ -312,7 +337,9 @@ object Vle {
   def trails(edges: DataFrame, minDepth: Int, maxDepth: Int,
       relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
       sourceIds: Option[Seq[String]] = None,
-      targetIds: Option[Seq[String]] = None): DataFrame = {
+      targetIds: Option[Seq[String]] = None,
+      sourceDf: Option[DataFrame] = None,
+      targetDf: Option[DataFrame] = None): DataFrame = {
     require(maxDepth >= minDepth, s"VLE range $minDepth..$maxDepth is empty")
     require(minDepth >= 0, s"VLE range lower bound must be >= 0, got $minDepth")
     val conf = edges.sparkSession.conf
@@ -321,7 +348,8 @@ object Vle {
     require(maxDepth <= cap,
       s"trails() enumerates bounded ranges only: max depth $maxDepth exceeds " +
         s"spark.graft.vle.trailEnumDepthCap=$cap")
-    if (sourceIds.isEmpty && targetIds.isDefined) {
+    if (sourceIds.isEmpty && sourceDf.isEmpty &&
+        (targetIds.isDefined || targetDf.isDefined)) {
       // bound TARGET only: enumerate backward over the reversed edge set
       // (edge identity survives reversal), then flip lists back to forward
       // traversal order and swap the endpoints.
@@ -330,7 +358,7 @@ object Vle {
         .withColumnRenamed("target_id", "source_id")
         .withColumnRenamed("__vle_tmp", "target_id")
       return trails(rev, minDepth, maxDepth, relNames, nodes,
-          sourceIds = targetIds)
+          sourceIds = targetIds, sourceDf = targetDf)
         .select(col("end_id").as("start_id"), col("start_id").as("end_id"),
           col("depth"), reverse(col("node_ids")).as("node_ids"),
           reverse(col("rel_ids")).as("rel_ids"))
@@ -363,13 +391,17 @@ object Vle {
         .getOrElse(e.select(explode(array(col("source_id"), col("target_id")))
           .as("n")))
         .distinct()
-      val bound = sourceIds.fold(universe)(ids =>
+      val bound0 = sourceIds.fold(universe)(ids =>
         universe.filter(col("n").isin(ids: _*)))
+      val bound = sourceDf.fold(bound0) { sd =>
+        val ids = sd.select(col(sd.columns.head).as("__seed_id")).distinct()
+        bound0.join(ids, col("n") === col("__seed_id"), "left_semi")
+      }
       frames += bound.select(col("n").as("start_id"), col("n").as("end_id"),
         lit(0).as("depth"), array(col("n")).as("node_ids"),
         array().cast("array<string>").as("rel_ids"))
     }
-    var frontier = sourceIds.fold(e)(ids => e.filter(col("source_id").isin(ids: _*)))
+    var frontier = seedStarts(e, sourceIds, sourceDf)
       .select(col("source_id").as("start_id"), col("target_id").as("end_id"),
         lit(1).as("depth"),
         array(col("source_id"), col("target_id")).as("node_ids"),
@@ -410,8 +442,12 @@ object Vle {
       if (frames.isEmpty)
         frontier.limit(0) // schema-correct empty frame
       else frames.reduce(_.unionByName(_))
-    val filteredOut = targetIds.fold(raw)(ids =>
+    val filtered1 = targetIds.fold(raw)(ids =>
       raw.filter(col("end_id").isin(ids: _*)))
+    val filteredOut = targetDf.fold(filtered1) { td =>
+      val ids = td.select(col(td.columns.head).as("__seed_id")).distinct()
+      filtered1.join(ids, col("end_id") === col("__seed_id"), "left_semi")
+    }
     val out = filteredOut.localCheckpoint(eager = true)
     frontiers.foreach(Blocks.free)
     e.unpersist(false)
@@ -438,8 +474,11 @@ object Vle {
   def shortestPaths(edges: DataFrame, minDepth: Int, maxDepth: Int,
       relNames: Seq[String] = Nil, nodes: Option[DataFrame] = None,
       sourceIds: Option[Seq[String]] = None,
-      targetIds: Option[Seq[String]] = None): DataFrame =
-    trails(edges, minDepth, maxDepth, relNames, nodes, sourceIds, targetIds)
+      targetIds: Option[Seq[String]] = None,
+      sourceDf: Option[DataFrame] = None,
+      targetDf: Option[DataFrame] = None): DataFrame =
+    trails(edges, minDepth, maxDepth, relNames, nodes, sourceIds, targetIds,
+        sourceDf, targetDf)
       .groupBy(col("start_id"), col("end_id"))
       .agg(min_by(
         struct(col("depth"), col("node_ids"), col("rel_ids")),

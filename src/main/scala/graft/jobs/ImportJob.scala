@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.json.Json
-import graft.store.{StoreException, TwinStore}
+import graft.store.{DigitalTwinStore, StoreException}
 import scala.jdk.CollectionConverters._
 
 /** ND-JSON bulk import (SURVEY §2 D13) — the reference's section-based
@@ -87,7 +87,7 @@ object ImportJob {
   }
 
   /** Run an import straight from a blob/object-store URI. */
-  def runFromPath(spark: org.apache.spark.sql.SparkSession, store: TwinStore,
+  def runFromPath(spark: org.apache.spark.sql.SparkSession, store: DigitalTwinStore,
       uri: String, batchSize: Int = 50, checkpointInterval: Int = 50,
       resumeFrom: Option[ImportCheckpoint] = None,
       heartbeat: () => Unit = () => ()): ImportResult =
@@ -97,7 +97,7 @@ object ImportJob {
 
   /** Run an import over ND-JSON lines. `checkpointInterval` mirrors the
     * reference default of 50; `resumeFrom` skips up to a checkpoint. */
-  def run(store: TwinStore, lines: Iterator[String],
+  def run(store: DigitalTwinStore, lines: Iterator[String],
       batchSize: Int = 50, checkpointInterval: Int = 50,
       resumeFrom: Option[ImportCheckpoint] = None,
       continueOnFailure: Boolean = true,

@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.store.{StoreException, TwinStore}
+import graft.store.{DigitalTwinStore, StoreException}
 import graft.json.Json
 
 /** Job metadata + lifecycle (SURVEY §2 D15) and the delete-everything job
@@ -210,7 +210,7 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
   }
 
   /** Run an import job under a lease with status lifecycle + checkpoints. */
-  def runImport(id: String, store: TwinStore, lines: Iterator[String],
+  def runImport(id: String, store: DigitalTwinStore, lines: Iterator[String],
       owner: String = "driver", batchSize: Int = 50,
       checkpointInterval: Int = 50,
       resumeFrom: Option[ImportCheckpoint] = None): JobRecord = {
@@ -268,7 +268,7 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     * lease expires another instance takes over via [[tryAcquireLock]] and
     * the rerun resumes from the checkpoint (skipping completed phases,
     * keeping counts). `crashAfterBatches` injects the crash for tests. */
-  def runDelete(id: String, store: TwinStore, owner: String = "driver",
+  def runDelete(id: String, store: DigitalTwinStore, owner: String = "driver",
       batchSize: Int = 50, checkpointEveryBatches: Int = 2,
       crashAfterBatches: Int = Int.MaxValue,
       leaseMillis: Long = DefaultLeaseMillis): JobRecord = {
@@ -366,7 +366,7 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     * overwrite the real counts. The checkpoint carries cumulative stats,
     * so the resumed record reports totals across both runs (idempotent
     * upserts make the at-least-once overlap safe). */
-  def resumeImport(id: String, store: TwinStore, lines: Iterator[String],
+  def resumeImport(id: String, store: DigitalTwinStore, lines: Iterator[String],
       owner: String = "driver", batchSize: Int = 50,
       checkpointInterval: Int = 50): JobRecord = {
     val rec = get(id)

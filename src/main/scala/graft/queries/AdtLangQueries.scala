@@ -196,6 +196,34 @@ object AdtLangQueries {
           "RETURN m.`$dtId` AS id ORDER BY id")
     }),
 
+    // RETURN * with a live path binding (r17 — the last planner loud
+    // error with a plausible user): the star expands the path as its
+    // (nodes, rels, depth) columns, the same value surface
+    // nodes(p)/relationships(p)/length(p) expose.
+    "q_cypher_star_path" -> ((s, d) => {
+      run(s, d,
+        "MATCH p = (n:Twin)-[r:in_region]->(g:Twin) RETURN * ORDER BY n.`$dtId`")
+        .select(col("n_dt_id"), col("g_dt_id"), col("r_relationship_id"),
+          concat_ws(",", col("p_nodes")).as("path_nodes"),
+          concat_ws(",", col("p_rels")).as("path_rels"),
+          col("p_depth").as("depth"))
+    }),
+
+    // Frontier-seeded EXISTS-VLE (r17): a HIGHLY selective bound set — one
+    // acctbal stripe of suppliers — in front of the same existential
+    // expansion. The probe is seeded with the outer frame's distinct ids
+    // (pure WHERE conjuncts plan before EXISTS), so the BFS does
+    // O(cone-of-the-bound-set) work instead of O(graph); results must be
+    // identical to the unseeded plan (the gate's oracle). Depth *1..3:
+    // supplier -> nation (1) -> region (2); no depth-3 continuation exists.
+    "q_cypher_exists_vle_seeded" -> ((s, d) => {
+      run(s, d,
+        "MATCH (m:Twin) WHERE m.`$metadata`.`$model` = 'dtmi:graft:Supplier;1' " +
+          "AND m.acctbal > 7000.0 " +
+          "AND EXISTS((m)-[:located_in|in_region*1..3]->(g:Twin {name: 'AMERICA'})) " +
+          "RETURN m.`$dtId` AS id ORDER BY id")
+    }),
+
     // Numeric DISTINCT aggregates: avg/min/max/stDev over the distinct
     // value set, on a grouping where values genuinely repeat (acctbal
     // bucketed to hundreds, per nation) so avg(DISTINCT) differs from
@@ -539,6 +567,20 @@ object AdtLangQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' ORDER BY id""".stripMargin,
+    "q_cypher_star_path" ->
+      """SELECT 'N' || n_nationkey AS n_dt_id,
+        |  'R' || n_regionkey AS g_dt_id,
+        |  'N' || n_nationkey || '-R' || n_regionkey AS r_relationship_id,
+        |  'N' || n_nationkey || ',R' || n_regionkey AS path_nodes,
+        |  'N' || n_nationkey || '-R' || n_regionkey AS path_rels,
+        |  CAST(1 AS BIGINT) AS depth
+        |FROM nation ORDER BY n_dt_id""".stripMargin,
+    "q_cypher_exists_vle_seeded" ->
+      """SELECT 'S' || s_suppkey AS id
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA' AND s_acctbal > 7000.0 ORDER BY id""".stripMargin,
     "q_cypher_avg_distinct" ->
       """WITH m2 AS (
         |  SELECT 'N' || c_nationkey AS nation_id,

@@ -22,16 +22,28 @@ import graft.graph.TwinGraph
 object GraphStore {
 
   def write(graph: TwinGraph, dir: String): Unit = {
+    // Page sizing for the SERVING path (r17): the driver-side point
+    // reader prunes to pages via the column index, then decodes whole
+    // pages — with the 1 MB/20k-row defaults a single getTwin decodes
+    // thousands of rows' worth of documents. Bounding pages at ~1k rows /
+    // 128 KB makes a point read decode ~one-thousandth of a row group,
+    // the btree-leaf trade (slightly larger footers, same scan speed:
+    // scans are bandwidth-bound, not page-count-bound).
+    val pageOpts = Map(
+      "parquet.page.size" -> (128 * 1024).toString,
+      "parquet.page.row.count.limit" -> "1024")
     graph.twins
       .repartition(col("model_id"))
       .sortWithinPartitions(col("dt_id"))
       .write.mode(SaveMode.Overwrite)
+      .options(pageOpts)
       .partitionBy("model_id")
       .parquet(s"$dir/twins")
     graph.relationships
       .repartition(col("source_id"))
       .sortWithinPartitions(col("source_id"), col("relationship_id"))
       .write.mode(SaveMode.Overwrite)
+      .options(pageOpts)
       .parquet(s"$dir/relationships")
     graph.models.write.mode(SaveMode.Overwrite).parquet(s"$dir/models")
   }
@@ -85,15 +97,28 @@ object GraphStore {
       spark.table(s"$db.models"))
 
   /** MERGE INTO twins: upserts win over existing rows on dt_id. */
-  def mergeTwins(existing: DataFrame, upserts: DataFrame): DataFrame =
-    existing.join(upserts.select(col("dt_id")), Seq("dt_id"), "left_anti")
-      .unionByName(upserts)
+  /** Columns both sides carry, in `a`'s order — a merge between a
+    * canonical store frame and a derived view (which may dual-carry
+    * extras like GraphViews' `properties_v`) unions on the shared
+    * document surface instead of failing the union. */
+  private def sharedCols(a: DataFrame, b: DataFrame): Seq[org.apache.spark.sql.Column] =
+    a.columns.filter(b.columns.contains).map(col).toSeq
+
+  def mergeTwins(existing: DataFrame, upserts: DataFrame): DataFrame = {
+    val cols = sharedCols(existing, upserts)
+    existing.select(cols: _*)
+      .join(upserts.select(col("dt_id")), Seq("dt_id"), "left_anti")
+      .unionByName(upserts.select(cols: _*))
+  }
 
   /** MERGE INTO relationships on (source_id, relationship_id). */
-  def mergeRelationships(existing: DataFrame, upserts: DataFrame): DataFrame =
-    existing.join(upserts.select(col("source_id"), col("relationship_id")),
+  def mergeRelationships(existing: DataFrame, upserts: DataFrame): DataFrame = {
+    val cols = sharedCols(existing, upserts)
+    existing.select(cols: _*)
+      .join(upserts.select(col("source_id"), col("relationship_id")),
         Seq("source_id", "relationship_id"), "left_anti")
-      .unionByName(upserts)
+      .unionByName(upserts.select(cols: _*))
+  }
 
   /** DELETE WHERE dt_id IN ids (returns the surviving table). */
   def deleteTwins(existing: DataFrame, ids: DataFrame): DataFrame =

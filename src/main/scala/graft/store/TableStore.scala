@@ -50,7 +50,8 @@ import scala.jdk.CollectionConverters._
   */
 final class TableTwinStore private (
     val spark: SparkSession, val dir: String, clock: () => String,
-    queryOnly: Boolean = false, lazyLoad: Boolean = true) {
+    queryOnly: Boolean = false, lazyLoad: Boolean = true)
+    extends DigitalTwinStore {
 
   private val mem = new TwinStore(clock)
   private var version = 0
@@ -166,6 +167,41 @@ final class TableTwinStore private (
       snapCache = Some((version, g)); g
   }
 
+  /** Driver-side point readers over the pinned snapshot (r17): fault-ins
+    * serve from parquet footers + page indexes with NO Spark job —
+    * ~13 lookups/s (scheduler-bound) becomes btree-like latency. Keyed by
+    * snapshot version: a checkpoint/import that moves the pointer builds
+    * fresh readers, so a stale range index can never serve a moved
+    * snapshot (spec-asserted). `spark.graft.store.pointreader=false`
+    * restores the Spark-job probe. */
+  private var pointReaders: Option[(Int, PointReader, PointReader)] = None
+  private def usePointReader: Boolean =
+    spark.conf.get("spark.graft.store.pointreader", "true").toBoolean
+  private def readers(): (PointReader, PointReader) = pointReaders match {
+    case Some((v, t, r)) if v == version => (t, r)
+    case _ =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
+        Seq("dt_id"), "properties")
+      val r = new PointReader(hc, s"${snapshotPath(version)}/relationships",
+        Seq("source_id", "relationship_id"), "properties")
+      pointReaders = Some((version, t, r)); (t, r)
+  }
+  private def snapTwinDoc(dtId: String): Option[String] =
+    if (version == 0) None
+    else if (usePointReader) readers()._1.lookup(Seq(dtId)).headOption
+    else snapshotGraph().twins
+      .filter(col("dt_id") === dtId).select(col("properties"))
+      .collect().headOption.map(_.getString(0))
+  private def snapRelDoc(sourceId: String, relId: String): Option[String] =
+    if (version == 0) None
+    else if (usePointReader)
+      readers()._2.lookup(Seq(sourceId, relId)).headOption
+    else snapshotGraph().relationships
+      .filter(col("source_id") === sourceId && col("relationship_id") === relId)
+      .select(col("properties"))
+      .collect().headOption.map(_.getString(0))
+
   private def foldTwinEvents(init: Option[String],
       evs: Seq[(Long, String, String)]): Option[String] =
     evs.foldLeft(init) { case (doc, (_, et, newJson)) =>
@@ -193,11 +229,7 @@ final class TableTwinStore private (
     * not O(corpus); zero Spark jobs on a fresh store. */
   private def faultTwin(dtId: String): Unit = {
     if (!lazyLoad || faultedTwins.contains(dtId)) return
-    val snap: Option[String] =
-      if (version == 0) None
-      else snapshotGraph().twins
-        .filter(col("dt_id") === dtId).select(col("properties"))
-        .collect().headOption.map(_.getString(0))
+    val snap: Option[String] = snapTwinDoc(dtId)
     foldTwinEvents(snap, preSessionTail._1.getOrElse(dtId, Nil))
       .foreach(d => mem.restoreTwin(Json.parse(d).asInstanceOf[ObjectNode]))
     faultedTwins.add(dtId): Unit
@@ -211,6 +243,11 @@ final class TableTwinStore private (
     if (todo.isEmpty) return
     val snap: Map[String, String] =
       if (version == 0) Map.empty
+      else if (usePointReader)
+        // per-key footer-index reads (no Spark job); batches are capped
+        // at 100 (D5), so this stays under the one IN-probe job's latency
+        todo.flatMap(id => readers()._1.lookup(Seq(id)).headOption
+          .map(id -> _)).toMap
       else snapshotGraph().twins
         .filter(col("dt_id").isin(todo: _*))
         .select(col("dt_id"), col("properties"))
@@ -226,12 +263,7 @@ final class TableTwinStore private (
     * (source_id, relationship_id). */
   private def faultRel(sourceId: String, relId: String): Unit = {
     if (!lazyLoad || faultedRels.contains((sourceId, relId))) return
-    val snap: Option[String] =
-      if (version == 0) None
-      else snapshotGraph().relationships
-        .filter(col("source_id") === sourceId && col("relationship_id") === relId)
-        .select(col("properties"))
-        .collect().headOption.map(_.getString(0))
+    val snap: Option[String] = snapRelDoc(sourceId, relId)
     foldRelEvents(snap, preSessionTail._2.getOrElse((sourceId, relId), Nil))
       .foreach(d => mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
     faultedRels.add((sourceId, relId)): Unit
@@ -269,7 +301,7 @@ final class TableTwinStore private (
   def deleteAllModels(): Unit = modelOp(mem.deleteAllModels())
 
   def createOrReplaceTwin(dtId: String, docJson: String,
-      ifNoneMatchStar: Boolean = false, lastUpdatedBy: Option[String] = None): JsonNode =
+      ifNoneMatchStar: Boolean, lastUpdatedBy: Option[String]): JsonNode =
     journaled {
       faultTwin(dtId)
       mem.createOrReplaceTwin(dtId, docJson, ifNoneMatchStar, lastUpdatedBy)
@@ -279,13 +311,13 @@ final class TableTwinStore private (
     faultTwin(dtId)
     mem.getTwin(dtId)
   }
-  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
-      lastUpdatedBy: Option[String] = None): JsonNode =
+  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String],
+      lastUpdatedBy: Option[String]): JsonNode =
     journaled {
       faultTwin(dtId)
       mem.patchTwin(dtId, patchJson, ifMatch, lastUpdatedBy)
     }
-  def deleteTwin(dtId: String, ifMatch: Option[String] = None): Unit =
+  def deleteTwin(dtId: String, ifMatch: Option[String]): Unit =
     journaled {
       faultTwin(dtId)
       // mem's edge guard only sees the faulted subset — consult the table,
@@ -313,7 +345,7 @@ final class TableTwinStore private (
     }
 
   def createOrReplaceRelationship(sourceId: String, relId: String, docJson: String,
-      ifNoneMatchStar: Boolean = false): JsonNode =
+      ifNoneMatchStar: Boolean): JsonNode =
     journaled {
       // validation reads the source's model and the target's existence
       faultTwin(sourceId)
@@ -339,11 +371,111 @@ final class TableTwinStore private (
     }
 
   def publishTelemetry(dtId: String, payload: String,
-      componentName: Option[String] = None): Unit =
+      componentName: Option[String]): Unit =
     journaled {
       faultTwin(dtId)
       mem.publishTelemetry(dtId, payload, componentName)
     }
+
+  def createOrReplaceRelationships(docs: Seq[String])
+      : Seq[Either[String, JsonNode]] =
+    journaled {
+      val parsed = docs.flatMap(d => Json.tryParse(d))
+      faultTwins(parsed.flatMap(n =>
+        Seq(Json.get(n, "/$sourceId"), Json.get(n, "/$targetId"))
+          .flatten.map(_.asText())))
+      parsed.foreach { n =>
+        for {
+          s0 <- Json.get(n, "/$sourceId").map(_.asText())
+          r0 <- Json.get(n, "/$relationshipId").map(_.asText())
+        } faultRel(s0, r0)
+      }
+      mem.createOrReplaceRelationships(docs)
+    }
+
+  /** Fault in EVERY relationship of one source: prefix scan of the sorted
+    * snapshot (driver-side footer reader — no Spark job) merged with the
+    * pre-session journal tail's keys for that source. */
+  private def faultRelsOf(sourceId: String): Unit = {
+    if (!lazyLoad) return
+    val snapDocs: Seq[String] =
+      if (version == 0) Nil
+      else if (usePointReader) readers()._2.scanFirst(sourceId)
+      else snapshotGraph().relationships
+        .filter(col("source_id") === sourceId)
+        .select(col("properties")).collect().map(_.getString(0)).toSeq
+    val snapByKey: Map[(String, String), String] = snapDocs.flatMap { d =>
+      Json.tryParse(d).flatMap(n => Json.get(n, "/$relationshipId")
+        .map(rid => ((sourceId, rid.asText()), d)))
+    }.toMap
+    val tailKeys = preSessionTail._2.keys.filter(_._1 == sourceId)
+    (snapByKey.keys ++ tailKeys).toSeq.distinct
+      .filterNot(faultedRels.contains).foreach { k =>
+        foldRelEvents(snapByKey.get(k), preSessionTail._2.getOrElse(k, Nil))
+          .foreach(d =>
+            mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
+        faultedRels.add(k): Unit
+      }
+  }
+
+  def listRelationships(sourceId: String,
+      relationshipName: Option[String]): Seq[JsonNode] = {
+    requireFullOpen("relationship listing")
+    faultTwin(sourceId)
+    faultRelsOf(sourceId)
+    mem.listRelationships(sourceId, relationshipName)
+  }
+
+  /** Incoming listing faults by TARGET — not the sorted key, so the
+    * snapshot side is one target-filtered Spark read (the layout favors
+    * the hot outgoing direction, like the reference's source-leading
+    * btree); the journal tail is searched by parsing each event's doc. */
+  def listIncomingRelationships(targetId: String): Seq[JsonNode] = {
+    requireFullOpen("relationship listing")
+    faultTwin(targetId)
+    if (lazyLoad) {
+      val snapRows: Seq[String] =
+        if (version == 0) Nil
+        else snapshotGraph().relationships
+          .filter(col("target_id") === targetId)
+          .select(col("properties")).collect().map(_.getString(0)).toSeq
+      val snapByKey: Map[(String, String), String] = snapRows.flatMap { d =>
+        Json.tryParse(d).flatMap { n =>
+          for {
+            s0 <- Json.get(n, "/$sourceId").map(_.asText())
+            r0 <- Json.get(n, "/$relationshipId").map(_.asText())
+          } yield ((s0, r0), d)
+        }
+      }.toMap
+      val tailKeys = preSessionTail._2.collect {
+        case (k, evs) if evs.exists { case (_, _, nj) =>
+          Option(nj).flatMap(Json.tryParse)
+            .flatMap(n => Json.get(n, "/$targetId"))
+            .exists(_.asText() == targetId) } => k
+      }
+      (snapByKey.keys ++ tailKeys).toSeq.distinct
+        .filterNot(faultedRels.contains).foreach { k =>
+          foldRelEvents(snapByKey.get(k), preSessionTail._2.getOrElse(k, Nil))
+            .foreach(d =>
+              mem.restoreRelationship(Json.parse(d).asInstanceOf[ObjectNode]))
+          faultedRels.add(k): Unit
+        }
+    }
+    mem.listIncomingRelationships(targetId)
+  }
+
+  def searchModels(query: Option[String], vector: Option[Seq[Double]],
+      limit: Int): Seq[graft.dtdl.DtdlInterface] =
+    mem.searchModels(query, vector, limit)
+  def updateModelEmbedding(modelId: String, embedding: Seq[Double]): Unit = {
+    requireFullOpen("model write")
+    mem.updateModelEmbedding(modelId, embedding)
+  }
+
+  /** Trait projections: this store's graph IS the table fold. */
+  def toGraph(sparkSession: SparkSession): TwinGraph = graph
+  def graphAt(sparkSession: SparkSession, asOfSeq: Long): TwinGraph =
+    graphAt(asOfSeq)
 
   // ---------------- durable plumbing ----------------
 
@@ -693,7 +825,15 @@ final class TableTwinStore private (
     * horizon is pinned there — [[graphAt]] below it refuses loudly (the
     * same pattern as pre-retention pruning) instead of silently folding a
     * pre-import base into a state that omits the bulk-loaded data. */
-  def importGraph(twins: DataFrame, relationships: DataFrame): Unit = {
+  def importGraph(twins0: DataFrame, relationships0: DataFrame): Unit = {
+    // Normalize to the canonical store schema: callers may hand frames
+    // carrying derived extras (e.g. GraphViews' dual-written
+    // `properties_v` variant column) — the merge union and the snapshot
+    // layout are defined over the canonical columns only.
+    val twins = twins0.select(
+      graft.core.Tables.twinsSchema.fieldNames.map(col).toSeq: _*)
+    val relationships = relationships0.select(
+      graft.core.Tables.relationshipsSchema.fieldNames.map(col).toSeq: _*)
     // Canonical-form probe (one row, not a scan): the snapshot's
     // `properties` column must hold the FULL twin document — every CRUD
     // fault-in and journal fold parses `$dtId`/`$metadata` out of it. A

@@ -41,7 +41,8 @@ final class TwinStore(
       * declared relationship properties and the declared target model on
       * write by default; set false for reference-exact leniency (e.g. a
       * migration replaying documents that predate their schemas). */
-    val validateRelationshipSchemas: Boolean = true) {
+    val validateRelationshipSchemas: Boolean = true)
+    extends DigitalTwinStore {
 
   private val twins = collection.mutable.LinkedHashMap[String, ObjectNode]()
   private val rels = collection.mutable.LinkedHashMap[(String, String), ObjectNode]()
@@ -182,7 +183,7 @@ final class TwinStore(
     * table-scale form is [[graft.graph.TwinGraph.searchModelsSemantic]]
     * over the `models` table. */
   def searchModels(query: Option[String], vector: Option[Seq[Double]],
-      limit: Int = 10): Seq[DtdlInterface] = {
+      limit: Int): Seq[DtdlInterface] = {
     val needle = query.map(_.toLowerCase).filter(_.nonEmpty)
     val lexical = registry.models.values.filter { m =>
       needle.forall(n => m.id.toLowerCase.contains(n) ||
@@ -205,7 +206,7 @@ final class TwinStore(
   /** Create or replace (D1): structural checks, DTDL validation, metadata
     * stamping, ETag, MERGE, mutation log. Returns the stored doc. */
   def createOrReplaceTwin(dtId: String, docJson: String,
-      ifNoneMatchStar: Boolean = false, lastUpdatedBy: Option[String] = None)
+      ifNoneMatchStar: Boolean, lastUpdatedBy: Option[String])
       : JsonNode = {
     val doc = Json.tryParse(docJson)
       .getOrElse(throw StoreException(400, "invalid JSON"))
@@ -260,9 +261,13 @@ final class TwinStore(
 
   /** JSON-Patch update (D3): apply, re-validate, stamp only patched
     * top-level props, new etag (DigitalTwins.cs:558-758). */
-  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String] = None,
-      lastUpdatedBy: Option[String] = None,
-      componentName: Option[String] = None): JsonNode = {
+  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String],
+      lastUpdatedBy: Option[String]): JsonNode =
+    patchTwin(dtId, patchJson, ifMatch, lastUpdatedBy, None)
+
+  def patchTwin(dtId: String, patchJson: String, ifMatch: Option[String],
+      lastUpdatedBy: Option[String],
+      componentName: Option[String]): JsonNode = {
     val old = getTwin(dtId).asInstanceOf[ObjectNode]
     ifMatch.foreach { m =>
       val cur = Option(old.get("$etag")).map(_.asText()).getOrElse("")
@@ -316,7 +321,7 @@ final class TwinStore(
     patched
   }
 
-  def deleteTwin(dtId: String, ifMatch: Option[String] = None): Unit = {
+  def deleteTwin(dtId: String, ifMatch: Option[String]): Unit = {
     val old = getTwin(dtId)
     ifMatch.foreach { m =>
       val cur = Option(old.get("$etag")).map(_.asText()).getOrElse("")
@@ -379,14 +384,14 @@ final class TwinStore(
     val prefixed = JsonPatch.parseOps(patchJson).map(op =>
       op.copy(path = s"/$componentName${op.path}",
         from = if (op.from == null) null else s"/$componentName${op.from}"))
-    patchTwin(dtId, JsonPatch.render(prefixed),
+    patchTwin(dtId, JsonPatch.render(prefixed), None, None,
       componentName = Some(componentName))
   }
 
   // ---------------- relationships (D6-D8) ----------------
 
   def createOrReplaceRelationship(sourceId: String, relId: String,
-      docJson: String, ifNoneMatchStar: Boolean = false): JsonNode = {
+      docJson: String, ifNoneMatchStar: Boolean): JsonNode = {
     val doc = Json.tryParse(docJson)
       .getOrElse(throw StoreException(400, "invalid JSON")).asInstanceOf[ObjectNode]
     val name = Option(doc.get("$relationshipName")).map(_.asText())
@@ -434,7 +439,7 @@ final class TwinStore(
     * sorted by id for stable pagination (DigitalTwins.cs relationship
     * listing). 404s when the twin itself is absent, like the reference. */
   def listRelationships(sourceId: String,
-      relationshipName: Option[String] = None): Seq[JsonNode] = {
+      relationshipName: Option[String]): Seq[JsonNode] = {
     getTwin(sourceId)
     rels.collect {
       case ((s, _), doc) if s == sourceId &&
@@ -497,7 +502,7 @@ final class TwinStore(
   // ---------------- telemetry (A10) ----------------
 
   def publishTelemetry(dtId: String, payload: String,
-      componentName: Option[String] = None): Unit = {
+      componentName: Option[String]): Unit = {
     val twin = getTwin(dtId)
     val env = Json.obj()
     env.put("digitalTwinId", dtId)

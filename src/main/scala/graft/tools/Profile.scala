@@ -33,6 +33,10 @@ object Profile {
       case "explain" :: names if names.nonEmpty => names.foreach(explain(spark, sfDir, _))
       case "stages" :: _ => stages(spark, sfDir)
       case "components" :: _ => components(spark, sfDir)
+      case "propscan" :: _ => propScan(spark, sfDir, reps)
+      case "vleseed" :: rest =>
+        vleSeedProbe(spark, sfDir, rest.headOption.flatMap(_.toIntOption)
+          .getOrElse(32))
       case "scale" :: rest =>
         val factor = rest.headOption.flatMap(_.toIntOption).getOrElse(8)
         val names = rest.drop(if (rest.headOption.exists(_.toIntOption.isDefined)) 1 else 0) match {
@@ -213,6 +217,101 @@ object Profile {
     }
     writeScalingJson(sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
       "scaling_probe.json"), sfDir, factor, results)
+  }
+
+  /** r17 evidence for the variant-backed property route (VERDICT #4): the
+    * same multi-property Cypher predicate timed through both extraction
+    * routes — variant (one try_parse_json per row per operator, codegen-
+    * CSE-deduped, then O(1) variant_get per property) vs get_json_object
+    * (one full document re-parse PER property). Best-of-`reps` each. */
+  private def propScan(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    import graft.adt.AdtPlanner
+    import graft.graph.GraphViews
+    // every distinct JSON property a twin document carries, each touched
+    // once (identical paths would be CSE-deduped on BOTH routes)
+    val q = "MATCH (m:Twin) WHERE m.acctbal > 1000.0 AND m.name CONTAINS '1' " +
+      "AND m.mktsegment IN ['BUILDING', 'MACHINERY', 'AUTOMOBILE'] " +
+      "AND size(m.tags) >= 1 " +
+      "RETURN count(*) AS n"
+    // warm the memoized cache ONCE (both routes scan the same persisted
+    // frames), then interleave routes per rep — a fixed route order would
+    // bill the cache fill to whichever route ran first
+    val g = GraphViews.graph(spark, sfDir)
+    g.twins.count(); g.relationships.count()
+    val planners = Seq(true, false).map { variant =>
+      spark.conf.set("spark.graft.props.variant", variant.toString)
+      variant -> new AdtPlanner(GraphViews.graph(spark, sfDir))
+    }
+    spark.conf.unset("spark.graft.props.variant")
+    val times = collection.mutable.Map[Boolean, List[(Double, Long)]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to math.max(reps, 3); (variant, planner) <- planners) {
+      val t0 = System.nanoTime()
+      val n = planner.run(q).collect()(0).getLong(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      times(variant) = (t, n) :: times(variant)
+    }
+    for ((variant, ts) <- Seq(true, false).map(v => v -> times(v)))
+      println(f"[propscan] route=${if (variant) "variant" else "gjo    "} " +
+        f"best=${ts.map(_._1).min}%7.3fs rows=${ts.head._2} " +
+        s"all=${ts.reverse.map(t => f"${t._1}%.2f").mkString(",")}")
+  }
+
+  /** r17 evidence for frontier-seeded VLE (VERDICT #1): a FIXED bound
+    * set's expansion must stay ~flat while the graph grows Nx — O(cone)
+    * work, not O(graph). Amplifies the place graph's leaf dimension Nx
+    * (same shape as scaleProbe), then measures, at 1x and Nx: the
+    * gate-shaped chain expansion (*1..3) wall time and the BFS regime's
+    * (*1..6) peak frontier rows, each seeded with the SAME fixed
+    * 100-supplier set vs unseeded. */
+  private def vleSeedProbe(spark: SparkSession, sfDir: String,
+      factor: Int): Unit = {
+    import graft.graph.{GraphViews, Vle}
+    val out = java.nio.file.Files.createTempDirectory("graft-vleseed").toString
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ckSpan = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * ckSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val skSpan = supp.agg(max(col("s_suppkey"))).collect()(0).getLong(0) + 1
+    (0 until factor).map { k =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(k * skSpan))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    val seedIds = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(concat(lit("S"), col("s_suppkey")).as("id"))
+      .limit(100).localCheckpoint(eager = true)
+    val relNames = Seq("located_in", "in_region")
+    def run(dir: String, seeded: Boolean, hi: Int): (Double, Long) = {
+      val ts = (1 to 2).map { _ =>
+        val g = GraphViews.graph(spark, dir)
+        val m = new Vle.Metrics
+        val t0 = System.nanoTime()
+        Vle.withMetrics(m) {
+          Vle.range(g.relationships, 1, hi, relNames,
+            sourceDf = if (seeded) Some(seedIds) else None).count()
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        dropState(spark)
+        (t, m.frontierPeak)
+      }
+      (ts.map(_._1).min, ts.map(_._2).max)
+    }
+    for ((dir, label) <- Seq((sfDir, "1x"), (out, s"${factor}x"))) {
+      val (ts, _) = run(dir, seeded = true, 3)
+      val (tu, _) = run(dir, seeded = false, 3)
+      val (_, ps) = run(dir, seeded = true, 6)
+      val (_, pu) = run(dir, seeded = false, 6)
+      println(f"[vleseed] $label%-4s chain(*1..3) seeded=$ts%7.2fs " +
+        f"unseeded=$tu%7.2fs | bfs(*1..6) frontierPeak " +
+        s"seeded=$ps unseeded=$pu")
+    }
   }
 
   /** Machine-readable scaling artifact: one file accumulating every probe

@@ -73,6 +73,17 @@ object StoreScale {
       gg.twins.filter(col("dt_id") === id).count() == 1))
     require(hits == lookups, s"point lookups found $hits of $lookups")
 
+    // 3b. the serving-path point reads (r17): store.getTwin through the
+    //     driver-side footer reader — no Spark job per lookup. This is
+    //     the leg the reference's ~100 req/s light-read target grades
+    //     (performance.mdx:28).
+    val stPoint = TableTwinStore.open(spark, dir, clock)
+    val (pointHits, pointSec) = timed(ids.count { id =>
+      try { stPoint.getTwin(id); true }
+      catch { case _: graft.store.StoreException => false }
+    })
+    require(pointHits == lookups, s"point reads found $pointHits of $lookups")
+
     // 4. full pagination, one-page-bounded driver
     val qs = new graft.adt.QueryService(gg, None,
       new graft.adt.SnapshotCache(), None)
@@ -85,6 +96,42 @@ object StoreScale {
       (p, r)
     }
     qs.freeAllSnapshots()
+
+    // 4b. the SAME pagination through the HTTP layer (r17): local server
+    //     over the table-backed store, real continuation-token
+    //     round-trips, reference page size — the capacity claim includes
+    //     the API surface, not just the query service under it.
+    val api = new graft.api.HttpApi(st, () => spark)
+    api.start()
+    val ((hPages, hRows), httpSec) = timed {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val client = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${api.port}"
+      var tok: Option[String] = None
+      var p = 0L; var r = 0L; var done = false
+      while (!done) {
+        val body = graft.json.Json.obj()
+        body.put("query", "SELECT T.$dtId AS id FROM DIGITALTWINS T " +
+          "WHERE IS_OF_MODEL(T, 'dtmi:graft:Customer;1', exact)")
+        body.put("maxItemsPerPage", 2000)
+        tok.foreach(t => body.put("continuationToken", t))
+        val resp = client.send(
+          HttpRequest.newBuilder(java.net.URI.create(s"$base/query"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              graft.json.Json.render(body))).build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()}")
+        val node = graft.json.Json.parse(resp.body())
+        p += 1; r += node.get("value").size()
+        tok = Option(node.get("continuationToken")).map(_.asText())
+        done = tok.isEmpty
+      }
+      (p, r)
+    }
+    api.stop()
+    require(hRows == rows,
+      s"HTTP pagination served $hRows rows; in-process served $rows")
 
     // 5. mutation batch + checkpoint fold on top of the bulk snapshot
     val stRw = TableTwinStore.open(spark, dir, clock)
@@ -105,8 +152,11 @@ object StoreScale {
       s""""reopen_sec":${f"$reopenSec%.2f"},""" +
       s""""lookups":$lookups,"lookup_sec":${f"$lookupSec%.1f"},""" +
       s""""lookup_ms_each":${f"${lookupSec * 1000 / lookups}%.0f"},""" +
+      s""""point_read_sec":${f"$pointSec%.2f"},""" +
+      s""""point_reads_per_sec":${f"${lookups / pointSec}%.0f"},""" +
       s""""pages":$pages,"paged_rows":$rows,""" +
       s""""page_sec":${f"$pageSec%.1f"},""" +
+      s""""http_pages":$hPages,"http_page_sec":${f"$httpSec%.1f"},""" +
       s""""mutate100_checkpoint_sec":${f"$mutateSec%.1f"}}""")
   }
 }

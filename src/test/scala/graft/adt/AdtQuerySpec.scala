@@ -53,7 +53,16 @@ class AdtQuerySpec extends AnyFunSuite {
         Seq.empty[String], "Moon")
     ).toDF("id", "bases", "descendants", "display_name")
 
-    TwinGraph(twins, rels, models)
+    // dual-written variant column, like GraphViews.graph — the planner
+    // specs exercise the default (variant) extraction route
+    TwinGraph(
+      twins.withColumn("properties_v",
+        org.apache.spark.sql.functions.try_parse_json(
+          org.apache.spark.sql.functions.col("properties"))),
+      rels.withColumn("properties_v",
+        org.apache.spark.sql.functions.try_parse_json(
+          org.apache.spark.sql.functions.col("properties"))),
+      models)
   }
 
   lazy val planner = new AdtPlanner(graph)

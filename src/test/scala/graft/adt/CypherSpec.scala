@@ -412,19 +412,29 @@ class CypherSpec extends AnyFunSuite {
     assert(!anonNode.columns.exists(_.startsWith("__")),
       anonNode.columns.mkString(","))
     assert(anonNode.columns.contains("r2_relationship_id"))
-    // path variable live at the RETURN horizon stays loud — now decided
-    // at PLAN time (the planner knows the exact surviving scope), both
-    // when no horizon re-projected and when a WITH deliberately kept the
-    // path alive by retaining its rel alias
-    assertThrows[AdtPlanException](planner.run(
-      "MATCH p = (a:Twin)-[r:orbits*1..2]->(b:Twin) UNWIND [1] AS x RETURN *"))
-    assertThrows[AdtPlanException](planner.run(
-      "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) WITH a, r RETURN *"))
-    // ...but a horizon that DROPS the path makes the star legal again
+    // a path variable live at the RETURN horizon expands in the star as
+    // its (nodes, rels, depth) columns (r17 — the r16 loud error retired)
+    val starVle = planner.run(
+      "MATCH p = (a:Twin)-[r:orbits*1..2]->(b:Twin) UNWIND [1] AS x RETURN *")
+    assert(Seq("p_nodes", "p_rels", "p_depth", "x", "a_dt_id", "b_dt_id")
+      .forall(starVle.columns.contains), starVle.columns.mkString(","))
+    // moon1's depth-2 trail to the sun rides the star
+    val deep = starVle.filter("a_dt_id = 'moon1' AND p_depth = 2").collect()
+    assert(deep.length == 1 &&
+      deep(0).getSeq[String](starVle.columns.indexOf("p_nodes")) ==
+        Seq("moon1", "earth", "sun"))
+    // a horizon that DROPS the path keeps the star path-free
     val dropped = planner.run(
       "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) WITH a RETURN *")
     assert(dropped.columns.contains("a_dt_id") &&
-      !dropped.columns.exists(_.startsWith("__")))
+      !dropped.columns.exists(_.startsWith("__")) &&
+      !dropped.columns.exists(_.startsWith("p_")))
+    // a single-edge path kept alive past a horizon that dropped an
+    // endpoint cannot be star-projected — clean plan error, not an
+    // unresolved-column crash
+    val e = intercept[AdtPlanException](planner.run(
+      "MATCH p = (a:Twin)-[r:orbits]->(b:Twin) WITH a, r RETURN *"))
+    assert(e.getMessage.contains("survive"), e.getMessage)
   }
 
   test("VLE inside EXISTS: reachability-pair probe, all range shapes") {
@@ -453,6 +463,43 @@ class CypherSpec extends AnyFunSuite {
     // reverse arrow: who is VLE-reachable FROM moon1 in 1..2 hops
     assert(count("MATCH (t:Twin) WHERE " +
       "EXISTS((t)<-[:orbits*1..2]-(x {mass: 7.34e22})) RETURN t") == 2)
+  }
+
+  test("variant and get_json_object extraction routes answer identically") {
+    val q = "MATCH (t:Twin) WHERE t.mass > 1e24 AND t.name CONTAINS 'e' " +
+      "RETURN t.`$dtId` AS id, t.mass AS mass, t.tags AS tags ORDER BY id"
+    val viaVariant = planner.run(q).collect().map(_.toSeq).toSeq
+    assert(viaVariant.nonEmpty)
+    val spark = host.graph.twins.sparkSession
+    spark.conf.set("spark.graft.props.variant", "false")
+    try {
+      val viaGjo = new AdtPlanner(host.graph).run(q).collect()
+        .map(_.toSeq).toSeq
+      assert(viaGjo == viaVariant)
+    } finally spark.conf.unset("spark.graft.props.variant")
+  }
+
+  test("EXISTS-VLE probe is frontier-seeded by the bound side (r17)") {
+    // a selective outer filter must bound the expansion's WORK, not just
+    // its result: with t = moon1 the seeded BFS frontier stays at moon1's
+    // cone width (1 row/hop along moon1->earth->sun), where the unseeded
+    // probe would start from all 3 orbit edges. *1..5 exceeds the
+    // join-chain cap so the metrics-recording BFS regime runs.
+    val m = new graft.graph.Vle.Metrics
+    val rows = graft.graph.Vle.withMetrics(m) {
+      planner.run("MATCH (t:Twin) WHERE t.`$dtId` = 'moon1' AND " +
+        "EXISTS((t)-[:orbits*1..5]->(x)) RETURN t.`$dtId` AS id").collect()
+    }
+    assert(rows.map(_.getString(0)).toSeq == Seq("moon1"))
+    assert(m.observedVle, "the VLE probe should have recorded metrics")
+    assert(m.frontierPeak == 1,
+      s"probe frontier peaked at ${m.frontierPeak}; the EXISTS expansion " +
+        "was not seeded with the bound side's ids")
+    // NOT EXISTS over the same seeded probe: sun reaches nothing via
+    // orbits, and the anti-join must keep it even though the seeded
+    // probe produced no pair for it
+    assert(count("MATCH (t:Twin) WHERE t.`$dtId` = 'sun' AND " +
+      "NOT EXISTS((t)-[:orbits*1..5]->(x)) RETURN t") == 1)
   }
 
   test("EXISTS under OR/NOT plans as a no-fan-out marker join") {
@@ -1046,11 +1093,17 @@ class CypherSpec extends AnyFunSuite {
       "RETURN t") == 4)
   }
 
-  test("RETURN * with a path variable errors loudly (ADVICE r12)") {
-    val e = intercept[AdtParseException] {
-      planner.run("MATCH p = (a:Twin)-[r:orbits]->(b:Twin) RETURN *")
-    }
-    assert(e.getMessage.contains("path variable"))
+  test("RETURN * with a path variable expands it (r17; was loud ADVICE r12)") {
+    val df = planner.run("MATCH p = (a:Twin)-[r:orbits]->(b:Twin) RETURN *")
+    assert(df.count() == 3)
+    for (c <- Seq("p_nodes", "p_rels", "p_depth", "a_dt_id",
+        "r_relationship_id", "b_dt_id"))
+      assert(df.columns.contains(c), df.columns.mkString(","))
+    val row = df.filter("a_dt_id = 'earth'").collect()(0)
+    assert(row.getSeq[String](df.columns.indexOf("p_nodes")) ==
+      Seq("earth", "sun"))
+    assert(row.getSeq[String](df.columns.indexOf("p_rels")) == Seq("r2"))
+    assert(row.getLong(df.columns.indexOf("p_depth")) == 1L)
   }
 
   test("user identifiers with the internal __cnode prefix are rejected (ADVICE r12)") {

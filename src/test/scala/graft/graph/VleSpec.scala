@@ -171,6 +171,58 @@ class VleSpec extends AnyFunSuite {
     assert(deep == full.filter(t => t._1 == "z" && t._3 >= 2))
   }
 
+  test("DataFrame-seeded range equals the literal-seeded result (r17)") {
+    val s = spark; import s.implicits._
+    val e = edges(("a", "b", "x"), ("b", "c", "x"), ("z", "a", "x"),
+      ("q", "r", "x"), ("c", "c2", "x"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val full = rows(Vle.range(e, 1, 3))
+    // a DataFrame seed (the planner's filtered-frame form) must produce
+    // exactly the literal-seed result — both regimes
+    val seedA = Seq("a").toDF("id")
+    assert(rows(Vle.range(e, 1, 3, sourceDf = Some(seedA))) ==
+      full.filter(_._1 == "a"))
+    assert(rows(Vle.range(e, 1, 5, sourceDf = Some(seedA))) == // BFS regime
+      full.filter(_._1 == "a"))
+    // target-side DataFrame seed: backward expansion, endpoints swapped
+    val seedC = Seq("c").toDF("id")
+    assert(rows(Vle.range(e, 1, 3, targetDf = Some(seedC))) ==
+      full.filter(_._2 == "c"))
+    // min>1 hybrid with a DataFrame seed
+    assert(rows(Vle.range(e, 2, 3, sourceDf = Some(Seq("z").toDF("id")))) ==
+      full.filter(t => t._1 == "z" && t._3 >= 2))
+    // trails with a DataFrame seed: per-path rows restricted to the cone
+    val tr = Vle.trails(e, 1, 3, sourceDf = Some(seedA)).collect()
+    assert(tr.map(_.getString(0)).toSet == Set("a"))
+  }
+
+  test("seeded BFS expands the seed's cone, not the edge universe (r17)") {
+    // long chain c0->c1->...->c63 plus an isolated seed cone s->t: an
+    // UNSEEDED depth-5 BFS visits O(V*depth) pairs; seeded with {s}, the
+    // frontier must stay at the cone size (1 row), proving the first
+    // expansion step was the seed's out-edges — the plan-level guarantee
+    // the EXISTS-VLE probe relies on at 100x scale.
+    val chain = (0 until 64).map(i => (s"c$i", s"c${i + 1}", "x"))
+    val g = edges(chain :+ (("s", "t", "x")): _*)
+    val s2 = spark; import s2.implicits._
+    val m = new Vle.Metrics
+    val out = Vle.withMetrics(m) {
+      // maxIter 6 > joinChainMaxDepth(3) => frontier BFS with metrics
+      Vle.range(g, 1, 6, sourceDf = Some(Seq("s").toDF("id"))).collect()
+    }
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("s", "t")))
+    assert(m.frontierPeak == 1,
+      s"seeded frontier peaked at ${m.frontierPeak}; expansion was not " +
+        "restricted to the seed's cone")
+    // the same expansion unseeded walks the whole chain
+    val mu = new Vle.Metrics
+    Vle.withMetrics(mu) { Vle.range(g, 1, 6).collect() }
+    assert(mu.frontierPeak >= 60,
+      s"unseeded control should touch the chain (peak ${mu.frontierPeak})")
+  }
+
   test("ADT parser: '*1' is exact depth 1, bare '*' is 1..DefaultVleMax") {
     def vleOf(rel: String) = AdtParser.parse(
       s"SELECT T FROM DIGITALTWINS MATCH (S)-[$rel]->(T)").matches.head.vle
