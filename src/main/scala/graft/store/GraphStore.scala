@@ -33,14 +33,30 @@ object GraphStore {
       "parquet.page.size" -> (128 * 1024).toString,
       "parquet.page.row.count.limit" -> "1024")
     graph.twins
-      .repartition(col("model_id"))
-      .sortWithinPartitions(col("dt_id"))
+      // RANGE partition on (model_id, dt_id): hash-by-model put every
+      // row of a large model in ONE task (a 1.5 M-row single-task write
+      // dominated sf10 ingest), and each model's files now carry
+      // DISJOINT dt_id ranges — the point reader's footer index prunes
+      // to one file. model_id FIRST in the sort: partitionBy requires
+      // ordering by the partition columns, and when the incoming order
+      // doesn't satisfy it the writer inserts its own NON-STABLE sort by
+      // model_id alone — which silently destroyed the dt_id order
+      // (measured: 32 interleaved sorted runs per file, every point
+      // lookup decoding 32 pages instead of 1).
+      .repartitionByRange(col("model_id"), col("dt_id"))
+      .sortWithinPartitions(col("model_id"), col("dt_id"))
       .write.mode(SaveMode.Overwrite)
       .options(pageOpts)
       .partitionBy("model_id")
       .parquet(s"$dir/twins")
     graph.relationships
-      .repartition(col("source_id"))
+      // RANGE partitioning (r17): hash partitioning gave every file the
+      // full key range, so a relationship point read had to open every
+      // file; range partitioning keeps the within-file sort AND makes
+      // file ranges disjoint — the footer index prunes to ONE file, like
+      // the twins side. Joins are indifferent (plain parquet carries no
+      // distribution metadata either way).
+      .repartitionByRange(col("source_id"), col("relationship_id"))
       .sortWithinPartitions(col("source_id"), col("relationship_id"))
       .write.mode(SaveMode.Overwrite)
       .options(pageOpts)

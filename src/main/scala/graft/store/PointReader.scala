@@ -116,8 +116,126 @@ final class PointReader(conf: Configuration, dir: String,
   def scanFirst(key0: String): Seq[String] =
     read(Seq(keyCols.head -> key0))
 
+  /** Per-(file, rowGroup) key-column page index, read once and cached:
+    * the page-level [min, max] list plus each page's first row index —
+    * ~32 B per page on the driver, the btree inner nodes of this layout. */
+  private case class PageIndex(mins: Array[Array[Byte]],
+      maxs: Array[Array[Byte]], nullPage: Array[Boolean],
+      offsets: org.apache.parquet.internal.column.columnindex.OffsetIndex)
+  private val pageIndexCache =
+    collection.concurrent.TrieMap.empty[(String, Int), Option[PageIndex]]
+
+  /** Unsigned lexicographic byte compare — the UTF8 binary sort order
+    * parquet statistics use. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+
+  private def pageIndexFor(fileKey: String, rg: Int,
+      reader: ParquetFileReader,
+      ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[PageIndex] =
+    pageIndexCache.getOrElseUpdate((fileKey, rg), {
+      val colIdx = reader.readColumnIndex(ccmd)
+      val offIdx = reader.readOffsetIndex(ccmd)
+      if (colIdx == null || offIdx == null) None
+      else {
+        def bytes(l: java.util.List[java.nio.ByteBuffer]) =
+          (0 until l.size).map { i =>
+            val bb = l.get(i).duplicate()
+            val a = new Array[Byte](bb.remaining()); bb.get(a); a
+          }.toArray
+        val nulls = colIdx.getNullPages
+        Some(PageIndex(bytes(colIdx.getMinValues),
+          bytes(colIdx.getMaxValues),
+          (0 until nulls.size).map(nulls.get(_).booleanValue()).toArray,
+          offIdx))
+      }
+    })
+
+  private def keyChunk(block: org.apache.parquet.hadoop.metadata.BlockMetaData)
+      : org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = {
+    var ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+    val ci = block.getColumns.iterator()
+    while (ci.hasNext) {
+      val c = ci.next()
+      if (c.getPath.toDotString == keyCols.head) ccmd = c
+    }
+    ccmd
+  }
+
+  /** Pages whose key range covers `key`, summed over candidate files —
+    * 1 for a properly key-sorted layout. Probe for specs: the write-path
+    * regression this catches produced 32 interleaved sorted runs per
+    * file (the partitionBy writer re-sorting by partition column only),
+    * which point reads paid as 32 decoded pages per lookup. */
+  def pagesCovering(key: String): Int = {
+    val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    files.filter(f => f.min == null || (f.min <= key && key <= f.max))
+      .map { fe =>
+        val reader = readerFor(fe)
+        fe.synchronized {
+          (0 until fe.footer.getBlocks.size).map { rg =>
+            val ccmd = keyChunk(fe.footer.getBlocks.get(rg))
+            if (ccmd == null) 0
+            else pageIndexFor(fe.path.toString, rg, reader, ccmd) match {
+              case Some(pi) => (0 until pi.offsets.getPageCount).count(p =>
+                !pi.nullPage(p) && cmp(pi.mins(p), kb) <= 0 &&
+                  cmp(kb, pi.maxs(p)) <= 0)
+              case None => 0
+            }
+          }.sum
+        }
+      }.sum
+  }
+
+  /** One PERSISTENT open reader per touched file: re-opening per lookup
+    * costs ~9 ms in codec-factory/stream setup alone (measured at sf10 —
+    * the difference between 76 and 160 lookups/s). Each open skips the
+    * footer decode (cached at construction). Access is serialized per
+    * file; lookups on different files stay concurrent. [[close]]
+    * releases the streams — [[TableTwinStore]] calls it when the
+    * snapshot pointer moves.
+    *
+    * NO record filter rides the open options: an options-level filter
+    * makes the reader pre-drop row groups and RE-INDEX the survivors, so
+    * footer-based row-group indexes would point past the end. The stats
+    * check + page index replace that pruning; the record filter applies
+    * at assembly. */
+  private val openReaders =
+    collection.concurrent.TrieMap.empty[String, ParquetFileReader]
+  private def readerFor(fe: FileEntry): ParquetFileReader =
+    openReaders.synchronized {
+      openReaders.getOrElseUpdate(fe.path.toString, {
+        val opts = HadoopReadOptions.builder(conf, fe.path).build()
+        val r = ParquetFileReader.open(fe.input, fe.footer, opts,
+          fe.input.newStream())
+        r.setRequestedSchema(projection)
+        r
+      })
+    }
+
+  /** Release all persistent file streams (idempotent). */
+  def close(): Unit = openReaders.synchronized {
+    openReaders.values.foreach(r =>
+      try r.close() catch { case _: Throwable => () })
+    openReaders.clear()
+  }
+
+  private val columnIOByFile = collection.concurrent.TrieMap
+    .empty[String, org.apache.parquet.io.MessageColumnIO]
+
   private def read(pairs: Seq[(String, String)]): Seq[String] = {
     val k0 = pairs.head._2
+    val k0b = k0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val candidates = files.filter(f => f.min == null ||
       (f.min <= k0 && k0 <= f.max))
     if (candidates.isEmpty) return Seq.empty
@@ -129,35 +247,73 @@ final class PointReader(conf: Configuration, dir: String,
     val filter = FilterCompat.get(pred)
     val out = collection.mutable.ArrayBuffer[String]()
     candidates.foreach { fe =>
-      val opts = HadoopReadOptions.builder(conf, fe.path)
-        .withRecordFilter(filter)
-        .build()
-      // re-open only the DATA stream against the cached footer: the
-      // thrift footer decode (the per-call fixed cost) happened once at
-      // construction; row groups are then stats-filtered and pages
-      // column-index-filtered before any decompression
-      val reader = ParquetFileReader.open(fe.input, fe.footer, opts,
-        fe.input.newStream())
-      try {
-        reader.setRequestedSchema(projection)
-        val columnIO = new ColumnIOFactory()
-          .getColumnIO(projection, fe.footer.getFileMetaData.getSchema)
-        var pages = reader.readNextFilteredRowGroup()
-        while (pages != null) {
-          val rr = columnIO.getRecordReader(pages,
-            new GroupRecordConverter(projection), filter)
-          val n = pages.getRowCount
-          var i = 0L
-          while (i < n) {
-            val g = rr.read()
-            if (g != null && !rr.shouldSkipCurrentRecord &&
-                g.getFieldRepetitionCount(valueCol) > 0)
-              out += g.getString(valueCol, 0)
-            i += 1
+      val reader = readerFor(fe)
+      fe.synchronized {
+        val columnIO = columnIOByFile.getOrElseUpdate(fe.path.toString,
+          new ColumnIOFactory()
+            .getColumnIO(projection, fe.footer.getFileMetaData.getSchema))
+        val blocks = fe.footer.getBlocks
+        var rg = 0
+        while (rg < blocks.size) {
+          val block = blocks.get(rg)
+          val ccmd = keyChunk(block)
+          // row-group pruning by key statistics
+          val inRg = ccmd == null || {
+            val st = ccmd.getStatistics
+            st == null || !st.hasNonNullValue || {
+              def s(v: Any) = v match {
+                case b: Binary => b.toStringUsingUTF8
+                case other => String.valueOf(other)
+              }
+              s(st.genericGetMin) <= k0 && k0 <= s(st.genericGetMax)
+            }
           }
-          pages = reader.readNextFilteredRowGroup()
+          if (inRg) {
+            // page-level pruning from the CACHED column index: parquet's
+            // built-in column-index filter re-reads the index per call
+            // and aligns ranges across all projected columns' page
+            // boundaries (measured 45x over-read on a 1.5 M-row group);
+            // reading the one matching key page directly decodes ~one
+            // page of each projected column instead.
+            val pidx =
+              if (ccmd == null) None
+              else pageIndexFor(fe.path.toString, rg, reader, ccmd)
+            val pages = pidx match {
+              case Some(pi) =>
+                val hit = (0 until pi.offsets.getPageCount).filter { p =>
+                  !pi.nullPage(p) &&
+                    cmp(pi.mins(p), k0b) <= 0 && cmp(k0b, pi.maxs(p)) <= 0
+                }
+                if (hit.isEmpty) null
+                else {
+                  val ranges = org.apache.parquet.internal.filter2
+                    .columnindex.RowRanges.create(block.getRowCount,
+                      new java.util.PrimitiveIterator.OfInt {
+                        private val under = hit.iterator
+                        def hasNext = under.hasNext
+                        def nextInt() = under.next()
+                      }, pi.offsets)
+                  reader.readFilteredRowGroup(rg, ranges)
+                }
+              case None => reader.readRowGroup(rg) // no index: record filter
+            }
+            if (pages != null) {
+              val rr = columnIO.getRecordReader(pages,
+                new GroupRecordConverter(projection), filter)
+              val n = pages.getRowCount
+              var i = 0L
+              while (i < n) {
+                val g = rr.read()
+                if (g != null && !rr.shouldSkipCurrentRecord &&
+                    g.getFieldRepetitionCount(valueCol) > 0)
+                  out += g.getString(valueCol, 0)
+                i += 1
+              }
+            }
+          }
+          rg += 1
         }
-      } finally reader.close()
+      }
     }
     out.toSeq
   }

@@ -180,6 +180,8 @@ final class TableTwinStore private (
   private def readers(): (PointReader, PointReader) = pointReaders match {
     case Some((v, t, r)) if v == version => (t, r)
     case _ =>
+      // release the superseded version's persistent file streams
+      pointReaders.foreach { case (_, t, r) => t.close(); r.close() }
       val hc = spark.sparkContext.hadoopConfiguration
       val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
         Seq("dt_id"), "properties")

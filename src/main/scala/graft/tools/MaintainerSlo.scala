@@ -103,10 +103,27 @@ object MaintainerSlo {
       val q = start()
       q.awaitTermination()
       val wallSec = (System.nanoTime() - t0) / 1e9
-      val perBatch = q.recentProgress.toSeq
-        .filter(_.numInputRows > 0)
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .sortBy(_.batchId)
+      val perBatch = progress
         .map(p => (p.batchId, p.durationMs.get("triggerExecution").toLong))
-        .sortBy(_._1)
+      // Phase attribution (r17, VERDICT #6): triggerExecution decomposes
+      // into the engine phases the progress event reports — whichever
+      // one grows with batch index names the plateau's cause (file-source
+      // listing rides latestOffset/getBatch; offset/commit WAL rides
+      // walCommit/commitOffsets; the maintainer's own work rides
+      // addBatch; planning rides queryPlanning).
+      val phases = Seq("latestOffset", "getBatch", "queryPlanning",
+        "walCommit", "commitOffsets", "addBatch")
+      def phaseMs(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          k: String): Long =
+        Option(p.durationMs.get(k)).map(_.toLong).getOrElse(0L)
+      def medianL(xs: Seq[Long]): Long =
+        if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+      val phaseDrift = phases.map { k =>
+        val vals = progress.map(phaseMs(_, k))
+        (k, medianL(vals.slice(2, 12)), medianL(vals.takeRight(10)))
+      }
       val fs = new org.apache.hadoop.fs.Path(stateDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
@@ -138,6 +155,8 @@ object MaintainerSlo {
         s""""files":${files.map { case (v, ls) =>
           s""""$v":{${ls.map { case (l, n) => s""""$l":$n""" }.mkString(",")}}"""
         }.mkString("{", ",", "}")},""" +
+        s""""phase_early_late_ms":${phaseDrift.map { case (k, e, l) =>
+          s""""$k":[$e,$l]""" }.mkString("{", ",", "}")},""" +
         s""""per_batch_ms":[${lat.mkString(",")}]}""")
     }
 

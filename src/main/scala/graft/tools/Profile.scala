@@ -284,12 +284,14 @@ object Profile {
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    val seedIds = spark.read.parquet(s"$sfDir/supplier.parquet")
-      .select(concat(lit("S"), col("s_suppkey")).as("id"))
-      .limit(100).localCheckpoint(eager = true)
     val relNames = Seq("located_in", "in_region")
     def run(dir: String, seeded: Boolean, hi: Int): (Double, Long) = {
       val ts = (1 to 2).map { _ =>
+        // rebuilt per rep: dropState() unpersists all blocks, which would
+        // orphan a shared localCheckpoint between reps
+        val seedIds = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select(concat(lit("S"), col("s_suppkey")).as("id"))
+          .limit(100).localCheckpoint(eager = true)
         val g = GraphViews.graph(spark, dir)
         val m = new Vle.Metrics
         val t0 = System.nanoTime()

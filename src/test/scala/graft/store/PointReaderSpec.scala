@@ -102,5 +102,12 @@ class PointReaderSpec extends AnyFunSuite {
     // a key outside every file's [min,max] opens no file at all
     assert(pr.candidateFiles("zzz") == 0)
     assert(pr.candidateFiles("k025") >= 1)
+    // the layout is globally key-sorted per file, so a point key falls
+    // inside exactly ONE page — this is the guard against the
+    // partitionBy-writer re-sort that interleaved 32 sorted runs per
+    // file (every lookup then decoded 32 pages)
+    assert(pr.pagesCovering("k025") == 1,
+      s"k025 covered by ${pr.pagesCovering("k025")} pages; snapshot " +
+        "files are not globally key-sorted")
   }
 }
