@@ -836,11 +836,21 @@ final class AdtPlanner(graph: TwinGraph) {
           .filter(compile(preds.reduce(And), Scope(Set(a), Set.empty, a)))
           .select(col(s"${a}__dt_id")))
       }
-      // literal $dtId seeds win (no extra scan); else the filtered frame
-      def srcSeeds(a: String): (Option[Seq[String]], Option[DataFrame]) =
+      // literal $dtId seeds win (no extra scan); else the filtered frame.
+      // `frameSeed = false` (the endpoint of an OPTIONAL MATCH edge) skips
+      // the compiled-predicate seed: the conjunct may be NULL-SATISFIABLE
+      // (`a.x IS NULL`, `NOT a.x`, coalesce...), and removing pairs from
+      // an optional edge turns matched rows into null-extended rows that
+      // such a predicate then KEEPS — the unseeded plan filters them, so
+      // frame seeding would change results. The literal $dtId equality /
+      // IN conjuncts above are null-rejecting (null = 'v' is never true),
+      // so a null-extended row is dropped exactly like the matched row
+      // the seed removed, and those stay sound on optional edges.
+      def srcSeeds(a: String, frameSeed: Boolean = true)
+          : (Option[Seq[String]], Option[DataFrame]) =
         pointIds(a) match {
           case some @ Some(_) => (some, None)
-          case None => (None, seedDf(a))
+          case None => (None, if (frameSeed) seedDf(a) else None)
         }
 
       if (edges.isEmpty) {
@@ -897,7 +907,9 @@ final class AdtPlanner(graph: TwinGraph) {
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
               val (srcIds, srcDf) = srcSeeds(e.src)
-              val (dstIds, dstDf) = srcSeeds(e.dst)
+              // dst of an OPTIONAL edge is the null-extended alias: no
+              // frame seed (see srcSeeds — null-satisfiable conjuncts)
+              val (dstIds, dstDf) = srcSeeds(e.dst, frameSeed = !e.optional)
               val enumerated =
                 if (e.shortest)
                   graft.graph.Vle.shortestPaths(graph.relationships, lo, hi,
@@ -918,7 +930,9 @@ final class AdtPlanner(graph: TwinGraph) {
                 if (lo == 0) Some(graph.twins.select(col("dt_id")))
                 else None
               val (srcIds, srcDf) = srcSeeds(e.src)
-              val (dstIds, dstDf) = srcSeeds(e.dst)
+              // dst of an OPTIONAL edge is the null-extended alias: no
+              // frame seed (see srcSeeds — null-satisfiable conjuncts)
+              val (dstIds, dstDf) = srcSeeds(e.dst, frameSeed = !e.optional)
               ns(graft.graph.Vle.range(graph.relationships, lo, hi,
                   e.relNames, nodes, sourceIds = srcIds,
                   targetIds = dstIds, sourceDf = srcDf, targetDf = dstDf)
@@ -1494,20 +1508,25 @@ final class AdtPlanner(graph: TwinGraph) {
     * per operator (filters don't subexpression-eliminate, measured in
     * Profile propscan), which at 100 TB is k full passes over the scan's
     * heaviest column for a k-property predicate. String-rendering parity
-    * between the routes is spec-pinned (VariantPropSpec); the one
-    * divergence — whole-OBJECT extraction renders fields name-sorted —
-    * is documented there. `spark.graft.props.variant=false` forces the
-    * get_json_object route (byte-identical raw-object echo). */
+    * between the routes is spec-pinned (VariantPropSpec) for scalars and
+    * arrays; values that may EMBED AN OBJECT (rendered value contains
+    * '{') fall back per row to the verbatim `get_json_object` echo —
+    * variant renders object fields name-sorted/re-spaced, and user-visible
+    * output must not change with the access route (ADVICE r17). The
+    * fallback evaluates lazily inside the when(), so scalar-only scans
+    * never pay a re-parse. `spark.graft.props.variant=false` forces the
+    * get_json_object route throughout. */
   private val variantProps: Boolean = // strict: conf read at construction
     graph.twins.columns.contains("properties_v") &&
       graph.relationships.columns.contains("properties_v") &&
       graph.twins.sparkSession.conf
         .get("spark.graft.props.variant", "true").toBoolean
   private def jsonProp(entity: String, path: List[String]): Column =
-    if (variantProps)
-      variant_get(col(s"${entity}__properties_v"),
-        "$" + path.map(p => s"['$p']").mkString, "string")
-    else TwinGraph.prop(docCol(entity), path)
+    if (variantProps) {
+      val jp = "$" + path.map(p => s"['$p']").mkString
+      val v = variant_get(col(s"${entity}__properties_v"), jp, "string")
+      when(v.contains("{"), TwinGraph.prop(docCol(entity), path)).otherwise(v)
+    } else TwinGraph.prop(docCol(entity), path)
 
   private def docCol(alias: String): Column = col(s"${alias}__properties")
 }

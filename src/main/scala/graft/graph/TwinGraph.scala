@@ -347,12 +347,17 @@ object TwinGraph {
     * subtrees are subexpression-eliminated inside whole-stage codegen —
     * where k `get_json_object`s re-parse the full document k times.
     * String-rendering parity with get_json_object is spec-verified for
-    * every scalar/array shape (VariantPropSpec); whole-OBJECT extraction
-    * renders keys name-sorted (the variant binary form orders fields), so
-    * callers that must echo raw object text verbatim keep [[prop]]. */
-  def propVariant(docCol: Column, path: Seq[String]): Column =
+    * every scalar/array shape (VariantPropSpec). Whole-OBJECT extraction
+    * would render keys name-sorted (the variant binary form orders
+    * fields), so any rendered value that may embed an object (contains
+    * '{') falls back per row to [[prop]]'s verbatim raw-text echo — the
+    * access route must never change user-visible output (ADVICE r17).
+    * Scalar rows skip the fallback branch entirely (lazy when()). */
+  def propVariant(docCol: Column, path: Seq[String]): Column = {
     // try_parse_json: a malformed document answers null, like
     // get_json_object — parse_json would ANSI-throw mid-scan
-    variant_get(try_parse_json(docCol),
+    val v = variant_get(try_parse_json(docCol),
       "$" + path.map(p => s"['$p']").mkString, "string")
+    when(v.contains("{"), prop(docCol, path)).otherwise(v)
+  }
 }

@@ -26,6 +26,31 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
+  /** Current on-disk footprint (MB) of the JVM's block-manager dirs
+    * (`blockmgr-*` under spark.local.dir) — shuffle + spill residue. Used
+    * to gate the inter-wave GC nudge on MEASURED pressure instead of
+    * firing unconditionally. Walk cost is O(live shuffle files), paid only
+    * between LSH waves. */
+  private[pipeline] def blockMgrDiskMb(spark: org.apache.spark.sql.SparkSession): Long = {
+    val dirs = spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    var bytes = 0L
+    dirs.foreach { d =>
+      val root = new java.io.File(d)
+      val kids = root.listFiles()
+      if (kids != null) kids.filter(_.getName.startsWith("blockmgr-"))
+        .foreach { bm =>
+          def walk(f: java.io.File): Unit = {
+            if (f.isFile) bytes += f.length()
+            else { val c = f.listFiles(); if (c != null) c.foreach(walk) }
+          }
+          walk(bm)
+        }
+    }
+    bytes / (1024L * 1024L)
+  }
+
   val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
 
   /** Deterministic LCG-style hash parameters, identical in oracle SQL. */
@@ -318,13 +343,22 @@ object Dedup {
       // a GC collects the dropped ShuffleDependency (or the ~30-min
       // periodic GC fires) — without a collection, a multi-wave run
       // accumulates ALL waves' shuffle files, defeating the disk bound
-      // waving exists to provide. So in multi-wave runs the GC nudge is ON
-      // by default (a caller who asked for waves>1 declared themselves
-      // shuffle-disk-bound; the pause is the lesser evil); opt out with
-      // SPARK_GRAFT_LSH_GC=0 on latency-sensitive co-tenanted JVMs, or
-      // lower spark.cleaner.periodicGC.interval session-wide instead.
-      if (waveGroups.size > 1 &&
-          !sys.env.get("SPARK_GRAFT_LSH_GC").contains("0")) System.gc()
+      // waving exists to provide. The nudge is CONDITIONAL (r18): it fires
+      // only when the measured blockmgr disk footprint actually crosses
+      // SPARK_GRAFT_LSH_GC_MIN_MB (default 1024), so runs whose shuffle
+      // residue is small never pay a stop-the-world pause on co-tenant
+      // JVMs. SPARK_GRAFT_LSH_GC=0 disables entirely; =1 forces every
+      // wave (the r17 behavior); lowering
+      // spark.cleaner.periodicGC.interval session-wide remains the
+      // Spark-native alternative.
+      if (waveGroups.size > 1) sys.env.get("SPARK_GRAFT_LSH_GC") match {
+        case Some("0") => ()
+        case Some("1") => System.gc()
+        case _ =>
+          val minMb = sys.env.get("SPARK_GRAFT_LSH_GC_MIN_MB")
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(1024L)
+          if (Dedup.blockMgrDiskMb(l.sparkSession) >= minMb) System.gc()
+      }
       c
     }
     val candidates =

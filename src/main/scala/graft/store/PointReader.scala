@@ -40,7 +40,14 @@ import org.apache.parquet.schema.MessageTypeParser
 final class PointReader(conf: Configuration, dir: String,
     keyCols: Seq[String], valueCol: String) {
 
-  private case class FileEntry(path: Path, min: String, max: String,
+  // min/max are UNSIGNED UTF-8 BYTES, not Strings: parquet's UTF8 stats
+  // (and the Spark sort that laid the files out) order by unsigned bytes,
+  // and for supplementary-plane characters (U+10000+) that order DISAGREES
+  // with Java String's UTF-16 code-unit order (surrogates D800-DFFF sort
+  // below E000-FFFF in UTF-16 but encode as 0xF0... > 0xEE... in UTF-8).
+  // A String-order file/row-group prune could silently skip a covering
+  // file, so every pruning level compares with the same byte cmp().
+  private case class FileEntry(path: Path, min: Array[Byte], max: Array[Byte],
       input: HadoopInputFile, footer: ParquetMetadata)
 
   /** Cached footers + file-level ranges of the PRIMARY key column
@@ -62,8 +69,8 @@ final class PointReader(conf: Configuration, dir: String,
         val reader = ParquetFileReader.open(input)
         try {
           val footer = reader.getFooter
-          var min: String = null
-          var max: String = null
+          var min: Array[Byte] = null
+          var max: Array[Byte] = null
           val bi = footer.getBlocks.iterator()
           while (bi.hasNext) {
             val b = bi.next()
@@ -73,16 +80,10 @@ final class PointReader(conf: Configuration, dir: String,
               if (c.getPath.toDotString == keyCols.head) {
                 val st = c.getStatistics
                 if (st != null && st.hasNonNullValue) {
-                  val lo = st.genericGetMin match {
-                    case b: Binary => b.toStringUsingUTF8
-                    case other => String.valueOf(other)
-                  }
-                  val hi = st.genericGetMax match {
-                    case b: Binary => b.toStringUsingUTF8
-                    case other => String.valueOf(other)
-                  }
-                  if (min == null || lo < min) min = lo
-                  if (max == null || hi > max) max = hi
+                  val lo = statBytes(st.genericGetMin)
+                  val hi = statBytes(st.genericGetMax)
+                  if (min == null || cmp(lo, min) < 0) min = lo
+                  if (max == null || cmp(hi, max) > 0) max = hi
                 }
               }
             }
@@ -99,8 +100,11 @@ final class PointReader(conf: Configuration, dir: String,
         .mkString("\n") + "\n}")
 
   /** How many files a lookup for `key` must open (probe for specs). */
-  def candidateFiles(key: String): Int =
-    files.count(f => f.min == null || (f.min <= key && key <= f.max))
+  def candidateFiles(key: String): Int = {
+    val kb = utf8(key)
+    files.count(f => f.min == null ||
+      (cmp(f.min, kb) <= 0 && cmp(kb, f.max) <= 0))
+  }
 
   /** All `valueCol` strings whose row matches every (keyCol = value)
     * equality. Composite keys filter on all columns; file pruning uses
@@ -124,6 +128,16 @@ final class PointReader(conf: Configuration, dir: String,
       offsets: org.apache.parquet.internal.column.columnindex.OffsetIndex)
   private val pageIndexCache =
     collection.concurrent.TrieMap.empty[(String, Int), Option[PageIndex]]
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Statistics value → its UTF-8 byte form (Binary stats pass bytes
+    * through; non-binary stats render then encode). */
+  private def statBytes(v: Any): Array[Byte] = v match {
+    case b: Binary => b.getBytes
+    case other => utf8(String.valueOf(other))
+  }
 
   /** Unsigned lexicographic byte compare — the UTF8 binary sort order
     * parquet statistics use. */
@@ -178,8 +192,9 @@ final class PointReader(conf: Configuration, dir: String,
     * file (the partitionBy writer re-sorting by partition column only),
     * which point reads paid as 32 decoded pages per lookup. */
   def pagesCovering(key: String): Int = {
-    val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    files.filter(f => f.min == null || (f.min <= key && key <= f.max))
+    val kb = utf8(key)
+    files.filter(f => f.min == null ||
+        (cmp(f.min, kb) <= 0 && cmp(kb, f.max) <= 0))
       .map { fe =>
         val reader = readerFor(fe)
         fe.synchronized {
@@ -235,9 +250,9 @@ final class PointReader(conf: Configuration, dir: String,
 
   private def read(pairs: Seq[(String, String)]): Seq[String] = {
     val k0 = pairs.head._2
-    val k0b = k0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val k0b = utf8(k0)
     val candidates = files.filter(f => f.min == null ||
-      (f.min <= k0 && k0 <= f.max))
+      (cmp(f.min, k0b) <= 0 && cmp(k0b, f.max) <= 0))
     if (candidates.isEmpty) return Seq.empty
     val pred = pairs
       .map[org.apache.parquet.filter2.predicate.FilterPredicate] {
@@ -260,13 +275,9 @@ final class PointReader(conf: Configuration, dir: String,
           // row-group pruning by key statistics
           val inRg = ccmd == null || {
             val st = ccmd.getStatistics
-            st == null || !st.hasNonNullValue || {
-              def s(v: Any) = v match {
-                case b: Binary => b.toStringUsingUTF8
-                case other => String.valueOf(other)
-              }
-              s(st.genericGetMin) <= k0 && k0 <= s(st.genericGetMax)
-            }
+            st == null || !st.hasNonNullValue ||
+              (cmp(statBytes(st.genericGetMin), k0b) <= 0 &&
+                cmp(k0b, statBytes(st.genericGetMax)) <= 0)
           }
           if (inRg) {
             // page-level pruning from the CACHED column index: parquet's

@@ -177,28 +177,55 @@ final class TableTwinStore private (
   private var pointReaders: Option[(Int, PointReader, PointReader)] = None
   private def usePointReader: Boolean =
     spark.conf.get("spark.graft.store.pointreader", "true").toBoolean
-  private def readers(): (PointReader, PointReader) = pointReaders match {
-    case Some((v, t, r)) if v == version => (t, r)
-    case _ =>
-      // release the superseded version's persistent file streams
-      pointReaders.foreach { case (_, t, r) => t.close(); r.close() }
-      val hc = spark.sparkContext.hadoopConfiguration
-      val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
-        Seq("dt_id"), "properties")
-      val r = new PointReader(hc, s"${snapshotPath(version)}/relationships",
-        Seq("source_id", "relationship_id"), "properties")
-      pointReaders = Some((version, t, r)); (t, r)
+  // Swapping readers after a checkpoint CLOSES the superseded version's
+  // persistent file streams; a concurrent lookup mid-fault-in must never
+  // observe that close (the default HttpServer executor serializes
+  // handlers today, but the store must not depend on it). Lookups run
+  // under the read lock; the swap closes + rebuilds under the write lock,
+  // then DOWNGRADES to read so the caller's lookup proceeds on the fresh
+  // pair without a gap another swap could slip into.
+  private val readerLock =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private[store] def withReaders[T](f: ((PointReader, PointReader)) => T): T = {
+    readerLock.readLock().lock()
+    try {
+      pointReaders match {
+        case Some((v, t, r)) if v == version => return f((t, r))
+        case _ => ()
+      }
+    } finally readerLock.readLock().unlock()
+    readerLock.writeLock().lock()
+    val pair =
+      try {
+        pointReaders match {
+          case Some((v, t, r)) if v == version => (t, r)
+          case _ =>
+            pointReaders.foreach { case (_, t, r) => t.close(); r.close() }
+            val hc = spark.sparkContext.hadoopConfiguration
+            val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
+              Seq("dt_id"), "properties")
+            val r = new PointReader(hc,
+              s"${snapshotPath(version)}/relationships",
+              Seq("source_id", "relationship_id"), "properties")
+            pointReaders = Some((version, t, r)); (t, r)
+        }
+      } finally {
+        readerLock.readLock().lock() // downgrade before releasing write
+        readerLock.writeLock().unlock()
+      }
+    try f(pair) finally readerLock.readLock().unlock()
   }
   private def snapTwinDoc(dtId: String): Option[String] =
     if (version == 0) None
-    else if (usePointReader) readers()._1.lookup(Seq(dtId)).headOption
+    else if (usePointReader)
+      withReaders(_._1.lookup(Seq(dtId)).headOption)
     else snapshotGraph().twins
       .filter(col("dt_id") === dtId).select(col("properties"))
       .collect().headOption.map(_.getString(0))
   private def snapRelDoc(sourceId: String, relId: String): Option[String] =
     if (version == 0) None
     else if (usePointReader)
-      readers()._2.lookup(Seq(sourceId, relId)).headOption
+      withReaders(_._2.lookup(Seq(sourceId, relId)).headOption)
     else snapshotGraph().relationships
       .filter(col("source_id") === sourceId && col("relationship_id") === relId)
       .select(col("properties"))
@@ -248,8 +275,8 @@ final class TableTwinStore private (
       else if (usePointReader)
         // per-key footer-index reads (no Spark job); batches are capped
         // at 100 (D5), so this stays under the one IN-probe job's latency
-        todo.flatMap(id => readers()._1.lookup(Seq(id)).headOption
-          .map(id -> _)).toMap
+        withReaders(rs => todo.flatMap(id => rs._1.lookup(Seq(id))
+          .headOption.map(id -> _)).toMap)
       else snapshotGraph().twins
         .filter(col("dt_id").isin(todo: _*))
         .select(col("dt_id"), col("properties"))
@@ -402,7 +429,7 @@ final class TableTwinStore private (
     if (!lazyLoad) return
     val snapDocs: Seq[String] =
       if (version == 0) Nil
-      else if (usePointReader) readers()._2.scanFirst(sourceId)
+      else if (usePointReader) withReaders(_._2.scanFirst(sourceId))
       else snapshotGraph().relationships
         .filter(col("source_id") === sourceId)
         .select(col("properties")).collect().map(_.getString(0)).toSeq

@@ -236,6 +236,26 @@ class CypherSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("OPTIONAL MATCH VLE endpoint never frame-seeded by null-satisfiable WHERE") {
+    // ADVICE r17: the main WHERE applies POST-join and may forward-
+    // reference the OPTIONAL MATCH alias with a null-SATISFIABLE predicate
+    // (IS NULL). Frame-seeding the VLE target with that predicate would
+    // remove the moon1→earth pair (earth.hasLife is set), null-extend
+    // moon1, and `null IS NULL` would then KEEP a row the unseeded plan
+    // filters — so the optional endpoint must not be seeded.
+    val df = planner.run(
+      "MATCH (m:Twin) WHERE a.hasLife IS NULL " +
+        "OPTIONAL MATCH (m)-[r:orbits*1..1]->(a:Twin) " +
+        "RETURN m.`$dtId` AS id, a.`$dtId` AS aid")
+    val rows = df.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // moon1's only depth-1 orbit target is earth (hasLife set) → its row
+    // is FILTERED, not null-extended; sun has no outgoing orbits → kept
+    // as a genuine null-extension
+    assert(rows == Set(
+      ("earth", Some("sun")), ("kepler", Some("sun")), ("sun", None)))
+  }
+
   test("UNWIND a JSON array property") {
     val rows = planner.run(
       "MATCH (t:Twin) WHERE t.`$dtId` = 'earth' UNWIND t.tags AS tag " +

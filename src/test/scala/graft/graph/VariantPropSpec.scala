@@ -47,6 +47,31 @@ class VariantPropSpec extends AnyFunSuite {
     }
   }
 
+  test("object-valued extraction echoes raw text verbatim (fallback)") {
+    import spark.implicits._
+    // keys deliberately NOT name-sorted, spacing irregular, numbers in
+    // shapes variant would re-render (1e30, trailing zeros) — the '{'
+    // fallback must hand these to get_json_object untouched, so the
+    // variant route can never change user-visible object output
+    val doc = """{"obj":{"z":1e30, "a": 2.50,"m":{"k":[1,{"q":7}]}},
+      |"arrobj":[{"b":2},{"a":1}],
+      |"strbrace":"starts {mid} ends","plain":"x"}"""
+      .stripMargin.replace("\n", "")
+    val df = Seq(doc).toDF("properties")
+    val paths: Seq[Seq[String]] = Seq(
+      Seq("obj"), Seq("obj", "m"), Seq("arrobj"), Seq("strbrace"),
+      Seq("plain"))
+    val row = df.select(
+      (paths.map(p => TwinGraph.prop(col("properties"), p)) ++
+        paths.map(p => TwinGraph.propVariant(col("properties"), p))): _*)
+      .collect()(0)
+    paths.zipWithIndex.foreach { case (p, i) =>
+      assert(row.get(i) == row.get(i + paths.size),
+        s"path $p: get_json_object=[${row.get(i)}] " +
+          s"variant=[${row.get(i + paths.size)}]")
+    }
+  }
+
   test("typed casts behave identically through both routes") {
     import spark.implicits._
     val df = Seq("""{"d":9900.25,"s":"abc","i":42}""").toDF("properties")

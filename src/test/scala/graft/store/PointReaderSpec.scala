@@ -88,6 +88,36 @@ class PointReaderSpec extends AnyFunSuite {
     assert(Json.get(s2.getTwin("a1"), "/n").get.asDouble() == 1.0)
   }
 
+  test("supplementary-plane ids round-trip through snapshot + point read") {
+    // ADVICE r17: parquet UTF8 stats order by unsigned UTF-8 bytes; Java
+    // String order differs for supplementary-plane chars (surrogates
+    // D800-DFFF sort below E000-FFFF in UTF-16 but encode 0xF0.. > 0xEE..
+    // in UTF-8). A String-order file/row-group prune would wrongly skip a
+    // covering file and the read would silently 404. Mix BMP private-use
+    // ids (U+E000 range) with supplementary-plane ids (U+1F600) so the
+    // two orders actually disagree on this fixture.
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(model))
+    val ids = Seq("a-plain", "zpua", "z😀emoji",
+      "z�repl", "z𐀀minsupp") ++
+      (1 to 60).map(i => f"pad$i%03d")
+    def esc(s: String) = s.flatMap {
+      case c if c >= 0x20 && c < 0x7f && c != '"' && c != '\\' => c.toString
+      case c => f"\\u${c.toInt}%04x"
+    }
+    ids.zipWithIndex.foreach { case (id, i) =>
+      s1.createOrReplaceTwin(id,
+        s"""{"$$dtId":"${esc(id)}","$$metadata":{"$$model":"dtmi:pr:Thing;1"},"n":$i}""")
+    }
+    s1.checkpoint()
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    ids.zipWithIndex.foreach { case (id, i) =>
+      val d = s2.getTwin(id)
+      assert(Json.get(d, "/n").get.asInt() == i, s"wrong doc for id [$id]")
+    }
+  }
+
   test("footer ranges prune candidate files") {
     val dir = tempDir()
     val s1 = TableTwinStore.open(spark, dir, fixedClock())
