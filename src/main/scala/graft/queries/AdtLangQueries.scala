@@ -224,6 +224,21 @@ object AdtLangQueries {
           "RETURN m.`$dtId` AS id ORDER BY id")
     }),
 
+    // OPTIONAL MATCH over a VLE with a null-SATISFIABLE main-WHERE
+    // predicate forward-referencing the optional alias (r18, ADVICE r17):
+    // nations DO reach a region (g.name set → row filtered); regions have
+    // no outgoing in_region edge (genuine null-extension → kept). A plan
+    // that frame-seeded the optional endpoint with `g.name IS NULL` would
+    // empty the pair set, null-extend the NATIONS too, and wrongly return
+    // them — the gate pins the sound result: exactly the 5 regions.
+    "q_cypher_optional_vle" -> ((s, d) => {
+      run(s, d,
+        "MATCH (t:Twin) WHERE t.`$metadata`.`$model` IN " +
+          "['dtmi:graft:Region;1', 'dtmi:graft:Nation;1'] AND g.name IS NULL " +
+          "OPTIONAL MATCH (t)-[r:in_region*1..1]->(g:Twin) " +
+          "RETURN t.`$dtId` AS id, g.`$dtId` AS gid ORDER BY id")
+    }),
+
     // Numeric DISTINCT aggregates: avg/min/max/stDev over the distinct
     // value set, on a grouping where values genuinely repeat (acctbal
     // bucketed to hundreds, per nation) so avg(DISTINCT) differs from
@@ -581,6 +596,9 @@ object AdtLangQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'AMERICA' AND s_acctbal > 7000.0 ORDER BY id""".stripMargin,
+    "q_cypher_optional_vle" ->
+      """SELECT 'R' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS gid
+        |FROM region ORDER BY id""".stripMargin,
     "q_cypher_avg_distinct" ->
       """WITH m2 AS (
         |  SELECT 'N' || c_nationkey AS nation_id,

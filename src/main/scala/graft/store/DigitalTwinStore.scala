@@ -58,4 +58,50 @@ trait DigitalTwinStore {
   // ---- enumeration (job surface: delete-all sweeps) ----
   def twinIds: Seq[String]
   def relationshipKeys: Seq[(String, String)]
+
+  /** Up to `n` EXISTING twin ids strictly greater than `after` in unsigned
+    * UTF-8 order ([[Key.ordering]]) — the delete job's cursor walk (D14).
+    * Driver traffic per call is ≤ n ids, never the full id universe; the
+    * table-backed override streams the key-sorted snapshot through the
+    * point reader with zero Spark jobs. The default serves driver-resident
+    * stores from their key map. */
+  def twinIdsAfter(after: Option[String], n: Int): Seq[String] =
+    twinIds.filter(id => after.forall(a => Key.cmp(id, a) > 0))
+      .sorted(Key.ordering).take(n)
+
+  /** Relationship analogue of [[twinIdsAfter]]: cursor over
+    * (sourceId, relationshipId) pairs in [[Key.pairOrdering]]. */
+  def relationshipKeysAfter(after: Option[(String, String)], n: Int)
+      : Seq[(String, String)] =
+    relationshipKeys.filter(k => after.forall(a => Key.cmpPair(k, a) > 0))
+      .sorted(Key.pairOrdering).take(n)
+
+  /** Group several CRUD calls into ONE durability unit where the backing
+    * supports it (the table store folds the group into a single journal
+    * append instead of one parquet write per op). Default: plain
+    * execution — driver-resident stores have no per-op write to batch. */
+  def batch[T](f: => T): T = f
+
+  /** Bulk delete-ALL fast path, returning (twinsDeleted,
+    * relationshipsDeleted). The table-backed override journals every
+    * delete in ONE distributed append and checkpoints to an empty
+    * snapshot — O(one corpus scan), where the per-key walk would pay a
+    * point write per entity. Default: the batched cursor walk. */
+  def truncateEntities(): (Long, Long) = {
+    var twins = 0L
+    var rels = 0L
+    var rk = relationshipKeysAfter(None, 100)
+    while (rk.nonEmpty) {
+      rk.foreach { case (s, r) => deleteRelationship(s, r) }
+      rels += rk.size
+      rk = relationshipKeysAfter(None, 100)
+    }
+    var tk = twinIdsAfter(None, 100)
+    while (tk.nonEmpty) {
+      tk.foreach(deleteTwin(_))
+      twins += tk.size
+      tk = twinIdsAfter(None, 100)
+    }
+    (twins, rels)
+  }
 }

@@ -29,9 +29,16 @@ object GraphStore {
     // 128 KB makes a point read decode ~one-thousandth of a row group,
     // the btree-leaf trade (slightly larger footers, same scan speed:
     // scans are bandwidth-bound, not page-count-bound).
+    // 256-row key pages (r18, was 1024): the point read decodes every
+    // projected column across the key page's full row span — with ~1 KB
+    // docs the VALUE column splits into ~128-row byte-bound pages anyway,
+    // so the KEY page's row-count limit is what sets the assembly span.
+    // 1024→256 cut per-lookup decode ~4× (measured: the sf10 point leg
+    // was assembly-bound, not seek-bound); footer/page-index overhead is
+    // ~32 B/page on the driver and scans stay bandwidth-bound.
     val pageOpts = Map(
       "parquet.page.size" -> (128 * 1024).toString,
-      "parquet.page.row.count.limit" -> "1024")
+      "parquet.page.row.count.limit" -> "256")
     graph.twins
       // RANGE partition on (model_id, dt_id): hash-by-model put every
       // row of a large model in ONE task (a 1.5 M-row single-task write

@@ -54,7 +54,16 @@ final class TwinStore(
   def mutations: Seq[MutationEvent] = mutationLog.toSeq
   def twinIds: Seq[String] = twins.keys.toSeq
   def relationshipKeys: Seq[(String, String)] = rels.keys.toSeq
+  def hasTwin(dtId: String): Boolean = twins.contains(dtId)
+  def hasRelationship(sourceId: String, relId: String): Boolean =
+    rels.contains((sourceId, relId))
   def currentSeq: Long = seq
+
+  /** Table-store bulk-truncate hooks: drop every entity WITHOUT logging
+    * (the caller journaled the deletes itself, set-wise) and fast-forward
+    * the seq counter past the bulk rows so later ops stay ordered. */
+  private[store] def clearEntities(): Unit = { twins.clear(); rels.clear() }
+  private[store] def advanceSeq(to: Long): Unit = if (to > seq) seq = to
 
   // ---- restore hooks (table-backed mode): rebuild state from a snapshot
   // without validation, stamping or mutation-logging — the docs were

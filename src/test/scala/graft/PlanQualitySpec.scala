@@ -108,8 +108,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("UDF"),
       s"ScalaUDF crept back into the C8-C12 type-filter path:\n$p")
-    assert(p.toLowerCase.contains("jsontypeof"),
-      s"expected the native JsonTypeOf kernel in:\n$p")
+    // r18: with the dual-written properties_v column present the planner
+    // routes IS_* through variant introspection (schema_of_variant over
+    // variant_get — binary probe, no per-call JSON parse); without it,
+    // the native JsonTypeOf kernel. Either way: codegen'd, never a UDF.
+    val lower = p.toLowerCase
+    assert(lower.contains("schemaofvariant") || lower.contains("jsontypeof"),
+      s"expected variant type introspection or the native JsonTypeOf kernel in:\n$p")
     // the kernel generates code (no CodegenFallback): the type filter must
     // sit INSIDE a whole-stage-codegen span (the `*(n) Filter` marker) —
     // a fallback expression would split the stage and print a bare Filter

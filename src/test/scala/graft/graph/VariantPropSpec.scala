@@ -84,6 +84,55 @@ class VariantPropSpec extends AnyFunSuite {
     val i = both("i", "long"); assert(i.get(0) == i.get(1))
   }
 
+  test("variant type introspection matches the JSON-string kernel (IS_*)") {
+    import spark.implicits._
+    import graft.functions.JsonFunctions
+    // every shape the C8-C12 checks can meet, incl. the "1" vs 1
+    // distinction, beyond-long integers and scientific doubles
+    val doc = """{"s":"x","sn":"1.5","n":1.5,"i":3,"b":true,"f":false,
+      |"nul":null,"o":{"a":1},"arr":[1,2],"big":12345678901234567890,
+      |"e":1e30,"neg":-7}""".stripMargin.replace("\n", "")
+    val df = Seq(doc, "not json at all").toDF("properties")
+    val fields: Seq[Seq[String]] = Seq(
+      Seq("s"), Seq("sn"), Seq("n"), Seq("i"), Seq("b"), Seq("f"),
+      Seq("nul"), Seq("o"), Seq("arr"), Seq("big"), Seq("e"), Seq("neg"),
+      Seq("o", "a"), Seq("missing"), Seq("o", "missing"))
+    val rows = df.select(
+      (fields.map(p => JsonFunctions.json_type_of(col("properties"),
+        p.mkString("."))) ++
+        fields.map(p => JsonFunctions.variantTypeOf(
+          try_parse_json(col("properties")), p))): _*).collect()
+    rows.foreach { r =>
+      fields.zipWithIndex.foreach { case (p, i) =>
+        assert(r.get(i) == r.get(i + fields.size),
+          s"path $p: json_type_of=[${r.get(i)}] " +
+            s"variantTypeOf=[${r.get(i + fields.size)}]")
+      }
+    }
+  }
+
+  test("variant fill knob: fill=false derives a graph without properties_v") {
+    // property-free sessions skip the dual-write (r18): without the
+    // column the planner's variant route disables itself (its presence
+    // check fails) and every gate still answers via get_json_object
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.props.variant.fill", "false")
+    try {
+      // distinct session key so the memoized default-fill graph of other
+      // suites is not reused
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.props.variant.fill", "false")
+      val g = GraphViews.graph(s2, dir)
+      assert(!g.twins.columns.contains("properties_v"))
+      assert(!g.relationships.columns.contains("properties_v"))
+      // a property-reading query still answers through the string route
+      val n = new graft.adt.AdtPlanner(g)
+        .run("SELECT T.$dtId AS id FROM DIGITALTWINS T WHERE IS_DEFINED(T.name)")
+        .count()
+      assert(n > 0)
+    } finally spark.conf.unset("spark.graft.props.variant.fill")
+  }
+
   test("malformed documents answer null through both routes") {
     import spark.implicits._
     val df = Seq("not json at all", """{"a": [unterminated""", "")
