@@ -534,10 +534,17 @@ object TextAnalysis {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen"))))
       .groupBy(col("doc")).agg(sum(col("__w")).as("__score"))
-    val top = scored.orderBy(col("__score").desc, col("doc").asc).limit(k)
+      // rank on the QUANTIZED score (micro-units): the score is a sum of
+      // doubles whose addition order differs across engines, so two docs
+      // whose true scores collide (or sit within float error) can swap
+      // ranks on ulp noise — q_text_bm25 hit exactly that at sf1.
+      // Quantizing collapses near-ties onto the deterministic doc-id
+      // tie-break; genuinely distinct BM25 scores differ far above 1e-6.
+      .withColumn("__q", floor(col("__score") * 1e6 + 0.5))
+    val top = scored.orderBy(col("__q").desc, col("doc").asc).limit(k)
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__score").desc, col("doc").asc)).cast(LongType))
+          .orderBy(col("__q").desc, col("doc").asc)).cast(LongType))
       .select(col("rank"), col("doc").as(idCol))
   }
 

@@ -926,9 +926,12 @@ object PipelineQueries {
          |FROM agg ORDER BY doc""".stripMargin,
 
     // Literal arithmetic is written as the same double ops Spark computes
-    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines round identically; only
-    // ranks are emitted, so residual 1-ulp score noise cannot flip hashes
-    // (exact ties break by doc id).
+    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines round identically.
+    // Ranking is on the QUANTIZED score (micro-units, matching
+    // TextAnalysis.bm25TopK): the score is a sum whose addition order
+    // differs across engines, and at sf1 two docs' scores collided within
+    // float error and swapped ranks — quantizing collapses near-ties onto
+    // the deterministic doc-id tie-break.
     "q_text_bm25" ->
       """WITH toks AS (SELECT doc_id doc, unnest(string_split(text,' ')) tok
         |              FROM documents),
@@ -938,13 +941,13 @@ object PipelineQueries {
         |       WHERE tok IN ('vector','merge','window') GROUP BY 1,2),
         |dfreq AS (SELECT tok, count(*) dfreq FROM tf GROUP BY 1),
         |scored AS (SELECT doc,
-        |  sum(ln((n_docs - dfreq + 0.5)/(dfreq + 0.5) + 1.0)
+        |  floor(sum(ln((n_docs - dfreq + 0.5)/(dfreq + 0.5) + 1.0)
         |      * (tf*(1.2 + 1.0))
-        |      / (tf + 1.2*((1.0 - 0.75) + 0.75*len/avglen))) score
+        |      / (tf + 1.2*((1.0 - 0.75) + 0.75*len/avglen))) * 1e6 + 0.5) q
         |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc)
         |       CROSS JOIN stats GROUP BY doc),
-        |top AS (SELECT doc, score FROM scored ORDER BY score DESC, doc LIMIT 20)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
+        |top AS (SELECT doc, q FROM scored ORDER BY q DESC, doc LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY q DESC, doc) AS BIGINT) AS rank,
         |  doc AS doc_id
         |FROM top ORDER BY rank""".stripMargin,
 

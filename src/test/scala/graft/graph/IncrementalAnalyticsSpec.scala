@@ -873,8 +873,12 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     // version fragments by join topology and listings grow per commit),
     // and (d) per-batch latency does NOT grow with batch index: state is
     // pruned + compacted each commit, so batch ~50 folds against the
-    // same-shaped state as batch ~5. Bound is 3x medians — a leak that
-    // accumulates files or versions blows far past that over 45 batches.
+    // same-shaped state as batch ~5. Bound tightened 3x → 2x (r18): the
+    // sf1 attribution run measured drift 0.98 (components) / 1.13
+    // (ranks) over 50 batches, with addBatch (the maintainer's own cone
+    // recompute + state-version rewrite) at ~99% of trigger time and
+    // file listing/WAL phases flat at ≤80 ms — so any late/early ratio
+    // near 2 is a real leak, not engine noise.
     val dir = java.nio.file.Files.createTempDirectory("graft-slo-spec").toString
     val mutDir = s"$dir/mutations"
     val stateDir = s"$dir/state"
@@ -920,7 +924,7 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
     val early = median(lat.slice(2, 12))
     val late = median(lat.takeRight(10))
-    assert(late <= early * 3,
+    assert(late <= early * 2,
       s"per-batch latency drifted: early median ${early}ms -> late median " +
         s"${late}ms over ${lat.size} batches (${lat.mkString(",")})")
   }
