@@ -34,6 +34,7 @@ object Profile {
       case "stages" :: _ => stages(spark, sfDir)
       case "components" :: _ => components(spark, sfDir)
       case "propscan" :: _ => propScan(spark, sfDir, reps)
+      case "fillcost" :: _ => fillCost(spark, sfDir, reps)
       case "vleseed" :: rest =>
         vleSeedProbe(spark, sfDir, rest.headOption.flatMap(_.toIntOption)
           .getOrElse(32))
@@ -55,6 +56,36 @@ object Profile {
              |got: ${other.mkString(" ")}""".stripMargin)
         sys.exit(2)
     } finally spark.stop()
+  }
+
+  /** A/B of the variant dual-write's CACHE-FILL cost (r18, r17 verdict
+    * #7): derive + fully materialize the graph frames with the fill on
+    * vs off, interleaved across reps on fresh child sessions (the memo
+    * keys by session, so each measurement re-derives from parquet and
+    * re-persists). The delta is exactly what a property-free session
+    * saves by setting `spark.graft.props.variant.fill=false`. */
+  private def fillCost(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    def once(fill: Boolean): Double = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.props.variant.fill", fill.toString)
+      val t0 = System.nanoTime()
+      val g = graft.graph.GraphViews.graph(s, sfDir)
+      g.twins.count(); g.relationships.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      g.twins.unpersist(blocking = true)
+      g.relationships.unpersist(blocking = true)
+      t
+    }
+    val times = collection.mutable.Map[Boolean, List[Double]]()
+      .withDefaultValue(Nil)
+    once(true); once(false) // untimed JIT warm-up of both shapes
+    for (_ <- 1 to math.max(reps, 3); fill <- Seq(true, false))
+      times(fill) = once(fill) :: times(fill)
+    val on = times(true).min
+    val off = times(false).min
+    println(f"""{"probe":"fillcost","sf":"$sfDir","fill_on_sec":$on%.2f,""" +
+      f""""fill_off_sec":$off%.2f,"fill_delta_sec":${on - off}%.2f,""" +
+      f""""ratio":${on / off}%.2f}""")
   }
 
   private def dropState(spark: SparkSession): Unit = {
