@@ -44,19 +44,30 @@ final case class JobLock(owner: String, acquiredAt: Long, leaseMillis: Long,
 
 /** Delete-job checkpoint (DeleteJob.cs DeleteJobCheckpoint). */
 final case class DeleteCheckpoint(section: String, relationshipsDeleted: Long,
-    twinsDeleted: Long, modelsDeleted: Long) {
-  def render: String =
+    twinsDeleted: Long, modelsDeleted: Long,
+    // bulk-path precount (r18 advice): corpus counts persisted BEFORE the
+    // truncate so a crash between the (durable) truncate and the next
+    // checkpoint save cannot make the resume re-truncate an empty store
+    // and report zero deletions
+    bulkTwins: Option[Long] = None, bulkRels: Option[Long] = None) {
+  def render: String = {
+    val bulk = (bulkTwins, bulkRels) match {
+      case (Some(t), Some(r)) => s""","bulkTwins":$t,"bulkRels":$r"""
+      case _ => ""
+    }
     s"""{"section":"$section","relationshipsDeleted":$relationshipsDeleted,""" +
-      s""""twinsDeleted":$twinsDeleted,"modelsDeleted":$modelsDeleted}"""
+      s""""twinsDeleted":$twinsDeleted,"modelsDeleted":$modelsDeleted$bulk}"""
+  }
 }
 
 object DeleteCheckpoint {
   val Start = DeleteCheckpoint("Relationships", 0, 0, 0)
   def parse(s: String): DeleteCheckpoint = {
     val n = Json.parse(s)
+    def opt(f: String): Option[Long] = Option(n.get(f)).map(_.asLong())
     DeleteCheckpoint(n.get("section").asText(),
       n.get("relationshipsDeleted").asLong(), n.get("twinsDeleted").asLong(),
-      n.get("modelsDeleted").asLong())
+      n.get("modelsDeleted").asLong(), opt("bulkTwins"), opt("bulkRels"))
   }
 }
 
@@ -303,13 +314,25 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
     }
     try {
       if (bulk && cp.section != "Models" && cp.section != "Completed") {
+        // persist corpus counts BEFORE truncating (r18 advice): the
+        // truncate itself is durable (journal append + checkpoint), so a
+        // crash after it but before the next checkpoint save would make
+        // the resume re-truncate the now-empty store, get (0, 0), and
+        // complete the job reporting zero deletions. With the precount in
+        // the checkpoint the truncate's own return is advisory.
+        if (cp.bulkTwins.isEmpty) {
+          val (ct, cr) = store.countEntities()
+          cp = cp.copy(bulkTwins = Some(ct), bulkRels = Some(cr)); saveCp()
+        }
         // truncate removes relationships AND twins in one journaled sweep;
         // a crash mid-truncate resumes by re-running it (idempotent: it
         // only journals deletes for keys still live)
-        val (t, r) = store.truncateEntities()
+        store.truncateEntities(): Unit
         cp = cp.copy(section = "Models",
-          relationshipsDeleted = cp.relationshipsDeleted + r,
-          twinsDeleted = cp.twinsDeleted + t)
+          relationshipsDeleted = cp.relationshipsDeleted +
+            cp.bulkRels.getOrElse(0L),
+          twinsDeleted = cp.twinsDeleted + cp.bulkTwins.getOrElse(0L),
+          bulkTwins = None, bulkRels = None)
         tick(); saveCp()
       }
       if (cp.section == "Relationships") {
@@ -373,9 +396,11 @@ final class JobService(clock: () => String = () => java.time.Instant.now().toStr
       rec
     } catch {
       case _: JobCrashException =>
-        // simulated instance death: checkpoint stays, status stays Running,
-        // the lock leases out — do NOT release (a dead instance can't)
-        saveCp()
+        // simulated instance death: the LAST EXPLICITLY SAVED checkpoint
+        // stays, status stays Running, the lock leases out — do NOT
+        // release, and do NOT save the in-flight cp (a dead process can't;
+        // a courtesy save here would hide exactly the durability windows
+        // crash tests exist to probe)
         jobs(id)
       case e: Exception =>
         saveCp()

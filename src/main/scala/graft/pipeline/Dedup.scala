@@ -357,7 +357,13 @@ object Dedup {
         case _ =>
           val minMb = sys.env.get("SPARK_GRAFT_LSH_GC_MIN_MB")
             .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(1024L)
-          if (Dedup.blockMgrDiskMb(l.sparkSession) >= minMb) System.gc()
+          // blockMgrDiskMb only sees THIS JVM's blockmgr dirs; on a
+          // non-local master shuffle/spill residue lives on executor
+          // nodes, the measurement reads ~0, and the nudge (whose whole
+          // purpose is bounding shuffle disk) would never fire — fall
+          // back to the unconditional r17 nudge there (r18 advice)
+          if (!l.sparkSession.sparkContext.isLocal ||
+              Dedup.blockMgrDiskMb(l.sparkSession) >= minMb) System.gc()
       }
       c
     }

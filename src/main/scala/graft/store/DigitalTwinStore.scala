@@ -82,6 +82,14 @@ trait DigitalTwinStore {
     * execution — driver-resident stores have no per-op write to batch. */
   def batch[T](f: => T): T = f
 
+  /** Live (twins, relationships) corpus counts — used by the bulk delete
+    * job to persist counts BEFORE truncating, so a crash between the
+    * durable truncate and the next checkpoint save cannot lose them.
+    * Table-backed override counts via two distributed scans; the default
+    * walks the driver-resident id universe. */
+  def countEntities(): (Long, Long) =
+    (twinIds.size.toLong, relationshipKeys.size.toLong)
+
   /** Bulk delete-ALL fast path, returning (twinsDeleted,
     * relationshipsDeleted). The table-backed override journals every
     * delete in ONE distributed append and checkpoints to an empty

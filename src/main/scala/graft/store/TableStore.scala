@@ -195,25 +195,32 @@ final class TableTwinStore private (
       }
     } finally readerLock.readLock().unlock()
     readerLock.writeLock().lock()
-    val pair =
-      try {
-        pointReaders match {
-          case Some((v, t, r)) if v == version => (t, r)
-          case _ =>
-            pointReaders.foreach { case (_, t, r) => t.close(); r.close() }
-            val hc = spark.sparkContext.hadoopConfiguration
-            val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
-              Seq("dt_id"), "properties")
-            val r = new PointReader(hc,
-              s"${snapshotPath(version)}/relationships",
-              Seq("source_id", "relationship_id"), "properties")
-            pointReaders = Some((version, t, r)); (t, r)
-        }
-      } finally {
-        readerLock.readLock().lock() // downgrade before releasing write
-        readerLock.writeLock().unlock()
+    // Downgrade ONLY on build success (r18 advice): a finally-side
+    // downgrade leaves the read lock held forever when PointReader
+    // construction throws — the exception skips the f(pair) try/finally
+    // that would release it, and ReentrantReadWriteLock cannot upgrade,
+    // so the next swap (even a retry on this thread) deadlocks the store.
+    var downgraded = false
+    try {
+      val pair = pointReaders match {
+        case Some((v, t, r)) if v == version => (t, r)
+        case _ =>
+          pointReaders.foreach { case (_, t, r) => t.close(); r.close() }
+          val hc = spark.sparkContext.hadoopConfiguration
+          val t = new PointReader(hc, s"${snapshotPath(version)}/twins",
+            Seq("dt_id"), "properties")
+          val r = new PointReader(hc,
+            s"${snapshotPath(version)}/relationships",
+            Seq("source_id", "relationship_id"), "properties")
+          pointReaders = Some((version, t, r)); (t, r)
       }
-    try f(pair) finally readerLock.readLock().unlock()
+      readerLock.readLock().lock() // downgrade: success path only
+      downgraded = true
+      readerLock.writeLock().unlock()
+      try f(pair) finally readerLock.readLock().unlock()
+    } finally {
+      if (!downgraded) readerLock.writeLock().unlock()
+    }
   }
   private def snapTwinDoc(dtId: String): Option[String] =
     if (version == 0) None
@@ -353,9 +360,14 @@ final class TableTwinStore private (
         if (chunk.isEmpty) exhausted = true
         else {
           cur = Some(chunk.last)
-          // keys the working set or tail resolves are carried by `extras`
+          // keys the working set or tail resolves are carried by `extras`;
+          // the tail exclusion MUST mirror the extras gate (r18 advice): if
+          // the forced tail map outlives hasPreSessionTail (a checkpoint
+          // advanced appliedSeq past tailMaxAtOpen), extras stops adding
+          // tail keys — excluding them here too would silently skip live
+          // entities from cursor enumeration.
           snap ++= chunk.filter(id => !faultedTwins.contains(id) &&
-            !preSessionTail._1.contains(id))
+            !(hasPreSessionTail && preSessionTail._1.contains(id)))
           if (chunk.size < n) exhausted = true
         }
       }
@@ -395,7 +407,7 @@ final class TableTwinStore private (
         else {
           cur = Some(chunk.last)
           snap ++= chunk.filter(k => !faultedRels.contains(k) &&
-            !preSessionTail._2.contains(k))
+            !(hasPreSessionTail && preSessionTail._2.contains(k)))
           if (chunk.size < n) exhausted = true
         }
       }
@@ -412,6 +424,12 @@ final class TableTwinStore private (
     * (and a twin-edge-guard probe) per entity. Mirrors the OUTCOME of the
     * reference's batched `MATCH...LIMIT n` delete job
     * (Jobs/DeleteJob.cs:197-428) without enumerating keys to the client. */
+  override def countEntities(): (Long, Long) = {
+    flushJournal()
+    val g = graph
+    (g.twins.count(), g.relationships.count())
+  }
+
   override def truncateEntities(): (Long, Long) = {
     requireFullOpen("truncate")
     flushJournal()

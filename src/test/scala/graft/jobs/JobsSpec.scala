@@ -302,4 +302,38 @@ class JobsSpec extends AnyFunSuite {
       s"completion must not overwrite an acknowledged cancel, got ${rec.status}")
     assert(svc.get("job-c").status == "Cancelled")
   }
+
+  test("bulk delete: crash between truncate and checkpoint keeps full counts") {
+    val (svc, advance) = timedService()
+    val store = new TwinStore()
+    store.createModels(Seq(model))
+    (1 to 6).foreach(i => store.createOrReplaceTwin(s"t$i",
+      s"""{"$$metadata":{"$$model":"dtmi:ex:m;1"},"name":"T$i"}"""))
+    (1 to 5).foreach(i => store.createOrReplaceRelationship(s"t$i", s"r$i",
+      s"""{"$$relationshipName":"has","$$targetId":"t${i + 1}"}"""))
+
+    // crashAfterBatches=1: the tick right after truncateEntities throws,
+    // so the post-truncate checkpoint save never happens — the worst-case
+    // window where the truncate is durable but its counts were not
+    val crashed = svc.runDelete("del-bulk-crash", store, owner = "A",
+      bulk = true, crashAfterBatches = 1)
+    assert(crashed.status == "Running")
+    val cp = DeleteCheckpoint.parse(crashed.checkpoint.get)
+    assert(cp.bulkTwins.contains(6L) && cp.bulkRels.contains(5L),
+      s"corpus counts must be persisted BEFORE the truncate, got $cp")
+    assert(store.twinIds.isEmpty && store.relationshipKeys.isEmpty,
+      "the truncate itself completed before the crash")
+
+    advance() // lease expires
+    val resumed = svc.runDelete("del-bulk-crash", store, owner = "B",
+      bulk = true)
+    assert(resumed.status == "Succeeded")
+    // the resume re-truncates an EMPTY store (idempotent, returns 0/0);
+    // counts must come from the persisted precount, not that return
+    assert(resumed.resultJson.get.contains("\"twinsDeleted\":6"),
+      s"lost twin count: ${resumed.resultJson.get}")
+    assert(resumed.resultJson.get.contains("\"relationshipsDeleted\":5"),
+      s"lost relationship count: ${resumed.resultJson.get}")
+    assert(resumed.resultJson.get.contains("\"modelsDeleted\":1"))
+  }
 }

@@ -529,4 +529,55 @@ class TableStoreSpec extends AnyFunSuite {
     assert(intercept[StoreException](s2.graphAt(1)).status == 400)
     assert(temps(s2.graphAt(3)).keySet == Set("a", "b", "c", "z"))
   }
+
+  test("cursor enumeration keeps tail keys after a checkpoint resolves the pre-session tail") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    (1 to 3).foreach(i => s1.createOrReplaceTwin(s"a$i", roomDoc(s"a$i", i.toDouble)))
+    s1.checkpoint()
+    // journal tail past the checkpoint — pre-session tail for the reopen
+    (1 to 3).foreach(i => s1.createOrReplaceTwin(s"b$i", roomDoc(s"b$i", i.toDouble)))
+
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    s2.getTwin("b1") // any fault forces the lazy pre-session tail map
+    // checkpoint advances appliedSeq past tailMaxAtOpen: hasPreSessionTail
+    // flips false while the FORCED map still holds b1..b3. extras stops
+    // carrying tail keys, so the snapshot-side exclusion must stop too —
+    // otherwise b2/b3 (never faulted) vanish from cursor enumeration and a
+    // delete job would report success leaving them live.
+    s2.checkpoint()
+    val ids = s2.twinIdsAfter(None, 100)
+    assert(ids.toSet == Set("a1", "a2", "a3", "b1", "b2", "b3"),
+      s"resolved-tail keys must stay enumerable, got $ids")
+  }
+
+  test("failed point-reader construction releases locks — the next lookup retries, no deadlock") {
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(roomModel))
+    s1.createOrReplaceTwin("r1", roomDoc("r1", 20.0))
+    s1.checkpoint()
+    val s2 = TableTwinStore.open(spark, dir, fixedClock())
+    // a garbage .parquet in the snapshot makes PointReader construction
+    // throw while the write lock is held — the swap must release it (and
+    // never leak a read lock) so a later lookup can rebuild
+    val junk = new java.io.File(s"$dir/v1/twins/zz_corrupt.parquet")
+    assert(junk.getParentFile.isDirectory, s"unexpected snapshot layout at $junk")
+    java.nio.file.Files.write(junk.toPath, "not a parquet file".getBytes)
+    intercept[Throwable](s2.getTwin("r1"))
+    assert(junk.delete())
+    // pre-fix this deadlocks: the failed build leaked a read lock, and the
+    // retry's write-lock acquisition blocks forever (no RW-lock upgrade)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var temp: Double = Double.NaN
+    val t = new Thread(() => {
+      temp = Json.get(s2.getTwin("r1"), "/temperature").get.asDouble()
+      done.countDown()
+    })
+    t.setDaemon(true); t.start()
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "lookup after a failed reader build deadlocked")
+    assert(temp == 20.0)
+  }
 }
