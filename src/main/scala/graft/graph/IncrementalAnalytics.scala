@@ -22,6 +22,17 @@ import graft.core.Blocks
   * mutations, a refresh touches the delta cone; the batch recompute it
   * replaces touches everything, every time.
   *
+  * The COMMIT obeys the same contract (r19): maintainer state is
+  * hash-bucketed and versioned behind per-version manifests
+  * ([[StateStore]]), so each micro-batch WRITES only the buckets its
+  * dirty cone touched and carries every clean bucket forward by
+  * reference — the r18 SLO attributed ~99% of the per-batch floor to the
+  * previous full state rewrite, a cost bounded by state size rather than
+  * batch size. Reads assemble a table from the manifest (one pruned
+  * parquet relation per owning version); retention sweeps versions and
+  * bucket dirs nothing references, with a one-commit grace for in-flight
+  * lazy readers.
+  *
   * Equality contract: all arithmetic matches the batch operators
   * bit-for-bit (integer micro-units, same div/order-independent sums), so
   * `refresh* == full recompute` is exact hash equality, which is how the
@@ -165,6 +176,20 @@ object IncrementalAnalytics {
     * caller owns the returned checkpoints. */
   def refreshRanksHistory(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
+    val (hist, dirty) = refreshRanksHistoryParts(newRels, changedPairs,
+      history)
+    dirty.foreach(Blocks.free)
+    hist
+  }
+
+  /** [[refreshRanksHistory]] plus, per iteration, the key set whose rows
+    * can differ from the previous history — iteration i's affected cone
+    * plus the nodes the batch removed from the edge universe. A delta
+    * commit rewrites only the state buckets those keys hash into. Caller
+    * owns BOTH returned checkpoint sequences. */
+  private[graft] def refreshRanksHistoryParts(newRels: DataFrame,
+      changedPairs: DataFrame, history: IndexedSeq[DataFrame])
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     require(history.nonEmpty, "need the previous run's per-iteration ranks")
     val iterations = history.size
     val newPairs = pairs(newRels)
@@ -192,10 +217,18 @@ object IncrementalAnalytics {
       .distinct()
       .localCheckpoint(eager = true)
 
+    // nodes the batch dropped from the edge universe: their history rows
+    // vanish via the semi-join below, so their buckets are dirty too
+    val removed = changed
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct()
+      .join(nodes, Seq("node"), "left_anti")
+      .localCheckpoint(eager = true)
     // r⁰ is the constant init — exact for every node, including new ones
     var blend = nodes.withColumn("rank_m", lit(1000000L))
       .localCheckpoint(eager = true)
     val outHist = IndexedSeq.newBuilder[DataFrame]
+    val outDirty = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to iterations) {
       val contribs = e
         .join(affected.select(col("node").as("target_id")),
@@ -217,6 +250,8 @@ object IncrementalAnalytics {
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
+      outDirty += affected.unionByName(removed).distinct()
+        .localCheckpoint(eager = true)
       if (i < iterations) {
         val grown = affected.unionByName(outNeighbors(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -225,8 +260,8 @@ object IncrementalAnalytics {
       }
     }
     Blocks.free(affected); Blocks.free(e); Blocks.free(nodes)
-    Blocks.free(changed)
-    outHist.result()
+    Blocks.free(changed); Blocks.free(removed)
+    (outHist.result(), outDirty.result())
   }
 
   /** Affected-component refresh of [[TwinGraph.components]] (weakly
@@ -256,6 +291,22 @@ object IncrementalAnalytics {
     * member on the batch side too. */
   def refreshComponents(baseComponents: DataFrame, baseRels: DataFrame,
       mutations: DataFrame): DataFrame = {
+    val p = componentsParts(baseComponents, baseRels, mutations)
+    baseComponents
+      .join(p.affected, Seq("component"), "left_anti")
+      .select(col("dt_id"), col("component"))
+      .unionByName(p.recomputed)
+  }
+
+  /** The two splice ingredients of [[refreshComponents]] — the affected
+    * COMPONENT ids and the recomputed labels for their members — exposed
+    * so a delta commit can rewrite only the state buckets those members
+    * hash into instead of the full label table. */
+  private[graft] case class ComponentsParts(affected: DataFrame,
+      recomputed: DataFrame)
+
+  private[graft] def componentsParts(baseComponents: DataFrame,
+      baseRels: DataFrame, mutations: DataFrame): ComponentsParts = {
     val latest = latestRelMutations(mutations).localCheckpoint(eager = true)
     val twinDelta = latestTwinMutations(mutations).localCheckpoint(eager = true)
     val oldTouched = baseRels
@@ -293,77 +344,89 @@ object IncrementalAnalytics {
         .withColumnRenamed("doc", "dt_id"), Seq("dt_id"), "left_outer")
       .select(col("dt_id"),
         coalesce(col("component"), col("dt_id")).as("component"))
-    val out = baseComponents
-      .join(affected, Seq("component"), "left_anti")
-      .select(col("dt_id"), col("component"))
-      .unionByName(recomputed)
     Blocks.free(latest); Blocks.free(twinDelta)
-    out
+    ComponentsParts(affected, recomputed)
   }
 
   // ---------------- streaming maintenance (§2.A9 composition) ----------------
 
+  private val RelsCols =
+    Seq("relationship_id", "source_id", "target_id", "relationship_name")
+
+  /** Initialize a maintainer state: every table lands fully at v0,
+    * hash-bucketed by its key column ([[StateStore]]), with the manifest,
+    * schema sidecar, bucket count, and the v0 pointer. */
+  private def initState(stateDir: String, buckets: Int,
+      tables: Seq[(String, DataFrame, String)]): Unit = {
+    StateStore.writeBucketCount(stateDir, buckets)
+    StateStore.clearVersion(stateDir, 0L)
+    val man = tables.map { case (t, df, key) =>
+      t -> StateStore.writeFull(df, col(key), buckets, stateDir, 0L, t)
+    }.toMap
+    StateStore.writeManifest(stateDir, 0L, man)
+    StateStore.writeSchemas(stateDir,
+      tables.map { case (t, df, _) => t -> df.schema.toDDL }.toMap)
+    StateStore.writePointer(stateDir, 0L)
+  }
+
   /** Initialize the at-rest maintenance state: version 0 holds the base
-    * relationship table (4 analytic columns) and its degrees. */
+    * relationship table (4 analytic columns) and its degrees.
+    * @param buckets state hash-bucket count, fixed for the state's life.
+    *   The default keeps fixture overheads tiny; size it on a real
+    *   deployment so ONE bucket's rewrite is a comfortable task fan-out. */
   def initDegreesState(stateDir: String, baseDegrees: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseDegrees.write.mode("overwrite").parquet(s"$stateDir/v0/degrees")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("degrees", baseDegrees, "dt_id")))
 
-  private def pointerPath(stateDir: String) =
-    java.nio.file.Paths.get(stateDir, "LATEST")
-
-  private def writePointer(stateDir: String, v: Long): Unit = {
-    // temp-write + atomic move so a reader never sees a torn pointer
-    val tmp = java.nio.file.Paths.get(stateDir, s".LATEST.tmp$v")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, pointerPath(stateDir),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-  }
-
-  private def readPointer(stateDir: String): Long =
-    new String(java.nio.file.Files.readAllBytes(pointerPath(stateDir))).trim.toLong
-
-  /** Retention: after the pointer commits to `committed`, every older
-    * `v<k>` directory is dead weight — a crash-replayed batch either
-    * recomputes FROM the committed version or skips, it never reads
-    * further back — so delete them. Without this each micro-batch would
-    * leave a full copy of the carried state behind (the rels
-    * carry-forward is a full-width rewrite per batch by design: parquet
-    * is immutable, and rewriting keeps reads one-path simple), growing
-    * storage by O(state) per batch forever. Best-effort: a crash between
-    * pointer move and prune leaves at most a transient extra version,
-    * swept by the next committed batch's prune. The committed version's
-    * immediate PREDECESSOR is retained one extra commit: a lazy DataFrame
-    * handed out by currentDegrees/currentScc/... before this commit still
-    * points at the prior pointer's files — deleting only `v < committed-1`
-    * lets such an in-flight reader survive one concurrent commit instead
-    * of dying with FileNotFoundException mid-query. */
-  private def pruneVersions(stateDir: String, committed: Long): Unit = {
-    val dir = java.nio.file.Paths.get(stateDir)
-    val dead = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-    val ls = java.nio.file.Files.list(dir)
-    try {
-      val vs = ls.iterator()
-      while (vs.hasNext) {
-        val p = vs.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("v") && n.drop(1).toLongOption.exists(_ < committed - 1))
-          dead += p
-      }
-    } finally ls.close() // Files.list holds a directory fd until closed
-    dead.foreach { p =>
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      finally walk.close()
+  /** One maintainer micro-batch commit over the delta-encoded state
+    * ([[StateStore]]): read tables (or dirty-bucket slices) as of the
+    * committed version, write per-table deltas or carry-forwards at
+    * `target`, then commit = manifest + small-file compaction + atomic
+    * pointer move + manifest-aware retention. Construction clears any
+    * torn `v{target}` a crashed prior attempt left (the pointer never
+    * moved, so it is garbage and the recompute is deterministic). */
+  private final class StateCommit(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, target: Long) {
+    val v: Long = StateStore.readPointer(stateDir)
+    val k: Int = StateStore.bucketCount(stateDir)
+    private val prev = StateStore.readManifest(stateDir, v)
+    private val next = scala.collection.mutable.Map[String, Map[Int, Long]]()
+    StateStore.clearVersion(stateDir, target)
+    def table(name: String): DataFrame =
+      StateStore.readTable(spark, stateDir, v, name)
+    def slice(name: String, buckets: Seq[Int]): DataFrame =
+      StateStore.readBuckets(spark, stateDir, v, name, buckets)
+    def dirty(keys: DataFrame, keyCol: String): Seq[Int] =
+      StateStore.dirtyBuckets(keys, col(keyCol), k)
+    def delta(name: String, slice: DataFrame, keyCol: String,
+        dirty: Seq[Int]): Unit =
+      next(name) = StateStore.writeDelta(slice, col(keyCol), k, stateDir,
+        target, name, dirty, prev(name))
+    def carry(name: String): Unit = next(name) = prev(name)
+    def commit(): Unit = {
+      require(next.keySet == prev.keySet,
+        s"state commit must delta or carry every table: " +
+          s"got ${next.keySet}, state has ${prev.keySet}")
+      StateStore.writeManifest(stateDir, target, next.toMap)
+      compactVersion(spark, s"$stateDir/v$target")
+      StateStore.writePointer(stateDir, target)
+      StateStore.prune(stateDir, target)
     }
+  }
+
+  /** Fold the batch into the carried relationship table, delta-style:
+    * only the touched keys' source buckets are read and rewritten (every
+    * row of a touched relationship key lives in its source_id bucket). */
+  private def relsDelta(c: StateCommit, m: DataFrame): Unit = {
+    val dirtyB = c.dirty(
+      latestRelMutations(m).select(col("source_id")), "source_id")
+    if (dirtyB.isEmpty) c.carry("rels")
+    else c.delta("rels",
+      applyRelationshipMutations(c.slice("rels", dirtyB), m),
+      "source_id", dirtyB)
   }
 
   /** Small-file hygiene for a freshly-written state version (every
@@ -411,7 +474,8 @@ object IncrementalAnalytics {
   /** The maintained degrees table as of the last committed batch. */
   def currentDegrees(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/degrees")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "degrees")
 
   /** Continuously-maintained degrees over the mutation-log STREAM (A9):
     * `foreachBatch` folds each micro-batch of CDC rows into the at-rest
@@ -433,23 +497,38 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseDeg = spark2.read.parquet(s"$stateDir/v$v/degrees")
-          // materialize before writing: the outputs read the SAME paths a
-          // concurrent version could overwrite, and parquet self-reads
-          // during overwrite are illegal anyway
+          val c = new StateCommit(spark2, stateDir, target)
           val m = batch.localCheckpoint(true)
-          refreshDegrees(baseDeg, baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/degrees")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
-          graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          val latest = latestRelMutations(m).localCheckpoint(true)
+          val relsDirty = c.dirty(latest.select(col("source_id")),
+            "source_id")
+          // every touched key's base rows live in its source bucket, so
+          // the slice is the complete probe set — refreshDegrees reads NO
+          // clean bucket, and the degrees delta below rewrites none
+          val relsSlice = c.slice("rels", relsDirty)
+          val twinDelta = latestTwinMutations(m)
+          val oldRows = relsSlice
+            .select(col("source_id"), col("relationship_id"),
+              col("target_id"))
+            .join(latest.select(RelKey.map(col): _*), RelKey, "left_semi")
+          def ends(df: DataFrame): DataFrame = df.select(
+            explode(array(col("source_id"), col("target_id"))).as("dt_id"))
+          val dirtyNodes = ends(oldRows)
+            .unionByName(ends(latest.filter(col("alive"))))
+            .unionByName(twinDelta.select(col("dt_id")))
+            .distinct()
+          val degDirty = c.dirty(dirtyNodes, "dt_id")
+          if (degDirty.isEmpty) c.carry("degrees")
+          else c.delta("degrees",
+            refreshDegrees(c.slice("degrees", degDirty), relsSlice, m),
+            "dt_id", degDirty)
+          if (relsDirty.isEmpty) c.carry("rels")
+          else c.delta("rels", applyRelationshipMutations(relsSlice, m),
+            "source_id", relsDirty)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(latest)
+          c.commit()
         }
       }
       .start()
@@ -473,6 +552,21 @@ object IncrementalAnalytics {
     * batch sides. */
   def refreshTriangles(baseTriangles: DataFrame, baseRels: DataFrame,
       mutations: DataFrame): DataFrame = {
+    val p = trianglesParts(baseRels, mutations)
+    baseTriangles
+      .join(p.affected, Seq("node"), "left_anti")
+      .select(col("node"), col("triangles"))
+      .unionByName(p.recomputed)
+  }
+
+  /** A node-keyed splice: `affected` keys drop out of the base table and
+    * `recomputed` rows (keys ⊆ affected) replace them. Shared shape of the
+    * triangle / k-core maintainers' delta commits. */
+  private[graft] case class NodeSpliceParts(affected: DataFrame,
+      recomputed: DataFrame)
+
+  private[graft] def trianglesParts(baseRels: DataFrame,
+      mutations: DataFrame): NodeSpliceParts = {
     def sym(rels: DataFrame): DataFrame =
       rels.select(col("source_id").as("u"), col("target_id").as("v"))
         .unionByName(rels.select(col("target_id").as("u"),
@@ -503,30 +597,24 @@ object IncrementalAnalytics {
       .select(col("u"), col("v"))
     val recomputed = Triangles.perNode(coneEdges, "u", "v")
       .join(affected, Seq("node"), "left_semi")
-    val out = baseTriangles
-      .join(affected, Seq("node"), "left_anti")
-      .select(col("node"), col("triangles"))
-      .unionByName(recomputed)
     Blocks.free(changed); Blocks.free(newRels)
-    out
+    NodeSpliceParts(affected, recomputed)
   }
 
   /** Initialize the components maintenance state: version 0 holds the
     * base relationship table and its WCC labels. */
   def initComponentsState(stateDir: String, baseComponents: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseComponents.write.mode("overwrite").parquet(s"$stateDir/v0/components")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("components", baseComponents, "dt_id")))
 
   /** The maintained component labeling as of the last committed batch. */
   def currentComponents(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/components")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "components")
 
   /** Continuously-maintained WCC labels over the mutation-log STREAM —
     * the [[maintainDegreesStream]] machinery with [[refreshComponents]]
@@ -546,20 +634,31 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseComp = spark2.read.parquet(s"$stateDir/v$v/components")
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
+          val baseComp = c.table("components")
           val m = batch.localCheckpoint(true)
-          refreshComponents(baseComp, baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/components")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
-          graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          val p = componentsParts(baseComp, baseRels, m)
+          val recomputed = p.recomputed.localCheckpoint(true)
+          // dirty = every member of an affected component (their labels
+          // may move) + every recomputed key (new nodes enter here)
+          val dirtyNodes = baseComp
+            .join(p.affected, Seq("component"), "left_semi")
+            .select(col("dt_id"))
+            .unionByName(recomputed.select(col("dt_id")))
+          val compDirty = c.dirty(dirtyNodes, "dt_id")
+          if (compDirty.isEmpty) c.carry("components")
+          else c.delta("components",
+            c.slice("components", compDirty)
+              .join(p.affected, Seq("component"), "left_anti")
+              .select(col("dt_id"), col("component"))
+              .unionByName(recomputed),
+            "dt_id", compDirty)
+          relsDelta(c, m)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(recomputed)
+          c.commit()
         }
       }
       .start()
@@ -569,22 +668,19 @@ object IncrementalAnalytics {
     * relationship table and the per-iteration rank history of the last
     * full run ([[PageRank.ranksHistory]]). */
   def initRanksState(stateDir: String, history: IndexedSeq[DataFrame],
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    history.zipWithIndex.foreach { case (h, i) =>
-      h.write.mode("overwrite").parquet(s"$stateDir/v0/hist/i=$i")
-    }
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets,
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id") +:
+        history.zipWithIndex.map { case (h, i) =>
+          (s"hist/i=$i", h, "node")
+        })
 
   /** The maintained final ranks as of the last committed batch. */
   def currentRanks(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, iterations: Int): DataFrame =
-    spark.read.parquet(
-      s"$stateDir/v${readPointer(stateDir)}/hist/i=${iterations - 1}")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      s"hist/i=${iterations - 1}")
 
   /** Continuously-maintained fixed-K PageRank over the mutation-log
     * STREAM — the affected-cone refresh ([[refreshRanksHistory]]) as the
@@ -605,26 +701,36 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val hist = (0 until iterations).map(i =>
-            spark2.read.parquet(s"$stateDir/v$v/hist/i=$i"))
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
+          val hist = (0 until iterations).map(i => c.table(s"hist/i=$i"))
           val m = batch.localCheckpoint(true)
           val newRels = applyRelationshipMutations(baseRels, m)
             .localCheckpoint(true)
-          val changed = changedPairs(baseRels, m)
-          val newHist = refreshRanksHistory(newRels, changed, hist)
+          // the changed-pair probe only touches rows of touched keys, all
+          // of which live in the dirty source buckets — pruned probe
+          val relsDirty = c.dirty(
+            latestRelMutations(m).select(col("source_id")), "source_id")
+          val changed = changedPairs(c.slice("rels", relsDirty), m)
+          val (newHist, dirtyKeys) =
+            refreshRanksHistoryParts(newRels, changed, hist)
           newHist.zipWithIndex.foreach { case (h, i) =>
-            h.write.mode("overwrite").parquet(s"$stateDir/v$target/hist/i=$i")
+            val db = c.dirty(dirtyKeys(i), "node")
+            // h is checkpointed in memory: the delta filter scans the
+            // cache, the parquet WRITE is dirty-bucket-sized
+            if (db.isEmpty) c.carry(s"hist/i=$i")
+            else c.delta(s"hist/i=$i", h, "node", db)
           }
-          newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          if (relsDirty.isEmpty) c.carry("rels")
+          else c.delta("rels",
+            applyRelationshipMutations(c.slice("rels", relsDirty), m),
+            "source_id", relsDirty)
           newHist.foreach(graft.core.Blocks.free)
+          dirtyKeys.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
@@ -652,6 +758,18 @@ object IncrementalAnalytics {
     * forward. Caller owns the returned checkpoints. */
   def refreshCommunitiesHistory(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
+    val (hist, dirty) = refreshCommunitiesHistoryParts(newRels, changedPairs,
+      history)
+    dirty.foreach(Blocks.free)
+    hist
+  }
+
+  /** [[refreshCommunitiesHistory]] plus per-round dirty key sets, the
+    * [[refreshRanksHistoryParts]] contract at label granularity. Caller
+    * owns both returned checkpoint sequences. */
+  private[graft] def refreshCommunitiesHistoryParts(newRels: DataFrame,
+      changedPairs: DataFrame, history: IndexedSeq[DataFrame])
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     require(history.nonEmpty, "need the previous run's per-round labels")
     val rounds = history.size
     val fwd = newRels.select(col("source_id").as("node"),
@@ -671,11 +789,19 @@ object IncrementalAnalytics {
       .distinct()
       .join(nodes, Seq("node"), "left_semi")
       .localCheckpoint(eager = true)
+    // nodes the batch dropped from the edge universe (dirty: their rows
+    // vanish from every round via the semi-join)
+    val removed = changed
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct()
+      .join(nodes, Seq("node"), "left_anti")
+      .localCheckpoint(eager = true)
     var blend = nodes
       .select(col("node"),
         graft.pipeline.TextAnalysis.stableId(col("node")).as("lab"))
       .localCheckpoint(eager = true)
     val outHist = IndexedSeq.newBuilder[DataFrame]
+    val outDirty = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
       val votes = edges
         .join(affected, Seq("node"), "left_semi")
@@ -692,6 +818,8 @@ object IncrementalAnalytics {
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
+      outDirty += affected.unionByName(removed).distinct()
+        .localCheckpoint(eager = true)
       if (i < rounds) {
         val grown = affected.unionByName(nbrsOf(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -701,25 +829,24 @@ object IncrementalAnalytics {
     }
     Blocks.free(affected)
     Blocks.free(edges); Blocks.free(nodes); Blocks.free(changed)
-    outHist.result()
+    Blocks.free(removed)
+    (outHist.result(), outDirty.result())
   }
 
   /** Initialize the triangle maintenance state: version 0 holds the base
     * relationship table and its per-node triangle counts. */
   def initTrianglesState(stateDir: String, baseTriangles: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseTriangles.write.mode("overwrite").parquet(s"$stateDir/v0/triangles")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("triangles", baseTriangles, "node")))
 
   /** The maintained triangle counts as of the last committed batch. */
   def currentTriangles(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/triangles")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "triangles")
 
   /** Continuously-maintained per-node triangle counts over the
     * mutation-log STREAM — [[refreshTriangles]] as the per-batch fold on
@@ -735,20 +862,23 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseTri = spark2.read.parquet(s"$stateDir/v$v/triangles")
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
-          refreshTriangles(baseTri, baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/triangles")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          val p = trianglesParts(baseRels, m)
+          val triDirty = c.dirty(p.affected, "node")
+          if (triDirty.isEmpty) c.carry("triangles")
+          else c.delta("triangles",
+            c.slice("triangles", triDirty)
+              .join(p.affected, Seq("node"), "left_anti")
+              .select(col("node"), col("triangles"))
+              .unionByName(p.recomputed),
+            "node", triDirty)
+          relsDelta(c, m)
           graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
@@ -757,22 +887,19 @@ object IncrementalAnalytics {
   /** Initialize the LPA maintenance state: version 0 holds the base
     * relationship table and the per-round label history. */
   def initCommunitiesState(stateDir: String, history: IndexedSeq[DataFrame],
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    history.zipWithIndex.foreach { case (h, i) =>
-      h.write.mode("overwrite").parquet(s"$stateDir/v0/lpa/i=$i")
-    }
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets,
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id") +:
+        history.zipWithIndex.map { case (h, i) =>
+          (s"lpa/i=$i", h, "node")
+        })
 
   /** The maintained community labels as of the last committed batch. */
   def currentCommunities(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, rounds: Int): DataFrame =
-    spark.read.parquet(
-        s"$stateDir/v${readPointer(stateDir)}/lpa/i=${rounds - 1}")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+        s"lpa/i=${rounds - 1}")
       .select(col("node"), col("lab").as("community"))
 
   /** Continuously-maintained LPA communities over the mutation-log
@@ -790,26 +917,32 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val hist = (0 until rounds).map(i =>
-            spark2.read.parquet(s"$stateDir/v$v/lpa/i=$i"))
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
+          val hist = (0 until rounds).map(i => c.table(s"lpa/i=$i"))
           val m = batch.localCheckpoint(true)
           val newRels = applyRelationshipMutations(baseRels, m)
             .localCheckpoint(true)
-          val changed = changedPairs(baseRels, m)
-          val newHist = refreshCommunitiesHistory(newRels, changed, hist)
+          val relsDirty = c.dirty(
+            latestRelMutations(m).select(col("source_id")), "source_id")
+          val changed = changedPairs(c.slice("rels", relsDirty), m)
+          val (newHist, dirtyKeys) =
+            refreshCommunitiesHistoryParts(newRels, changed, hist)
           newHist.zipWithIndex.foreach { case (h, i) =>
-            h.write.mode("overwrite").parquet(s"$stateDir/v$target/lpa/i=$i")
+            val db = c.dirty(dirtyKeys(i), "node")
+            if (db.isEmpty) c.carry(s"lpa/i=$i")
+            else c.delta(s"lpa/i=$i", h, "node", db)
           }
-          newRels.write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          if (relsDirty.isEmpty) c.carry("rels")
+          else c.delta("rels",
+            applyRelationshipMutations(c.slice("rels", relsDirty), m),
+            "source_id", relsDirty)
           newHist.foreach(graft.core.Blocks.free)
+          dirtyKeys.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
@@ -897,6 +1030,34 @@ object IncrementalAnalytics {
     *                  a truncated region could splice stale labels. */
   def refreshScc(baseScc: DataFrame, baseRels: DataFrame,
       mutations: DataFrame, maxRounds: Int = 200): DataFrame = {
+    val p = sccParts(baseScc, baseRels, mutations, maxRounds)
+    // splice: base labels for clean out-of-region nodes still in the edge
+    // universe; recomputed labels for region nodes; fresh singletons for
+    // first-edge nodes the region didn't touch
+    baseScc
+      .join(p.universe, Seq("node"), "left_semi")
+      .join(p.regionNodes.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("scc"))
+      .unionByName(p.regionNodes
+        .join(p.universe, Seq("node"), "left_semi")
+        .join(p.regionLabels, Seq("grp"))
+        .select(col("node"), col("scc")))
+      .unionByName(p.universe
+        .join(baseScc, Seq("node"), "left_anti")
+        .join(p.regionNodes.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc")))
+  }
+
+  /** [[refreshScc]]'s splice ingredients. Every node whose row can differ
+    * from the base labeling is in `regionNodes` ∪ `deltaEnds`: region
+    * members get recomputed labels, and universe entries/exits (first-edge
+    * singletons, fully-disconnected drops) are always endpoints of a
+    * changed pair. */
+  private[graft] case class SccParts(universe: DataFrame,
+      regionNodes: DataFrame, regionLabels: DataFrame, deltaEnds: DataFrame)
+
+  private[graft] def sccParts(baseScc: DataFrame, baseRels: DataFrame,
+      mutations: DataFrame, maxRounds: Int = 200): SccParts = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
       .localCheckpoint(eager = true)
     val delta = changedPairsSigned(baseRels, mutations)
@@ -984,29 +1145,17 @@ object IncrementalAnalytics {
       .join(resolved.withColumnRenamed("node", "grp"), Seq("grp"),
         "left_outer")
       .select(col("grp"), coalesce(col("scc"), col("grp")).as("scc"))
-    // splice: base labels for clean out-of-region nodes still in the edge
-    // universe; recomputed labels for region nodes; fresh singletons for
-    // first-edge nodes the region didn't touch
-    val out = baseScc
-      .join(universe, Seq("node"), "left_semi")
-      .join(regionNodes.select(col("node")), Seq("node"), "left_anti")
-      .select(col("node"), col("scc"))
-      .unionByName(regionNodes
-        .join(universe, Seq("node"), "left_semi")
-        .join(regionLabels, Seq("grp"))
-        .select(col("node"), col("scc")))
-      .unionByName(universe
-        .join(baseScc, Seq("node"), "left_anti")
-        .join(regionNodes.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), col("node").as("scc")))
-    // out references only checkpointed frames (universe, regionNodes,
-    // region, Scc's internal resolved parts) + the caller's baseScc —
-    // everything else is freeable now
+    val deltaEnds = delta
+      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+      .distinct().localCheckpoint(eager = true)
+    // the parts reference only checkpointed frames (universe, regionNodes,
+    // region, deltaEnds, Scc's internal resolved parts) — everything else
+    // is freeable now
     Blocks.free(delta); Blocks.free(dirty)
     Blocks.free(fwdSeeds); Blocks.free(bwdSeeds)
     Blocks.free(fwd); Blocks.free(bwd)
     Blocks.free(grpAll); Blocks.free(newRels)
-    out
+    SccParts(universe, regionNodes, regionLabels, deltaEnds)
   }
 
   // ---------------- incremental k-core ----------------
@@ -1032,6 +1181,19 @@ object IncrementalAnalytics {
     * and passes the base set through untouched. */
   def refreshKcore(baseCore: DataFrame, baseRels: DataFrame,
       mutations: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    val p = kcoreParts(baseRels, mutations, k, maxRounds) match {
+      case Some(parts) => parts
+      case None => return baseCore // no changed pair: base passes through
+    }
+    baseCore.join(p.affected, Seq("node"), "left_anti")
+      .unionByName(p.recomputed)
+  }
+
+  /** [[refreshKcore]]'s splice ingredients (None when the batch changes no
+    * pair): affected = the component-closed region, recomputed = the batch
+    * k-core of the region-induced new edges. */
+  private[graft] def kcoreParts(baseRels: DataFrame, mutations: DataFrame,
+      k: Int, maxRounds: Int = 200): Option[NodeSpliceParts] = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
       .localCheckpoint(eager = true)
     val touched = changedPairs(baseRels, mutations)
@@ -1039,7 +1201,7 @@ object IncrementalAnalytics {
       .distinct().localCheckpoint(eager = true)
     if (touched.count() == 0) {
       Blocks.free(newRels); Blocks.free(touched)
-      return baseCore
+      return None
     }
     // undirected union edge set: old ∪ new pairs, both directions
     val unionPairs = pairs(baseRels).unionByName(pairs(newRels)).distinct()
@@ -1078,29 +1240,27 @@ object IncrementalAnalytics {
         Seq("source_id"), "left_semi")
       .join(region.withColumnRenamed("node", "target_id"),
         Seq("target_id"), "left_semi")
+    // KCore.kcore materializes eagerly (internal checkpoints), so the
+    // newRels input is safe to free once it returns
     val recomputed = KCore.kcore(regionEdges, "source_id", "target_id", k)
-    val out = baseCore.join(region, Seq("node"), "left_anti")
-      .unionByName(recomputed)
     Blocks.free(newRels); Blocks.free(e)
-    out
+    Some(NodeSpliceParts(region, recomputed))
   }
 
   /** Initialize the k-core maintenance state: version 0 holds the base
     * relationship table and the k-core survivor set. */
   def initKcoreState(stateDir: String, baseCore: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseCore.write.mode("overwrite").parquet(s"$stateDir/v0/kcore")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("kcore", baseCore, "node")))
 
   /** The maintained k-core survivor set as of the last committed batch. */
   def currentKcore(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/kcore")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "kcore")
 
   /** Continuously-maintained k-core over the mutation-log STREAM — the
     * [[maintainComponentsStream]] machinery with [[refreshKcore]] as the
@@ -1115,20 +1275,25 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseCore = spark2.read.parquet(s"$stateDir/v$v/kcore")
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
-          refreshKcore(baseCore, baseRels, m, k)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/kcore")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          kcoreParts(baseRels, m, k) match {
+            case None => c.carry("kcore")
+            case Some(p) =>
+              val db = c.dirty(p.affected, "node")
+              if (db.isEmpty) c.carry("kcore")
+              else c.delta("kcore",
+                c.slice("kcore", db)
+                  .join(p.affected, Seq("node"), "left_anti")
+                  .unionByName(p.recomputed),
+                "node", db)
+          }
+          relsDelta(c, m)
           graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
@@ -1159,6 +1324,25 @@ object IncrementalAnalytics {
   def refreshKtruss(baseTruss: DataFrame, baseRels: DataFrame,
       mutations: DataFrame, k: Int, rounds: Int,
       maxReachRounds: Int = 200): DataFrame = {
+    val p = ktrussParts(baseRels, mutations, k, rounds,
+      maxReachRounds) match {
+      case Some(parts) => parts
+      case None => return baseTruss // no changed pair: base passes through
+    }
+    // base truss edges are canonical (a < b) and the region is
+    // component-closed, so a ∈ region ⟺ b ∈ region — one anti-join
+    baseTruss
+      .join(p.affected.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+      .unionByName(p.recomputed)
+  }
+
+  /** [[refreshKtruss]]'s splice ingredients (None when the batch changes
+    * no pair): affected = the region's NODES (the anti-join key is the
+    * canonical `a` endpoint), recomputed = the batch peel of the
+    * region-induced new edges. */
+  private[graft] def ktrussParts(baseRels: DataFrame, mutations: DataFrame,
+      k: Int, rounds: Int,
+      maxReachRounds: Int = 200): Option[NodeSpliceParts] = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
       .localCheckpoint(eager = true)
     val touched = changedPairs(baseRels, mutations)
@@ -1166,7 +1350,7 @@ object IncrementalAnalytics {
       .distinct().localCheckpoint(eager = true)
     if (touched.count() == 0) {
       Blocks.free(newRels); Blocks.free(touched)
-      return baseTruss
+      return None
     }
     val unionPairs = pairs(baseRels).unionByName(pairs(newRels)).distinct()
     val e = unionPairs
@@ -1203,32 +1387,28 @@ object IncrementalAnalytics {
       .join(region.withColumnRenamed("node", "target_id"),
         Seq("target_id"), "left_semi")
       .select(col("source_id").as("src"), col("target_id").as("dst"))
+    // KTruss.peel materializes eagerly (internal checkpoints), so the
+    // newRels input is safe to free once it returns
     val recomputed = KTruss.peel(regionEdges, k, rounds)
-    // base truss edges are canonical (a < b) and the region is
-    // component-closed, so a ∈ region ⟺ b ∈ region — one anti-join
-    val out = baseTruss
-      .join(region.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
-      .unionByName(recomputed)
     Blocks.free(newRels); Blocks.free(e)
-    out
+    Some(NodeSpliceParts(region, recomputed))
   }
 
   /** Initialize the k-truss maintenance state: version 0 holds the base
     * relationship table and the k-truss edge set. */
   def initKtrussState(stateDir: String, baseTruss: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseTruss.write.mode("overwrite").parquet(s"$stateDir/v0/ktruss")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      // truss edges are canonical (a < b); a's bucket is the edge's home
+      ("ktruss", baseTruss, "a")))
 
   /** The maintained k-truss edge set as of the last committed batch. */
   def currentKtruss(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/ktruss")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "ktruss")
 
   /** Continuously-maintained k-truss over the mutation-log STREAM — the
     * [[maintainKcoreStream]] machinery with [[refreshKtruss]] as the
@@ -1244,20 +1424,28 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseTruss = spark2.read.parquet(s"$stateDir/v$v/ktruss")
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
-          refreshKtruss(baseTruss, baseRels, m, k, rounds)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/ktruss")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          ktrussParts(baseRels, m, k, rounds) match {
+            case None => c.carry("ktruss")
+            case Some(p) =>
+              // region nodes bucket exactly like the canonical `a`
+              // endpoints of every edge the region can change
+              val db = c.dirty(p.affected, "node")
+              if (db.isEmpty) c.carry("ktruss")
+              else c.delta("ktruss",
+                c.slice("ktruss", db)
+                  .join(p.affected.withColumnRenamed("node", "a"),
+                    Seq("a"), "left_anti")
+                  .unionByName(p.recomputed),
+                "a", db)
+          }
+          relsDelta(c, m)
           graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
@@ -1266,19 +1454,17 @@ object IncrementalAnalytics {
   /** Initialize the SCC maintenance state: version 0 holds the base
     * relationship table and its SCC labeling. */
   def initSccState(stateDir: String, baseScc: DataFrame,
-      baseRels: DataFrame): Unit = {
-    val cols4 = Seq("relationship_id", "source_id", "target_id",
-      "relationship_name").map(col)
-    baseRels.select(cols4: _*).write.mode("overwrite")
-      .parquet(s"$stateDir/v0/rels")
-    baseScc.write.mode("overwrite").parquet(s"$stateDir/v0/scc")
-    writePointer(stateDir, 0L)
-  }
+      baseRels: DataFrame,
+      buckets: Int = StateStore.DefaultBuckets): Unit =
+    initState(stateDir, buckets, Seq(
+      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("scc", baseScc, "node")))
 
   /** The maintained SCC labeling as of the last committed batch. */
   def currentScc(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/v${readPointer(stateDir)}/scc")
+    StateStore.readTable(spark, stateDir, StateStore.readPointer(stateDir),
+      "scc")
 
   /** Continuously-maintained SCC labels over the mutation-log STREAM —
     * the [[maintainComponentsStream]] machinery with [[refreshScc]] as
@@ -1294,20 +1480,47 @@ object IncrementalAnalytics {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = batchId + 1
-        if (readPointer(stateDir) < target) {
+        if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
-          val v = readPointer(stateDir)
-          val baseRels = spark2.read.parquet(s"$stateDir/v$v/rels")
-          val baseScc = spark2.read.parquet(s"$stateDir/v$v/scc")
+          val c = new StateCommit(spark2, stateDir, target)
+          val baseRels = c.table("rels")
+          val baseScc = c.table("scc")
           val m = batch.localCheckpoint(true)
-          refreshScc(baseScc, baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/scc")
-          applyRelationshipMutations(baseRels, m)
-            .write.mode("overwrite").parquet(s"$stateDir/v$target/rels")
+          val p = sccParts(baseScc, baseRels, m)
+          // every row that can change: region members get recomputed
+          // labels; universe entries/exits (first-edge singletons, drops)
+          // are endpoints of changed pairs
+          val dirtyNodes = p.regionNodes.select(col("node"))
+            .unionByName(p.deltaEnds).distinct()
+          val db = c.dirty(dirtyNodes, "node")
+          if (db.isEmpty) c.carry("scc")
+          else {
+            val sliceB = c.slice("scc", db)
+            val universeB = p.universe.filter(
+              StateStore.bucketOf(col("node"), c.k)
+                .isin(db.map(Integer.valueOf): _*))
+            // the full refreshScc splice restricted to the dirty buckets:
+            // drops/singletons are delta endpoints, so the bucket-local
+            // anti-joins see every row the full-width ones would
+            c.delta("scc",
+              sliceB.join(p.universe, Seq("node"), "left_semi")
+                .join(p.regionNodes.select(col("node")), Seq("node"),
+                  "left_anti")
+                .select(col("node"), col("scc"))
+                .unionByName(p.regionNodes
+                  .join(p.universe, Seq("node"), "left_semi")
+                  .join(p.regionLabels, Seq("grp"))
+                  .select(col("node"), col("scc")))
+                .unionByName(universeB
+                  .join(sliceB, Seq("node"), "left_anti")
+                  .join(p.regionNodes.select(col("node")), Seq("node"),
+                    "left_anti")
+                  .select(col("node"), col("node").as("scc"))),
+              "node", db)
+          }
+          relsDelta(c, m)
           graft.core.Blocks.free(m)
-          compactVersion(spark2, s"$stateDir/v$target")
-          writePointer(stateDir, target)
-          pruneVersions(stateDir, target)
+          c.commit()
         }
       }
       .start()
