@@ -1536,9 +1536,15 @@ final class AdtPlanner(graph: TwinGraph) {
     * once, consistent with [[jsonProp]]; the JSON-string kernel
     * ([[graft.functions.JsonTypeOf]]) re-parses the document per call.
     * Total-boolean semantics (reference plpgsql helpers RETURN false on
-    * missing, GraphInitialization.cs:186-235) live in [[typeIsCol]]. */
+    * missing, GraphInitialization.cs:186-235) live in [[typeIsCol]].
+    * `spark.graft.typeof.variant=false` pins the Jackson kernel for THIS
+    * family alone (the Profile `typeofcost` A/B knob — property access
+    * keeps its own `spark.graft.props.variant` routing). */
+  private val variantTypeof: Boolean = variantProps &&
+    graph.twins.sparkSession.conf
+      .get("spark.graft.typeof.variant", "true").toBoolean
   private def typeOfCol(ent: String, path: List[String]): Column =
-    if (variantProps)
+    if (variantTypeof)
       JsonFunctions.variantTypeOf(col(s"${ent}__properties_v"), path)
     else JsonFunctions.json_type_of(docCol(ent), path.mkString("."))
   private def typeIsCol(ent: String, path: List[String], t: String): Column =

@@ -212,6 +212,13 @@ final class TableTwinStore private (
           val r = new PointReader(hc,
             s"${snapshotPath(version)}/relationships",
             Seq("source_id", "relationship_id"), "properties")
+          // pin the page indexes while we already hold the write lock:
+          // two small metadata reads per row group now, instead of
+          // ~1.8 ms of index reads on every cold lookup (r18 profile)
+          if (spark.conf.get("spark.graft.store.pointreader.preload",
+              "true").toBoolean) {
+            t.preloadPageIndexes(); r.preloadPageIndexes()
+          }
           pointReaders = Some((version, t, r)); (t, r)
       }
       readerLock.readLock().lock() // downgrade: success path only

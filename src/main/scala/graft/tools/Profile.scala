@@ -35,6 +35,7 @@ object Profile {
       case "components" :: _ => components(spark, sfDir)
       case "propscan" :: _ => propScan(spark, sfDir, reps)
       case "fillcost" :: _ => fillCost(spark, sfDir, reps)
+      case "typeofcost" :: _ => typeofCost(spark, sfDir, reps)
       case "vleseed" :: rest =>
         vleSeedProbe(spark, sfDir, rest.headOption.flatMap(_.toIntOption)
           .getOrElse(32))
@@ -86,6 +87,49 @@ object Profile {
     println(f"""{"probe":"fillcost","sf":"$sfDir","fill_on_sec":$on%.2f,""" +
       f""""fill_off_sec":$off%.2f,"fill_delta_sec":${on - off}%.2f,""" +
       f""""ratio":${on / off}%.2f}""")
+  }
+
+  /** A/B of the C8-C12 routing (r18 verdict watch item): the
+    * q_adt_typeof predicate shape — five IS_* calls over one document —
+    * run with `spark.graft.typeof.variant` on (schema_of_variant over the
+    * shared parsed binary) vs off (the Jackson kernel re-parsing the doc
+    * string per call), interleaved on fresh child sessions, graph frames
+    * pre-cached per session so only the predicate differs. The fixture
+    * gate measured the variant route ~1.9× SLOWER on tiny docs; this
+    * probe decides whether the at-scale argument (one binary touch per
+    * doc for k predicates) actually wins at sf1/sf10. */
+  private def typeofCost(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    val q = "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T " +
+      "WHERE IS_NUMBER(T.acctbal) AND IS_STRING(T.name) " +
+      "AND NOT IS_BOOL(T.acctbal) AND NOT IS_OBJECT(T.name) " +
+      "AND NOT IS_PRIMITIVE(T.tags)"
+    def once(variant: Boolean): Double = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.typeof.variant", variant.toString)
+      val g = graft.graph.GraphViews.graph(s, sfDir)
+      g.twins.count(); g.relationships.count() // cache fill, untimed
+      val planner = new graft.adt.AdtPlanner(g)
+      val (_, t) = timedD(planner.run(q).count())
+      g.twins.unpersist(blocking = true)
+      g.relationships.unpersist(blocking = true)
+      t
+    }
+    val times = collection.mutable.Map[Boolean, List[Double]]()
+      .withDefaultValue(Nil)
+    once(true); once(false) // untimed JIT warm-up of both shapes
+    for (_ <- 1 to math.max(reps, 3); v <- Seq(true, false))
+      times(v) = once(v) :: times(v)
+    val on = times(true).min
+    val off = times(false).min
+    println(f"""{"probe":"typeofcost","sf":"$sfDir",""" +
+      f""""variant_sec":$on%.3f,"jackson_sec":$off%.3f,""" +
+      f""""variant_over_jackson":${on / off}%.2f}""")
+  }
+
+  private def timedD[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
   }
 
   private def dropState(spark: SparkSession): Unit = {

@@ -168,6 +168,34 @@ object StoreScale {
     val postDelete = stRw.graph.twins.count() + stRw.graph.relationships.count()
     require(postDelete == 0, s"delete job left $postDelete entities")
 
+    // 7. (opt-in: SPARK_GRAFT_DELETE_WALK=1) the CURSOR-WALK delete — the
+    //    crash-resume default path the HTTP route does NOT take for table
+    //    stores. Re-ingest the corpus, then walk batched key cursors
+    //    (rels first, then twins), each batch ONE journal append via
+    //    store.batch. Per-row cost = a share of a batch append + (twins)
+    //    an edge-guard probe; the r18 spy-spec bounds driver traffic at
+    //    ≤batchSize keys per fetch, this leg measures the wall clock.
+    val walkStats =
+      if (!sys.env.get("SPARK_GRAFT_DELETE_WALK").contains("1")) ""
+      else {
+        val walkBatch = sys.env.getOrElse("SPARK_GRAFT_WALK_BATCH", "10000")
+          .toInt
+        val st2 = TableTwinStore.open(spark, dir, clock)
+        val (_, reingestSec) = timed(st2.importGraph(
+          graft.graph.GraphViews.storeCanonicalTwins(g.twins),
+          graft.graph.GraphViews.storeCanonicalRels(g.relationships)))
+        val (walkRec, walkSec) = timed(svc.runDelete("scale-delete-walk",
+          st2, batchSize = walkBatch, bulk = false))
+        require(walkRec.status == "Succeeded",
+          s"walk delete finished ${walkRec.status}: ${walkRec.resultJson}")
+        val left = st2.graph.twins.count() + st2.graph.relationships.count()
+        require(left == 0, s"walk delete left $left entities")
+        s""","walk_reingest_sec":${f"$reingestSec%.1f"},""" +
+          s""""walk_batch":$walkBatch,""" +
+          s""""walk_delete_sec":${f"$walkSec%.1f"},""" +
+          s""""walk_rows_per_sec":${f"${(nTwins + nRels) / walkSec}%.0f"}"""
+      }
+
     println(s"""{"tool":"store_scale","sf_dir":"$sfDir",""" +
       s""""twins":$nTwins,"rels":$nRels,""" +
       s""""ingest_sec":${f"$ingestSec%.1f"},""" +
@@ -181,6 +209,6 @@ object StoreScale {
       s""""http_pages":$hPages,"http_page_sec":${f"$httpSec%.1f"},""" +
       s""""mutate100_checkpoint_sec":${f"$mutateSec%.1f"},""" +
       s""""delete_job_sec":${f"$deleteSec%.1f"},""" +
-      s""""delete_job_rows":${nTwins + nRels + 100}}""")
+      s""""delete_job_rows":${nTwins + nRels + 100}$walkStats}""")
   }
 }
