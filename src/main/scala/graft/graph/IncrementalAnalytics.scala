@@ -354,18 +354,20 @@ object IncrementalAnalytics {
     Seq("relationship_id", "source_id", "target_id", "relationship_name")
 
   /** Initialize a maintainer state: every table lands fully at v0,
-    * hash-bucketed by its key column ([[StateStore]]), with the manifest,
-    * schema sidecar, bucket count, and the v0 pointer. */
+    * hash-bucketed by its first key column ([[StateStore]]), with the
+    * manifest, schema + key sidecars, bucket count, and the v0 pointer. */
   private def initState(stateDir: String, buckets: Int,
-      tables: Seq[(String, DataFrame, String)]): Unit = {
+      tables: Seq[(String, DataFrame, Seq[String])]): Unit = {
     StateStore.writeBucketCount(stateDir, buckets)
     StateStore.clearVersion(stateDir, 0L)
-    val man = tables.map { case (t, df, key) =>
-      t -> StateStore.writeFull(df, col(key), buckets, stateDir, 0L, t)
+    val man = tables.map { case (t, df, keys) =>
+      t -> StateStore.writeFull(df, col(keys.head), buckets, stateDir, 0L, t)
     }.toMap
     StateStore.writeManifest(stateDir, 0L, man)
     StateStore.writeSchemas(stateDir,
       tables.map { case (t, df, _) => t -> df.schema.toDDL }.toMap)
+    StateStore.writeKeys(stateDir,
+      tables.map { case (t, _, keys) => t -> keys }.toMap)
     StateStore.writePointer(stateDir, 0L)
   }
 
@@ -378,33 +380,51 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
-      ("degrees", baseDegrees, "dt_id")))
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
+      ("degrees", baseDegrees, Seq("dt_id"))))
 
   /** One maintainer micro-batch commit over the delta-encoded state
-    * ([[StateStore]]): read tables (or dirty-bucket slices) as of the
-    * committed version, write per-table deltas or carry-forwards at
-    * `target`, then commit = manifest + small-file compaction + atomic
-    * pointer move + manifest-aware retention. Construction clears any
-    * torn `v{target}` a crashed prior attempt left (the pointer never
-    * moved, so it is garbage and the recompute is deterministic). */
+    * ([[StateStore]]): read tables (chain-folded) as of the committed
+    * version, append per-table merge-on-read deltas (upserts +
+    * tombstones, O(dirty rows) — never a function of state size) or
+    * carry-forwards at `target`, then commit = manifest + small-file
+    * compaction + atomic pointer move + manifest-aware retention. When a
+    * table's chain reaches `spark.graft.state.maxchain` (default 4), the
+    * commit folds it back into the hash-bucketed base, rewriting only
+    * the buckets the chain's keys touch. Construction clears any torn
+    * `v{target}` a crashed prior attempt left (the pointer never moved,
+    * so it is garbage and the recompute is deterministic). */
   private final class StateCommit(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, target: Long) {
     val v: Long = StateStore.readPointer(stateDir)
     val k: Int = StateStore.bucketCount(stateDir)
     private val prev = StateStore.readManifest(stateDir, v)
-    private val next = scala.collection.mutable.Map[String, Map[Int, Long]]()
+    private val next =
+      scala.collection.mutable.Map[String, StateStore.TableState]()
+    private val maxChain =
+      spark.conf.get("spark.graft.state.maxchain", "4").toInt
     StateStore.clearVersion(stateDir, target)
     def table(name: String): DataFrame =
       StateStore.readTable(spark, stateDir, v, name)
-    def slice(name: String, buckets: Seq[Int]): DataFrame =
-      StateStore.readBuckets(spark, stateDir, v, name, buckets)
+    def tableBuckets(name: String, buckets: Seq[Int]): DataFrame =
+      StateStore.readTableBuckets(spark, stateDir, v, name, buckets)
     def dirty(keys: DataFrame, keyCol: String): Seq[Int] =
       StateStore.dirtyBuckets(keys, col(keyCol), k)
-    def delta(name: String, slice: DataFrame, keyCol: String,
-        dirty: Seq[Int]): Unit =
-      next(name) = StateStore.writeDelta(slice, col(keyCol), k, stateDir,
-        target, name, dirty, prev(name))
+    /** Append `upserts` + `tombstoneKeys` as this table's delta (both
+      * empty → pure carry); fold the chain into buckets at maxChain. */
+    def chainDelta(name: String, upserts: DataFrame,
+        tombstoneKeys: DataFrame): Unit = {
+      if (upserts.isEmpty && tombstoneKeys.isEmpty) { carry(name); return }
+      val keys = StateStore.tableKeys(stateDir, name)
+      val appended = StateStore.writeChainDelta(spark, stateDir, target,
+        name, upserts, tombstoneKeys, keys, prev(name))
+      next(name) =
+        if (appended.chain.size >= maxChain)
+          StateStore.compactIntoBuckets(spark, stateDir, v, target, name,
+            k, appended)
+        else appended
+    }
     def carry(name: String): Unit = next(name) = prev(name)
     def commit(): Unit = {
       require(next.keySet == prev.keySet,
@@ -417,17 +437,14 @@ object IncrementalAnalytics {
     }
   }
 
-  /** Fold the batch into the carried relationship table, delta-style:
-    * only the touched keys' source buckets are read and rewritten (every
-    * row of a touched relationship key lives in its source_id bucket). */
-  private def relsDelta(c: StateCommit, m: DataFrame): Unit = {
-    val dirtyB = c.dirty(
-      latestRelMutations(m).select(col("source_id")), "source_id")
-    if (dirtyB.isEmpty) c.carry("rels")
-    else c.delta("rels",
-      applyRelationshipMutations(c.slice("rels", dirtyB), m),
-      "source_id", dirtyB)
-  }
+  /** Fold the batch into the carried relationship table: upserts = the
+    * touched keys' surviving rows, tombstones = the deleted keys —
+    * exactly the mutation cone, no state-sized work at all. */
+  private def relsDelta(c: StateCommit, latest: DataFrame): Unit =
+    c.chainDelta("rels",
+      latest.filter(col("alive")).select(RelsCols.map(col): _*),
+      latest.filter(!col("alive"))
+        .select(col("source_id"), col("relationship_id")))
 
   /** Small-file hygiene for a freshly-written state version (every
     * maintainer commit calls this before the pointer move): each
@@ -502,14 +519,12 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val m = batch.localCheckpoint(true)
           val latest = latestRelMutations(m).localCheckpoint(true)
-          val relsDirty = c.dirty(latest.select(col("source_id")),
-            "source_id")
-          // every touched key's base rows live in its source bucket, so
-          // the slice is the complete probe set — refreshDegrees reads NO
-          // clean bucket, and the degrees delta below rewrites none
-          val relsSlice = c.slice("rels", relsDirty)
+          // every touched key's rows live in its source bucket, so the
+          // bucket-pruned probe is the complete old-row set
+          val relsProbe = c.tableBuckets("rels",
+            c.dirty(latest.select(col("source_id")), "source_id"))
           val twinDelta = latestTwinMutations(m)
-          val oldRows = relsSlice
+          val oldRows = relsProbe
             .select(col("source_id"), col("relationship_id"),
               col("target_id"))
             .join(latest.select(RelKey.map(col): _*), RelKey, "left_semi")
@@ -518,16 +533,19 @@ object IncrementalAnalytics {
           val dirtyNodes = ends(oldRows)
             .unionByName(ends(latest.filter(col("alive"))))
             .unionByName(twinDelta.select(col("dt_id")))
-            .distinct()
-          val degDirty = c.dirty(dirtyNodes, "dt_id")
-          if (degDirty.isEmpty) c.carry("degrees")
-          else c.delta("degrees",
-            refreshDegrees(c.slice("degrees", degDirty), relsSlice, m),
-            "dt_id", degDirty)
-          if (relsDirty.isEmpty) c.carry("rels")
-          else c.delta("rels", applyRelationshipMutations(relsSlice, m),
-            "source_id", relsDirty)
+            .distinct().localCheckpoint(true)
+          // per-node locality: refreshDegrees over the base RESTRICTED to
+          // the dirty keys yields exactly their new rows (the upserts);
+          // dirty keys it drops (dead twins) are the tombstones
+          val up = refreshDegrees(
+            c.table("degrees").join(dirtyNodes, Seq("dt_id"), "left_semi"),
+            relsProbe, m).localCheckpoint(true)
+          val tomb = dirtyNodes
+            .join(up.select(col("dt_id")), Seq("dt_id"), "left_anti")
+          c.chainDelta("degrees", up, tomb)
+          relsDelta(c, latest)
           graft.core.Blocks.free(m); graft.core.Blocks.free(latest)
+          graft.core.Blocks.free(dirtyNodes); graft.core.Blocks.free(up)
           c.commit()
         }
       }
@@ -607,8 +625,9 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
-      ("components", baseComponents, "dt_id")))
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
+      ("components", baseComponents, Seq("dt_id"))))
 
   /** The maintained component labeling as of the last committed batch. */
   def currentComponents(spark: org.apache.spark.sql.SparkSession,
@@ -640,24 +659,22 @@ object IncrementalAnalytics {
           val baseRels = c.table("rels")
           val baseComp = c.table("components")
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           val p = componentsParts(baseComp, baseRels, m)
+          // upserts = the recomputed labels (they cover every surviving
+          // member of an affected component plus every new node);
+          // tombstones = affected-component members with no recomputed
+          // row — the batch's dead twins
           val recomputed = p.recomputed.localCheckpoint(true)
-          // dirty = every member of an affected component (their labels
-          // may move) + every recomputed key (new nodes enter here)
-          val dirtyNodes = baseComp
+          val tomb = baseComp
             .join(p.affected, Seq("component"), "left_semi")
             .select(col("dt_id"))
-            .unionByName(recomputed.select(col("dt_id")))
-          val compDirty = c.dirty(dirtyNodes, "dt_id")
-          if (compDirty.isEmpty) c.carry("components")
-          else c.delta("components",
-            c.slice("components", compDirty)
-              .join(p.affected, Seq("component"), "left_anti")
-              .select(col("dt_id"), col("component"))
-              .unionByName(recomputed),
-            "dt_id", compDirty)
-          relsDelta(c, m)
+            .join(recomputed.select(col("dt_id")), Seq("dt_id"),
+              "left_anti")
+          c.chainDelta("components", recomputed, tomb)
+          relsDelta(c, latest)
           graft.core.Blocks.free(m); graft.core.Blocks.free(recomputed)
+          graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -671,9 +688,10 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets,
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id") +:
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")) +:
         history.zipWithIndex.map { case (h, i) =>
-          (s"hist/i=$i", h, "node")
+          (s"hist/i=$i", h, Seq("node"))
         })
 
   /** The maintained final ranks as of the last committed batch. */
@@ -707,29 +725,28 @@ object IncrementalAnalytics {
           val baseRels = c.table("rels")
           val hist = (0 until iterations).map(i => c.table(s"hist/i=$i"))
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           val newRels = applyRelationshipMutations(baseRels, m)
             .localCheckpoint(true)
           // the changed-pair probe only touches rows of touched keys, all
           // of which live in the dirty source buckets — pruned probe
-          val relsDirty = c.dirty(
-            latestRelMutations(m).select(col("source_id")), "source_id")
-          val changed = changedPairs(c.slice("rels", relsDirty), m)
+          val changed = changedPairs(c.tableBuckets("rels",
+            c.dirty(latest.select(col("source_id")), "source_id")), m)
           val (newHist, dirtyKeys) =
             refreshRanksHistoryParts(newRels, changed, hist)
           newHist.zipWithIndex.foreach { case (h, i) =>
-            val db = c.dirty(dirtyKeys(i), "node")
-            // h is checkpointed in memory: the delta filter scans the
-            // cache, the parquet WRITE is dirty-bucket-sized
-            if (db.isEmpty) c.carry(s"hist/i=$i")
-            else c.delta(s"hist/i=$i", h, "node", db)
+            // h is checkpointed in memory: the key-restricted upsert scan
+            // reads the cache; the parquet WRITE is cone-sized
+            val up = h.join(dirtyKeys(i), Seq("node"), "left_semi")
+            val tomb = dirtyKeys(i)
+              .join(h.select(col("node")), Seq("node"), "left_anti")
+            c.chainDelta(s"hist/i=$i", up, tomb)
           }
-          if (relsDirty.isEmpty) c.carry("rels")
-          else c.delta("rels",
-            applyRelationshipMutations(c.slice("rels", relsDirty), m),
-            "source_id", relsDirty)
+          relsDelta(c, latest)
           newHist.foreach(graft.core.Blocks.free)
           dirtyKeys.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
+          graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -839,8 +856,9 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
-      ("triangles", baseTriangles, "node")))
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
+      ("triangles", baseTriangles, Seq("node"))))
 
   /** The maintained triangle counts as of the last committed batch. */
   def currentTriangles(spark: org.apache.spark.sql.SparkSession,
@@ -867,17 +885,18 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           val p = trianglesParts(baseRels, m)
-          val triDirty = c.dirty(p.affected, "node")
-          if (triDirty.isEmpty) c.carry("triangles")
-          else c.delta("triangles",
-            c.slice("triangles", triDirty)
-              .join(p.affected, Seq("node"), "left_anti")
-              .select(col("node"), col("triangles"))
-              .unionByName(p.recomputed),
-            "node", triDirty)
-          relsDelta(c, m)
-          graft.core.Blocks.free(m)
+          // upserts = recomputed counts (they cover every affected node
+          // still in the edge universe); tombstones = affected nodes the
+          // cone recompute no longer sees (left the universe)
+          val rec = p.recomputed.localCheckpoint(true)
+          val tomb = p.affected
+            .join(rec.select(col("node")), Seq("node"), "left_anti")
+          c.chainDelta("triangles", rec, tomb)
+          relsDelta(c, latest)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(rec)
+          graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -890,9 +909,10 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets,
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id") +:
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")) +:
         history.zipWithIndex.map { case (h, i) =>
-          (s"lpa/i=$i", h, "node")
+          (s"lpa/i=$i", h, Seq("node"))
         })
 
   /** The maintained community labels as of the last committed batch. */
@@ -923,25 +943,24 @@ object IncrementalAnalytics {
           val baseRels = c.table("rels")
           val hist = (0 until rounds).map(i => c.table(s"lpa/i=$i"))
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           val newRels = applyRelationshipMutations(baseRels, m)
             .localCheckpoint(true)
-          val relsDirty = c.dirty(
-            latestRelMutations(m).select(col("source_id")), "source_id")
-          val changed = changedPairs(c.slice("rels", relsDirty), m)
+          val changed = changedPairs(c.tableBuckets("rels",
+            c.dirty(latest.select(col("source_id")), "source_id")), m)
           val (newHist, dirtyKeys) =
             refreshCommunitiesHistoryParts(newRels, changed, hist)
           newHist.zipWithIndex.foreach { case (h, i) =>
-            val db = c.dirty(dirtyKeys(i), "node")
-            if (db.isEmpty) c.carry(s"lpa/i=$i")
-            else c.delta(s"lpa/i=$i", h, "node", db)
+            val up = h.join(dirtyKeys(i), Seq("node"), "left_semi")
+            val tomb = dirtyKeys(i)
+              .join(h.select(col("node")), Seq("node"), "left_anti")
+            c.chainDelta(s"lpa/i=$i", up, tomb)
           }
-          if (relsDirty.isEmpty) c.carry("rels")
-          else c.delta("rels",
-            applyRelationshipMutations(c.slice("rels", relsDirty), m),
-            "source_id", relsDirty)
+          relsDelta(c, latest)
           newHist.foreach(graft.core.Blocks.free)
           dirtyKeys.foreach(graft.core.Blocks.free)
           graft.core.Blocks.free(newRels); graft.core.Blocks.free(m)
+          graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -1253,8 +1272,9 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
-      ("kcore", baseCore, "node")))
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
+      ("kcore", baseCore, Seq("node"))))
 
   /** The maintained k-core survivor set as of the last committed batch. */
   def currentKcore(spark: org.apache.spark.sql.SparkSession,
@@ -1280,19 +1300,20 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           kcoreParts(baseRels, m, k) match {
             case None => c.carry("kcore")
             case Some(p) =>
-              val db = c.dirty(p.affected, "node")
-              if (db.isEmpty) c.carry("kcore")
-              else c.delta("kcore",
-                c.slice("kcore", db)
-                  .join(p.affected, Seq("node"), "left_anti")
-                  .unionByName(p.recomputed),
-                "node", db)
+              // upserts = the region's recomputed survivors; tombstones =
+              // region nodes peeled out of the core
+              val rec = p.recomputed.localCheckpoint(true)
+              val tomb = p.affected
+                .join(rec.select(col("node")), Seq("node"), "left_anti")
+              c.chainDelta("kcore", rec, tomb)
+              graft.core.Blocks.free(rec)
           }
-          relsDelta(c, m)
-          graft.core.Blocks.free(m)
+          relsDelta(c, latest)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -1400,9 +1421,10 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
       // truss edges are canonical (a < b); a's bucket is the edge's home
-      ("ktruss", baseTruss, "a")))
+      ("ktruss", baseTruss, Seq("a", "b"))))
 
   /** The maintained k-truss edge set as of the last committed batch. */
   def currentKtruss(spark: org.apache.spark.sql.SparkSession,
@@ -1429,22 +1451,26 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           ktrussParts(baseRels, m, k, rounds) match {
             case None => c.carry("ktruss")
             case Some(p) =>
-              // region nodes bucket exactly like the canonical `a`
-              // endpoints of every edge the region can change
-              val db = c.dirty(p.affected, "node")
-              if (db.isEmpty) c.carry("ktruss")
-              else c.delta("ktruss",
-                c.slice("ktruss", db)
-                  .join(p.affected.withColumnRenamed("node", "a"),
-                    Seq("a"), "left_anti")
-                  .unionByName(p.recomputed),
-                "a", db)
+              // upserts = the region's recomputed truss edges; tombstones
+              // = base truss edges inside the region that did not survive
+              // the re-peel. Region nodes bucket exactly like the
+              // canonical `a` endpoints, so the probe is bucket-pruned.
+              val rec = p.recomputed.localCheckpoint(true)
+              val tomb = c.tableBuckets("ktruss", c.dirty(p.affected, "node"))
+                .join(p.affected.withColumnRenamed("node", "a"),
+                  Seq("a"), "left_semi")
+                .select(col("a"), col("b"))
+                .join(rec.select(col("a"), col("b")), Seq("a", "b"),
+                  "left_anti")
+              c.chainDelta("ktruss", rec, tomb)
+              graft.core.Blocks.free(rec)
           }
-          relsDelta(c, m)
-          graft.core.Blocks.free(m)
+          relsDelta(c, latest)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(latest)
           c.commit()
         }
       }
@@ -1457,8 +1483,9 @@ object IncrementalAnalytics {
       baseRels: DataFrame,
       buckets: Int = StateStore.DefaultBuckets): Unit =
     initState(stateDir, buckets, Seq(
-      ("rels", baseRels.select(RelsCols.map(col): _*), "source_id"),
-      ("scc", baseScc, "node")))
+      ("rels", baseRels.select(RelsCols.map(col): _*),
+        Seq("source_id", "relationship_id")),
+      ("scc", baseScc, Seq("node"))))
 
   /** The maintained SCC labeling as of the last committed batch. */
   def currentScc(spark: org.apache.spark.sql.SparkSession,
@@ -1486,40 +1513,37 @@ object IncrementalAnalytics {
           val baseRels = c.table("rels")
           val baseScc = c.table("scc")
           val m = batch.localCheckpoint(true)
+          val latest = latestRelMutations(m).localCheckpoint(true)
           val p = sccParts(baseScc, baseRels, m)
           // every row that can change: region members get recomputed
           // labels; universe entries/exits (first-edge singletons, drops)
-          // are endpoints of changed pairs
+          // are endpoints of changed pairs. Upserts = the full splice
+          // restricted to those keys (unchanged delta-end rows ride along
+          // harmlessly); tombstones = dirty keys the splice dropped.
           val dirtyNodes = p.regionNodes.select(col("node"))
-            .unionByName(p.deltaEnds).distinct()
-          val db = c.dirty(dirtyNodes, "node")
-          if (db.isEmpty) c.carry("scc")
-          else {
-            val sliceB = c.slice("scc", db)
-            val universeB = p.universe.filter(
-              StateStore.bucketOf(col("node"), c.k)
-                .isin(db.map(Integer.valueOf): _*))
-            // the full refreshScc splice restricted to the dirty buckets:
-            // drops/singletons are delta endpoints, so the bucket-local
-            // anti-joins see every row the full-width ones would
-            c.delta("scc",
-              sliceB.join(p.universe, Seq("node"), "left_semi")
-                .join(p.regionNodes.select(col("node")), Seq("node"),
-                  "left_anti")
-                .select(col("node"), col("scc"))
-                .unionByName(p.regionNodes
-                  .join(p.universe, Seq("node"), "left_semi")
-                  .join(p.regionLabels, Seq("grp"))
-                  .select(col("node"), col("scc")))
-                .unionByName(universeB
-                  .join(sliceB, Seq("node"), "left_anti")
-                  .join(p.regionNodes.select(col("node")), Seq("node"),
-                    "left_anti")
-                  .select(col("node"), col("node").as("scc"))),
-              "node", db)
-          }
-          relsDelta(c, m)
-          graft.core.Blocks.free(m)
+            .unionByName(p.deltaEnds).distinct().localCheckpoint(true)
+          val newTable = baseScc
+            .join(p.universe, Seq("node"), "left_semi")
+            .join(p.regionNodes.select(col("node")), Seq("node"),
+              "left_anti")
+            .select(col("node"), col("scc"))
+            .unionByName(p.regionNodes
+              .join(p.universe, Seq("node"), "left_semi")
+              .join(p.regionLabels, Seq("grp"))
+              .select(col("node"), col("scc")))
+            .unionByName(p.universe
+              .join(baseScc, Seq("node"), "left_anti")
+              .join(p.regionNodes.select(col("node")), Seq("node"),
+                "left_anti")
+              .select(col("node"), col("node").as("scc")))
+          val up = newTable.join(dirtyNodes, Seq("node"), "left_semi")
+            .localCheckpoint(true)
+          val tomb = dirtyNodes
+            .join(up.select(col("node")), Seq("node"), "left_anti")
+          c.chainDelta("scc", up, tomb)
+          relsDelta(c, latest)
+          graft.core.Blocks.free(m); graft.core.Blocks.free(latest)
+          graft.core.Blocks.free(dirtyNodes); graft.core.Blocks.free(up)
           c.commit()
         }
       }

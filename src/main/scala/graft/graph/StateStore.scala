@@ -112,15 +112,22 @@ private[graft] object StateStore {
   }
 
   /** table -> bucket -> owning version. */
-  type Manifest = Map[String, Map[Int, Long]]
+  /** One table's state: `buckets` maps every hash bucket to the version
+    * owning its COMPACTED files; `chain` lists the versions that appended
+    * a merge-on-read delta (upserts + tombstones) since the last
+    * compaction, oldest first — latest-wins per key at read time. */
+  final case class TableState(buckets: Map[Int, Long], chain: Seq[Long])
+
+  type Manifest = Map[String, TableState]
 
   private def manifestPath(stateDir: String, v: Long) =
     java.nio.file.Paths.get(stateDir, s"v$v", "MANIFEST.json")
 
   def writeManifest(stateDir: String, v: Long, m: Manifest): Unit = {
-    val body = m.toSeq.sortBy(_._1).map { case (t, bs) =>
-      s""""$t":{${bs.toSeq.sortBy(_._1)
-        .map { case (b, o) => s""""$b":$o""" }.mkString(",")}}"""
+    val body = m.toSeq.sortBy(_._1).map { case (t, ts) =>
+      s""""$t":{"buckets":{${ts.buckets.toSeq.sortBy(_._1)
+        .map { case (b, o) => s""""$b":$o""" }.mkString(",")}},""" +
+        s""""chain":[${ts.chain.mkString(",")}]}"""
     }.mkString("{\"tables\":{", ",", "}}")
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stateDir, s"v$v"))
@@ -131,18 +138,21 @@ private[graft] object StateStore {
     val n = graft.json.Json.parse(new String(
       java.nio.file.Files.readAllBytes(manifestPath(stateDir, v))))
     val tables = n.get("tables")
-    val out = Map.newBuilder[String, Map[Int, Long]]
+    val out = Map.newBuilder[String, TableState]
     val tIt = tables.fieldNames()
     while (tIt.hasNext) {
       val t = tIt.next()
+      val tn = tables.get(t)
       val bs = Map.newBuilder[Int, Long]
-      val bNode = tables.get(t)
+      val bNode = tn.get("buckets")
       val bIt = bNode.fieldNames()
       while (bIt.hasNext) {
         val b = bIt.next()
         bs += (b.toInt -> bNode.get(b).asLong())
       }
-      out += (t -> bs.result())
+      val cNode = tn.get("chain")
+      val chain = (0 until cNode.size()).map(cNode.get(_).asLong())
+      out += (t -> TableState(bs.result(), chain))
     }
     out.result()
   }
@@ -152,22 +162,73 @@ private[graft] object StateStore {
 
   // ---------------- read ----------------
 
-  /** Assemble `table` as of version `v`: group the manifest's buckets by
-    * owning version, one parquet relation per owner over exactly the
-    * bucket dirs it owns. Absent dirs are empty buckets (partitioned
-    * writers emit no dir for an empty partition). Giving the reader LEAF
-    * dirs keeps Spark's partition discovery off (no `__sb` column in the
-    * result) and makes the scan physically pruned to the named buckets. */
+  /** Assemble `table` as of version `v`: the compacted bucket base, plus
+    * a latest-wins fold of the merge-on-read delta chain when one exists —
+    * base rows whose key appears anywhere in the chain are superseded by
+    * the chain's newest row for that key (or dropped, if it is a
+    * tombstone). Bit-exact with a full rewrite; the fold shuffles only
+    * chain rows (cone-sized), the base side is one anti-join scan. */
   def readTable(spark: SparkSession, stateDir: String, v: Long,
-      table: String): DataFrame =
-    readBuckets(spark, stateDir, v, table,
-      readManifest(stateDir, v)(table).keys.toSeq)
+      table: String): DataFrame = {
+    val ts = readManifest(stateDir, v)(table)
+    val base = readBase(spark, stateDir, v, table, ts.buckets.keys.toSeq)
+    if (ts.chain.isEmpty) base
+    else {
+      val keys = tableKeys(stateDir, table)
+      val latest = chainLatest(spark, stateDir, table, ts.chain, keys)
+      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .select(base.columns.map(col): _*) // using-join reorders; restore
+        .unionByName(
+          latest.filter(!col(TombCol)).select(base.columns.map(col): _*))
+    }
+  }
 
-  /** [[readTable]] restricted to `buckets` — the pruned base read a delta
-    * commit does: only the dirty buckets' files are opened. */
-  def readBuckets(spark: SparkSession, stateDir: String, v: Long,
+  /** [[readTable]] restricted to the rows hashing into `buckets` — the
+    * pruned probe a maintainer uses when every key it will look up is
+    * known to hash there (touched relationship keys live in their
+    * source_id bucket). Chain rows are folded exactly like readTable,
+    * restricted to the same buckets. */
+  def readTableBuckets(spark: SparkSession, stateDir: String, v: Long,
       table: String, buckets: Seq[Int]): DataFrame = {
-    val man = readManifest(stateDir, v)(table)
+    val ts = readManifest(stateDir, v)(table)
+    val base = readBase(spark, stateDir, v, table, buckets)
+    if (ts.chain.isEmpty) base
+    else {
+      val keys = tableKeys(stateDir, table)
+      val k = bucketCount(stateDir)
+      val latest = chainLatest(spark, stateDir, table, ts.chain, keys)
+        .filter(bucketOf(col(keys.head), k)
+          .isin(buckets.distinct.map(Integer.valueOf): _*))
+      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .select(base.columns.map(col): _*) // using-join reorders; restore
+        .unionByName(
+          latest.filter(!col(TombCol)).select(base.columns.map(col): _*))
+    }
+  }
+
+  /** The newest chain row per key (tombstones kept, flagged). */
+  private def chainLatest(spark: SparkSession, stateDir: String,
+      table: String, chain: Seq[Long], keys: Seq[String]): DataFrame = {
+    val deltas = chain.map { dv =>
+      spark.read.parquet(deltaDir(stateDir, dv, table))
+        .withColumn("__v", lit(dv))
+    }.reduce(_ unionByName _)
+    val dataCols = deltas.columns.filter(c => c != "__v")
+    deltas.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.filterNot(keys.contains).map(col): _*),
+        col("__v")).as("__l"))
+      .select(keys.map(col) ++ dataCols.filterNot(keys.contains)
+        .map(c => col(s"__l.$c").as(c)): _*)
+  }
+
+  /** The compacted BASE of `table` restricted to `buckets` (chain NOT
+    * folded) — what compaction and bucket-pruned probes read. Each owner
+    * contributes one parquet relation over exactly its bucket dirs;
+    * absent dirs are empty buckets. Leaf-dir paths keep partition
+    * discovery off and make the scan physically pruned. */
+  def readBase(spark: SparkSession, stateDir: String, v: Long,
+      table: String, buckets: Seq[Int]): DataFrame = {
+    val man = readManifest(stateDir, v)(table).buckets
     val hconf = spark.sparkContext.hadoopConfiguration
     val byOwner = buckets.distinct.sorted
       .map(b => (man(b), b)).groupBy(_._1)
@@ -181,15 +242,15 @@ private[graft] object StateStore {
     }
     if (frames.isEmpty)
       // every named bucket is empty: an empty frame with the table schema
-      // read from ANY existing bucket of the table, or fail loudly if the
-      // whole table is empty everywhere (callers always init non-trivially)
+      // read from ANY existing bucket of the table, or the schema sidecar
+      // when the whole table is empty everywhere
       emptyLike(spark, stateDir, v, table)
     else frames.reduce(_ unionByName _)
   }
 
   private def emptyLike(spark: SparkSession, stateDir: String, v: Long,
       table: String): DataFrame = {
-    val man = readManifest(stateDir, v)(table)
+    val man = readManifest(stateDir, v)(table).buckets
     val hconf = spark.sparkContext.hadoopConfiguration
     val any = man.toSeq.sortBy(_._1).iterator.map { case (b, o) =>
       bucketDir(stateDir, o, table, b)
@@ -212,39 +273,105 @@ private[graft] object StateStore {
 
   // ---------------- write ----------------
 
-  /** Write a FULL table at version `v` (init, or a deliberate compaction):
-    * every bucket lands under v, manifest entries all map to v. */
+  /** Tombstone flag column of merge-on-read delta files. */
+  val TombCol = "__tomb"
+
+  private def deltaDir(stateDir: String, v: Long, table: String): String =
+    s"$stateDir/v$v/$table/delta"
+
+  /** Write a FULL table at version `v` (init, or a compaction target):
+    * every bucket lands under v — one file per non-empty bucket (the
+    * repartition keys the write so each bucket is a single task's
+    * output; without it a 32-task upstream fragments every bucket into
+    * up to 32 files and compaction pays a job per bucket dir). */
   def writeFull(df: DataFrame, keyCol: Column, k: Int, stateDir: String,
-      v: Long, table: String): Map[Int, Long] = {
+      v: Long, table: String): TableState = {
     df.withColumn(BucketCol, bucketOf(keyCol, k))
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite")
       .parquet(s"$stateDir/v$v/$table")
-    (0 until k).map(b => b -> v).toMap
+    TableState((0 until k).map(b => b -> v).toMap, Seq.empty)
   }
 
-  /** Write only the DIRTY buckets of a table at version `v`. `slice` must
-    * contain exactly the new content of the dirty buckets (rows whose key
-    * hashes elsewhere would corrupt the carry-forward, so this filters to
-    * `dirty` defensively — the predicate is on the already-computed bucket
-    * column and costs nothing). Returns the table's new manifest: dirty
-    * buckets -> v, everything else carried from `prev`. */
-  def writeDelta(slice: DataFrame, keyCol: Column, k: Int, stateDir: String,
-      v: Long, table: String, dirty: Seq[Int],
-      prev: Map[Int, Long]): Map[Int, Long] = {
-    val ds = dirty.distinct
-    if (ds.nonEmpty)
-      slice.withColumn(BucketCol, bucketOf(keyCol, k))
-        .filter(col(BucketCol).isin(ds.map(Integer.valueOf): _*))
-        .write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(s"$stateDir/v$v/$table")
-    prev ++ ds.map(b => b -> v)
+  /** Append one merge-on-read DELTA to `table` at version `v`: `upserts`
+    * are complete replacement rows, `tombstoneKeys` the keys whose rows
+    * vanish (extra tombstones for never-present keys are harmless — the
+    * read fold just finds nothing to drop). This is the O(dirty rows)
+    * commit the maintainer family's scale contract needs: per-batch
+    * write cost no longer touches clean state at all. When the chain
+    * reaches `maxChain` the caller compacts instead
+    * ([[compactIntoBuckets]]). */
+  def writeChainDelta(spark: SparkSession, stateDir: String, v: Long,
+      table: String, upserts: DataFrame, tombstoneKeys: DataFrame,
+      keys: Seq[String], prev: TableState): TableState = {
+    val ddl = readSchema(stateDir, table).getOrElse(
+      throw new IllegalStateException(s"no schema recorded for $table"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val tombs = tombstoneKeys.select(
+      schema.fields.map { f =>
+        if (keys.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*).withColumn(TombCol, lit(true))
+    val ups = upserts.select(schema.fieldNames.map(col): _*)
+      .withColumn(TombCol, lit(false))
+    // cone-sized rows: cap the file count below the compaction
+    // threshold so the small-file pass never pays a job for a delta
+    ups.unionByName(tombs).coalesce(4)
+      .write.mode("overwrite").parquet(deltaDir(stateDir, v, table))
+    TableState(prev.buckets, prev.chain :+ v)
   }
 
-  /** Collect the distinct bucket ids of a (small, cone-sized) key frame —
-    * the dirty-bucket set a delta commit rewrites. */
+  /** Fold `table`'s chain back into its bucketed base at version `v`:
+    * rewrite ONLY the buckets containing any chain key (one file per
+    * bucket), carry every untouched bucket, clear the chain. Work is
+    * proportional to the touched buckets' volume — amortized over the
+    * chain's batches, the per-batch compaction share stays
+    * dirty-proportional. */
+  def compactIntoBuckets(spark: SparkSession, stateDir: String,
+      fromV: Long, v: Long, table: String, k: Int,
+      prev: TableState): TableState = {
+    val keys = tableKeys(stateDir, table)
+    val latest = chainLatest(spark, stateDir, table, prev.chain, keys)
+      .localCheckpoint(true)
+    val dirty = dirtyBuckets(latest, col(keys.head), k)
+    val base = readBase(spark, stateDir, fromV, table, dirty)
+    val folded = base
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .select(base.columns.map(col): _*) // using-join reorders; restore
+      .unionByName(latest.filter(!col(TombCol))
+        .select(base.columns.map(col): _*))
+    folded.withColumn(BucketCol, bucketOf(col(keys.head), k))
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(s"$stateDir/v$v/$table")
+    graft.core.Blocks.free(latest)
+    TableState(prev.buckets ++ dirty.map(b => b -> v), Seq.empty)
+  }
+
+  /** Collect the distinct bucket ids of a (small, cone-sized) key frame. */
   def dirtyBuckets(keys: DataFrame, keyCol: Column, k: Int): Seq[Int] =
     keys.select(bucketOf(keyCol, k).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+
+  // ---------------- key sidecar ----------------
+
+  /** Per-table key columns (identity for the chain fold), written once at
+    * init alongside the schemas. */
+  def writeKeys(stateDir: String, m: Map[String, Seq[String]]): Unit = {
+    val node = graft.json.Json.obj()
+    m.toSeq.sortBy(_._1).foreach { case (t, ks) =>
+      val arr = node.putArray(t)
+      ks.foreach(arr.add)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "KEYS.json"), node.toString): Unit
+  }
+
+  def tableKeys(stateDir: String, table: String): Seq[String] = {
+    val n = graft.json.Json.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stateDir, "KEYS.json")))).get(table)
+    (0 until n.size()).map(n.get(_).asText())
+  }
 
   // ---------------- retention ----------------
 
@@ -263,18 +390,25 @@ private[graft] object StateStore {
   /** Manifest-aware retention, run after the pointer commits to
     * `committed`: a bucket dir is live iff the committed manifest — or the
     * predecessor's, the one-commit grace for in-flight lazy readers —
-    * still maps that bucket to that version. Dead bucket dirs are swept
-    * bucket-granularly; version dirs left with no live buckets (and that
-    * are not the committed/grace versions themselves) are removed whole.
-    * Best-effort, like the pre-delta prune: a crash mid-sweep leaves only
-    * transient extra files for the next committed batch's sweep. */
+    * still maps that bucket to that version, and a delta dir iff one of
+    * those manifests still lists its version in the table's chain. Dead
+    * dirs are swept granularly; version dirs left with no live reference
+    * (and that are not the committed/grace versions themselves) are
+    * removed whole. Best-effort: a crash mid-sweep leaves only transient
+    * extra files for the next committed batch's sweep. */
   def prune(stateDir: String, committed: Long): Unit = {
     def tryManifest(v: Long): Manifest =
       try readManifest(stateDir, v) catch { case _: Exception => Map.empty }
-    val live: Set[(Long, String, Int)] =
-      (tryManifest(committed).toSeq ++ tryManifest(committed - 1).toSeq)
-        .flatMap { case (t, bs) => bs.map { case (b, o) => (o, t, b) } }
-        .toSet
+    val manifests = Seq(tryManifest(committed), tryManifest(committed - 1))
+    val liveBuckets: Set[(Long, String, Int)] = manifests
+      .flatMap(_.toSeq)
+      .flatMap { case (t, ts) => ts.buckets.map { case (b, o) => (o, t, b) } }
+      .toSet
+    val liveDeltas: Set[(Long, String)] = manifests
+      .flatMap(_.toSeq)
+      .flatMap { case (t, ts) => ts.chain.map(dv => (dv, t)) }
+      .toSet
+    val liveVersions = liveBuckets.map(_._1) ++ liveDeltas.map(_._1)
     val dir = java.nio.file.Paths.get(stateDir)
     val versions = scala.collection.mutable.Buffer.empty[Long]
     val ls = java.nio.file.Files.list(dir)
@@ -294,22 +428,23 @@ private[graft] object StateStore {
     }
     versions.filter(_ < committed - 1).foreach { v =>
       val vdir = java.nio.file.Paths.get(stateDir, s"v$v")
-      if (!live.exists(_._1 == v)) rmTree(vdir)
+      if (!liveVersions.contains(v)) rmTree(vdir)
       else {
-        // referenced version: sweep only its dead bucket dirs. Tables can
-        // be nested ("hist/i=3"), so find every `__sb=k` dir recursively
-        // and name its table by the path between the version dir and the
-        // bucket component.
+        // referenced version: sweep only its dead bucket/delta dirs.
+        // Tables can be nested ("hist/i=3"), so find every `__sb=k` and
+        // `delta` dir recursively and name the table by the path between
+        // the version dir and that component.
         val dead = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
         val walk = java.nio.file.Files.walk(vdir)
         try walk.forEach { p =>
           val n = p.getFileName.toString
-          if (java.nio.file.Files.isDirectory(p) &&
-              n.startsWith(s"$BucketCol=")) {
-            val t = vdir.relativize(p.getParent).toString
+          if (java.nio.file.Files.isDirectory(p)) {
+            lazy val t = vdir.relativize(p.getParent).toString
               .replace(java.io.File.separatorChar, '/')
-            val b = n.stripPrefix(s"$BucketCol=").toIntOption
-            if (b.exists(bb => !live((v, t, bb)))) dead += p
+            if (n.startsWith(s"$BucketCol=")) {
+              val b = n.stripPrefix(s"$BucketCol=").toIntOption
+              if (b.exists(bb => !liveBuckets((v, t, bb)))) dead += p
+            } else if (n == "delta" && !liveDeltas((v, t))) dead += p
           }
         } finally walk.close()
         dead.foreach(rmTree)

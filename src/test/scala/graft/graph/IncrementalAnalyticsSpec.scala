@@ -57,9 +57,14 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     def man(v: Long): StateStore.Manifest =
       try StateStore.readManifest(stateDir, v)
       catch { case _: Exception => Map.empty }
-    val live = (man(committed).toSeq ++ man(committed - 1).toSeq)
-      .flatMap { case (t, bs) => bs.map { case (b, o) => (o, t, b) } }.toSet
-    val liveV = live.map(_._1) + committed + (committed - 1)
+    val manifests = Seq(man(committed), man(committed - 1))
+    val liveBuckets = manifests.flatMap(_.toSeq)
+      .flatMap { case (t, ts) => ts.buckets.map { case (b, o) => (o, t, b) } }
+      .toSet
+    val liveDeltas = manifests.flatMap(_.toSeq)
+      .flatMap { case (t, ts) => ts.chain.map(dv => (dv, t)) }.toSet
+    val liveV = liveBuckets.map(_._1) ++ liveDeltas.map(_._1) +
+      committed + (committed - 1)
     val vs = new java.io.File(stateDir).list().filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
     vs.foreach(v => assert(liveV.contains(v),
@@ -71,15 +76,19 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
       val walk = java.nio.file.Files.walk(vdir)
       try walk.forEach { p =>
         val n = p.getFileName.toString
-        if (java.nio.file.Files.isDirectory(p) &&
-            n.startsWith(s"${StateStore.BucketCol}=")) {
-          val t = vdir.relativize(p.getParent).toString
+        if (java.nio.file.Files.isDirectory(p)) {
+          lazy val t = vdir.relativize(p.getParent).toString
             .replace(java.io.File.separatorChar, '/')
-          val b = n.stripPrefix(s"${StateStore.BucketCol}=").toInt
-          if (!live((v, t, b))) stale += s"v$v/$t/$n"
+          if (n.startsWith(s"${StateStore.BucketCol}=")) {
+            val b = n.stripPrefix(s"${StateStore.BucketCol}=").toInt
+            if (!liveBuckets((v, t, b)) && v != committed &&
+                v != committed - 1) stale += s"v$v/$t/$n"
+          } else if (n == "delta" && !liveDeltas((v, t)) &&
+              v != committed && v != committed - 1)
+            stale += s"v$v/$t/$n"
         }
       } finally walk.close()
-      assert(stale.isEmpty, s"unreferenced bucket dirs survive: $stale")
+      assert(stale.isEmpty, s"unreferenced bucket/delta dirs survive: $stale")
     }
   }
 
@@ -986,29 +995,33 @@ class IncrementalAnalyticsSpec extends AnyFunSuite {
     val base = rels((0 until 64).map(i => (s"r$i", s"s$i", s"t$i")): _*)
     IncrementalAnalytics.initDegreesState(stateDir, batchDegrees(base), base)
     val man0 = StateStore.readManifest(stateDir, 0L)
-    assert(man0("degrees").values.forall(_ == 0L))
-    // one relationship delete — dirties at most the buckets of s0 and t0
+    assert(man0("degrees").buckets.values.forall(_ == 0L) &&
+      man0("degrees").chain.isEmpty)
+    // one relationship delete — the commit appends ONE merge-on-read
+    // delta holding the two touched endpoints' rows, nothing else
     muts((1L, "D", "r0", "s0", "t0")).write.mode("append").parquet(mutDir)
     val q = IncrementalAnalytics.maintainDegreesStream(
       spark, mutDir, stateDir, s"$dir/cp")
     q.awaitTermination(60000)
     assert(StateStore.readPointer(stateDir) == 1L)
     val man1 = StateStore.readManifest(stateDir, 1L)
-    val dirtyDeg = man1("degrees").filter(_._2 == 1L).keys.toSeq
-    val dirtyRels = man1("rels").filter(_._2 == 1L).keys.toSeq
-    assert(dirtyDeg.nonEmpty && dirtyDeg.size <= 2,
-      s"a point mutation must dirty ≤2 degree buckets, got $dirtyDeg")
-    assert(dirtyRels.size == 1,
-      s"a single touched key must dirty exactly 1 rels bucket, got $dirtyRels")
-    assert(man1("degrees").count(_._2 == 0L) >= 14,
-      s"clean buckets must stay owned by v0: ${man1("degrees")}")
-    // on disk, v1 holds only the dirty bucket dirs
-    def bucketDirs(t: String): Seq[String] =
+    assert(man1("degrees").buckets.values.forall(_ == 0L),
+      s"every compacted bucket must stay owned by v0: ${man1("degrees")}")
+    assert(man1("degrees").chain == Seq(1L) &&
+      man1("rels").chain == Seq(1L),
+      s"the commit must append one chain delta: ${man1}")
+    // on disk, v1 holds ONLY the delta dirs, no bucket rewrites, and the
+    // degrees delta is exactly the two touched endpoints
+    def dirs(t: String): Seq[String] =
       Option(new java.io.File(s"$stateDir/v1/$t").listFiles())
         .map(_.filter(_.isDirectory).map(_.getName).toSeq).getOrElse(Nil)
-    assert(bucketDirs("degrees")
-      .forall(n => dirtyDeg.contains(n.stripPrefix("__sb=").toInt)))
-    assert(bucketDirs("rels").size <= 1)
+    assert(dirs("degrees") == Seq("delta"), s"v1/degrees: ${dirs("degrees")}")
+    assert(dirs("rels") == Seq("delta"), s"v1/rels: ${dirs("rels")}")
+    val deltaRows = spark.read.parquet(s"$stateDir/v1/degrees/delta")
+    assert(deltaRows.count() == 2 &&
+      deltaRows.select("dt_id").collect().map(_.getString(0)).toSet ==
+        Set("s0", "t0"),
+      "degrees delta must hold exactly the touched endpoints")
     // the assembled read still equals the batch recompute on the shared
     // universe (maintained state keeps edge-less endpoints, batch derives
     // its universe from surviving endpoints)
