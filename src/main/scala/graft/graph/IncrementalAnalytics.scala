@@ -390,7 +390,7 @@ object IncrementalAnalytics {
     * tombstones, O(dirty rows) — never a function of state size) or
     * carry-forwards at `target`, then commit = manifest + small-file
     * compaction + atomic pointer move + manifest-aware retention. When a
-    * table's chain reaches `spark.graft.state.maxchain` (default 4), the
+    * table's chain reaches `spark.graft.state.maxchain` (default 8), the
     * commit folds it back into the hash-bucketed base, rewriting only
     * the buckets the chain's keys touch. Construction clears any torn
     * `v{target}` a crashed prior attempt left (the pointer never moved,
@@ -399,31 +399,69 @@ object IncrementalAnalytics {
       stateDir: String, target: Long) {
     val v: Long = StateStore.readPointer(stateDir)
     val k: Int = StateStore.bucketCount(stateDir)
+    // free the PREVIOUS batch's folded blocks now, not at its commit: a
+    // short-circuiting action (isEmpty under AQE) can leave a detached
+    // broadcast sub-job still materializing when the batch's work is
+    // done, and an unpersist racing that thread logs a scary (harmless —
+    // nothing awaits the zombie) CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND abort.
+    // By the next StateCommit on this state dir every execution of the
+    // previous batch is long gone. One batch's blocks linger per stream;
+    // the session close reaps the last.
+    StateCommit.pendingFree.synchronized {
+      StateCommit.pendingFree.remove(stateDir)
+    }.foreach(_.foreach(graft.core.Blocks.free))
     private val prev = StateStore.readManifest(stateDir, v)
     private val next =
       scala.collection.mutable.Map[String, StateStore.TableState]()
+    // Default 8: the chain fold on reads is cheap (deltas are cone-sized)
+    // while every compaction pays a rewrite of all chain-touched buckets,
+    // so a longer chain amortizes the spike better. Measured at sf1
+    // (SCALING.md r19): maxchain 4 put an all-bucket rewrite in every 4th
+    // batch of a 200-scattered-key feed; 8 halves that share.
     private val maxChain =
-      spark.conf.get("spark.graft.state.maxchain", "4").toInt
+      spark.conf.get("spark.graft.state.maxchain", "8").toInt
     StateStore.clearVersion(stateDir, target)
+    // Memoized EAGER materialization of chain-folded reads: the splice
+    // recompute touches each state table in many downstream actions, and
+    // a lazy fold (delta union + max_by + anti-join) would re-run per
+    // action — the first sf1 SLO of the merge-on-read design measured
+    // that re-fold tax at several seconds per batch. One localCheckpoint
+    // per table per batch pays the fold once; commit() parks the blocks
+    // for the NEXT batch's StateCommit to free (constructor note).
+    private val folded = scala.collection.mutable.Map[String, DataFrame]()
     def table(name: String): DataFrame =
-      StateStore.readTable(spark, stateDir, v, name)
+      folded.getOrElseUpdate(name,
+        StateStore.readTable(spark, stateDir, v, name)
+          .localCheckpoint(eager = true))
     def tableBuckets(name: String, buckets: Seq[Int]): DataFrame =
       StateStore.readTableBuckets(spark, stateDir, v, name, buckets)
     def dirty(keys: DataFrame, keyCol: String): Seq[Int] =
       StateStore.dirtyBuckets(keys, col(keyCol), k)
-    /** Append `upserts` + `tombstoneKeys` as this table's delta (both
-      * empty → pure carry); fold the chain into buckets at maxChain. */
+    /** Append `upserts` + `tombstoneKeys` as this table's delta (zero
+      * delta rows → pure carry, decided from the written footers, not
+      * from two extra isEmpty jobs); fold the chain into buckets when it
+      * reaches maxChain OR when this delta alone is a large fraction of
+      * the base (`spark.graft.state.compactfrac`, default 0.3): a
+      * state-sized cone (the WCC hub shape) gains nothing from chaining
+      * — it would pay the old full-rewrite cost AND make every read fold
+      * chain rows comparable to the state. Point cones stay pure-delta. */
     def chainDelta(name: String, upserts: DataFrame,
         tombstoneKeys: DataFrame): Unit = {
-      if (upserts.isEmpty && tombstoneKeys.isEmpty) { carry(name); return }
       val keys = StateStore.tableKeys(stateDir, name)
-      val appended = StateStore.writeChainDelta(spark, stateDir, target,
-        name, upserts, tombstoneKeys, keys, prev(name))
-      next(name) =
-        if (appended.chain.size >= maxChain)
-          StateStore.compactIntoBuckets(spark, stateDir, v, target, name,
-            k, appended)
-        else appended
+      StateStore.writeChainDelta(spark, stateDir, target,
+        name, upserts, tombstoneKeys, keys, prev(name)) match {
+        case None => carry(name)
+        case Some((appended, deltaRows)) =>
+          val frac = spark.conf
+            .get("spark.graft.state.compactfrac", "0.3").toDouble
+          next(name) =
+            if (appended.chain.size >= maxChain ||
+                deltaRows >= frac * math.max(
+                  StateStore.baseRowCount(spark, stateDir, v, name), 1L))
+              StateStore.compactIntoBuckets(spark, stateDir, v, target,
+                name, k, appended)
+            else appended
+      }
     }
     def carry(name: String): Unit = next(name) = prev(name)
     def commit(): Unit = {
@@ -434,7 +472,20 @@ object IncrementalAnalytics {
       compactVersion(spark, s"$stateDir/v$target")
       StateStore.writePointer(stateDir, target)
       StateStore.prune(stateDir, target)
+      StateCommit.pendingFree.synchronized {
+        StateCommit.pendingFree(stateDir) = folded.values.toSeq
+      }
+      folded.clear()
     }
+  }
+
+  private object StateCommit {
+    /** Folded-table blocks parked at commit, freed by the NEXT commit on
+      * the same state dir (see the constructor note on zombie AQE
+      * sub-jobs). Keyed by state dir: concurrent maintainers on different
+      * states must not reap each other's in-flight blocks. */
+    private val pendingFree =
+      scala.collection.mutable.Map[String, Seq[DataFrame]]()
   }
 
   /** Fold the batch into the carried relationship table: upserts = the

@@ -300,10 +300,19 @@ private[graft] object StateStore {
     * commit the maintainer family's scale contract needs: per-batch
     * write cost no longer touches clean state at all. When the chain
     * reaches `maxChain` the caller compacts instead
-    * ([[compactIntoBuckets]]). */
+    * ([[compactIntoBuckets]]).
+    *
+    * Returns None (and removes the empty dir) when the batch wrote ZERO
+    * delta rows — the caller carries the table. Otherwise returns the
+    * appended state AND the delta's row count, both decided from the
+    * written files' parquet footers, driver-side: probing the lazy
+    * inputs with isEmpty first would cost two extra Spark jobs per
+    * table per batch, which the sf1 SLO measured as a real share of the
+    * per-batch floor across a 6-table maintainer like ranks; the row
+    * count feeds the caller's size-triggered compaction. */
   def writeChainDelta(spark: SparkSession, stateDir: String, v: Long,
       table: String, upserts: DataFrame, tombstoneKeys: DataFrame,
-      keys: Seq[String], prev: TableState): TableState = {
+      keys: Seq[String], prev: TableState): Option[(TableState, Long)] = {
     val ddl = readSchema(stateDir, table).getOrElse(
       throw new IllegalStateException(s"no schema recorded for $table"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -316,9 +325,52 @@ private[graft] object StateStore {
       .withColumn(TombCol, lit(false))
     // cone-sized rows: cap the file count below the compaction
     // threshold so the small-file pass never pays a job for a delta
+    val dir = deltaDir(stateDir, v, table)
     ups.unionByName(tombs).coalesce(4)
-      .write.mode("overwrite").parquet(deltaDir(stateDir, v, table))
-    TableState(prev.buckets, prev.chain :+ v)
+      .write.mode("overwrite").parquet(dir)
+    val rows = parquetRowCount(spark, dir)
+    if (rows == 0L) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+      None
+    } else Some((TableState(prev.buckets, prev.chain :+ v), rows))
+  }
+
+  /** Total base rows of `table` as of version `v` (chain NOT folded) —
+    * summed from the owned bucket files' footers, driver metadata IO
+    * only. Feeds the size-triggered compaction: a delta that is a large
+    * fraction of the base means the cone ≈ the state (the WCC hub-feed
+    * shape), where chaining state-sized deltas only bloats every read's
+    * fold — folding immediately is the old full-rewrite cost, which is
+    * optimal there. */
+  def baseRowCount(spark: SparkSession, stateDir: String, v: Long,
+      table: String): Long = {
+    val man = readManifest(stateDir, v)(table).buckets
+    man.toSeq.sortBy(_._1).map { case (b, o) =>
+      parquetRowCount(spark, bucketDir(stateDir, o, table, b))
+    }.sum
+  }
+
+  /** Sum of footer row counts under `dir` — driver metadata IO only, no
+    * Spark job (the delta dirs this guards hold ≤4 cone-sized files). */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return 0L
+    val it = fs.listFiles(path, false)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   /** Fold `table`'s chain back into its bucketed base at version `v`:

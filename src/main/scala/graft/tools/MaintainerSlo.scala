@@ -58,15 +58,36 @@ object MaintainerSlo {
     val dir = java.nio.file.Files.createTempDirectory("graft-slo").toString
     val mutDir = s"$dir/mutations"
 
-    // Mutation batches: batch i CREATEs mutsPerBatch/2 fresh edges between
-    // existing customer twins and nations, and DELETEs batch i-1's creates
-    // — the live graph stays the same size, every batch dirties a fresh
-    // cone, and the maintainer sees the churn shape of a real CDC feed.
-    val custIds = g.twins.filter(col("model_id") === "dtmi:graft:Customer;1")
-      .select("dt_id").limit(batches * mutsPerBatch).collect().map(_.getString(0))
-    val nationIds = g.twins.filter(col("model_id") === "dtmi:graft:Nation;1")
-      .select("dt_id").collect().map(_.getString(0))
-    require(custIds.length >= batches * mutsPerBatch / 2,
+    // Mutation batches, two feed shapes:
+    //
+    //   hub (default): batch i CREATEs mutsPerBatch/2 fresh edges between
+    //   existing customer twins and nations, and DELETEs batch i-1's
+    //   creates — the churn shape of a real CDC feed against the live
+    //   graph. For WCC this is the WORST case by construction: the place
+    //   graph is one giant component, so every batch's dirty cone IS the
+    //   whole state and per-batch cost is bounded by the recompute, not
+    //   the commit encoding (the r19 bytes_per_version evidence: even
+    //   pure delta versions carry ~full-state bytes on this feed).
+    //
+    //   scatter (SPARK_GRAFT_SLO_SCATTER=1): the same create/delete churn
+    //   but between FRESH synthetic twin pairs — each edge is its own
+    //   2-node component, so the dirty cone stays O(batch) while the
+    //   carried state stays O(graph). This is the leg the maintainer
+    //   family's "work ∝ mutation cone" contract actually binds on: a
+    //   constant trickle of point mutations against ever-larger state.
+    //   The r18 full-rewrite design paid O(state) commit bytes per batch
+    //   here; the merge-on-read deltas pay O(batch).
+    val scatter = sys.env.get("SPARK_GRAFT_SLO_SCATTER").contains("1")
+    val custIds =
+      if (scatter) Array.empty[String]
+      else g.twins.filter(col("model_id") === "dtmi:graft:Customer;1")
+        .select("dt_id").limit(batches * mutsPerBatch).collect()
+        .map(_.getString(0))
+    val nationIds =
+      if (scatter) Array.empty[String]
+      else g.twins.filter(col("model_id") === "dtmi:graft:Nation;1")
+        .select("dt_id").collect().map(_.getString(0))
+    require(scatter || custIds.length >= batches * mutsPerBatch / 2,
       s"need ${batches * mutsPerBatch / 2} customers, got ${custIds.length}")
     import spark.implicits._
     val perHalf = mutsPerBatch / 2
@@ -75,17 +96,18 @@ object MaintainerSlo {
       def doc(rid: String, src: String, tgt: String) =
         s"""{"$$relationshipId":"$rid","$$sourceId":"$src",""" +
           s""""$$targetId":"$tgt","$$relationshipName":"slo_link"}"""
+      def ends(b: Int, j: Int): (String, String) =
+        if (scatter) (s"sloA_${b}_$j", s"sloB_${b}_$j")
+        else (custIds(b * perHalf + j), nationIds(j % nationIds.length))
       val creates = (0 until perHalf).map { j =>
-        val src = custIds(b * perHalf + j)
-        val tgt = nationIds(j % nationIds.length)
+        val (src, tgt) = ends(b, j)
         seq += 1
         (seq, f"2026-01-01T${b % 24}%02d:00:00Z", "Relationship",
           s"slo_${b}_$j", "RelationshipCreate", null: String,
           doc(s"slo_${b}_$j", src, tgt))
       }
       val deletes = if (b == 0) Seq.empty else (0 until perHalf).map { j =>
-        val src = custIds((b - 1) * perHalf + j)
-        val tgt = nationIds(j % nationIds.length)
+        val (src, tgt) = ends(b - 1, j)
         seq += 1
         (seq, f"2026-01-01T${b % 24}%02d:00:01Z", "Relationship",
           s"slo_${b - 1}_$j", "RelationshipDelete",
@@ -128,20 +150,27 @@ object MaintainerSlo {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
         .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
-      def leafFiles(p: org.apache.hadoop.fs.Path): Seq[(String, Int)] = {
+      def leafFiles(p: org.apache.hadoop.fs.Path): (Seq[(String, Int)], Long) = {
         val it = fs.listFiles(p, true)
         val counts = scala.collection.mutable.Map[String, Int]()
+        var bytes = 0L
         while (it.hasNext) {
           val f = it.next()
           if (f.getPath.getName.endsWith(".parquet")) {
             val leaf = f.getPath.getParent.toString.stripPrefix(s"$stateDir/")
             counts(leaf) = counts.getOrElse(leaf, 0) + 1
+            bytes += f.getLen
           }
         }
-        counts.toSeq.sortBy(_._1)
+        (counts.toSeq.sortBy(_._1), bytes)
       }
-      val files = versions.map(v =>
+      val filesAndBytes = versions.map(v =>
         v -> leafFiles(new org.apache.hadoop.fs.Path(s"$stateDir/$v")))
+      val files = filesAndBytes.map { case (v, (ls, _)) => (v, ls) }
+      // the write-amplification evidence: a chain-delta version's bytes
+      // are cone-sized; only compaction versions approach the v0 full
+      // size — the r18 design wrote ~v0-bytes EVERY version
+      val bytesPerVersion = filesAndBytes.map { case (v, (_, b)) => (v, b) }
       val lat = perBatch.map(_._2)
       def median(xs: Seq[Long]): Long =
         if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
@@ -155,6 +184,8 @@ object MaintainerSlo {
         s""""files":${files.map { case (v, ls) =>
           s""""$v":{${ls.map { case (l, n) => s""""$l":$n""" }.mkString(",")}}"""
         }.mkString("{", ",", "}")},""" +
+        s""""bytes_per_version":${bytesPerVersion.map { case (v, b) =>
+          s""""$v":$b""" }.mkString("{", ",", "}")},""" +
         s""""phase_early_late_ms":${phaseDrift.map { case (k, e, l) =>
           s""""$k":[$e,$l]""" }.mkString("{", ",", "}")},""" +
         s""""per_batch_ms":[${lat.mkString(",")}]}""")

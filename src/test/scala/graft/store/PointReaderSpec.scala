@@ -118,6 +118,33 @@ class PointReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("preloaded page indexes serve the same answers, idempotently") {
+    // r19: the serving store preloads every (file, row-group) key page
+    // index at reader construction (spark.graft.store.pointreader.preload)
+    // so cold lookups skip the per-row-group index reads. Preload must be
+    // idempotent and must not change any lookup answer — hit, miss, or
+    // page-coverage count.
+    val dir = tempDir()
+    val s1 = TableTwinStore.open(spark, dir, fixedClock())
+    s1.createModels(Seq(model))
+    (1 to 80).foreach(i => s1.createOrReplaceTwin(f"p$i%03d", doc(f"p$i%03d", i)))
+    s1.checkpoint()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val plain = new PointReader(hc, s"$dir/v1/twins", Seq("dt_id"), "properties")
+    val pre = new PointReader(hc, s"$dir/v1/twins", Seq("dt_id"), "properties")
+    pre.preloadPageIndexes()
+    pre.preloadPageIndexes() // idempotent: second call is a cache no-op
+    try {
+      (1 to 80 by 7).foreach { i =>
+        val id = f"p$i%03d"
+        assert(pre.lookup(Seq(id)) == plain.lookup(Seq(id)),
+          s"preloaded reader diverged on $id")
+      }
+      assert(pre.lookup(Seq("absent")).isEmpty)
+      assert(pre.pagesCovering("p040") == plain.pagesCovering("p040"))
+    } finally { plain.close(); pre.close() }
+  }
+
   test("footer ranges prune candidate files") {
     val dir = tempDir()
     val s1 = TableTwinStore.open(spark, dir, fixedClock())
