@@ -135,6 +135,58 @@ object IncrementalAnalytics {
   private def pairs(rels: DataFrame): DataFrame =
     rels.select(col("source_id"), col("target_id")).distinct()
 
+  /** Seed closure over a directed (u, v) edge frame — the region-reach
+    * primitive every splice maintainer uses. `e` must be materialized
+    * (checkpointed) with string columns `u`, `v`; `seeds` carries one
+    * string column `node`. Returns the visited set (incl. edge-free
+    * seeds) as a checkpointed (node) frame the CALLER frees; never frees
+    * its inputs.
+    *
+    * Sub-cutoff inputs ([[LocalGraph.maxEdges]]) resolve in one serial
+    * BFS — the mutation cone a maintainer chases is batch-sized by
+    * contract, so at any corpus scale this is the common case, and the
+    * per-hop Spark-job tax (the r19 profile measured ~40 ms/job × 3
+    * jobs × diameter) vanishes. Above the cutoff: frontier BFS, one
+    * checkpoint + one count per hop, visited kept as a lazy union of the
+    * per-hop checkpoints (no third per-hop materialization). */
+  private[graft] def reachClosure(e: DataFrame, seeds: DataFrame,
+      maxRounds: Int, what: String): DataFrame = {
+    val spark = e.sparkSession
+    LocalGraph.collectEdges(e, LocalGraph.maxEdges(spark)) match {
+      case Some(es) =>
+        val seedArr = seeds.select(col("node")).distinct()
+          .collect().map(_.getString(0))
+        import spark.implicits._
+        LocalGraph.reachNodes(es, seedArr).toSeq.toDF("node")
+          .localCheckpoint(eager = true)
+      case None =>
+        var parts = List(seeds.select(col("node")).distinct()
+          .localCheckpoint(eager = true))
+        var frontier = parts.head
+        var alive = frontier.count()
+        var round = 0
+        while (alive > 0) {
+          round += 1
+          if (round > maxRounds)
+            throw new IllegalStateException(
+              s"$what reachability still expanding after $maxRounds " +
+                "rounds — raise the round cap")
+          val visited = parts.reduce(_ unionByName _)
+          val nxt = e.join(frontier.withColumnRenamed("node", "u"),
+              Seq("u"), "left_semi")
+            .select(col("v").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .localCheckpoint(eager = true)
+          alive = nxt.count()
+          parts ::= nxt
+          frontier = nxt
+        }
+        val out = parts.reduce(_ unionByName _).localCheckpoint(eager = true)
+        parts.foreach(Blocks.free)
+        out
+    }
+  }
+
   private def endpoints(p: DataFrame): DataFrame =
     p.select(col("source_id").as("node"))
       .unionByName(p.select(col("target_id").as("node"))).distinct()
@@ -1164,42 +1216,30 @@ object IncrementalAnalytics {
         .localCheckpoint(eager = true)
     val fwdSeeds = seedGroups(added.select(col("target_id").as("node")))
     val bwdSeeds = seedGroups(added.select(col("source_id").as("node")))
-    // frontier BFS at group granularity over the new edges: per round the
-    // join touches only the frontier groups' members and THEIR out-edges
+    // group-granularity reachability: project the new edges to group
+    // pairs ONCE (g1 → g2 iff any member edge crosses — the same closure
+    // the old per-round member expansion walked, without re-joining
+    // grpAll every hop), then run the shared seed-closure primitive on
+    // the projected graph in each direction.
+    val ge = newRels
+      .join(grpAll.select(col("node").as("source_id"), col("grp").as("gs")),
+        Seq("source_id"))
+      .join(grpAll.select(col("node").as("target_id"), col("grp").as("gt")),
+        Seq("target_id"))
+      .filter(col("gs") =!= col("gt"))
+      .select(col("gs").as("u"), col("gt").as("v")).distinct()
+      .localCheckpoint(eager = true)
     def reach(seeds: DataFrame, reversed: Boolean): DataFrame = {
-      val e =
-        if (reversed) newRels.select(col("target_id").as("source_id"),
-          col("source_id").as("target_id"))
-        else newRels.select(col("source_id"), col("target_id"))
-      var visited = seeds.localCheckpoint(eager = true)
-      var frontier = visited
-      var alive = frontier.count()
-      var round = 0
-      while (alive > 0) {
-        round += 1
-        if (round > maxRounds)
-          throw new IllegalStateException(
-            s"SCC region reachability still expanding after $maxRounds " +
-              "rounds — raise maxRounds")
-        val members = grpAll.join(frontier, Seq("grp"), "left_semi")
-          .select(col("node").as("source_id"))
-        val nxt = e.join(members, Seq("source_id"), "left_semi")
-          .select(col("target_id").as("node"))
-          .join(grpAll, Seq("node")).select(col("grp")).distinct()
-          .join(visited, Seq("grp"), "left_anti")
-          .localCheckpoint(eager = true)
-        alive = nxt.count()
-        val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
-        if (frontier ne visited) Blocks.free(frontier)
-        Blocks.free(visited)
-        visited = nv; frontier = nxt
-      }
-      visited
+      val e = if (reversed) ge.select(col("v").as("u"), col("u").as("v"))
+        else ge
+      reachClosure(e, seeds.withColumnRenamed("grp", "node"), maxRounds,
+        "SCC region").withColumnRenamed("node", "grp")
     }
     val fwd = reach(fwdSeeds, reversed = false)
     val bwd = reach(bwdSeeds, reversed = true)
     val region = fwd.join(bwd, Seq("grp"), "left_semi")
       .localCheckpoint(eager = true)
+    Blocks.free(ge)
     val regionNodes = grpAll.join(region, Seq("grp"), "left_semi")
       .localCheckpoint(eager = true) // (node, grp)
     // quotient recompute: new edges with both endpoint groups in-region
@@ -1281,28 +1321,8 @@ object IncrementalAnalytics {
         col("source_id").as("v")))
       .filter(col("u") =!= col("v"))
       .localCheckpoint(eager = true)
-    var visited = touched
-    var frontier = visited
-    var alive = frontier.count()
-    var round = 0
-    while (alive > 0) {
-      round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"k-core region reachability still expanding after $maxRounds " +
-            "rounds — raise maxRounds")
-      val nxt = e.join(frontier.withColumnRenamed("node", "u"),
-          Seq("u"), "left_semi")
-        .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
-      alive = nxt.count()
-      val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
-      if (frontier ne visited) Blocks.free(frontier)
-      Blocks.free(visited)
-      visited = nv; frontier = nxt
-    }
-    val region = visited
+    val region = reachClosure(e, touched, maxRounds, "k-core region")
+    Blocks.free(touched)
     // region is component-closed in the new graph, so restricting the
     // source endpoint restricts both — keep both semi-joins for shape
     val regionEdges = newRels
@@ -1431,28 +1451,8 @@ object IncrementalAnalytics {
         col("source_id").as("v")))
       .filter(col("u") =!= col("v"))
       .localCheckpoint(eager = true)
-    var visited = touched
-    var frontier = visited
-    var alive = frontier.count()
-    var round = 0
-    while (alive > 0) {
-      round += 1
-      if (round > maxReachRounds)
-        throw new IllegalStateException(
-          s"k-truss region reachability still expanding after " +
-            s"$maxReachRounds rounds — raise maxReachRounds")
-      val nxt = e.join(frontier.withColumnRenamed("node", "u"),
-          Seq("u"), "left_semi")
-        .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
-      alive = nxt.count()
-      val nv = visited.unionByName(nxt).localCheckpoint(eager = true)
-      if (frontier ne visited) Blocks.free(frontier)
-      Blocks.free(visited)
-      visited = nv; frontier = nxt
-    }
-    val region = visited
+    val region = reachClosure(e, touched, maxReachRounds, "k-truss region")
+    Blocks.free(touched)
     val regionEdges = newRels
       .join(region.withColumnRenamed("node", "source_id"),
         Seq("source_id"), "left_semi")

@@ -58,11 +58,32 @@ object KCore {
     * fewer than k surviving neighbors). With enough rounds this IS the
     * k-core; the bounded form exists for oracle parity and for
     * incremental monitoring. */
+  /** Survivors of a driver-side synchronous peel as a (node) frame —
+    * the sub-cutoff bottom-out ([[LocalGraph]] doc): one serial pass
+    * replaces O(cascade length) Spark jobs, with bit-identical output
+    * (the survivor SET needs no ordering, only equality). */
+  private def localPeel(sym: DataFrame, k: Int,
+      rounds: Int): Option[DataFrame] = {
+    val spark = sym.sparkSession
+    LocalGraph.collectEdgesAny(sym, LocalGraph.maxEdges(spark)).map { es =>
+      val dt = sym.schema.fields(0).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(LocalGraph.kcoreSurvivors(es, k, rounds)
+          .map(n => org.apache.spark.sql.Row(n)): _*), schema)
+    }
+  }
+
   def peel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import graft.core.Blocks
     val sym = symmetric(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    localPeel(sym, k, rounds).foreach { out =>
+      Blocks.free(sym)
+      return out
+    }
     var nodes = sym.select(col("u").as("node")).distinct()
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
@@ -81,6 +102,10 @@ object KCore {
       maxRounds: Int = 1000): DataFrame = {
     import graft.core.Blocks
     val sym = symmetric(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    localPeel(sym, k, maxRounds).foreach { out =>
+      Blocks.free(sym)
+      return out
+    }
     var nodes = sym.select(col("u").as("node")).distinct()
       .localCheckpoint(eager = true)
     var prev = nodes.count()

@@ -1,0 +1,315 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-local bottom-out for sub-threshold graph subproblems (r19
+  * optimization round, guide §1.2 "fix the distributed algorithm"):
+  * iterative fixpoints (FW-BW SCC passes, star-contraction components,
+  * region-reach BFS) cost one-or-more Spark jobs per round, so a
+  * 30-round fixpoint over a few hundred rows pays ~40 ms × jobs of pure
+  * scheduling — three orders of magnitude over the arithmetic. Every
+  * serious parallel SCC/CC implementation bottoms out its recursion on a
+  * serial solve once the subproblem fits in one task (Hong, Rodia &
+  * Olukotun, "On fast parallel detection of strongly connected components",
+  * SC'13 — FW-BW-Trim with serial Tarjan below a size cutoff; Spark's own
+  * planner makes the same class of decision with
+  * `spark.sql.autoBroadcastJoinThreshold`).
+  *
+  * The cutoff is `spark.graft.graph.localSolveMaxEdges` (rows; default
+  * 100 000 ≈ a few MB collected — broadcast-class driver traffic, far
+  * under `spark.driver.maxResultSize`). `0` disables every local path.
+  * At 100 TB the top-level graphs are far above the cutoff and take the
+  * distributed operators; what bottoms out is the RESIDUE those operators
+  * are designed to shrink — the FW-BW remainder after trim+coloring
+  * passes, the quotient/condensation graph of an SCC refresh, the
+  * mutation cone of an incremental maintainer — exactly the subproblems
+  * that are cone-sized by contract, not corpus-sized.
+  *
+  * Determinism: labels are min-member under UNSIGNED UTF-8 BYTE order —
+  * the same total order Spark's `min`/`least` use for StringType
+  * (UTF8String binary comparison) — so the local and distributed paths
+  * are bit-identical (parity-spec'd in LocalGraphSpec on random graphs).
+  */
+object LocalGraph {
+
+  /** Max edge rows a subproblem may hold to be solved driver-side. */
+  def maxEdges(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.graph.localSolveMaxEdges", "100000").toLong
+
+  /** Unsigned UTF-8 byte comparison — UTF8String.compareTo's order, the
+    * one Spark's min/least apply to StringType. Java's String.compareTo
+    * (UTF-16 code units) disagrees above the BMP, so it must not be used
+    * here (the r18 key-order unification hit exactly this trap). */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def minUtf8(a: String, b: String): String = if (utf8Lt(a, b)) a else b
+
+  /** Collect a (string, string) edge frame when its row count is at or
+    * under the cutoff; None ⇒ stay distributed. The input should already
+    * be materialized (checkpointed) so the count is a cached-scan job. */
+  def collectEdges(e: DataFrame, cutoff: Long): Option[Array[(String, String)]] =
+    if (cutoff <= 0 || e.count() > cutoff) None
+    else {
+      val rows = e.collect()
+      // a null endpoint has no defined place in the label order — leave
+      // such inputs to the distributed path's null semantics
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+      else Some(rows.map(r => (r.getString(0), r.getString(1))))
+    }
+
+  /** Serial SCC labels (node → min member id, UTF-8 order) over a
+    * directed edge list — iterative Tarjan, explicit stacks (no JVM
+    * recursion: a 100k-edge chain would blow the call stack).
+    * `extraNodes` are edge-free nodes that still need a singleton row. */
+  def sccLabels(edges: Array[(String, String)],
+      extraNodes: Iterator[String] = Iterator.empty): Array[(String, String)] = {
+    val idx = new java.util.LinkedHashMap[String, Integer]()
+    def id(s: String): Int = {
+      val v = idx.get(s)
+      if (v != null) v.intValue()
+      else { val n = idx.size(); idx.put(s, Integer.valueOf(n)); n }
+    }
+    val srcs = new scala.collection.mutable.ArrayBuffer[Int](edges.length)
+    val dsts = new scala.collection.mutable.ArrayBuffer[Int](edges.length)
+    edges.foreach { case (a, b) => srcs += id(a); dsts += id(b) }
+    extraNodes.foreach(id)
+    val n = idx.size()
+    // CSR adjacency
+    val deg = new Array[Int](n)
+    srcs.foreach(deg(_) += 1)
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](edges.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < srcs.length) {
+      val s = srcs(i); adj(fill(s)) = dsts(i); fill(s) += 1; i += 1
+    }
+    val names = new Array[String](n)
+    idx.forEach((k, v) => names(v.intValue()) = k)
+    // iterative Tarjan
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = new java.util.ArrayDeque[Integer]()
+    val comp = Array.fill(n)(-1)
+    var counter = 0
+    var nComp = 0
+    val frame = new scala.collection.mutable.ArrayBuffer[Int]()
+    val fpos = new scala.collection.mutable.ArrayBuffer[Int]()
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        frame += root; fpos += off(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        stack.push(root); onStack(root) = true
+        while (frame.nonEmpty) {
+          val v = frame(frame.length - 1)
+          val p = fpos(fpos.length - 1)
+          if (p < off(v + 1)) {
+            fpos(fpos.length - 1) = p + 1
+            val w = adj(p)
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack.push(w); onStack(w) = true
+              frame += w; fpos += off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            frame.remove(frame.length - 1); fpos.remove(fpos.length - 1)
+            if (frame.nonEmpty) {
+              val parent = frame(frame.length - 1)
+              if (low(v) < low(parent)) low(parent) = low(v)
+            }
+            if (low(v) == index(v)) {
+              var w = -1
+              while (w != v) {
+                w = stack.pop().intValue()
+                onStack(w) = false
+                comp(w) = nComp
+              }
+              nComp += 1
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    // label = min member per component, unsigned UTF-8 order
+    val minOf = new Array[String](nComp)
+    i = 0
+    while (i < n) {
+      val c = comp(i)
+      if (minOf(c) == null || utf8Lt(names(i), minOf(c))) minOf(c) = names(i)
+      i += 1
+    }
+    val out = new Array[(String, String)](n)
+    i = 0
+    while (i < n) { out(i) = (names(i), minOf(comp(i))); i += 1 }
+    out
+  }
+
+  /** Serial connected components (node → min reachable id under `lt`)
+    * over an UNDIRECTED pair list — union-find with path compression,
+    * min-member tracked at the root. Covers every endpoint node. Keys
+    * are compared with equals (boxed longs, strings, …); `lt` must match
+    * the total order Spark's `min` applies to the column type. */
+  def componentLabelsAny(pairs: Array[(AnyRef, AnyRef)],
+      lt: (AnyRef, AnyRef) => Boolean): Array[(AnyRef, AnyRef)] = {
+    val parent = new java.util.HashMap[AnyRef, AnyRef]()
+    val minLab = new java.util.HashMap[AnyRef, AnyRef]()
+    def find(x0: AnyRef): AnyRef = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { x = p; p = parent.get(x) }
+      var y = x0
+      while (y != x) { val nxt = parent.get(y); parent.put(y, x); y = nxt }
+      x
+    }
+    def add(x: AnyRef): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); minLab.put(x, x) }
+    pairs.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        parent.put(rb, ra)
+        val ma = minLab.get(ra); val mb = minLab.get(rb)
+        minLab.put(ra, if (lt(mb, ma)) mb else ma); minLab.remove(rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(AnyRef, AnyRef)](parent.size())
+    parent.keySet().forEach { k => out += ((k, minLab.get(find(k)))) }
+    out.toArray
+  }
+
+  /** [[collectEdges]] for edge frames of any key type (the values only
+    * need equals/hashCode — peels are set algorithms, no ordering). */
+  def collectEdgesAny(e: DataFrame, cutoff: Long)
+      : Option[Array[(AnyRef, AnyRef)]] =
+    if (cutoff <= 0 || e.count() > cutoff) None
+    else {
+      val rows = e.collect()
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+      else Some(rows.map(r => (r.get(0).asInstanceOf[AnyRef],
+        r.get(1).asInstanceOf[AnyRef])))
+    }
+
+  /** Synchronous k-core peel over a SYMMETRIC distinct edge list — the
+    * exact round semantics of [[KCore.peelRound]]: round r keeps nodes
+    * with ≥ k round-(r−1)-surviving neighbors, all dropped at once.
+    * Runs `rounds` rounds; a round that drops nothing is a fixpoint
+    * (later rounds are no-ops), so it exits early with the same set. */
+  def kcoreSurvivors(sym: Array[(AnyRef, AnyRef)], k: Int,
+      rounds: Int): Array[AnyRef] = {
+    val adj = new java.util.HashMap[AnyRef, scala.collection.mutable.ArrayBuffer[AnyRef]]()
+    sym.foreach { case (u, v) =>
+      var l = adj.get(u)
+      if (l == null) { l = new scala.collection.mutable.ArrayBuffer[AnyRef](); adj.put(u, l) }
+      l += v
+    }
+    var alive = new java.util.HashSet[AnyRef](adj.keySet())
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val next = new java.util.HashSet[AnyRef]()
+      alive.forEach { u =>
+        var d = 0
+        val l = adj.get(u)
+        if (l != null) l.foreach(v => if (alive.contains(v)) d += 1)
+        if (d >= k) { next.add(u); () }
+      }
+      changed = next.size() != alive.size()
+      alive = next
+      r += 1
+    }
+    val out = new Array[AnyRef](alive.size())
+    var i = 0
+    val it = alive.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Synchronous k-truss peel over a CANONICAL (a, b) edge list — the
+    * exact round semantics of [[KTruss.peel]]: round r keeps edges whose
+    * triangle support among round-(r−1) survivors is ≥ k−2, all dropped
+    * at once. Early-exits on a no-drop round (fixpoint). */
+  def ktrussSurvivors(edges: Array[(AnyRef, AnyRef)], k: Int,
+      rounds: Int): Array[(AnyRef, AnyRef)] = {
+    var cur: Array[(AnyRef, AnyRef)] = edges
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val nbrs = new java.util.HashMap[AnyRef, java.util.HashSet[AnyRef]]()
+      def add(x: AnyRef, y: AnyRef): Unit = {
+        var s = nbrs.get(x)
+        if (s == null) { s = new java.util.HashSet[AnyRef](); nbrs.put(x, s) }
+        s.add(y); ()
+      }
+      cur.foreach { case (a, b) => add(a, b); add(b, a) }
+      val kept = cur.filter { case (a, b) =>
+        val sa = nbrs.get(a); val sb = nbrs.get(b)
+        val (small, big) = if (sa.size() <= sb.size()) (sa, sb) else (sb, sa)
+        var sup = 0
+        val it = small.iterator()
+        while (it.hasNext && sup < k - 2) {
+          val x = it.next()
+          if (x != a && x != b && big.contains(x)) sup += 1
+        }
+        sup >= k - 2
+      }
+      changed = kept.length != cur.length
+      cur = kept
+      r += 1
+    }
+    cur
+  }
+
+  /** The comparison Spark's `min` uses for a column type, when this
+    * module can reproduce it exactly; None ⇒ stay distributed. */
+  def sparkLt(dt: org.apache.spark.sql.types.DataType)
+      : Option[(AnyRef, AnyRef) => Boolean] = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      Some((a, b) => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String]))
+    case org.apache.spark.sql.types.LongType =>
+      Some((a, b) => a.asInstanceOf[java.lang.Long] < b.asInstanceOf[java.lang.Long])
+    case org.apache.spark.sql.types.IntegerType =>
+      Some((a, b) => a.asInstanceOf[java.lang.Integer] < b.asInstanceOf[java.lang.Integer])
+    case _ => None
+  }
+
+  /** Serial reachability (seed set closure over src→dst edges). Returns
+    * every visited node including edge-free seeds. */
+  def reachNodes(edges: Array[(String, String)],
+      seeds: Array[String]): Array[String] = {
+    val adj = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+    edges.foreach { case (a, b) =>
+      var l = adj.get(a)
+      if (l == null) { l = new scala.collection.mutable.ArrayBuffer[String](); adj.put(a, l) }
+      l += b
+    }
+    val visited = new java.util.LinkedHashSet[String]()
+    val queue = new java.util.ArrayDeque[String]()
+    seeds.foreach { s => if (visited.add(s)) queue.add(s) }
+    while (!queue.isEmpty) {
+      val v = queue.poll()
+      val l = adj.get(v)
+      if (l != null) l.foreach { w => if (visited.add(w)) queue.add(w) }
+    }
+    val out = new Array[String](visited.size())
+    var i = 0
+    val it = visited.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}

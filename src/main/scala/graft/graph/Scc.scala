@@ -61,6 +61,17 @@ object Scc {
     val e0 = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .distinct().localCheckpoint(eager = true)
+    val spark = e0.sparkSession
+    val localMax = LocalGraph.maxEdges(spark)
+    // Sub-cutoff bottom-out (r19, LocalGraph doc): a whole graph at or
+    // under the cutoff resolves in one serial Tarjan instead of
+    // O(diameter × passes) Spark jobs. Counts as one pass against
+    // maxOuter (maxOuter = 0 keeps the loud non-convergence guard).
+    if (maxOuter > 0) LocalGraph.collectEdges(e0, localMax).foreach { es =>
+      val out = localDf(spark, LocalGraph.sccLabels(es))
+      Blocks.free(e0)
+      return out
+    }
     var rem = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = true)
@@ -70,6 +81,20 @@ object Scc {
     var remCount = rem.count()
     while (remCount > 0 && pass < maxOuter) {
       pass += 1
+      // Recursion bottom-out: trim + resolved passes shrink the remainder
+      // every iteration; once it fits the cutoff, one serial Tarjan
+      // replaces the remaining O(diameter) coloring rounds. rem can hold
+      // edge-free nodes (neighbors all resolved) — carried as singletons.
+      if (remCount <= localMax)
+        LocalGraph.collectEdges(e, localMax).foreach { es =>
+          val remNodes = rem.collect().map(_.getString(0))
+          resolvedParts ::= localDf(spark,
+            LocalGraph.sccLabels(es, remNodes.iterator))
+          Blocks.free(rem); Blocks.free(e)
+          rem = null; e = null
+          remCount = 0
+        }
+      if (remCount > 0) {
 
       // 1. Trim: peel in-degree-0 / out-degree-0 nodes iteratively.
       var trimming = true
@@ -124,12 +149,14 @@ object Scc {
         rem = nextRem; e = nextE
         remCount = rem.count()
       }
+      } // remCount > 0 (not bottomed out locally this pass)
     }
     if (remCount > 0)
       throw new IllegalStateException(
         s"SCC did not converge within $maxOuter FW-BW passes " +
           s"($remCount nodes unresolved) — raise maxOuter")
-    Blocks.free(rem); Blocks.free(e)
+    if (rem != null) Blocks.free(rem)
+    if (e != null) Blocks.free(e)
     resolvedParts match {
       case Nil => e0.sparkSession.emptyDataFrame
         .withColumn("node", lit(null).cast("string"))
@@ -137,6 +164,13 @@ object Scc {
         .limit(0)
       case parts => parts.reduce(_ unionByName _)
     }
+  }
+
+  /** (node, scc) rows from a driver-side solve. */
+  private def localDf(spark: org.apache.spark.sql.SparkSession,
+      labels: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    labels.toSeq.toDF("node", "scc")
   }
 
   /** Propagate the min label along `edges` (src → dst) until no label
@@ -149,7 +183,17 @@ object Scc {
     * touch a vanishing frontier. Change detection is folded into the
     * same round plan as a `chg` flag; the convergence probe is a narrow
     * count over the already-materialized checkpoint, not a second
-    * shuffle. */
+    * shuffle.
+    *
+    * Pointer doubling (r19): each round ALSO adopts the label of its own
+    * current label (lab(v) reaches v, so lab(lab(v)) reaches v — the
+    * invariant "lab(v) ∈ ancestors(v) ∪ {v}" is preserved), which turns
+    * O(diameter) convergence into O(log diameter) — the same shortcut
+    * [[graft.pipeline.Dedup.componentsMinLabel]] applies undirected. The
+    * fixpoint is unchanged: the loop exits only when a round changes no
+    * label, and edge-stability alone already characterizes the min-
+    * ancestor labeling (lab non-increasing along every edge ⇒ lab(v) ≤
+    * every ancestor id; lab(v) is itself an ancestor id ⇒ equality). */
   private def minLabelFixpoint(nodes: DataFrame, edges: DataFrame,
                                maxInner: Int): DataFrame = {
     var lab = nodes.select(col("node"), col("node").as("lab"))
@@ -165,10 +209,20 @@ object Scc {
       val cand = frontier.join(edges, frontier("node") === edges("src"))
         .select(edges("dst").as("node"), frontier("lab").as("lab"))
         .groupBy(col("node")).agg(min(col("lab")).as("cand"))
-      val next = lab.join(cand, Seq("node"), "left_outer")
+      val stepped = lab.join(cand, Seq("node"), "left_outer")
+        .select(col("node"), col("lab"),
+          least(col("lab"), coalesce(col("cand"), col("lab"))).as("mid"))
+      // pointer doubling: adopt lab(lab(v)) — every label value is a node
+      // id of this subgraph, so the self-join always finds its row
+      val asMap = stepped.select(col("node").as("m_node"),
+        col("mid").as("m_lab"))
+      val next = stepped
+        .join(asMap, col("mid") === col("m_node"), "left_outer")
         .select(col("node"),
-          least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab"),
-          (col("cand") < col("lab")).as("chg"))
+          least(col("mid"), coalesce(col("m_lab"), col("mid"))).as("nlab"),
+          col("lab"))
+        .select(col("node"), col("nlab").as("lab"),
+          (col("nlab") < col("lab")).as("chg"))
         .localCheckpoint(eager = true)
       val newFrontier = next.filter(col("chg"))
         .select(col("node"), col("lab"))

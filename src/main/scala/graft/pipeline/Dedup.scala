@@ -505,6 +505,16 @@ object Dedup {
     val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val ownsEdges = !isRematerializable(proj)
     val edges0 = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
+    // Sub-cutoff bottom-out (r19, graft.graph.LocalGraph doc): a pair
+    // list at or under `spark.graft.graph.localSolveMaxEdges` resolves in
+    // one serial union-find instead of O(log diameter) contraction
+    // rounds × 3 Spark jobs each. Same labels bit-for-bit: min member
+    // under the exact order Spark's `min` uses for the id type (skipped
+    // for types whose order this module doesn't reproduce).
+    localComponents(edges0).foreach { out =>
+      if (ownsEdges) graft.core.Blocks.free(edges0)
+      return out
+    }
     // all nodes, for labeling isolated-in-pairs docs at the end
     val nodes = edges0.select(col("a")).unionByName(edges0.select(col("b").as("a")))
       .distinct().select(col("a").as("doc")).localCheckpoint(eager = true)
@@ -538,6 +548,30 @@ object Dedup {
     graft.core.Blocks.free(e)
     graft.core.Blocks.free(nodes)
     out
+  }
+
+  /** Driver-side union-find over a sub-cutoff pair frame (columns `a`,
+    * `b`, same orderable type), or None to stay distributed. The frame
+    * must already be materialized (count + collect read cached blocks). */
+  private def localComponents(edges0: DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import graft.graph.LocalGraph
+    val spark = edges0.sparkSession
+    val cutoff = LocalGraph.maxEdges(spark)
+    val dt = edges0.schema.fields(0).dataType
+    if (cutoff <= 0 || edges0.schema.fields(1).dataType != dt) return None
+    val lt = LocalGraph.sparkLt(dt).getOrElse(return None)
+    if (edges0.count() > cutoff) return None
+    val rows = edges0.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val labs = LocalGraph.componentLabelsAny(
+      rows.map(r => (r.get(0).asInstanceOf[AnyRef], r.get(1).asInstanceOf[AnyRef])), lt)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(labs.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)): _*), schema))
   }
 
   /** One large-star + small-star contraction round ([[componentsStars]]'

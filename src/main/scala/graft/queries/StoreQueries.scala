@@ -133,7 +133,7 @@ object StoreQueries {
     * the post-base slice of the mutation log, i.e. exactly what a
     * continuously-maintained analytics consumer holds: last full result's
     * inputs + the CDC rows since. */
-  private def buildIncrementalGraphStore(s: SparkSession, d: String)
+  private[graft] def buildIncrementalGraphStore(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val dir = graft.core.Scratch.dir("graft_store_incr_", d)
     val st = TableTwinStore.open(s, dir, () => "2026-02-01T00:00:00Z")
@@ -209,7 +209,7 @@ object StoreQueries {
     * twin, and a brand-new twin gaining its first — acyclic — edge).
     * Returns the frozen base relationship table and the post-base
     * mutation-log slice. */
-  private def buildSccGraphStore(s: SparkSession, d: String)
+  private[graft] def buildSccGraphStore(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val dir = graft.core.Scratch.dir("graft_store_scc_", d)
     val st = TableTwinStore.open(s, dir, () => "2026-02-01T00:00:00Z")

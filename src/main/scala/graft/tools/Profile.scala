@@ -34,6 +34,7 @@ object Profile {
       case "stages" :: _ => stages(spark, sfDir)
       case "components" :: _ => components(spark, sfDir)
       case "propscan" :: _ => propScan(spark, sfDir, reps)
+      case "incr" :: _ => incrPhases(spark, sfDir)
       case "fillcost" :: _ => fillCost(spark, sfDir, reps)
       case "typeofcost" :: _ => typeofCost(spark, sfDir, reps)
       case "vleseed" :: rest =>
@@ -139,6 +140,65 @@ object Profile {
   }
 
   /** Best-of-N timing of one SparkEntry query, without the full Bench. */
+  /** Phase attribution for the q_incr_* family (guide §1: measure before
+    * touching): store build vs base batch compute vs incremental refresh,
+    * with per-phase wall time AND Spark job counts — the fixture-scale
+    * gates are job-count-bound, so the job tally is the cost model. */
+  private def incrPhases(spark: SparkSession, sfDir: String): Unit = {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def phase[A](name: String)(f: => A): A = {
+      val j0 = jobs.get(); val t0 = System.nanoTime()
+      val r = f
+      println(f"[incr] $name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2fs " +
+        f"jobs=${jobs.get() - j0}")
+      r
+    }
+    // --- q_incr_scc decomposition ---
+    val (baseRels, muts) = phase("scc: store build")(
+      graft.queries.StoreQueries.buildSccGraphStore(spark, sfDir))
+    val baseScc = phase("scc: base Scc.components")(
+      { val df = graft.graph.Scc.components(
+          baseRels.select(col("source_id").as("src"),
+            col("target_id").as("dst"))); df.count(); df })
+    phase("scc: refreshScc")(
+      graft.graph.IncrementalAnalytics.refreshScc(baseScc, baseRels, muts)
+        .orderBy(col("node")).count())
+    dropState(spark)
+    // --- q_incr_kcore decomposition (shares the builder with 5 gates) ---
+    val (baseTwins2, baseRels2, muts2) = phase("kcore: store build")(
+      graft.queries.StoreQueries.buildIncrementalGraphStore(spark, sfDir))
+    val core2 = phase("kcore: base peel k=2")(
+      { val df = graft.graph.KCore.kcore(baseRels2, "source_id",
+          "target_id", 2); df.count(); df })
+    phase("kcore: refresh k=2")(
+      graft.graph.IncrementalAnalytics.refreshKcore(core2, baseRels2,
+        muts2, 2).count())
+    val core3 = phase("kcore: base peel k=3")(
+      { val df = graft.graph.KCore.kcore(baseRels2, "source_id",
+          "target_id", 3); df.count(); df })
+    phase("kcore: refresh k=3")(
+      graft.graph.IncrementalAnalytics.refreshKcore(core3, baseRels2,
+        muts2, 3).count())
+    dropState(spark)
+    // --- q_incr_ktruss decomposition ---
+    val (_, baseRels3, muts3) = phase("ktruss: store build")(
+      graft.queries.StoreQueries.buildIncrementalGraphStore(spark, sfDir))
+    val truss3 = phase("ktruss: base peel k=3")(
+      { val df = graft.graph.KTruss.peel(
+          baseRels3.select(col("source_id").as("src"),
+            col("target_id").as("dst")), 3, rounds = 4); df.count(); df })
+    phase("ktruss: refresh k=3")(
+      graft.graph.IncrementalAnalytics.refreshKtruss(truss3, baseRels3,
+        muts3, 3, rounds = 4).count())
+    val _ = baseTwins2
+  }
+
   private def query(spark: SparkSession, sfDir: String, reps: Int,
       name: String): Unit = {
     val fn = graft.SparkEntry.queries(name)
