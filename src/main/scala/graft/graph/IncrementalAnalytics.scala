@@ -228,9 +228,10 @@ object IncrementalAnalytics {
     * caller owns the returned checkpoints. */
   def refreshRanksHistory(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
-    val (hist, dirty) = refreshRanksHistoryParts(newRels, changedPairs,
-      history)
-    dirty.foreach(Blocks.free)
+    // needDirty=false: this entry point discards the dirty key sets, so
+    // skip their per-iteration materialization jobs outright (r19)
+    val (hist, _) = refreshRanksHistoryParts(newRels, changedPairs,
+      history, needDirty = false)
     hist
   }
 
@@ -240,7 +241,8 @@ object IncrementalAnalytics {
     * commit rewrites only the state buckets those keys hash into. Caller
     * owns BOTH returned checkpoint sequences. */
   private[graft] def refreshRanksHistoryParts(newRels: DataFrame,
-      changedPairs: DataFrame, history: IndexedSeq[DataFrame])
+      changedPairs: DataFrame, history: IndexedSeq[DataFrame],
+      needDirty: Boolean = true)
       : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     require(history.nonEmpty, "need the previous run's per-iteration ranks")
     val iterations = history.size
@@ -270,12 +272,15 @@ object IncrementalAnalytics {
       .localCheckpoint(eager = true)
 
     // nodes the batch dropped from the edge universe: their history rows
-    // vanish via the semi-join below, so their buckets are dirty too
-    val removed = changed
-      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
-      .distinct()
-      .join(nodes, Seq("node"), "left_anti")
-      .localCheckpoint(eager = true)
+    // vanish via the semi-join below, so their buckets are dirty too.
+    // Only materialized when the caller keeps the dirty sets.
+    val removed =
+      if (!needDirty) null
+      else changed
+        .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+        .distinct()
+        .join(nodes, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
     // r⁰ is the constant init — exact for every node, including new ones
     var blend = nodes.withColumn("rank_m", lit(1000000L))
       .localCheckpoint(eager = true)
@@ -302,8 +307,9 @@ object IncrementalAnalytics {
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
-      outDirty += affected.unionByName(removed).distinct()
-        .localCheckpoint(eager = true)
+      if (needDirty)
+        outDirty += affected.unionByName(removed).distinct()
+          .localCheckpoint(eager = true)
       if (i < iterations) {
         val grown = affected.unionByName(outNeighbors(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -312,7 +318,8 @@ object IncrementalAnalytics {
       }
     }
     Blocks.free(affected); Blocks.free(e); Blocks.free(nodes)
-    Blocks.free(changed); Blocks.free(removed)
+    Blocks.free(changed)
+    if (removed != null) Blocks.free(removed)
     (outHist.result(), outDirty.result())
   }
 
@@ -878,9 +885,10 @@ object IncrementalAnalytics {
     * forward. Caller owns the returned checkpoints. */
   def refreshCommunitiesHistory(newRels: DataFrame, changedPairs: DataFrame,
       history: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
-    val (hist, dirty) = refreshCommunitiesHistoryParts(newRels, changedPairs,
-      history)
-    dirty.foreach(Blocks.free)
+    // needDirty=false: the dirty key sets would be freed unread — skip
+    // their per-round materialization jobs (r19)
+    val (hist, _) = refreshCommunitiesHistoryParts(newRels, changedPairs,
+      history, needDirty = false)
     hist
   }
 
@@ -888,7 +896,8 @@ object IncrementalAnalytics {
     * [[refreshRanksHistoryParts]] contract at label granularity. Caller
     * owns both returned checkpoint sequences. */
   private[graft] def refreshCommunitiesHistoryParts(newRels: DataFrame,
-      changedPairs: DataFrame, history: IndexedSeq[DataFrame])
+      changedPairs: DataFrame, history: IndexedSeq[DataFrame],
+      needDirty: Boolean = true)
       : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     require(history.nonEmpty, "need the previous run's per-round labels")
     val rounds = history.size
@@ -910,12 +919,15 @@ object IncrementalAnalytics {
       .join(nodes, Seq("node"), "left_semi")
       .localCheckpoint(eager = true)
     // nodes the batch dropped from the edge universe (dirty: their rows
-    // vanish from every round via the semi-join)
-    val removed = changed
-      .select(explode(array(col("source_id"), col("target_id"))).as("node"))
-      .distinct()
-      .join(nodes, Seq("node"), "left_anti")
-      .localCheckpoint(eager = true)
+    // vanish from every round via the semi-join); materialized only when
+    // the caller keeps the dirty sets
+    val removed =
+      if (!needDirty) null
+      else changed
+        .select(explode(array(col("source_id"), col("target_id"))).as("node"))
+        .distinct()
+        .join(nodes, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
     var blend = nodes
       .select(col("node"),
         graft.pipeline.TextAnalysis.stableId(col("node")).as("lab"))
@@ -938,8 +950,9 @@ object IncrementalAnalytics {
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
-      outDirty += affected.unionByName(removed).distinct()
-        .localCheckpoint(eager = true)
+      if (needDirty)
+        outDirty += affected.unionByName(removed).distinct()
+          .localCheckpoint(eager = true)
       if (i < rounds) {
         val grown = affected.unionByName(nbrsOf(affected)).distinct()
           .localCheckpoint(eager = true)
@@ -949,7 +962,7 @@ object IncrementalAnalytics {
     }
     Blocks.free(affected)
     Blocks.free(edges); Blocks.free(nodes); Blocks.free(changed)
-    Blocks.free(removed)
+    if (removed != null) Blocks.free(removed)
     (outHist.result(), outDirty.result())
   }
 

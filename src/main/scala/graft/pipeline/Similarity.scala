@@ -394,14 +394,27 @@ object Similarity {
     * (corpus/cells)·nprobe·m bytes — independent of full-precision corpus
     * size. Queries/probes/LUT/codebook all broadcast; the corpus-sized
     * side moves once, as codes. */
-  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      codebook: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
-      m: Int = 16, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
-    val index = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+  /** The in-memory IVF+PQ index frame (id, codes, cell_id) — the encode +
+    * cell-assignment pass [[ivfpqTopK]] runs and [[writeIvfPqIndex]]
+    * persists. Exposed so a parameter sweep (several nprobe/rerank
+    * settings over one corpus, e.g. the recall-dial gate) encodes the
+    * corpus ONCE and probes the shared index per setting instead of
+    * re-encoding per call (r19; guide §1.2 — don't recompute what you
+    * throw away). */
+  def buildIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 16): DataFrame =
+    pqEncode(corpus, idCol, vecCol, codebook, dim, m)
       .withColumnRenamed(idCol, "n_id")
       .join(assignCells(corpus, centroids, idCol, vecCol)
         .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
       .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      m: Int = 16, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val index = buildIvfPqIndex(corpus, centroids, codebook, idCol, vecCol,
+      dim, m)
     ivfpqTopKIndexed(index, queries, corpus, centroids, codebook,
       idCol, vecCol, k, dim, m, nprobe, rerank)
   }
@@ -428,11 +441,7 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, m: Int = 16): Unit =
-    pqEncode(corpus, idCol, vecCol, codebook, dim, m)
-      .withColumnRenamed(idCol, "n_id")
-      .join(assignCells(corpus, centroids, idCol, vecCol)
-        .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
-      .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+    buildIvfPqIndex(corpus, centroids, codebook, idCol, vecCol, dim, m)
       .write.partitionBy("cell_id").mode("overwrite").parquet(path)
 
   /** Incremental append to an at-rest [[writeIvfPqIndex]] index: new
@@ -445,11 +454,7 @@ object Similarity {
   def appendToIvfPqIndex(newVectors: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, m: Int = 16): Unit =
-    pqEncode(newVectors, idCol, vecCol, codebook, dim, m)
-      .withColumnRenamed(idCol, "n_id")
-      .join(assignCells(newVectors, centroids, idCol, vecCol)
-        .select(col("v_id").as("n_id"), col("cell_id")), Seq("n_id"))
-      .select(col("n_id").as(idCol), col("codes"), col("cell_id"))
+    buildIvfPqIndex(newVectors, centroids, codebook, idCol, vecCol, dim, m)
       .write.partitionBy("cell_id").mode("append").parquet(path)
 
   /** IVF+PQ against an index frame carrying (id, codes, cell_id) — built

@@ -369,15 +369,22 @@ object PipelineQueries {
         .filter(col("rank") <= 5).select(col("q_id"), col("n_id"))
         .localCheckpoint(eager = true)
       val total = exact.count()
+      // encode + cell-assign the corpus ONCE and probe the shared index
+      // per sweep point (r19): the four nprobe settings differ only in
+      // probe width and rerank budget, so re-running pqEncode per point
+      // recomputed the identical code table four times
+      val index = Similarity.buildIvfPqIndex(emb, centroids, cb,
+        "vec_id", "embedding", dim = 64, m = 16)
+        .localCheckpoint(eager = true)
       // the shortlist widens WITH the probe count (rerank = 4·nprobe):
       // probing more cells under a fixed shortlist lets ADC-distorted
       // candidates crowd out true neighbors and recall can regress —
       // the dial must open the candidate budget and the rerank budget
       // together for monotone quality
       Seq(1, 2, 4, 8).map { np =>
-        val ivf = Similarity.ivfpqTopK(queries, emb, centroids, cb,
-          "vec_id", "embedding", k = 5, dim = 64, m = 16, nprobe = np,
-          rerank = 4 * np).select(col("q_id"), col("n_id"))
+        val ivf = Similarity.ivfpqTopKIndexed(index, queries, emb,
+          centroids, cb, "vec_id", "embedding", k = 5, dim = 64, m = 16,
+          nprobe = np, rerank = 4 * np).select(col("q_id"), col("n_id"))
         exact.join(ivf, Seq("q_id", "n_id"))
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(np).as("nprobe"), col("n_hits"),

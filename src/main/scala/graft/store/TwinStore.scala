@@ -602,20 +602,30 @@ object TwinStore {
     spark.createDataFrame(rows.asJava, Tables.modelsSchema)
   }
 
+  /** One mutation event → its `mutations` table row values, in
+    * Tables.mutationsSchema column order — the single place the
+    * kind/entity-id derivation lives (shared by the DataFrame view and
+    * the driver-side journal append). */
+  def mutationRow(m: MutationEvent)
+      : (Long, String, String, String, String, String, String) = {
+    val kind =
+      if (m.eventType.startsWith("Twin")) "Twin"
+      else if (m.eventType.startsWith("Relationship")) "Relationship"
+      else "Telemetry"
+    val entityId = Option(if (m.newJson != null) m.newJson else m.oldJson)
+      .flatMap(Json.tryParse).flatMap { n =>
+        Json.get(n, "/$dtId").orElse(Json.get(n, "/$relationshipId"))
+          .orElse(Json.get(n, "/digitalTwinId")).map(_.asText())
+      }.orNull
+    (m.seq, m.ts, kind, entityId, m.eventType, m.oldJson, m.newJson)
+  }
+
   /** Mutation events → `mutations` table rows (Tables.mutationsSchema). */
   def mutationsDf(spark: SparkSession, events: Seq[MutationEvent]): DataFrame = {
     import org.apache.spark.sql.Row
     val rows = events.map { m =>
-      val kind =
-        if (m.eventType.startsWith("Twin")) "Twin"
-        else if (m.eventType.startsWith("Relationship")) "Relationship"
-        else "Telemetry"
-      val entityId = Option(if (m.newJson != null) m.newJson else m.oldJson)
-        .flatMap(Json.tryParse).flatMap { n =>
-          Json.get(n, "/$dtId").orElse(Json.get(n, "/$relationshipId"))
-            .orElse(Json.get(n, "/digitalTwinId")).map(_.asText())
-        }.orNull
-      Row(m.seq, m.ts, kind, entityId, m.eventType, m.oldJson, m.newJson)
+      val t = mutationRow(m)
+      Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7)
     }.toSeq
     spark.createDataFrame(rows.asJava, Tables.mutationsSchema)
   }
