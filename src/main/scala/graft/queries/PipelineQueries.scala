@@ -372,10 +372,14 @@ object PipelineQueries {
       // encode + cell-assign the corpus ONCE and probe the shared index
       // per sweep point (r19): the four nprobe settings differ only in
       // probe width and rerank budget, so re-running pqEncode per point
-      // recomputed the identical code table four times
+      // recomputed the identical code table four times. LAZY persist,
+      // not an eager checkpoint: all four sweep branches sit in one
+      // final plan, so the first access materializes the shared
+      // InMemoryRelation inside that job — no extra barrier job, and
+      // the bench/Verify inter-query clearCache reclaims it.
       val index = Similarity.buildIvfPqIndex(emb, centroids, cb,
         "vec_id", "embedding", dim = 64, m = 16)
-        .localCheckpoint(eager = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the shortlist widens WITH the probe count (rerank = 4·nprobe):
       // probing more cells under a fixed shortlist lets ADC-distorted
       // candidates crowd out true neighbors and recall can regress —
