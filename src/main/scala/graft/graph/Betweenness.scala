@@ -49,9 +49,43 @@ object Betweenness {
     * [[centrality]] — one (source,node)-keyed equi-join + combinable
     * aggregate per depth round — with per-term integer division summed
     * order-independently, so results are bit-identical anywhere. */
+  /** The shared symmetric distinct edge checkpoint both paths consume. */
+  private def edgeCheckpoint(relationships: DataFrame): DataFrame =
+    relationships
+      .select(col("source_id").as("a"), col("target_id").as("b"))
+      .unionByName(relationships
+        .select(col("target_id").as("a"), col("source_id").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(eager = true)
+
+  /** Sub-cutoff driver bottom-out (r19 verdict item 4, [[LocalBrandes]]):
+    * at fixture/cone scale the batched rounds are ~90 Spark jobs of pure
+    * scheduling over microseconds of arithmetic. Gated on the shared
+    * [[LocalGraph.maxEdges]] size class (`0` disables); string keys only
+    * (the order-free parts don't need an order, but collectEdges does
+    * string extraction). Frees `e` on the local path. */
+  private def localSolved(e: DataFrame, sources: Seq[String],
+      maxDepth: Int, strict: Boolean): Option[LocalBrandes.Solved] = {
+    val allString = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if (!allString) None
+    else LocalGraph.collectEdges(e, LocalGraph.maxEdges(e.sparkSession))
+      .map { es =>
+        val s = LocalBrandes.solve(es, sources, maxDepth, strict)
+        Blocks.free(e)
+        s
+      }
+  }
+
   def harmonic(relationships: DataFrame, sources: Seq[String],
                maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
-    val (e, layers) = forward(relationships, sources, maxDepth, strict)
+    val e0 = edgeCheckpoint(relationships)
+    localSolved(e0, sources, maxDepth, strict).foreach { s =>
+      val spark = relationships.sparkSession
+      import spark.implicits._
+      return s.nodes.zip(s.hcM).toSeq.toDF("node", "hc_m")
+    }
+    val (e, layers) = forward(e0, sources, maxDepth, strict)
     val all = e.select(col("a").as("node")).distinct()
     val agg = layers.zipWithIndex.drop(1).map { case (l, d) =>
         l.select(col("node"), lit(Scale / d).as("h"))
@@ -115,7 +149,13 @@ object Betweenness {
     * depth cap or a split). */
   def eccentricity(relationships: DataFrame, sources: Seq[String],
                    maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
-    val (e, layers) = forward(relationships, sources, maxDepth, strict)
+    val e0 = edgeCheckpoint(relationships)
+    localSolved(e0, sources, maxDepth, strict).foreach { s =>
+      val spark = relationships.sparkSession
+      import spark.implicits._
+      return s.eccBySource.toSeq.toDF("source", "ecc", "n_reached")
+    }
+    val (e, layers) = forward(e0, sources, maxDepth, strict)
     val out = layers.zipWithIndex.map { case (l, d) =>
         l.select(col("s"), lit(d.toLong).as("depth"))
       }.reduce(_ unionByName _)
@@ -129,18 +169,12 @@ object Betweenness {
   /** Shared forward machinery: the undirected edge checkpoint plus the
     * BFS layers (s, node, sigma) per depth; layers(0) = the sources.
     * Caller owns (and frees) the returned checkpoints. */
-  private def forward(relationships: DataFrame, sources: Seq[String],
+  private def forward(e: DataFrame, sources: Seq[String],
       maxDepth: Int, strict: Boolean)
       : (DataFrame, IndexedSeq[DataFrame]) = {
     require(sources.nonEmpty, "need at least one source")
-    val spark = relationships.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = relationships
-      .select(col("source_id").as("a"), col("target_id").as("b"))
-      .unionByName(relationships
-        .select(col("target_id").as("a"), col("source_id").as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(eager = true)
     // Soundness of the per-round sigma probe: each round's Long sum per
     // (s,node) has at most in-degree(node) terms, each ≤ the PREVIOUS
     // round's observed max (round 0: sigma = 1). The sum itself executes
@@ -217,7 +251,13 @@ object Betweenness {
     */
   def centrality(relationships: DataFrame, sources: Seq[String],
                  maxDepth: Int = 16, strict: Boolean = true): DataFrame = {
-    val (e, layers0) = forward(relationships, sources, maxDepth, strict)
+    val e0 = edgeCheckpoint(relationships)
+    localSolved(e0, sources, maxDepth, strict).foreach { s =>
+      val spark = relationships.sparkSession
+      import spark.implicits._
+      return s.nodes.zip(s.bcM).toSeq.toDF("node", "bc_m")
+    }
+    val (e, layers0) = forward(e0, sources, maxDepth, strict)
     val layers = scala.collection.mutable.Buffer(layers0: _*)
 
     // ---- backward accumulation, deepest layer first ----

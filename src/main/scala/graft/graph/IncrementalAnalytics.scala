@@ -152,10 +152,22 @@ object IncrementalAnalytics {
   private[graft] def reachClosure(e: DataFrame, seeds: DataFrame,
       maxRounds: Int, what: String): DataFrame = {
     val spark = e.sparkSession
-    LocalGraph.collectEdges(e, LocalGraph.maxEdges(spark)) match {
-      case Some(es) =>
-        val seedArr = seeds.select(col("node")).distinct()
-          .collect().map(_.getString(0))
+    val cutoff = LocalGraph.maxEdges(spark)
+    // The cutoff gates the SEED frame too (r19 advice): the edge probe
+    // alone would let a huge seed set over a tiny edge frame collect
+    // unbounded rows to the driver. Seeds are collected through a
+    // limit(cutoff+1) probe — over-cutoff falls back to the distributed
+    // branch instead of relying on spark.driver.maxResultSize.
+    val localSolve = LocalGraph.collectEdges(e, cutoff).flatMap { es =>
+      val lim = if (cutoff >= Int.MaxValue - 1) Int.MaxValue
+        else cutoff.toInt + 1
+      val seedRows = seeds.select(col("node")).distinct()
+        .limit(lim).collect()
+      if (seedRows.length > cutoff) None
+      else Some((es, seedRows.map(_.getString(0))))
+    }
+    localSolve match {
+      case Some((es, seedArr)) =>
         import spark.implicits._
         LocalGraph.reachNodes(es, seedArr).toSeq.toDF("node")
           .localCheckpoint(eager = true)

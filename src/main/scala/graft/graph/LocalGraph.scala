@@ -55,11 +55,22 @@ object LocalGraph {
 
   private def minUtf8(a: String, b: String): String = if (utf8Lt(a, b)) a else b
 
+  /** Is the frame's row count over the cutoff? Probed with
+    * `limit(cutoff+1).count()`, not a full `count()`: CollectLimit stops
+    * scanning once cutoff+1 rows are found, so an over-cutoff frame (the
+    * common case at corpus scale — every outer SCC pass pays this probe)
+    * answers "stay distributed" after a partial scan instead of a full
+    * count job (r19 verdict item 8). Equivalent by construction:
+    * count > cutoff ⟺ limit(cutoff+1) yields cutoff+1 rows. */
+  private[graft] def overCutoff(e: DataFrame, cutoff: Long): Boolean =
+    if (cutoff >= Int.MaxValue - 1) e.count() > cutoff
+    else e.limit(cutoff.toInt + 1).count() > cutoff
+
   /** Collect a (string, string) edge frame when its row count is at or
     * under the cutoff; None ⇒ stay distributed. The input should already
-    * be materialized (checkpointed) so the count is a cached-scan job. */
+    * be materialized (checkpointed) so the probe is a cached-scan job. */
   def collectEdges(e: DataFrame, cutoff: Long): Option[Array[(String, String)]] =
-    if (cutoff <= 0 || e.count() > cutoff) None
+    if (cutoff <= 0 || overCutoff(e, cutoff)) None
     else {
       val rows = e.collect()
       // a null endpoint has no defined place in the label order — leave
@@ -193,11 +204,32 @@ object LocalGraph {
     out.toArray
   }
 
-  /** [[collectEdges]] for edge frames of any key type (the values only
-    * need equals/hashCode — peels are set algorithms, no ordering). */
+  /** Key types whose collected JVM values compare by VALUE under
+    * equals/hashCode — the contract the local peels' hash sets need.
+    * BinaryType is excluded explicitly: `Row.get` yields `Array[Byte]`
+    * with reference equality, which would silently fragment nodes on the
+    * local path while the distributed joins compare by value (r19
+    * advice). Non-atomic types (arrays, structs, maps) stay distributed
+    * for the same reason. */
+  private[graft] def valueEqualKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType | _: ArrayType | _: MapType | _: StructType |
+           _: UserDefinedType[_] | VariantType | ObjectType(_) => false
+      case NullType => false
+      case _ => true // string / numeric / boolean / date-time / decimal boxes
+    }
+  }
+
+  /** [[collectEdges]] for edge frames of any VALUE-EQUAL key type (the
+    * values only need well-behaved equals/hashCode — peels are set
+    * algorithms, no ordering; see [[valueEqualKeyType]]). */
   def collectEdgesAny(e: DataFrame, cutoff: Long)
       : Option[Array[(AnyRef, AnyRef)]] =
-    if (cutoff <= 0 || e.count() > cutoff) None
+    if (cutoff <= 0 ||
+        !e.schema.fields.forall(f => valueEqualKeyType(f.dataType)) ||
+        overCutoff(e, cutoff)) None
     else {
       val rows = e.collect()
       if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None

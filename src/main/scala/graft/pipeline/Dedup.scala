@@ -561,7 +561,7 @@ object Dedup {
     val dt = edges0.schema.fields(0).dataType
     if (cutoff <= 0 || edges0.schema.fields(1).dataType != dt) return None
     val lt = LocalGraph.sparkLt(dt).getOrElse(return None)
-    if (edges0.count() > cutoff) return None
+    if (LocalGraph.overCutoff(edges0, cutoff)) return None
     val rows = edges0.collect()
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val labs = LocalGraph.componentLabelsAny(

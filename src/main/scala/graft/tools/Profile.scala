@@ -30,6 +30,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     try args.toList match {
       case "query" :: names if names.nonEmpty => names.foreach(query(spark, sfDir, reps, _))
+      case "jobs" :: names if names.nonEmpty => names.foreach(jobProbe(spark, sfDir, _))
       case "explain" :: names if names.nonEmpty => names.foreach(explain(spark, sfDir, _))
       case "stages" :: _ => stages(spark, sfDir)
       case "components" :: _ => components(spark, sfDir)
@@ -197,6 +198,84 @@ object Profile {
       graft.graph.IncrementalAnalytics.refreshKtruss(truss3, baseRels3,
         muts3, 3, rounds = 4).count())
     val _ = baseTwins2
+  }
+
+  /** Scheduling-cost decomposition of one gate (guide §1/§2.2): run once
+    * untimed (JIT + page cache), then once with a listener tallying Spark
+    * jobs, stages, TASKS and summed task wall time. Job-count-bound gates
+    * show tasks ≫ work: a 25-node fixture gate launching 3000 tasks at 32
+    * shuffle partitions is the anti-scaling pathology the r19 verdict
+    * flagged (c8 faster than c32). Prints per-gate totals plus the top
+    * task-count stages so the fix can target the loop that spawns them. */
+  private def jobProbe(spark: SparkSession, sfDir: String,
+      name: String): Unit = {
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm: JIT, page cache, broadcast paths
+    dropState(spark)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val byCount = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    // per-stage task-time attribution: stageId -> (name, numTasks, ms)
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val stageMeta = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks)
+        val m = sc.stageInfo.taskMetrics
+        val split = if (m == null) "" else
+          f" run=${m.executorRunTime / 1000.0}%.2f cpu=${m.executorCpuTime / 1e9}%.2f " +
+            f"deser=${m.executorDeserializeTime / 1000.0}%.2f gc=${m.jvmGCTime / 1000.0}%.2f " +
+            f"serR=${m.resultSerializationTime / 1000.0}%.2f"
+        stageMeta.put(sc.stageInfo.stageId,
+          (sc.stageInfo.name.takeWhile(_ != '\n').take(60) + split,
+            sc.stageInfo.numTasks))
+        byCount.merge(sc.stageInfo.numTasks, Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) {
+          taskMs.addAndGet(te.taskInfo.duration)
+          stageMs.merge(te.stageId, java.lang.Long.valueOf(te.taskInfo.duration),
+            (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // brief settle so late stage/task events on the listener bus land
+    Thread.sleep(300L)
+    spark.sparkContext.removeSparkListener(listener)
+    dropState(spark)
+    val hist = {
+      val it = byCount.entrySet().iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue.intValue())) }
+      b.sortBy(-_._1).take(8).map { case (n, c) => s"${n}t x$c" }.mkString(", ")
+    }
+    println(f"[jobs] $name%-28s wall=$wall%6.2fs jobs=${jobs.get}%4d " +
+      f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
+      f"taskTime=${taskMs.get / 1000.0}%7.2fs  stageHist: $hist")
+    if (sys.env.get("SPARK_GRAFT_JOBS_TOPSTAGES").forall(_ != "0")) {
+      val top = {
+        val it = stageMs.entrySet().iterator()
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue.longValue())) }
+        b.sortBy(-_._2).take(6)
+      }
+      top.foreach { case (sid, ms) =>
+        val (nm, nt) = stageMeta.getOrDefault(sid, ("?", -1))
+        println(f"[jobs]   stage $sid%5d ${ms / 1000.0}%7.2fs ${nt}%4dt  $nm")
+      }
+    }
   }
 
   private def query(spark: SparkSession, sfDir: String, reps: Int,
