@@ -27,4 +27,52 @@ object Blocks {
     }.foreach { rdd =>
       if (rdd.getStorageLevel.isValid) rdd.unpersist(blocking = false)
     }
+
+  /** `localCheckpoint(eager = true)` with DATA-PROPORTIONAL partitioning
+    * (guide §2.2; the r19 verdict's #1 item): a checkpoint whose plan has
+    * no final shuffle keeps its input partition count — file-split
+    * packing or a union of per-round checkpoints — so loop-carried and
+    * shared frames of a few hundred rows pin core-count (or
+    * sum-of-unions) near-empty blocks, and every downstream job pays one
+    * task per block regardless of data. AQE only coalesces SHUFFLE
+    * output; this applies the same rows-per-byte discipline to
+    * checkpoint materialization: coalesce to ceil(estimatedBytes /
+    * targetBytes) partitions (never increases a partition count —
+    * `coalesce` is narrow and capped by the current count).
+    *
+    * The estimate is Catalyst's `optimizedPlan.stats.sizeInBytes` — free
+    * (no job). Frames whose size the planner cannot bound report the
+    * `defaultSizeInBytes` sentinel and keep their partitioning, the safe
+    * side at scale. Tune with `spark.graft.ckpt.targetBytes` (or env
+    * `SPARK_GRAFT_CKPT_TARGET_BYTES`); `0` disables compaction. The
+    * default 64 MB mirrors AQE's advisory partition size, so the knob is
+    * a size class, not a core count.
+    *
+    * Semantics: partitioning only — every caller is a join/aggregation
+    * consumer, so results are bit-identical on any layout. */
+  /** Extension syntax: `df.compactCheckpoint()` ≡
+    * `Blocks.compactCheckpoint(df)`. */
+  implicit class CompactCheckpointOps(private val df: DataFrame)
+      extends AnyVal {
+    def compactCheckpoint(): DataFrame = Blocks.compactCheckpoint(df)
+  }
+
+  def compactCheckpoint(df: DataFrame, targetBytes: Long = 64L << 20)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val target: Long =
+      spark.conf.getOption("spark.graft.ckpt.targetBytes")
+        .orElse(sys.env.get("SPARK_GRAFT_CKPT_TARGET_BYTES"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(targetBytes)
+    if (target <= 0) return df.localCheckpoint(eager = true)
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (stats >= sentinel) df.localCheckpoint(eager = true)
+    else {
+      val parts = ((stats + target - 1) / target)
+        .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+      df.coalesce(parts).localCheckpoint(eager = true)
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -56,7 +57,7 @@ object Betweenness {
       .unionByName(relationships
         .select(col("target_id").as("a"), col("source_id").as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
 
   /** Sub-cutoff driver bottom-out (r19 verdict item 4, [[LocalBrandes]]):
     * at fixture/cone scale the batched rounds are ~90 Spark jobs of pure
@@ -93,7 +94,7 @@ object Betweenness {
       case Seq() => None
       case parts => Some(parts.reduce(_ unionByName _)
         .groupBy(col("node")).agg(sum(col("h")).as("hc_m"))
-        .localCheckpoint(eager = true))
+        .compactCheckpoint())
     }
     layers.foreach(Blocks.free)
     // materialize the (node-sized) result so every upstream checkpoint —
@@ -104,7 +105,7 @@ object Betweenness {
       case None => all.select(col("node"), lit(0L).as("hc_m"))
       case Some(a) => all.join(a, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("hc_m"), lit(0L)).as("hc_m"))
-    }).localCheckpoint(eager = true)
+    }).compactCheckpoint()
     Blocks.free(e); agg.foreach(Blocks.free)
     out
   }
@@ -161,7 +162,7 @@ object Betweenness {
       }.reduce(_ unionByName _)
       .groupBy(col("s").as("source"))
       .agg(max(col("depth")).as("ecc"), count(lit(1)).as("n_reached"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     layers.foreach(Blocks.free); Blocks.free(e)
     out
   }
@@ -195,10 +196,10 @@ object Betweenness {
             "64-bit accumulation; sample fewer/other sources")
     var prevMaxSigma = 1L
     var frontier = sources.distinct.map(s => (s, s, 1L))
-      .toDF("s", "node", "sigma").localCheckpoint(eager = true)
+      .toDF("s", "node", "sigma").compactCheckpoint()
     val layers = scala.collection.mutable.Buffer(frontier)
     var visited = frontier.select(col("s"), col("node"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     var d = 0
     var alive = frontier.count()
     while (alive > 0 && d < maxDepth) {
@@ -210,7 +211,7 @@ object Betweenness {
         .select(col("s"), e("b").as("node"), col("sigma"))
         .join(visited, Seq("s", "node"), "left_anti")
         .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       // one probe job over the materialized blocks carries BOTH the
       // emptiness test and the overflow guard: sigma counts equal
       // shortest paths and grow combinatorially on grid-like graphs —
@@ -228,7 +229,7 @@ object Betweenness {
       if (alive > 0) {
         layers += nxt
         val nv = visited.unionByName(nxt.select(col("s"), col("node")))
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         Blocks.free(visited)
         visited = nv
         frontier = nxt
@@ -264,7 +265,7 @@ object Betweenness {
     // delta(v) over the deepest layer is 0 (no successors); each shallower
     // layer joins successors-at-depth+1 with their deltas
     var delta = layers.last.select(col("s"), col("node"), lit(0L).as("delta"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     // frames holding dist>0 deltas feed the final aggregate and must stay
     // materialized; only the dist-0 frame (sources, excluded by Brandes'
     // v ≠ s rule) is freeable
@@ -292,7 +293,7 @@ object Betweenness {
         .join(dv, Seq("s", "node"), "left_outer")
         .select(col("s"), col("node"),
           coalesce(col("delta"), lit(0L)).as("delta"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       delta = full
       if (dep > 0) contributions += full
     }
@@ -312,7 +313,7 @@ object Betweenness {
             .groupBy(col("node")).agg(sum(col("delta")).as("bc_m")),
           Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("bc_m"), lit(0L)).as("bc_m"))
-      ).localCheckpoint(eager = true)
+      ).compactCheckpoint()
     layers.foreach(Blocks.free)
     contributions.foreach(Blocks.free)
     Blocks.free(e)

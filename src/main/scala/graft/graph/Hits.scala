@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -32,10 +33,10 @@ object Hits {
   def scores(relationships: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = relationships.select(col("source_id"), col("target_id"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     val nodes = edges.select(col("source_id").as("node"))
       .unionByName(edges.select(col("target_id").as("node")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
 
     /** Sum-normalize a (node, x) table into micro-units, two-step:
       * pre-shrink by s = t div 1e6 + 1 so the ·1e6 product never
@@ -49,7 +50,7 @@ object Hits {
       * it — doubling every half-step). Returns an eagerly-checkpointed
       * frame; the raw intermediate's blocks are freed before returning. */
     def normalize(df: DataFrame): DataFrame = {
-      val raw = df.localCheckpoint(eager = true)
+      val raw = df.compactCheckpoint()
       val row = raw.agg(sum(col("x"))).collect()(0)
       // empty frame sums to NULL, an all-zero vector to 0 — both degrade
       // to divisor 1 (scores stay zero / no rows)
@@ -59,13 +60,13 @@ object Hits {
       val ts = t / s
       val out = raw.select(col("node"),
         expr(s"((x div ${s}L) * 1000000L) div ${ts}L").as("x"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       Blocks.free(raw)
       out
     }
 
     var hubs = nodes.withColumn("x", lit(1000000L))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
       // authority step: a(v) = Σ h(u) over edges u→v
@@ -89,7 +90,7 @@ object Hits {
     }
     val out = hubs.select(col("node"), col("x").as("hub_m"))
       .join(auths.select(col("node"), col("x").as("auth_m")), Seq("node"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     Blocks.free(hubs); Blocks.free(auths); Blocks.free(edges); Blocks.free(nodes)
     out
   }

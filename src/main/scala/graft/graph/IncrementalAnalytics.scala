@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -170,10 +171,10 @@ object IncrementalAnalytics {
       case Some((es, seedArr)) =>
         import spark.implicits._
         LocalGraph.reachNodes(es, seedArr).toSeq.toDF("node")
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
       case None =>
         var parts = List(seeds.select(col("node")).distinct()
-          .localCheckpoint(eager = true))
+          .compactCheckpoint())
         var frontier = parts.head
         var alive = frontier.count()
         var round = 0
@@ -188,12 +189,12 @@ object IncrementalAnalytics {
               Seq("u"), "left_semi")
             .select(col("v").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
-            .localCheckpoint(eager = true)
+            .compactCheckpoint()
           alive = nxt.count()
           parts ::= nxt
           frontier = nxt
         }
-        val out = parts.reduce(_ unionByName _).localCheckpoint(eager = true)
+        val out = parts.reduce(_ unionByName _).compactCheckpoint()
         parts.foreach(Blocks.free)
         out
     }
@@ -259,17 +260,17 @@ object IncrementalAnalytics {
     require(history.nonEmpty, "need the previous run's per-iteration ranks")
     val iterations = history.size
     val newPairs = pairs(newRels)
-    val nodes = endpoints(newPairs).localCheckpoint(eager = true)
+    val nodes = endpoints(newPairs).compactCheckpoint()
     val outdeg = newPairs.groupBy(col("source_id"))
       .agg(count(lit(1)).as("outdeg"))
-    val e = newPairs.join(outdeg, Seq("source_id")).localCheckpoint(eager = true)
+    val e = newPairs.join(outdeg, Seq("source_id")).compactCheckpoint()
 
     def outNeighbors(a: DataFrame): DataFrame =
       e.join(a.select(col("node").as("source_id")), Seq("source_id"), "left_semi")
         .select(col("target_id").as("node")).distinct()
 
     val changed = changedPairs.select(col("source_id"), col("target_id"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     // round-1 affected set: endpoints of changed pairs (covers added /
     // dropped edges and brand-new nodes) + out-neighbors of changed
     // sources (their out-degree shifted every surviving contribution);
@@ -281,7 +282,7 @@ object IncrementalAnalytics {
       .unionByName(outNeighbors(
         changed.select(col("source_id").as("node")).distinct()))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
 
     // nodes the batch dropped from the edge universe: their history rows
     // vanish via the semi-join below, so their buckets are dirty too.
@@ -292,10 +293,10 @@ object IncrementalAnalytics {
         .select(explode(array(col("source_id"), col("target_id"))).as("node"))
         .distinct()
         .join(nodes, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
     // r⁰ is the constant init — exact for every node, including new ones
     var blend = nodes.withColumn("rank_m", lit(1000000L))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val outHist = IndexedSeq.newBuilder[DataFrame]
     val outDirty = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to iterations) {
@@ -315,16 +316,16 @@ object IncrementalAnalytics {
         .join(nodes, Seq("node"), "left_semi")   // drop removed nodes
         .join(affected, Seq("node"), "left_anti") // affected: recomputed
         .unionByName(recomputed)
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
       if (needDirty)
         outDirty += affected.unionByName(removed).distinct()
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
       if (i < iterations) {
         val grown = affected.unionByName(outNeighbors(affected)).distinct()
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         Blocks.free(affected)
         affected = grown
       }
@@ -378,8 +379,8 @@ object IncrementalAnalytics {
 
   private[graft] def componentsParts(baseComponents: DataFrame,
       baseRels: DataFrame, mutations: DataFrame): ComponentsParts = {
-    val latest = latestRelMutations(mutations).localCheckpoint(eager = true)
-    val twinDelta = latestTwinMutations(mutations).localCheckpoint(eager = true)
+    val latest = latestRelMutations(mutations).compactCheckpoint()
+    val twinDelta = latestTwinMutations(mutations).compactCheckpoint()
     val oldTouched = baseRels
       .select(col("source_id"), col("relationship_id"), col("target_id"))
       .join(latest.select(RelKey.map(col): _*), RelKey, "left_semi")
@@ -393,7 +394,7 @@ object IncrementalAnalytics {
     val affected = baseComponents
       .join(touchedNodes, Seq("dt_id"), "left_semi")
       .select(col("component")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val deadTwins = twinDelta.filter(!col("alive")).select(col("dt_id"))
     val subNodes = baseComponents
       .join(affected, Seq("component"), "left_semi").select(col("dt_id"))
@@ -402,7 +403,7 @@ object IncrementalAnalytics {
         explode(array(col("source_id"), col("target_id"))).as("dt_id")))
       .distinct()
       .join(deadTwins, Seq("dt_id"), "left_anti")
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     // maintained edges with source inside the subgraph — for untouched
     // edges "source in" implies "both in" (same base component), for
     // touched edges both endpoints were added explicitly
@@ -503,7 +504,7 @@ object IncrementalAnalytics {
     def table(name: String): DataFrame =
       folded.getOrElseUpdate(name,
         StateStore.readTable(spark, stateDir, v, name)
-          .localCheckpoint(eager = true))
+          .compactCheckpoint())
     def tableBuckets(name: String, buckets: Seq[Int]): DataFrame =
       StateStore.readTableBuckets(spark, stateDir, v, name, buckets)
     def dirty(keys: DataFrame, keyCol: String): Seq[Int] =
@@ -639,8 +640,8 @@ object IncrementalAnalytics {
         if (StateStore.readPointer(stateDir) < target) {
           val spark2 = batch.sparkSession
           val c = new StateCommit(spark2, stateDir, target)
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           // every touched key's rows live in its source bucket, so the
           // bucket-pruned probe is the complete old-row set
           val relsProbe = c.tableBuckets("rels",
@@ -655,13 +656,13 @@ object IncrementalAnalytics {
           val dirtyNodes = ends(oldRows)
             .unionByName(ends(latest.filter(col("alive"))))
             .unionByName(twinDelta.select(col("dt_id")))
-            .distinct().localCheckpoint(true)
+            .distinct().compactCheckpoint()
           // per-node locality: refreshDegrees over the base RESTRICTED to
           // the dirty keys yields exactly their new rows (the upserts);
           // dirty keys it drops (dead twins) are the tombstones
           val up = refreshDegrees(
             c.table("degrees").join(dirtyNodes, Seq("dt_id"), "left_semi"),
-            relsProbe, m).localCheckpoint(true)
+            relsProbe, m).compactCheckpoint()
           val tomb = dirtyNodes
             .join(up.select(col("dt_id")), Seq("dt_id"), "left_anti")
           c.chainDelta("degrees", up, tomb)
@@ -713,11 +714,11 @@ object IncrementalAnalytics {
           col("source_id").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     val newRels = applyRelationshipMutations(baseRels, mutations)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val changed = changedPairs(baseRels, mutations)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val basePairs = sym(baseRels)
-    val newPairs = sym(newRels).localCheckpoint(eager = true)
+    val newPairs = sym(newRels).compactCheckpoint()
     val ends = changed
       .select(explode(array(col("source_id"), col("target_id"))).as("node"))
       .distinct()
@@ -727,10 +728,10 @@ object IncrementalAnalytics {
     val affected = ends
       .unionByName(neighborsOf(basePairs, ends))
       .unionByName(neighborsOf(newPairs, ends))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     val cone = affected
       .unionByName(neighborsOf(newPairs, affected))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     val coneEdges = newPairs
       .join(cone.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(cone.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
@@ -780,14 +781,14 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val baseComp = c.table("components")
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           val p = componentsParts(baseComp, baseRels, m)
           // upserts = the recomputed labels (they cover every surviving
           // member of an affected component plus every new node);
           // tombstones = affected-component members with no recomputed
           // row — the batch's dead twins
-          val recomputed = p.recomputed.localCheckpoint(true)
+          val recomputed = p.recomputed.compactCheckpoint()
           val tomb = baseComp
             .join(p.affected, Seq("component"), "left_semi")
             .select(col("dt_id"))
@@ -846,10 +847,10 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val hist = (0 until iterations).map(i => c.table(s"hist/i=$i"))
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           val newRels = applyRelationshipMutations(baseRels, m)
-            .localCheckpoint(true)
+            .compactCheckpoint()
           // the changed-pair probe only touches rows of touched keys, all
           // of which live in the dirty source buckets — pruned probe
           val changed = changedPairs(c.tableBuckets("rels",
@@ -887,7 +888,7 @@ object IncrementalAnalytics {
       history: IndexedSeq[DataFrame]): DataFrame = {
     val hist = refreshCommunitiesHistory(newRels, changedPairs, history)
     val out = hist.last.select(col("node"), col("lab").as("community"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     hist.foreach(Blocks.free)
     out
   }
@@ -917,19 +918,19 @@ object IncrementalAnalytics {
       col("target_id").as("nbr"))
     val edges = fwd
       .unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     val nodes = edges.select(col("node")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     def nbrsOf(a: DataFrame): DataFrame =
       edges.join(a.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
         .select(col("node")).distinct()
     val changed = changedPairs.select(col("source_id"), col("target_id"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     var affected = changed
       .select(explode(array(col("source_id"), col("target_id"))).as("node"))
       .distinct()
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     // nodes the batch dropped from the edge universe (dirty: their rows
     // vanish from every round via the semi-join); materialized only when
     // the caller keeps the dirty sets
@@ -939,11 +940,11 @@ object IncrementalAnalytics {
         .select(explode(array(col("source_id"), col("target_id"))).as("node"))
         .distinct()
         .join(nodes, Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
     var blend = nodes
       .select(col("node"),
         graft.pipeline.TextAnalysis.stableId(col("node")).as("lab"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val outHist = IndexedSeq.newBuilder[DataFrame]
     val outDirty = IndexedSeq.newBuilder[DataFrame]
     for (i <- 1 to rounds) {
@@ -958,16 +959,16 @@ object IncrementalAnalytics {
         .join(nodes, Seq("node"), "left_semi")
         .join(affected, Seq("node"), "left_anti")
         .unionByName(recomputed)
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       if (i == 1) Blocks.free(blend) // the r⁰ init; later blends ARE history
       blend = spliced
       outHist += spliced
       if (needDirty)
         outDirty += affected.unionByName(removed).distinct()
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
       if (i < rounds) {
         val grown = affected.unionByName(nbrsOf(affected)).distinct()
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         Blocks.free(affected)
         affected = grown
       }
@@ -1012,13 +1013,13 @@ object IncrementalAnalytics {
           val spark2 = batch.sparkSession
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           val p = trianglesParts(baseRels, m)
           // upserts = recomputed counts (they cover every affected node
           // still in the edge universe); tombstones = affected nodes the
           // cone recompute no longer sees (left the universe)
-          val rec = p.recomputed.localCheckpoint(true)
+          val rec = p.recomputed.compactCheckpoint()
           val tomb = p.affected
             .join(rec.select(col("node")), Seq("node"), "left_anti")
           c.chainDelta("triangles", rec, tomb)
@@ -1070,10 +1071,10 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val hist = (0 until rounds).map(i => c.table(s"lpa/i=$i"))
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           val newRels = applyRelationshipMutations(baseRels, m)
-            .localCheckpoint(true)
+            .compactCheckpoint()
           val changed = changedPairs(c.tableBuckets("rels",
             c.dirty(latest.select(col("source_id")), "source_id")), m)
           val (newHist, dirtyKeys) =
@@ -1206,10 +1207,10 @@ object IncrementalAnalytics {
   private[graft] def sccParts(baseScc: DataFrame, baseRels: DataFrame,
       mutations: DataFrame, maxRounds: Int = 200): SccParts = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val delta = changedPairsSigned(baseRels, mutations)
       .filter(col("source_id") =!= col("target_id")) // self-loops are inert
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val added = delta.filter(col("added"))
     val removed = delta.filter(!col("added"))
     // dirty SCCs: lost an internal (same-label) edge — the only splits
@@ -1220,25 +1221,25 @@ object IncrementalAnalytics {
         Seq("target_id"))
       .filter(col("ls") === col("lt"))
       .select(col("ls").as("scc")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     // group(n): base label for clean members, the node itself for dirty
     // members and for nodes the base labeling never saw (created now)
     val universe = endpoints(pairs(newRels)
       .filter(col("source_id") =!= col("target_id")))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val grpAll = baseScc
       .join(dirty.withColumn("__dirty", lit(true)), Seq("scc"), "left_outer")
       .select(col("node"),
         when(col("__dirty"), col("node")).otherwise(col("scc")).as("grp"))
       .unionByName(universe.join(baseScc, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("grp")))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val dirtyMembers = baseScc.join(dirty, Seq("scc"), "left_semi")
       .select(col("node"))
     def seedGroups(nodes: DataFrame): DataFrame =
       nodes.unionByName(dirtyMembers)
         .join(grpAll, Seq("node")).select(col("grp")).distinct()
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
     val fwdSeeds = seedGroups(added.select(col("target_id").as("node")))
     val bwdSeeds = seedGroups(added.select(col("source_id").as("node")))
     // group-granularity reachability: project the new edges to group
@@ -1253,7 +1254,7 @@ object IncrementalAnalytics {
         Seq("target_id"))
       .filter(col("gs") =!= col("gt"))
       .select(col("gs").as("u"), col("gt").as("v")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     def reach(seeds: DataFrame, reversed: Boolean): DataFrame = {
       val e = if (reversed) ge.select(col("v").as("u"), col("u").as("v"))
         else ge
@@ -1263,10 +1264,10 @@ object IncrementalAnalytics {
     val fwd = reach(fwdSeeds, reversed = false)
     val bwd = reach(bwdSeeds, reversed = true)
     val region = fwd.join(bwd, Seq("grp"), "left_semi")
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     Blocks.free(ge)
     val regionNodes = grpAll.join(region, Seq("grp"), "left_semi")
-      .localCheckpoint(eager = true) // (node, grp)
+      .compactCheckpoint() // (node, grp)
     // quotient recompute: new edges with both endpoint groups in-region
     val q = newRels
       .join(regionNodes.select(col("node").as("source_id"),
@@ -1282,7 +1283,7 @@ object IncrementalAnalytics {
       .select(col("grp"), coalesce(col("scc"), col("grp")).as("scc"))
     val deltaEnds = delta
       .select(explode(array(col("source_id"), col("target_id"))).as("node"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     // the parts reference only checkpointed frames (universe, regionNodes,
     // region, deltaEnds, Scc's internal resolved parts) — everything else
     // is freeable now
@@ -1330,10 +1331,10 @@ object IncrementalAnalytics {
   private[graft] def kcoreParts(baseRels: DataFrame, mutations: DataFrame,
       k: Int, maxRounds: Int = 200): Option[NodeSpliceParts] = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val touched = changedPairs(baseRels, mutations)
       .select(explode(array(col("source_id"), col("target_id"))).as("node"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     if (touched.count() == 0) {
       Blocks.free(newRels); Blocks.free(touched)
       return None
@@ -1345,7 +1346,7 @@ object IncrementalAnalytics {
       .unionByName(unionPairs.select(col("target_id").as("u"),
         col("source_id").as("v")))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val region = reachClosure(e, touched, maxRounds, "k-core region")
     Blocks.free(touched)
     // region is component-closed in the new graph, so restricting the
@@ -1395,14 +1396,14 @@ object IncrementalAnalytics {
           val spark2 = batch.sparkSession
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           kcoreParts(baseRels, m, k) match {
             case None => c.carry("kcore")
             case Some(p) =>
               // upserts = the region's recomputed survivors; tombstones =
               // region nodes peeled out of the core
-              val rec = p.recomputed.localCheckpoint(true)
+              val rec = p.recomputed.compactCheckpoint()
               val tomb = p.affected
                 .join(rec.select(col("node")), Seq("node"), "left_anti")
               c.chainDelta("kcore", rec, tomb)
@@ -1461,10 +1462,10 @@ object IncrementalAnalytics {
       k: Int, rounds: Int,
       maxReachRounds: Int = 200): Option[NodeSpliceParts] = {
     val newRels = applyRelationshipMutations(baseRels, mutations)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val touched = changedPairs(baseRels, mutations)
       .select(explode(array(col("source_id"), col("target_id"))).as("node"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     if (touched.count() == 0) {
       Blocks.free(newRels); Blocks.free(touched)
       return None
@@ -1475,7 +1476,7 @@ object IncrementalAnalytics {
       .unionByName(unionPairs.select(col("target_id").as("u"),
         col("source_id").as("v")))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val region = reachClosure(e, touched, maxReachRounds, "k-truss region")
     Blocks.free(touched)
     val regionEdges = newRels
@@ -1526,8 +1527,8 @@ object IncrementalAnalytics {
           val spark2 = batch.sparkSession
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           ktrussParts(baseRels, m, k, rounds) match {
             case None => c.carry("ktruss")
             case Some(p) =>
@@ -1535,7 +1536,7 @@ object IncrementalAnalytics {
               // = base truss edges inside the region that did not survive
               // the re-peel. Region nodes bucket exactly like the
               // canonical `a` endpoints, so the probe is bucket-pruned.
-              val rec = p.recomputed.localCheckpoint(true)
+              val rec = p.recomputed.compactCheckpoint()
               val tomb = c.tableBuckets("ktruss", c.dirty(p.affected, "node"))
                 .join(p.affected.withColumnRenamed("node", "a"),
                   Seq("a"), "left_semi")
@@ -1588,8 +1589,8 @@ object IncrementalAnalytics {
           val c = new StateCommit(spark2, stateDir, target)
           val baseRels = c.table("rels")
           val baseScc = c.table("scc")
-          val m = batch.localCheckpoint(true)
-          val latest = latestRelMutations(m).localCheckpoint(true)
+          val m = batch.compactCheckpoint()
+          val latest = latestRelMutations(m).compactCheckpoint()
           val p = sccParts(baseScc, baseRels, m)
           // every row that can change: region members get recomputed
           // labels; universe entries/exits (first-edge singletons, drops)
@@ -1597,7 +1598,7 @@ object IncrementalAnalytics {
           // restricted to those keys (unchanged delta-end rows ride along
           // harmlessly); tombstones = dirty keys the splice dropped.
           val dirtyNodes = p.regionNodes.select(col("node"))
-            .unionByName(p.deltaEnds).distinct().localCheckpoint(true)
+            .unionByName(p.deltaEnds).distinct().compactCheckpoint()
           val newTable = baseScc
             .join(p.universe, Seq("node"), "left_semi")
             .join(p.regionNodes.select(col("node")), Seq("node"),
@@ -1613,7 +1614,7 @@ object IncrementalAnalytics {
                 "left_anti")
               .select(col("node"), col("node").as("scc")))
           val up = newTable.join(dirtyNodes, Seq("node"), "left_semi")
-            .localCheckpoint(true)
+            .compactCheckpoint()
           val tomb = dirtyNodes
             .join(up.select(col("node")), Seq("node"), "left_anti")
           c.chainDelta("scc", up, tomb)

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -79,15 +80,15 @@ object KCore {
       rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import graft.core.Blocks
-    val sym = symmetric(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val sym = symmetric(edges, srcCol, dstCol).compactCheckpoint()
     localPeel(sym, k, rounds).foreach { out =>
       Blocks.free(sym)
       return out
     }
     var nodes = sym.select(col("u").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     for (_ <- 1 to rounds) {
-      val next = peelRound(sym, nodes, k).localCheckpoint(eager = true)
+      val next = peelRound(sym, nodes, k).compactCheckpoint()
       Blocks.free(nodes)
       nodes = next
     }
@@ -101,18 +102,18 @@ object KCore {
   def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 1000): DataFrame = {
     import graft.core.Blocks
-    val sym = symmetric(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val sym = symmetric(edges, srcCol, dstCol).compactCheckpoint()
     localPeel(sym, k, maxRounds).foreach { out =>
       Blocks.free(sym)
       return out
     }
     var nodes = sym.select(col("u").as("node")).distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     var prev = nodes.count()
     var rounds = 0
     var converged = prev == 0L
     while (!converged && rounds < maxRounds) {
-      val next = peelRound(sym, nodes, k).localCheckpoint(eager = true)
+      val next = peelRound(sym, nodes, k).compactCheckpoint()
       val n = next.count()
       Blocks.free(nodes)
       nodes = next

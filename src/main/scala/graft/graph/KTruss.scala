@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -49,7 +50,7 @@ object KTruss {
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = canonical(edges).localCheckpoint(eager = true)
+    var e = canonical(edges).compactCheckpoint()
     // Sub-cutoff bottom-out ([[LocalGraph]] doc): one serial synchronous
     // peel replaces rounds × (wedge join + semi-join + count) Spark jobs;
     // the survivor EDGE SET needs no ordering, so output is bit-identical.
@@ -69,7 +70,7 @@ object KTruss {
     for (_ <- 1 to rounds) {
       val kept = supports(e).filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       Blocks.free(e)
       e = kept
     }

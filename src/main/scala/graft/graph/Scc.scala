@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -60,7 +61,7 @@ object Scc {
                  maxInner: Int = 200): DataFrame = {
     val e0 = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     val spark = e0.sparkSession
     val localMax = LocalGraph.maxEdges(spark)
     // Sub-cutoff bottom-out (r19, LocalGraph doc): a whole graph at or
@@ -74,7 +75,7 @@ object Scc {
     }
     var rem = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().compactCheckpoint()
     var e = e0
     var resolvedParts = List.empty[DataFrame] // each a checkpoint
     var pass = 0
@@ -103,7 +104,7 @@ object Scc {
         val hasOut = e.select(col("src").as("node")).distinct()
         val interior = rem.join(hasIn, Seq("node"), "left_semi")
           .join(hasOut, Seq("node"), "left_semi")
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         val interiorCount = interior.count()
         if (interiorCount == remCount) {
           Blocks.free(interior)
@@ -111,14 +112,14 @@ object Scc {
         } else {
           val peeled = rem.join(interior, Seq("node"), "left_anti")
             .select(col("node"), col("node").as("scc"))
-            .localCheckpoint(eager = true)
+            .compactCheckpoint()
           resolvedParts ::= peeled
           val nextE = e.join(interior.withColumnRenamed("node", "src"),
               Seq("src"), "left_semi")
             .join(interior.withColumnRenamed("node", "dst"),
               Seq("dst"), "left_semi")
             .select(col("src"), col("dst"))
-            .localCheckpoint(eager = true)
+            .compactCheckpoint()
           Blocks.free(rem); Blocks.free(e)
           rem = interior; e = nextE
           remCount = interiorCount
@@ -135,16 +136,16 @@ object Scc {
           .join(bwd.withColumnRenamed("lab", "b"), "node")
         val resolved = joined.filter(col("f") === col("b"))
           .select(col("node"), col("f").as("scc"))
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         resolvedParts ::= resolved
         val nextRem = joined.filter(col("f") =!= col("b"))
-          .select(col("node")).localCheckpoint(eager = true)
+          .select(col("node")).compactCheckpoint()
         val nextE = e.join(nextRem.withColumnRenamed("node", "src"),
             Seq("src"), "left_semi")
           .join(nextRem.withColumnRenamed("node", "dst"),
             Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint(eager = true)
+          .compactCheckpoint()
         Blocks.free(fwd); Blocks.free(bwd); Blocks.free(rem); Blocks.free(e)
         rem = nextRem; e = nextE
         remCount = rem.count()
@@ -197,7 +198,7 @@ object Scc {
   private def minLabelFixpoint(nodes: DataFrame, edges: DataFrame,
                                maxInner: Int): DataFrame = {
     var lab = nodes.select(col("node"), col("node").as("lab"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     var frontier = lab // every label is "new" in round 1
     var moving = 1L
     var round = 0
@@ -223,7 +224,7 @@ object Scc {
           col("lab"))
         .select(col("node"), col("nlab").as("lab"),
           (col("nlab") < col("lab")).as("chg"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       val newFrontier = next.filter(col("chg"))
         .select(col("node"), col("lab"))
       moving = newFrontier.count()

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Blocks
@@ -49,18 +50,18 @@ object Sssp {
   def distances(relationships: DataFrame, source: String,
                 rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val edges = weightedEdges(relationships).localCheckpoint(eager = true)
+    val edges = weightedEdges(relationships).compactCheckpoint()
     val spark = relationships.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0L)).toDF("node", "dist")
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     for (_ <- 1 to rounds) {
       val relaxed = dist
         .join(edges, dist("node") === edges("src"))
         .select(edges("dst").as("node"), (dist("dist") + edges("w")).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       Blocks.free(dist)
       dist = next
     }

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -67,12 +68,19 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
   // Materialization discipline shared by the pair builders below: the
-  // shingle-id table is `persist`ed only for the duration of the pass (a
-  // leaked CacheManager entry would thrash the executor heap over the
-  // driver's 100-query bench), while results are `localCheckpoint(eager)`ed
-  // — evaluated ONCE, lineage truncated, blocks ContextCleaner-managed so
-  // downstream consumers that read a result twice (e.g. [[components]]
-  // building edges ∪ edges.swap) never re-run the generator pipeline.
+  // shingle-id table AND results are `localCheckpoint(eager)`ed —
+  // evaluated ONCE, lineage truncated, blocks freed explicitly at pass
+  // end ([[graft.core.Blocks]]) so downstream consumers that read a
+  // frame several times (verifyJaccard scans `ids` three ways;
+  // [[components]] builds edges ∪ edges.swap) never re-run the generator
+  // pipeline. A lazy `persist` here was measurably worse (r20): the
+  // first jobs that touch the cache are verifyJaccard's CONCURRENT
+  // broadcast-build futures, which race to compute the same partitions
+  // (duplicate shingle/md5 work + block-lock waits), and a cached plan
+  // keeps its raw shuffle partitioning (no AQE coalescing inside
+  // InMemoryRelation by default), so every scan paid core-count tasks
+  // regardless of data size — the checkpoint's partitioning is
+  // AQE-final, i.e. data-proportional.
 
   /** Per-(doc, shingle_id) exploded distinct shingle ids.
     *
@@ -131,9 +139,9 @@ object Dedup {
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val ids = shingleIds(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .compactCheckpoint()
     try shingleJaccardPairsFrom(ids, threshold, maxDf)
-    finally ids.unpersist(false)
+    finally graft.core.Blocks.free(ids)
   }
 
   /** [[shingleJaccardPairs]] over pre-built shingle ids — the entry point
@@ -158,7 +166,7 @@ object Dedup {
     // would run twice
     val idsF = ids.join(rare, Seq("sid"), "left_semi")
       .join(sizes, Seq("doc"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val out =
       idsF.select(col("doc").as("doc_a"), col("sz").as("sz_a"), col("sid"))
         .join(idsF.select(col("doc").as("doc_b"), col("sz").as("sz_b"),
@@ -173,7 +181,7 @@ object Dedup {
             .cast(LongType))
         .filter(col("jaccard_4") >= math.round(threshold * 10000))
         .select(col("doc_a"), col("doc_b"), col("jaccard_4"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
     graft.core.Blocks.free(idsF)
     out
   }
@@ -296,9 +304,9 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, waves: Int = 1): DataFrame = {
     val ids = shingleIds(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .compactCheckpoint()
     try minhashLshPairsFrom(ids, numHashes, bands, threshold, waves)
-    finally ids.unpersist(false)
+    finally graft.core.Blocks.free(ids)
   }
 
   /** [[minhashLshPairs]] over pre-built shingle ids — see
@@ -317,7 +325,7 @@ object Dedup {
     // shingle table per wave would multiply the operator's only required
     // shuffle by `waves`
     val wide = minhashSignaturesFrom(ids, numHashes)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     def bandRows(bnds: Seq[Int]): DataFrame = {
       val structs = bnds.map { bnd =>
         struct(lit(bnd).as("band"),
@@ -337,7 +345,7 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       // checkpointing c cuts the lineage to this wave's bucket-join
       // shuffle, but ContextCleaner only reclaims the shuffle files after
       // a GC collects the dropped ShuffleDependency (or the ~30-min
@@ -370,9 +378,9 @@ object Dedup {
     val candidates =
       if (waveCands.size == 1) waveCands.head
       else waveCands.reduce(_ unionByName _).distinct() // cross-wave dups
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
     val out = verifyJaccard(candidates, ids, threshold)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     waveCands.foreach(graft.core.Blocks.free)
     // single-wave: candidates IS waveCands.head, already freed above
     if (!waveCands.headOption.exists(_ eq candidates))
@@ -434,7 +442,7 @@ object Dedup {
     // copy of the same rows would just double the pinned blocks.
     val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val ownsEdges = !isRematerializable(proj)
-    val edges = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
+    val edges = if (ownsEdges) proj.compactCheckpoint() else proj
     // sym is CHECKPOINTED (not merely persisted): every loop iteration
     // joins against it, and its lineage would otherwise reach back through
     // the freed one-shot edge copy — a lost partition would then be
@@ -448,11 +456,11 @@ object Dedup {
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     if (ownsEdges) graft.core.Blocks.free(edges)
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     var changed = true
     while (changed) {
       val neighborMin = sym
@@ -473,7 +481,7 @@ object Dedup {
         .select(col("doc"), col("label"),
           least(col("mid_label"), coalesce(col("m_label"), col("mid_label")))
             .as("next_label"))
-        .localCheckpoint(eager = true)
+        .compactCheckpoint()
       // the new checkpoint subsumes the previous round's — free it now
       // rather than waiting for a driver GC + ContextCleaner pass
       graft.core.Blocks.free(labels)
@@ -504,7 +512,7 @@ object Dedup {
       bCol: String = "doc_b"): DataFrame = {
     val proj = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val ownsEdges = !isRematerializable(proj)
-    val edges0 = if (ownsEdges) proj.localCheckpoint(eager = true) else proj
+    val edges0 = if (ownsEdges) proj.compactCheckpoint() else proj
     // Sub-cutoff bottom-out (r19, graft.graph.LocalGraph doc): a pair
     // list at or under `spark.graft.graph.localSolveMaxEdges` resolves in
     // one serial union-find instead of O(log diameter) contraction
@@ -517,19 +525,19 @@ object Dedup {
     }
     // all nodes, for labeling isolated-in-pairs docs at the end
     val nodes = edges0.select(col("a")).unionByName(edges0.select(col("b").as("a")))
-      .distinct().select(col("a").as("doc")).localCheckpoint(eager = true)
+      .distinct().select(col("a").as("doc")).compactCheckpoint()
     // canonical downward orientation (a > b)
     var e = edges0
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     if (ownsEdges) graft.core.Blocks.free(edges0)
     var eSig = edgeSig(e)
     var converged = false
     while (!converged) {
       val (smallPlan, large) = starsRound(e)
-      val small = smallPlan.localCheckpoint(eager = true)
+      val small = smallPlan.compactCheckpoint()
       graft.core.Blocks.free(large)
       // convergence: same distinct-edge set as last round, compared via
       // (count, order-insensitive hash-sum) — one agg job per round; the
@@ -544,7 +552,7 @@ object Dedup {
     val out = nodes.join(e.select(col("a").as("doc"), col("b").as("component")),
         Seq("doc"), "left_outer")
       .select(col("doc"), coalesce(col("component"), col("doc")).as("component"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     graft.core.Blocks.free(e)
     graft.core.Blocks.free(nodes)
     out
@@ -588,7 +596,7 @@ object Dedup {
       .select(col("b").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val smins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
     val small = large.join(smins, Seq("a"))
       .filter(col("b") =!= col("m"))
@@ -737,7 +745,7 @@ object Dedup {
     val chunked = sh.select(col("doc"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("cv", shr(col("simhash"), col("chunk") * 8) % 256)
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     val l = chunked.select(col("doc").as("doc_a"), col("simhash").as("sh_a"),
       col("chunk"), col("cv"))
     val r = chunked.select(col("doc").as("doc_b"), col("simhash").as("sh_b"),
@@ -749,7 +757,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .localCheckpoint(eager = true)
+      .compactCheckpoint()
     graft.core.Blocks.free(chunked)
     out
   }

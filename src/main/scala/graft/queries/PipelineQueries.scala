@@ -372,20 +372,24 @@ object PipelineQueries {
       // encode + cell-assign the corpus ONCE and probe the shared index
       // per sweep point (r19): the four nprobe settings differ only in
       // probe width and rerank budget, so re-running pqEncode per point
-      // recomputed the identical code table four times. LAZY persist,
-      // not an eager checkpoint: all four sweep branches sit in one
-      // final plan, so the first access materializes the shared
-      // InMemoryRelation inside that job — no extra barrier job, and
-      // the bench/Verify inter-query clearCache reclaims it.
+      // recomputed the identical code table four times. EAGER checkpoint
+      // (r20, replacing the r19 lazy persist that was never full-benched
+      // and measured slower): the first consumers of a lazy cache are the
+      // four branches' concurrent broadcast-build futures, which race to
+      // materialize the same partitions, and the cached plan keeps its
+      // raw core-count partitioning (no AQE coalescing inside
+      // InMemoryRelation) — the checkpoint materializes once, with
+      // AQE-final data-proportional partitioning, and is freed below
+      // (the r19 advice leak).
       val index = Similarity.buildIvfPqIndex(emb, centroids, cb,
         "vec_id", "embedding", dim = 64, m = 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       // the shortlist widens WITH the probe count (rerank = 4·nprobe):
       // probing more cells under a fixed shortlist lets ADC-distorted
       // candidates crowd out true neighbors and recall can regress —
       // the dial must open the candidate budget and the rerank budget
       // together for monotone quality
-      Seq(1, 2, 4, 8).map { np =>
+      val sweep = Seq(1, 2, 4, 8).map { np =>
         val ivf = Similarity.ivfpqTopKIndexed(index, queries, emb,
           centroids, cb, "vec_id", "embedding", k = 5, dim = 64, m = 16,
           nprobe = np, rerank = 4 * np).select(col("q_id"), col("n_id"))
@@ -396,6 +400,13 @@ object PipelineQueries {
             floor(col("n_hits") * lit(1000.0) / lit(total) + lit(0.5))
               .cast("long").as("recall_m"))
       }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+        // 4 rows; materializing here lets the shared index (and the
+        // ground-truth checkpoint) be freed before the caller consumes
+        // the result — no leaked blocks for an embedding caller
+        .localCheckpoint(eager = true)
+      graft.core.Blocks.free(index)
+      graft.core.Blocks.free(exact)
+      sweep
     }),
 
     // PQ codes: every vector's m=4 codebook indices (byte-parity gate for

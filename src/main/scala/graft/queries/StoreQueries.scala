@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Blocks.CompactCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.store.TableTwinStore
@@ -168,8 +169,8 @@ object StoreQueries {
     }
     // freeze the base state: this is "the last full recompute's input"
     val baseGraph = st.graph
-    val baseTwins = baseGraph.twins.localCheckpoint(eager = true)
-    val baseRels = baseGraph.relationships.localCheckpoint(eager = true)
+    val baseTwins = baseGraph.twins.compactCheckpoint()
+    val baseRels = baseGraph.relationships.compactCheckpoint()
     val baseSeq = st.mutationsDf.agg(max(col("seq"))).collect()(0).getLong(0)
     // batch 1: a third of the nations leave their region
     st.batch {
@@ -197,7 +198,7 @@ object StoreQueries {
     // the post-base log slice feeds many joins across the incremental
     // refreshes — materialize once instead of re-scanning the journal
     (baseTwins, baseRels,
-      st.mutationsDf.filter(col("seq") > baseSeq).localCheckpoint(eager = true))
+      st.mutationsDf.filter(col("seq") > baseSeq).compactCheckpoint())
   }
 
   /** Store for the incremental-SCC gate: a directed trade RING over the
@@ -247,7 +248,7 @@ object StoreQueries {
         st.createOrReplaceRelationship(s"N${k + 4}", s"bk$k",
           relDoc("trades_with", s"N$k")) }
     }
-    val baseRels = st.graph.relationships.localCheckpoint(eager = true)
+    val baseRels = st.graph.relationships.compactCheckpoint()
     val baseSeq = st.mutationsDf.agg(max(col("seq"))).collect()(0).getLong(0)
     // batch 1 — SPLIT: drop the ring edge leaving each 5-block; the one
     // SCC becomes five 5-cycles
@@ -278,7 +279,7 @@ object StoreQueries {
       st.createOrReplaceRelationship("N2", "ny", relDoc("trades_with", "Y0"))
     }
     (baseRels,
-      st.mutationsDf.filter(col("seq") > baseSeq).localCheckpoint(eager = true))
+      st.mutationsDf.filter(col("seq") > baseSeq).compactCheckpoint())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
