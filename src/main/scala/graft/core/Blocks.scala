@@ -66,13 +66,52 @@ object Blocks {
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .getOrElse(targetBytes)
     if (target <= 0) return df.localCheckpoint(eager = true)
+    if (sys.env.get("SPARK_GRAFT_CKPT_TRACE").contains("1")) {
+      val t0 = System.nanoTime()
+      val nodes = df.queryExecution.optimizedPlan.collect { case p => p }.size
+      val st = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(f"[ckpt-trace] nodes=$nodes bits=${st.bitLength} " +
+        f"statsMs=${(System.nanoTime() - t0) / 1e6}%.1f")
+    }
     val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    if (stats >= sentinel) df.localCheckpoint(eager = true)
-    else {
-      val parts = ((stats + target - 1) / target)
-        .max(BigInt(1)).min(BigInt(1 << 20)).toInt
-      df.coalesce(parts).localCheckpoint(eager = true)
+    import org.apache.spark.sql.graftbridge.CheckpointStats
+    // Replacing the leaf's INHERITED estimate with the checkpoint's true
+    // materialized size (withMaterializedStats) matters twice over:
+    // Spark 4 bakes the origin plan's estimate into the LogicalRDD, and
+    // across checkpoint generations (fixpoint loops) the estimates
+    // snowball multiplicatively until stats arithmetic itself dominates
+    // the driver (measured on the distributed SCC path: a round plan's
+    // sizeInBytes reached 126 million BITS and cost 44 s to fold; see
+    // CheckpointStats). True sizes also make this function's own
+    // coalesce decision exact for every downstream checkpoint.
+    // First pass: coalesce by the ESTIMATE when the planner has one (a
+    // no-op when the estimate is large), then materialize. Estimates from
+    // expression-heavy plans (JSON extraction over a store view) can be
+    // orders of magnitude above reality, so a second look with the now
+    // EXACT size re-checkpoints tiny-but-wide results down to their
+    // data-proportional partition count; only a ≥2× reduction pays for
+    // the extra (block-read-sized) materialization job. Big frames keep
+    // their layout and just get accurate leaf stats.
+    val ck = CheckpointStats.withMaterializedStats(
+      if (stats >= sentinel) df.localCheckpoint(eager = true)
+      else {
+        val parts = ((stats + target - 1) / target)
+          .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+        df.coalesce(parts).localCheckpoint(eager = true)
+      })
+    CheckpointStats.materializedInfo(ck) match {
+      case Some((bytes, cur)) =>
+        val parts = math.max(1L, (bytes + target - 1) / target).toInt
+        if (sys.env.get("SPARK_GRAFT_CKPT_TRACE").contains("1"))
+          println(s"[ckpt-trace]   post-hoc bytes=$bytes cur=$cur parts=$parts")
+        if (parts.toLong * 2 <= cur) {
+          val ck2 = CheckpointStats.withMaterializedStats(
+            ck.coalesce(parts).localCheckpoint(eager = true))
+          free(ck)
+          ck2
+        } else ck
+      case None => ck
     }
   }
 }

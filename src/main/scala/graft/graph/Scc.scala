@@ -171,7 +171,11 @@ object Scc {
   private def localDf(spark: org.apache.spark.sql.SparkSession,
       labels: Array[(String, String)]): DataFrame = {
     import spark.implicits._
-    labels.toSeq.toDF("node", "scc")
+    // coalesce(1): a LocalRelation scans as min(rows, defaultParallelism)
+    // one-row TASKS per consumer (Spark's LocalTableScanExec slicing) —
+    // a 30-row solve consumed by three splice joins cost 90 scheduled
+    // tasks per job for driver-memory rows (r20)
+    labels.toSeq.toDF("node", "scc").coalesce(1)
   }
 
   /** Propagate the min label along `edges` (src → dst) until no label
@@ -228,6 +232,8 @@ object Scc {
       val newFrontier = next.filter(col("chg"))
         .select(col("node"), col("lab"))
       moving = newFrontier.count()
+      if (sys.env.get("SPARK_GRAFT_SCC_TRACE").contains("1"))
+        println(s"[scc-trace] round=$round moving=$moving")
       if (frontier ne lab) Blocks.free(frontier)
       Blocks.free(lab)
       lab = next.select(col("node"), col("lab"))

@@ -577,9 +577,11 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc", dt),
       org.apache.spark.sql.types.StructField("component", dt)))
+    // coalesce(1): LocalRelations otherwise scan as one-row tasks
+    // (see graft.graph.Scc.localDf)
     Some(spark.createDataFrame(
       java.util.Arrays.asList(labs.map(p =>
-        org.apache.spark.sql.Row(p._1, p._2)): _*), schema))
+        org.apache.spark.sql.Row(p._1, p._2)): _*), schema).coalesce(1))
   }
 
   /** One large-star + small-star contraction round ([[componentsStars]]'
